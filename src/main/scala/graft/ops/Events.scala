@@ -1,0 +1,117 @@
+package graft.ops
+
+import graft.functions.OracleMath._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the `events` fixture: JSON
+  * extraction, time-bucketed aggregation, lag-based sessionization
+  * (SURVEY §2.B map/json + date/time + window rows).
+  *
+  * `events.ts` is nanosecond parquet, which Spark 4 rejects as an
+  * illegal Parquet type unless `spark.sql.legacy.parquet.nanosAsLong`
+  * is on; [[eventsTable]] enables it, reads `ts` as long nanos, and
+  * floor-truncates to a microsecond TIMESTAMP — the same truncation
+  * DuckDB applies in `CAST(ts AS TIMESTAMP)`, so oracles cast
+  * consistently (FIXTURES.md note).
+  */
+object Events {
+
+  def eventsTable(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.t(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Per-event-type stats over a JSON-extracted field:
+    * `get_json_object(props, '$.k')` (codegen'd path expression) —
+    * the engine's `from_json`/path-extraction surface. */
+  def eventsJson(s: SparkSession, dir: String): DataFrame = {
+    val e = eventsTable(s, dir)
+    e.withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        (sum(col("k")).cast("double") / count(col("k"))).as("avg_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
+  val eventsJsonSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  CAST(CAST(SUM(k) AS BIGINT) AS DOUBLE) / COUNT(k) AS avg_k,
+      |  MIN(k) AS min_k, MAX(k) AS max_k
+      |FROM (SELECT event_type,
+      |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** Hourly tumbling aggregation: count + exact-bridged value sum
+    * per (hour, event_type). At stream scale this is the batch twin
+    * of the Structured Streaming windowed agg in graft.streaming. */
+  def eventsHourly(s: SparkSession, dir: String): DataFrame = {
+    val e = eventsTable(s, dir)
+    e.groupBy(
+        date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  val eventsHourlySql: String =
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY hour, event_type""".stripMargin
+
+  /** Sessionization: a session break is a ≥30-minute silence per
+    * user (lag window). One shuffle on user_id; gap arithmetic in
+    * integral microseconds so both engines compare exactly. */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val e = eventsTable(s, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    e.withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev")) > 1800000000L, 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("new_sess")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val sessionizeSql: String =
+    """SELECT user_id,
+      |  CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+      |  COUNT(*) AS n_events
+      |FROM (SELECT user_id,
+      |             CASE WHEN prev IS NULL
+      |                    OR epoch_us(ts) - epoch_us(prev) > 1800000000
+      |                  THEN 1 ELSE 0 END AS new_sess
+      |      FROM (SELECT user_id,
+      |                   CAST(ts AS TIMESTAMP) AS ts,
+      |                   lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+      |                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+      |            FROM events))
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q09_events_json" -> (eventsJson _),
+    "q10_events_hourly" -> (eventsHourly _),
+    "q11_sessionize" -> (sessionize _))
+
+  val oracles: Map[String, String] = Map(
+    "q09_events_json" -> eventsJsonSql,
+    "q10_events_hourly" -> eventsHourlySql,
+    "q11_sessionize" -> sessionizeSql)
+}

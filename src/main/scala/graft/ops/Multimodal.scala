@@ -1,0 +1,81 @@
+package graft.ops
+
+import graft.embed.HashEmbedder
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads ride as opaque
+  * `BINARY` columns with typed metadata, and decode/feature-extract
+  * runs as a batched `mapPartitions` over a typed Dataset — the
+  * JVM analog of a vectorized (Arrow-batch) decode UDF: schema,
+  * partitioning, batch shape and the executor-side batching are
+  * real; only the codec itself is stubbed (no image/audio libs in
+  * this container), clearly marked below.
+  */
+object Multimodal {
+  import Tables.t
+
+  case class MediaRecord(doc_id: Long, payload: Array[Byte])
+  case class MediaMeta(
+      doc_id: Long, byte_len: Long, width: Int, height: Int,
+      format: String, checksum: Long)
+
+  /** Decode batch size — mirrors the reference's GPU encode batch of
+    * 32 (log-vector `index.py:105`): media codecs amortize setup per
+    * batch, so the iterator is consumed in groups even though the
+    * stub is per-record. */
+  val DecodeBatch = 32
+
+  /** STUB CODEC: deterministic fake decode. A real deployment
+    * replaces this one function with an actual image/audio decoder
+    * (per-executor singleton, same lifecycle as Embedder); nothing
+    * else in the pipeline changes. */
+  private def decodeStub(payload: Array[Byte]): (Int, Int, String) = {
+    var h = 0xCBF29CE484222325L
+    var i = 0
+    while (i < payload.length) { h ^= payload(i) & 0xffL; h *= 0x100000001B3L; i += 1 }
+    val m = HashEmbedder.mix(h)
+    val width = 64 + java.lang.Long.remainderUnsigned(m, 1857L).toInt
+    val height = 64 + java.lang.Long.remainderUnsigned(m >>> 17, 1017L).toInt
+    val formats = Array("png", "jpeg", "webp")
+    val format = formats(java.lang.Long.remainderUnsigned(m >>> 41, 3L).toInt)
+    (width, height, format)
+  }
+
+  private def checksum64(payload: Array[Byte]): Long = {
+    var h = 0xCBF29CE484222325L
+    var i = 0
+    while (i < payload.length) { h ^= payload(i) & 0xffL; h *= 0x100000001B3L; i += 1 }
+    h
+  }
+
+  /** Batched decode: Dataset[MediaRecord] → Dataset[MediaMeta].
+    * Map-only (no shuffle); `grouped(DecodeBatch)` gives the codec
+    * its batch shape without materializing the partition. */
+  def extractMeta(records: Dataset[MediaRecord]): Dataset[MediaMeta] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.grouped(DecodeBatch).flatMap { batch =>
+        batch.map { r =>
+          val (w, h, fmt) = decodeStub(r.payload)
+          MediaMeta(r.doc_id, r.payload.length.toLong, w, h, fmt, checksum64(r.payload))
+        }
+      }
+    }
+  }
+
+  /** Fixture adapter: documents.text encoded as UTF-8 bytes plays
+    * the opaque payload (the fixtures ship no real media). */
+  def mediaMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val recs = t(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRecord]
+    extractMeta(recs).toDF().orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_meta" -> (mediaMeta _))
+
+  val oracles: Map[String, String] = Map.empty
+}

@@ -1,0 +1,170 @@
+package graft.ops
+
+import graft.ingest.Chunker
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` (SURVEY §2.B string
+  * rows + the training-data-pipeline text suite): per-language
+  * stats, token counting, quality scoring, fingerprinting,
+  * language-ID heuristic, chunk statistics.
+  *
+  * All-builtin expressions (split / explode / higher-order filter)
+  * so everything stays inside whole-stage codegen; UDFs appear only
+  * where a sequential fold is inherent (chunker, rolling hash).
+  */
+object TextOps {
+  import Tables.t
+
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** Per-language corpus stats: doc count, char totals, token
+    * totals. Map-side partial agg on a 5-value key. */
+  def textStats(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  val textStatsSql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_chars,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  /** Global top-20 tokens: explode → count → top-k. The explode
+    * fans out ~rows×tokens but partial aggregation collapses it
+    * map-side before the single shuffle on the word key. */
+  def topWords(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(20)
+  }
+
+  val topWordsSql: String =
+    """SELECT w AS word, COUNT(*) AS cnt
+      |FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+      |GROUP BY w
+      |ORDER BY cnt DESC, word
+      |LIMIT 20""".stripMargin
+
+  /** Per-document quality signals: token count, distinct tokens,
+    * type-token ratio, stopword ratio — the length/stopword slice of
+    * an LLM-data quality score, all in codegen'd array functions. */
+  def docQuality(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val w = split(col("text"), " ")
+    d.select(
+        col("doc_id"),
+        size(w).cast("long").as("n_tokens"),
+        size(array_distinct(w)).cast("long").as("n_distinct"),
+        (round(size(array_distinct(w)).cast("double") / size(w), 6) + lit(0.0)).as("ttr"),
+        (round(size(filter(w, x => x.isInCollection(Stopwords))).cast("double") / size(w), 6) + lit(0.0))
+          .as("stop_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docQualitySql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(w) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+       |  round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6) + 0 AS ttr,
+       |  round(CAST(len(list_filter(w, x -> x IN (${Stopwords.map("'" + _ + "'").mkString(", ")}))) AS DOUBLE) / len(w), 6) + 0 AS stop_ratio
+       |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Content fingerprint for exact-dup detection at scale: md5 of
+    * the text (hash-compare instead of string-compare in the
+    * downstream groupBy). Oracle-checkable since both engines emit
+    * identical lowercase hex. */
+  def docFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select(col("doc_id"), md5(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docFingerprintSql: String =
+    """SELECT doc_id, md5(text) AS fp
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** 64-bit polynomial rolling hash (content-defined fingerprint
+    * primitive for shift-resistant dup detection). Unit-tested;
+    * used by SimHash via token hashes. */
+  def rollingHash64(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = h * 1315423911L + s.charAt(i).toLong; i += 1 }
+    h
+  }
+
+  /** Language-ID heuristic: per-language marker-token vote with
+    * deterministic tie-break (marker hit count, then lang code).
+    * Word-soup fixtures carry no real language signal, so this
+    * checks the *mechanism* (rows-only gate + unit tests). */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "es", "y"),
+    "fr" -> Seq("le", "la", "les", "est", "et"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he"))
+
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val w = split(col("text"), " ")
+    val scores = LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      struct(
+        size(filter(w, x => x.isInCollection(markers))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    // array_max on (hits, lang) structs: max hits, then max lang —
+    // deterministic; flip lang ordering is irrelevant for a tie of
+    // zero-signal soup but stable.
+    d.select(col("doc_id"), col("lang").as("lang_true"),
+        array_max(array(scores: _*)).getField("lang").as("lang_pred"),
+        array_max(array(scores: _*)).getField("hits").cast("long").as("marker_hits"))
+      .withColumn("agree", (col("lang_true") === col("lang_pred")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Chunk statistics via the reference chunker (spaces rewritten to
+    * newlines so the line-packer exercises multi-line packing on
+    * soup docs): chunks per doc + max chunk length. */
+  def chunkStats(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val chunkUdf = udf((txt: String) => Chunker.chunkLines(txt, 200))
+    d.select(col("doc_id"),
+        chunkUdf(translate(col("text"), " ", "\n")).as("chunks"))
+      .select(
+        col("doc_id"),
+        size(col("chunks")).cast("long").as("n_chunks"),
+        array_max(transform(col("chunks"), c => length(c))).cast("long").as("max_chunk_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> (textStats _),
+    "top_words" -> (topWords _),
+    "doc_quality" -> (docQuality _),
+    "doc_fingerprint" -> (docFingerprint _),
+    "lang_id" -> (langId _),
+    "chunk_stats" -> (chunkStats _))
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" -> textStatsSql,
+    "top_words" -> topWordsSql,
+    "doc_quality" -> docQualitySql,
+    "doc_fingerprint" -> docFingerprintSql)
+}

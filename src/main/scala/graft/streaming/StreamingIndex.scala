@@ -1,0 +1,65 @@
+package graft.streaming
+
+import graft.embed.{EmbedOps, Embedder, HashEmbedder}
+import graft.ingest.Chunker
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+/** Incremental indexer: the Structured Streaming form of the batch
+  * index build (SURVEY §7.6 extension — the reference is one-shot
+  * batch, `index.py:322-407`; this adds what a continuously-fed log
+  * pipeline needs).
+  *
+  * Source: file stream of text documents. Transform: same chunk →
+  * embed dataflow as batch (code shared, so semantics cannot
+  * drift). Sink: parquet append with checkpointing, or
+  * `foreachBatch` for upsert-style maintenance. Also ships a
+  * watermarked event-rate monitor as the streaming windowed-agg
+  * surface.
+  */
+object StreamingIndex {
+
+  /** `(source, content)` stream → chunk+embedding stream. Map-only:
+    * safe under any output mode, no state store needed. */
+  def chunkEmbedStream(
+      files: DataFrame,
+      chunkSize: Int = Chunker.DefaultChunkSize,
+      embedder: Embedder = HashEmbedder.default): DataFrame =
+    EmbedOps.withEmbedding(
+      Chunker.chunkDF(files, "source", "content", chunkSize), "text", "embedding", embedder)
+
+  /** File-source incremental index: watches `inDir` for new text
+    * files (one doc per file via `wholetext`), appends chunk rows to
+    * the parquet index. `maxFilesPerTrigger` bounds batch size so a
+    * backlog cannot OOM an executor. */
+  def fileIndexStream(
+      spark: SparkSession,
+      inDir: String,
+      indexDir: String,
+      checkpointDir: String,
+      chunkSize: Int = Chunker.DefaultChunkSize): DataStreamWriter[Row] = {
+    val files = spark.readStream
+      .format("text")
+      .option("wholetext", "true")
+      .option("maxFilesPerTrigger", 64)
+      .load(inDir)
+      .select(input_file_name().as("source"), col("value").as("content"))
+    chunkEmbedStream(files, chunkSize)
+      .writeStream
+      .format("parquet")
+      .option("path", indexDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+  }
+
+  /** Watermarked sliding-window event-rate monitor: late data beyond
+    * 10 minutes is dropped, state is bounded by the watermark. */
+  def eventRateStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes", "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+}

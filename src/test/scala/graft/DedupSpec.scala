@@ -1,0 +1,70 @@
+package graft
+
+import graft.ops.{Dedup, TextOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Dedup family over a small synthetic corpus with planted
+  * duplicates — validates the mechanisms the fixture word-soup can't
+  * (the driver gate covers fixture behavior). */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  // planted: 0≡1 exact dup; 2≈3 near dup (one word changed); 4 unrelated
+  private val docs = Seq(
+    (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (2L, "one two three four five six seven eight nine ten eleven twelve"),
+    (3L, "one two three four five six seven eight nine ten eleven thirteen"),
+    (4L, "completely different words about cats dogs birds fish mice"))
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-dedup").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("exact dedup groups identical texts under min doc_id") {
+    val got = Dedup.dedupExact(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(0L) == 2L) // docs 0 and 1 collapse to doc_id 0
+    assert(got.keySet == Set(0L, 2L, 3L, 4L))
+  }
+
+  test("jaccard finds the planted near-dup pair with high similarity") {
+    val got = Dedup.dedupJaccard(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got((0L, 1L)) == 1.0)        // exact dup: jaccard 1
+    assert(got((2L, 3L)) > 0.7)         // near dup: 9 of 11 shingles shared
+    assert(!got.keySet.exists { case (a, b) => Set(a, b).contains(4L) })
+  }
+
+  test("minhash LSH finds exact and near dups; estimate tracks true jaccard") {
+    val got = Dedup.minhashLsh(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got((0L, 1L)) == 1.0)
+    assert(got.contains((2L, 3L)))
+    val est = got((2L, 3L))
+    val trueJ = 9.0 / 11.0
+    assert(math.abs(est - trueJ) < 0.25, s"est=$est true=$trueJ")
+  }
+
+  test("simhash: exact dups hamming 0; near dups within radius") {
+    val got = Dedup.simhashDedup(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got((0L, 1L)) == 0L)
+    if (got.contains((2L, 3L))) assert(got((2L, 3L)) <= 6L)
+  }
+
+  test("rolling hash: deterministic, shift-sensitive") {
+    assert(TextOps.rollingHash64("abc") == TextOps.rollingHash64("abc"))
+    assert(TextOps.rollingHash64("abc") != TextOps.rollingHash64("acb"))
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import graft.ops.VectorQueries
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Flagship pipeline + ANN recall on the sf0.001 fixtures. */
+class EntrySpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("entry: full RAG dataflow returns k hits with sane distances") {
+    val hits = SparkEntry.entry(spark).collect()
+    assert(hits.length == 5)
+    val dists = hits.map(_.getAs[Double]("dist"))
+    assert(dists.forall(d => d >= 0.0 && d <= 2.0))
+    assert(dists.sorted.toSeq == dists.toSeq)
+  }
+
+  test("ann lsh: results are a subset of exact knn ranking universe") {
+    val exact = VectorQueries.knnTopk(spark, dir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val approx = VectorQueries.annIvf(spark, dir).collect()
+    assert(approx.nonEmpty && approx.length <= 5)
+    // recall@5 against exact top-5: LSH with multiprobe should
+    // recover at least one true neighbor on the clustered fixture
+    val approxIds = approx.map(_.getAs[Long]("vec_id")).toSet
+    assert(approxIds.intersect(exact).nonEmpty,
+      s"no overlap: exact=$exact approx=$approxIds")
+  }
+
+  test("every registered oracle key has a query") {
+    val qs = SparkEntry.queries.keySet
+    val missing = SparkEntry.oracleSql.keySet.diff(qs)
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("all queries run and are non-degenerate on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, dir).count()
+      assert(n >= 0, s"$name failed")
+    }
+  }
+}
