@@ -17,16 +17,21 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Sequential-fold dot product in double precision. */
+  /** Sequential-fold dot product in double precision — native
+    * codegen'd `FloatDotProduct` (no per-row array allocation). */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.FloatVectorFunctions.floatDot(a, b)
+
+  /** Reference HOF form of [[dot]] — kept as the executable spec the
+    * native expression is asserted bit-identical against. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
       (acc, v) => acc + v)
 
   /** L2 norm, sequential fold in double precision. */
-  def l2norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity; NULL when either vector has zero norm
     * (`try_divide` under Spark 4 ANSI mode — callers exclude NULL

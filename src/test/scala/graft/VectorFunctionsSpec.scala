@@ -64,6 +64,29 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"unexpected plan: $plan")
   }
 
+  test("native FloatDotProduct is bit-identical to the HOF fold (oracle parity)") {
+    val rnd = new scala.util.Random(9)
+    val rows = (0 until 200).map(_ =>
+      (Array.fill(64)(rnd.nextFloat() * 2 - 1), Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      dot(col("a"), col("b")).as("native"),
+      dotHof(col("a"), col("b")).as("hof")).collect()
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("native dot participates in whole-stage codegen") {
+    val index = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = index
+      .select(dot(col("embedding"), col("embedding")).as("d"))
+      .queryExecution.executedPlan.toString
+    // "*(n)" prefix marks a WholeStageCodegen stage in the compact plan
+    assert(plan.contains("*(1) Project") && plan.contains("float_dot"), s"plan: $plan")
+  }
+
   test("assembleContext formats and orders hits") {
     val hits = Seq(
       (0.2, "f1:1", "f1", 1, "worse chunk"),
