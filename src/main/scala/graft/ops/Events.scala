@@ -105,12 +105,41 @@ object Events {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** Date/time-function surface: truncation, formatting, field
+    * extraction, day-binned aggregation. Oracle mirrors Spark's
+    * 1=Sunday day-of-week convention via DuckDB's 0=Sunday + 1. */
+  def dateFuncs(s: SparkSession, dir: String): DataFrame = {
+    val e = eventsTable(s, dir)
+    e.groupBy(
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        dayofweek(col("ts")).cast("long").as("dow"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(hour(col("ts")).cast("long")).as("first_hour"),
+        max(hour(col("ts")).cast("long")).as("last_hour"))
+      .orderBy(col("day"))
+  }
+
+  val dateFuncsSql: String =
+    """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+      |       CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS BIGINT) AS dow,
+      |       COUNT(*) AS n,
+      |       COUNT(DISTINCT user_id) AS n_users,
+      |       CAST(MIN(hour(CAST(ts AS TIMESTAMP))) AS BIGINT) AS first_hour,
+      |       CAST(MAX(hour(CAST(ts AS TIMESTAMP))) AS BIGINT) AS last_hour
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_date_funcs" -> (dateFuncs _),
     "q09_events_json" -> (eventsJson _),
     "q10_events_hourly" -> (eventsHourly _),
     "q11_sessionize" -> (sessionize _))
 
   val oracles: Map[String, String] = Map(
+    "q16_date_funcs" -> dateFuncsSql,
     "q09_events_json" -> eventsJsonSql,
     "q10_events_hourly" -> eventsHourlySql,
     "q11_sessionize" -> sessionizeSql)

@@ -74,8 +74,32 @@ object Multimodal {
     extractMeta(recs).toDF().orderBy(col("doc_id"))
   }
 
+  /** Frame sampling: fixed-size byte windows over the payload stand
+    * in for video/audio frame extraction — slice → posexplode →
+    * per-frame feature, first 3 frames per doc. All codegen'd
+    * builtins (binary substring in a transform lambda); the slice
+    * boundaries and batch shape are exactly what a real codec UDF
+    * would see. */
+  val FrameBytes = 64
+
+  def mediaFrames(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, int(ceil(octet_length(payload) / $FrameBytes.0)) - 1), " +
+            s"i -> substring(payload, i * $FrameBytes + 1, $FrameBytes))"))
+          .as(Seq("frame_idx", "frame")))
+      .filter(col("frame_idx") < 3)
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        octet_length(col("frame")).cast("long").as("frame_len"),
+        crc32(col("frame")).as("frame_crc"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "media_meta" -> (mediaMeta _))
+    "media_meta" -> (mediaMeta _),
+    "media_frames" -> (mediaFrames _))
 
   val oracles: Map[String, String] = Map.empty
 }

@@ -220,7 +220,81 @@ object Relational {
       |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
       |ORDER BY c_custkey""".stripMargin
 
+  /** CUBE over (region, market segment): all four grouping
+    * combinations in one pass (partial aggs expanded by Catalyst's
+    * Expand operator — one shuffle total). */
+  def cubeSegments(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .cube(col("r_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        col("n_cust"), col("total_bal"))
+      .orderBy(col("region"), col("segment"))
+  }
+
+  val cubeSegmentsSql: String =
+    """SELECT COALESCE(r_name, 'ALL') AS region,
+      |       COALESCE(c_mktsegment, 'ALL') AS segment,
+      |       COUNT(*) AS n_cust,
+      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY CUBE(r_name, c_mktsegment)
+      |ORDER BY region, segment""".stripMargin
+
+  /** Exact distinct-count aggregation (two-phase distinct shuffle)
+    * per order status: distinct customers and priorities. */
+  def distinctCustomers(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val distinctCustomersSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |       COUNT(DISTINCT o_custkey) AS n_customers,
+      |       COUNT(DISTINCT o_orderpriority) AS n_priorities
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  /** String-function surface: regexp capture, substring, case,
+    * concat — over customer names, all codegen'd builtins. */
+  def stringFuncs(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    c.select(
+        col("c_custkey"),
+        upper(substring(col("c_name"), 1, 8)).as("pfx"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).cast("long").as("name_num"),
+        length(col("c_name")).cast("long").as("name_len"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("tagged"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val stringFuncsSql: String =
+    """SELECT c_custkey,
+      |       upper(substr(c_name, 1, 8)) AS pfx,
+      |       CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_num,
+      |       CAST(length(c_name) AS BIGINT) AS name_len,
+      |       c_mktsegment || '|' || c_name AS tagged
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_cube_segments" -> (cubeSegments _),
+    "q14_distinct_customers" -> (distinctCustomers _),
+    "q15_string_funcs" -> (stringFuncs _),
     "q01_pricing_summary" -> (pricingSummary _),
     "q02_revenue_by_nation" -> (revenueByNation _),
     "q03_priority_semi" -> (prioritySemi _),
@@ -231,6 +305,9 @@ object Relational {
     "q08_cust_no_orders" -> (custNoOrders _))
 
   val oracles: Map[String, String] = Map(
+    "q13_cube_segments" -> cubeSegmentsSql,
+    "q14_distinct_customers" -> distinctCustomersSql,
+    "q15_string_funcs" -> stringFuncsSql,
     "q01_pricing_summary" -> pricingSummarySql,
     "q02_revenue_by_nation" -> revenueByNationSql,
     "q03_priority_semi" -> prioritySemiSql,

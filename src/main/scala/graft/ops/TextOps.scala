@@ -154,7 +154,31 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Regex-based token counting (the BPE-ish tokenizer slice of a
+    * training pipeline): alpha runs as tokens, long-token and
+    * distinct counts. Pattern kept to a POSIX-safe subset so Java
+    * and RE2-style engines agree. */
+  def tokenRegex(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val toks = regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))
+    d.select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        size(filter(toks, t => length(t) >= 6)).cast("long").as("n_long"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tokenRegexSql: String =
+    """SELECT doc_id,
+      |  CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+      |  CAST(len(list_filter(toks, t -> length(t) >= 6)) AS BIGINT) AS n_long
+      |FROM (SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS toks FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "token_regex" -> (tokenRegex _),
     "text_stats" -> (textStats _),
     "top_words" -> (topWords _),
     "doc_quality" -> (docQuality _),
@@ -163,6 +187,7 @@ object TextOps {
     "chunk_stats" -> (chunkStats _))
 
   val oracles: Map[String, String] = Map(
+    "token_regex" -> tokenRegexSql,
     "text_stats" -> textStatsSql,
     "top_words" -> topWordsSql,
     "doc_quality" -> docQualitySql,

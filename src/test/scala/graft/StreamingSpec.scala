@@ -1,0 +1,81 @@
+package graft
+
+import graft.streaming.StreamingIndex
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+import java.sql.Timestamp
+
+/** Structured Streaming surfaces: incremental file indexer and the
+  * watermarked windowed aggregation, driven synchronously. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  test("file index stream: new files → chunked+embedded parquet index") {
+    val root: Path = Files.createTempDirectory("graft-stream")
+    val in = root.resolve("in"); Files.createDirectories(in)
+    val out = root.resolve("index").toString
+    val ckpt = root.resolve("ckpt").toString
+    Files.write(in.resolve("a.log"),
+      ("alpha beta\n" + "x" * 250 + "\ngamma").getBytes(StandardCharsets.UTF_8))
+    Files.write(in.resolve("b.log"),
+      "delta epsilon zeta\n\n".getBytes(StandardCharsets.UTF_8))
+
+    val q = StreamingIndex
+      .fileIndexStream(spark, in.toString, out, ckpt, chunkSize = 100)
+      .start()
+    q.awaitTermination(120000)
+
+    val idx = spark.read.parquet(out)
+    assert(idx.count() > 0)
+    assert(idx.columns.toSet ==
+      Set("source", "total_chunks", "chunk_index", "text", "id", "embedding"))
+    // oversize line preserved as its own chunk through the stream
+    assert(idx.filter(length(col("text")) > 100).count() == 1)
+    // incremental: a third file arrives, only it is processed
+    Files.write(in.resolve("c.log"), "eta theta".getBytes(StandardCharsets.UTF_8))
+    val q2 = StreamingIndex
+      .fileIndexStream(spark, in.toString, out, ckpt, chunkSize = 100)
+      .start()
+    q2.awaitTermination(120000)
+    val after = spark.read.parquet(out)
+    assert(after.count() == idx.count() + 1)
+  }
+
+  test("event rate stream: watermarked sliding window aggregation") {
+    val root = Files.createTempDirectory("graft-events")
+    val src = root.resolve("events").toString
+    def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    Seq(
+      (ts(0), "click", 1.0), (ts(1), "click", 2.0),
+      (ts(2), "error", 3.0), (ts(7), "click", 4.0))
+      .toDF("ts", "event_type", "value")
+      .write.mode("overwrite").parquet(src)
+
+    val stream = spark.readStream
+      .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
+      .parquet(src)
+    val agg = StreamingIndex.eventRateStream(stream)
+    val q = agg.writeStream
+      .format("memory").queryName("rates").outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql(
+      "SELECT event_type, sum(n) FROM rates GROUP BY event_type").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // sliding 5-min windows step 1 min: each event lands in 5 windows
+    assert(rows("click") == 15L)
+    assert(rows("error") == 5L)
+  }
+
+  test("sql registration: float_dot callable from SQL") {
+    org.apache.spark.sql.graft.GraftFunctionRegistry.register(spark)
+    val got = spark.sql(
+      "SELECT float_dot(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>), " +
+        "CAST(array(3.0, 4.0) AS ARRAY<FLOAT>)) AS d").head.getDouble(0)
+    assert(got == 11.0)
+  }
+}
