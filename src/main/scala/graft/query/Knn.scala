@@ -42,6 +42,26 @@ object Knn {
       .orderBy(col("dist"), col(idCol))
       .limit(k)
 
+  /** Scan-pruned top-k: scores on (id, embedding) ONLY, takes the
+    * top k, then joins back to fetch payload columns (text, source)
+    * for just those k rows. At 100 TB the payload never travels
+    * through the scan, the per-partition heaps, or the driver merge
+    * — column pruning reaches the parquet reader (asserted in
+    * PlanSpec). The rejoin is a broadcast of k ids. */
+  def topKWithFetch(
+      index: DataFrame,
+      queryVec: Column,
+      k: Int = 5,
+      idCol: String = "id",
+      fetchCols: Seq[String] = Seq("source", "chunk_index", "text"),
+      vecCol: String = "embedding"): DataFrame = {
+    val slim = index.select(col(idCol), col(vecCol))
+    val top = topK(slim, queryVec, k, idCol, vecCol).select(col(idCol), col("dist"))
+    index.select((col(idCol) +: fetchCols.map(col)): _*)
+      .join(broadcast(top), Seq(idCol))
+      .orderBy(col("dist"), col(idCol))
+  }
+
   /** Top-k nearest per group (e.g. per label / per source file):
     * window row_number + filter. One hash-partition shuffle on the
     * group key; with the index pre-partitioned by that key (see

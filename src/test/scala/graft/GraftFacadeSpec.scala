@@ -1,0 +1,122 @@
+package graft
+
+import graft.embed.{Embedder, HashEmbedder, RetryEmbedder, ZeroFallbackEmbedder}
+import graft.index.VectorIndex
+import graft.query.MarkdownSink
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+import java.time.{ZoneOffset, ZonedDateTime}
+
+/** End-to-end facade (index → ask), manifest round-trip, markdown
+  * sink format, and the E2/E3 failure-handling wrappers. */
+class GraftFacadeSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  private def writeCorpus(): Path = {
+    val root = Files.createTempDirectory("graft-e2e")
+    def put(rel: String, s: String): Unit = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, s.getBytes(StandardCharsets.UTF_8))
+    }
+    put("app/db.log", "connection pool exhausted\ntimeout waiting for connection\nretry scheduled")
+    put("app/web.log", "request served in 12ms\nstatic asset cached")
+    put("notes.txt", "the database timeout needs tuning\npool size too small")
+    root
+  }
+
+  test("index → ask: full reference workflow on a real corpus") {
+    val corpus = writeCorpus()
+    val idx = Files.createTempDirectory("graft-idx").toString
+    val manifest = Graft.index(spark, corpus.toString, idx,
+      Graft.IndexConfig(chunkSize = 50))
+    assert(manifest.embedding_model == "hash-ngram-64")
+
+    // manifest round-trip (K2)
+    val back = VectorIndex.readManifest(spark, idx)
+    assert(back == manifest)
+
+    // index content (K1): chunked, embedded, source-keyed
+    val vectors = VectorIndex.readVectors(spark, idx)
+    assert(vectors.count() > 0)
+    assert(vectors.columns.toSet ==
+      Set("source", "total_chunks", "chunk_index", "text", "id", "embedding"))
+
+    val result = Graft.ask(spark, idx, "database connection timeout", k = 3)
+    val hits = result.hits.collect()
+    assert(hits.length == 3)
+    assert(result.context.startsWith("File: "))
+    // retrieval sanity: timeout-related chunks outrank the web log
+    val topSource = hits.head.getAs[String]("source")
+    assert(topSource == "app/db.log" || topSource == "notes.txt",
+      s"unexpected top hit: $topSource\n${result.context}")
+  }
+
+  test("ask on overwritten index sees only new data (quirk Q3: overwrite semantics)") {
+    val corpus = writeCorpus()
+    val idx = Files.createTempDirectory("graft-idx2").toString
+    Graft.index(spark, corpus.toString, idx)
+    val corpus2 = Files.createTempDirectory("graft-e2e2")
+    Files.write(corpus2.resolve("only.log"),
+      "a completely fresh corpus".getBytes(StandardCharsets.UTF_8))
+    Graft.index(spark, corpus2.toString, idx)
+    val sources = VectorIndex.readVectors(spark, idx)
+      .select("source").distinct().collect().map(_.getString(0)).toSet
+    assert(sources == Set("only.log"))
+  }
+
+  test("markdown sink: header on create, append blocks (ask.py:258-273 format)") {
+    val f = Files.createTempDirectory("graft-md").resolve("qa.md").toString
+    val t = ZonedDateTime.of(2026, 1, 2, 3, 4, 5, 0, ZoneOffset.UTC)
+    MarkdownSink.append("why is it slow?", "because of X", f, t)
+    MarkdownSink.append("second q", "second a", f, t)
+    val got = new String(Files.readAllBytes(java.nio.file.Paths.get(f)), StandardCharsets.UTF_8)
+    assert(got.startsWith("# Q&A Log\n"))
+    assert(got.contains("## Question [2026-01-02 03:04:05]\n\n**Q:** why is it slow?\n\n**A:** because of X\n\n---"))
+    assert(got.linesIterator.count(_.startsWith("## Question")) == 2)
+  }
+
+  private class FlakyEmbedder(failures: Int) extends Embedder {
+    var calls = 0
+    override def dim: Int = 4
+    override def model: String = "flaky"
+    override def embed(texts: Seq[String]): Seq[Array[Float]] = {
+      calls += 1
+      if (calls <= failures) throw new RuntimeException(s"boom $calls")
+      texts.map(_ => Array.fill(4)(1.0f))
+    }
+  }
+
+  test("retry embedder: exponential backoff then success (index.py:164-202)") {
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    val flaky = new FlakyEmbedder(failures = 2)
+    val r = new RetryEmbedder(flaky, maxAttempts = 3, baseDelayMs = 1000, sleeper = sleeps += _)
+    assert(r.embed(Seq("a")).head.toSeq == Seq(1.0f, 1.0f, 1.0f, 1.0f))
+    assert(sleeps.toSeq == Seq(1000L, 2000L))
+    assert(flaky.calls == 3)
+  }
+
+  test("retry embedder: rethrows after final attempt") {
+    val flaky = new FlakyEmbedder(failures = 99)
+    val r = new RetryEmbedder(flaky, maxAttempts = 3, baseDelayMs = 1, sleeper = _ => ())
+    val e = intercept[RuntimeException](r.embed(Seq("a")))
+    assert(e.getMessage == "boom 3")
+  }
+
+  test("zero-fallback embedder: bad text → zero vector, batch survives (index.py:126-140)") {
+    val inner = new Embedder {
+      override def dim = 4
+      override def model = "picky"
+      override def embed(texts: Seq[String]) = texts.map { t =>
+        if (t == "bad") throw new RuntimeException("no") else Array.fill(4)(0.5f)
+      }
+    }
+    val z = new ZeroFallbackEmbedder(inner)
+    val out = z.embed(Seq("ok", "bad", "ok"))
+    assert(out(0).forall(_ == 0.5f))
+    assert(out(1).forall(_ == 0.0f))
+    assert(out(2).forall(_ == 0.5f))
+  }
+}

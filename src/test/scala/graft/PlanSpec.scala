@@ -1,0 +1,73 @@
+package graft
+
+import graft.embed.EmbedOps
+import graft.ops.Relational
+import graft.query.Knn
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Physical-plan hygiene (the 100 TB contract): filters push to the
+  * parquet scan, column pruning reaches the reader, dim joins
+  * broadcast, top-k never global-sorts. These assert the *plan*, not
+  * the result — regressions here are silent at test scale and fatal
+  * at cluster scale. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q01: shipdate predicate is pushed to the parquet scan") {
+    val plan = Relational.pricingSummary(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"plan: $plan")
+  }
+
+  test("q02: dim tables join via BroadcastHashJoin, no cartesian") {
+    val plan = Relational.revenueByNation(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"plan: $plan")
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+  }
+
+  test("knn topKWithFetch: scoring scan prunes the text column") {
+    // build a real parquet chunk index with a fat text column
+    val dir = Files.createTempDirectory("graft-plan").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val chunks = docs.selectExpr("concat('d', doc_id) AS id", "text", "source")
+    EmbedOps.withEmbedding(chunks, "text").write.mode("overwrite").parquet(dir)
+    val index = spark.read.parquet(dir)
+
+    val q = EmbedOps.embedLiteral("anything")
+    val fetched = Knn.topKWithFetch(index, q, k = 3, idCol = "id",
+      fetchCols = Seq("source", "text"))
+    val plan = fetched.queryExecution.executedPlan.toString
+    // two scans: the scoring one must read only (id, embedding)
+    val scanSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(scanSchemas.exists(s => s.contains("embedding") && !s.contains("text")),
+      s"no pruned scoring scan found: $scanSchemas")
+    assert(fetched.columns.contains("text"))
+    // and the payload fetch is a broadcast join of the k-row side
+    assert(plan.contains("BroadcastHashJoin"), s"plan: $plan")
+  }
+
+  test("exact knn never global-sorts: TakeOrderedAndProject, no Sort+Exchange") {
+    val index = spark.read.parquet(s"$sf/embeddings.parquet")
+      .withColumnRenamed("vec_id", "id")
+    val plan = Knn.topK(index, EmbedOps.embedLiteral("q"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan: $plan")
+  }
+
+  test("chunk pipeline is map-only: no exchange before the index write") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(concat(lit("doc/"), col("doc_id")).as("source"),
+        translate(col("text"), " ", "\n").as("content"))
+    val chunks = EmbedOps.withEmbedding(
+      graft.ingest.Chunker.chunkDF(docs, "source", "content", 200), "text")
+    val plan = chunks.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in ingest: $plan")
+  }
+}
