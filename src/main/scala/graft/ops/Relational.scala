@@ -291,7 +291,51 @@ object Relational {
       |FROM customer
       |ORDER BY c_custkey""".stripMargin
 
+  /** Brand-level supplier/part analytics: the three-way fact⋈dim⋈dim
+    * join over the remaining fixture tables; exact distinct supplier
+    * counts per brand. */
+  def supplierParts(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    val su = t(s, dir, "supplier")
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        countDistinct(col("s_suppkey")).as("n_suppliers"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        davg(col("p_retailprice")).as("avg_price"))
+      .orderBy(col("p_brand"))
+  }
+
+  val supplierPartsSql: String =
+    """SELECT p_brand, COUNT(*) AS n_items,
+      |       COUNT(DISTINCT s_suppkey) AS n_suppliers,
+      |       COUNT(DISTINCT l_partkey) AS n_parts,
+      |       CAST(SUM(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_price
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  /** HLL sketch vs exact distinct (rows-only gate: HLL
+    * implementations differ across engines; accuracy asserted in
+    * tests instead). At 100 TB approx_count_distinct is the only
+    * affordable per-key cardinality — single pass, fixed memory. */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.groupBy(col("o_orderpriority"))
+      .agg(
+        approx_count_distinct(col("o_custkey")).as("approx_customers"),
+        countDistinct(col("o_custkey")).as("exact_customers"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_supplier_parts" -> (supplierParts _),
+    "approx_distinct" -> (approxDistinct _),
     "q13_cube_segments" -> (cubeSegments _),
     "q14_distinct_customers" -> (distinctCustomers _),
     "q15_string_funcs" -> (stringFuncs _),
@@ -305,6 +349,7 @@ object Relational {
     "q08_cust_no_orders" -> (custNoOrders _))
 
   val oracles: Map[String, String] = Map(
+    "q17_supplier_parts" -> supplierPartsSql,
     "q13_cube_segments" -> cubeSegmentsSql,
     "q14_distinct_customers" -> distinctCustomersSql,
     "q15_string_funcs" -> stringFuncsSql,

@@ -178,7 +178,46 @@ object VectorQueries {
       .limit(5)
   }
 
+  /** Multi-query batch kNN (the reference's ChromaDB query accepts a
+    * LIST of query embeddings): 3 query vectors broadcast as a tiny
+    * dim table, one scan of the corpus scores all of them, window
+    * top-3 per query_id. The per-(row, query) cosine is the same
+    * mirrored expression shape as single-query kNN. */
+  def knnBatch(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val qs = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
+    e.filter(col("vec_id") >= 3)
+      .crossJoin(broadcast(qs))
+      .withColumn("dist", r6(lit(1.0) - try_divide(dot(col("embedding"), col("qe")),
+        l2norm(col("embedding")) * l2norm(col("qe")))))
+      .filter(!isnan(col("dist")) && col("dist").isNotNull)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("rn"), col("vec_id"), col("dist"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  val knnBatchSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    round(1.0 - list_sum(list_transform(range(1, len(e.embedding)+1),
+      |              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+      |          / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+      |             * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) + 0 AS dist
+      |  FROM embeddings e, q
+      |  WHERE e.vec_id >= 3)
+      |SELECT query_id, CAST(rn AS BIGINT) AS rn, vec_id, dist
+      |FROM (SELECT query_id, vec_id, dist,
+      |             row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+      |      FROM scored)
+      |WHERE rn <= 3
+      |ORDER BY query_id, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_batch" -> (knnBatch _),
     "knn_topk" -> (knnTopk _),
     "knn_per_label" -> (knnPerLabel _),
     "q12_embed_stats" -> (embedStats _),
@@ -186,6 +225,7 @@ object VectorQueries {
     "ann_lsh_topk" -> (annIvf _))
 
   val oracles: Map[String, String] = Map(
+    "knn_batch" -> knnBatchSql,
     "knn_topk" -> knnTopkSql,
     "knn_per_label" -> knnPerLabelSql,
     "q12_embed_stats" -> embedStatsSql,

@@ -45,4 +45,27 @@ class EmbedderSpec extends AnyFunSuite {
     val texts = Seq("a b c", "d e f", "g h i")
     assert(e.embed(texts).map(_.toSeq) == texts.map(t => e.embedOne(t).toSeq))
   }
+
+  test("batched mapPartitions embedding ≡ UDF embedding") {
+    val spark = SparkSpec.spark
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val viaUdf = graft.embed.EmbedOps.withEmbedding(docs, "text")
+      .select("doc_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val viaBatch = graft.embed.EmbedOps.withEmbeddingBatched(docs, "text", batchSize = 37)
+      .select("doc_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(viaUdf == viaBatch)
+  }
+
+  test("approx_count_distinct within 10% of exact on fixtures") {
+    val spark = SparkSpec.spark
+    val rows = graft.ops.Relational.approxDistinct(spark, "/root/testdata/sf0.01").collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_customers").toDouble
+      val exact = r.getAs[Long]("exact_customers").toDouble
+      assert(math.abs(approx - exact) / exact < 0.10, s"approx=$approx exact=$exact")
+    }
+  }
 }
