@@ -71,6 +71,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows("error") == 5L)
   }
 
+  test("stateful sessionization: flatMapGroupsWithState closes gapped sessions") {
+    import graft.streaming.SessionStream
+    import graft.streaming.SessionStream.UserEvent
+    val root = Files.createTempDirectory("graft-sess")
+    val src = root.resolve("ev").toString
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // user 1: two sessions (40-min gap); user 2: one open session
+    Seq(
+      UserEvent(1L, ts(0, 0), 1.0), UserEvent(1L, ts(0, 10), 1.0),
+      UserEvent(1L, ts(0, 50), 1.0), UserEvent(1L, ts(0, 55), 1.0),
+      UserEvent(2L, ts(0, 5), 1.0))
+      .toDF().write.mode("overwrite").parquet(src)
+
+    val stream = spark.readStream
+      .schema("user_id BIGINT, ts TIMESTAMP, value DOUBLE")
+      .parquet(src).as[UserEvent]
+    val q = SessionStream.sessionize(stream)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT * FROM sessions").collect()
+    // only user 1's first session is closed (by the 00:50 event)
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("user_id") == 1L)
+    assert(r.getAs[Timestamp]("session_start") == ts(0, 0))
+    assert(r.getAs[Timestamp]("session_end") == ts(0, 10))
+    assert(r.getAs[Long]("n_events") == 2L)
+  }
+
+  test("salted aggregation ≡ direct aggregation (skew mitigation is exact)") {
+    import graft.ops.Skew
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    val direct = Skew.directCountSum(li, Seq("l_returnflag"), "l_extendedprice")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val salted = Skew.saltedCountSum(li, Seq("l_returnflag"), "l_extendedprice")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(direct == salted)
+  }
+
   test("sql registration: float_dot callable from SQL") {
     org.apache.spark.sql.graft.GraftFunctionRegistry.register(spark)
     val got = spark.sql(
