@@ -142,17 +142,25 @@ object VectorQueries {
     if ((h & 1L) == 0L) 1.0 else -1.0
   }
 
-  private val codeUdf = udf { (emb: Seq[Float]) =>
+  private def signCode(emb: Seq[Float], band: Int): Int = {
     var code = 0
     var p = 0
     while (p < Planes) {
       var acc = 0.0
       var d = 0
-      while (d < emb.length) { acc += emb(d) * planeSign(p, d); d += 1 }
+      while (d < emb.length) { acc += emb(d) * planeSign(band * 64 + p, d); d += 1 }
       if (acc >= 0) code |= (1 << p)
       p += 1
     }
     code
+  }
+
+  private val codeUdf = udf { (emb: Seq[Float]) => signCode(emb, 0) }
+
+  /** Independent sign-codes for multi-band LSH repetition. */
+  val NeardupBands = 8
+  private val codesUdf = udf { (emb: Seq[Float]) =>
+    Array.tabulate(NeardupBands)(b => signCode(emb, b))
   }
 
   /** Approximate top-5 neighbors of vec 0 via LSH bucket probing:
@@ -216,7 +224,41 @@ object VectorQueries {
       |WHERE rn <= 3
       |ORDER BY query_id, rn""".stripMargin
 
+  /** LSH-bucketed near-duplicate pairs — the 100 TB path for
+    * [[embedNeardup]]: vectors sharing a sign-LSH code land in one
+    * bucket; pairs expand map-side within buckets and their exact
+    * cosine is verified (so precision is 1; recall trades against
+    * bucket count — multi-band repetition raises it, same pattern
+    * as MinHash banding). One shuffle on the code; never all-pairs.
+    * Rows-only gate; subset-of-exact asserted in EntrySpec. */
+  def embedNeardupLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .withColumn("nrm", l2norm(col("embedding")))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(codesUdf(col("embedding"))).as(Seq("band", "code")))
+    val buckets = e
+      .groupBy(col("band"), col("code"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"), col("nrm")))).as("members"))
+      .filter(size(col("members")) >= 2)
+    buckets
+      .select(explode(expr(
+        "flatten(transform(members, (m, i) -> " +
+          "transform(slice(members, i + 2, size(members)), n -> " +
+          "struct(m.vec_id AS vec_a, n.vec_id AS vec_b, " +
+          "m.embedding AS emb_a, n.embedding AS emb_b, m.nrm AS na, n.nrm AS nb))))"))
+        .as("p"))
+      .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
+        col("p.emb_a").as("emb_a"), col("p.emb_b").as("emb_b"),
+        col("p.na").as("na"), col("p.nb").as("nb"))
+      .dropDuplicates("vec_a", "vec_b")
+      .withColumn("sim", r6(try_divide(dot(col("emb_a"), col("emb_b")), col("na") * col("nb"))))
+      .filter(col("sim") >= 0.45)
+      .select(col("vec_a"), col("vec_b"), col("sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_neardup_lsh" -> (embedNeardupLsh _),
     "knn_batch" -> (knnBatch _),
     "knn_topk" -> (knnTopk _),
     "knn_per_label" -> (knnPerLabel _),

@@ -28,6 +28,16 @@ class EntrySpec extends AnyFunSuite {
       s"no overlap: exact=$exact approx=$approxIds")
   }
 
+  test("lsh near-dup pairs are a subset of exact near-dup pairs (precision 1)") {
+    val sf01 = "/root/testdata/sf0.01"
+    val exact = VectorQueries.embedNeardup(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = VectorQueries.embedNeardupLsh(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh.diff(exact)}")
+    info(s"lsh recall: ${lsh.size}/${exact.size}")
+  }
+
   test("every registered oracle key has a query") {
     val qs = SparkEntry.queries.keySet
     val missing = SparkEntry.oracleSql.keySet.diff(qs)
