@@ -43,6 +43,50 @@ object Graft {
 
   case class AskResult(hits: DataFrame, context: String)
 
+  /** Interactive-session handle — the REPL equivalent (the
+    * reference keeps one ChromaDB collection + manifest open across
+    * questions, `ask.py:298-326`). The vector index is cached once
+    * (`persist`) so every question after the first skips the scan;
+    * `close()` releases it. */
+  final class AskSession private[Graft] (
+      spark: SparkSession,
+      val manifest: IndexManifest,
+      vectors: DataFrame,
+      embedder: Embedder) extends AutoCloseable {
+
+    def ask(question: String, k: Int = 5): AskResult = {
+      val hits = Knn.topKWithFetch(
+        vectors, EmbedOps.embedLiteral(question, embedder), k,
+        idCol = "id", fetchCols = Seq("source", "chunk_index", "text"))
+      val context =
+        if (hits.isEmpty) "No relevant data found in the database."
+        else Knn.assembleContext(hits).head().getString(0)
+      AskResult(hits, context)
+    }
+
+    override def close(): Unit = vectors.unpersist()
+  }
+
+  /** Open an index for repeated questions. Fails fast with a clear
+    * message when the index is absent (reference behavior,
+    * `ask.py:66-82`). */
+  def open(
+      spark: SparkSession,
+      indexPath: String,
+      embedder: Embedder = HashEmbedder.default): AskSession = {
+    val manifest =
+      try VectorIndex.readManifest(spark, indexPath)
+      catch {
+        case e: Exception =>
+          throw new IllegalStateException(
+            s"No index found at $indexPath — run Graft.index first", e)
+      }
+    require(manifest.embedding_type == "hash",
+      s"unsupported embedding_type ${manifest.embedding_type}")
+    val vectors = VectorIndex.readVectors(spark, indexPath).persist()
+    new AskSession(spark, manifest, vectors, embedder)
+  }
+
   /** Retrieval query: embed the question (driver-side scalar, like
     * the reference's single-string `get_embedding`, ask.py:109-116),
     * exact cosine top-k over the index with text fetched only for

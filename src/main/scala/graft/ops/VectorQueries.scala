@@ -57,14 +57,20 @@ object VectorQueries {
        |SELECT vec_id, label, dist FROM scored
        |ORDER BY dist, vec_id LIMIT 5""".stripMargin
 
-  /** Top-3 neighbors per label — window top-k (single hash shuffle
-    * on the 10-value label key). */
+  /** Top-3 neighbors per label via the bounded-heap TopKPairs
+    * aggregate (O(k) state per group, map-side partial heaps — only
+    * k rows per group per partition cross the shuffle, vs the
+    * window form's full per-partition sort). Output is identical to
+    * `row_number().over(orderBy(dist, vec_id)) <= 3` — proven in
+    * TopKAggSpec — so the window-based oracle SQL still matches. */
   def knnPerLabel(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("label")).orderBy(col("dist"), col("vec_id"))
+    import org.apache.spark.sql.graft.TopKAgg
     withQuery(s, dir)
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 3)
-      .select(col("label"), col("rn"), col("vec_id"), col("dist"))
+      .groupBy(col("label"))
+      .agg(TopKAgg.topkPairs(col("dist"), col("vec_id"), 3).as("top"))
+      .select(col("label"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("label"), (col("pos") + 1).cast("long").as("rn"),
+        col("s.id").as("vec_id"), col("s.dist").as("dist"))
       .orderBy(col("label"), col("rn"))
   }
 

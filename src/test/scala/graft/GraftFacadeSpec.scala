@@ -67,6 +67,23 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(sources == Set("only.log"))
   }
 
+  test("ask session: cached index answers repeated questions; missing index fails fast") {
+    val corpus = writeCorpus()
+    val idx = Files.createTempDirectory("graft-sess-idx").toString
+    Graft.index(spark, corpus.toString, idx, Graft.IndexConfig(chunkSize = 50))
+    val session = Graft.open(spark, idx)
+    try {
+      val r1 = session.ask("connection pool exhausted", k = 2)
+      val r2 = session.ask("static asset cache", k = 2)
+      assert(r1.hits.count() == 2 && r2.hits.count() == 2)
+      assert(r1.context != r2.context)
+    } finally session.close()
+
+    val e = intercept[IllegalStateException](
+      Graft.open(spark, "/tmp/definitely-not-an-index"))
+    assert(e.getMessage.contains("No index found"))
+  }
+
   test("markdown sink: header on create, append blocks (ask.py:258-273 format)") {
     val f = Files.createTempDirectory("graft-md").resolve("qa.md").toString
     val t = ZonedDateTime.of(2026, 1, 2, 3, 4, 5, 0, ZoneOffset.UTC)
