@@ -177,7 +177,32 @@ object TextOps {
       |FROM (SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS toks FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Exact length percentiles per language (continuous
+    * interpolation — both engines use the (n−1)·p rank definition;
+    * r6 absorbs interpolation-order ulps). */
+  def textPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    def r6(c: org.apache.spark.sql.Column) = round(c, 6) + lit(0.0)
+    d.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        r6(percentile(col("n_chars"), lit(0.5))).as("p50"),
+        r6(percentile(col("n_chars"), lit(0.9))).as("p90"),
+        r6(percentile(col("n_chars"), lit(0.99))).as("p99"))
+      .orderBy(col("lang"))
+  }
+
+  val textPercentilesSql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  round(quantile_cont(n_chars, 0.5), 6) + 0 AS p50,
+      |  round(quantile_cont(n_chars, 0.9), 6) + 0 AS p90,
+      |  round(quantile_cont(n_chars, 0.99), 6) + 0 AS p99
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_percentiles" -> (textPercentiles _),
     "token_regex" -> (tokenRegex _),
     "text_stats" -> (textStats _),
     "top_words" -> (topWords _),
@@ -187,6 +212,7 @@ object TextOps {
     "chunk_stats" -> (chunkStats _))
 
   val oracles: Map[String, String] = Map(
+    "text_percentiles" -> textPercentilesSql,
     "token_regex" -> tokenRegexSql,
     "text_stats" -> textStatsSql,
     "top_words" -> topWordsSql,

@@ -36,6 +36,12 @@ for name, sql in sorted(oracle.items()):
     for c in ours.columns:
         a, b = ours[c].tolist(), theirs[c].tolist()
         for i, (x, y) in enumerate(zip(a, b)):
+            try:
+                import pandas as pd
+                if pd.isna(x) and pd.isna(y):
+                    continue
+            except (TypeError, ValueError):
+                pass
             same = (x == y) or (x is None and y is None)
             if not same and isinstance(x, float) and isinstance(y, float):
                 same = (math.isnan(x) and math.isnan(y)) or \
