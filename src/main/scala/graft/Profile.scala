@@ -39,10 +39,18 @@ object Profile {
     time("pairs explode")(pairsEx.count())
     time("pairs groupBy")(pairsEx.groupBy("p.doc_a", "p.doc_b").agg(count(lit(1))).count())
     // minhash pieces
-    import graft.ops.Dedup
+    import graft.ops.{Dedup, VectorQueries}
     time("minhash full")(Dedup.minhashLsh(spark, dir).count())
     time("jaccard full")(Dedup.dedupJaccard(spark, dir).count())
     time("minhash full 2nd")(Dedup.minhashLsh(spark, dir).count())
+    time("neardup bnlj")(VectorQueries.embedNeardup(spark, dir).count())
+    time("neardup blocked")(VectorQueries.embedNeardupBlocked(spark, dir).count())
+    time("neardup bnlj 2nd")(VectorQueries.embedNeardup(spark, dir).count())
+    time("neardup blocked 2nd")(VectorQueries.embedNeardupBlocked(spark, dir).count())
+    // equality check
+    val a = VectorQueries.embedNeardup(spark, dir).collect().map(_.toString).toSeq
+    val b = VectorQueries.embedNeardupBlocked(spark, dir).collect().map(_.toString).toSeq
+    println(s"blocked == bnlj: ${a == b} (${a.size} rows)")
     spark.stop()
   }
 }

@@ -134,6 +134,55 @@ object VectorQueries {
       |WHERE sim >= 0.45
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Blocked all-pairs variant of [[embedNeardup]]: the vector table
+    * is collected and broadcast (it must fit in memory for ANY exact
+    * all-pairs plan — same constraint the BroadcastNestedLoopJoin
+    * has), and each partition scores its rows against the broadcast
+    * block in tight primitive loops. Identical output: the dot fold
+    * matches FloatDotProduct op-for-op and rounding happens in the
+    * same r6 Column afterward. mapPartitions is justified here by
+    * measurement: the BNLJ form pays per-pair join-row copies that
+    * dominate its runtime. */
+  def embedNeardupBlocked(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val all = rows.collect().sortBy(_._1)
+    val norms = all.map { case (_, v) =>
+      var acc = 0.0; var i = 0
+      while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(acc)
+    }
+    val bc = s.sparkContext.broadcast((all, norms))
+    val raw = rows.mapPartitions { it =>
+      val (arr, nrm) = bc.value
+      it.flatMap { case (ida, va) =>
+        var na = 0.0
+        var i = 0
+        while (i < va.length) { na += va(i).toDouble * va(i).toDouble; i += 1 }
+        val sna = math.sqrt(na)
+        arr.indices.iterator.flatMap { j =>
+          val (idb, vb) = arr(j)
+          if (idb <= ida) Iterator.empty
+          else {
+            var dot = 0.0
+            var d = 0
+            while (d < va.length) { dot += va(d).toDouble * vb(d).toDouble; d += 1 }
+            val sim = dot / (sna * nrm(j))
+            // cheap pre-filter well below the rounded threshold so
+            // emitted rows stay tiny; exact threshold applied post-r6
+            if (sim >= 0.4499) Iterator.single((ida, idb, sim)) else Iterator.empty
+          }
+        }
+      }
+    }.toDF("vec_a", "vec_b", "raw_sim")
+    raw.withColumn("sim", r6(col("raw_sim")))
+      .filter(col("sim") >= 0.45)
+      .select(col("vec_a"), col("vec_b"), col("sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   // ---- ANN: random-hyperplane LSH bucketing (scale path) ----
 
   private val Planes = 6
@@ -269,7 +318,7 @@ object VectorQueries {
     "knn_topk" -> (knnTopk _),
     "knn_per_label" -> (knnPerLabel _),
     "q12_embed_stats" -> (embedStats _),
-    "embed_neardup" -> (embedNeardup _),
+    "embed_neardup" -> (embedNeardupBlocked _),
     "ann_lsh_topk" -> (annIvf _))
 
   val oracles: Map[String, String] = Map(

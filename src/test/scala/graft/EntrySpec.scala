@@ -28,6 +28,13 @@ class EntrySpec extends AnyFunSuite {
       s"no overlap: exact=$exact approx=$approxIds")
   }
 
+  test("blocked near-dup ≡ BNLJ near-dup (row-for-row, bit-exact sims)") {
+    val sf01 = "/root/testdata/sf0.01"
+    val bnlj = VectorQueries.embedNeardup(spark, sf01).collect().map(_.toString).toSeq
+    val blocked = VectorQueries.embedNeardupBlocked(spark, sf01).collect().map(_.toString).toSeq
+    assert(blocked == bnlj)
+  }
+
   test("lsh near-dup pairs are a subset of exact near-dup pairs (precision 1)") {
     val sf01 = "/root/testdata/sf0.01"
     val exact = VectorQueries.embedNeardup(spark, sf01).collect()

@@ -71,6 +71,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows("error") == 5L)
   }
 
+  test("stream-static join: streaming events enriched with a broadcast dimension") {
+    val root = Files.createTempDirectory("graft-ss")
+    val src = root.resolve("ev").toString
+    Seq((1L, "click", 2.0), (2L, "error", 1.0), (1L, "view", 3.0))
+      .toDF("user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(src)
+    val dim = Seq((1L, "gold"), (2L, "bronze")).toDF("user_id", "tier")
+
+    val stream = spark.readStream
+      .schema("user_id BIGINT, event_type STRING, value DOUBLE")
+      .parquet(src)
+    val joined = stream.join(broadcast(dim), Seq("user_id"))
+      .groupBy(col("tier")).agg(count(lit(1)).as("n"))
+    val q = joined.writeStream.format("memory").queryName("tiers")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT tier, n FROM tiers").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map("gold" -> 2L, "bronze" -> 1L))
+  }
+
   test("stateful sessionization: flatMapGroupsWithState closes gapped sessions") {
     import graft.streaming.SessionStream
     import graft.streaming.SessionStream.UserEvent
