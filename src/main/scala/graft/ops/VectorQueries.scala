@@ -288,24 +288,32 @@ object VectorQueries {
     * Rows-only gate; subset-of-exact asserted in EntrySpec. */
   def embedNeardupLsh(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-      .withColumn("nrm", l2norm(col("embedding")))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        posexplode(codesUdf(col("embedding"))).as(Seq("band", "code")))
-    val buckets = e
+    // candidate generation carries ONLY ids through the shuffles
+    // (packed pair key); embeddings rejoin after dedup, so the wide
+    // vector payload never rides the bucket or dedup exchanges
+    val banded = e
+      .select(col("vec_id"), posexplode(codesUdf(col("embedding"))).as(Seq("band", "code")))
+    val pairs = banded
       .groupBy(col("band"), col("code"))
-      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"), col("nrm")))).as("members"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("members"))
       .filter(size(col("members")) >= 2)
-    buckets
       .select(explode(expr(
-        "flatten(transform(members, (m, i) -> " +
-          "transform(slice(members, i + 2, size(members)), n -> " +
-          "struct(m.vec_id AS vec_a, n.vec_id AS vec_b, " +
-          "m.embedding AS emb_a, n.embedding AS emb_b, m.nrm AS na, n.nrm AS nb))))"))
-        .as("p"))
-      .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
-        col("p.emb_a").as("emb_a"), col("p.emb_b").as("emb_b"),
-        col("p.na").as("na"), col("p.nb").as("nb"))
-      .dropDuplicates("vec_a", "vec_b")
+        "flatten(transform(members, (x, i) -> " +
+          "transform(slice(members, i + 2, size(members)), y -> shiftleft(x, 32) + y)))"))
+        .as("pk"))
+      .distinct()
+      .select(shiftright(col("pk"), 32).as("vec_a"),
+        col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("vec_b"))
+    val withNorm = e.withColumn("nrm", l2norm(col("embedding")))
+    val a = withNorm.select(col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"), col("nrm").as("na"))
+    val b = withNorm.select(col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"), col("nrm").as("nb"))
+    // no broadcast hint: AQE broadcasts the vector sides while they
+    // fit and degrades to shuffle joins on the ids at corpus scale
+    pairs
+      .join(a, Seq("vec_a"))
+      .join(b, Seq("vec_b"))
       .withColumn("sim", r6(try_divide(dot(col("emb_a"), col("emb_b")), col("na") * col("nb"))))
       .filter(col("sim") >= 0.45)
       .select(col("vec_a"), col("vec_b"), col("sim"))
