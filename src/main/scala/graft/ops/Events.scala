@@ -132,13 +132,77 @@ object Events {
       |GROUP BY 1, 2
       |ORDER BY day""".stripMargin
 
+  /** Pivot: daily event counts spread into one column per event
+    * type. Explicit value list keeps the plan single-pass (no
+    * distinct-values pre-query) and the output schema static —
+    * mirrored as CASE sums in the oracle. */
+  def eventsPivot(s: SparkSession, dir: String): DataFrame = {
+    val e = eventsTable(s, dir)
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    e.groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .orderBy(col("day"))
+  }
+
+  val eventsPivotSql: String =
+    """SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+      |  COUNT(*) FILTER (event_type = 'click') AS click,
+      |  COUNT(*) FILTER (event_type = 'error') AS error,
+      |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+      |  COUNT(*) FILTER (event_type = 'view') AS view
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY day""".stripMargin
+
+  /** Window-function family sweep: lag/lead, rank, dense_rank,
+    * percent_rank, ntile, cumulative sum — per-user event ordering. */
+  def windowFuncs(s: SparkSession, dir: String): DataFrame = {
+    val e = eventsTable(s, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.filter(col("user_id") < 20)
+      .select(
+        col("user_id"), col("event_id"),
+        lag(col("event_id"), 1).over(w).as("prev_event"),
+        lead(col("event_id"), 1).over(w).as("next_event"),
+        row_number().over(w).cast("long").as("rn"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        (round(percent_rank().over(w), 6) + lit(0.0)).as("pct_rank"),
+        sum(col("value").cast(DecimalType38_6)).over(cum).cast("double").as("running_value"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  private val DecimalType38_6 = org.apache.spark.sql.types.DecimalType(38, 6)
+
+  val windowFuncsSql: String =
+    """SELECT user_id, event_id,
+      |  lag(event_id) OVER w AS prev_event,
+      |  lead(event_id) OVER w AS next_event,
+      |  CAST(row_number() OVER w AS BIGINT) AS rn,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  round(percent_rank() OVER w, 6) + 0 AS pct_rank,
+      |  CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (PARTITION BY user_id
+      |       ORDER BY CAST(ts AS TIMESTAMP), event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+      |FROM events
+      |WHERE user_id < 20
+      |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+      |ORDER BY user_id, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_events_pivot" -> (eventsPivot _),
+    "q20_window_funcs" -> (windowFuncs _),
     "q16_date_funcs" -> (dateFuncs _),
     "q09_events_json" -> (eventsJson _),
     "q10_events_hourly" -> (eventsHourly _),
     "q11_sessionize" -> (sessionize _))
 
   val oracles: Map[String, String] = Map(
+    "q19_events_pivot" -> eventsPivotSql,
+    "q20_window_funcs" -> windowFuncsSql,
     "q16_date_funcs" -> dateFuncsSql,
     "q09_events_json" -> eventsJsonSql,
     "q10_events_hourly" -> eventsHourlySql,
