@@ -201,7 +201,22 @@ object TextOps {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** The reference's core operation as a benchmark unit: chunk every
+    * document and embed every chunk (the full map-only index
+    * dataflow minus the write). Rows-only gate — chunker/embedder
+    * are non-SQL; throughput is the signal (this is the number that
+    * must match-or-beat the reference's single-node indexing rate). */
+  def indexPipeline(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val corpus = d.select(
+      concat(lit("doc/"), col("doc_id")).as("source"),
+      translate(col("text"), " ", "\n").as("content"))
+    graft.embed.EmbedOps.withEmbedding(
+      Chunker.chunkDF(corpus, "source", "content", chunkSize = 200), "text")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "index_pipeline" -> (indexPipeline _),
     "text_percentiles" -> (textPercentiles _),
     "token_regex" -> (tokenRegex _),
     "text_stats" -> (textStats _),
