@@ -333,7 +333,32 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Explicit GROUPING SETS through the SQL surface (the DataFrame
+    * API exposes only rollup/cube; `spark.sql` is also part of the
+    * engine's public face). One Expand + one shuffle. */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |       COALESCE(o_orderpriority, 'ALL') AS priority,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+        |FROM orders_v
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin)
+  }
+
+  val groupingSetsSql: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |       COALESCE(o_orderpriority, 'ALL') AS priority,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY status, priority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_grouping_sets" -> (groupingSets _),
     "q17_supplier_parts" -> (supplierParts _),
     "approx_distinct" -> (approxDistinct _),
     "q13_cube_segments" -> (cubeSegments _),
@@ -349,6 +374,7 @@ object Relational {
     "q08_cust_no_orders" -> (custNoOrders _))
 
   val oracles: Map[String, String] = Map(
+    "q21_grouping_sets" -> groupingSetsSql,
     "q17_supplier_parts" -> supplierPartsSql,
     "q13_cube_segments" -> cubeSegmentsSql,
     "q14_distinct_customers" -> distinctCustomersSql,
