@@ -48,7 +48,7 @@ object Dedup {
     * the Generate input), turning O(tokens) into O(tokens²) —
     * measured 13× slower than this UDF on the sf0.1 bench. */
   private val shingleUdf = udf { (text: String) =>
-    val w = text.split(" ")
+    val w = if (text == null) Array.empty[String] else text.split(" ")
     if (w.length < ShingleK) Array.empty[String]
     else {
       val seen = new java.util.LinkedHashSet[String]()
@@ -150,7 +150,8 @@ object Dedup {
   val Bands = 16
   val RowsPerBand: Int = NumHashes / Bands
 
-  private val minhashUdf = udf { (shingles: Seq[String]) =>
+  private val minhashUdf = udf { (shingles0: Seq[String]) =>
+    val shingles = if (shingles0 == null) Seq.empty[String] else shingles0
     val sigs = Array.fill(NumHashes)(Long.MaxValue)
     shingles.foreach { sh =>
       val base = HashEmbedder.stableHash64(sh)
@@ -209,7 +210,8 @@ object Dedup {
 
   // ---- SimHash (rows-only gate) ----
 
-  private val simhashUdf = udf { (tokens: Seq[String]) =>
+  private val simhashUdf = udf { (tokens0: Seq[String]) =>
+    val tokens = if (tokens0 == null) Seq.empty[String] else tokens0
     val acc = new Array[Int](64)
     tokens.foreach { tok =>
       val h = HashEmbedder.mix(HashEmbedder.stableHash64(tok))

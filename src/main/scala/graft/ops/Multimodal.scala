@@ -87,7 +87,9 @@ object Multimodal {
     d.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .select(col("doc_id"),
         posexplode(expr(
-          s"transform(sequence(0, int(ceil(octet_length(payload) / $FrameBytes.0)) - 1), " +
+          // greatest(...,1) guards empty payloads: sequence(0,-1)
+          // would DESCEND in Spark and feed negative offsets
+          s"transform(sequence(0, greatest(int(ceil(octet_length(payload) / $FrameBytes.0)), 1) - 1), " +
             s"i -> substring(payload, i * $FrameBytes + 1, $FrameBytes))"))
           .as(Seq("frame_idx", "frame")))
       .filter(col("frame_idx") < 3)
