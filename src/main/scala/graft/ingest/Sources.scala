@@ -75,6 +75,32 @@ object Sources {
     if (content == null) null else decodeBytes(content)
   }
 
+  /** Structured-log ingest: JSON-lines files under `dir` (pruned
+    * like the text scan). Explicit schema keeps a single pass —
+    * schema inference would double-read 100 TB. */
+  def readJsonLines(
+      spark: SparkSession,
+      dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("recursiveFileLookup", "true")
+      .json(dir)
+      .withColumn("source", input_file_name())
+      .filter(!col("source").rlike(pruneRegex))
+
+  /** CSV log ingest with header row; same pruning/explicit-schema
+    * rules as [[readJsonLines]]. */
+  def readCsvLogs(
+      spark: SparkSession,
+      dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("header", "true")
+      .option("recursiveFileLookup", "true")
+      .csv(dir)
+      .withColumn("source", input_file_name())
+      .filter(!col("source").rlike(pruneRegex))
+
   /** Full ingest: scan → sniff filter → decode → `(source, content)`
     * with `source` = path relative to `dir` (reference keeps relpath
     * as metadata key, `index.py:375`). PDFs (`.pdf` suffix dispatch,

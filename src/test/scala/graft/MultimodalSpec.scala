@@ -1,0 +1,63 @@
+package graft
+
+import graft.ingest.Sources
+import graft.ops.Multimodal
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+/** Multimodal plumbing + structured-log source formats. */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  test("extractMeta: deterministic, length-faithful, stubbed dims in range") {
+    val recs = Seq(
+      Multimodal.MediaRecord(1L, "hello world".getBytes(StandardCharsets.UTF_8)),
+      Multimodal.MediaRecord(2L, Array[Byte](0, 1, 2, 3, 4)))
+      .toDS()
+    val out1 = Multimodal.extractMeta(recs).collect().sortBy(_.doc_id)
+    val out2 = Multimodal.extractMeta(recs).collect().sortBy(_.doc_id)
+    assert(out1.toSeq == out2.toSeq) // deterministic stub
+    assert(out1(0).byte_len == 11L && out1(1).byte_len == 5L)
+    out1.foreach { m =>
+      assert(m.width >= 64 && m.height >= 64)
+      assert(Set("png", "jpeg", "webp").contains(m.format))
+    }
+  }
+
+  test("media_frames: frames tile the payload, crc varies per frame") {
+    val got = Multimodal.mediaFrames(spark, "/root/testdata/sf0.001")
+    val first = got.filter(col("doc_id") === 0).collect()
+    assert(first.nonEmpty && first.length <= 3)
+    assert(first.map(_.getAs[Long]("frame_idx")).toSeq == first.indices.map(_.toLong))
+    assert(first.init.forall(_.getAs[Long]("frame_len") == Multimodal.FrameBytes.toLong))
+  }
+
+  test("jsonl and csv log sources: schema-first read with pruning") {
+    val root = Files.createTempDirectory("graft-logs")
+    Files.createDirectories(root.resolve("node_modules"))
+    Files.write(root.resolve("a.jsonl"),
+      "{\"level\":\"ERROR\",\"msg\":\"boom\"}\n{\"level\":\"INFO\",\"msg\":\"ok\"}\n"
+        .getBytes(StandardCharsets.UTF_8))
+    Files.write(root.resolve("node_modules/skip.jsonl"),
+      "{\"level\":\"X\",\"msg\":\"pruned\"}\n".getBytes(StandardCharsets.UTF_8))
+    val jschema = StructType(Seq(
+      StructField("level", StringType), StructField("msg", StringType)))
+    val j = Sources.readJsonLines(spark, root.toString, jschema)
+    assert(j.count() == 2)
+    assert(j.filter(col("level") === "ERROR").count() == 1)
+
+    val croot = Files.createTempDirectory("graft-csv")
+    Files.write(croot.resolve("b.csv"),
+      "ts,code\n2024-01-01,200\n2024-01-02,500\n".getBytes(StandardCharsets.UTF_8))
+    val cschema = StructType(Seq(
+      StructField("ts", StringType), StructField("code", IntegerType)))
+    val c = Sources.readCsvLogs(spark, croot.toString, cschema)
+    assert(c.count() == 2)
+    assert(c.agg(sum(col("code"))).head.getLong(0) == 700L)
+  }
+}
