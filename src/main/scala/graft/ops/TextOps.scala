@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.ingest.Chunker
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents` (SURVEY §2.B string
@@ -215,7 +216,48 @@ object TextOps {
       Chunker.chunkDF(corpus, "source", "content", chunkSize = 200), "text")
   }
 
+  /** TF-IDF top-3 terms per document. Everything stays in-plan: the
+    * corpus size N is a broadcast 1-row aggregate (no driver
+    * action), tf/df are two hash aggregations over the exploded
+    * token stream, df re-broadcast onto tf. ln() matches between
+    * engines to the ulp; r6 absorbs any libm tail difference. */
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val tok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val tf = tok.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = tok.distinct().groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(df), Seq("word"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6) + lit(0.0))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("word"))
+    scored
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn"), col("word"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  val tfidfTopTermsSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT word, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, word FROM tok) GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.word,
+      |         round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) + 0 AS tfidf
+      |  FROM tf JOIN df ON tf.word = df.word CROSS JOIN n)
+      |SELECT doc_id, CAST(rn AS BIGINT) AS rn, word, tfidf
+      |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |                                   ORDER BY tfidf DESC, word) AS rn
+      |      FROM scored)
+      |WHERE rn <= 3
+      |ORDER BY doc_id, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tfidf_top_terms" -> (tfidfTopTerms _),
     "index_pipeline" -> (indexPipeline _),
     "text_percentiles" -> (textPercentiles _),
     "token_regex" -> (tokenRegex _),
@@ -227,6 +269,7 @@ object TextOps {
     "chunk_stats" -> (chunkStats _))
 
   val oracles: Map[String, String] = Map(
+    "tfidf_top_terms" -> tfidfTopTermsSql,
     "text_percentiles" -> textPercentilesSql,
     "token_regex" -> tokenRegexSql,
     "text_stats" -> textStatsSql,
