@@ -18,6 +18,12 @@ trait Embedder extends Serializable {
   def dim: Int
   def model: String
 
+  /** Backend family tag persisted in the index manifest (reference
+    * `embedding_type`, index.py:466) and validated at query time so
+    * an index can never be silently searched with a mismatched
+    * embedder. */
+  def kind: String = "custom"
+
   /** Batch embed. Batch shape mirrors the reference's 200-text API
     * batches (`index.py:326,401-405`); in Spark the partition is the
     * natural batch and implementations may sub-batch internally. */
@@ -40,6 +46,7 @@ trait Embedder extends Serializable {
 final class HashEmbedder(val dim: Int = 64, seed: Long = 42L) extends Embedder {
   require(dim > 0)
   override def model: String = s"hash-ngram-$dim"
+  override def kind: String = "hash"
 
   override def embed(texts: Seq[String]): Seq[Array[Float]] = texts.map(embedOne)
 

@@ -17,6 +17,7 @@ final class RetryEmbedder(
   require(maxAttempts >= 1)
   override def dim: Int = inner.dim
   override def model: String = inner.model
+  override def kind: String = inner.kind
 
   override def embed(texts: Seq[String]): Seq[Array[Float]] = {
     var attempt = 0
@@ -43,6 +44,7 @@ final class RetryEmbedder(
 final class ZeroFallbackEmbedder(inner: Embedder) extends Embedder {
   override def dim: Int = inner.dim
   override def model: String = inner.model
+  override def kind: String = inner.kind
 
   override def embed(texts: Seq[String]): Seq[Array[Float]] =
     texts.map { t =>

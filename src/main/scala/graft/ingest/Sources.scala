@@ -75,31 +75,53 @@ object Sources {
     if (content == null) null else decodeBytes(content)
   }
 
-  /** Structured-log ingest: JSON-lines files under `dir` (pruned
-    * like the text scan). Explicit schema keeps a single pass —
-    * schema inference would double-read 100 TB. */
+  /** Structured-log ingest: JSON-lines files under `dir`. Explicit
+    * schema keeps a single pass — inference would double-read a
+    * large corpus. Pruned directories are excluded at LISTING time
+    * (pathGlobFilter can't express a deny-list, so the pruned file
+    * set is resolved up front and passed as explicit paths — files
+    * under node_modules/.git/… are never opened, matching the text
+    * scan's scan-avoidance). */
   def readJsonLines(
       spark: SparkSession,
       dir: String,
-      schema: org.apache.spark.sql.types.StructType): DataFrame =
-    spark.read.schema(schema)
-      .option("recursiveFileLookup", "true")
-      .json(dir)
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val reader = spark.read.schema(schema)
+    val paths = listUnpruned(spark, dir)
+    (if (paths.isEmpty) reader.json(spark.emptyDataset[String](org.apache.spark.sql.Encoders.STRING))
+     else reader.json(paths: _*))
       .withColumn("source", input_file_name())
-      .filter(!col("source").rlike(pruneRegex))
+  }
 
-  /** CSV log ingest with header row; same pruning/explicit-schema
-    * rules as [[readJsonLines]]. */
+  /** CSV log ingest with header row; same listing-time pruning and
+    * explicit-schema rules as [[readJsonLines]]. */
   def readCsvLogs(
       spark: SparkSession,
       dir: String,
-      schema: org.apache.spark.sql.types.StructType): DataFrame =
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val paths = listUnpruned(spark, dir)
     spark.read.schema(schema)
       .option("header", "true")
-      .option("recursiveFileLookup", "true")
-      .csv(dir)
+      .csv(paths: _*)
       .withColumn("source", input_file_name())
-      .filter(!col("source").rlike(pruneRegex))
+  }
+
+  /** Recursive file listing with directory pruning applied during
+    * the walk (pruned subtrees are never descended into). */
+  private def listUnpruned(spark: SparkSession, dir: String): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    def walk(p: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(p).foreach { st =>
+        if (st.isDirectory) {
+          if (!PrunedDirs.contains(st.getPath.getName)) walk(st.getPath)
+        } else out += st.getPath.toString
+      }
+    if (fs.exists(root)) walk(root)
+    out.toSeq.sorted
+  }
 
   /** Full ingest: scan → sniff filter → decode → `(source, content)`
     * with `source` = path relative to `dir` (reference keeps relpath

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.embed.HashEmbedder
+import graft.functions.VectorFunctions.r6
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -114,7 +115,7 @@ object Dedup {
       .join(broadcast(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na")), "doc_a")
       .join(broadcast(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb")), "doc_b")
       .withColumn("jaccard",
-        round(col("common").cast("double") / (col("na") + col("nb") - col("common")), 6) + lit(0.0))
+        r6(col("common").cast("double") / (col("na") + col("nb") - col("common"))))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(50)
@@ -201,8 +202,8 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
     cand
       .withColumn("est_jaccard",
-        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
-          .cast("double") / NumHashes, 6) + lit(0.0))
+        r6(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / NumHashes))
       .filter(col("est_jaccard") >= 0.35)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
       .orderBy(col("est_jaccard").desc, col("doc_a"), col("doc_b"))
@@ -228,9 +229,12 @@ object Dedup {
   }
 
   /** SimHash near-dups: 64-bit token-majority fingerprint, banded
-    * into 4×16 bits; pairs sharing a band verified with
-    * bit_count(xor) ≤ 6. Pigeonhole: Hamming ≤ 3 ⇒ some band equal,
-    * so the band join loses no pair at that radius. */
+    * into 4×16 bits; bucket-sharing pairs verified with
+    * bit_count(xor) ≤ 3. Pigeonhole: Hamming ≤ 3 ⇒ at most 3 bands
+    * touched ⇒ some band equal — banding is COMPLETE exactly up to
+    * radius bands−1, so the output threshold matches that radius
+    * (a looser threshold would silently drop qualifying pairs whose
+    * differing bits spread across all four bands). */
   def simhashDedup(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val fp = d.select(col("doc_id"), simhashUdf(split(col("text"), " ")).as("fp"))
@@ -255,7 +259,7 @@ object Dedup {
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         bit_count(col("p.fp_a").bitwiseXOR(col("p.fp_b"))).cast("long").as("hamming"))
       .dropDuplicates("doc_a", "doc_b")
-      .filter(col("hamming") <= 6)
+      .filter(col("hamming") <= 3)
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
   }
 

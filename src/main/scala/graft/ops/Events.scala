@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.functions.OracleMath._
+import graft.functions.VectorFunctions.r6
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -170,7 +171,7 @@ object Events {
         lead(col("event_id"), 1).over(w).as("next_event"),
         row_number().over(w).cast("long").as("rn"),
         ntile(4).over(w).cast("long").as("quartile"),
-        (round(percent_rank().over(w), 6) + lit(0.0)).as("pct_rank"),
+        r6(percent_rank().over(w)).as("pct_rank"),
         sum(col("value").cast(DecimalType38_6)).over(cum).cast("double").as("running_value"))
       .orderBy(col("user_id"), col("rn"))
   }

@@ -26,27 +26,25 @@ object Multimodal {
     * stub is per-record. */
   val DecodeBatch = 32
 
-  /** STUB CODEC: deterministic fake decode. A real deployment
-    * replaces this one function with an actual image/audio decoder
-    * (per-executor singleton, same lifecycle as Embedder); nothing
-    * else in the pipeline changes. */
-  private def decodeStub(payload: Array[Byte]): (Int, Int, String) = {
-    var h = 0xCBF29CE484222325L
-    var i = 0
-    while (i < payload.length) { h ^= payload(i) & 0xffL; h *= 0x100000001B3L; i += 1 }
-    val m = HashEmbedder.mix(h)
-    val width = 64 + java.lang.Long.remainderUnsigned(m, 1857L).toInt
-    val height = 64 + java.lang.Long.remainderUnsigned(m >>> 17, 1017L).toInt
-    val formats = Array("png", "jpeg", "webp")
-    val format = formats(java.lang.Long.remainderUnsigned(m >>> 41, 3L).toInt)
-    (width, height, format)
-  }
-
   private def checksum64(payload: Array[Byte]): Long = {
     var h = 0xCBF29CE484222325L
     var i = 0
     while (i < payload.length) { h ^= payload(i) & 0xffL; h *= 0x100000001B3L; i += 1 }
     h
+  }
+
+  /** STUB CODEC: deterministic fake decode derived from the
+    * already-computed payload checksum (one hash pass per record).
+    * A real deployment replaces this one function with an actual
+    * image/audio decoder (per-executor singleton, same lifecycle as
+    * Embedder); nothing else in the pipeline changes. */
+  private def decodeStub(checksum: Long): (Int, Int, String) = {
+    val m = HashEmbedder.mix(checksum)
+    val width = 64 + java.lang.Long.remainderUnsigned(m, 1857L).toInt
+    val height = 64 + java.lang.Long.remainderUnsigned(m >>> 17, 1017L).toInt
+    val formats = Array("png", "jpeg", "webp")
+    val format = formats(java.lang.Long.remainderUnsigned(m >>> 41, 3L).toInt)
+    (width, height, format)
   }
 
   /** Batched decode: Dataset[MediaRecord] → Dataset[MediaMeta].
@@ -57,8 +55,9 @@ object Multimodal {
     records.mapPartitions { it =>
       it.grouped(DecodeBatch).flatMap { batch =>
         batch.map { r =>
-          val (w, h, fmt) = decodeStub(r.payload)
-          MediaMeta(r.doc_id, r.payload.length.toLong, w, h, fmt, checksum64(r.payload))
+          val crc = checksum64(r.payload)
+          val (w, h, fmt) = decodeStub(crc)
+          MediaMeta(r.doc_id, r.payload.length.toLong, w, h, fmt, crc)
         }
       }
     }

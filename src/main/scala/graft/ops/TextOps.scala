@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.functions.VectorFunctions.r6
 import graft.ingest.Chunker
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -71,8 +72,8 @@ object TextOps {
         col("doc_id"),
         size(w).cast("long").as("n_tokens"),
         size(array_distinct(w)).cast("long").as("n_distinct"),
-        (round(size(array_distinct(w)).cast("double") / size(w), 6) + lit(0.0)).as("ttr"),
-        (round(size(filter(w, x => x.isInCollection(Stopwords))).cast("double") / size(w), 6) + lit(0.0))
+        r6(size(array_distinct(w)).cast("double") / size(w)).as("ttr"),
+        r6(size(filter(w, x => x.isInCollection(Stopwords))).cast("double") / size(w))
           .as("stop_ratio"))
       .orderBy(col("doc_id"))
   }
@@ -183,7 +184,6 @@ object TextOps {
     * r6 absorbs interpolation-order ulps). */
   def textPercentiles(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    def r6(c: org.apache.spark.sql.Column) = round(c, 6) + lit(0.0)
     d.groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -231,7 +231,7 @@ object TextOps {
       .join(broadcast(df), Seq("word"))
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
-        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6) + lit(0.0))
+        r6(col("tf") * log(col("n_docs").cast("double") / col("df"))))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("word"))
     scored
       .withColumn("rn", row_number().over(w).cast("long"))

@@ -48,7 +48,9 @@ object SessionStream {
                 out += ClosedSession(userId, usToTs(s.startUs), usToTs(s.lastUs), s.n)
                 open = Some(OpenSession(ts, ts, 1))
               case Some(s) =>
-                open = Some(OpenSession(s.startUs, ts, s.n + 1))
+                // max(): a late event from an earlier batch must not
+                // regress the open session's end and fake a gap
+                open = Some(OpenSession(s.startUs, math.max(s.lastUs, ts), s.n + 1))
               case None =>
                 open = Some(OpenSession(ts, ts, 1))
             }

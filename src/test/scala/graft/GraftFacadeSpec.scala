@@ -54,6 +54,40 @@ class GraftFacadeSpec extends AnyFunSuite {
       s"unexpected top hit: $topSource\n${result.context}")
   }
 
+  test("ask returns exactly k hits under basename id collisions (quirk Q1)") {
+    // app/server.log.1 and db/server.log.1 share chunk id
+    // "server.log.1:0"; retrieval must key on (source, chunk_index)
+    val corpus = writeCorpus()
+    Files.createDirectories(corpus.resolve("db"))
+    Files.write(corpus.resolve("app/server.log.1"),
+      "dup basename a\n".getBytes(StandardCharsets.UTF_8))
+    Files.write(corpus.resolve("db/server.log.1"),
+      "dup basename b\n".getBytes(StandardCharsets.UTF_8))
+    val idx = Files.createTempDirectory("graft-coll").toString
+    Graft.index(spark, corpus.toString, idx, Graft.IndexConfig(chunkSize = 50))
+    val r = Graft.ask(spark, idx, "dup basename", k = 4)
+    val hits = r.hits.collect()
+    assert(hits.length == 4, s"expected exactly k hits, got ${hits.length}")
+    val keys = hits.map(h => (h.getAs[String]("source"), h.getAs[Int]("chunk_index")))
+    assert(keys.distinct.length == keys.length, s"duplicate fetch keys: ${keys.toSeq}")
+    // both colliding-id chunks retrievable, each with its own text
+    val dupSources = hits.filter(_.getAs[String]("id") == "server.log.1:0")
+      .map(h => h.getAs[String]("source") -> h.getAs[String]("text")).toMap
+    assert(dupSources.keySet == Set("app/server.log.1", "db/server.log.1"))
+    assert(dupSources("app/server.log.1") == "dup basename a\n")
+    assert(dupSources("db/server.log.1") == "dup basename b\n")
+  }
+
+  test("ask with mismatched embedder model fails fast instead of returning garbage") {
+    val corpus = writeCorpus()
+    val idx = Files.createTempDirectory("graft-mismatch").toString
+    Graft.index(spark, corpus.toString, idx)
+    val other = new graft.embed.HashEmbedder(32)
+    val e = intercept[IllegalArgumentException](
+      Graft.ask(spark, idx, "anything", embedder = other))
+    assert(e.getMessage.contains("model"))
+  }
+
   test("ask on overwritten index sees only new data (quirk Q3: overwrite semantics)") {
     val corpus = writeCorpus()
     val idx = Files.createTempDirectory("graft-idx2").toString
