@@ -46,8 +46,15 @@ object VectorFunctions {
   def cosineSimPrenorm(a: Column, b: Column, na: Column, nb: Column): Column =
     try_divide(dot(a, b), na * nb)
 
-  /** Cosine distance = 1 − similarity (reference's retrieval key). */
+  /** Cosine distance = 1 − similarity (reference's retrieval key) —
+    * fused single-pass native expression; NULL for zero-norm inputs
+    * exactly like the composed `1 - try_divide(...)` form it
+    * replaces (bit-parity asserted in VectorFunctionsSpec). */
   def cosineDist(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.FloatVectorFunctions.floatCosineDistance(a, b)
+
+  /** Composed reference form of [[cosineDist]] (executable spec). */
+  def cosineDistHof(a: Column, b: Column): Column =
     lit(1.0) - cosineSim(a, b)
 
   def cosineDistPrenorm(a: Column, b: Column, na: Column, nb: Column): Column =

@@ -28,8 +28,7 @@ object VectorQueries {
     // with column pruning (never reads label until after scoring)
     e.filter(col("vec_id") =!= QueryVecId)
       .crossJoin(broadcast(q))
-      .withColumn("dist", r6(lit(1.0) - try_divide(dot(col("embedding"), col("qe")),
-        l2norm(col("embedding")) * l2norm(col("qe")))))
+      .withColumn("dist", r6(cosineDist(col("embedding"), col("qe"))))
       .filter(!isnan(col("dist")) && col("dist").isNotNull)
   }
 
@@ -253,8 +252,7 @@ object VectorQueries {
     val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
     e.filter(col("vec_id") >= 3)
       .crossJoin(broadcast(qs))
-      .withColumn("dist", r6(lit(1.0) - try_divide(dot(col("embedding"), col("qe")),
-        l2norm(col("embedding")) * l2norm(col("qe")))))
+      .withColumn("dist", r6(cosineDist(col("embedding"), col("qe"))))
       .filter(!isnan(col("dist")) && col("dist").isNotNull)
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)

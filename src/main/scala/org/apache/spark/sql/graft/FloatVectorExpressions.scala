@@ -71,9 +71,84 @@ case class FloatDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused cosine distance `1 − dot/(‖a‖·‖b‖)` in ONE pass over the
+  * arrays (dot and both norm accumulators advance together — the
+  * separate-fold form traverses each array three times). Arithmetic
+  * is bit-identical to the composed form
+  * `1 - try_divide(dot(a,b), sqrt(dot(a,a)) * sqrt(dot(b,b)))`:
+  * independent double accumulators in the same element order, then
+  * the same sqrt/multiply/divide/subtract sequence. NULL when the
+  * norm product is zero (try_divide semantics — quirk Q4 zero
+  * vectors are excluded downstream). */
+case class FloatCosineDistance(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "float_cosine_distance"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getFloat(i).toDouble
+      val yv = y.getFloat(i).toDouble
+      dot += xv * yv
+      na += xv * xv
+      nb += yv * yv
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else 1.0 - dot / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val denom = ctx.freshName("denom")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = (double) $a.getFloat($i);
+         |  double $yv = (double) $b.getFloat($i);
+         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |}
+         |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |if ($denom == 0.0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = 1.0 - $dot / $denom; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatCosineDistance =
+    copy(left = newLeft, right = newRight)
+}
+
 object FloatVectorFunctions {
   /** Column-level native dot product. */
   def floatDot(a: Column, b: Column): Column =
     ExpressionUtils.column(FloatDotProduct(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column-level fused cosine distance. */
+  def floatCosineDistance(a: Column, b: Column): Column =
+    ExpressionUtils.column(FloatCosineDistance(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

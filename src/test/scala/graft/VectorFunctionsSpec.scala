@@ -78,6 +78,23 @@ class VectorFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("fused cosine distance is bit-identical to the composed form") {
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 200).map(_ =>
+      (Array.fill(64)(rnd.nextFloat() * 2 - 1), Array.fill(64)(rnd.nextFloat() * 2 - 1))) :+
+      ((Array.fill(64)(0.0f), Array.fill(64)(0.5f))) // zero-norm → both NULL
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      cosineDist(col("a"), col("b")).as("fused"),
+      cosineDistHof(col("a"), col("b")).as("composed")).collect()
+    got.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0))
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
   test("native dot participates in whole-stage codegen") {
     val index = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val plan = index
