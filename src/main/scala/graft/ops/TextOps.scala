@@ -225,7 +225,9 @@ object TextOps {
     val d = t(s, dir, "documents")
     val tok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
     val tf = tok.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
-    val df = tok.distinct().groupBy(col("word")).agg(count(lit(1)).as("df"))
+    // tf already has one row per (doc, word), so df falls out of it —
+    // no second token explode / distinct pass over the corpus
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val n = d.agg(count(lit(1)).as("n_docs"))
     val scored = tf
       .join(broadcast(df), Seq("word"))
