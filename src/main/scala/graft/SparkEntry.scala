@@ -39,7 +39,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Events.queries ++ VectorQueries.queries ++
-      TextOps.queries ++ Dedup.queries ++ Multimodal.queries ++ AsOf.queries
+      TextOps.queries ++ Dedup.queries ++ Multimodal.queries ++ AsOf.queries ++
+      KMeansVec.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */

@@ -1,0 +1,91 @@
+package graft.ops
+
+import graft.functions.OracleMath
+import graft.functions.VectorFunctions.r6
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic k-means over `ARRAY<FLOAT>` embeddings — the IVF
+  * coarse quantizer (SURVEY §4.1: "IVF-style coarse quantization via
+  * groupBy(cluster)" is the 100 TB ANN path; sign-LSH in
+  * VectorQueries is the hash-based alternative).
+  *
+  * Determinism: centroids initialize from the k lowest vec_ids, a
+  * fixed iteration count, squared-euclidean assignment with a
+  * cluster-id tiebreak, and decimal-bridged per-dimension sums for
+  * the centroid update (partition-order independent). Same inputs →
+  * identical clustering on any cluster size.
+  *
+  * Scale shape per iteration: one broadcast of k·dim centroid
+  * doubles out, one map-side assignment pass, one k·dim-group
+  * aggregation back — the canonical Lloyd's-on-Spark loop (k·dim
+  * floats through the driver per iteration, never the data).
+  */
+object KMeansVec {
+  import Tables.t
+
+  val K = 10
+  val Iters = 3
+
+  /** Squared euclidean distance to a centroid literal, computed with
+    * the fused dot expression: ‖x−c‖² = x·x − 2x·c + c·c. */
+  private def assignExpr(centroids: Array[Array[Double]]) = {
+    import graft.functions.VectorFunctions.dot
+    val cc = centroids.map(c => c.map(v => v * v).sum)
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val cLit = typedLit(c.map(_.toFloat))
+      struct(
+        (dot(col("embedding"), col("embedding")) - lit(2.0) * dot(col("embedding"), cLit)
+          + lit(cc(i))).as("d2"),
+        lit(i).as("cluster"))
+    }
+    // array_min over (d2, cluster) structs: nearest centroid, lowest
+    // cluster id on exact ties
+    array_min(array(scored: _*)).getField("cluster")
+  }
+
+  /** Run Lloyd's iterations; returns (vec_id, cluster) assignments. */
+  def assign(s: SparkSession, dir: String, k: Int = K, iters: Int = Iters): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val dim = e.head().getSeq[Float](1).length
+    var centroids: Array[Array[Double]] = e
+      .orderBy(col("vec_id")).limit(k).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    var assigned: DataFrame = null
+    (1 to iters).foreach { _ =>
+      assigned = e.withColumn("cluster", assignExpr(centroids))
+      // decimal-bridged per-dimension means: deterministic update
+      val sums = assigned
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("d", "v")))
+        .groupBy(col("cluster"), col("d"))
+        .agg(OracleMath.dsum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = Array.tabulate(k)(i => centroids(i).clone())
+      sums.foreach { r =>
+        val c = r.getInt(0); val d = r.getInt(1)
+        next(c)(d) = r.getDouble(2) / r.getLong(3)
+      }
+      centroids = next
+    }
+    assigned.select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+  }
+
+  /** Cluster profile: sizes + mean distance to own centroid — the
+    * quality signal an IVF index build monitors. Rows-only gate
+    * (iterative float algorithm, not SQL-expressible); determinism
+    * and partitioning-independence asserted in KMeansSpec. */
+  def clusterProfile(s: SparkSession, dir: String): DataFrame = {
+    val a = assign(s, dir)
+    val e = t(s, dir, "embeddings")
+    a.join(e, "vec_id")
+      .groupBy(col("cluster"))
+      .agg(
+        count(lit(1)).as("n"),
+        r6(OracleMath.davg(graft.functions.VectorFunctions.l2norm(col("embedding"))))
+          .as("avg_norm"))
+      .orderBy(col("cluster"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kmeans_clusters" -> (clusterProfile _))
+}
