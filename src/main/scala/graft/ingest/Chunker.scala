@@ -33,14 +33,19 @@ object Chunker {
     var i = 0
     while (i < lines.length) {
       val line = lines(i)
-      if (currentSize + line.length + 1 <= chunkSize) {
-        current += line
-        currentSize += line.length + 1
-      } else {
-        if (current.nonEmpty) chunks += current.mkString("\n")
+      // Exact mirror of index.py:304-313: line_size counts the
+      // trailing newline, and the flush branch requires a non-empty
+      // current chunk (an oversize first line accumulates and only
+      // flushes when the NEXT line arrives).
+      val lineSize = line.length + 1
+      if (currentSize + lineSize > chunkSize && current.nonEmpty) {
+        chunks += current.mkString("\n")
         current.clear()
         current += line
-        currentSize = line.length
+        currentSize = lineSize
+      } else {
+        current += line
+        currentSize += lineSize
       }
       i += 1
     }

@@ -22,7 +22,11 @@ object Events {
   def eventsTable(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Tables.t(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // Floor division, not `div` (which truncates toward zero):
+      // DuckDB's CAST(ns AS TIMESTAMP) floors, so pre-epoch negative
+      // nanos must round down too. (ts - pmod(ts,1000)) div 1000 is
+      // exact long floor-division — no double precision loss at 1e18.
+      .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
   }
 
   /** Per-event-type stats over a JSON-extracted field:

@@ -206,14 +206,27 @@ object TextOps {
     * document and embed every chunk (the full map-only index
     * dataflow minus the write). Rows-only gate — chunker/embedder
     * are non-SQL; throughput is the signal (this is the number that
-    * must match-or-beat the reference's single-node indexing rate). */
+    * must match-or-beat the reference's single-node indexing rate).
+    * Output is a per-doc scalar projection (chunk count, char count,
+    * embedding checksum) because the driver's rows-only check cannot
+    * hash an ARRAY<FLOAT> column; the checksum consumes every vector
+    * element, so Catalyst cannot prune the embed UDF out of the
+    * benchmarked plan. */
   def indexPipeline(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val corpus = d.select(
       concat(lit("doc/"), col("doc_id")).as("source"),
       translate(col("text"), " ", "\n").as("content"))
-    graft.embed.EmbedOps.withEmbedding(
+    val embedded = graft.embed.EmbedOps.withEmbedding(
       Chunker.chunkDF(corpus, "source", "content", chunkSize = 200), "text")
+    embedded
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(length(col("text"))).as("n_chars"),
+        r6(sum(aggregate(col("embedding"), lit(0d),
+          (acc, x) => acc + x))).as("embed_checksum"))
+      .orderBy(col("source"))
   }
 
   /** TF-IDF top-3 terms per document. Everything stays in-plan: the
