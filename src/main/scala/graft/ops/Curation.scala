@@ -1,0 +1,259 @@
+package graft.ops
+
+import graft.functions.VectorFunctions.r6
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Tables.t
+
+/** Training-data curation operators (SURVEY §2.B north-star rows):
+  * the selection/filtering half of an LLM data pipeline — after dedup
+  * (ops/Dedup) and quality scoring (TextOps.docQuality), a corpus is
+  * sampled, decontaminated against benchmark sets, repetition-filtered,
+  * redacted, balanced across strata, and packed into training shards.
+  *
+  * Every operator here is oracle-checked (pure built-in expressions,
+  * no UDFs) and map-only or single-shuffle by design:
+  *
+  *  - Sampling is hash-threshold (md5 of the key), never RNG — the
+  *    sample is reproducible across runs, engines, and cluster sizes,
+  *    and requires zero coordination (pure map, no driver state).
+  *  - Decontamination broadcasts the (small) benchmark n-gram set, so
+  *    the 100 TB corpus side never shuffles.
+  *  - Repetition signals use array HOFs over per-doc token lists
+  *    (map-only, O(words²) per doc with tiny constants) instead of
+  *    explode + groupBy (which would shuffle the whole token stream).
+  *  - Shard packing runs per-source (partition-parallel running sums),
+  *    not a global ORDER BY — the global variant would serialize 100 TB
+  *    through one reducer.
+  */
+object Curation {
+
+  private def ws: Column = split(col("text"), " ")
+
+  /** Word n-grams of an already-split token array; 1-based
+    * `element_at` matches DuckDB list indexing. Guarded so short docs
+    * yield an empty list rather than a descending `sequence`. */
+  private def wordGrams(w: Column, n: Int): Column =
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(w, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Deterministic ~10% corpus sample: md5 of a seeded key, keep
+    * buckets 0x00-0x19 (26/256). Hash-threshold sampling is THE
+    * reproducible sample at scale — a pure map with no RNG state, the
+    * same rows survive on 1 or 1000 executors, and the rate is
+    * adjusted by moving the threshold, not resampling. */
+  def sampleHash(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        substring(md5(concat(lit("s42:"), col("doc_id").cast("string"))), 1, 2)
+          .as("bucket"))
+      .filter(col("bucket") < "1a")
+      .orderBy(col("doc_id"))
+
+  val sampleHashSql: String =
+    """SELECT doc_id, lang,
+      |  substring(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+      |FROM documents
+      |WHERE substring(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+      |ORDER BY doc_id""".stripMargin
+
+  /** Benchmark decontamination: any document sharing a word 3-gram
+    * with the "benchmark" set (here: every 50th doc) is flagged with
+    * its shared-gram count. The benchmark gram set is tiny relative
+    * to the corpus, so it broadcasts — the corpus side is a map-side
+    * semi-join + one aggregation on doc_id; the 100 TB side never
+    * shuffles its gram stream. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val grams = d
+      .select(col("doc_id"), explode(array_distinct(wordGrams(ws, 3))).as("g"))
+    val bench = grams.filter(col("doc_id") % 50 === 0).select("g").distinct()
+    grams.filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(bench), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+      |      FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+      |b AS (SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0)
+      |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+      |FROM g JOIN b USING (g)
+      |WHERE g.doc_id % 50 <> 0
+      |GROUP BY g.doc_id
+      |ORDER BY g.doc_id""".stripMargin
+
+  /** Gopher-style repetition/quality signals, computed map-only with
+    * array HOFs (no token-stream shuffle): most-frequent-word
+    * fraction, duplicate word-2-gram fraction, mean word length, and
+    * the resulting keep/drop decision. The keep flag compares
+    * UNROUNDED doubles — both engines compute the identical ratios of
+    * identical integers, so the comparison is bit-deterministic. */
+  def gopherQuality(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val base = d.select(col("doc_id"), col("text"), ws.as("w"))
+      .withColumn("n_words", size(col("w")))
+    val twf = array_max(transform(array_distinct(col("w")),
+      x => size(filter(col("w"), y => y === x)))).cast("double") / col("n_words")
+    val g2 = wordGrams(col("w"), 2)
+    val dupFrac = when(size(col("w")) >= 2,
+      lit(1.0) - size(array_distinct(g2)).cast("double") / size(g2))
+      .otherwise(lit(0.0))
+    val mwl = (length(col("text")) - col("n_words") + 1).cast("double") / col("n_words")
+    base.select(
+      col("doc_id"),
+      col("n_words").cast("long").as("n_words"),
+      r6(twf).as("top_word_frac"),
+      r6(dupFrac).as("dup_2gram_frac"),
+      r6(mwl).as("mean_word_len"),
+      (twf <= 0.12 && dupFrac <= 0.1 && mwl >= 3.0 && mwl <= 10.0)
+        .cast("int").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val gopherQualitySql: String =
+    """WITH b AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS w,
+      |    len(string_split(text, ' ')) AS n_words
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, n_words,
+      |    CAST(list_max(list_transform(list_distinct(w),
+      |      x -> len(list_filter(w, y -> y = x)))) AS DOUBLE) / n_words AS twf,
+      |    CASE WHEN n_words >= 2 THEN
+      |      1.0 - CAST(len(list_distinct([w[i] || ' ' || w[i+1]
+      |              FOR i IN generate_series(1, len(w) - 1)])) AS DOUBLE)
+      |            / (n_words - 1)
+      |    ELSE 0.0 END AS dup_frac,
+      |    CAST(length(text) - n_words + 1 AS DOUBLE) / n_words AS mwl
+      |  FROM b)
+      |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+      |  round(twf, 6) + 0 AS top_word_frac,
+      |  round(dup_frac, 6) + 0 AS dup_2gram_frac,
+      |  round(mwl, 6) + 0 AS mean_word_len,
+      |  CASE WHEN twf <= 0.12 AND dup_frac <= 0.1
+      |        AND mwl >= 3.0 AND mwl <= 10.0 THEN 1 ELSE 0 END AS keep
+      |FROM m
+      |ORDER BY doc_id""".stripMargin
+
+  /** PII-style masking mechanism: redact every long alpha run
+    * (stand-in for email/phone patterns — the soup fixture has no
+    * digits) and report mask counts + length delta. Pure codegen'd
+    * `regexp_replace`/`regexp_extract_all`; pattern kept to a
+    * POSIX-safe subset so Java regex and RE2 agree. */
+  def redactMask(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val red = regexp_replace(col("text"), "[a-z]{7,}", "<MASK>")
+    d.select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[a-z]{7,}"), lit(0)))
+          .cast("long").as("n_masked"),
+        length(col("text")).cast("long").as("len_raw"),
+        length(red).cast("long").as("len_redacted"))
+      .orderBy(col("doc_id"))
+  }
+
+  val redactMaskSql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[a-z]{7,}')) AS BIGINT) AS n_masked,
+      |  CAST(length(text) AS BIGINT) AS len_raw,
+      |  CAST(length(regexp_replace(text, '[a-z]{7,}', '<MASK>', 'g')) AS BIGINT)
+      |    AS len_redacted
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Stratified balancing: downsample every language to the smallest
+    * language's count, picking survivors in md5 order (deterministic,
+    * engine-independent). NOTE the rank-based exact variant here has
+    * one reducer per stratum — fine for 5 langs; at 100 TB with many
+    * strata use [[sampleHash]] with per-stratum thresholds (pure map)
+    * and accept approximate counts. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val rn = row_number().over(Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id")))
+    val ranked = d.select(col("doc_id"), col("lang")).withColumn("rn", rn)
+    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+    val minCount = counts.agg(min(col("n_total")).as("mn"))
+    ranked.crossJoin(broadcast(minCount))
+      .filter(col("rn") <= col("mn"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"))
+      .join(broadcast(counts), Seq("lang"))
+      .select(col("lang"), col("n_total"), col("n_sampled"))
+      .orderBy(col("lang"))
+  }
+
+  val stratifiedSampleSql: String =
+    """WITH ranked AS (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents),
+      |counts AS (SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang),
+      |m AS (SELECT MIN(n_total) AS mn FROM counts)
+      |SELECT r.lang, c.n_total, COUNT(*) AS n_sampled
+      |FROM ranked r JOIN counts c USING (lang) CROSS JOIN m
+      |WHERE r.rn <= m.mn
+      |GROUP BY r.lang, c.n_total
+      |ORDER BY r.lang""".stripMargin
+
+  /** Token-budget shard packing: within each source, docs (in doc_id
+    * order) are greedily assigned to ~500-token training shards via
+    * a running prefix sum. Per-source windows keep the running sum
+    * partition-parallel — a single global ORDER BY would funnel the
+    * whole corpus through one task. */
+  def shardPack(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val nTokens = size(ws).cast("long")
+    val cum = sum(col("n_tokens")).over(
+      Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    d.select(col("doc_id"), col("source"), nTokens.as("n_tokens"))
+      .withColumn("shard",
+        floor((cum - col("n_tokens")) / lit(500.0)).cast("long"))
+      .groupBy(col("source"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy(col("source"), col("shard"))
+  }
+
+  val shardPackSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM d)
+      |SELECT source,
+      |  CAST(floor((cum - n_tokens) / 500.0) AS BIGINT) AS shard,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+      |FROM c
+      |GROUP BY source, CAST(floor((cum - n_tokens) / 500.0) AS BIGINT)
+      |ORDER BY source, shard""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_hash" -> (sampleHash _),
+    "decontaminate" -> (decontaminate _),
+    "gopher_quality" -> (gopherQuality _),
+    "redact_mask" -> (redactMask _),
+    "stratified_sample" -> (stratifiedSample _),
+    "shard_pack" -> (shardPack _))
+
+  val oracles: Map[String, String] = Map(
+    "sample_hash" -> sampleHashSql,
+    "decontaminate" -> decontaminateSql,
+    "gopher_quality" -> gopherQualitySql,
+    "redact_mask" -> redactMaskSql,
+    "stratified_sample" -> stratifiedSampleSql,
+    "shard_pack" -> shardPackSql)
+}

@@ -115,7 +115,7 @@ object TextOps {
   /** Language-ID heuristic: per-language marker-token vote with
     * deterministic tie-break (marker hit count, then lang code).
     * Word-soup fixtures carry no real language signal, so this
-    * checks the *mechanism* (rows-only gate + unit tests). */
+    * checks the *mechanism* (oracle-matched via [[langIdSql]]). */
   val LangMarkers: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "and", "of", "is"),
     "de" -> Seq("der", "die", "das", "und", "ist"),
@@ -140,6 +140,31 @@ object TextOps {
       .withColumn("agree", (col("lang_true") === col("lang_pred")).cast("int"))
       .orderBy(col("doc_id"))
   }
+
+  /** Oracle mirror of [[langId]]: per-language marker hit counts as
+    * scalar columns, `greatest` for the max, and a descending-lang
+    * CASE chain replicating `array_max`'s (hits, lang) struct
+    * ordering — max hits, ties broken by max lang code. */
+  val langIdSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, lang AS lang_true,
+      |    len(list_filter(ws, x -> x IN ('the','a','and','of','is')))   AS h_en,
+      |    len(list_filter(ws, x -> x IN ('der','die','das','und','ist'))) AS h_de,
+      |    len(list_filter(ws, x -> x IN ('el','la','los','es','y')))    AS h_es,
+      |    len(list_filter(ws, x -> x IN ('le','la','les','est','et')))  AS h_fr,
+      |    len(list_filter(ws, x -> x IN ('de','shi','le','zai','he')))  AS h_zh
+      |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents)),
+      |p AS (
+      |  SELECT doc_id, lang_true,
+      |    CASE WHEN h_zh = m THEN 'zh' WHEN h_fr = m THEN 'fr'
+      |         WHEN h_es = m THEN 'es' WHEN h_de = m THEN 'de'
+      |         ELSE 'en' END AS lang_pred,
+      |    CAST(m AS BIGINT) AS marker_hits
+      |  FROM (SELECT *, greatest(h_en, h_de, h_es, h_fr, h_zh) AS m FROM h))
+      |SELECT doc_id, lang_true, lang_pred, marker_hits,
+      |  CASE WHEN lang_true = lang_pred THEN 1 ELSE 0 END AS agree
+      |FROM p
+      |ORDER BY doc_id""".stripMargin
 
   /** Chunk statistics via the reference chunker (spaces rewritten to
     * newlines so the line-packer exercises multi-line packing on
@@ -290,5 +315,6 @@ object TextOps {
     "text_stats" -> textStatsSql,
     "top_words" -> topWordsSql,
     "doc_quality" -> docQualitySql,
-    "doc_fingerprint" -> docFingerprintSql)
+    "doc_fingerprint" -> docFingerprintSql,
+    "lang_id" -> langIdSql)
 }

@@ -1,0 +1,98 @@
+package graft
+
+import graft.ops.Curation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Curation operators over a small synthetic corpus with planted
+  * cases — validates the mechanisms (contamination overlap, quality
+  * thresholds, shard boundaries) the fixture word-soup can't pin
+  * down; the driver's DuckDB gate covers fixture behavior. */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  // doc 0 (doc_id % 50 == 0) is the "benchmark" doc; doc 1 shares the
+  // 3-gram "alpha beta gamma"; doc 2 shares no 3-gram; doc 3 is pure
+  // repetition (fails quality); doc 4/5 pad the 'fr' stratum.
+  private val docs = Seq(
+    (0L, "alpha beta gamma delta epsilon zeta eta theta", "en", "src0"),
+    (1L, "intro alpha beta gamma outro filler words here", "en", "src0"),
+    (2L, "one two three four five six seven eight nine", "en", "src0"),
+    (3L, "spam spam spam spam spam spam spam spam spam", "en", "src0"),
+    (4L, "bonjour le monde ceci est un texte simple", "fr", "src1"),
+    (5L, "encore un autre document pour la strate", "fr", "src1"))
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-curation").toString
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("decontaminate flags only docs sharing a 3-gram with the benchmark set") {
+    val out = Curation.decontaminate(spark, dir).collect()
+    val flagged = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.contains(1L), "doc 1 shares 'alpha beta gamma'")
+    assert(flagged(1L) >= 1L)
+    assert(!flagged.contains(2L), "doc 2 shares no 3-gram")
+    assert(!flagged.contains(0L), "benchmark docs are not self-flagged")
+  }
+
+  test("gopher_quality: repetition fails, diverse text passes") {
+    val out = Curation.gopherQuality(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(3L).getAs[Int]("keep") === 0, "all-spam doc must be dropped")
+    assert(out(3L).getAs[Double]("top_word_frac") === 1.0)
+    assert(out(2L).getAs[Int]("keep") === 1, "diverse doc must survive")
+    // mean word length of doc 2: 9 words, 44 chars incl 8 spaces
+    assert(out(2L).getAs[Double]("mean_word_len") === 4.0)
+  }
+
+  test("sample_hash is a deterministic subset with in-range buckets") {
+    val a = Curation.sampleHash(spark, dir).collect().map(_.getLong(0)).toSeq
+    val b = Curation.sampleHash(spark, dir).collect().map(_.getLong(0)).toSeq
+    assert(a === b, "same sample on every run")
+    Curation.sampleHash(spark, dir).collect().foreach { r =>
+      assert(r.getAs[String]("bucket") < "1a")
+    }
+  }
+
+  test("stratified_sample balances every stratum to the min count") {
+    val out = Curation.stratifiedSample(spark, dir).collect()
+    val byLang = out.map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(byLang("en")._1 === 4L)
+    assert(byLang("fr")._1 === 2L)
+    // min stratum is fr with 2 docs → every lang sampled to exactly 2
+    assert(byLang.values.map(_._2).toSet === Set(2L))
+  }
+
+  test("redact_mask counts long-run masks and reports the length delta") {
+    val out = Curation.redactMask(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 0: alpha(5) beta(4) gamma(5) delta(5) epsilon(7) zeta(4) eta(3) theta(5)
+    assert(out(0L).getAs[Long]("n_masked") === 1L, "only 'epsilon' is >= 7 chars")
+    assert(out(0L).getAs[Long]("len_redacted") ===
+      out(0L).getAs[Long]("len_raw") - 7 + 6, "'epsilon' -> '<MASK>'")
+    assert(out(2L).getAs[Long]("n_masked") === 0L)
+  }
+
+  test("shard_pack assigns docs by per-source running token budget") {
+    // craft one source with 3 docs of 200 tokens each and a 500 budget:
+    // prefix sums before each doc are 0, 200, 400 → all shard 0;
+    // a 4th doc (prefix 600) must open shard 1
+    val d = Files.createTempDirectory("graft-shard").toString
+    val tok200 = (1 to 200).map(i => s"w$i").mkString(" ")
+    (0 to 3).map(i => (i.toLong, tok200, "en", "srcA"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = Curation.shardPack(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out(("srcA", 0L)) === ((3L, 600L)), "docs 0-2 fill shard 0")
+    assert(out(("srcA", 1L)) === ((1L, 200L)), "doc 3 opens shard 1")
+  }
+}
