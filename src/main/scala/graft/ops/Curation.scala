@@ -68,8 +68,11 @@ object Curation {
     * shuffles its gram stream. */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    val grams = d
-      .select(col("doc_id"), explode(array_distinct(wordGrams(ws, 3))).as("g"))
+    // distinct 3-grams via Dedup's single-pass shingle UDF — the
+    // HOF transform-over-split form re-evaluates the split inside
+    // every lambda element access (CollapseProject inlines it into
+    // the Generate input), measured ~8× slower at bench scale
+    val grams = Dedup.shingles(d).withColumnRenamed("shingle", "g")
     val bench = grams.filter(col("doc_id") % 50 === 0).select("g").distinct()
     grams.filter(col("doc_id") % 50 =!= 0)
       .join(broadcast(bench), Seq("g"))

@@ -72,8 +72,9 @@ object Dedup {
       .filter(size(col("shingles")) > 0)
 
   /** Inverted-index form: one row per (doc, distinct shingle) —
-    * map-only explode of the distinct array (no shuffle). */
-  private def shingles(d: DataFrame): DataFrame =
+    * map-only explode of the distinct array (no shuffle). Shared
+    * with Curation.decontaminate (same 3-gram candidate stream). */
+  private[ops] def shingles(d: DataFrame): DataFrame =
     withShingleArray(d)
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
 
