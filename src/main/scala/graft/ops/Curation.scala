@@ -207,6 +207,39 @@ object Curation {
       |GROUP BY r.lang, c.n_total
       |ORDER BY r.lang""".stripMargin
 
+  /** Training-mixture resampling: per-stratum hash-threshold rates
+    * (downweight the dominant language to ~5%, keep the rest at
+    * ~25%) — how a 100 TB corpus is re-weighted into a training mix
+    * without shuffling the corpus: the keep decision is a pure map
+    * on (lang, md5(key)); only the tiny per-stratum count
+    * aggregation shuffles. Rates move by editing thresholds, and the
+    * kept set is stable under cluster resizing and re-runs. */
+  def mixtureSample(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val thr = when(col("lang") === "en", lit("0d")).otherwise(lit("40"))
+    val bucket =
+      substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 2)
+    val kept = d.filter(bucket < thr)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+    d.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+      .join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
+  val mixtureSampleSql: String =
+    """WITH b AS (SELECT lang,
+      |    substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+      |  FROM documents),
+      |k AS (SELECT lang, COUNT(*) AS n_kept FROM b
+      |      WHERE bucket < CASE WHEN lang = 'en' THEN '0d' ELSE '40' END
+      |      GROUP BY lang),
+      |c AS (SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang)
+      |SELECT c.lang, c.n_total, COALESCE(k.n_kept, 0) AS n_kept
+      |FROM c LEFT JOIN k USING (lang)
+      |ORDER BY c.lang""".stripMargin
+
   /** Token-budget shard packing: within each source, docs (in doc_id
     * order) are greedily assigned to ~500-token training shards via
     * a running prefix sum. Per-source windows keep the running sum
@@ -250,6 +283,7 @@ object Curation {
     "gopher_quality" -> (gopherQuality _),
     "redact_mask" -> (redactMask _),
     "stratified_sample" -> (stratifiedSample _),
+    "mixture_sample" -> (mixtureSample _),
     "shard_pack" -> (shardPack _))
 
   val oracles: Map[String, String] = Map(
@@ -258,5 +292,6 @@ object Curation {
     "gopher_quality" -> gopherQualitySql,
     "redact_mask" -> redactMaskSql,
     "stratified_sample" -> stratifiedSampleSql,
+    "mixture_sample" -> mixtureSampleSql,
     "shard_pack" -> shardPackSql)
 }

@@ -197,7 +197,54 @@ object Events {
       |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
       |ORDER BY user_id, rn""".stripMargin
 
+  /** Banded range join (pure non-equi — no shared key): every
+    * purchase is joined to ALL clicks in the preceding hour, keyed
+    * by nothing but time. A naive non-equi join is a
+    * broadcast-nested-loop — O(purchases × clicks), hopeless at
+    * 100 TB. The scale plan buckets both sides to the band width
+    * and equi-joins on the bucket: a click in [ts-band, ts] can
+    * only live in the purchase's bucket or the one before, so the
+    * purchase side explodes into exactly those two bucket keys and
+    * the range predicate becomes a residual filter on a shuffled
+    * HASH join — linear in rows, AQE-skew-safe, and the generic
+    * recipe for any banded interval join (the band width just sets
+    * the bucket size). */
+  def rangeJoinBanded(s: SparkSession, dir: String,
+      bandUs: Long = 3600000000L): DataFrame = {
+    val e = eventsTable(s, dir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts"),
+        expr(s"unix_micros(ts) div $bandUs").as("b0"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("ts").as("cts"),
+        expr(s"unix_micros(ts) div $bandUs").as("b"))
+    p.withColumn("b", explode(array(col("b0"), col("b0") - 1)))
+      .join(c, "b")
+      .filter(unix_micros(col("cts")) >= unix_micros(col("ts")) - bandUs &&
+        col("cts") <= col("ts"))
+      .groupBy(col("event_id"), col("ts"))
+      .agg(count(lit(1)).as("n_clicks"),
+        max(unix_micros(col("cts"))).as("max_cts_us"))
+      .select(col("event_id"), col("n_clicks"),
+        (unix_micros(col("ts")) - col("max_cts_us")).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  val rangeJoinBandedSql: String =
+    """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      |           FROM events),
+      |p AS (SELECT event_id, ts FROM e WHERE event_type = 'purchase'),
+      |c AS (SELECT ts AS cts FROM e WHERE event_type = 'click')
+      |SELECT p.event_id, COUNT(*) AS n_clicks,
+      |  epoch_us(p.ts) - MAX(epoch_us(c.cts)) AS gap_us
+      |FROM p JOIN c
+      |  ON epoch_us(c.cts) >= epoch_us(p.ts) - 3600000000
+      | AND c.cts <= p.ts
+      |GROUP BY p.event_id, p.ts
+      |ORDER BY p.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_range_join" -> ((s, d) => rangeJoinBanded(s, d)),
     "q19_events_pivot" -> (eventsPivot _),
     "q20_window_funcs" -> (windowFuncs _),
     "q16_date_funcs" -> (dateFuncs _),
@@ -206,6 +253,7 @@ object Events {
     "q11_sessionize" -> (sessionize _))
 
   val oracles: Map[String, String] = Map(
+    "q22_range_join" -> rangeJoinBandedSql,
     "q19_events_pivot" -> eventsPivotSql,
     "q20_window_funcs" -> windowFuncsSql,
     "q16_date_funcs" -> dateFuncsSql,

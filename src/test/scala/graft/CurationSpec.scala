@@ -80,6 +80,17 @@ class CurationSpec extends AnyFunSuite {
     assert(out(2L).getAs[Long]("n_masked") === 0L)
   }
 
+  test("mixture_sample applies per-stratum rates deterministically") {
+    val a = Curation.mixtureSample(spark, dir).collect()
+    val b = Curation.mixtureSample(spark, dir).collect()
+    assert(a.toSeq === b.toSeq, "same mix on every run")
+    val byLang = a.map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(byLang("en")._1 === 4L && byLang("fr")._1 === 2L)
+    byLang.values.foreach { case (total, kept) =>
+      assert(kept >= 0L && kept <= total)
+    }
+  }
+
   test("shard_pack assigns docs by per-source running token budget") {
     // craft one source with 3 docs of 200 tokens each and a 500 budget:
     // prefix sums before each doc are 0, 200, 400 → all shard 0;
