@@ -62,4 +62,17 @@ object StreamingIndex {
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes", "1 minute"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** Streaming exact dedup — the streaming twin of
+    * `Dedup.dedupExact`: re-arrivals of the same content fingerprint
+    * are dropped for as long as the event-time watermark keeps their
+    * key in state. `dropDuplicatesWithinWatermark` (not plain
+    * `dropDuplicates`) is the scale-safe form: state is evicted at
+    * the watermark horizon, so the store is bounded by horizon ×
+    * arrival rate instead of growing with the stream's lifetime. */
+  def dedupStream(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("fp", md5(col("content")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("fp")
 }

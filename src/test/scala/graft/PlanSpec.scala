@@ -61,6 +61,21 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"plan: $plan")
   }
 
+  test("decontaminate: benchmark gram set broadcasts; corpus side never shuffles pre-join") {
+    val plan = graft.ops.Curation.decontaminate(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"plan: $plan")
+  }
+
+  test("sample_hash: scan prunes to (doc_id, lang) — no text read") {
+    val plan = graft.ops.Curation.sampleHash(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scanSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(scanSchemas.nonEmpty && scanSchemas.forall(s => !s.contains("text")),
+      s"text column must be pruned from the sampling scan: $scanSchemas")
+  }
+
   test("chunk pipeline is map-only: no exchange before the index write") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(concat(lit("doc/"), col("doc_id")).as("source"),

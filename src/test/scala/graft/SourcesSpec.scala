@@ -49,6 +49,26 @@ class SourcesSpec extends AnyFunSuite {
     assert(Sources.decodeBytes(Array(0xE9.toByte)) == "é")
   }
 
+  test("orc interchange: index schema (incl. embeddings) round-trips with pushdown") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val df = Seq(
+      ("a:0", "src/a", 0, 2, "first chunk", Array(0.1f, 0.2f)),
+      ("a:1", "src/a", 1, 2, "second chunk", Array(0.3f, 0.4f)))
+      .toDF("id", "source", "chunk_index", "total_chunks", "text", "embedding")
+    df.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    // nullability widens on any file-source read; names + types must hold
+    assert(back.schema.fields.map(f => (f.name, f.dataType.sql)).toSeq ===
+      df.schema.fields.map(f => (f.name, f.dataType.sql)).toSeq)
+    assert(back.count() === 2)
+    val filtered = back.filter(col("chunk_index") === 1)
+    assert(filtered.count() === 1)
+    // ORC reader must receive the predicate, same as parquet
+    assert(filtered.queryExecution.executedPlan.toString
+      .contains("PushedFilters: [IsNotNull(chunk_index), EqualTo(chunk_index,1)]"))
+  }
+
   test("end-to-end chunk table: ids, dense chunk_index, whitespace filtered") {
     val root = writeCorpus()
     val files = Sources.readTextFiles(spark, root.toString)

@@ -71,6 +71,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows("error") == 5L)
   }
 
+  test("streaming dedup: watermarked state drops re-arrived content") {
+    val root = Files.createTempDirectory("graft-sdedup")
+    val src = root.resolve("docs").toString
+    def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    // same content arrives three times inside the horizon → keep one
+    Seq(
+      (ts(0), "a.log", "alpha beta"),
+      (ts(1), "b.log", "alpha beta"),
+      (ts(2), "c.log", "gamma delta"),
+      (ts(3), "d.log", "alpha beta"))
+      .toDF("ts", "source", "content")
+      .write.mode("overwrite").parquet(src)
+
+    val stream = spark.readStream
+      .schema("ts TIMESTAMP, source STRING, content STRING")
+      .parquet(src)
+    val q = StreamingIndex.dedupStream(stream)
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val contents = spark.sql("SELECT content FROM sdedup").collect()
+      .map(_.getString(0)).sorted
+    assert(contents === Array("alpha beta", "gamma delta"))
+  }
+
   test("stream-static join: streaming events enriched with a broadcast dimension") {
     val root = Files.createTempDirectory("graft-ss")
     val src = root.resolve("ev").toString
