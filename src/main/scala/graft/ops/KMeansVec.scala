@@ -44,15 +44,22 @@ object KMeansVec {
     array_min(array(scored: _*)).getField("cluster")
   }
 
-  /** Run Lloyd's iterations; returns (vec_id, cluster) assignments. */
-  def assign(s: SparkSession, dir: String, k: Int = K, iters: Int = Iters): DataFrame = {
-    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val dim = e.head().getSeq[Float](1).length
+  /** Run Lloyd's iterations; returns the centroids that produced the
+    * final assignment together with that assignment (a consistent
+    * pair — the centroids are NOT the post-update ones, so an IVF
+    * probe ranked against them sees exactly the cells the vectors
+    * were assigned to). */
+  def fit(s: SparkSession, dir: String, k: Int = K, iters: Int = Iters)
+      : (Array[Array[Double]], DataFrame) = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
     var centroids: Array[Array[Double]] = e
       .orderBy(col("vec_id")).limit(k).collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    var used: Array[Array[Double]] = centroids
     var assigned: DataFrame = null
     (1 to iters).foreach { _ =>
+      used = centroids
       assigned = e.withColumn("cluster", assignExpr(centroids))
       // decimal-bridged per-dimension means: deterministic update
       val sums = assigned
@@ -67,8 +74,13 @@ object KMeansVec {
       }
       centroids = next
     }
-    assigned.select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+    (used, assigned)
   }
+
+  /** Lloyd's assignments only: (vec_id, cluster). */
+  def assign(s: SparkSession, dir: String, k: Int = K, iters: Int = Iters): DataFrame =
+    fit(s, dir, k, iters)._2
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
 
   /** Cluster profile: sizes + mean distance to own centroid — the
     * quality signal an IVF index build monitors. Rows-only gate
@@ -86,6 +98,42 @@ object KMeansVec {
       .orderBy(col("cluster"))
   }
 
+  /** IVF probe search — the quantizer's payoff: exact cosine top-k
+    * restricted to the `nProbe` cells whose centroids are nearest
+    * the query. At 100 TB the fit runs once at index build, the
+    * corpus is written partitioned/bucketed BY CELL, and a probe
+    * reads ~nProbe/k of the data (partition pruning does the skip);
+    * here the fit runs inline (one Lloyd's pass) so the query stays
+    * self-contained. Scoring within probed cells is the same fused
+    * cosine + TakeOrderedAndProject as exact kNN — IVF changes what
+    * is SCANNED, not how candidates are scored. */
+  def ivfTopK(s: SparkSession, dir: String, k: Int = 5, nProbe: Int = 3): DataFrame = {
+    import graft.functions.VectorFunctions.{cosineDist, r6}
+    val (centroids, assigned) = fit(s, dir, K, iters = 1)
+    val q = t(s, dir, "embeddings")
+      .filter(col("vec_id") === VectorQueries.QueryVecId)
+      .head().getSeq[Float](1).toArray
+    def cosDist(c: Array[Double]): Double = {
+      var dotp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < c.length) {
+        dotp += c(i) * q(i); na += c(i) * c(i); nb += q(i).toDouble * q(i); i += 1
+      }
+      1.0 - dotp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) => (cosDist(c), i) }.sortBy(_._1).take(nProbe).map(_._2)
+    assigned
+      .filter(col("cluster").isin(probes.toIndexedSeq: _*))
+      .filter(col("vec_id") =!= VectorQueries.QueryVecId)
+      .withColumn("dist", r6(cosineDist(col("embedding"), typedLit(q))))
+      .filter(!isnan(col("dist")) && col("dist").isNotNull)
+      .select(col("vec_id"), col("label"), col("cluster").cast("long").as("cluster"),
+        col("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "kmeans_clusters" -> (clusterProfile _))
+    "kmeans_clusters" -> (clusterProfile _),
+    "ann_ivf_topk" -> ((s, d) => ivfTopK(s, d)))
 }

@@ -23,4 +23,20 @@ class KMeansSpec extends AnyFunSuite {
     assert(total == 500)
     assert(prof.length >= 3, s"collapsed to ${prof.length} clusters")
   }
+
+  test("ivf probe search: k sorted rows, deterministic, rank-dominated by exact knn") {
+    val ivf1 = KMeansVec.ivfTopK(spark, sf).collect()
+    val ivf2 = KMeansVec.ivfTopK(spark, sf).collect()
+    assert(ivf1.map(_.toSeq).toSeq === ivf2.map(_.toSeq).toSeq, "deterministic")
+    assert(ivf1.length === 5)
+    val dists = ivf1.map(_.getAs[Double]("dist")).toSeq
+    assert(dists === dists.sorted, "ascending distance")
+    // probing a subset can only lose candidates: per rank, the IVF
+    // distance is >= the exact global top-k distance
+    val exact = graft.ops.VectorQueries.knnTopk(spark, sf).collect()
+      .map(_.getAs[Double]("dist")).toSeq
+    dists.zip(exact).foreach { case (iv, ex) =>
+      assert(iv >= ex - 1e-9, s"ivf dist $iv beats exact $ex — impossible")
+    }
+  }
 }
