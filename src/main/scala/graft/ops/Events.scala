@@ -243,7 +243,34 @@ object Events {
       |GROUP BY p.event_id, p.ts
       |ORDER BY p.event_id""".stripMargin
 
+  /** Map-function surface: `props` parsed to a real MAP column
+    * (`from_json`), exploded to (key, value) rows, aggregated per
+    * (event_type, key). Complements q09's path-extraction with the
+    * generic map algebra (map_keys/explode over dynamic keys) a
+    * schemaless-properties pipeline needs. */
+  def mapFuncs(s: SparkSession, dir: String): DataFrame = {
+    val e = eventsTable(s, dir)
+    val m = from_json(col("props"), org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.LongType))
+    e.select(col("event_type"), explode(m).as(Seq("key", "val")))
+      .groupBy(col("event_type"), col("key"))
+      .agg(count(lit(1)).as("n"), min(col("val")).as("min_v"),
+        max(col("val")).as("max_v"),
+        countDistinct(col("val")).as("n_distinct"))
+      .orderBy(col("event_type"), col("key"))
+  }
+
+  val mapFuncsSql: String =
+    """SELECT event_type, key, COUNT(*) AS n,
+      |  MIN(v) AS min_v, MAX(v) AS max_v, COUNT(DISTINCT v) AS n_distinct
+      |FROM (SELECT event_type, u.key,
+      |        CAST(json_extract(props, '$.' || u.key) AS BIGINT) AS v
+      |      FROM events, UNNEST(json_keys(props)) AS u(key))
+      |GROUP BY event_type, key
+      |ORDER BY event_type, key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_map_funcs" -> (mapFuncs _),
     "q22_range_join" -> ((s, d) => rangeJoinBanded(s, d)),
     "q19_events_pivot" -> (eventsPivot _),
     "q20_window_funcs" -> (windowFuncs _),
@@ -253,6 +280,7 @@ object Events {
     "q11_sessionize" -> (sessionize _))
 
   val oracles: Map[String, String] = Map(
+    "q23_map_funcs" -> mapFuncsSql,
     "q22_range_join" -> rangeJoinBandedSql,
     "q19_events_pivot" -> eventsPivotSql,
     "q20_window_funcs" -> windowFuncsSql,

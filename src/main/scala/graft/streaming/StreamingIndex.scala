@@ -75,4 +75,34 @@ object StreamingIndex {
       .withColumn("fp", md5(col("content")))
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("fp")
+
+  /** Watermarked stream-stream interval join — the streaming twin of
+    * the batch banded range join (ops/Events.rangeJoinBanded): each
+    * purchase matches every click in its preceding band. Spark
+    * refuses stream-stream joins without an equality predicate, so
+    * the SAME bucket rewrite the batch plan uses for scale is
+    * load-bearing here: both sides carry a band-width bucket key
+    * (the purchase side exploded into its bucket and the previous
+    * one), the range predicate rides along as a residual, and the
+    * time constraint + both watermarks let the state store evict
+    * rows that can no longer match — state bounded by band +
+    * watermark, not stream lifetime. */
+  def attributionStream(
+      purchases: DataFrame,
+      clicks: DataFrame,
+      bandSec: Int = 60): DataFrame = {
+    val bandUs = bandSec * 1000000L
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .withColumn("b0", expr(s"unix_micros(ts) div $bandUs"))
+      .withColumn("b", explode(array(col("b0"), col("b0") - 1)))
+      .drop("b0")
+    val c = clicks.withWatermark("cts", "10 minutes")
+      .withColumn("cb", expr(s"unix_micros(cts) div $bandUs"))
+    p.join(c,
+        col("b") === col("cb") &&
+          col("cts") >= col("ts") - expr(s"interval $bandSec seconds") &&
+          col("cts") <= col("ts"),
+        "inner")
+      .drop("b", "cb")
+  }
 }

@@ -97,6 +97,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(contents === Array("alpha beta", "gamma delta"))
   }
 
+  test("stream-stream interval join: purchases attributed to preceding clicks") {
+    val root = Files.createTempDirectory("graft-ssj")
+    val pSrc = root.resolve("p").toString
+    val cSrc = root.resolve("c").toString
+    def ts(sec: Int): Timestamp = new Timestamp(1704067200000L + sec * 1000L)
+    Seq((100L, ts(100)), (200L, ts(400)))
+      .toDF("purchase_id", "ts").write.mode("overwrite").parquet(pSrc)
+    // clicks: 70s and 95s precede P100 within 60s; 10s is too old;
+    // 399s matches P200
+    Seq((1L, ts(70)), (2L, ts(95)), (3L, ts(10)), (4L, ts(399)))
+      .toDF("click_id", "cts").write.mode("overwrite").parquet(cSrc)
+
+    val p = spark.readStream.schema("purchase_id BIGINT, ts TIMESTAMP").parquet(pSrc)
+    val c = spark.readStream.schema("click_id BIGINT, cts TIMESTAMP").parquet(cSrc)
+    val q = StreamingIndex.attributionStream(p, c)
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.sql("SELECT purchase_id, click_id FROM attrib").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((100L, 1L), (100L, 2L), (200L, 4L)))
+  }
+
   test("stream-static join: streaming events enriched with a broadcast dimension") {
     val root = Files.createTempDirectory("graft-ss")
     val src = root.resolve("ev").toString
