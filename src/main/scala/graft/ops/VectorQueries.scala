@@ -105,7 +105,7 @@ object VectorQueries {
   /** Embedding-cosine near-duplicate pairs (sim ≥ 0.45). Norms are
     * precomputed per row, then the smaller relation is broadcast for
     * a nested-loop pairwise pass — O(n²·dim) compute but no shuffle.
-    * At 100 TB this brute-force form is replaced by [[annIvf]]-style
+    * At 100 TB this brute-force form is replaced by [[annLshTopk]]- or KMeansVec.ivfTopK-style
     * bucketing; it stays here as the exact reference semantics. */
   def embedNeardup(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
@@ -226,7 +226,7 @@ object VectorQueries {
     * the full scan; more planes + banding tightens that as corpus
     * density grows. Non-SQL-expressible (rows-only check); recall
     * vs exact kNN is asserted in EntrySpec. */
-  def annIvf(s: SparkSession, dir: String): DataFrame = {
+  def annLshTopk(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").withColumn("code", codeUdf(col("embedding")))
     val q = e.filter(col("vec_id") === QueryVecId)
       .select(col("embedding").as("qe"), col("code").as("qcode"))
@@ -325,7 +325,7 @@ object VectorQueries {
     "knn_per_label" -> (knnPerLabel _),
     "q12_embed_stats" -> (embedStats _),
     "embed_neardup" -> (embedNeardupBlocked _),
-    "ann_lsh_topk" -> (annIvf _))
+    "ann_lsh_topk" -> (annLshTopk _))
 
   val oracles: Map[String, String] = Map(
     "knn_batch" -> knnBatchSql,

@@ -19,7 +19,7 @@ class EntrySpec extends AnyFunSuite {
   test("ann lsh: results are a subset of exact knn ranking universe") {
     val exact = VectorQueries.knnTopk(spark, dir).collect()
       .map(_.getAs[Long]("vec_id")).toSet
-    val approx = VectorQueries.annIvf(spark, dir).collect()
+    val approx = VectorQueries.annLshTopk(spark, dir).collect()
     assert(approx.nonEmpty && approx.length <= 5)
     // recall@5 against exact top-5: LSH with multiprobe should
     // recover at least one true neighbor on the clustered fixture
