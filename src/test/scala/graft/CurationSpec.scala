@@ -91,6 +91,38 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("fixture invariants: conservation, bounds, and flag domains hold at sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+    // shard_pack conserves every token and every doc per source
+    val packed = Curation.shardPack(spark, sf)
+      .groupBy("source")
+      .agg(sum("sum_tokens").as("tok"), sum("n_docs").as("docs"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val truth = docs
+      .selectExpr("source", "size(split(text, ' ')) AS n")
+      .groupBy("source").agg(sum("n").as("tok"), count(lit(1)).as("docs"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(packed === truth, "shard packing must neither drop nor duplicate docs/tokens")
+
+    // gopher signals live in their domains
+    Curation.gopherQuality(spark, sf).collect().foreach { r =>
+      val twf = r.getAs[Double]("top_word_frac")
+      val dup = r.getAs[Double]("dup_2gram_frac")
+      assert(twf >= 0.0 && twf <= 1.0)
+      assert(dup >= 0.0 && dup <= 1.0)
+      assert(r.getAs[Double]("mean_word_len") > 0.0)
+      assert(Set(0, 1).contains(r.getAs[Int]("keep")))
+    }
+
+    // decontamination never flags benchmark docs and counts are positive
+    Curation.decontaminate(spark, sf).collect().foreach { r =>
+      assert(r.getLong(0) % 50 != 0L)
+      assert(r.getLong(1) >= 1L)
+    }
+  }
+
   test("shard_pack assigns docs by per-source running token budget") {
     // craft one source with 3 docs of 200 tokens each and a 500 budget:
     // prefix sums before each doc are 0, 200, 400 → all shard 0;
