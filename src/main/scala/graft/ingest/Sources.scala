@@ -123,20 +123,31 @@ object Sources {
     out.toSeq.sorted
   }
 
-  /** Full ingest: scan → sniff filter → decode → `(source, content)`
-    * with `source` = path relative to `dir` (reference keeps relpath
-    * as metadata key, `index.py:375`). PDFs (`.pdf` suffix dispatch,
-    * `index.py:226-227,351-355`) are excluded: offline image has no
-    * PDF-extraction jar; the suffix hook is where a PDFBox-style
-    * plugin would attach. */
+  /** PDF text extraction (S4, `index.py:275-295`): dependency-free
+    * extractor for text-based PDFs; null = nothing extractable,
+    * which drops the file exactly like the reference's None path
+    * (`index.py:351-355`). */
+  private val pdfUdf = udf { (content: Array[Byte]) =>
+    if (content == null) null else Pdf.extractText(content).orNull
+  }
+
+  /** Full ingest: scan → suffix dispatch → sniff filter (text) or
+    * extraction (PDF) → `(source, content)` with `source` = path
+    * relative to `dir` (reference keeps relpath as metadata key,
+    * `index.py:375`). PDFs are accepted BY SUFFIX before the binary
+    * sniff, mirroring `is_indexable_file`'s early `.pdf` accept
+    * (`index.py:226-227`); unextractable ones drop out on the final
+    * null filter. */
   def readTextFiles(spark: SparkSession, dir: String): DataFrame = {
     val root = dir.stripSuffix("/") + "/"
+    val isPdf = lower(col("path")).endsWith(".pdf")
     scan(spark, dir)
-      .filter(!lower(col("path")).endsWith(".pdf"))
-      .filter(sniffUdf(col("content")))
+      .filter(isPdf || sniffUdf(col("content")))
       .select(
         regexp_replace(col("path"), "^file:" + java.util.regex.Pattern.quote(root), "")
           .as("source"),
-        decodeUdf(col("content")).as("content"))
+        when(isPdf, pdfUdf(col("content")))
+          .otherwise(decodeUdf(col("content"))).as("content"))
+      .filter(col("content").isNotNull)
   }
 }
