@@ -9,8 +9,12 @@ import org.apache.spark.sql.functions._
   * runs as a batched `mapPartitions` over a typed Dataset — the
   * JVM analog of a vectorized (Arrow-batch) decode UDF: schema,
   * partitioning, batch shape and the executor-side batching are
-  * real; only the codec itself is stubbed (no image/audio libs in
-  * this container), clearly marked below.
+  * real. Image decode is REAL for PNG/JPEG/GIF/BMP via the JDK's
+  * own codec (`javax.imageio`, header-only read — dimensions and
+  * format without decoding pixels); the deterministic stub remains
+  * only as the fallback for payloads no installed codec recognizes
+  * (e.g. the fixtures' text bytes, or audio/video whose codecs this
+  * container lacks).
   */
 object Multimodal {
   import Tables.t
@@ -33,11 +37,37 @@ object Multimodal {
     h
   }
 
-  /** STUB CODEC: deterministic fake decode derived from the
-    * already-computed payload checksum (one hash pass per record).
-    * A real deployment replaces this one function with an actual
-    * image/audio decoder (per-executor singleton, same lifecycle as
-    * Embedder); nothing else in the pipeline changes. */
+  /** REAL image header decode via the JDK ImageIO codec: reader
+    * lookup by magic bytes, then width/height/format from the header
+    * alone (no pixel decode — O(header) per record, the right cost
+    * for a metadata pass over 100 TB of media). The ImageIO plugin
+    * registry is JVM-global, i.e. a per-executor singleton with the
+    * same lifecycle as the embedder model cache. */
+  private[ops] def decodeHeader(payload: Array[Byte]): Option[(Int, Int, String)] = {
+    if (payload == null || payload.length == 0) return None
+    var iis: javax.imageio.stream.ImageInputStream = null
+    try {
+      iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          Some((r.getWidth(0), r.getHeight(0), r.getFormatName.toLowerCase))
+        } finally r.dispose()
+      }
+    } catch {
+      case _: Exception => None
+    } finally if (iis != null) iis.close()
+  }
+
+  /** STUB CODEC fallback: deterministic fake decode derived from the
+    * already-computed payload checksum (one hash pass per record) —
+    * used only when no installed codec recognizes the payload. A
+    * real deployment adds audio/video codecs beside ImageIO;
+    * nothing else in the pipeline changes. */
   private def decodeStub(checksum: Long): (Int, Int, String) = {
     val m = HashEmbedder.mix(checksum)
     val width = 64 + java.lang.Long.remainderUnsigned(m, 1857L).toInt
@@ -56,7 +86,7 @@ object Multimodal {
       it.grouped(DecodeBatch).flatMap { batch =>
         batch.map { r =>
           val crc = checksum64(r.payload)
-          val (w, h, fmt) = decodeStub(crc)
+          val (w, h, fmt) = decodeHeader(r.payload).getOrElse(decodeStub(crc))
           MediaMeta(r.doc_id, r.payload.length.toLong, w, h, fmt, crc)
         }
       }

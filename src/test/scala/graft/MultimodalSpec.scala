@@ -37,6 +37,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(first.init.forall(_.getAs[Long]("frame_len") == Multimodal.FrameBytes.toLong))
   }
 
+  test("real image payloads decode via the JDK codec: exact dims + format") {
+    import graft.ops.Multimodal
+    import graft.ops.Multimodal.MediaRecord
+    import spark.implicits._
+    def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xFF8040)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+    val recs = Seq(
+      MediaRecord(1L, imageBytes("png", 320, 200)),
+      MediaRecord(2L, imageBytes("jpeg", 64, 48)),
+      MediaRecord(3L, imageBytes("gif", 17, 5)),
+      MediaRecord(4L, "not an image at all".getBytes(StandardCharsets.UTF_8)))
+    val metas = Multimodal.extractMeta(recs.toDS()).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert((metas(1L).width, metas(1L).height, metas(1L).format) === ((320, 200, "png")))
+    assert((metas(2L).width, metas(2L).height, metas(2L).format) === ((64, 48, "jpeg")))
+    assert((metas(3L).width, metas(3L).height, metas(3L).format) === ((17, 5, "gif")))
+    // unrecognized payload falls back to the deterministic stub
+    assert(Set("png", "jpeg", "webp").contains(metas(4L).format))
+    assert(metas(4L).byte_len === 19L)
+  }
+
   test("jsonl and csv log sources: schema-first read with pruning") {
     val root = Files.createTempDirectory("graft-logs")
     Files.createDirectories(root.resolve("node_modules"))
