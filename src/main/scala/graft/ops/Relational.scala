@@ -357,7 +357,37 @@ object Relational {
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       |ORDER BY status, priority""".stripMargin
 
+  /** Unpivot (wide→long, the inverse of q19's pivot): lineitem
+    * measure columns melt into (measure, value) rows via the
+    * native `unpivot` operator — a map-only Expand, no shuffle
+    * until the aggregate. Oracle mirrors with UNION ALL, the
+    * portable ANSI form. */
+  def unpivotMeasures(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.select(col("l_orderkey"), col("l_quantity"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "measure", "value")
+      .groupBy(col("measure"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .orderBy(col("measure"))
+  }
+
+  val unpivotMeasuresSql: String =
+    """SELECT measure, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+      |FROM (
+      |  SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_discount', l_discount FROM lineitem
+      |  UNION ALL
+      |  SELECT 'l_tax', l_tax FROM lineitem)
+      |GROUP BY measure
+      |ORDER BY measure""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_unpivot" -> (unpivotMeasures _),
     "q21_grouping_sets" -> (groupingSets _),
     "q17_supplier_parts" -> (supplierParts _),
     "approx_distinct" -> (approxDistinct _),
@@ -374,6 +404,7 @@ object Relational {
     "q08_cust_no_orders" -> (custNoOrders _))
 
   val oracles: Map[String, String] = Map(
+    "q24_unpivot" -> unpivotMeasuresSql,
     "q21_grouping_sets" -> groupingSetsSql,
     "q17_supplier_parts" -> supplierPartsSql,
     "q13_cube_segments" -> cubeSegmentsSql,
