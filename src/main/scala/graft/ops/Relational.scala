@@ -386,7 +386,35 @@ object Relational {
       |GROUP BY measure
       |ORDER BY measure""".stripMargin
 
+  /** Correlated scalar subquery through the SQL surface: parts
+    * priced above their brand's average. Catalyst DECORRELATES the
+    * per-row subquery into an aggregate + join (no nested-loop
+    * re-execution per outer row — the difference between O(n) and
+    * O(n²) at scale); the decimal-bridged average keeps both
+    * engines' comparisons bit-identical. */
+  def correlatedSubquery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "part").createOrReplaceTempView("part")
+    s.sql(
+      """SELECT p_brand, COUNT(*) AS n_above
+        |FROM part p1
+        |WHERE p_retailprice > (
+        |  SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+        |  FROM part p2 WHERE p2.p_brand = p1.p_brand)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin)
+  }
+
+  val correlatedSubquerySql: String =
+    """SELECT p_brand, COUNT(*) AS n_above
+      |FROM part p1
+      |WHERE p_retailprice > (
+      |  SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+      |  FROM part p2 WHERE p2.p_brand = p1.p_brand)
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_correlated" -> (correlatedSubquery _),
     "q24_unpivot" -> (unpivotMeasures _),
     "q21_grouping_sets" -> (groupingSets _),
     "q17_supplier_parts" -> (supplierParts _),
@@ -404,6 +432,7 @@ object Relational {
     "q08_cust_no_orders" -> (custNoOrders _))
 
   val oracles: Map[String, String] = Map(
+    "q25_correlated" -> correlatedSubquerySql,
     "q24_unpivot" -> unpivotMeasuresSql,
     "q21_grouping_sets" -> groupingSetsSql,
     "q17_supplier_parts" -> supplierPartsSql,

@@ -76,6 +76,14 @@ class PlanSpec extends AnyFunSuite {
       s"text column must be pruned from the sampling scan: $scanSchemas")
   }
 
+  test("q25: correlated subquery decorrelates to aggregate + join") {
+    val plan = Relational.correlatedSubquery(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalarSubquery"),
+      "per-row subquery re-execution must be rewritten away")
+    assert(plan.contains("Join"), s"decorrelated join expected: $plan")
+  }
+
   test("chunk pipeline is map-only: no exchange before the index write") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(concat(lit("doc/"), col("doc_id")).as("source"),
