@@ -28,8 +28,11 @@ object GraftFunctionRegistry {
     }
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: native SQL functions plus the
+  * band-join bucketing optimizer rule. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     GraftFunctionRegistry.install(extensions)
+    extensions.injectOptimizerRule(_ => BandJoinRewrite)
+  }
 }
