@@ -45,13 +45,30 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
   }
 
   /** Exactly: probe >= anchor + (negative DayTime literal) AND
-    * probe <= anchor, with probe/anchor attributes from opposite
-    * sides of the join. Returns (anchorTs, probeTs, bandMicros). */
+    * probe <= anchor (or < — strictness lives in the residual),
+    * conjuncts in either order, probe/anchor attributes from
+    * opposite sides of the join. Returns (anchorTs, probeTs,
+    * bandMicros). */
   private def matchBand(cond: Expression, left: LogicalPlan, right: LogicalPlan)
       : Option[(AttributeReference, AttributeReference, Long)] = cond match {
-    case And(
-        GreaterThanOrEqual(p1: AttributeReference, ta: TimestampAddInterval),
-        LessThanOrEqual(p2: AttributeReference, a2: AttributeReference)) =>
+    case And(c1, c2) =>
+      shape(c1, c2, left, right).orElse(shape(c2, c1, left, right))
+    case _ => None
+  }
+
+  private def shape(lower: Expression, upper: Expression,
+      left: LogicalPlan, right: LogicalPlan)
+      : Option[(AttributeReference, AttributeReference, Long)] = {
+    val bounds = (lower, upper) match {
+      case (GreaterThanOrEqual(p1: AttributeReference, ta: TimestampAddInterval),
+            LessThanOrEqual(p2: AttributeReference, a2: AttributeReference)) =>
+        Some((p1, ta, p2, a2))
+      case (GreaterThanOrEqual(p1: AttributeReference, ta: TimestampAddInterval),
+            LessThan(p2: AttributeReference, a2: AttributeReference)) =>
+        Some((p1, ta, p2, a2))
+      case _ => None
+    }
+    bounds.flatMap { case (p1, ta, p2, a2) =>
       ta.children match {
         case Seq(a1: AttributeReference, Literal(neg: Long, _: DayTimeIntervalType))
             if neg < 0 && p1.semanticEquals(p2) && a1.semanticEquals(a2) &&
@@ -59,7 +76,7 @@ object BandJoinRewrite extends Rule[LogicalPlan] {
           Some((a1, p1, -neg))
         case _ => None
       }
-    case _ => None
+    }
   }
 
   private def oppositeSides(left: LogicalPlan, right: LogicalPlan,

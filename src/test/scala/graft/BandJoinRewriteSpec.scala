@@ -47,6 +47,19 @@ class BandJoinRewriteSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = saved
   }
 
+  test("swapped conjuncts and strict upper bound also fire") {
+    val swapped = purchases.join(clicks,
+      expr("cts <= ts AND cts >= ts - interval 60 seconds"))
+    assert(swapped.queryExecution.executedPlan.toString.contains("Generate explode"))
+    val strict = purchases.join(clicks,
+      expr("cts >= ts - interval 60 seconds AND cts < ts"))
+    assert(strict.queryExecution.executedPlan.toString.contains("Generate explode"))
+    // strict bound stays strict through the residual predicate
+    val exact = purchases.join(clicks, expr("cts >= ts - interval 60 seconds AND cts <= ts")).count()
+    val strictN = strict.count()
+    assert(strictN <= exact)
+  }
+
   test("rule leaves equi-joins and other conditions untouched") {
     val equi = purchases.join(clicks, col("pid") === col("cid") - 1000)
     assert(equi.count() === 200)
