@@ -14,7 +14,10 @@ object GraftFunctionRegistry {
   private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot"),
-      (exprs: Seq[Expression]) => FloatDotProduct(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => FloatDotProduct(exprs(0), exprs(1))),
+    (FunctionIdentifier("float_cosine_distance"),
+      new ExpressionInfo(classOf[FloatCosineDistance].getName, "float_cosine_distance"),
+      (exprs: Seq[Expression]) => FloatCosineDistance(exprs(0), exprs(1))))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (ident, _, builder) =>

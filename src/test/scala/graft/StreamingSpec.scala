@@ -190,5 +190,9 @@ class StreamingSpec extends AnyFunSuite {
       "SELECT float_dot(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>), " +
         "CAST(array(3.0, 4.0) AS ARRAY<FLOAT>)) AS d").head.getDouble(0)
     assert(got == 11.0)
+    val cos = spark.sql(
+      "SELECT float_cosine_distance(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>), " +
+        "CAST(array(0.0, 1.0) AS ARRAY<FLOAT>)) AS d").head.getDouble(0)
+    assert(cos == 1.0, "orthogonal vectors: cosine distance 1")
   }
 }
