@@ -55,6 +55,45 @@ object StreamingIndex {
       .trigger(Trigger.AvailableNow())
   }
 
+  /** Upsert-style incremental index via `foreachBatch` + dynamic
+    * partition overwrite — the streaming fix for quirk Q3: the
+    * reference deletes the WHOLE collection on re-index
+    * (`index.py:426-429`); here a re-arrived document version
+    * replaces only its own source partition and untouched sources
+    * keep their chunks. The logical source strips a `.vN` version
+    * suffix, so `app.log.v2` supersedes `app.log.v1`'s chunks (file
+    * streams never re-read a mutated path, so re-ingest arrives as
+    * a new version file). At scale this is the maintenance pattern
+    * for a continuously-fed 100 TB index: per-partition overwrite
+    * touches only the changed slices. */
+  def upsertIndexStream(
+      spark: SparkSession,
+      inDir: String,
+      indexDir: String,
+      checkpointDir: String,
+      chunkSize: Int = Chunker.DefaultChunkSize): DataStreamWriter[Row] = {
+    val files = spark.readStream
+      .format("text")
+      .option("wholetext", "true")
+      .option("maxFilesPerTrigger", 64)
+      .load(inDir)
+      .select(
+        regexp_replace(input_file_name(), "\\.v\\d+$", "").as("source"),
+        col("value").as("content"))
+    chunkEmbedStream(files, chunkSize)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.sparkSession.conf
+          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch.write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .partitionBy("source")
+          .parquet(indexDir)
+      }
+      .trigger(Trigger.AvailableNow())
+  }
+
   /** Watermarked sliding-window event-rate monitor: late data beyond
     * 10 minutes is dropped, state is bounded by the watermark. */
   def eventRateStream(events: DataFrame): DataFrame =

@@ -71,6 +71,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows("error") == 5L)
   }
 
+  test("upsert index stream: a re-arrived version replaces only its source partition") {
+    val root = Files.createTempDirectory("graft-upsert")
+    val in = root.resolve("in"); Files.createDirectories(in)
+    val idx = root.resolve("idx").toString
+    val ckpt = root.resolve("ckpt").toString
+    Files.write(in.resolve("a.log.v1"), "old alpha content here".getBytes)
+    Files.write(in.resolve("b.log.v1"), "stable beta content".getBytes)
+    StreamingIndex.upsertIndexStream(spark, in.toString, idx, ckpt, chunkSize = 100)
+      .start().awaitTermination(120000)
+    val first = spark.read.parquet(idx)
+    assert(first.select("source").distinct().count() === 2)
+
+    // version 2 of a.log arrives; b.log untouched
+    Files.write(in.resolve("a.log.v2"), "new alpha replacement text".getBytes)
+    StreamingIndex.upsertIndexStream(spark, in.toString, idx, ckpt, chunkSize = 100)
+      .start().awaitTermination(120000)
+    val after = spark.read.parquet(idx)
+    val aTexts = after.filter(col("source").endsWith("a.log"))
+      .select("text").collect().map(_.getString(0))
+    assert(aTexts.toSeq === Seq("new alpha replacement text"),
+      "v1 chunks must be replaced, not appended")
+    assert(after.filter(col("source").endsWith("b.log")).count() === 1,
+      "untouched source keeps its chunks")
+  }
+
   test("streaming dedup: watermarked state drops re-arrived content") {
     val root = Files.createTempDirectory("graft-sdedup")
     val src = root.resolve("docs").toString
