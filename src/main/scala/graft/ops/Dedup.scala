@@ -264,13 +264,101 @@ object Dedup {
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
   }
 
+  /** Near-dup CLUSTERING — the step after pair generation that an
+    * actual dedup pipeline needs: the Jaccard pair list is an
+    * undirected graph, connected components collapse transitive
+    * duplicates (a~b, b~c ⇒ one cluster), and min(doc_id) per
+    * component is the canonical survivor.
+    *
+    * Components via iterative min-label propagation: each round
+    * every node takes the min label among itself and its neighbors;
+    * converges in ≤ diameter rounds (near-dup components are tiny,
+    * so 2-3 rounds in practice; capped + early-stopped). Each round
+    * is one join + one groupBy on the EDGE list only — the corpus is
+    * never touched — and `localCheckpoint` cuts the growing lineage.
+    * At 100 TB-corpus scale the same loop runs on the pair output of
+    * the LSH candidate generators; the alternating small-star/
+    * large-star variant bounds skew if a component is huge. */
+  def dedupComponents(s: SparkSession, dir: String): DataFrame = {
+    val edges = dedupJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+    val und = edges
+      .union(edges.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .localCheckpoint()
+    var labels = und.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val prop = und.join(labels, col("dst") === col("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      val next = labels.join(prop, col("node") === col("src"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("component"))
+      .withColumn("is_survivor",
+        (col("doc_id") === col("component")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the Jaccard pipeline as CTEs (mirrors
+    * [[dedupJaccardSql]] verbatim), then a recursive CTE computing
+    * every label reachable from each node; MIN over the reachable
+    * set = the component id (identical to converged min-label
+    * propagation). */
+  val dedupComponentsSql: String =
+    s"""WITH RECURSIVE tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $ShingleK),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+       |  FROM tok, UNNEST(range(0, len(w) - ${ShingleK - 1})) AS u(i)),
+       |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |good AS (SELECT shingle FROM sh GROUP BY shingle
+       |         HAVING COUNT(*) BETWEEN 2 AND $MaxPosting),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  JOIN good g ON g.shingle = a.shingle
+       |  GROUP BY a.doc_id, b.doc_id),
+       |top AS (
+       |  SELECT doc_a, doc_b
+       |  FROM (SELECT doc_a, doc_b,
+       |          round(CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common), 6) + 0 AS jaccard
+       |        FROM pairs
+       |        JOIN counts ca ON ca.doc_id = doc_a
+       |        JOIN counts cb ON cb.doc_id = doc_b
+       |        ORDER BY jaccard DESC, doc_a, doc_b
+       |        LIMIT 50)),
+       |und AS (SELECT doc_a AS src, doc_b AS dst FROM top
+       |        UNION SELECT doc_b, doc_a FROM top),
+       |reach(node, lab) AS (
+       |  SELECT src, src FROM und
+       |  UNION
+       |  SELECT u.src, r.lab FROM und u JOIN reach r ON r.node = u.dst)
+       |SELECT node AS doc_id, MIN(lab) AS component,
+       |  CASE WHEN node = MIN(lab) THEN 1 ELSE 0 END AS is_survivor
+       |FROM reach
+       |GROUP BY node
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard" -> (dedupJaccard _),
+    "dedup_components" -> (dedupComponents _),
     "minhash_lsh" -> (minhashLsh _),
     "simhash_dedup" -> (simhashDedup _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
-    "dedup_jaccard" -> dedupJaccardSql)
+    "dedup_jaccard" -> dedupJaccardSql,
+    "dedup_components" -> dedupComponentsSql)
 }

@@ -46,6 +46,17 @@ class DedupSpec extends AnyFunSuite {
     assert(!got.keySet.exists { case (a, b) => Set(a, b).contains(4L) })
   }
 
+  test("components collapse transitive dup pairs under the min survivor") {
+    val got = Dedup.dedupComponents(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    // pairs are (0,1) and (2,3): two components, min ids survive
+    assert(got(0L) === ((0L, 1)))
+    assert(got(1L) === ((0L, 0)))
+    assert(got(2L) === ((2L, 1)))
+    assert(got(3L) === ((2L, 0)))
+    assert(!got.contains(4L), "unpaired docs are not graph nodes")
+  }
+
   test("minhash LSH finds exact and near dups; estimate tracks true jaccard") {
     val got = Dedup.minhashLsh(spark, dir).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
