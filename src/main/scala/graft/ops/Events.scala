@@ -269,7 +269,55 @@ object Events {
       |GROUP BY event_type, key
       |ORDER BY event_type, key""".stripMargin
 
+  /** Native `session_window` in batch mode (the same operator the
+    * streaming engine uses for gap sessions): per-user 30-minute-gap
+    * sessions, then per-user session stats. Complements q11's
+    * lag-based sessionization — same islands, computed by the
+    * built-in operator instead of hand-rolled windows. NOTE the
+    * boundary differs from q11 by design: session_window starts a
+    * NEW session when the gap is >= the timeout (the window is
+    * [ts, ts+gap)), while the lag form breaks strictly greater —
+    * the oracle mirrors the >= semantics. */
+  def sessionWindowAgg(s: SparkSession, dir: String): DataFrame = {
+    val e = eventsTable(s, dir)
+    e.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("n_events")).as("max_session_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val sessionWindowAggSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN prev IS NULL
+      |           OR epoch_us(ts) - epoch_us(prev) >= 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |               lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+      |                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+      |        FROM events)),
+      |sess AS (
+      |  SELECT user_id,
+      |    SUM(new_sess) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked),
+      |per_session AS (
+      |  SELECT user_id, sid, COUNT(*) AS n_events
+      |  FROM sess GROUP BY user_id, sid)
+      |SELECT user_id, COUNT(*) AS n_sessions,
+      |  CAST(SUM(n_events) AS BIGINT) AS n_events,
+      |  CAST(MAX(n_events) AS BIGINT) AS max_session_events
+      |FROM per_session
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_session_window" -> (sessionWindowAgg _),
     "q23_map_funcs" -> (mapFuncs _),
     "q22_range_join" -> ((s, d) => rangeJoinBanded(s, d)),
     "q19_events_pivot" -> (eventsPivot _),
@@ -280,6 +328,7 @@ object Events {
     "q11_sessionize" -> (sessionize _))
 
   val oracles: Map[String, String] = Map(
+    "q26_session_window" -> sessionWindowAggSql,
     "q23_map_funcs" -> mapFuncsSql,
     "q22_range_join" -> rangeJoinBandedSql,
     "q19_events_pivot" -> eventsPivotSql,
