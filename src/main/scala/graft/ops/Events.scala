@@ -316,7 +316,38 @@ object Events {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** Spark 4 VARIANT surface: `props` parsed once into the binary
+    * semi-structured type (`parse_json`), fields then extracted with
+    * `variant_get` path expressions — the modern replacement for
+    * per-access string re-parsing on schemaless columns (the variant
+    * encodes once, and every extraction is a binary walk, not a JSON
+    * re-parse — the difference between O(fields) and O(fields ·
+    * text) on a wide property bag at scale). */
+  def variantExtract(s: SparkSession, dir: String): DataFrame = {
+    val e = eventsTable(s, dir)
+    val v = parse_json(col("props"))
+    e.select(col("event_type"),
+        try_variant_get(v, "$.k", "bigint").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_k"),
+        sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
+  val variantExtractSql: String =
+    """SELECT event_type,
+      |  COUNT(k) AS n_k,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  MAX(k) AS max_k
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_variant" -> (variantExtract _),
     "q26_session_window" -> (sessionWindowAgg _),
     "q23_map_funcs" -> (mapFuncs _),
     "q22_range_join" -> ((s, d) => rangeJoinBanded(s, d)),
@@ -328,6 +359,7 @@ object Events {
     "q11_sessionize" -> (sessionize _))
 
   val oracles: Map[String, String] = Map(
+    "q27_variant" -> variantExtractSql,
     "q26_session_window" -> sessionWindowAggSql,
     "q23_map_funcs" -> mapFuncsSql,
     "q22_range_join" -> rangeJoinBandedSql,
