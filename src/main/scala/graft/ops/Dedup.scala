@@ -288,17 +288,23 @@ object Dedup {
     var labels = und.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
-    var changed = 1L
+    // labels only ever decrease, so the label-sum strictly decreases
+    // iff anything changed — one tiny agg per round instead of a
+    // join-based diff; checkpoint every 3rd round (lineage stays
+    // shallow, materialization jobs drop 3×)
+    var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    while (!converged && iter < 60) {
       val prop = und.join(labels, col("dst") === col("node"))
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-      val next = labels.join(prop, col("node") === col("src"), "left")
+      var next = labels.join(prop, col("node") === col("src"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
-        .filter(col("label") =!= col("old")).count()
+      if (iter % 3 == 2) next = next.localCheckpoint()
+      val s = next.agg(sum(col("label"))).head.getLong(0)
+      converged = s == prevSum
+      prevSum = s
       labels = next
       iter += 1
     }
