@@ -296,7 +296,25 @@ object TextOps {
       |WHERE rn <= 3
       |ORDER BY doc_id, rn""".stripMargin
 
+  /** Sketch-based percentiles (KLL/GK-style bounded-memory summary —
+    * the 100 TB path where exact percentiles would sort the world):
+    * same shape as [[textPercentiles]] but via `approx_percentile`
+    * with accuracy 10000. Rows-only gate (sketch internals are
+    * engine-specific); TextOpsSpec bounds the error against the
+    * exact query. */
+  def approxPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        approx_percentile(col("n_chars"), lit(0.5), lit(10000)).as("p50"),
+        approx_percentile(col("n_chars"), lit(0.9), lit(10000)).as("p90"),
+        approx_percentile(col("n_chars"), lit(0.99), lit(10000)).as("p99"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "approx_percentiles" -> (approxPercentiles _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "index_pipeline" -> (indexPipeline _),
     "text_percentiles" -> (textPercentiles _),
