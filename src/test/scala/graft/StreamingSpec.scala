@@ -168,6 +168,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Map("gold" -> 2L, "bronze" -> 1L))
   }
 
+  test("transformWithState: running totals persist across restarts in RocksDB state") {
+    import graft.streaming.{CountProcessor, SessionStream}
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val root = Files.createTempDirectory("graft-tws")
+      val src = root.resolve("ev").toString
+      val ckpt = root.resolve("ckpt").toString
+      def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+      Seq((1L, ts(0), 2.0), (1L, ts(1), 3.0), (2L, ts(2), 5.0))
+        .toDF("user_id", "ts", "value")
+        .write.mode("overwrite").parquet(src)
+      val out = root.resolve("out").toString
+      def run(): Unit = {
+        val ev = spark.readStream
+          .schema("user_id BIGINT, ts TIMESTAMP, value DOUBLE").parquet(src)
+          .as[SessionStream.UserEvent]
+        val q = CountProcessor.runningTotals(ev)
+          .toDF("user_id", "n", "total")
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.write.mode("append").parquet(out)
+          }
+          .option("checkpointLocation", ckpt)
+          .outputMode("update").start()
+        q.processAllAvailable(); q.stop()
+      }
+      run()
+      val first = spark.read.parquet(out)
+        .groupBy("user_id").agg(max("n").as("n"), max("total").as("t"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(first === Map(1L -> ((2L, 5.0)), 2L -> ((1L, 5.0))))
+      // new events arrive; state restores from the checkpoint
+      Seq((1L, ts(5), 10.0)).toDF("user_id", "ts", "value")
+        .write.mode("append").parquet(src)
+      run()
+      val second = spark.read.parquet(out)
+        .groupBy("user_id").agg(max("n").as("n"), max("total").as("t"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(second(1L) === ((3L, 15.0)), "running count continues from restored state")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stateful sessionization: flatMapGroupsWithState closes gapped sessions") {
     import graft.streaming.SessionStream
     import graft.streaming.SessionStream.UserEvent
