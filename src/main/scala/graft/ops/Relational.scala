@@ -413,7 +413,35 @@ object Relational {
       |GROUP BY p_brand
       |ORDER BY p_brand""".stripMargin
 
+  /** LATERAL join: per-nation top-2 customers via a correlated
+    * lateral subquery with ORDER BY + LIMIT — the per-row-subquery
+    * phrasing of top-k-per-group. Catalyst decorrelates the lateral
+    * limit into a window + join under the hood, so the plan is the
+    * same shape as q05's explicit window, but the operator surface
+    * (LateralJoin) is distinct and the phrasing is what SQL users
+    * actually write. */
+  def lateralTopPerNation(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "nation").createOrReplaceTempView("nation")
+    t(s, dir, "customer").createOrReplaceTempView("customer")
+    s.sql(
+      """SELECT n.n_name, t.c_name, t.c_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT c_name, c_acctbal FROM customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin)
+  }
+
+  val lateralTopPerNationSql: String =
+    """SELECT n.n_name, t.c_name, t.c_acctbal
+      |FROM nation n,
+      |LATERAL (SELECT c_name, c_acctbal FROM customer c
+      |         WHERE c.c_nationkey = n.n_nationkey
+      |         ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+      |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_lateral" -> (lateralTopPerNation _),
     "q25_correlated" -> (correlatedSubquery _),
     "q24_unpivot" -> (unpivotMeasures _),
     "q21_grouping_sets" -> (groupingSets _),
@@ -432,6 +460,7 @@ object Relational {
     "q08_cust_no_orders" -> (custNoOrders _))
 
   val oracles: Map[String, String] = Map(
+    "q28_lateral" -> lateralTopPerNationSql,
     "q25_correlated" -> correlatedSubquerySql,
     "q24_unpivot" -> unpivotMeasuresSql,
     "q21_grouping_sets" -> groupingSetsSql,
