@@ -346,7 +346,28 @@ object Events {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** DataSketches HLL surface (Spark 4): per-type distinct-user
+    * sketches, PLUS a global row computed by MERGING the per-type
+    * sketch states (`hll_union_agg`) — re-aggregation without
+    * touching raw data, which is why sketches beat exact distinct at
+    * 100 TB: partial states are tiny, mergeable, and storable
+    * alongside rollups. Rows-only gate (sketch binary is
+    * engine-specific); EventsSpec bounds the estimates against
+    * exact distinct counts. */
+  def hllSketchUsers(s: SparkSession, dir: String): DataFrame = {
+    val e = eventsTable(s, dir)
+    val perType = e.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val typed = perType.select(col("event_type"),
+      hll_sketch_estimate(col("sk")).cast("long").as("approx_users"))
+    val global = perType.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).cast("long").as("approx_users"))
+      .select(lit("__all").as("event_type"), col("approx_users"))
+    typed.unionByName(global).orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hll_sketch_users" -> (hllSketchUsers _),
     "q27_variant" -> (variantExtract _),
     "q26_session_window" -> (sessionWindowAgg _),
     "q23_map_funcs" -> (mapFuncs _),

@@ -46,6 +46,22 @@ class EventsSpec extends AnyFunSuite {
     assert(out(1L)._2 === 30000000L, "gap to the latest click (970s) is 30s")
   }
 
+  test("hll sketches: per-type and merged-global estimates track exact distincts") {
+    val sf = "/root/testdata/sf0.01"
+    val approx = Events.hllSketchUsers(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val e = Events.eventsTable(spark, sf)
+    val exact = e.groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = e.select("user_id").distinct().count()
+    (exact + ("__all" -> exactAll)).foreach { case (k, ex) =>
+      val ap = approx(k)
+      assert(math.abs(ap - ex) <= math.max(2.0, ex * 0.05),
+        s"$k: approx $ap vs exact $ex")
+    }
+  }
+
   test("q22 plans as a hash join on the bucket key, not a nested loop") {
     val plan = Events.rangeJoinBanded(spark, dir, bandUs = 60000000L)
       .queryExecution.executedPlan.toString
