@@ -93,6 +93,45 @@ object Multimodal {
     }
   }
 
+  case class MediaThumb(doc_id: Long, width: Int, height: Int, thumb: Array[Byte])
+
+  /** REAL image resize (JDK codec + Graphics2D): decode, scale the
+    * long edge down to `maxDim` (never upscales), re-encode PNG.
+    * None for payloads no codec recognizes — those rows drop out,
+    * the multimodal skip-on-undecodable contract. */
+  private def resizeImage(payload: Array[Byte], maxDim: Int): Option[(Int, Int, Array[Byte])] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val scale = math.min(1.0, maxDim.toDouble / math.max(img.getWidth, img.getHeight))
+        val w = math.max(1, math.round(img.getWidth * scale).toInt)
+        val h = math.max(1, math.round(img.getHeight * scale).toInt)
+        val out = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try g.drawImage(img, 0, 0, w, h, null) finally g.dispose()
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", buf)
+        Some((w, h, buf.toByteArray))
+      }
+    } catch { case _: Exception => None }
+
+  /** Batched thumbnail pass: Dataset[MediaRecord] → Dataset[MediaThumb],
+    * map-only like [[extractMeta]]; undecodable payloads are dropped. */
+  def resizeThumbnails(records: Dataset[MediaRecord], maxDim: Int = 32): Dataset[MediaThumb] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.grouped(DecodeBatch).flatMap { batch =>
+        batch.flatMap { r =>
+          resizeImage(r.payload, maxDim).map { case (w, h, b) =>
+            MediaThumb(r.doc_id, w, h, b)
+          }
+        }
+      }
+    }
+  }
+
   /** Fixture adapter: documents.text encoded as UTF-8 bytes plays
     * the opaque payload (the fixtures ship no real media). */
   def mediaMeta(s: SparkSession, dir: String): DataFrame = {

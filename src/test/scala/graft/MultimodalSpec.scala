@@ -64,6 +64,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(metas(4L).byte_len === 19L)
   }
 
+  test("resize: real thumbnails preserve aspect, never upscale, drop non-images") {
+    import graft.ops.Multimodal
+    import graft.ops.Multimodal.MediaRecord
+    import spark.implicits._
+    def imageBytes(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val recs = Seq(
+      MediaRecord(1L, imageBytes(320, 200)),
+      MediaRecord(2L, imageBytes(16, 8)), // already small → untouched dims
+      MediaRecord(3L, "definitely not an image".getBytes))
+    val thumbs = Multimodal.resizeThumbnails(recs.toDS(), maxDim = 32).collect()
+      .map(t => t.doc_id -> t).toMap
+    assert(thumbs.keySet === Set(1L, 2L), "non-image dropped")
+    assert((thumbs(1L).width, thumbs(1L).height) === ((32, 20)), "long edge 32, aspect kept")
+    assert((thumbs(2L).width, thumbs(2L).height) === ((16, 8)), "no upscale")
+    // the thumbnail is itself a decodable image with the claimed dims
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(thumbs(1L).thumb))
+    assert((back.getWidth, back.getHeight) === ((32, 20)))
+  }
+
   test("jsonl and csv log sources: schema-first read with pruning") {
     val root = Files.createTempDirectory("graft-logs")
     Files.createDirectories(root.resolve("node_modules"))
