@@ -63,6 +63,16 @@ class PdfSpec extends AnyFunSuite {
     assert(Pdf.extractText(Array[Byte]()).isEmpty)
   }
 
+  test("extractText is total: never throws on arbitrary bytes") {
+    val rnd = new scala.util.Random(42)
+    (1 to 300).foreach { _ =>
+      val bytes = Array.fill(rnd.nextInt(2000))(rnd.nextInt(256).toByte)
+      Pdf.extractText(bytes)                            // garbage
+      Pdf.extractText(latin1("%PDF-1.4\n") ++ bytes)    // header + garbage
+      Pdf.extractText(latin1("%PDF-1.4\nstream\n") ++ bytes) // unterminated stream
+    }
+  }
+
   test("ingest dispatch: .pdf extracted by suffix, unextractable ones dropped") {
     val spark = SparkSpec.spark
     val root = Files.createTempDirectory("graft-pdf")
