@@ -366,7 +366,36 @@ object Events {
     typed.unionByName(global).orderBy(col("event_type"))
   }
 
+  /** Boolean/conditional aggregate family: bool_and, bool_or,
+    * count_if over per-type predicates — the guard-rail aggregates a
+    * data-quality dashboard runs (all values positive? any huge k?
+    * how many nulls?). */
+  def boolAggs(s: SparkSession, dir: String): DataFrame = {
+    val e = eventsTable(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+    e.groupBy(col("event_type"))
+      .agg(
+        bool_and(col("value") > 0).as("all_positive"),
+        bool_or(col("k") > 90).as("any_k_gt90"),
+        count_if(col("k").isNull).as("n_null_k"),
+        count_if(col("value") > 5.0).as("n_hot"))
+      .orderBy(col("event_type"))
+  }
+
+  val boolAggsSql: String =
+    """SELECT event_type,
+      |  bool_and(value > 0) AS all_positive,
+      |  bool_or(k > 90) AS any_k_gt90,
+      |  CAST(count_if(k IS NULL) AS BIGINT) AS n_null_k,
+      |  CAST(count_if(value > 5.0) AS BIGINT) AS n_hot
+      |FROM (SELECT event_type, value,
+      |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_bool_aggs" -> (boolAggs _),
     "hll_sketch_users" -> (hllSketchUsers _),
     "q27_variant" -> (variantExtract _),
     "q26_session_window" -> (sessionWindowAgg _),
@@ -380,6 +409,7 @@ object Events {
     "q11_sessionize" -> (sessionize _))
 
   val oracles: Map[String, String] = Map(
+    "q29_bool_aggs" -> boolAggsSql,
     "q27_variant" -> variantExtractSql,
     "q26_session_window" -> sessionWindowAggSql,
     "q23_map_funcs" -> mapFuncsSql,
