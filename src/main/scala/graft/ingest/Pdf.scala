@@ -12,8 +12,9 @@ import scala.collection.mutable.ArrayBuffer
   * that understands PDF string literals (nested parens, escapes,
   * octal) and hex strings.
   *
-  * Contract mirrors the reference: per-block text trimmed, blank
-  * blocks dropped, blocks joined with "\n\n" (index.py:287-291);
+  * Contract mirrors the reference: blocks kept UNTRIMMED, blank
+  * blocks dropped (strip() is only the emptiness test,
+  * index.py:287-291), blocks joined with "\n\n";
   * `None` when nothing extractable (image-only, CID-font-encoded, or
   * malformed input), which the ingest dispatcher treats as
   * skip-the-file (index.py:351-355). Coverage is deliberately the
@@ -25,7 +26,7 @@ object Pdf {
   def extractText(bytes: Array[Byte]): Option[String] = {
     if (bytes.length < 5 || new String(bytes, 0, 5, "ISO-8859-1") != "%PDF-")
       return None
-    val blocks = contentStreams(bytes).map(streamText).map(_.trim).filter(_.nonEmpty)
+    val blocks = contentStreams(bytes).map(streamText).filter(_.trim.nonEmpty)
     if (blocks.isEmpty) None else Some(blocks.mkString("\n\n"))
   }
 

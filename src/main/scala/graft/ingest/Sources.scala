@@ -138,14 +138,25 @@ object Sources {
     * sniff, mirroring `is_indexable_file`'s early `.pdf` accept
     * (`index.py:226-227`); unextractable ones drop out on the final
     * null filter. */
-  def readTextFiles(spark: SparkSession, dir: String): DataFrame = {
+  /** File URI → path relative to the ingest root `dir` (the
+    * reference's metadata key, `index.py:375`). Normalizes the
+    * `file:` scheme's slash count first so `binaryFile`'s `path`
+    * (`file:/…`) and `input_file_name()` (`file:///…`) relativize
+    * identically — batch ingest and the streaming indexer MUST
+    * produce the same source key for the same file. */
+  def relativeSource(pathCol: org.apache.spark.sql.Column, dir: String): org.apache.spark.sql.Column = {
     val root = dir.stripSuffix("/") + "/"
+    regexp_replace(
+      regexp_replace(pathCol, "^file:/+", "/"),
+      "^" + java.util.regex.Pattern.quote(root), "")
+  }
+
+  def readTextFiles(spark: SparkSession, dir: String): DataFrame = {
     val isPdf = lower(col("path")).endsWith(".pdf")
     scan(spark, dir)
       .filter(isPdf || sniffUdf(col("content")))
       .select(
-        regexp_replace(col("path"), "^file:" + java.util.regex.Pattern.quote(root), "")
-          .as("source"),
+        relativeSource(col("path"), dir).as("source"),
         when(isPdf, pdfUdf(col("content")))
           .otherwise(decodeUdf(col("content"))).as("content"))
       .filter(col("content").isNotNull)

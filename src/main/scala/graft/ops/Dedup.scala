@@ -291,8 +291,12 @@ object Dedup {
     // labels only ever decrease, so the label-sum strictly decreases
     // iff anything changed — one tiny agg per round instead of a
     // join-based diff; checkpoint every 3rd round (lineage stays
-    // shallow, materialization jobs drop 3×)
-    var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
+    // shallow, materialization jobs drop 3×). sum() over an empty
+    // frame is NULL, so coalesce — an empty pair list must converge
+    // immediately, not NPE.
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < 60) {
@@ -302,7 +306,7 @@ object Dedup {
         .select(col("node"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
       if (iter % 3 == 2) next = next.localCheckpoint()
-      val s = next.agg(sum(col("label"))).head.getLong(0)
+      val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
       labels = next

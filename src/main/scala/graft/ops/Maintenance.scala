@@ -26,6 +26,20 @@ object Maintenance {
     fs.getContentSummary(path).getLength
   }
 
+  /** SaveMode.Overwrite deletes the output dir before the lazy read
+    * of the input ever runs — compacting in place would destroy the
+    * data. Refuse identical (fully-qualified) in/out paths. */
+  private def requireDistinctDirs(
+      spark: SparkSession, inDir: String, outDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def qualified(d: String) = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(conf).makeQualified(p)
+    }
+    require(qualified(inDir) != qualified(outDir),
+      s"compaction output dir must differ from input dir: $inDir")
+  }
+
   /** Compact a parquet dataset into ~targetBytes files: reads the
     * actual byte size, computes the output file count, and rewrites
     * with a round-robin repartition (even file sizes regardless of
@@ -35,6 +49,7 @@ object Maintenance {
       inDir: String,
       outDir: String,
       targetBytes: Long = DefaultTargetBytes): Int = {
+    requireDistinctDirs(spark, inDir, outDir)
     val n = math.max(1L, (dirBytes(spark, inDir) + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(inDir)
       .repartition(n)
@@ -53,6 +68,7 @@ object Maintenance {
       outDir: String,
       sortCols: Seq[String],
       targetBytes: Long = DefaultTargetBytes): Int = {
+    requireDistinctDirs(spark, inDir, outDir)
     val n = math.max(1L, (dirBytes(spark, inDir) + targetBytes - 1) / targetBytes).toInt
     val cols = sortCols.map(col)
     spark.read.parquet(inDir)

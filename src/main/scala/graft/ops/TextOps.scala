@@ -157,8 +157,8 @@ object TextOps {
       |p AS (
       |  SELECT doc_id, lang_true,
       |    CASE WHEN h_zh = m THEN 'zh' WHEN h_fr = m THEN 'fr'
-      |         WHEN h_es = m THEN 'es' WHEN h_de = m THEN 'de'
-      |         ELSE 'en' END AS lang_pred,
+      |         WHEN h_es = m THEN 'es' WHEN h_en = m THEN 'en'
+      |         ELSE 'de' END AS lang_pred,
       |    CAST(m AS BIGINT) AS marker_hits
       |  FROM (SELECT *, greatest(h_en, h_de, h_es, h_fr, h_zh) AS m FROM h))
       |SELECT doc_id, lang_true, lang_pred, marker_hits,

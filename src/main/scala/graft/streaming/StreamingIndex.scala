@@ -45,7 +45,9 @@ object StreamingIndex {
       .option("wholetext", "true")
       .option("maxFilesPerTrigger", 64)
       .load(inDir)
-      .select(input_file_name().as("source"), col("value").as("content"))
+      .select(
+        graft.ingest.Sources.relativeSource(input_file_name(), inDir).as("source"),
+        col("value").as("content"))
     chunkEmbedStream(files, chunkSize)
       .writeStream
       .format("parquet")
@@ -78,7 +80,9 @@ object StreamingIndex {
       .option("maxFilesPerTrigger", 64)
       .load(inDir)
       .select(
-        regexp_replace(input_file_name(), "\\.v\\d+$", "").as("source"),
+        regexp_replace(
+          graft.ingest.Sources.relativeSource(input_file_name(), inDir),
+          "\\.v\\d+$", "").as("source"),
         col("value").as("content"))
     chunkEmbedStream(files, chunkSize)
       .writeStream

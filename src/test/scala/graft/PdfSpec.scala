@@ -54,7 +54,10 @@ class PdfSpec extends AnyFunSuite {
     val p1 = latin1("BT (page one text) Tj ET")
     val p2 = latin1("BT (page two text) Tj ET")
     val txt = Pdf.extractText(pdf(deflate(p1), deflate(p2))).get
-    assert(txt == "page one text\n\npage two text")
+    // blocks kept UNTRIMMED (reference strips only for the emptiness
+    // test, index.py:287-291) — each block ends with the ET line
+    // break, exactly like a pypdf page text ends with '\n'
+    assert(txt == "page one text\n\n\npage two text\n")
   }
 
   test("None on non-PDF bytes and on PDFs with no extractable text") {
@@ -84,6 +87,6 @@ class PdfSpec extends AnyFunSuite {
     val rows = Sources.readTextFiles(spark, root.toString).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(rows.keySet === Set("report.pdf", "app.log"))
-    assert(rows("report.pdf") == "error budget exceeded")
+    assert(rows("report.pdf") == "error budget exceeded\n")
   }
 }
