@@ -1,6 +1,5 @@
 package graft.ops
 
-import graft.embed.HashEmbedder
 import graft.functions.VectorFunctions.r6
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -146,21 +145,47 @@ object Dedup {
        |ORDER BY jaccard DESC, doc_a, doc_b
        |LIMIT 50""".stripMargin
 
-  // ---- MinHash + LSH banding (rows-only gate; hash fns are engine-internal) ----
+  // ---- MinHash + LSH banding (oracle-checked: the hash family is
+  // md5-derived so DuckDB computes the IDENTICAL signatures) ----
 
   val NumHashes = 64
   val Bands = 16
   val RowsPerBand: Int = NumHashes / Bands
 
+  /** Mersenne prime modulus for the affine hash family: products
+    * a·h stay < 2^62, exact in BIGINT arithmetic in BOTH engines. */
+  val MinhashP = 2147483647L
+
+  /** First 15 hex chars of md5 as a 60-bit non-negative long — the
+    * cross-engine hash primitive (`('0x'||substring(md5(x),1,15))::BIGINT`
+    * in DuckDB, same bytes by construction). */
+  def md5Hash60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // 15 hex chars = 7.5 bytes: bytes 0-6 fully, high nibble of byte 7
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    (v << 4) | ((d(7) & 0xF0L) >> 4)
+  }
+
+  /** Affine-family coefficients, themselves md5-derived (no literal
+    * tables to keep in sync with the oracle SQL): a_j ∈ [1, p−1],
+    * b_j ∈ [0, p−1]. */
+  def minhashA(j: Int): Long = md5Hash60("a" + j) % (MinhashP - 1) + 1
+  def minhashB(j: Int): Long = md5Hash60("b" + j) % MinhashP
+
   private val minhashUdf = udf { (shingles0: Seq[String]) =>
     val shingles = if (shingles0 == null) Seq.empty[String] else shingles0
+    val as = Array.tabulate(NumHashes)(minhashA)
+    val bs = Array.tabulate(NumHashes)(minhashB)
     val sigs = Array.fill(NumHashes)(Long.MaxValue)
     shingles.foreach { sh =>
-      val base = HashEmbedder.stableHash64(sh)
+      val h = md5Hash60(sh) % MinhashP
       var j = 0
       while (j < NumHashes) {
-        val h = HashEmbedder.mix(base ^ (j.toLong * 0x9E3779B97F4A7C15L))
-        if (h < sigs(j)) sigs(j) = h
+        val v = (as(j) * h + bs(j)) % MinhashP
+        if (v < sigs(j)) sigs(j) = v
         j += 1
       }
     }
@@ -175,7 +200,11 @@ object Dedup {
     * (band, band_key) collecting bucket members; pairs expand
     * map-side from each bucket (buckets are near-dup clusters, so
     * tiny; a size cap guards degenerate buckets). No self-join —
-    * sub-quadratic candidate generation that survives corpus scale. */
+    * sub-quadratic candidate generation that survives corpus scale.
+    *
+    * The band key is the band's signature slice ITSELF (4 ints), not
+    * an engine-private hash of it — hashing the group key is the
+    * shuffle layer's job, and the raw slice is what DuckDB mirrors. */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val sig = withShingleArray(d)
@@ -184,7 +213,7 @@ object Dedup {
       col("doc_id"), col("sig"),
       explode(expr(
         s"transform(sequence(0, ${Bands - 1}), " +
-          s"b -> struct(b AS band, hash(slice(sig, b * $RowsPerBand + 1, $RowsPerBand)) AS bkey))"))
+          s"b -> struct(b AS band, slice(sig, b * $RowsPerBand + 1, $RowsPerBand) AS bkey))"))
         .as("bb"))
       .select(col("bb.band").as("band"), col("bb.bkey").as("bkey"),
         col("doc_id"), col("sig"))
@@ -210,27 +239,98 @@ object Dedup {
       .orderBy(col("est_jaccard").desc, col("doc_a"), col("doc_b"))
   }
 
-  // ---- SimHash (rows-only gate) ----
+  /** Oracle mirror of [[minhashLsh]]: identical md5-affine signature
+    * family, banding, bucket cap, and estimate — DuckDB recomputes
+    * the signatures bit-for-bit. */
+  val minhashLshSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $ShingleK),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+       |  FROM tok, UNNEST(range(0, len(w) - ${ShingleK - 1})) AS u(i)),
+       |coef AS (
+       |  SELECT j,
+       |    ('0x' || substring(md5('a' || j), 1, 15))::BIGINT % ${MinhashP - 1} + 1 AS a,
+       |    ('0x' || substring(md5('b' || j), 1, 15))::BIGINT % $MinhashP AS b
+       |  FROM UNNEST(range(0, $NumHashes)) AS t(j)),
+       |hh AS (
+       |  SELECT doc_id,
+       |    ('0x' || substring(md5(shingle), 1, 15))::BIGINT % $MinhashP AS h
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id, j, MIN((a * h + b) % $MinhashP) AS v
+       |  FROM hh CROSS JOIN coef
+       |  GROUP BY doc_id, j),
+       |sigl AS (
+       |  SELECT doc_id, list(v ORDER BY j) AS sig FROM sig GROUP BY doc_id),
+       |band AS (
+       |  SELECT doc_id, b, sig[b*$RowsPerBand+1 : b*$RowsPerBand+$RowsPerBand] AS bkey
+       |  FROM sigl, UNNEST(range(0, $Bands)) AS t(b)),
+       |bucketed AS (
+       |  SELECT band.* FROM band
+       |  JOIN (SELECT b, bkey FROM band GROUP BY b, bkey
+       |        HAVING COUNT(*) BETWEEN 2 AND $MaxPosting) g
+       |  USING (b, bkey)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bucketed x JOIN bucketed y
+       |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |est AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    round(SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END)
+       |      / CAST($NumHashes AS DOUBLE), 6) + 0 AS est_jaccard
+       |  FROM cand c
+       |  JOIN sig sa ON sa.doc_id = c.doc_a
+       |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
+       |  GROUP BY c.doc_a, c.doc_b)
+       |SELECT doc_a, doc_b, est_jaccard FROM est
+       |WHERE est_jaccard >= 0.35
+       |ORDER BY est_jaccard DESC, doc_a, doc_b""".stripMargin
 
+  // ---- SimHash (oracle-checked: 60-bit md5 token hashes, DuckDB
+  // recomputes the identical fingerprints) ----
+
+  val SimhashBits = 60
+  val SimhashBands = 4
+  val SimhashBandBits: Int = SimhashBits / SimhashBands
+
+  /** Per-doc token-majority fingerprint. Token hashes memoized in a
+    * bounded executor-wide cache — the corpus vocabulary is tiny
+    * next to the token stream, so md5 runs once per distinct word
+    * per executor, not once per occurrence. */
   private val simhashUdf = udf { (tokens0: Seq[String]) =>
     val tokens = if (tokens0 == null) Seq.empty[String] else tokens0
-    val acc = new Array[Int](64)
+    val acc = new Array[Int](SimhashBits)
     tokens.foreach { tok =>
-      val h = HashEmbedder.mix(HashEmbedder.stableHash64(tok))
+      val h = Dedup.cachedHash60(tok)
       var b = 0
-      while (b < 64) {
+      while (b < SimhashBits) {
         if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
         b += 1
       }
     }
     var fp = 0L
     var b = 0
-    while (b < 64) { if (acc(b) > 0) fp |= (1L << b); b += 1 }
+    while (b < SimhashBits) { if (acc(b) > 0) fp |= (1L << b); b += 1 }
     fp
   }
 
-  /** SimHash near-dups: 64-bit token-majority fingerprint, banded
-    * into 4×16 bits; bucket-sharing pairs verified with
+  private val hashCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private[ops] def cachedHash60(tok: String): Long = {
+    val c = hashCache.get(tok)
+    if (c != null) c.longValue()
+    else {
+      val h = md5Hash60(tok)
+      if (hashCache.size < (1 << 20)) hashCache.put(tok, h)
+      h
+    }
+  }
+
+  /** SimHash near-dups: 60-bit token-majority fingerprint, banded
+    * into 4×15 bits; bucket-sharing pairs verified with
     * bit_count(xor) ≤ 3. Pigeonhole: Hamming ≤ 3 ⇒ at most 3 bands
     * touched ⇒ some band equal — banding is COMPLETE exactly up to
     * radius bands−1, so the output threshold matches that radius
@@ -241,7 +341,8 @@ object Dedup {
     val fp = d.select(col("doc_id"), simhashUdf(split(col("text"), " ")).as("fp"))
     val banded = fp.select(col("doc_id"), col("fp"),
       explode(expr(
-        "transform(sequence(0, 3), b -> struct(b AS band, CAST(shiftright(fp, b * 16) & 65535 AS INT) AS bval))"))
+        s"transform(sequence(0, ${SimhashBands - 1}), " +
+          s"b -> struct(b AS band, CAST(shiftright(fp, b * $SimhashBandBits) & ${(1 << SimhashBandBits) - 1} AS INT) AS bval))"))
         .as("bb"))
       .select(col("bb.band").as("band"), col("bb.bval").as("bval"),
         col("doc_id"), col("fp"))
@@ -264,6 +365,44 @@ object Dedup {
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
   }
 
+  /** Oracle mirror of [[simhashDedup]]: identical 60-bit md5 token
+    * hashes, occurrence-weighted bit majority, banding, bucket cap,
+    * and Hamming verify. */
+  val simhashDedupSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+       |cnt AS (SELECT doc_id, tk, COUNT(*) AS c FROM tok GROUP BY doc_id, tk),
+       |th AS (
+       |  SELECT doc_id, ('0x' || substring(md5(tk), 1, 15))::BIGINT AS h, c
+       |  FROM cnt),
+       |bits AS (
+       |  SELECT doc_id, b,
+       |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN c ELSE -c END) AS acc
+       |  FROM th, UNNEST(range(0, $SimhashBits)) AS t(b)
+       |  GROUP BY doc_id, b),
+       |fp AS (
+       |  SELECT doc_id,
+       |    SUM(CASE WHEN acc > 0 THEN 1::BIGINT << b ELSE 0 END) AS fp
+       |  FROM bits GROUP BY doc_id),
+       |band AS (
+       |  SELECT doc_id, fp, b,
+       |    (fp >> (b * $SimhashBandBits)) & ${(1 << SimhashBandBits) - 1} AS bval
+       |  FROM fp, UNNEST(range(0, $SimhashBands)) AS t(b)),
+       |bucketed AS (
+       |  SELECT band.* FROM band
+       |  JOIN (SELECT b, bval FROM band GROUP BY b, bval
+       |        HAVING COUNT(*) BETWEEN 2 AND $MaxPosting) g
+       |  USING (b, bval)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    x.fp AS fa, y.fp AS fb
+       |  FROM bucketed x JOIN bucketed y
+       |    ON x.b = y.b AND x.bval = y.bval AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(fa, fb)) <= 3
+       |ORDER BY hamming, doc_a, doc_b""".stripMargin
+
   /** Near-dup CLUSTERING — the step after pair generation that an
     * actual dedup pipeline needs: the Jaccard pair list is an
     * undirected graph, connected components collapse transitive
@@ -279,8 +418,52 @@ object Dedup {
     * At 100 TB-corpus scale the same loop runs on the pair output of
     * the LSH candidate generators; the alternating small-star/
     * large-star variant bounds skew if a component is huge. */
-  def dedupComponents(s: SparkSession, dir: String): DataFrame = {
-    val edges = dedupJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+  def dedupComponents(s: SparkSession, dir: String): DataFrame =
+    componentsOf(dedupJaccard(s, dir).select(col("doc_a"), col("doc_b")))
+
+  /** Size-gated hybrid: the candidate-pair graph out of LSH is
+    * orders of magnitude smaller than the corpus, so when it fits on
+    * the driver (≤ [[DriverEdgeCap]] edges) union-find there beats a
+    * multi-job distributed loop by the full per-round scheduling
+    * cost; above the cap the min-label-propagation loop runs — same
+    * results, asserted equal in DedupSpec. */
+  val DriverEdgeCap = 200000
+
+  def componentsOf(edges: DataFrame): DataFrame = {
+    val cached = edges.localCheckpoint()
+    if (cached.count() <= DriverEdgeCap) componentsDriver(cached)
+    else componentsDistributed(cached)
+  }
+
+  /** Driver-side union-find over a collected edge list. */
+  private def componentsDriver(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val rows = parent.keys.toSeq.sorted.map { n =>
+      val c = find(n)
+      (n, c, if (n == c) 1 else 0)
+    }
+    spark.createDataset(rows)
+      .toDF("doc_id", "component", "is_survivor")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Distributed min-label propagation (the above-cap path). */
+  private[graft] def componentsDistributed(edges: DataFrame): DataFrame = {
     val und = edges
       .union(edges.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
@@ -370,5 +553,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,
-    "dedup_components" -> dedupComponentsSql)
+    "dedup_components" -> dedupComponentsSql,
+    "minhash_lsh" -> minhashLshSql,
+    "simhash_dedup" -> simhashDedupSql)
 }

@@ -74,6 +74,19 @@ class DedupSpec extends AnyFunSuite {
     if (got.contains((2L, 3L))) assert(got((2L, 3L)) <= 6L)
   }
 
+  test("driver union-find ≡ distributed label propagation") {
+    // chain 10-11-12 plus pair 20-21: exercises transitivity
+    val edges = Seq((10L, 11L), (11L, 12L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val driver = Dedup.componentsOf(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val dist = Dedup.componentsDistributed(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(driver.toSeq == dist.toSeq)
+    assert(driver.toSeq == Seq(
+      (10L, 10L, 1), (11L, 10L, 0), (12L, 10L, 0), (20L, 20L, 1), (21L, 20L, 0)))
+  }
+
   test("rolling hash: deterministic, shift-sensitive") {
     assert(TextOps.rollingHash64("abc") == TextOps.rollingHash64("abc"))
     assert(TextOps.rollingHash64("abc") != TextOps.rollingHash64("acb"))
