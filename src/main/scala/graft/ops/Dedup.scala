@@ -156,18 +156,8 @@ object Dedup {
     * a·h stay < 2^62, exact in BIGINT arithmetic in BOTH engines. */
   val MinhashP = 2147483647L
 
-  /** First 15 hex chars of md5 as a 60-bit non-negative long — the
-    * cross-engine hash primitive (`('0x'||substring(md5(x),1,15))::BIGINT`
-    * in DuckDB, same bytes by construction). */
-  def md5Hash60(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // 15 hex chars = 7.5 bytes: bytes 0-6 fully, high nibble of byte 7
-    var v = 0L
-    var i = 0
-    while (i < 7) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
-    (v << 4) | ((d(7) & 0xF0L) >> 4)
-  }
+  /** Cross-engine 60-bit md5 hash (graft.functions.CrossHash). */
+  def md5Hash60(s: String): Long = graft.functions.CrossHash.md5Hash60(s)
 
   /** Affine-family coefficients, themselves md5-derived (no literal
     * tables to keep in sync with the oracle SQL): a_j ∈ [1, p−1],

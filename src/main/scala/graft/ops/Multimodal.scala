@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.embed.HashEmbedder
+import graft.functions.CrossHash
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -30,12 +30,10 @@ object Multimodal {
     * stub is per-record. */
   val DecodeBatch = 32
 
-  private def checksum64(payload: Array[Byte]): Long = {
-    var h = 0xCBF29CE484222325L
-    var i = 0
-    while (i < payload.length) { h ^= payload(i) & 0xffL; h *= 0x100000001B3L; i += 1 }
-    h
-  }
+  /** Payload checksum = the cross-engine 60-bit md5 hash — also the
+    * entropy source for the stub codec, so the whole metadata row is
+    * DuckDB-recomputable on text-byte fixtures. */
+  private def checksum60(payload: Array[Byte]): Long = CrossHash.md5Hash60(payload)
 
   /** REAL image header decode via the JDK ImageIO codec: reader
     * lookup by magic bytes, then width/height/format from the header
@@ -67,13 +65,14 @@ object Multimodal {
     * already-computed payload checksum (one hash pass per record) —
     * used only when no installed codec recognizes the payload. A
     * real deployment adds audio/video codecs beside ImageIO;
-    * nothing else in the pipeline changes. */
+    * nothing else in the pipeline changes. The checksum is already
+    * md5-mixed, so plain shifts/mods suffice — and stay expressible
+    * in the DuckDB oracle. */
   private def decodeStub(checksum: Long): (Int, Int, String) = {
-    val m = HashEmbedder.mix(checksum)
-    val width = 64 + java.lang.Long.remainderUnsigned(m, 1857L).toInt
-    val height = 64 + java.lang.Long.remainderUnsigned(m >>> 17, 1017L).toInt
+    val width = 64 + (checksum % 1857L).toInt
+    val height = 64 + ((checksum >> 17) % 1017L).toInt
     val formats = Array("png", "jpeg", "webp")
-    val format = formats(java.lang.Long.remainderUnsigned(m >>> 41, 3L).toInt)
+    val format = formats(((checksum >> 41) % 3L).toInt)
     (width, height, format)
   }
 
@@ -85,7 +84,7 @@ object Multimodal {
     records.mapPartitions { it =>
       it.grouped(DecodeBatch).flatMap { batch =>
         batch.map { r =>
-          val crc = checksum64(r.payload)
+          val crc = checksum60(r.payload)
           val (w, h, fmt) = decodeHeader(r.payload).getOrElse(decodeStub(crc))
           MediaMeta(r.doc_id, r.payload.length.toLong, w, h, fmt, crc)
         }
@@ -163,13 +162,49 @@ object Multimodal {
       .filter(col("frame_idx") < 3)
       .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
         octet_length(col("frame")).cast("long").as("frame_len"),
-        crc32(col("frame")).as("frame_crc"))
+        CrossHash.md5Hash60Col(col("frame")).as("frame_fp"))
       .orderBy(col("doc_id"), col("frame_idx"))
   }
+
+  /** Oracle for [[mediaMeta]] on the text-byte fixtures: payloads
+    * are pure-ASCII UTF-8 text (asserted over every SF), so DuckDB's
+    * string md5/length reproduce the engine's byte-level values, and
+    * every row takes the stub-codec path (no installed codec
+    * recognizes soup bytes). Real-image decode is covered by
+    * MultimodalSpec with generated PNG/JPEG/GIF/BMP instead. */
+  val mediaMetaSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id, octet_length(encode(text)) AS byte_len,
+       |    ${CrossHash.sqlHash60("text")} AS h
+       |  FROM documents)
+       |SELECT doc_id, CAST(byte_len AS BIGINT) AS byte_len,
+       |  CAST(64 + (h % 1857) AS INT) AS width,
+       |  CAST(64 + ((h >> 17) % 1017) AS INT) AS height,
+       |  ['png','jpeg','webp'][CAST((h >> 41) % 3 AS INT) + 1] AS format,
+       |  h AS checksum
+       |FROM h
+       |ORDER BY doc_id""".stripMargin
+
+  /** Oracle for [[mediaFrames]]: char windows ≡ byte windows on
+    * ASCII fixtures. */
+  val mediaFramesSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, i AS frame_idx,
+       |    substring(text, i * $FrameBytes + 1, $FrameBytes) AS frame
+       |  FROM documents,
+       |    UNNEST(range(0, greatest(CAST(ceil(length(text) / $FrameBytes.0) AS INT), 1))) AS t(i)
+       |  WHERE i < 3)
+       |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       |  CAST(length(frame) AS BIGINT) AS frame_len,
+       |  ${CrossHash.sqlHash60("frame")} AS frame_fp
+       |FROM f
+       |ORDER BY doc_id, frame_idx""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_meta" -> (mediaMeta _),
     "media_frames" -> (mediaFrames _))
 
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "media_meta" -> mediaMetaSql,
+    "media_frames" -> mediaFramesSql)
 }
