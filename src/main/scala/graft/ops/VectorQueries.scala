@@ -186,28 +186,55 @@ object VectorQueries {
 
   private val Planes = 6
   private val ProbeRadius = 2
+  private val Dim = 64
 
-  /** Deterministic pseudo-random hyperplanes: component (p, d) from
-    * splitmix64, mapped to a sign. Sign-projection LSH: bucket =
-    * 8-bit code of dot-product signs; cosine-close vectors collide
-    * with high probability. */
-  private def planeSign(p: Int, d: Int): Double = {
-    val h = graft.embed.HashEmbedder.mix(p.toLong * 1000003L + d.toLong)
-    if ((h & 1L) == 0L) 1.0 else -1.0
-  }
+  /** Deterministic pseudo-random hyperplanes: component (p, d) is a
+    * sign drawn from the cross-engine md5 hash, so the DuckDB oracle
+    * rebuilds the identical plane table (48 planes × 64 dims — tiny
+    * in both engines). Sign-projection LSH: bucket = code of
+    * dot-product signs; cosine-close vectors collide with high
+    * probability. */
+  private def planeSign(p: Int, d: Int): Double =
+    if ((graft.functions.CrossHash.md5Hash60("p" + p + "_" + d) & 1L) == 0L) 1.0 else -1.0
+
+  /** Memoized sign table (md5 runs once per (plane, dim) per JVM). */
+  private lazy val planeTable: Array[Array[Double]] =
+    Array.tabulate(NeardupBands * Dim, Dim)(planeSign)
 
   private def signCode(emb: Seq[Float], band: Int): Int = {
     var code = 0
     var p = 0
     while (p < Planes) {
+      val signs = planeTable(band * Dim + p)
       var acc = 0.0
       var d = 0
-      while (d < emb.length) { acc += emb(d) * planeSign(band * 64 + p, d); d += 1 }
+      while (d < emb.length) { acc += emb(d) * signs(d); d += 1 }
       if (acc >= 0) code |= (1 << p)
       p += 1
     }
     code
   }
+
+  /** Shared oracle CTE: the sign-plane table + per-(vec, plane)
+    * projection accumulated as the SAME sequential double fold the
+    * engine runs, then per-band sign codes. `bands` = how many
+    * 6-plane bands to build. */
+  private def lshCodesCte(bands: Int): String =
+    s"""signs AS (
+       |  SELECT pg, list(CASE WHEN (${graft.functions.CrossHash.sqlHash60("'p' || pg || '_' || d")}) & 1 = 0
+       |                       THEN 1.0 ELSE -1.0 END ORDER BY d) AS sg
+       |  FROM UNNEST(range(0, ${bands * Dim})) AS t(pg), UNNEST(range(0, $Dim)) AS u(d)
+       |  WHERE pg % $Dim < $Planes
+       |  GROUP BY pg),
+       |proj AS (
+       |  SELECT e.vec_id, s.pg // $Dim AS band, s.pg % $Dim AS p,
+       |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) * s.sg[i])) AS acc
+       |  FROM embeddings e CROSS JOIN signs s),
+       |codes AS (
+       |  SELECT vec_id, band,
+       |    CAST(SUM(CASE WHEN acc >= 0 THEN 1 << p ELSE 0 END) AS INT) AS code
+       |  FROM proj GROUP BY vec_id, band)""".stripMargin
 
   private val codeUdf = udf { (emb: Seq[Float]) => signCode(emb, 0) }
 
@@ -224,8 +251,8 @@ object VectorQueries {
     * exact cosine top-k on the survivors. At scale: the code is a
     * partition key — the probe touches ~22/64 of buckets instead of
     * the full scan; more planes + banding tightens that as corpus
-    * density grows. Non-SQL-expressible (rows-only check); recall
-    * vs exact kNN is asserted in EntrySpec. */
+    * density grows. Oracle-checked (md5-derived plane table); recall
+    * vs exact kNN additionally asserted in EntrySpec. */
   def annLshTopk(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").withColumn("code", codeUdf(col("embedding")))
     val q = e.filter(col("vec_id") === QueryVecId)
@@ -283,7 +310,7 @@ object VectorQueries {
     * cosine is verified (so precision is 1; recall trades against
     * bucket count — multi-band repetition raises it, same pattern
     * as MinHash banding). One shuffle on the code; never all-pairs.
-    * Rows-only gate; subset-of-exact asserted in EntrySpec. */
+    * Oracle-checked: DuckDB rebuilds the md5 plane table and codes. */
   def embedNeardupLsh(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     // candidate generation carries ONLY ids through the shuffles
@@ -318,6 +345,52 @@ object VectorQueries {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Oracle mirror of [[annLshTopk]]: identical plane table, codes,
+    * Hamming probe, and cosine rescoring. */
+  val annLshTopkSql: String =
+    s"""WITH ${lshCodesCte(1)},
+       |qc AS (SELECT code AS qcode FROM codes WHERE vec_id = $QueryVecId AND band = 0),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $QueryVecId),
+       |cand AS (
+       |  SELECT e.vec_id, e.label, e.embedding
+       |  FROM embeddings e
+       |  JOIN codes c ON c.vec_id = e.vec_id AND c.band = 0
+       |  CROSS JOIN qc
+       |  WHERE e.vec_id <> $QueryVecId
+       |    AND bit_count(xor(CAST(c.code AS BIGINT), CAST(qc.qcode AS BIGINT))) <= $ProbeRadius),
+       |scored AS (
+       |  SELECT c.vec_id, c.label,
+       |    round(1.0 - list_sum(list_transform(range(1, len(c.embedding)+1),
+       |              i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+       |          / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+       |             * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) + 0 AS dist
+       |  FROM cand c, q)
+       |SELECT vec_id, label, dist FROM scored
+       |ORDER BY dist, vec_id LIMIT 5""".stripMargin
+
+  /** Oracle mirror of [[embedNeardupLsh]]: same 8-band codes, same
+    * bucket pairing, same exact-cosine verify. */
+  val embedNeardupLshSql: String =
+    s"""WITH ${lshCodesCte(NeardupBands)},
+       |pairs AS (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM codes x JOIN codes y
+       |    ON x.band = y.band AND x.code = y.code AND x.vec_id < y.vec_id),
+       |n AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings)
+       |SELECT vec_a, vec_b, sim FROM (
+       |  SELECT p.vec_a, p.vec_b,
+       |    round(list_sum(list_transform(range(1, len(a.embedding)+1),
+       |            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+       |          / (a.nrm * b.nrm), 6) + 0 AS sim
+       |  FROM pairs p
+       |  JOIN n a ON a.vec_id = p.vec_a
+       |  JOIN n b ON b.vec_id = p.vec_b)
+       |WHERE sim >= 0.45
+       |ORDER BY vec_a, vec_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_neardup_lsh" -> (embedNeardupLsh _),
     "knn_batch" -> (knnBatch _),
@@ -332,5 +405,7 @@ object VectorQueries {
     "knn_topk" -> knnTopkSql,
     "knn_per_label" -> knnPerLabelSql,
     "q12_embed_stats" -> embedStatsSql,
-    "embed_neardup" -> embedNeardupSql)
+    "embed_neardup" -> embedNeardupSql,
+    "ann_lsh_topk" -> annLshTopkSql,
+    "embed_neardup_lsh" -> embedNeardupLshSql)
 }
