@@ -169,9 +169,11 @@ object TextOps {
   /** Chunk statistics via the reference chunker (spaces rewritten to
     * newlines so the line-packer exercises multi-line packing on
     * soup docs): chunks per doc + max chunk length. */
+  val ChunkStatsSize = 200
+
   def chunkStats(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    val chunkUdf = udf((txt: String) => Chunker.chunkLines(txt, 200))
+    val chunkUdf = udf((txt: String) => Chunker.chunkLines(txt, ChunkStatsSize))
     d.select(col("doc_id"),
         chunkUdf(translate(col("text"), " ", "\n")).as("chunks"))
       .select(
@@ -180,6 +182,36 @@ object TextOps {
         array_max(transform(col("chunks"), c => length(c))).cast("long").as("max_chunk_len"))
       .orderBy(col("doc_id"))
   }
+
+  /** Oracle mirror of [[chunkStats]]: the greedy line-packer is a
+    * sequential fold, so the oracle replays it as a recursive CTE
+    * stepping one word per level across all docs at once. The flush
+    * rule (`index.py:304-313`): word i starts a new chunk iff
+    * running size + len(word)+1 > chunkSize — the first word always
+    * accumulates (flush requires a non-empty current chunk). Running
+    * size is monotone within a chunk, so chunk char length =
+    * MAX(size) − 1 (sizes count the joining newline per word). */
+  val chunkStatsSql: String =
+    s"""WITH RECURSIVE w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |words AS (
+       |  SELECT doc_id, i, length(ws[i]) + 1 AS lsz
+       |  FROM w, UNNEST(range(1, len(ws) + 1)) AS t(i)),
+       |step(doc_id, i, csize, cno) AS (
+       |  SELECT doc_id, 1, lsz, 1 FROM words WHERE i = 1
+       |  UNION ALL
+       |  SELECT s.doc_id, s.i + 1,
+       |    CASE WHEN s.csize + nw.lsz > $ChunkStatsSize THEN nw.lsz
+       |         ELSE s.csize + nw.lsz END,
+       |    CASE WHEN s.csize + nw.lsz > $ChunkStatsSize THEN s.cno + 1
+       |         ELSE s.cno END
+       |  FROM step s JOIN words nw ON nw.doc_id = s.doc_id AND nw.i = s.i + 1),
+       |chunks AS (
+       |  SELECT doc_id, cno, MAX(csize) - 1 AS clen
+       |  FROM step GROUP BY doc_id, cno)
+       |SELECT doc_id, COUNT(*) AS n_chunks, CAST(MAX(clen) AS BIGINT) AS max_chunk_len
+       |FROM chunks GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 
   /** Regex-based token counting (the BPE-ish tokenizer slice of a
     * training pipeline): alpha runs as tokens, long-token and
@@ -334,5 +366,6 @@ object TextOps {
     "top_words" -> topWordsSql,
     "doc_quality" -> docQualitySql,
     "doc_fingerprint" -> docFingerprintSql,
-    "lang_id" -> langIdSql)
+    "lang_id" -> langIdSql,
+    "chunk_stats" -> chunkStatsSql)
 }
