@@ -47,5 +47,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Events.oracles ++ VectorQueries.oracles ++
       TextOps.oracles ++ Dedup.oracles ++ Multimodal.oracles ++ AsOf.oracles ++
-      Curation.oracles
+      KMeansVec.oracles ++ Curation.oracles
 }

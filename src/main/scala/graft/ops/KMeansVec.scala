@@ -61,11 +61,13 @@ object KMeansVec {
     (1 to iters).foreach { _ =>
       used = centroids
       assigned = e.withColumn("cluster", assignExpr(centroids))
-      // decimal-bridged per-dimension means: deterministic update
+      // decimal-bridged per-dimension means: deterministic AND
+      // cross-engine (dims r6-rounded first, so the double→decimal
+      // conversion is exact in both engines — the §8.5 bridge rule)
       val sums = assigned
         .select(col("cluster"), posexplode(col("embedding")).as(Seq("d", "v")))
         .groupBy(col("cluster"), col("d"))
-        .agg(OracleMath.dsum(col("v")).as("s"), count(lit(1)).as("n"))
+        .agg(OracleMath.dsum(r6(col("v").cast("double"))).as("s"), count(lit(1)).as("n"))
         .collect()
       val next = Array.tabulate(k)(i => centroids(i).clone())
       sums.foreach { r =>
@@ -82,10 +84,12 @@ object KMeansVec {
     fit(s, dir, k, iters)._2
       .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
 
-  /** Cluster profile: sizes + mean distance to own centroid — the
-    * quality signal an IVF index build monitors. Rows-only gate
-    * (iterative float algorithm, not SQL-expressible); determinism
-    * and partitioning-independence asserted in KMeansSpec. */
+  /** Cluster profile: sizes + mean norm per cluster — the quality
+    * signal an IVF index build monitors. Oracle-checked: Lloyd's is
+    * deterministic and every arithmetic step (fused-dot assignment,
+    * r6+decimal centroid means) is mirrored in [[clusterProfileSql]]
+    * as three unrolled iterations; determinism and
+    * partitioning-independence additionally asserted in KMeansSpec. */
   def clusterProfile(s: SparkSession, dir: String): DataFrame = {
     val a = assign(s, dir)
     val e = t(s, dir, "embeddings")
@@ -93,7 +97,7 @@ object KMeansVec {
       .groupBy(col("cluster"))
       .agg(
         count(lit(1)).as("n"),
-        r6(OracleMath.davg(graft.functions.VectorFunctions.l2norm(col("embedding"))))
+        r6(OracleMath.davg(r6(graft.functions.VectorFunctions.l2norm(col("embedding")))))
           .as("avg_norm"))
       .orderBy(col("cluster"))
   }
@@ -133,7 +137,101 @@ object KMeansVec {
       .limit(k)
   }
 
+  // ---- Oracle SQL: Lloyd's unrolled as CTE chains. Every float op
+  // mirrors the engine bit-for-bit: the assignment distance is the
+  // SAME fused form x·x − 2·x·float(c) + Σc², centroid updates are
+  // r6-rounded decimal means, and ties break on lowest cluster. ----
+
+  /** Sequential double fold Σ e[i]·e[i] (matches FloatDotProduct). */
+  private def xx(e: String): String =
+    s"list_sum(list_transform($e, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))"
+
+  /** Assignment + update pair for iteration t (centroids c{t-1} →
+    * assignment a{t} → centroids c{t}). The engine truncates
+    * centroid dims to FLOAT for the dot (typedLit(c.map(_.toFloat)))
+    * but keeps Σc² in full doubles — both mirrored. */
+  private def assignCte(t: Int): String =
+    s"""s$t AS (
+       |  SELECT e.vec_id, e.label, e.embedding, c.cluster,
+       |    ${xx("e.embedding")}
+       |      - 2.0 * list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(CAST(c.emb[i] AS FLOAT) AS DOUBLE)))
+       |      + list_sum(list_transform(c.emb, v -> v * v)) AS d2
+       |  FROM embeddings e CROSS JOIN c${t - 1} c),
+       |a$t AS (
+       |  SELECT vec_id, label, embedding, cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+       |    FROM s$t)
+       |  WHERE rn = 1)""".stripMargin
+
+  private def updateCte(t: Int): String =
+    s"""u$t AS (
+       |  SELECT a.cluster, d,
+       |    CAST(SUM(CAST(round(CAST(a.embedding[d] AS DOUBLE), 6) + 0 AS DECIMAL(38,6))) AS DOUBLE)
+       |      / COUNT(*) AS cd
+       |  FROM a$t a, UNNEST(range(1, len(a.embedding) + 1)) AS t(d)
+       |  GROUP BY a.cluster, d),
+       |c$t AS (
+       |  SELECT p.cluster, coalesce(n.emb, p.emb) AS emb
+       |  FROM c${t - 1} p
+       |  LEFT JOIN (SELECT cluster, list(cd ORDER BY d) AS emb FROM u$t GROUP BY cluster) n
+       |  USING (cluster))""".stripMargin
+
+  /** c0 = the k lowest vec_ids' embeddings as doubles, cluster id =
+    * rank within that prefix (the engine's array index). */
+  private def initCte: String =
+    s"""c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $K))""".stripMargin
+
+  val clusterProfileSql: String = {
+    val iters = (1 to Iters).map { t =>
+      if (t < Iters) assignCte(t) + ",\n" + updateCte(t) else assignCte(t)
+    }.mkString(",\n")
+    s"""WITH $initCte,
+       |$iters
+       |SELECT CAST(cluster AS BIGINT) AS cluster, COUNT(*) AS n,
+       |  round(CAST(SUM(CAST(round(nrm, 6) + 0 AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) + 0 AS avg_norm
+       |FROM (SELECT cluster, sqrt(${xx("embedding")}) AS nrm FROM a$Iters)
+       |GROUP BY cluster
+       |ORDER BY cluster""".stripMargin
+  }
+
+  /** Oracle mirror of [[ivfTopK]]: one Lloyd's assignment under c0,
+    * centroid probe ranking by the driver's double cosine (ties by
+    * cluster id — Scala's stable sort), exact cosine rescoring in
+    * the probed cells. */
+  val ivfTopKSql: String =
+    s"""WITH $initCte,
+       |${assignCte(1)},
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = ${VectorQueries.QueryVecId}),
+       |probes AS (
+       |  SELECT c.cluster FROM c0 c, q
+       |  ORDER BY 1.0 - list_sum(list_transform(range(1, len(q.qe) + 1),
+       |        i -> c.emb[i] * CAST(q.qe[i] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(c.emb, v -> v * v)))
+       |         * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))),
+       |    c.cluster
+       |  LIMIT 3),
+       |scored AS (
+       |  SELECT a.vec_id, a.label, CAST(a.cluster AS BIGINT) AS cluster,
+       |    round(1.0 - list_sum(list_transform(range(1, len(a.embedding) + 1),
+       |              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+       |          / (sqrt(${xx("a.embedding")})
+       |             * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) + 0 AS dist
+       |  FROM a1 a JOIN probes p ON p.cluster = a.cluster
+       |  CROSS JOIN q
+       |  WHERE a.vec_id <> ${VectorQueries.QueryVecId})
+       |SELECT vec_id, label, cluster, dist FROM scored
+       |WHERE dist IS NOT NULL AND NOT isnan(dist)
+       |ORDER BY dist, vec_id LIMIT 5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kmeans_clusters" -> (clusterProfile _),
     "ann_ivf_topk" -> ((s, d) => ivfTopK(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    "kmeans_clusters" -> clusterProfileSql,
+    "ann_ivf_topk" -> ivfTopKSql)
 }
