@@ -39,9 +39,14 @@ trait Embedder extends Serializable {
   * Offline, seedable, and pure — replaces the reference's
   * network-bound encoders so the whole pipeline is testable with no
   * egress, while keeping identical dataflow shape (text in, unit
-  * vector out). Hashing is splitmix64 over a stable 64-bit string
-  * hash (JVM-version-independent, unlike String.hashCode semantics
-  * for surrogate edge cases — we fold code points explicitly).
+  * vector out). Hashing is the cross-engine 60-bit md5 primitive
+  * (graft.functions.CrossHash) keyed `"{seed}|{token}"`, which makes
+  * the WHOLE index dataflow DuckDB-recomputable: bucket sums are
+  * exact ±1 integers, the norm is an exact integer in double, and
+  * the final float truncation is IEEE round-to-nearest in both
+  * engines — so `index_pipeline`'s embedding checksums hash-match
+  * the oracle. Token hashes are memoized per executor (corpus
+  * vocabulary ≪ token stream).
   */
 final class HashEmbedder(val dim: Int = 64, seed: Long = 42L) extends Embedder {
   require(dim > 0)
@@ -55,9 +60,9 @@ final class HashEmbedder(val dim: Int = 64, seed: Long = 42L) extends Embedder {
     val toks = HashEmbedder.tokenize(text)
     var i = 0
     while (i < toks.length) {
-      add(v, HashEmbedder.stableHash64(toks(i)) ^ seed)
+      add(v, HashEmbedder.cachedKeyHash(seed, toks(i)))
       if (i + 1 < toks.length)
-        add(v, HashEmbedder.stableHash64(toks(i) + " " + toks(i + 1)) ^ (seed * 0x9E3779B97F4A7C15L))
+        add(v, HashEmbedder.cachedKeyHash(seed, toks(i) + " " + toks(i + 1)))
       i += 1
     }
     var norm = 0.0
@@ -75,10 +80,12 @@ final class HashEmbedder(val dim: Int = 64, seed: Long = 42L) extends Embedder {
     out
   }
 
-  private def add(v: Array[Double], h0: Long): Unit = {
-    val h = HashEmbedder.mix(h0)
-    val bucket = java.lang.Long.remainderUnsigned(h, dim.toLong).toInt
-    val sign = if (((h >>> 32) & 1L) == 0L) 1.0 else -1.0
+  /** h is the 60-bit md5 hash: bucket from the low bits mod dim,
+    * sign from bit 32 — both plain positive arithmetic, mirrored
+    * verbatim in the index_pipeline oracle SQL. */
+  private def add(v: Array[Double], h: Long): Unit = {
+    val bucket = (h % dim.toLong).toInt
+    val sign = if (((h >> 32) & 1L) == 0L) 1.0 else -1.0
     v(bucket) += sign
   }
 }
@@ -89,6 +96,21 @@ object HashEmbedder {
   def tokenize(text: String): Array[String] =
     if (text == null) Array.empty
     else text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+
+  private val keyHashCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Memoized `CrossHash.md5Hash60("{seed}|{token}")`. */
+  def cachedKeyHash(seed: Long, token: String): Long = {
+    val key = seed.toString + "|" + token
+    val c = keyHashCache.get(key)
+    if (c != null) c.longValue()
+    else {
+      val h = graft.functions.CrossHash.md5Hash60(key)
+      if (keyHashCache.size < (1 << 20)) keyHashCache.put(key, h)
+      h
+    }
+  }
 
   /** splitmix64 finalizer — stable, well-mixed 64-bit hash. */
   def mix(x0: Long): Long = {

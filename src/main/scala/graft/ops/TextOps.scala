@@ -261,12 +261,13 @@ object TextOps {
 
   /** The reference's core operation as a benchmark unit: chunk every
     * document and embed every chunk (the full map-only index
-    * dataflow minus the write). Rows-only gate — chunker/embedder
-    * are non-SQL; throughput is the signal (this is the number that
-    * must match-or-beat the reference's single-node indexing rate).
+    * dataflow minus the write). Oracle-checked end-to-end: the
+    * chunker replays as a recursive CTE and the md5-bucket embedder
+    * reproduces exactly in SQL (±1 bucket sums and the norm are
+    * exact integers; the float truncation is IEEE in both engines).
     * Output is a per-doc scalar projection (chunk count, char count,
-    * embedding checksum) because the driver's rows-only check cannot
-    * hash an ARRAY<FLOAT> column; the checksum consumes every vector
+    * embedding checksum) because the driver compare cannot hash an
+    * ARRAY<FLOAT> column; the checksum consumes every vector
     * element, so Catalyst cannot prune the embed UDF out of the
     * benchmarked plan. */
   def indexPipeline(s: SparkSession, dir: String): DataFrame = {
@@ -285,6 +286,72 @@ object TextOps {
           (acc, x) => acc + x))).as("embed_checksum"))
       .orderBy(col("source"))
   }
+
+  /** Oracle mirror of [[indexPipeline]]: chunk boundaries from the
+    * same recursive greedy fold as [[chunkStatsSql]], tokens = the
+    * chunk's nonempty lowercased words, unigram+bigram keys hashed
+    * with the `"{seed}|{token}"` md5 scheme (seed 42 = the default
+    * embedder), signed bucket sums, integer norm, IEEE float
+    * truncation, and the checksum folded in bucket order then chunk
+    * order — every step the engine takes, in the same order. */
+  val indexPipelineSql: String =
+    s"""WITH RECURSIVE w AS (
+       |  SELECT doc_id, 'doc/' || doc_id AS source, string_split(text, ' ') AS ws
+       |  FROM documents),
+       |words AS (
+       |  SELECT doc_id, i, ws[i] AS wrd, length(ws[i]) + 1 AS lsz
+       |  FROM w, UNNEST(range(1, len(ws) + 1)) AS t(i)),
+       |step(doc_id, i, csize, cno) AS (
+       |  SELECT doc_id, 1, lsz, 1 FROM words WHERE i = 1
+       |  UNION ALL
+       |  SELECT s.doc_id, s.i + 1,
+       |    CASE WHEN s.csize + nw.lsz > 200 THEN nw.lsz ELSE s.csize + nw.lsz END,
+       |    CASE WHEN s.csize + nw.lsz > 200 THEN s.cno + 1 ELSE s.cno END
+       |  FROM step s JOIN words nw ON nw.doc_id = s.doc_id AND nw.i = s.i + 1),
+       |cw AS (
+       |  SELECT st.doc_id, st.cno, st.i, st.csize, wo.wrd
+       |  FROM step st JOIN words wo ON wo.doc_id = st.doc_id AND wo.i = st.i),
+       |chunks AS (
+       |  SELECT doc_id, cno, MAX(csize) - 1 AS clen FROM cw GROUP BY doc_id, cno),
+       |toks AS (
+       |  SELECT doc_id, cno,
+       |    row_number() OVER (PARTITION BY doc_id, cno ORDER BY i) AS p,
+       |    lower(wrd) AS tok
+       |  FROM cw WHERE length(wrd) > 0),
+       |keys AS (
+       |  SELECT doc_id, cno, '42|' || tok AS key FROM toks
+       |  UNION ALL
+       |  SELECT a.doc_id, a.cno, '42|' || a.tok || ' ' || b.tok
+       |  FROM toks a JOIN toks b
+       |    ON b.doc_id = a.doc_id AND b.cno = a.cno AND b.p = a.p + 1),
+       |contrib AS (
+       |  SELECT doc_id, cno, h % 64 AS bucket,
+       |    CASE WHEN (h >> 32) & 1 = 0 THEN 1.0 ELSE -1.0 END AS sgn
+       |  FROM (SELECT doc_id, cno, ${graft.functions.CrossHash.sqlHash60("key")} AS h
+       |        FROM keys)),
+       |vdim AS (
+       |  SELECT doc_id, cno, bucket, SUM(sgn) AS v
+       |  FROM contrib GROUP BY doc_id, cno, bucket),
+       |norms AS (SELECT doc_id, cno, SUM(v * v) AS nrm FROM vdim GROUP BY doc_id, cno),
+       |chksum AS (
+       |  SELECT v.doc_id, v.cno,
+       |    list_sum(list(CAST(CAST(v.v * (1.0 / sqrt(n.nrm)) AS FLOAT) AS DOUBLE)
+       |                  ORDER BY v.bucket)) AS cs
+       |  FROM vdim v JOIN norms n ON n.doc_id = v.doc_id AND n.cno = v.cno
+       |  WHERE n.nrm > 0
+       |  GROUP BY v.doc_id, v.cno),
+       |surv AS (SELECT DISTINCT doc_id, cno FROM toks),
+       |per_chunk AS (
+       |  SELECT s.doc_id, s.cno, c.clen, coalesce(k.cs, 0.0) AS cs
+       |  FROM surv s
+       |  JOIN chunks c ON c.doc_id = s.doc_id AND c.cno = s.cno
+       |  LEFT JOIN chksum k ON k.doc_id = s.doc_id AND k.cno = s.cno)
+       |SELECT w2.source, COUNT(*) AS n_chunks, SUM(p.clen) AS n_chars,
+       |  round(list_sum(list(p.cs ORDER BY p.cno)), 6) + 0 AS embed_checksum
+       |FROM per_chunk p
+       |JOIN (SELECT DISTINCT doc_id, source FROM w) w2 ON w2.doc_id = p.doc_id
+       |GROUP BY w2.source
+       |ORDER BY w2.source""".stripMargin
 
   /** TF-IDF top-3 terms per document. Everything stays in-plan: the
     * corpus size N is a broadcast 1-row aggregate (no driver
@@ -367,5 +434,6 @@ object TextOps {
     "doc_quality" -> docQualitySql,
     "doc_fingerprint" -> docFingerprintSql,
     "lang_id" -> langIdSql,
-    "chunk_stats" -> chunkStatsSql)
+    "chunk_stats" -> chunkStatsSql,
+    "index_pipeline" -> indexPipelineSql)
 }
