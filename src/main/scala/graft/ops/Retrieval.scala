@@ -1,0 +1,208 @@
+package graft.ops
+
+import graft.functions.OracleMath
+import graft.functions.VectorFunctions.{cosineDist, r6}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyword retrieval + hybrid fusion — the query-side surface the
+  * reference actually serves (log search): BM25 scoring, reciprocal
+  * -rank fusion of the keyword and vector rankings (the classic
+  * hybrid-search combiner for a vector DB with a keyword side), and
+  * a unigram log-likelihood quality score (the perplexity-proxy
+  * curation signal of LLM data pipelines).
+  *
+  * Scale shapes:
+  *   - BM25: ONE groupBy over the token stream with per-term
+  *     conditional aggregates (a search query is a handful of
+  *     terms → fixed columns, no per-term join), corpus stats as a
+  *     broadcast 1-row aggregate. At 100 TB the token groupBy is
+  *     the only shuffle and it is map-side-combined.
+  *   - RRF: two rankings (each a window over a scored scan) joined
+  *     on doc id — never materializes scores × scores.
+  *   - unigram NLL: doc-term counts ⋈ broadcast vocabulary counts;
+  *     per-term contributions r6-rounded then decimal-summed, so
+  *     the result is partition-order-independent AND
+  *     DuckDB-recomputable (§8.5 bridge rule).
+  */
+object Retrieval {
+  import Tables.t
+
+  /** The flagship ask — same terms as SparkEntry.entry's question. */
+  val QueryTerms: Seq[String] = Seq("spark", "join", "shuffle", "slow", "query", "error")
+  val K1 = 1.2
+  val B = 0.75
+  val TopK = 10
+  val RrfK = 60
+
+  /** Per-doc BM25 scores against [[QueryTerms]]: doc_id, dl, score
+    * (score unrounded — fold order is the fixed term order, mirrored
+    * verbatim in SQL so the doubles match bitwise). */
+  private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val perDoc = toks.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("dl"),
+      QueryTerms.map(term =>
+        sum(when(col("tok") === term, 1L).otherwise(0L)).as(s"tf_$term")): _*)
+    val statCols = count(lit(1)).as("n_docs") +: sum(col("dl")).as("total") +:
+      QueryTerms.map(term =>
+        sum(when(col(s"tf_$term") > 0, 1L).otherwise(0L)).as(s"df_$term"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    val avgdl = col("total").cast("double") / col("n_docs")
+    def termScore(term: String): Column = {
+      val tf = col(s"tf_$term")
+      val idf = log((col("n_docs") - col(s"df_$term") + lit(0.5)) /
+        (col(s"df_$term") + lit(0.5)) + lit(1.0))
+      when(tf > 0,
+        idf * (tf * lit(K1 + 1.0)) /
+          (tf + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / avgdl)))
+        .otherwise(lit(0.0))
+    }
+    val score = QueryTerms.map(termScore).reduceLeft(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"), score.as("score"))
+  }
+
+  /** BM25 top-10 docs for the flagship query. */
+  def bm25Topk(s: SparkSession, dir: String): DataFrame =
+    bm25Scored(s, dir)
+      .select(col("doc_id"), r6(col("score")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(TopK)
+
+  /** SQL spelling of the per-term BM25 contribution — operation
+    * order identical to [[bm25Scored]]'s Column expression. */
+  private def termScoreSql(term: String): String =
+    s"""CASE WHEN tf_$term > 0
+       |  THEN ln((n_docs - df_$term + 0.5) / (df_$term + 0.5) + 1.0)
+       |       * (tf_$term * ${K1 + 1.0})
+       |       / (tf_$term + $K1 * (${1.0 - B} + $B * dl / (CAST(total AS DOUBLE) / n_docs)))
+       |  ELSE 0.0 END""".stripMargin.replace('\n', ' ').replaceAll(" +", " ")
+
+  private def bm25Cte: String = {
+    val tfCols = QueryTerms.map(term =>
+      s"SUM(CASE WHEN tok = '$term' THEN 1 ELSE 0 END) AS tf_$term").mkString(",\n    ")
+    val dfCols = QueryTerms.map(term =>
+      s"SUM(CASE WHEN tf_$term > 0 THEN 1 ELSE 0 END) AS df_$term").mkString(",\n    ")
+    val scoreExpr = QueryTerms.map(termScoreSql).mkString(" + ")
+    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |per_doc AS (
+       |  SELECT doc_id, COUNT(*) AS dl,
+       |    $tfCols
+       |  FROM toks GROUP BY doc_id),
+       |stats AS (
+       |  SELECT COUNT(*) AS n_docs, SUM(dl) AS total,
+       |    $dfCols
+       |  FROM per_doc),
+       |bm25 AS (
+       |  SELECT doc_id, dl, $scoreExpr AS score
+       |  FROM per_doc, stats)""".stripMargin
+  }
+
+  val bm25TopkSql: String =
+    s"""WITH $bm25Cte
+       |SELECT doc_id, round(score, 6) + 0 AS score
+       |FROM bm25
+       |ORDER BY score DESC, doc_id
+       |LIMIT $TopK""".stripMargin
+
+  /** Hybrid retrieval: reciprocal-rank fusion of the BM25 ranking
+    * and the exact-cosine vector ranking (query = vec 0, the same
+    * vector every kNN query uses; vec_id ≡ doc_id in the fixtures).
+    * fused = 1/(k+r_bm25) + 1/(k+r_knn), k = 60 — the standard RRF
+    * combiner: rank-based, so the two systems' incomparable score
+    * scales never mix. */
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val bm = bm25Scored(s, dir)
+      .withColumn("r_kw",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("r_kw"))
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === VectorQueries.QueryVecId)
+      .select(col("embedding").as("qe"))
+    val vec = e.filter(col("vec_id") =!= VectorQueries.QueryVecId)
+      .crossJoin(broadcast(q))
+      .withColumn("dist", r6(cosineDist(col("embedding"), col("qe"))))
+      .filter(!isnan(col("dist")) && col("dist").isNotNull)
+      .withColumn("r_vec",
+        row_number().over(Window.orderBy(col("dist"), col("vec_id"))))
+      .select(col("vec_id").as("doc_id"), col("r_vec"))
+    bm.join(vec, "doc_id")
+      .withColumn("fused",
+        r6(lit(1.0) / (lit(RrfK.toDouble) + col("r_kw")) +
+          lit(1.0) / (lit(RrfK.toDouble) + col("r_vec"))))
+      .select(col("doc_id"), col("r_kw").cast("long").as("r_kw"),
+        col("r_vec").cast("long").as("r_vec"), col("fused"))
+      .orderBy(col("fused").desc, col("doc_id"))
+      .limit(TopK)
+  }
+
+  val hybridRrfSql: String =
+    s"""WITH $bm25Cte,
+       |kw AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r_kw
+       |  FROM bm25),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = ${VectorQueries.QueryVecId}),
+       |scored AS (
+       |  SELECT e.vec_id AS doc_id,
+       |    round(1.0 - list_sum(list_transform(range(1, len(e.embedding)+1),
+       |              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+       |          / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+       |             * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) + 0 AS dist
+       |  FROM embeddings e, q
+       |  WHERE e.vec_id <> ${VectorQueries.QueryVecId}),
+       |vec AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY dist, doc_id) AS r_vec
+       |  FROM scored WHERE dist IS NOT NULL AND NOT isnan(dist))
+       |SELECT kw.doc_id, CAST(r_kw AS BIGINT) AS r_kw, CAST(r_vec AS BIGINT) AS r_vec,
+       |  round(1.0 / ($RrfK.0 + r_kw) + 1.0 / ($RrfK.0 + r_vec), 6) + 0 AS fused
+       |FROM kw JOIN vec ON vec.doc_id = kw.doc_id
+       |ORDER BY fused DESC, kw.doc_id
+       |LIMIT $TopK""".stripMargin
+
+  /** Unigram negative log-likelihood per doc — the perplexity-proxy
+    * quality score: nll = −Σ c(w)·ln(p(w)) / |D| with p(w) from the
+    * corpus itself. Per-term contributions r6-rounded then
+    * decimal-summed (order-independent, cross-engine exact). */
+  def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val dw = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val vocab = dw.groupBy(col("tok")).agg(sum(col("c")).as("cw"))
+    val total = vocab.agg(sum(col("cw")).as("t"))
+    dw.join(broadcast(vocab), "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("term", r6(col("c") * log(col("cw").cast("double") / col("t"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), OracleMath.dsum(col("term")).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        r6(-col("s") / col("n_tokens")).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  val unigramLogprobSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |dw AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+      |vocab AS (SELECT tok, SUM(c) AS cw FROM dw GROUP BY tok),
+      |tot AS (SELECT SUM(cw) AS t FROM vocab),
+      |terms AS (
+      |  SELECT doc_id, c,
+      |    round(c * ln(CAST(cw AS DOUBLE) / t), 6) + 0 AS term
+      |  FROM dw JOIN vocab USING (tok) CROSS JOIN tot)
+      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  round(-CAST(SUM(CAST(term AS DECIMAL(38,6))) AS DOUBLE) / SUM(c), 6) + 0 AS avg_nll
+      |FROM terms GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bm25_topk" -> (bm25Topk _),
+    "hybrid_rrf" -> (hybridRrf _),
+    "unigram_logprob" -> (unigramLogprob _))
+
+  val oracles: Map[String, String] = Map(
+    "bm25_topk" -> bm25TopkSql,
+    "hybrid_rrf" -> hybridRrfSql,
+    "unigram_logprob" -> unigramLogprobSql)
+}

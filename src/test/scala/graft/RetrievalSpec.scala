@@ -1,0 +1,70 @@
+package graft
+
+import graft.ops.Retrieval
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Retrieval family over a planted corpus: BM25 ordering, RRF
+  * fusion, and unigram-NLL behavior the fixture soup can't pin
+  * down (the driver oracle gate covers fixture agreement). */
+class RetrievalSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  // doc 0: dense in query terms; doc 1: one term; doc 2: none;
+  // doc 3: rare words (high NLL); doc 4: common words (low NLL)
+  private val docs = Seq(
+    (0L, "spark join shuffle slow query error spark join"),
+    (1L, "the quick brown fox saw one spark yesterday evening"),
+    (2L, "completely unrelated words about cats dogs birds fish"),
+    (3L, "xylophone quixotic zephyr jabberwocky vex"),
+    (4L, "the the the the spark spark join join"))
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-retrieval").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    // aligned embeddings: doc 0's vector near the query vector (vec 0)
+    val vecs = (0L to 4L).map { i =>
+      val base = Array.tabulate(8)(j => if (j == (i % 3).toInt) 1.0f else 0.1f)
+      (i, base, i.toInt)
+    }
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("bm25: term-dense doc ranks first, no-term doc scores zero") {
+    val got = Retrieval.bm25Topk(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(got.head._1 == 0L, s"expected doc 0 first, got ${got.toSeq}")
+    val scores = got.toMap
+    assert(scores(2L) == 0.0 && scores(3L) == 0.0)
+    assert(scores(0L) > scores(1L))
+  }
+
+  test("rrf: fused ranking rewards presence in both rankings") {
+    val got = Retrieval.hybridRrf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // vec 0 is the query: excluded from the vector ranking, so the
+    // fusion covers docs 1-4; fused must be monotone in the ranks
+    assert(!got.exists(_._1 == 0L))
+    got.foreach { case (_, rk, rv, f) =>
+      val expect = BigDecimal(1.0 / (60.0 + rk) + 1.0 / (60.0 + rv))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(f - expect) < 2e-6)
+    }
+  }
+
+  test("unigram nll: rare-word doc scores higher than common-word doc") {
+    val got = Retrieval.unigramLogprob(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(3L) > got(4L), s"rare words must have higher NLL: $got")
+    assert(got.values.forall(_ > 0.0))
+  }
+}
