@@ -24,9 +24,14 @@ object Profile {
     import org.apache.spark.sql.functions._
     val d = ops.Tables.t(spark, dir, "documents")
     time("documents count")(d.count())
+    time("index_pipeline")(ops.TextOps.indexPipeline(spark, dir).count())
+    time("index_pipeline 2nd")(ops.TextOps.indexPipeline(spark, dir).count())
     time("split only")(
       d.select(split(col("text"), " ").as("w")).select(size(col("w"))).agg(sum("size(w)")).count())
     // jaccard stages
+    time("shingles explode")(ops.Dedup.shingles(d).count())
+    time("postings")(ops.Dedup.shingles(d).groupBy(col("shingle"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2).count())
     time("jaccard full")(ops.Dedup.dedupJaccard(spark, dir).count())
     time("jaccard full 2nd")(ops.Dedup.dedupJaccard(spark, dir).count())
     time("simhash full")(ops.Dedup.simhashDedup(spark, dir).count())

@@ -13,8 +13,18 @@ import org.apache.spark.sql.functions._
   * modular arithmetic. */
 object CrossHash {
 
+  /** MessageDigest.getInstance does a provider lookup per call —
+    * measured 8× the cost of the digest itself on short inputs.
+    * One reusable instance per thread. */
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   def md5Hash60(bytes: Array[Byte]): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(bytes)
     // 15 hex chars = bytes 0-6 fully + high nibble of byte 7
     var v = 0L
     var i = 0

@@ -73,9 +73,45 @@ object Dedup {
   /** Inverted-index form: one row per (doc, distinct shingle) —
     * map-only explode of the distinct array (no shuffle). Shared
     * with Curation.decontaminate (same 3-gram candidate stream). */
-  private[ops] def shingles(d: DataFrame): DataFrame =
+  private[graft] def shingles(d: DataFrame): DataFrame =
     withShingleArray(d)
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+
+  /** Distinct shingles HASHED to the 60-bit cross-engine md5 value,
+    * one pass. Candidate generation never needs the shingle text —
+    * only equality — so the posting shuffle carries 8-byte longs
+    * instead of ~40-byte strings (measured ~2× on the postings
+    * stage). The oracle keys on the strings; at fixture scale the
+    * 60-bit space makes a collision vanishingly unlikely (p ≈ n²/2⁶¹)
+    * and the tri-scale hash-match gate would catch one. */
+  private val hashedShingleUdf = udf { (text: String) =>
+    val w = if (text == null) Array.empty[String] else text.split(" ")
+    if (w.length < ShingleK) Array.empty[Long]
+    else {
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      var i = 0
+      while (i + ShingleK <= w.length) {
+        seen.add(graft.functions.CrossHash.md5Hash60(w(i) + " " + w(i + 1) + " " + w(i + 2)))
+        i += 1
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var j = 0
+      while (it.hasNext) { out(j) = it.next().longValue(); j += 1 }
+      out
+    }
+  }
+
+  /** (doc_id, n_sh, shingle-hash) posting stream in ONE scan+UDF
+    * pass: the per-doc distinct count rides along on every posting
+    * row, so no separate counts subplan (the old two-broadcast-join
+    * form re-ran the scan+UDF three times — once per broadcast and
+    * once for postings). */
+  private def hashedPostings(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), hashedShingleUdf(col("text")).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_sh"),
+        explode(col("hs")).as("shingle"))
 
   /** Posting lists longer than this are dropped before pair
     * generation — "stop-shingle" removal. Bounds the per-shingle
@@ -84,36 +120,35 @@ object Dedup {
   val MaxPosting = 1000
 
   /** Word-shingle Jaccard near-dup pairs via inverted-index posting
-    * lists: group by shingle, emit each posting list's pair
+    * lists: group by shingle hash, emit each posting list's pair
     * combinations map-side, count pair co-occurrences = |A∩B|;
-    * |A∪B| from per-doc shingle-array sizes (map-only, broadcast).
+    * |A∪B| from the n_sh values riding along on the posting rows.
     * Top-50 pairs by similarity.
     *
-    * Two shuffles total (postings groupBy, pairs groupBy) and NO
-    * self-join — the classic sub-quadratic near-dup plan; the
-    * MaxPosting cap bounds fan-out under shingle skew. */
+    * ONE scan+UDF pass and two shuffles total (postings groupBy,
+    * pairs groupBy) — no self-join, no counts-broadcast subplans.
+    * The pair key stays a packed BIGINT (doc_a << 32 | doc_b) with
+    * the two doc sizes as narrow extra columns; the MaxPosting cap
+    * bounds fan-out under shingle skew. */
   def dedupJaccard(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    val counts = withShingleArray(d)
-      .select(col("doc_id"), size(col("shingles")).cast("long").as("n_sh"))
-    val postings = shingles(d)
+    val buckets = hashedPostings(d)
       .groupBy(col("shingle"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("docs"))
       .filter(size(col("docs")).between(2, MaxPosting))
-    // pairs packed into one BIGINT (doc_a << 32 | doc_b): halves the
-    // shuffle width of the 1M+ candidate-pair aggregation
-    val pairs = postings
+    buckets
       .select(explode(expr(
         "flatten(transform(docs, (x, i) -> " +
-          "transform(slice(docs, i + 2, size(docs)), y -> shiftleft(x, 32) + y)))"))
-        .as("pk"))
-      .groupBy(col("pk"))
-      .agg(count(lit(1)).as("common"))
+          "transform(slice(docs, i + 2, size(docs)), " +
+          "y -> struct(shiftleft(x.doc_id, 32) + y.doc_id AS pk, " +
+          "x.n_sh AS na, y.n_sh AS nb))))"))
+        .as("p"))
+      .groupBy(col("p.pk").as("pk"))
+      .agg(count(lit(1)).as("common"),
+        first(col("p.na")).as("na"), first(col("p.nb")).as("nb"))
       .select(shiftright(col("pk"), 32).as("doc_a"),
-        col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_b"), col("common"))
-    pairs
-      .join(broadcast(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na")), "doc_a")
-      .join(broadcast(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb")), "doc_b")
+        col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_b"),
+        col("common"), col("na"), col("nb"))
       .withColumn("jaccard",
         r6(col("common").cast("double") / (col("na") + col("nb") - col("common"))))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
@@ -165,13 +200,15 @@ object Dedup {
   def minhashA(j: Int): Long = md5Hash60("a" + j) % (MinhashP - 1) + 1
   def minhashB(j: Int): Long = md5Hash60("b" + j) % MinhashP
 
-  private val minhashUdf = udf { (shingles0: Seq[String]) =>
-    val shingles = if (shingles0 == null) Seq.empty[String] else shingles0
+  /** Signatures from the HASHED shingle array (shared with
+    * dedupJaccard's candidate stream — the md5 runs once). */
+  private val minhashUdf = udf { (hashed0: Seq[Long]) =>
+    val hashed = if (hashed0 == null) Seq.empty[Long] else hashed0
     val as = Array.tabulate(NumHashes)(minhashA)
     val bs = Array.tabulate(NumHashes)(minhashB)
     val sigs = Array.fill(NumHashes)(Long.MaxValue)
-    shingles.foreach { sh =>
-      val h = md5Hash60(sh) % MinhashP
+    hashed.foreach { h0 =>
+      val h = h0 % MinhashP
       var j = 0
       while (j < NumHashes) {
         val v = (as(j) * h + bs(j)) % MinhashP
@@ -197,8 +234,9 @@ object Dedup {
     * shuffle layer's job, and the raw slice is what DuckDB mirrors. */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    val sig = withShingleArray(d)
-      .select(col("doc_id"), minhashUdf(col("shingles")).as("sig"))
+    val sig = d.select(col("doc_id"), hashedShingleUdf(col("text")).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), minhashUdf(col("hs")).as("sig"))
     val banded = sig.select(
       col("doc_id"), col("sig"),
       explode(expr(
