@@ -108,14 +108,24 @@ object Retrieval {
        |ORDER BY score DESC, doc_id
        |LIMIT $TopK""".stripMargin
 
+  /** Candidate-list depth for RRF: each system contributes its
+    * top-L; ranks within a top-L prefix equal the global ranks, so
+    * the fusion is exact for every surviving doc while the plan
+    * never globally sorts — each list is a TakeOrderedAndProject
+    * (bounded per-partition heaps) and the rank window runs over L
+    * rows. This is the 100 TB shape: RRF over full corpus rankings
+    * would be a single-partition sort of the world. */
+  val FuseDepth = 100
+
   /** Hybrid retrieval: reciprocal-rank fusion of the BM25 ranking
     * and the exact-cosine vector ranking (query = vec 0, the same
     * vector every kNN query uses; vec_id ≡ doc_id in the fixtures).
     * fused = 1/(k+r_bm25) + 1/(k+r_knn), k = 60 — the standard RRF
     * combiner: rank-based, so the two systems' incomparable score
-    * scales never mix. */
+    * scales never mix; docs must appear in both top-L lists. */
   def hybridRrf(s: SparkSession, dir: String): DataFrame = {
     val bm = bm25Scored(s, dir)
+      .orderBy(col("score").desc, col("doc_id")).limit(FuseDepth)
       .withColumn("r_kw",
         row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
       .select(col("doc_id"), col("r_kw"))
@@ -126,6 +136,7 @@ object Retrieval {
       .crossJoin(broadcast(q))
       .withColumn("dist", r6(cosineDist(col("embedding"), col("qe"))))
       .filter(!isnan(col("dist")) && col("dist").isNotNull)
+      .orderBy(col("dist"), col("vec_id")).limit(FuseDepth)
       .withColumn("r_vec",
         row_number().over(Window.orderBy(col("dist"), col("vec_id"))))
       .select(col("vec_id").as("doc_id"), col("r_vec"))
@@ -143,7 +154,8 @@ object Retrieval {
     s"""WITH $bm25Cte,
        |kw AS (
        |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r_kw
-       |  FROM bm25),
+       |  FROM (SELECT doc_id, score FROM bm25
+       |        ORDER BY score DESC, doc_id LIMIT $FuseDepth)),
        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = ${VectorQueries.QueryVecId}),
        |scored AS (
        |  SELECT e.vec_id AS doc_id,
@@ -155,7 +167,9 @@ object Retrieval {
        |  WHERE e.vec_id <> ${VectorQueries.QueryVecId}),
        |vec AS (
        |  SELECT doc_id, row_number() OVER (ORDER BY dist, doc_id) AS r_vec
-       |  FROM scored WHERE dist IS NOT NULL AND NOT isnan(dist))
+       |  FROM (SELECT doc_id, dist FROM scored
+       |        WHERE dist IS NOT NULL AND NOT isnan(dist)
+       |        ORDER BY dist, doc_id LIMIT $FuseDepth))
        |SELECT kw.doc_id, CAST(r_kw AS BIGINT) AS r_kw, CAST(r_vec AS BIGINT) AS r_vec,
        |  round(1.0 / ($RrfK.0 + r_kw) + 1.0 / ($RrfK.0 + r_vec), 6) + 0 AS fused
        |FROM kw JOIN vec ON vec.doc_id = kw.doc_id

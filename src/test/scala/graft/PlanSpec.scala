@@ -84,6 +84,23 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Join"), s"decorrelated join expected: $plan")
   }
 
+  test("bm25: one token shuffle, stats broadcast, no per-term joins") {
+    val plan = graft.ops.Retrieval.bm25Topk(spark, sf)
+      .queryExecution.executedPlan.toString
+    // corpus stats arrive as a broadcast nested-loop of ONE row, not
+    // a shuffle join; the only hash joins would be per-term lookups
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"per-term shuffle join crept in: $plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k must not global-sort: $plan")
+  }
+
+  test("hybrid rrf: both candidate lists are TakeOrderedAndProject, never a global sort") {
+    val plan = graft.ops.Retrieval.hybridRrf(spark, sf)
+      .queryExecution.executedPlan.toString
+    val topk = "TakeOrderedAndProject".r.findAllMatchIn(plan).size
+    assert(topk >= 2, s"expected both top-L lists as TakeOrderedAndProject: $plan")
+  }
+
   test("chunk pipeline is map-only: no exchange before the index write") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(concat(lit("doc/"), col("doc_id")).as("source"),
