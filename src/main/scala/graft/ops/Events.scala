@@ -394,7 +394,92 @@ object Events {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Conversion funnel view → click → purchase: per-user stage
+    * timestamps via three unordered window aggregates over ONE
+    * user_id partitioning (a single shuffle — each stage's min is
+    * conditioned on the previous stage's time, the standard
+    * windowed-funnel formulation), then a 3-row stage rollup.
+    * All arithmetic is integral microseconds — exact in both
+    * engines, no float bridge needed. */
+  def funnelSteps(s: SparkSession, dir: String): DataFrame = {
+    val e = eventsTable(s, dir)
+    val w = Window.partitionBy(col("user_id"))
+    val us = unix_micros(col("ts"))
+    val perUser = e
+      .withColumn("t1", min(when(col("event_type") === "view", us)).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && us > col("t1"), us)).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && us > col("t2"), us)).over(w))
+      .groupBy(col("user_id"))
+      .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"), min(col("t3")).as("t3"))
+    perUser
+      .select(explode(array(
+        struct(lit(1L).as("step"), lit("view").as("stage"),
+          col("t1").isNotNull.cast("long").as("reached"), lit(0L).as("lag_us")),
+        struct(lit(2L).as("step"), lit("click").as("stage"),
+          col("t2").isNotNull.cast("long").as("reached"),
+          when(col("t2").isNotNull, col("t2") - col("t1")).otherwise(0L).as("lag_us")),
+        struct(lit(3L).as("step"), lit("purchase").as("stage"),
+          col("t3").isNotNull.cast("long").as("reached"),
+          when(col("t3").isNotNull, col("t3") - col("t1")).otherwise(0L).as("lag_us"))))
+        .as("x"))
+      .groupBy(col("x.step").as("step"), col("x.stage").as("stage"))
+      .agg(sum(col("x.reached")).as("n_users"), sum(col("x.lag_us")).as("total_lag_us"))
+      .orderBy(col("step"))
+  }
+
+  val funnelStepsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |a AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN us END)
+      |        OVER (PARTITION BY user_id) AS t1 FROM e),
+      |b AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND us > t1 THEN us END)
+      |        OVER (PARTITION BY user_id) AS t2 FROM a),
+      |c AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND us > t2 THEN us END)
+      |        OVER (PARTITION BY user_id) AS t3 FROM b),
+      |pu AS (SELECT user_id, MIN(t1) AS t1, MIN(t2) AS t2, MIN(t3) AS t3
+      |       FROM c GROUP BY user_id)
+      |SELECT 1 AS step, 'view' AS stage, CAST(COUNT(t1) AS BIGINT) AS n_users,
+      |  CAST(0 AS BIGINT) AS total_lag_us FROM pu
+      |UNION ALL
+      |SELECT 2, 'click', CAST(COUNT(t2) AS BIGINT),
+      |  CAST(SUM(CASE WHEN t2 IS NOT NULL THEN t2 - t1 ELSE 0 END) AS BIGINT) FROM pu
+      |UNION ALL
+      |SELECT 3, 'purchase', CAST(COUNT(t3) AS BIGINT),
+      |  CAST(SUM(CASE WHEN t3 IS NOT NULL THEN t3 - t1 ELSE 0 END) AS BIGINT) FROM pu
+      |ORDER BY step""".stripMargin
+
+  /** Cohort retention: cohort = each user's first active day,
+    * retention cell = distinct users active at each day offset. One
+    * window (min day per user) + one distinct aggregation — the
+    * canonical retention matrix at any scale. */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val e = eventsTable(s, dir)
+    val w = Window.partitionBy(col("user_id"))
+    e.select(col("user_id"), to_date(col("ts")).as("d"))
+      .withColumn("cd", min(col("d")).over(w))
+      .groupBy(
+        date_format(col("cd"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("d"), col("cd")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  val cohortRetentionSql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+      |c AS (SELECT user_id, d, MIN(d) OVER (PARTITION BY user_id) AS cd FROM e)
+      |SELECT strftime(cd, '%Y-%m-%d') AS cohort_day,
+      |  CAST(d - cd AS BIGINT) AS day_offset,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM c
+      |GROUP BY cd, d - cd
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "funnel_steps" -> (funnelSteps _),
+    "cohort_retention" -> (cohortRetention _),
     "q29_bool_aggs" -> (boolAggs _),
     "hll_sketch_users" -> (hllSketchUsers _),
     "q27_variant" -> (variantExtract _),
@@ -409,6 +494,8 @@ object Events {
     "q11_sessionize" -> (sessionize _))
 
   val oracles: Map[String, String] = Map(
+    "funnel_steps" -> funnelStepsSql,
+    "cohort_retention" -> cohortRetentionSql,
     "q29_bool_aggs" -> boolAggsSql,
     "q27_variant" -> variantExtractSql,
     "q26_session_window" -> sessionWindowAggSql,

@@ -46,6 +46,43 @@ class EventsSpec extends AnyFunSuite {
     assert(out(1L)._2 === 30000000L, "gap to the latest click (970s) is 30s")
   }
 
+  test("funnel: stage order is enforced — a click BEFORE the first view does not convert") {
+    val d = Files.createTempDirectory("graft-funnel").toString
+    // user 1: view@100 → click@200 → purchase@300 (full funnel)
+    // user 2: click@50 BEFORE view@100 → stuck at view
+    // user 3: view only
+    val ev = Seq(
+      (1L, ns(100), "view", 1L), (2L, ns(200), "click", 1L), (3L, ns(300), "purchase", 1L),
+      (4L, ns(50), "click", 2L), (5L, ns(100), "view", 2L),
+      (6L, ns(100), "view", 3L))
+    ev.toDF("event_id", "ts", "event_type", "user_id")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Events.funnelSteps(spark, d).collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got("view") === ((3L, 0L)))
+    assert(got("click") === ((1L, 100000000L)), "only user 1 clicks after viewing")
+    assert(got("purchase") === ((1L, 200000000L)))
+  }
+
+  test("cohort retention: offsets measured from each user's own first day") {
+    val d = Files.createTempDirectory("graft-cohort").toString
+    val day = 86400L
+    // user 1 starts day 0, returns day 1; user 2 starts day 1 only
+    val ev = Seq(
+      (1L, ns(10), "view", 1L), (2L, ns(day + 10), "view", 1L),
+      (3L, ns(day + 20), "view", 2L))
+    ev.toDF("event_id", "ts", "event_type", "user_id")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Events.cohortRetention(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got(("1970-01-01", 0L)) == 1L)
+    assert(got(("1970-01-01", 1L)) == 1L)
+    assert(got(("1970-01-02", 0L)) == 1L)
+    assert(got.size == 3)
+  }
+
   test("hll sketches: per-type and merged-global estimates track exact distincts") {
     val sf = "/root/testdata/sf0.01"
     val approx = Events.hllSketchUsers(spark, sf).collect()
