@@ -94,7 +94,50 @@ object Graft {
       AskResult(hits, assembleOrEmpty(hits))
     }
 
+    /** Hybrid ask: keyword BM25 + vector cosine, fused by
+      * reciprocal rank (ops.Retrieval's combiner on the LIVE index).
+      * A hit scores 1/(60+r) per system it appears in (top-`depth`
+      * lists; absence contributes 0 — standard RRF). Catches what
+      * pure vector search misses: exact identifiers, error codes,
+      * rare tokens the embedder smears. */
+    def askHybrid(question: String, k: Int = 5, depth: Int = graft.ops.Retrieval.FuseDepth): AskResult = {
+      val hits = retrieveHybrid(vectors, question, k, depth, embedder)
+      AskResult(hits, assembleOrEmpty(hits))
+    }
+
     override def close(): Unit = vectors.unpersist()
+  }
+
+  private def retrieveHybrid(vectors: DataFrame, question: String, k: Int,
+      depth: Int, embedder: Embedder): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val uids = withUid(vectors)
+    val terms = HashEmbedder.tokenize(question).distinct.toSeq
+    val kwTop = graft.ops.Retrieval
+      .bm25Score(uids.select(col("_uid"), col("text")), "_uid", "text", terms)
+      .filter(col("score") > 0) // a zero-score doc holds no keyword rank
+      .orderBy(col("score").desc, col("_uid")).limit(depth)
+      .withColumn("r_kw",
+        row_number().over(Window.orderBy(col("score").desc, col("_uid"))))
+      .select(col("_uid"), col("r_kw"))
+    val vecTop = Knn
+      .topK(uids.select(col("_uid"), col("embedding")),
+        EmbedOps.embedLiteral(question, embedder), depth, idCol = "_uid")
+      .withColumn("r_vec",
+        row_number().over(Window.orderBy(col("dist"), col("_uid"))))
+      .select(col("_uid"), col("r_vec"))
+    val fused = kwTop.join(vecTop, Seq("_uid"), "full_outer")
+      .withColumn("fused",
+        coalesce(lit(1.0) / (lit(60.0) + col("r_kw")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("r_vec")), lit(0.0)))
+      .orderBy(col("fused").desc, col("_uid")).limit(k)
+    uids.select(col("_uid"), col("id"), col("source"), col("chunk_index"), col("text"))
+      .join(broadcast(fused.select(col("_uid"), col("fused"))), Seq("_uid"))
+      // assembleContext orders ascending on `dist`; negated fused
+      // score gives best-first with the same contract
+      .withColumn("dist", -col("fused"))
+      .drop("_uid", "fused")
+      .orderBy(col("dist"), col("id"))
   }
 
   /** Open an index for repeated questions. Fails fast with a clear

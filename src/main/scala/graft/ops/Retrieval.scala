@@ -36,34 +36,48 @@ object Retrieval {
   val TopK = 10
   val RrfK = 60
 
-  /** Per-doc BM25 scores against [[QueryTerms]]: doc_id, dl, score
-    * (score unrounded — fold order is the fixed term order, mirrored
-    * verbatim in SQL so the doubles match bitwise). */
-  private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
-    val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    val perDoc = toks.groupBy(col("doc_id")).agg(
+  /** Generic BM25 scorer: per-row score of `textCol` against
+    * `terms`, keyed by `idCol` (score unrounded — fold order is the
+    * fixed term order, mirrored verbatim in SQL so the doubles match
+    * bitwise). One token-stream groupBy; per-term tf/df live in
+    * fixed conditional-aggregate columns (a search query is a
+    * handful of terms), so there is never a per-term join. Reused by
+    * the fixture queries and Graft.askHybrid. */
+  def bm25Score(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame = {
+    val id = col(idCol)
+    if (terms.isEmpty) // no signal — an empty list, so RRF degrades
+      return docs.select(id, lit(0L).as("dl"), lit(0.0).as("score")).limit(0)
+    // sanitized column suffixes: terms may contain arbitrary chars
+    val named = terms.zipWithIndex
+    val toks = docs.select(id, explode(split(col(textCol), " ")).as("tok"))
+    val perDoc = toks.groupBy(id).agg(
       count(lit(1)).as("dl"),
-      QueryTerms.map(term =>
-        sum(when(col("tok") === term, 1L).otherwise(0L)).as(s"tf_$term")): _*)
+      named.map { case (term, i) =>
+        sum(when(col("tok") === term, 1L).otherwise(0L)).as(s"tf_$i")
+      }: _*)
     val statCols = count(lit(1)).as("n_docs") +: sum(col("dl")).as("total") +:
-      QueryTerms.map(term =>
-        sum(when(col(s"tf_$term") > 0, 1L).otherwise(0L)).as(s"df_$term"))
+      named.map { case (_, i) =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i")
+      }
     val stats = perDoc.agg(statCols.head, statCols.tail: _*)
     val avgdl = col("total").cast("double") / col("n_docs")
-    def termScore(term: String): Column = {
-      val tf = col(s"tf_$term")
-      val idf = log((col("n_docs") - col(s"df_$term") + lit(0.5)) /
-        (col(s"df_$term") + lit(0.5)) + lit(1.0))
+    def termScore(i: Int): Column = {
+      val tf = col(s"tf_$i")
+      val idf = log((col("n_docs") - col(s"df_$i") + lit(0.5)) /
+        (col(s"df_$i") + lit(0.5)) + lit(1.0))
       when(tf > 0,
         idf * (tf * lit(K1 + 1.0)) /
           (tf + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / avgdl)))
         .otherwise(lit(0.0))
     }
-    val score = QueryTerms.map(termScore).reduceLeft(_ + _)
+    val score = named.map { case (_, i) => termScore(i) }.reduceLeft(_ + _)
     perDoc.crossJoin(broadcast(stats))
-      .select(col("doc_id"), col("dl"), score.as("score"))
+      .select(id, col("dl"), score.as("score"))
   }
+
+  private def bm25Scored(s: SparkSession, dir: String): DataFrame =
+    bm25Score(t(s, dir, "documents"), "doc_id", "text", QueryTerms)
 
   /** BM25 top-10 docs for the flagship query. */
   def bm25Topk(s: SparkSession, dir: String): DataFrame =

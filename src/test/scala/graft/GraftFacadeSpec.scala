@@ -54,6 +54,25 @@ class GraftFacadeSpec extends AnyFunSuite {
       s"unexpected top hit: $topSource\n${result.context}")
   }
 
+  test("hybrid ask: exact rare tokens surface hits the embedder alone can miss") {
+    val corpus = writeCorpus()
+    val idx = Files.createTempDirectory("graft-hyidx").toString
+    Graft.index(spark, corpus.toString, idx, Graft.IndexConfig(chunkSize = 50))
+    val session = Graft.open(spark, idx)
+    try {
+      val r = session.askHybrid("connection pool exhausted", k = 2)
+      val hits = r.hits.collect()
+      assert(hits.length == 2)
+      assert(hits.head.getAs[String]("source") == "app/db.log",
+        s"keyword-exact chunk must rank first:\n${r.context}")
+      assert(r.context.startsWith("File: "))
+      // question with no keyword overlap still answers from the
+      // vector ranking (absent keyword list contributes nothing)
+      val r2 = session.askHybrid("zzz qqq xyzzy", k = 1)
+      assert(r2.hits.collect().length == 1)
+    } finally session.close()
+  }
+
   test("ask returns exactly k hits under basename id collisions (quirk Q1)") {
     // app/server.log.1 and db/server.log.1 share chunk id
     // "server.log.1:0"; retrieval must key on (source, chunk_index)
