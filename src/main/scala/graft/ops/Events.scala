@@ -477,7 +477,57 @@ object Events {
       |GROUP BY cd, d - cd
       |ORDER BY cohort_day, day_offset""".stripMargin
 
+  /** Hourly-rate anomaly detection per event type — the monitoring
+    * query a log engine serves: z-score of each hour's event count
+    * against that type's hourly distribution, |z| > 3 flagged.
+    * Variance comes from exact integer sums
+    * (n·Σc² − (Σc)²) / (n·(n−1)) — no float accumulation anywhere
+    * before the final division, so the z-scores are bit-identical
+    * across engines and partitionings. Stats are 5 rows → broadcast
+    * join back onto the hourly counts; at stream scale the same
+    * computation runs windowed (graft.streaming). */
+  def rateAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val e = eventsTable(s, dir)
+    val hourly = e.groupBy(
+        date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nh"), sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("scc"))
+    val num = col("nh") * col("scc") - col("sc") * col("sc")
+    val denom = col("nh") * (col("nh") - 1)
+    val mean = col("sc").cast("double") / col("nh")
+    val z = when(col("nh") > 1 && num > 0,
+      r6((col("c").cast("double") - mean) / sqrt(num.cast("double") / denom)))
+      .otherwise(lit(0.0))
+    hourly.join(broadcast(stats), "event_type")
+      .select(col("hour"), col("event_type"), col("c").as("n"), z.as("z"))
+      .withColumn("is_anomaly", (abs(col("z")) > 3.0).cast("int"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  val rateAnomalySql: String =
+    """WITH h AS (
+      |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+      |    COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT event_type, COUNT(*) AS nh, SUM(c) AS sc, SUM(c * c) AS scc
+      |  FROM h GROUP BY 1),
+      |scored AS (
+      |  SELECT hour, h.event_type, c AS n,
+      |    CASE WHEN nh > 1 AND nh * scc - sc * sc > 0
+      |      THEN round((CAST(c AS DOUBLE) - CAST(sc AS DOUBLE) / nh)
+      |             / sqrt(CAST(nh * scc - sc * sc AS DOUBLE) / (nh * (nh - 1))), 6) + 0
+      |      ELSE 0.0 END AS z
+      |  FROM h JOIN s USING (event_type))
+      |SELECT hour, event_type, n, z,
+      |  CASE WHEN abs(z) > 3.0 THEN 1 ELSE 0 END AS is_anomaly
+      |FROM scored
+      |ORDER BY hour, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rate_anomaly" -> (rateAnomaly _),
     "funnel_steps" -> (funnelSteps _),
     "cohort_retention" -> (cohortRetention _),
     "q29_bool_aggs" -> (boolAggs _),
@@ -494,6 +544,7 @@ object Events {
     "q11_sessionize" -> (sessionize _))
 
   val oracles: Map[String, String] = Map(
+    "rate_anomaly" -> rateAnomalySql,
     "funnel_steps" -> funnelStepsSql,
     "cohort_retention" -> cohortRetentionSql,
     "q29_bool_aggs" -> boolAggsSql,

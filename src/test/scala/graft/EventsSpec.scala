@@ -83,6 +83,25 @@ class EventsSpec extends AnyFunSuite {
     assert(got.size == 3)
   }
 
+  test("rate anomaly: a planted spike hour is flagged, steady hours are not") {
+    val d = Files.createTempDirectory("graft-anomaly").toString
+    val hour = 3600L
+    // 11 hours of 2 events each + one hour with 40 → clear outlier
+    val steady = (0 until 11).flatMap { h =>
+      Seq.tabulate(2)(i => (h * 100L + i, ns(h * hour + i), "error", 1L))
+    }
+    val spike = Seq.tabulate(40)(i => (9000L + i, ns(11 * hour + i), "error", 1L))
+    (steady ++ spike).toDF("event_id", "ts", "event_type", "user_id")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Events.rateAnomaly(spark, d).collect()
+      .map(r => r.getLong(2) -> ((r.getDouble(3), r.getInt(4))))
+    val (spikeRows, steadyRows) = got.partition(_._1 == 40L)
+    assert(spikeRows.length == 1 && spikeRows.head._2._2 == 1,
+      s"spike hour must flag: ${got.toSeq}")
+    assert(steadyRows.forall(_._2._2 == 0), s"steady hours must not flag: ${got.toSeq}")
+  }
+
   test("hll sketches: per-type and merged-global estimates track exact distincts") {
     val sf = "/root/testdata/sf0.01"
     val approx = Events.hllSketchUsers(spark, sf).collect()
