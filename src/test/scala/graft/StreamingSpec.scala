@@ -217,6 +217,54 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming funnel: stage advances emit once, order enforced across batches") {
+    import graft.streaming.FunnelStream
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val root = Files.createTempDirectory("graft-funnel-stream")
+      val src = root.resolve("ev").toString
+      val ckpt = root.resolve("ckpt").toString
+      val out = root.resolve("out").toString
+      def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+      def run(): Unit = {
+        val ev = spark.readStream
+          .schema("user_id BIGINT, ts TIMESTAMP, event_type STRING").parquet(src)
+          .as[FunnelStream.StageEvent]
+        val q = FunnelStream.funnel(ev).toDF("user_id", "stage", "lag_us")
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.write.mode("append").parquet(out)
+          }
+          .option("checkpointLocation", ckpt)
+          .outputMode("update").start()
+        q.processAllAvailable(); q.stop()
+      }
+      // batch 1: user 1 views+clicks; user 2 clicks (no view — stuck)
+      Seq((1L, ts(0), "view"), (1L, ts(1), "click"), (2L, ts(0), "click"))
+        .toDF("user_id", "ts", "event_type").write.mode("overwrite").parquet(src)
+      run()
+      // batch 2: user 1 purchases (state restored); user 2 views —
+      // NOW at stage 1, but the old click must not count
+      Seq((1L, ts(2), "purchase"), (2L, ts(1), "view"))
+        .toDF("user_id", "ts", "event_type").write.mode("append").parquet(src)
+      run()
+      val rows = spark.read.parquet(out).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(rows === Set(
+        (1L, 2, 60000000L),   // batch 1: view→click, 60 s lag
+        (1L, 3, 120000000L),  // batch 2: full funnel, 120 s lag
+        (2L, 1, 0L)),         // batch 2: view only — pre-view click ignored
+        s"got $rows")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stateful sessionization: flatMapGroupsWithState closes gapped sessions") {
     import graft.streaming.SessionStream
     import graft.streaming.SessionStream.UserEvent
