@@ -39,6 +39,13 @@ object Profile {
     time("minhash full")(ops.Dedup.minhashLsh(spark, dir).count())
     time("kmeans full")(ops.KMeansVec.clusterProfile(spark, dir).count())
     time("components full")(ops.Dedup.dedupComponents(spark, dir).count())
+    Seq("funnel_steps" -> ops.Events.funnelSteps _,
+        "rate_anomaly" -> ops.Events.rateAnomaly _,
+        "bm25_topk" -> ops.Retrieval.bm25Topk _).foreach { case (n, f) =>
+      val p = f(spark, dir).queryExecution.executedPlan.toString
+      val ex = "Exchange".r.findAllMatchIn(p).size
+      println(s"PLAN $n exchanges=$ex windows=${"Window".r.findAllMatchIn(p).size} reused=${"ReusedExchange".r.findAllMatchIn(p).size} scans=${"Scan parquet".r.findAllMatchIn(p).size}")
+    }
     spark.stop()
   }
 }

@@ -431,6 +431,86 @@ object Dedup {
        |WHERE bit_count(xor(fa, fb)) <= 3
        |ORDER BY hamming, doc_a, doc_b""".stripMargin
 
+  // ---- Duplicated-span detection (exact substring dedup) ----
+
+  val SpanWords = 20
+  val SpanStride = 10
+
+  /** 60-bit md5 hashes of [[SpanWords]]-word windows at
+    * [[SpanStride]]-word stride — the candidate stream for exact
+    * substring dedup (boilerplate/license spans duplicated across
+    * docs, the classic "dedup training data" signal). Ordinal i ↔
+    * word offset i·stride. */
+  private val spanHashUdf = udf { (text: String) =>
+    val w = if (text == null) Array.empty[String] else text.split(" ")
+    if (w.length < SpanWords) Array.empty[Long]
+    else {
+      val n = (w.length - SpanWords) / SpanStride + 1
+      Array.tabulate(n) { i =>
+        val sb = new StringBuilder
+        var j = i * SpanStride
+        val end = j + SpanWords
+        while (j < end) {
+          if (j > i * SpanStride) sb.append(' ')
+          sb.append(w(j))
+          j += 1
+        }
+        graft.functions.CrossHash.md5Hash60(sb.toString)
+      }
+    }
+  }
+
+  /** Cross-doc duplicated spans: doc pairs sharing ≥1 exact
+    * [[SpanWords]]-word window, with the shared-window count and the
+    * earliest offset on each side. Same inverted-index shape as
+    * [[dedupJaccard]] — one scan+UDF pass, bucket by window hash,
+    * pairs expand map-side, never a self-join of the corpus. */
+  def spanDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val wins = d
+      .select(col("doc_id"), posexplode(spanHashUdf(col("text"))).as(Seq("ord", "h")))
+      .select(col("doc_id"), (col("ord") * SpanStride).cast("long").as("pos"), col("h"))
+    val buckets = wins.groupBy(col("h"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("pos")))).as("docs"))
+      .filter(size(col("docs")).between(2, MaxPosting))
+    buckets
+      .select(explode(expr(
+        "flatten(transform(docs, (x, i) -> " +
+          "transform(slice(docs, i + 2, size(docs)), " +
+          "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, " +
+          "x.pos AS pos_a, y.pos AS pos_b))))"))
+        .as("p"))
+      .filter(col("p.doc_a") =!= col("p.doc_b"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        min(col("p.pos_a")).as("first_pos_a"), min(col("p.pos_b")).as("first_pos_b"))
+      .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
+      .limit(50)
+  }
+
+  /** Oracle mirror of [[spanDedup]] — window text rebuilt with list
+    * slicing, hashed with the shared md5 primitive. */
+  val spanDedupSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $SpanWords),
+       |win AS (
+       |  SELECT doc_id, i * $SpanStride AS pos,
+       |    ${graft.functions.CrossHash.sqlHash60(
+            s"array_to_string(w[i * $SpanStride + 1 : i * $SpanStride + $SpanWords], ' ')")} AS h
+       |  FROM tok, UNNEST(range(0, (len(w) - $SpanWords) // $SpanStride + 1)) AS t(i)),
+       |good AS (SELECT h FROM win GROUP BY h
+       |         HAVING COUNT(*) BETWEEN 2 AND $MaxPosting)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  COUNT(*) AS n_shared,
+       |  MIN(a.pos) AS first_pos_a, MIN(b.pos) AS first_pos_b
+       |FROM win a
+       |JOIN win b ON a.h = b.h AND a.doc_id < b.doc_id
+       |JOIN good g ON g.h = a.h
+       |GROUP BY a.doc_id, b.doc_id
+       |ORDER BY n_shared DESC, doc_a, doc_b
+       |LIMIT 50""".stripMargin
+
   /** Near-dup CLUSTERING — the step after pair generation that an
     * actual dedup pipeline needs: the Jaccard pair list is an
     * undirected graph, connected components collapse transitive
@@ -576,12 +656,14 @@ object Dedup {
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_components" -> (dedupComponents _),
     "minhash_lsh" -> (minhashLsh _),
-    "simhash_dedup" -> (simhashDedup _))
+    "simhash_dedup" -> (simhashDedup _),
+    "span_dedup" -> (spanDedup _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_components" -> dedupComponentsSql,
     "minhash_lsh" -> minhashLshSql,
-    "simhash_dedup" -> simhashDedupSql)
+    "simhash_dedup" -> simhashDedupSql,
+    "span_dedup" -> spanDedupSql)
 }

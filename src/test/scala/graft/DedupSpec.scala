@@ -87,6 +87,28 @@ class DedupSpec extends AnyFunSuite {
       (10L, 10L, 1), (11L, 10L, 0), (12L, 10L, 0), (20L, 20L, 1), (21L, 20L, 0)))
   }
 
+  test("span dedup: planted duplicated paragraph found at its offsets") {
+    val d = Files.createTempDirectory("graft-span").toString
+    val boiler = (1 to 25).map(i => s"w$i").mkString(" ") // 25 shared words
+    val docs = Seq(
+      (0L, boiler + " unique tail zero extra padding words here now"),
+      (1L, "lead one two three four five six seven eight nine " + boiler),
+      (2L, "completely different content with no shared window at all " +
+        (1 to 15).map(i => s"x$i").mkString(" ")))
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Dedup.spanDedup(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // doc 0's window@0 (w1..w20) == doc 1's window@10 (after its
+    // 10-word lead); no pair involves doc 2
+    assert(got.contains((0L, 1L)), s"planted span pair missing: $got")
+    val (n, pa, pb) = got((0L, 1L))
+    assert(n >= 1L && pa == 0L && pb == 10L, s"got ($n, $pa, $pb)")
+    assert(!got.keySet.exists { case (a, b) => a == 2L || b == 2L })
+  }
+
   test("rolling hash: deterministic, shift-sensitive") {
     assert(TextOps.rollingHash64("abc") == TextOps.rollingHash64("abc"))
     assert(TextOps.rollingHash64("abc") != TextOps.rollingHash64("acb"))
