@@ -526,7 +526,74 @@ object Events {
       |FROM scored
       |ORDER BY hour, event_type""".stripMargin
 
+  /** Partition-skew diagnostic — what you run BEFORE tuning a
+    * 100 TB shuffle: per-key weight of the heaviest join/agg keys,
+    * their share of total rows, and the skew ratio vs the mean key.
+    * Share/ratio arithmetic is exact-integer-division-ordered so the
+    * oracle matches bitwise. */
+  def skewReport(s: SparkSession, dir: String): DataFrame = {
+    val e = eventsTable(s, dir)
+    val counts = e.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+    val stats = counts.agg(
+      count(lit(1)).as("n_keys"), sum(col("c")).as("total"))
+    counts.crossJoin(broadcast(stats))
+      .withColumn("share", r6(col("c").cast("double") / col("total")))
+      .withColumn("skew_ratio",
+        r6(col("c").cast("double") / (col("total").cast("double") / col("n_keys"))))
+      .select(col("user_id"), col("c").as("n_rows"), col("share"), col("skew_ratio"))
+      .orderBy(col("n_rows").desc, col("user_id"))
+      .limit(20)
+  }
+
+  val skewReportSql: String =
+    """WITH c AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
+      |s AS (SELECT COUNT(*) AS n_keys, SUM(c) AS total FROM c)
+      |SELECT user_id, c AS n_rows,
+      |  round(CAST(c AS DOUBLE) / total, 6) + 0 AS share,
+      |  round(CAST(c AS DOUBLE) / (CAST(total AS DOUBLE) / n_keys), 6) + 0 AS skew_ratio
+      |FROM c, s
+      |ORDER BY n_rows DESC, user_id
+      |LIMIT 20""".stripMargin
+
+  /** Dense hourly series per event type — gap filling: the hour
+    * spine is generated from the observed min/max (a broadcast 1-row
+    * aggregate), cross-joined with the type dimension, and
+    * left-joined onto the sparse counts so silent hours appear as
+    * explicit zeros (a monitoring dashboard's contract; also what
+    * makes window/lag analytics over the series correct). */
+  def hourlyDense(s: SparkSession, dir: String): DataFrame = {
+    val e = eventsTable(s, dir)
+    val hourly = e.groupBy(
+        date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val span = hourly.agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+    val spine = span.select(explode(
+      expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+    val types = hourly.select(col("event_type")).distinct()
+    spine.crossJoin(types)
+      .join(hourly, Seq("hour", "event_type"), "left")
+      .select(col("hour"), col("event_type"),
+        coalesce(col("c"), lit(0L)).as("n"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  val hourlyDenseSql: String =
+    """WITH h AS (
+      |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+      |    COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |spine AS (
+      |  SELECT unnest(generate_series(MIN(hour), MAX(hour), INTERVAL 1 HOUR)) AS hour
+      |  FROM h),
+      |types AS (SELECT DISTINCT event_type FROM h)
+      |SELECT s.hour, t.event_type, CAST(coalesce(h.c, 0) AS BIGINT) AS n
+      |FROM spine s CROSS JOIN types t
+      |LEFT JOIN h ON h.hour = s.hour AND h.event_type = t.event_type
+      |ORDER BY s.hour, t.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "skew_report" -> (skewReport _),
+    "hourly_dense" -> (hourlyDense _),
     "rate_anomaly" -> (rateAnomaly _),
     "funnel_steps" -> (funnelSteps _),
     "cohort_retention" -> (cohortRetention _),
@@ -544,6 +611,8 @@ object Events {
     "q11_sessionize" -> (sessionize _))
 
   val oracles: Map[String, String] = Map(
+    "skew_report" -> skewReportSql,
+    "hourly_dense" -> hourlyDenseSql,
     "rate_anomaly" -> rateAnomalySql,
     "funnel_steps" -> funnelStepsSql,
     "cohort_retention" -> cohortRetentionSql,
