@@ -106,6 +106,23 @@ object Sources {
       .withColumn("source", input_file_name())
   }
 
+  /** XML log ingest (Spark 4 built-in `xml` source): one row per
+    * `rowTag` element, explicit schema, same listing-time pruning as
+    * [[readJsonLines]]. Covers the export format appliance/audit
+    * logs still arrive in. */
+  def readXmlLogs(
+      spark: SparkSession,
+      dir: String,
+      rowTag: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val paths = listUnpruned(spark, dir)
+    spark.read.schema(schema)
+      .option("rowTag", rowTag)
+      .format("xml")
+      .load(paths: _*)
+      .withColumn("source", input_file_name())
+  }
+
   /** Recursive file listing with directory pruning applied during
     * the walk (pruned subtrees are never descended into). */
   private def listUnpruned(spark: SparkSession, dir: String): Seq[String] = {

@@ -113,4 +113,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(c.count() == 2)
     assert(c.agg(sum(col("code"))).head.getLong(0) == 700L)
   }
+
+  test("xml log source: rowTag elements with schema, pruning applies") {
+    val root = Files.createTempDirectory("graft-xml")
+    Files.createDirectories(root.resolve(".git"))
+    Files.write(root.resolve("audit.xml"),
+      ("<log><event><user>alice</user><code>200</code></event>" +
+        "<event><user>bob</user><code>500</code></event></log>")
+        .getBytes(StandardCharsets.UTF_8))
+    Files.write(root.resolve(".git/skip.xml"),
+      "<log><event><user>x</user><code>1</code></event></log>"
+        .getBytes(StandardCharsets.UTF_8))
+    val xschema = StructType(Seq(
+      StructField("user", StringType), StructField("code", IntegerType)))
+    val x = Sources.readXmlLogs(spark, root.toString, "event", xschema)
+    assert(x.count() == 2, "pruned dir must not contribute rows")
+    assert(x.filter(col("code") === 500).select("user").head.getString(0) == "bob")
+  }
 }
