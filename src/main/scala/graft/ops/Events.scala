@@ -486,22 +486,37 @@ object Events {
     * across engines and partitionings. Stats are 5 rows → broadcast
     * join back onto the hourly counts; at stream scale the same
     * computation runs windowed (graft.streaming). */
-  def rateAnomaly(s: SparkSession, dir: String): DataFrame = {
-    val e = eventsTable(s, dir)
-    val hourly = e.groupBy(
-        date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+  /** Per-type hourly counts — the shared input of batch scoring and
+    * the stats "training" pass. */
+  private def hourlyCounts(e: DataFrame): DataFrame =
+    e.groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("c"))
-    val stats = hourly.groupBy(col("event_type"))
+
+  /** Trained per-type stats (exact integer sums) for z-scoring —
+    * also consumed by the streaming scorer
+    * (graft.streaming.StreamingIndex.anomalyScoreStream). */
+  def hourlyStats(s: SparkSession, dir: String): DataFrame =
+    hourlyCounts(eventsTable(s, dir)).groupBy(col("event_type"))
       .agg(count(lit(1)).as("nh"), sum(col("c")).as("sc"),
         sum(col("c") * col("c")).as("scc"))
+
+  /** z of a count column against (nh, sc, scc) stats columns — ONE
+    * definition shared by the batch query and the streaming scorer,
+    * so their semantics cannot drift. */
+  def zScore(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val num = col("nh") * col("scc") - col("sc") * col("sc")
     val denom = col("nh") * (col("nh") - 1)
     val mean = col("sc").cast("double") / col("nh")
-    val z = when(col("nh") > 1 && num > 0,
-      r6((col("c").cast("double") - mean) / sqrt(num.cast("double") / denom)))
+    when(col("nh") > 1 && num > 0,
+      r6((c.cast("double") - mean) / sqrt(num.cast("double") / denom)))
       .otherwise(lit(0.0))
-    hourly.join(broadcast(stats), "event_type")
-      .select(col("hour"), col("event_type"), col("c").as("n"), z.as("z"))
+  }
+
+  def rateAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val hourly = hourlyCounts(eventsTable(s, dir))
+    hourly.join(broadcast(hourlyStats(s, dir)), "event_type")
+      .select(col("hour"), col("event_type"), col("c").as("n"),
+        zScore(col("c")).as("z"))
       .withColumn("is_anomaly", (abs(col("z")) > 3.0).cast("int"))
       .orderBy(col("hour"), col("event_type"))
   }

@@ -98,6 +98,25 @@ object StreamingIndex {
       .trigger(Trigger.AvailableNow())
   }
 
+  /** Streaming anomaly scorer — train-on-history, score-the-stream:
+    * watermarked hourly tumbling counts per event type, stream-static
+    * joined to a batch-trained stats table (`Events.hourlyStats`),
+    * z-scored with the SAME shared formula as the batch query
+    * (`Events.zScore` — one definition, semantics cannot drift).
+    * Append mode emits each hour once, when the watermark closes it;
+    * the static stats side is re-broadcast per micro-batch, so a
+    * nightly-retrained stats table takes effect without restarting
+    * the stream. */
+  def anomalyScoreStream(events: DataFrame, stats: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(stats), "event_type")
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("c").as("n"), graft.ops.Events.zScore(col("c")).as("z"))
+      .withColumn("is_anomaly", (abs(col("z")) > 3.0).cast("int"))
+
   /** Watermarked sliding-window event-rate monitor: late data beyond
     * 10 minutes is dropped, state is bounded by the watermark. */
   def eventRateStream(events: DataFrame): DataFrame =

@@ -71,6 +71,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows("error") == 5L)
   }
 
+  test("anomaly score stream: batch-trained stats flag a streamed spike hour") {
+    import graft.ops.Events
+    val root = Files.createTempDirectory("graft-anom-stream")
+    // history (nanosecond-long events table): 10 hours of 2 + one of 3
+    val hist = root.resolve("hist").toString
+    val hour = 3600L
+    val histRows = (0 until 10).flatMap(h =>
+      Seq.tabulate(2)(i => (h * 100L + i, (h * hour + i) * 1000000000L))) ++
+      Seq.tabulate(3)(i => (1000L + i, (10 * hour + i) * 1000000000L))
+    histRows.map { case (id, ns) => (id, ns, 1L, "error", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$hist/events.parquet")
+    val stats = Events.hourlyStats(spark, hist)
+
+    // stream: a normal hour (2 events), a spike hour (40), and a
+    // sentinel 6 h later that advances the watermark past both
+    val src = root.resolve("ev").toString
+    def ts(sec: Long): Timestamp = new Timestamp(sec * 1000L)
+    val streamRows =
+      Seq.tabulate(2)(i => (ts(100 * hour + i), "error")) ++
+        Seq.tabulate(40)(i => (ts(101 * hour + i), "error")) ++
+        Seq((ts(107 * hour), "error"))
+    streamRows.toDF("ts", "event_type").write.mode("overwrite").parquet(src)
+
+    val stream = spark.readStream
+      .schema("ts TIMESTAMP, event_type STRING").parquet(src)
+    val q = graft.streaming.StreamingIndex.anomalyScoreStream(stream, stats)
+      .writeStream.format("memory").queryName("anom").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT hour, n, is_anomaly FROM anom").collect()
+      .map(r => r.getLong(1) -> r.getInt(2)).toMap
+    assert(got.contains(2L) && got.contains(40L), s"both closed hours emit: $got")
+    assert(got(2L) == 0, "normal hour must not flag")
+    assert(got(40L) == 1, "spike hour must flag")
+    assert(!got.contains(1L), "sentinel hour is still open (watermark)")
+  }
+
   test("upsert index stream: a re-arrived version replaces only its source partition") {
     val root = Files.createTempDirectory("graft-upsert")
     val in = root.resolve("in"); Files.createDirectories(in)
