@@ -586,7 +586,7 @@ object Dedup {
     // frame is NULL, so coalesce — an empty pair list must converge
     // immediately, not NPE.
     def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
+      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0

@@ -41,7 +41,8 @@ object KMeansVec {
     }
     // array_min over (d2, cluster) structs: nearest centroid, lowest
     // cluster id on exact ties
-    array_min(array(scored: _*)).getField("cluster")
+    array_min(array(scala.collection.immutable.ArraySeq.unsafeWrapArray(scored): _*))
+      .getField("cluster")
   }
 
   /** Run Lloyd's iterations; returns the centroids that produced the
