@@ -287,6 +287,72 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  // ---- Content-defined chunking (CDC) ----
+
+  val CdcWindow = 4
+  val CdcMask = 64L
+
+  /** Content-defined chunk boundaries: cut before word p whenever
+    * the hash of the [[CdcWindow]]-word window ending at p−1 lands
+    * in the boundary class (`h % CdcMask == 0`, expected chunk ≈ 64
+    * words). Boundaries depend only on LOCAL content, so an edit
+    * shifts at most the chunks it touches — the shift-resistance
+    * that makes downstream chunk-level dedup survive insertions
+    * (fixed-size chunking re-cuts everything after an edit). No
+    * min/max clamp: boundary density is governed by the modulus,
+    * and clamping would make the cut decision sequential (a scan
+    * dependency where this form is embarrassingly parallel). */
+  private val cdcUdf = udf { (text: String) =>
+    val w = if (text == null) Array.empty[String] else text.split(" ")
+    val n = w.length
+    val cuts = scala.collection.mutable.ArrayBuffer[Int]()
+    var p = CdcWindow
+    while (p < n) {
+      val win = w.slice(p - CdcWindow, p).mkString(" ")
+      if (graft.functions.CrossHash.md5Hash60(win) % CdcMask == 0L) cuts += p
+      p += 1
+    }
+    val bounds = (0 +: cuts :+ n).toArray
+    val gaps = bounds.sliding(2).map(b => b(1) - b(0)).filter(_ > 0)
+    val maxChunk = if (n == 0) 0 else gaps.max
+    (n.toLong, cuts.length.toLong, maxChunk.toLong)
+  }
+
+  /** Per-doc CDC profile: word count, cut count, largest chunk. */
+  def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select(col("doc_id"), cdcUdf(col("text")).as("c"))
+      .select(col("doc_id"), col("c._1").as("n_words"),
+        col("c._2").as("n_cuts"), col("c._3").as("max_chunk_words"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle mirror of [[cdcChunks]]: cut positions from the same
+    * md5 window hash, chunk extents via lead() over the cut list
+    * (sentinel start 0 / end n). */
+  val cdcChunksSql: String =
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |cuts AS (
+       |  SELECT doc_id, p FROM tok,
+       |    UNNEST(range($CdcWindow, len(w))) AS t(p)
+       |  WHERE (${graft.functions.CrossHash.sqlHash60(
+            s"array_to_string(w[p - ${CdcWindow - 1} : p], ' ')")}) % $CdcMask = 0),
+       |bounds AS (
+       |  SELECT doc_id, p FROM cuts
+       |  UNION ALL SELECT doc_id, 0 FROM tok
+       |  UNION ALL SELECT doc_id, len(w) FROM tok),
+       |gaps AS (
+       |  SELECT doc_id,
+       |    lead(p) OVER (PARTITION BY doc_id ORDER BY p) - p AS gap
+       |  FROM bounds)
+       |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_words,
+       |  CAST((SELECT COUNT(*) FROM cuts c WHERE c.doc_id = t.doc_id) AS BIGINT) AS n_cuts,
+       |  CAST(coalesce((SELECT MAX(gap) FROM gaps g
+       |                 WHERE g.doc_id = t.doc_id AND g.gap > 0), 0) AS BIGINT)
+       |    AS max_chunk_words
+       |FROM tok t
+       |ORDER BY t.doc_id""".stripMargin
+
   /** Oracle mirror of [[indexPipeline]]: chunk boundaries from the
     * same recursive greedy fold as [[chunkStatsSql]], tokens = the
     * chunk's nonempty lowercased words, unigram+bigram keys hashed
@@ -423,7 +489,8 @@ object TextOps {
     "doc_quality" -> (docQuality _),
     "doc_fingerprint" -> (docFingerprint _),
     "lang_id" -> (langId _),
-    "chunk_stats" -> (chunkStats _))
+    "chunk_stats" -> (chunkStats _),
+    "cdc_chunks" -> (cdcChunks _))
 
   val oracles: Map[String, String] = Map(
     "tfidf_top_terms" -> tfidfTopTermsSql,
@@ -435,5 +502,6 @@ object TextOps {
     "doc_fingerprint" -> docFingerprintSql,
     "lang_id" -> langIdSql,
     "chunk_stats" -> chunkStatsSql,
-    "index_pipeline" -> indexPipelineSql)
+    "index_pipeline" -> indexPipelineSql,
+    "cdc_chunks" -> cdcChunksSql)
 }

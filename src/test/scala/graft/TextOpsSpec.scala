@@ -7,6 +7,25 @@ class TextOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
   private val sf = "/root/testdata/sf0.01"
 
+  test("cdc chunking is shift-resistant: a front insertion moves boundaries, not remakes them") {
+    import graft.functions.CrossHash
+    val rnd = new scala.util.Random(11)
+    val words = Array.fill(400)("w" + rnd.nextInt(5000))
+    def cuts(w: Array[String]): Seq[Int] =
+      (4 until w.length).filter { p =>
+        CrossHash.md5Hash60(w.slice(p - 4, p).mkString(" ")) % 64L == 0L
+      }
+    val base = cuts(words)
+    val shifted = cuts("inserted" +: words)
+    assert(base.nonEmpty, "fixture must produce some boundaries")
+    // every original boundary beyond the edited window survives,
+    // shifted by exactly one — fixed-size chunking would lose all
+    val expected = base.map(_ + 1).toSet
+    val surviving = shifted.toSet.intersect(expected)
+    assert(surviving.size >= base.size - 1,
+      s"boundaries must shift, not vanish: base=$base shifted=$shifted")
+  }
+
   test("approx percentiles track the exact ones within sketch tolerance") {
     val exact = TextOps.textPercentiles(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
