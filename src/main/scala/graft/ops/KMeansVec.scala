@@ -138,6 +138,69 @@ object KMeansVec {
       .limit(k)
   }
 
+  /** Materialized IVF index: vectors written PARTITIONED BY CELL,
+    * centroids persisted beside them — the physical form behind the
+    * "probing IS partition pruning" claim. At 100 TB the fit runs at
+    * index-build time and every probe query after that reads only
+    * nProbe/k of the files (Hive-style partition dirs → the scan's
+    * PartitionFilters, asserted in KMeansSpec). */
+  def writeIvfIndex(
+      s: SparkSession,
+      dir: String,
+      outDir: String,
+      k: Int = K,
+      iters: Int = 1): Array[Array[Double]] = {
+    val (centroids, assigned) = fit(s, dir, k, iters)
+    assigned
+      .select(col("vec_id"), col("embedding"), col("label"),
+        col("cluster").cast("int").as("cluster"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cluster").parquet(s"$outDir/vectors")
+    import s.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster", "centroid")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .json(s"$outDir/centroids")
+    centroids
+  }
+
+  /** Probe search over a materialized IVF index: rank the persisted
+    * centroids against the query on the driver (k rows), then scan
+    * ONLY the probed cell partitions — `cluster IN (...)` resolves
+    * at listing time, so unprobed cells cost zero I/O. Scoring is
+    * the same fused cosine + TakeOrderedAndProject as exact kNN. */
+  def ivfSearchIndexed(
+      s: SparkSession,
+      indexDir: String,
+      q: Array[Float],
+      k: Int = 5,
+      nProbe: Int = 3): DataFrame = {
+    import graft.functions.VectorFunctions.{cosineDist, r6}
+    val centroids = s.read.json(s"$indexDir/centroids")
+      .collect()
+      .map(r => (r.getAs[Long]("cluster").toInt,
+        r.getAs[scala.collection.Seq[Double]]("centroid").toArray))
+    def cosDist(c: Array[Double]): Double = {
+      var dotp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < c.length) {
+        dotp += c(i) * q(i); na += c(i) * c(i); nb += q(i).toDouble * q(i); i += 1
+      }
+      1.0 - dotp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probes = centroids.map { case (i, c) => (cosDist(c), i) }
+      .sortBy(_._1).take(nProbe).map(_._2)
+    s.read.parquet(s"$indexDir/vectors")
+      .filter(col("cluster").isin(probes.toIndexedSeq: _*))
+      .withColumn("dist", r6(cosineDist(col("embedding"), typedLit(q))))
+      .filter(!isnan(col("dist")) && col("dist").isNotNull)
+      .select(col("vec_id"), col("label"), col("cluster").cast("long").as("cluster"),
+        col("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
+  }
+
   // ---- Oracle SQL: Lloyd's unrolled as CTE chains. Every float op
   // mirrors the engine bit-for-bit: the assignment distance is the
   // SAME fused form x·x − 2·x·float(c) + Σc², centroid updates are

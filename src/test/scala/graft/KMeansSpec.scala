@@ -24,6 +24,31 @@ class KMeansSpec extends AnyFunSuite {
     assert(prof.length >= 3, s"collapsed to ${prof.length} clusters")
   }
 
+  test("materialized ivf index: probe search prunes partitions, matches inline ivf") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+    KMeansVec.writeIvfIndex(spark, sf, idx, iters = 1)
+    val q = graft.ops.Tables.t(spark, sf, "embeddings")
+      .filter(org.apache.spark.sql.functions.col("vec_id") ===
+        graft.ops.VectorQueries.QueryVecId)
+      .head().getSeq[Float](1).toArray
+    val indexed = KMeansVec.ivfSearchIndexed(spark, idx, q)
+    // physical proof of the scale claim: cluster IN (...) resolves
+    // as PartitionFilters at the scan, not a post-scan Filter
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      s"probe must prune partitions: $plan")
+    // same fit, same probes → identical rows to the inline query,
+    // modulo the query vector itself living in the index here
+    val inline = KMeansVec.ivfTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toMap
+    val got = indexed.collect()
+      .filter(_.getLong(0) != graft.ops.VectorQueries.QueryVecId)
+      .map(r => (r.getLong(0), r.getDouble(3))).toMap
+    inline.foreach { case (id, d) =>
+      got.get(id).foreach(gd => assert(math.abs(gd - d) < 1e-12)) }
+    assert(got.keySet.intersect(inline.keySet).size >= inline.size - 1)
+  }
+
   test("ivf probe search: k sorted rows, deterministic, rank-dominated by exact knn") {
     val ivf1 = KMeansVec.ivfTopK(spark, sf).collect()
     val ivf2 = KMeansVec.ivfTopK(spark, sf).collect()
