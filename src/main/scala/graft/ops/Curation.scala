@@ -277,7 +277,79 @@ object Curation {
       |GROUP BY source, CAST(floor((cum - n_tokens) / 500.0) AS BIGINT)
       |ORDER BY source, shard""".stripMargin
 
+  /** The composed per-doc curation decision an actual pipeline
+    * runs: exact-dup survivorship (window min over the text group —
+    * no join against a survivor list) ∧ Gopher quality ∧ language
+    * confidence ∧ length gate. Each signal stays an int flag so the
+    * final keep AND the reason for every drop are both in the
+    * output — the auditability a 100 TB curation pass needs. */
+  def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val g = gopherQuality(s, dir)
+      .select(col("doc_id"), col("keep").as("gopher_keep"))
+    val l = TextOps.langId(s, dir)
+      .select(col("doc_id"), (col("marker_hits") >= 1).cast("int").as("lang_ok"))
+    val w = Window.partitionBy(col("text"))
+    val sv = d.select(col("doc_id"), col("n_chars"),
+      (col("doc_id") === min(col("doc_id")).over(w)).cast("int").as("is_survivor"))
+    sv.join(g, "doc_id").join(l, "doc_id")
+      .withColumn("len_ok", col("n_chars").between(50, 100000).cast("int"))
+      .withColumn("keep",
+        (col("is_survivor") === 1 && col("gopher_keep") === 1 &&
+          col("lang_ok") === 1 && col("len_ok") === 1).cast("int"))
+      .select(col("doc_id"), col("is_survivor"), col("gopher_keep"),
+        col("lang_ok"), col("len_ok"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val curationPipelineSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS w,
+      |    len(string_split(text, ' ')) AS n_words
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, n_words,
+      |    CAST(list_max(list_transform(list_distinct(w),
+      |      x -> len(list_filter(w, y -> y = x)))) AS DOUBLE) / n_words AS twf,
+      |    CASE WHEN n_words >= 2 THEN
+      |      1.0 - CAST(len(list_distinct([w[i] || ' ' || w[i+1]
+      |              FOR i IN generate_series(1, len(w) - 1)])) AS DOUBLE)
+      |            / (n_words - 1)
+      |    ELSE 0.0 END AS dup_frac,
+      |    CAST(length(text) - n_words + 1 AS DOUBLE) / n_words AS mwl
+      |  FROM b),
+      |g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN twf <= 0.12 AND dup_frac <= 0.1
+      |          AND mwl >= 3.0 AND mwl <= 10.0 THEN 1 ELSE 0 END AS gopher_keep
+      |  FROM m),
+      |lh AS (
+      |  SELECT doc_id,
+      |    greatest(
+      |      len(list_filter(w, x -> x IN ('the','a','and','of','is'))),
+      |      len(list_filter(w, x -> x IN ('der','die','das','und','ist'))),
+      |      len(list_filter(w, x -> x IN ('el','la','los','es','y'))),
+      |      len(list_filter(w, x -> x IN ('le','la','les','est','et'))),
+      |      len(list_filter(w, x -> x IN ('de','shi','le','zai','he')))) AS hits
+      |  FROM b),
+      |sv AS (
+      |  SELECT doc_id, n_chars,
+      |    CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY text)
+      |         THEN 1 ELSE 0 END AS is_survivor
+      |  FROM documents)
+      |SELECT sv.doc_id, sv.is_survivor, g.gopher_keep,
+      |  CASE WHEN lh.hits >= 1 THEN 1 ELSE 0 END AS lang_ok,
+      |  CASE WHEN sv.n_chars BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS len_ok,
+      |  CASE WHEN sv.is_survivor = 1 AND g.gopher_keep = 1
+      |        AND lh.hits >= 1 AND sv.n_chars BETWEEN 50 AND 100000
+      |       THEN 1 ELSE 0 END AS keep
+      |FROM sv
+      |JOIN g ON g.doc_id = sv.doc_id
+      |JOIN lh ON lh.doc_id = sv.doc_id
+      |ORDER BY sv.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curation_pipeline" -> (curationPipeline _),
     "sample_hash" -> (sampleHash _),
     "decontaminate" -> (decontaminate _),
     "gopher_quality" -> (gopherQuality _),
@@ -287,6 +359,7 @@ object Curation {
     "shard_pack" -> (shardPack _))
 
   val oracles: Map[String, String] = Map(
+    "curation_pipeline" -> curationPipelineSql,
     "sample_hash" -> sampleHashSql,
     "decontaminate" -> decontaminateSql,
     "gopher_quality" -> gopherQualitySql,
