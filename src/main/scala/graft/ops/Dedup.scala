@@ -91,7 +91,7 @@ object Dedup {
       val seen = new java.util.LinkedHashSet[java.lang.Long]()
       var i = 0
       while (i + ShingleK <= w.length) {
-        seen.add(graft.functions.CrossHash.md5Hash60(w(i) + " " + w(i + 1) + " " + w(i + 2)))
+        seen.add(Dedup.cachedHash60(w(i) + " " + w(i + 1) + " " + w(i + 2)))
         i += 1
       }
       val out = new Array[Long](seen.size)
@@ -345,6 +345,13 @@ object Dedup {
     fp
   }
 
+  /** Executor-wide bounded memo for [[md5Hash60]]. Shared by the
+    * token (SimHash), shingle (Jaccard/MinHash), and span hashers:
+    * duplicated text re-hashes nothing, and the distinct-key space
+    * (vocabulary / shingle set) is orders of magnitude smaller than
+    * the occurrence stream it keys. Capped at 2²⁰ entries per
+    * executor so a 100 TB shard can't grow it unboundedly —
+    * overflow degrades to direct hashing, never wrong results. */
   private val hashCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   private[ops] def cachedHash60(tok: String): Long = {
@@ -455,7 +462,7 @@ object Dedup {
           sb.append(w(j))
           j += 1
         }
-        graft.functions.CrossHash.md5Hash60(sb.toString)
+        Dedup.cachedHash60(sb.toString)
       }
     }
   }
