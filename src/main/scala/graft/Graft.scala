@@ -1,6 +1,6 @@
 package graft
 
-import graft.embed.{EmbedOps, Embedder, HashEmbedder}
+import graft.embed.{EmbedOps, Embedder, HashEmbedder, OllamaEmbedder, RemoteEmbedder}
 import graft.index.{IndexManifest, VectorIndex}
 import graft.ingest.{Chunker, Sources}
 import graft.query.Knn
@@ -138,6 +138,62 @@ object Graft {
       .withColumn("dist", -col("fused"))
       .drop("_uid", "fused")
       .orderBy(col("dist"), col("id"))
+  }
+
+  /** Backend endpoints for manifest-driven dispatch (reference env
+    * defaults: EMBEDDING_SERVER / OLLAMA_HOST). */
+  case class Backends(
+      remoteUrl: String = "http://localhost:8080",
+      ollamaUrl: String = "http://localhost:11434")
+
+  /** Manifest-driven embedder dispatch — the reference resolves the
+    * query-side backend from the index's recorded `embedding_type`
+    * (`ask.py:109-116`: ollama → per-text Ollama client, local →
+    * in-process model, else → batched remote server). Here: the
+    * offline-deterministic hash featurizer keeps its own tag, ollama
+    * gets the zero-fallback stack, anything else the retrying remote
+    * client — the same resolution order. */
+  def embedderFor(
+      manifest: IndexManifest,
+      dim: Int = 64,
+      backends: Backends = Backends()): Embedder =
+    manifest.embedding_type match {
+      case "hash" => new HashEmbedder(dim)
+      case "ollama" =>
+        OllamaEmbedder.resilient(backends.ollamaUrl, manifest.embedding_model, dim)
+      case "local" =>
+        // no in-JVM SentenceTransformer exists; the reference's own
+        // ImportError path falls back to the remote server
+        // (ask.py:160-163) — same here, with the wrapper keeping the
+        // manifest's `local` tag so validation stays consistent
+        val fallback =
+          RemoteEmbedder.withRetry(backends.remoteUrl, manifest.embedding_model, dim)
+        new Embedder {
+          override def dim: Int = fallback.dim
+          override def model: String = fallback.model
+          override def kind: String = "local"
+          override def embed(texts: Seq[String]): Seq[Array[Float]] = fallback.embed(texts)
+        }
+      case _ =>
+        RemoteEmbedder.withRetry(backends.remoteUrl, manifest.embedding_model, dim)
+    }
+
+  /** Open an index letting the manifest choose the embedder — the
+    * exact reference flow (load metadata, then dispatch on
+    * embedding_type). */
+  def openAuto(
+      spark: SparkSession,
+      indexPath: String,
+      dim: Int = 64,
+      backends: Backends = Backends()): AskSession = {
+    val manifest =
+      try VectorIndex.readManifest(spark, indexPath)
+      catch {
+        case e: Exception =>
+          throw new IllegalStateException(
+            s"No index found at $indexPath — run Graft.index first", e)
+      }
+    open(spark, indexPath, embedderFor(manifest, dim, backends))
   }
 
   /** Open an index for repeated questions. Fails fast with a clear

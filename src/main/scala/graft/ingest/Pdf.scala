@@ -30,9 +30,14 @@ object Pdf {
     if (blocks.isEmpty) None else Some(blocks.mkString("\n\n"))
   }
 
-  /** All `stream…endstream` payloads, inflated when FlateDecode
-    * applies (detected by trying — corrupt/uncompressed fall back to
-    * the raw bytes). */
+  /** All `stream…endstream` payloads, decoded per the stream dict's
+    * declared `/Filter` chain — Flate, LZW, ASCIIHex, ASCII85,
+    * including filter arrays applied in order (the filter set
+    * pypdf's extractor handles for content streams,
+    * index.py:275-295's dependency). Streams with no parseable
+    * dict (or an unknown filter) fall back to try-inflate-else-raw,
+    * so malformed input degrades to the old behavior instead of
+    * failing. */
   private def contentStreams(bytes: Array[Byte]): Seq[Array[Byte]] = {
     val out = ArrayBuffer[Array[Byte]]()
     val hay = new String(bytes, "ISO-8859-1")
@@ -47,12 +52,166 @@ object Pdf {
         val e = hay.indexOf("endstream", start)
         if (e < 0) { from = hay.length }
         else {
-          out += inflateOrRaw(bytes.slice(start, e))
+          out += decodeStream(bytes.slice(start, e), streamDict(hay, s))
           from = e + "endstream".length
         }
       }
     }
     out.toSeq
+  }
+
+  /** The `<<…>>` dict immediately preceding the `stream` keyword at
+    * `streamKw`, balanced backwards over nesting; empty when absent. */
+  private def streamDict(hay: String, streamKw: Int): String = {
+    val close = hay.lastIndexOf(">>", streamKw)
+    if (close < 0 || hay.substring(close + 2, streamKw).exists(c => !c.isWhitespace))
+      return ""
+    var depth = 1
+    var i = close - 1
+    while (i > 0 && depth > 0) {
+      if (hay.charAt(i) == '>' && hay.charAt(i - 1) == '>') { depth += 1; i -= 2 }
+      else if (hay.charAt(i) == '<' && hay.charAt(i - 1) == '<') { depth -= 1; i -= 2 }
+      else i -= 1
+    }
+    if (depth == 0) hay.substring(i, close + 2) else ""
+  }
+
+  private val FilterRe =
+    """/Filter\s*(?:\[([^\]]*)\]|/([A-Za-z0-9]+))""".r
+
+  /** Filter names in application order from a stream dict. */
+  private def filtersOf(dict: String): Seq[String] =
+    FilterRe.findFirstMatchIn(dict) match {
+      case None => Seq.empty
+      case Some(m) =>
+        if (m.group(2) != null) Seq(m.group(2))
+        else """/([A-Za-z0-9]+)""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
+    }
+
+  private def decodeStream(data: Array[Byte], dict: String): Array[Byte] = {
+    val filters = filtersOf(dict)
+    if (filters.isEmpty) inflateOrRaw(data)
+    else
+      try filters.foldLeft(data) { (d, f) =>
+        f match {
+          case "FlateDecode" | "Fl" => inflate(d)
+          case "LZWDecode" | "LZW" => lzwDecode(d)
+          case "ASCIIHexDecode" | "AHx" => asciiHexDecode(d)
+          case "ASCII85Decode" | "A85" => ascii85Decode(d)
+          // image/crypt filters (DCT, JPX, CCITT, …) mark non-text
+          // payloads — pass through; the text scanner finds nothing
+          case _ => d
+        }
+      } catch { case _: Exception => inflateOrRaw(data) }
+  }
+
+  private def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new Inflater()
+    try {
+      inf.setInput(data)
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = inf.inflate(chunk)
+      while (n > 0) { buf.write(chunk, 0, n); n = inf.inflate(chunk) }
+      if (buf.size() == 0) throw new java.util.zip.DataFormatException("empty")
+      buf.toByteArray
+    } finally inf.end()
+  }
+
+  /** PDF LZWDecode (TIFF-style LZW, 9→12-bit codes, clear=256,
+    * EOD=257, code width grows ONE CODE EARLY — PDF 1.7 §7.4.4
+    * default EarlyChange=1). */
+  private def lzwDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val dict = ArrayBuffer[Array[Byte]]()
+    def reset(): Unit = {
+      dict.clear()
+      (0 until 256).foreach(i => dict += Array(i.toByte))
+      dict += Array.emptyByteArray // 256 clear
+      dict += Array.emptyByteArray // 257 EOD
+    }
+    reset()
+    var width = 9
+    var prev: Array[Byte] = null
+    var acc = 0L
+    var bits = 0
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      acc = (acc << 8) | (data(i) & 0xFF)
+      bits += 8
+      i += 1
+      while (bits >= width && !done) {
+        val code = ((acc >> (bits - width)) & ((1 << width) - 1)).toInt
+        bits -= width
+        if (code == 256) { reset(); width = 9; prev = null }
+        else if (code == 257) done = true
+        else {
+          val entry =
+            if (code < dict.length) dict(code)
+            else if (prev != null) prev :+ prev(0) // KwKwK case
+            else throw new IllegalArgumentException("bad LZW code")
+          out.write(entry)
+          if (prev != null) dict += (prev :+ entry(0))
+          prev = entry
+          if (dict.length + 1 >= (1 << width) && width < 12) width += 1
+        }
+      }
+    }
+    out.toByteArray
+  }
+
+  private def asciiHexDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = data(i).toChar
+      if (c == '>') done = true
+      else {
+        val d = Character.digit(c, 16)
+        if (d >= 0) {
+          if (hi < 0) hi = d
+          else { out.write((hi << 4) | d); hi = -1 }
+        }
+      }
+      i += 1
+    }
+    if (hi >= 0) out.write(hi << 4) // odd final digit: low nibble 0
+    out.toByteArray
+  }
+
+  private def ascii85Decode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var tuple = 0L
+    var n = 0
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = data(i).toChar
+      if (c == '~') done = true // "~>" EOD
+      else if (c == 'z' && n == 0) { out.write(0); out.write(0); out.write(0); out.write(0) }
+      else if (c >= '!' && c <= 'u') {
+        tuple = tuple * 85 + (c - '!')
+        n += 1
+        if (n == 5) {
+          out.write(((tuple >> 24) & 0xFF).toInt); out.write(((tuple >> 16) & 0xFF).toInt)
+          out.write(((tuple >> 8) & 0xFF).toInt); out.write((tuple & 0xFF).toInt)
+          tuple = 0L; n = 0
+        }
+      }
+      i += 1
+    }
+    if (n > 1) {
+      // partial group: pad with 'u', emit n-1 bytes
+      var t = tuple
+      (n until 5).foreach(_ => t = t * 85 + 84)
+      val bs = Array(((t >> 24) & 0xFF).toByte, ((t >> 16) & 0xFF).toByte,
+        ((t >> 8) & 0xFF).toByte, (t & 0xFF).toByte)
+      out.write(bs, 0, n - 1)
+    }
+    out.toByteArray
   }
 
   private def inflateOrRaw(data: Array[Byte]): Array[Byte] = {

@@ -282,7 +282,9 @@ object TextOps {
       .agg(
         count(lit(1)).as("n_chunks"),
         sum(length(col("text"))).as("n_chars"),
-        r6(sum(aggregate(col("embedding"), lit(0d),
+        // cross-chunk sum goes through the DECIMAL(38,6) bridge:
+        // plain double sum is partition-order dependent (SURVEY §8.5)
+        r6(graft.functions.OracleMath.dsum(aggregate(col("embedding"), lit(0d),
           (acc, x) => acc + x))).as("embed_checksum"))
       .orderBy(col("source"))
   }
@@ -358,8 +360,10 @@ object TextOps {
     * chunk's nonempty lowercased words, unigram+bigram keys hashed
     * with the `"{seed}|{token}"` md5 scheme (seed 42 = the default
     * embedder), signed bucket sums, integer norm, IEEE float
-    * truncation, and the checksum folded in bucket order then chunk
-    * order — every step the engine takes, in the same order. */
+    * truncation; the per-chunk checksum folds in bucket order (both
+    * engines sequential) and the cross-chunk sum goes through the
+    * DECIMAL(38,6) bridge on both sides, so it is exact and
+    * add-order-free regardless of partitioning. */
   val indexPipelineSql: String =
     s"""WITH RECURSIVE w AS (
        |  SELECT doc_id, 'doc/' || doc_id AS source, string_split(text, ' ') AS ws
@@ -413,7 +417,7 @@ object TextOps {
        |  JOIN chunks c ON c.doc_id = s.doc_id AND c.cno = s.cno
        |  LEFT JOIN chksum k ON k.doc_id = s.doc_id AND k.cno = s.cno)
        |SELECT w2.source, COUNT(*) AS n_chunks, SUM(p.clen) AS n_chars,
-       |  round(list_sum(list(p.cs ORDER BY p.cno)), 6) + 0 AS embed_checksum
+       |  round(CAST(SUM(CAST(p.cs AS DECIMAL(38,6))) AS DOUBLE), 6) + 0 AS embed_checksum
        |FROM per_chunk p
        |JOIN (SELECT DISTINCT doc_id, source FROM w) w2 ON w2.doc_id = p.doc_id
        |GROUP BY w2.source

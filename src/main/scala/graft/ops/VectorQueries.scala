@@ -45,11 +45,15 @@ object VectorQueries {
 
   /** Exact top-5 cosine neighbors of vec 0 — plans as
     * TakeOrderedAndProject (bounded per-partition heaps, no sort). */
-  def knnTopk(s: SparkSession, dir: String): DataFrame =
+  def knnTopk(s: SparkSession, dir: String): DataFrame = knnTopkK(s, dir, 5)
+
+  /** Exact top-k, parameterized — ground truth for the recall
+    * harness (RecallSpec). */
+  def knnTopkK(s: SparkSession, dir: String, k: Int): DataFrame =
     withQuery(s, dir)
       .select(col("vec_id"), col("label"), col("dist"))
       .orderBy(col("dist"), col("vec_id"))
-      .limit(5)
+      .limit(k)
 
   val knnTopkSql: String =
     s"""$cosineOracleCte
@@ -134,9 +138,11 @@ object VectorQueries {
       |ORDER BY vec_a, vec_b""".stripMargin
 
   /** Blocked all-pairs variant of [[embedNeardup]]: the vector table
-    * is collected and broadcast (it must fit in memory for ANY exact
-    * all-pairs plan — same constraint the BroadcastNestedLoopJoin
-    * has), and each partition scores its rows against the broadcast
+    * is collected and broadcast — the fast plan while the table fits
+    * in memory (same footprint the BroadcastNestedLoopJoin would
+    * pay); above [[NeardupGateRows]] the gated entry switches to
+    * [[embedNeardupTriangle]], which holds no full copy anywhere —
+    * and each partition scores its rows against the broadcast
     * block in tight primitive loops. Identical output: the dot fold
     * matches FloatDotProduct op-for-op and rounding happens in the
     * same r6 Column afterward. mapPartitions is justified here by
@@ -182,10 +188,67 @@ object VectorQueries {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Distributed exact all-pairs — the above-cap twin of
+    * [[embedNeardupBlocked]]. Triangle blocking: rows hash into
+    * `blocks` blocks; task (i, j), i ≤ j, scores block i against
+    * block j. The a-side replicates each row to tasks (blk, j) for
+    * j ≥ blk, the b-side to (i, blk) for i ≤ blk, so the pair key
+    * `(a.blk, b.blk)` co-partitions one shuffle join and every
+    * unordered pair meets exactly once (proof: for blk(x) < blk(y)
+    * only task (blk(x), blk(y)) holds both, with x on the a-side;
+    * the diagonal task holds both orders and the id filter keeps
+    * one). O(n·B) shuffled rows, no broadcast, no driver collect —
+    * each executor holds at most two blocks at a time. Exact
+    * all-pairs compute is inherently O(n²·dim); this distributes
+    * its *memory* so the cap failure mode (driver OOM) is gone. */
+  def embedNeardupTriangle(s: SparkSession, dir: String, blocks: Int = 16): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .withColumn("nrm", l2norm(col("embedding")))
+      .withColumn("blk", pmod(hash(col("vec_id")), lit(blocks)))
+    val a = e
+      .withColumn("tj", explode(sequence(col("blk"), lit(blocks - 1))))
+      .select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+        col("nrm").as("na"), col("blk").as("ba"), col("tj"))
+    val b = e
+      .withColumn("ti", explode(sequence(lit(0), col("blk"))))
+      .select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+        col("nrm").as("nb"), col("blk").as("bb"), col("ti"))
+    a.join(b, col("ba") === col("ti") && col("tj") === col("bb"))
+      .filter(col("ba") < col("bb") ||
+        (col("ba") === col("bb") && col("vec_a") < col("vec_b")))
+      .withColumn("sim", r6(try_divide(dot(col("emb_a"), col("emb_b")), col("na") * col("nb"))))
+      .filter(col("sim") >= 0.45)
+      .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
+        greatest(col("vec_a"), col("vec_b")).as("vec_b"), col("sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Row cap for the collect-broadcast all-pairs plan: above this the
+    * driver copy is an OOM, not a slow query, so the registered
+    * `embed_neardup` switches to [[embedNeardupTriangle]] (same
+    * size-gate pattern as Dedup.componentsOf). 200k × 64 floats ≈
+    * 50 MB broadcast — comfortable; the gate is the MEMORY bound,
+    * not a perf crossover. */
+  val NeardupGateRows = 200000L
+
+  /** The registered `embed_neardup`: one name, one exact semantics,
+    * scale-safe at any input size. The row count is a parquet
+    * metadata read (count-star over footers), not a data scan. */
+  def embedNeardupGated(s: SparkSession, dir: String): DataFrame =
+    embedNeardupGated(s, dir, NeardupGateRows)
+
+  def embedNeardupGated(s: SparkSession, dir: String, cap: Long): DataFrame = {
+    val n = t(s, dir, "embeddings").count()
+    if (n <= cap) embedNeardupBlocked(s, dir)
+    else embedNeardupTriangle(s, dir, blocks = math.min(64, (n / 100000L + 2)).toInt)
+  }
+
   // ---- ANN: random-hyperplane LSH bucketing (scale path) ----
 
   private val Planes = 6
-  private val ProbeRadius = 2
+  /** Registered ann_lsh_topk Hamming probe radius (RecallSpec pins
+    * recall@5 ≥ 0.9 at this setting). */
+  val ProbeRadius = 2
   private val Dim = 64
 
   /** Deterministic pseudo-random hyperplanes: component (p, d) is a
@@ -253,18 +316,23 @@ object VectorQueries {
     * the full scan; more planes + banding tightens that as corpus
     * density grows. Oracle-checked (md5-derived plane table); recall
     * vs exact kNN additionally asserted in EntrySpec. */
-  def annLshTopk(s: SparkSession, dir: String): DataFrame = {
+  def annLshTopk(s: SparkSession, dir: String): DataFrame =
+    annLshTopkK(s, dir, 5, ProbeRadius)
+
+  /** Sign-LSH top-k, parameterized by k and Hamming probe radius —
+    * the recall-vs-probes knob the RecallSpec sweeps. */
+  def annLshTopkK(s: SparkSession, dir: String, k: Int, probeRadius: Int): DataFrame = {
     val e = t(s, dir, "embeddings").withColumn("code", codeUdf(col("embedding")))
     val q = e.filter(col("vec_id") === QueryVecId)
       .select(col("embedding").as("qe"), col("code").as("qcode"))
     e.filter(col("vec_id") =!= QueryVecId)
       .crossJoin(broadcast(q))
-      .filter(bit_count(expr("code ^ qcode").cast("long")) <= ProbeRadius)
+      .filter(bit_count(expr("code ^ qcode").cast("long")) <= probeRadius)
       .withColumn("dist", r6(cosineDist(col("embedding"), col("qe"))))
       .filter(!isnan(col("dist")))
       .select(col("vec_id"), col("label"), col("dist"))
       .orderBy(col("dist"), col("vec_id"))
-      .limit(5)
+      .limit(k)
   }
 
   /** Multi-query batch kNN (the reference's ChromaDB query accepts a
@@ -397,7 +465,7 @@ object VectorQueries {
     "knn_topk" -> (knnTopk _),
     "knn_per_label" -> (knnPerLabel _),
     "q12_embed_stats" -> (embedStats _),
-    "embed_neardup" -> (embedNeardupBlocked _),
+    "embed_neardup" -> ((s: SparkSession, dir: String) => embedNeardupGated(s, dir)),
     "ann_lsh_topk" -> (annLshTopk _))
 
   val oracles: Map[String, String] = Map(

@@ -35,6 +35,33 @@ class EntrySpec extends AnyFunSuite {
     assert(blocked == bnlj)
   }
 
+  test("triangle near-dup ≡ blocked near-dup (the above-cap path, no driver copy)") {
+    val sf01 = "/root/testdata/sf0.01"
+    val blocked = VectorQueries.embedNeardupBlocked(spark, sf01).collect().map(_.toString).toSeq
+    // several block counts, including ones that don't divide the row
+    // count evenly — every unordered pair must meet exactly once
+    Seq(2, 3, 16).foreach { b =>
+      val tri = VectorQueries.embedNeardupTriangle(spark, sf01, blocks = b)
+      // scale-safety is structural: the plan is explode-replicate +
+      // one co-partitioned join — no collect(), and never a
+      // broadcast/cartesian of the full table forced by the operator
+      val plan = tri.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"blocks=$b plan degenerated to cartesian")
+      assert(tri.collect().map(_.toString).toSeq == blocked, s"blocks=$b mismatch")
+    }
+  }
+
+  test("gated near-dup dispatches by size: blocked below cap, triangle above") {
+    val sf01 = "/root/testdata/sf0.01"
+    val blocked = VectorQueries.embedNeardupBlocked(spark, sf01).collect().map(_.toString).toSeq
+    // fixture is below the default cap → blocked path
+    val below = VectorQueries.embedNeardupGated(spark, sf01).collect().map(_.toString).toSeq
+    assert(below == blocked)
+    // cap 0 forces the distributed path → identical pairs, same name
+    val above = VectorQueries.embedNeardupGated(spark, sf01, cap = 0).collect().map(_.toString).toSeq
+    assert(above == blocked)
+  }
+
   test("lsh near-dup pairs are a subset of exact near-dup pairs (precision 1)") {
     val sf01 = "/root/testdata/sf0.01"
     val exact = VectorQueries.embedNeardup(spark, sf01).collect()

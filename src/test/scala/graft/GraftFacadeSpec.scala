@@ -148,6 +148,28 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(got.linesIterator.count(_.startsWith("## Question")) == 2)
   }
 
+  test("ask CLI: scripted REPL round-trip — banner, blank-skip, Q/A to markdown, quit") {
+    val corpus = writeCorpus()
+    val idx = Files.createTempDirectory("graft-cli-idx").toString
+    Graft.index(spark, corpus.toString, idx, Graft.IndexConfig(chunkSize = 50))
+    val outFile = Files.createTempDirectory("graft-cli-md").resolve("qa.md").toString
+    val script = "\n   \ndatabase connection timeout\nquit\n"
+    val stdout = new java.io.ByteArrayOutputStream()
+    AskCli.run(spark, idx, outFile,
+      new java.io.BufferedReader(new java.io.StringReader(script)),
+      new java.io.PrintStream(stdout, true, "UTF-8"))
+    val console = stdout.toString("UTF-8")
+    assert(console.contains("Log Query Tool"))
+    assert(console.contains("Type 'exit' or 'quit' to stop."))
+    assert(console.contains("Answer:"))
+    assert(console.contains(s"All responses saved to $outFile"))
+    // blank lines produced no Q/A blocks; the one real question did
+    val md = new String(Files.readAllBytes(java.nio.file.Paths.get(outFile)), StandardCharsets.UTF_8)
+    assert(md.linesIterator.count(_.startsWith("## Question")) == 1)
+    assert(md.contains("**Q:** database connection timeout"))
+    assert(md.contains("File: ")) // the assembled context is the answer
+  }
+
   private class FlakyEmbedder(failures: Int) extends Embedder {
     var calls = 0
     override def dim: Int = 4

@@ -60,6 +60,106 @@ class PdfSpec extends AnyFunSuite {
     assert(txt == "page one text\n\n\npage two text\n")
   }
 
+  /** Assemble a PDF whose streams carry explicit dict entries
+    * (e.g. `/Filter /ASCII85Decode`). */
+  private def pdfF(streams: (String, Array[Byte])*): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    buf.write(latin1("%PDF-1.4\n"))
+    streams.zipWithIndex.foreach { case ((dict, body), i) =>
+      buf.write(latin1(s"${i + 1} 0 obj << /Length ${body.length} $dict >> stream\n"))
+      buf.write(body)
+      buf.write(latin1("\nendstream endobj\n"))
+    }
+    buf.write(latin1("%%EOF\n"))
+    buf.toByteArray
+  }
+
+  private def a85(data: Array[Byte]): Array[Byte] = {
+    val out = new StringBuilder
+    data.grouped(4).foreach { g =>
+      var t = 0L
+      g.foreach(b => t = (t << 8) | (b & 0xFF))
+      if (g.length < 4) t <<= 8 * (4 - g.length)
+      if (t == 0 && g.length == 4) out += 'z'
+      else {
+        val cs = new Array[Char](5)
+        var v = t
+        (4 to 0 by -1).foreach { i => cs(i) = ('!' + (v % 85)).toChar; v /= 85 }
+        out ++= new String(cs, 0, g.length + 1)
+      }
+    }
+    out ++= "~>"
+    latin1(out.result())
+  }
+
+  /** TIFF-style LZW encoder mirroring the decoder's early-change
+    * width schedule (PDF 1.7 §7.4.4, EarlyChange=1). */
+  private def lzw(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var bits = 0; var width = 9
+    def emit(code: Int): Unit = {
+      acc = (acc << width) | code; bits += width
+      while (bits >= 8) { out.write(((acc >> (bits - 8)) & 0xFF).toInt); bits -= 8 }
+    }
+    val dict = scala.collection.mutable.HashMap[Seq[Byte], Int]()
+    (0 until 256).foreach(i => dict(Seq(i.toByte)) = i)
+    var next = 258
+    emit(256) // clear
+    var w = Seq.empty[Byte]
+    data.foreach { b =>
+      val wb = w :+ b
+      if (dict.contains(wb)) w = wb
+      else {
+        emit(dict(w))
+        dict(wb) = next; next += 1
+        if (next >= (1 << width) && width < 12) width += 1
+        w = Seq(b)
+      }
+    }
+    if (w.nonEmpty) emit(dict(w))
+    emit(257) // EOD
+    if (bits > 0) out.write(((acc << (8 - bits)) & 0xFF).toInt)
+    out.toByteArray
+  }
+
+  test("declared filters: ASCIIHex, ASCII85, LZW, and an A85+Flate chain") {
+    val content = latin1("BT (filtered text payload) Tj ET")
+    val hex = latin1(content.map(b => f"${b & 0xFF}%02X").mkString + ">")
+    assert(Pdf.extractText(pdfF("/Filter /ASCIIHexDecode" -> hex))
+      .get.contains("filtered text payload"))
+    assert(Pdf.extractText(pdfF("/Filter /ASCII85Decode" -> a85(content)))
+      .get.contains("filtered text payload"))
+    assert(Pdf.extractText(pdfF("/Filter /LZWDecode" -> lzw(content)))
+      .get.contains("filtered text payload"))
+    // filter arrays apply in listed order: a85(deflate(x)) → [A85, Fl]
+    assert(Pdf.extractText(pdfF(
+      "/Filter [/ASCII85Decode /FlateDecode]" -> a85(deflate(content))))
+      .get.contains("filtered text payload"))
+  }
+
+  test("LZW round-trips past the 9→10 bit width boundary and the KwKwK case") {
+    val rnd = new scala.util.Random(7)
+    // repetitive prefix forces KwKwK; random tail forces >254 codes
+    // so the code width crosses 9→10 bits inside one stream
+    val big = latin1("ababababab" * 3) ++ Array.fill(1500)(rnd.nextInt(256).toByte)
+    val body = latin1("BT (wide dictionary survived) Tj ET")
+    assert(Pdf.extractText(pdfF("/Filter /LZWDecode" -> lzw(body)))
+      .get.contains("wide dictionary survived"))
+    // the text operator sits AFTER >254 emitted codes, so decoding it
+    // correctly requires surviving the 9→10-bit width switch
+    val mixed = big ++ latin1(" BT (after wide codes) Tj ET")
+    assert(Pdf.extractText(pdfF("/Filter /LZWDecode" -> lzw(mixed)))
+      .get.contains("after wide codes"))
+  }
+
+  test("unknown/image filters degrade to no text, never throw") {
+    val garbage = Array.fill(64)(0xEE.toByte)
+    assert(Pdf.extractText(pdfF("/Filter /DCTDecode" -> garbage)).isEmpty)
+    // undeclared-but-deflated still works via the try-inflate fallback
+    val content = latin1("BT (fallback inflate) Tj ET")
+    assert(Pdf.extractText(pdf(deflate(content))).get.contains("fallback inflate"))
+  }
+
   test("None on non-PDF bytes and on PDFs with no extractable text") {
     assert(Pdf.extractText("just a text file".getBytes).isEmpty)
     assert(Pdf.extractText(pdf(latin1("0 0 0 RG 10 10 100 100 re f"))).isEmpty)

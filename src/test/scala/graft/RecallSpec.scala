@@ -1,0 +1,62 @@
+package graft
+
+import graft.ops.{KMeansVec, VectorQueries}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ANN recall harness — substantiates the "same retrieval
+  * capability" claim the reference's HNSW index makes
+  * (index.py:434): recall@5 / recall@20 of the sign-LSH and IVF
+  * approximate paths against exact brute-force kNN, swept over their
+  * probe knobs (Hamming radius for LSH, nProbe for IVF) on the
+  * sf0.01 fixture. Everything is deterministic (md5 plane table,
+  * lowest-vec_id centroid init), so the numbers are stable across
+  * runs and partitionings.
+  */
+class RecallSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.collect().map(_.getAs[Long]("vec_id")).toSeq
+
+  private def recall(approx: Seq[Long], exact: Seq[Long]): Double =
+    if (exact.isEmpty) 1.0
+    else approx.toSet.intersect(exact.toSet).size.toDouble / exact.size
+
+  test("recall@5 / recall@20 sweep: LSH probe radius and IVF nProbe") {
+    val exact5 = ids(VectorQueries.knnTopkK(spark, dir, 5))
+    val exact20 = ids(VectorQueries.knnTopkK(spark, dir, 20))
+
+    info(f"${"path"}%-16s ${"knob"}%-10s recall@5  recall@20")
+    val lsh = (0 to 4).map { r =>
+      val r5 = recall(ids(VectorQueries.annLshTopkK(spark, dir, 5, r)), exact5)
+      val r20 = recall(ids(VectorQueries.annLshTopkK(spark, dir, 20, r)), exact20)
+      info(f"lsh              radius=$r%-3d  $r5%.2f      $r20%.2f")
+      (r, r5, r20)
+    }
+    val ivf = (1 to 6).map { p =>
+      val r5 = recall(ids(KMeansVec.ivfTopK(spark, dir, 5, p)), exact5)
+      val r20 = recall(ids(KMeansVec.ivfTopK(spark, dir, 20, p)), exact20)
+      info(f"ivf              nProbe=$p%-3d  $r5%.2f      $r20%.2f")
+      (p, r5, r20)
+    }
+
+    // monotonicity: widening the probe never loses recall
+    assert(lsh.map(_._2) == lsh.map(_._2).sorted, "LSH recall@5 not monotone in radius")
+    assert(ivf.map(_._2) == ivf.map(_._2).sorted, "IVF recall@5 not monotone in nProbe")
+
+    // the REGISTERED settings (ann_lsh_topk: radius 2; ann_ivf_topk:
+    // nProbe 3) must hold ≥0.9 recall@5 — the quality bar that makes
+    // the approximate paths usable stand-ins for exact kNN
+    val lshAtRegistered = lsh.find(_._1 == VectorQueries.ProbeRadius).get
+    assert(lshAtRegistered._2 >= 0.9,
+      s"LSH recall@5 at registered radius: ${lshAtRegistered._2}")
+    val ivfAtRegistered = ivf.find(_._1 == 3).get
+    assert(ivfAtRegistered._2 >= 0.9,
+      s"IVF recall@5 at registered nProbe: ${ivfAtRegistered._2}")
+
+    // full-probe degenerates to exact: radius ≥ planes / nProbe = k
+    assert(recall(ids(VectorQueries.annLshTopkK(spark, dir, 5, 6)), exact5) == 1.0)
+    assert(recall(ids(KMeansVec.ivfTopK(spark, dir, 5, KMeansVec.K)), exact5) == 1.0)
+  }
+}

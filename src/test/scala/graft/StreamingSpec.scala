@@ -108,6 +108,75 @@ class StreamingSpec extends AnyFunSuite {
     assert(!got.contains(1L), "sentinel hour is still open (watermark)")
   }
 
+  test("anomaly stream ≡ batch rate_anomaly: full row equality on a bounded source") {
+    import graft.ops.Events
+    val dir = "/root/testdata/sf0.001"
+    val batch = Events.rateAnomaly(spark, dir).collect().map(_.toString).toSeq
+
+    // same events through the stream, plus one far-future sentinel so
+    // the 2 h watermark closes every real hour; the sentinel's own
+    // window stays open and never emits
+    val root = Files.createTempDirectory("graft-anom-eq")
+    val src = root.resolve("ev").toString
+    val evts = Events.eventsTable(spark, dir).select(col("ts"), col("event_type"))
+    val maxTs = evts.agg(max(col("ts"))).head().getTimestamp(0)
+    val sentinel = Seq((new Timestamp(maxTs.getTime + 10L * 3600 * 1000), "view"))
+      .toDF("ts", "event_type")
+    evts.union(sentinel).write.mode("overwrite").parquet(src)
+
+    val stream = spark.readStream
+      .schema("ts TIMESTAMP, event_type STRING").parquet(src)
+    val q = StreamingIndex.anomalyScoreStream(stream, Events.hourlyStats(spark, dir))
+      .writeStream.format("memory").queryName("anom_eq").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("SELECT * FROM anom_eq")
+      .filter(col("hour") <= maxTs)
+      .orderBy(col("hour"), col("event_type"))
+      .collect().map(_.toString).toSeq
+    // the shared zScore formula + shared stats make this exact, not
+    // approximate: same hours, same counts, same z to the last bit
+    assert(streamed == batch, s"stream rows ${streamed.size} vs batch ${batch.size}")
+  }
+
+  test("funnel stream ≡ batch funnel_steps: per-step user counts on the events fixture") {
+    import graft.ops.Events
+    import graft.streaming.FunnelStream
+    val dir = "/root/testdata/sf0.001"
+    val batchCounts = Events.funnelSteps(spark, dir).collect()
+      .map(r => r.getAs[Long]("step") -> r.getAs[Long]("n_users")).toMap
+
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val root = Files.createTempDirectory("graft-funnel-eq")
+      val src = root.resolve("ev").toString
+      Events.eventsTable(spark, dir)
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .write.mode("overwrite").parquet(src)
+      val ev = spark.readStream
+        .schema("user_id BIGINT, ts TIMESTAMP, event_type STRING").parquet(src)
+        .as[FunnelStream.StageEvent]
+      val q = FunnelStream.funnel(ev).toDF("user_id", "stage", "lag_us")
+        .writeStream.format("memory").queryName("funnel_eq")
+        .outputMode("update").start()
+      q.processAllAvailable(); q.stop()
+      // single bounded batch → one emission per user at their final
+      // stage; step-k user count = users whose final stage ≥ k
+      val finalStage = spark.sql("SELECT user_id, max(stage) AS s FROM funnel_eq GROUP BY user_id")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val streamCounts = (1 to 3).map(k =>
+        k.toLong -> finalStage.values.count(_ >= k).toLong).toMap
+      assert(streamCounts == batchCounts,
+        s"stream $streamCounts vs batch $batchCounts")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("upsert index stream: a re-arrived version replaces only its source partition") {
     val root = Files.createTempDirectory("graft-upsert")
     val in = root.resolve("in"); Files.createDirectories(in)
