@@ -112,9 +112,21 @@ object KMeansVec {
     * self-contained. Scoring within probed cells is the same fused
     * cosine + TakeOrderedAndProject as exact kNN — IVF changes what
     * is SCANNED, not how candidates are scored. */
-  def ivfTopK(s: SparkSession, dir: String, k: Int = 5, nProbe: Int = 3): DataFrame = {
+  def ivfTopK(s: SparkSession, dir: String, k: Int = 5, nProbe: Int = 3): DataFrame =
+    ivfTopKFrom(fit(s, dir, K, iters = 1), s, dir, k, nProbe)
+
+  /** Probe search over an already-fitted quantizer — lets a caller
+    * (or the RecallSpec sweep) pay the Lloyd's fit once and vary
+    * k/nProbe freely, exactly like the materialized-index flow where
+    * the fit happens at build time. */
+  def ivfTopKFrom(
+      fitted: (Array[Array[Double]], DataFrame),
+      s: SparkSession,
+      dir: String,
+      k: Int,
+      nProbe: Int): DataFrame = {
     import graft.functions.VectorFunctions.{cosineDist, r6}
-    val (centroids, assigned) = fit(s, dir, K, iters = 1)
+    val (centroids, assigned) = fitted
     val q = t(s, dir, "embeddings")
       .filter(col("vec_id") === VectorQueries.QueryVecId)
       .head().getSeq[Float](1).toArray

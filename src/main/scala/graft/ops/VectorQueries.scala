@@ -246,9 +246,9 @@ object VectorQueries {
   // ---- ANN: random-hyperplane LSH bucketing (scale path) ----
 
   private val Planes = 6
-  /** Registered ann_lsh_topk Hamming probe radius (RecallSpec pins
-    * recall@5 ≥ 0.9 at this setting). */
-  val ProbeRadius = 2
+  /** Registered ann_lsh_topk PER-BAND Hamming probe radius
+    * (RecallSpec pins recall@5 ≥ 0.9 at this setting on sf0.1). */
+  val ProbeRadius = 1
   private val Dim = 64
 
   /** Deterministic pseudo-random hyperplanes: component (p, d) is a
@@ -264,7 +264,18 @@ object VectorQueries {
   private lazy val planeTable: Array[Array[Double]] =
     Array.tabulate(NeardupBands * Dim, Dim)(planeSign)
 
-  private def signCode(emb: Seq[Float], band: Int): Int = {
+  /** One boxed pass over the incoming Seq — every plane loop after
+    * this reads primitives. (The UDF input is a boxed collection;
+    * reading it 48×64 times per row instead of once dominated the
+    * whole query's runtime before this hoist.) */
+  private def toPrim(emb: Seq[Float]): Array[Double] = {
+    val a = new Array[Double](emb.length)
+    var i = 0
+    while (i < a.length) { a(i) = emb(i); i += 1 }
+    a
+  }
+
+  private def signCodePrim(emb: Array[Double], band: Int): Int = {
     var code = 0
     var p = 0
     while (p < Planes) {
@@ -277,6 +288,9 @@ object VectorQueries {
     }
     code
   }
+
+  private def signCode(emb: Seq[Float], band: Int): Int =
+    signCodePrim(toPrim(emb), band)
 
   /** Shared oracle CTE: the sign-plane table + per-(vec, plane)
     * projection accumulated as the SAME sequential double fold the
@@ -299,12 +313,11 @@ object VectorQueries {
        |    CAST(SUM(CASE WHEN acc >= 0 THEN 1 << p ELSE 0 END) AS INT) AS code
        |  FROM proj GROUP BY vec_id, band)""".stripMargin
 
-  private val codeUdf = udf { (emb: Seq[Float]) => signCode(emb, 0) }
-
   /** Independent sign-codes for multi-band LSH repetition. */
   val NeardupBands = 8
   private val codesUdf = udf { (emb: Seq[Float]) =>
-    Array.tabulate(NeardupBands)(b => signCode(emb, b))
+    val a = toPrim(emb)
+    Array.tabulate(NeardupBands)(b => signCodePrim(a, b))
   }
 
   /** Approximate top-5 neighbors of vec 0 via LSH bucket probing:
@@ -319,16 +332,44 @@ object VectorQueries {
   def annLshTopk(s: SparkSession, dir: String): DataFrame =
     annLshTopkK(s, dir, 5, ProbeRadius)
 
-  /** Sign-LSH top-k, parameterized by k and Hamming probe radius —
-    * the recall-vs-probes knob the RecallSpec sweeps. */
+  /** Sign-LSH top-k with multi-band repetition: a row is a candidate
+    * when ANY of the [[NeardupBands]] independent 6-plane sign codes
+    * is within `probeRadius` Hamming of the query's code for that
+    * band (single-band multiprobe caps out — at sf0.1 density one
+    * 6-bit band at radius 2 recalls only 0.2 of the true top-5; 8
+    * bands at radius 1 recall ≥0.9, the classic repetition-vs-probes
+    * trade measured in RecallSpec). Candidates are exact-rescored,
+    * so precision is 1 and only recall is approximate. At 100 TB the
+    * (band, code) pair is a posting-list/partition key exactly like
+    * the IVF cell — the probe enumerates 7·8 buckets instead of
+    * filter-scanning — while the bench form keeps the one-pass
+    * broadcast-query scan with zero shuffle. */
   def annLshTopkK(s: SparkSession, dir: String, k: Int, probeRadius: Int): DataFrame = {
-    val e = t(s, dir, "embeddings").withColumn("code", codeUdf(col("embedding")))
-    val q = e.filter(col("vec_id") === QueryVecId)
-      .select(col("embedding").as("qe"), col("code").as("qcode"))
+    val e = t(s, dir, "embeddings")
+    // query vector + its 8 band codes resolve on the driver (one
+    // 1-row lookup, the ivfTopK pattern) so the corpus pass is a
+    // single scan with an early-exit band-match predicate — no
+    // broadcast join and no interpreted array-HOF in the filter
+    // (exists(zip_with(...)) is CodegenFallback and measured ~3×
+    // the whole query's remaining cost)
+    val qVec = e.filter(col("vec_id") === QueryVecId)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val qSeq = scala.collection.immutable.ArraySeq.unsafeWrapArray(qVec)
+    val qcodes = Array.tabulate(NeardupBands)(b => signCode(qSeq, b))
+    val radius = probeRadius
+    val matchUdf = udf { (emb: Seq[Float]) =>
+      val a = toPrim(emb)
+      var b = 0
+      var hit = false
+      while (b < NeardupBands && !hit) {
+        if (Integer.bitCount(signCodePrim(a, b) ^ qcodes(b)) <= radius) hit = true
+        b += 1
+      }
+      hit
+    }
     e.filter(col("vec_id") =!= QueryVecId)
-      .crossJoin(broadcast(q))
-      .filter(bit_count(expr("code ^ qcode").cast("long")) <= probeRadius)
-      .withColumn("dist", r6(cosineDist(col("embedding"), col("qe"))))
+      .filter(matchUdf(col("embedding")))
+      .withColumn("dist", r6(cosineDist(col("embedding"), typedLit(qVec))))
       .filter(!isnan(col("dist")))
       .select(col("vec_id"), col("label"), col("dist"))
       .orderBy(col("dist"), col("vec_id"))
@@ -413,19 +454,20 @@ object VectorQueries {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  /** Oracle mirror of [[annLshTopk]]: identical plane table, codes,
-    * Hamming probe, and cosine rescoring. */
+  /** Oracle mirror of [[annLshTopk]]: identical 8-band plane table
+    * and codes, any-band Hamming probe, same cosine rescoring. */
   val annLshTopkSql: String =
-    s"""WITH ${lshCodesCte(1)},
-       |qc AS (SELECT code AS qcode FROM codes WHERE vec_id = $QueryVecId AND band = 0),
+    s"""WITH ${lshCodesCte(NeardupBands)},
+       |qc AS (SELECT band, code AS qcode FROM codes WHERE vec_id = $QueryVecId),
        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $QueryVecId),
        |cand AS (
        |  SELECT e.vec_id, e.label, e.embedding
        |  FROM embeddings e
-       |  JOIN codes c ON c.vec_id = e.vec_id AND c.band = 0
-       |  CROSS JOIN qc
        |  WHERE e.vec_id <> $QueryVecId
-       |    AND bit_count(xor(CAST(c.code AS BIGINT), CAST(qc.qcode AS BIGINT))) <= $ProbeRadius),
+       |    AND EXISTS (
+       |      SELECT 1 FROM codes c JOIN qc ON qc.band = c.band
+       |      WHERE c.vec_id = e.vec_id
+       |        AND bit_count(xor(CAST(c.code AS BIGINT), CAST(qc.qcode AS BIGINT))) <= $ProbeRadius)),
        |scored AS (
        |  SELECT c.vec_id, c.label,
        |    round(1.0 - list_sum(list_transform(range(1, len(c.embedding)+1),

@@ -1,0 +1,47 @@
+package graft
+
+import graft.ops.{Quantize, VectorQueries}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Int8 scalar quantization: code range, reconstruction error bound,
+  * and the quantized-scan-exact-rescore search quality. */
+class QuantizeSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  test("codes stay in [-127, 127] and reconstruction error ≤ 0.5/scale per element") {
+    val e = Quantize.withQuant(spark.read.parquet(s"$dir/embeddings.parquet"))
+    val bad = e.filter(expr(
+      "exists(qcodes, c -> c < -127 OR c > 127)")).count()
+    assert(bad == 0, "code out of int8 symmetric range")
+    // |x - c/scale| ≤ 0.5/scale by the rounding rule — check the
+    // worst element of every vector against its own bound
+    val viol = e.filter(expr(
+      """array_max(zip_with(embedding, qcodes,
+        |  (x, c) -> abs(CAST(x AS DOUBLE) - c / scale))) > 0.5 / scale + 1e-12""".stripMargin))
+      .count()
+    assert(viol == 0, "reconstruction error above the half-step bound")
+  }
+
+  test("sq error profile returns one sane row per label") {
+    val rows = Quantize.sqError(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("avg_mse") >= 0.0)
+      assert(r.getAs[Double]("max_abs_err") >= 0.0)
+      // unit-norm-ish embeddings quantized to int8: errors are tiny
+      assert(r.getAs[Double]("max_abs_err") < 0.05, r.toString)
+    }
+  }
+
+  test("quantized shortlist + exact rescore recovers the exact top-5") {
+    val exact = VectorQueries.knnTopkK(spark, dir, 5).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val sq = Quantize.sqTopK(spark, dir).collect().map(_.getAs[Long]("vec_id")).toSet
+    // int8 preserves cosine order well past the top-5/shortlist-20
+    // margin on real embeddings; equality is the expected outcome
+    val recall = sq.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"sq recall@5 = $recall (exact=$exact sq=$sq)")
+  }
+}

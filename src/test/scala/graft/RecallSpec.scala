@@ -14,7 +14,9 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class RecallSpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
-  private val dir = "/root/testdata/sf0.01"
+  // the sweep runs at sf0.1 — the bench scale — so the recall numbers
+  // describe the corpus density the registered queries are graded at
+  private val dir = "/root/testdata/sf0.1"
 
   private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
     df.collect().map(_.getAs[Long]("vec_id")).toSeq
@@ -27,6 +29,11 @@ class RecallSpec extends AnyFunSuite {
     val exact5 = ids(VectorQueries.knnTopkK(spark, dir, 5))
     val exact20 = ids(VectorQueries.knnTopkK(spark, dir, 20))
 
+    // one Lloyd's fit shared across the whole nProbe sweep — the
+    // materialized-index flow, where fitting happens at build time
+    val fitted = KMeansVec.fit(spark, dir, KMeansVec.K, iters = 1)
+    fitted._2.cache().count()
+
     info(f"${"path"}%-16s ${"knob"}%-10s recall@5  recall@20")
     val lsh = (0 to 4).map { r =>
       val r5 = recall(ids(VectorQueries.annLshTopkK(spark, dir, 5, r)), exact5)
@@ -35,8 +42,8 @@ class RecallSpec extends AnyFunSuite {
       (r, r5, r20)
     }
     val ivf = (1 to 6).map { p =>
-      val r5 = recall(ids(KMeansVec.ivfTopK(spark, dir, 5, p)), exact5)
-      val r20 = recall(ids(KMeansVec.ivfTopK(spark, dir, 20, p)), exact20)
+      val r5 = recall(ids(KMeansVec.ivfTopKFrom(fitted, spark, dir, 5, p)), exact5)
+      val r20 = recall(ids(KMeansVec.ivfTopKFrom(fitted, spark, dir, 20, p)), exact20)
       info(f"ivf              nProbe=$p%-3d  $r5%.2f      $r20%.2f")
       (p, r5, r20)
     }
@@ -57,6 +64,7 @@ class RecallSpec extends AnyFunSuite {
 
     // full-probe degenerates to exact: radius ≥ planes / nProbe = k
     assert(recall(ids(VectorQueries.annLshTopkK(spark, dir, 5, 6)), exact5) == 1.0)
-    assert(recall(ids(KMeansVec.ivfTopK(spark, dir, 5, KMeansVec.K)), exact5) == 1.0)
+    assert(recall(ids(KMeansVec.ivfTopKFrom(fitted, spark, dir, 5, KMeansVec.K)), exact5) == 1.0)
+    fitted._2.unpersist()
   }
 }
