@@ -354,6 +354,46 @@ object Dedup {
     * overflow degrades to direct hashing, never wrong results. */
   private val hashCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** MinHash band-bucket keys of ONE text, as [[Bands]] packed
+    * longs — the scalar form of the minhashLsh banding, shared by
+    * the streaming ingest filter (graft.streaming.StreamingDedup):
+    * distinct shingle hashes → 64-value signature → each band's
+    * [[RowsPerBand]] values mixed into one 64-bit key. Two texts
+    * share a key for band b iff their signatures agree on all of
+    * band b's rows — identical collision semantics to the batch
+    * bucket join. */
+  private[graft] def bandKeysOf(text: String): Array[Long] = {
+    val w = if (text == null) Array.empty[String] else text.split(" ")
+    if (w.length < ShingleK) return Array.empty[Long]
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val sigs = Array.fill(NumHashes)(Long.MaxValue)
+    val as = Array.tabulate(NumHashes)(minhashA)
+    val bs = Array.tabulate(NumHashes)(minhashB)
+    var i = 0
+    while (i + ShingleK <= w.length) {
+      val h0 = cachedHash60(w(i) + " " + w(i + 1) + " " + w(i + 2))
+      if (seen.add(h0)) {
+        val h = h0 % MinhashP
+        var j = 0
+        while (j < NumHashes) {
+          val v = (as(j) * h + bs(j)) % MinhashP
+          if (v < sigs(j)) sigs(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    Array.tabulate(Bands) { b =>
+      var k = graft.embed.HashEmbedder.mix(0x5DEECE66DL + b)
+      var r = 0
+      while (r < RowsPerBand) {
+        k = graft.embed.HashEmbedder.mix(k ^ sigs(b * RowsPerBand + r))
+        r += 1
+      }
+      k
+    }
+  }
+
   private[ops] def cachedHash60(tok: String): Long = {
     val c = hashCache.get(tok)
     if (c != null) c.longValue()

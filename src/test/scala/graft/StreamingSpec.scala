@@ -108,6 +108,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(!got.contains(1L), "sentinel hour is still open (watermark)")
   }
 
+  test("streaming dedup-on-ingest: corpus Bloom sketch flags near-dup arrivals map-only") {
+    import graft.streaming.StreamingDedup
+    val root = Files.createTempDirectory("graft-sdedup")
+    // static corpus: two real documents
+    val corpusDoc =
+      "the quick brown fox jumps over the lazy dog while the cat watches " +
+        "from a warm window sill and the rain falls softly on the quiet street outside"
+    val otherDoc =
+      "distributed query engines shuffle data between executors when joins " +
+        "and aggregations repartition rows across the cluster network fabric"
+    val corpus = Seq((1L, corpusDoc), (2L, otherDoc)).toDF("doc_id", "text")
+    val sketch = StreamingDedup.corpusSketch(corpus)
+
+    // stream: an exact copy, a near copy (two words changed), a novel doc
+    val src = root.resolve("in").toString
+    val nearCopy = corpusDoc.replace("quick", "swift").replace("rain", "snow")
+    val novel =
+      "completely unrelated content about baking sourdough bread with a " +
+        "long cold fermentation and a very hot dutch oven for the final crust"
+    Seq((10L, corpusDoc), (11L, nearCopy), (12L, novel))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(src)
+
+    val stream = spark.readStream.schema("doc_id BIGINT, text STRING").parquet(src)
+    val q = StreamingDedup.flagAgainstCorpus(stream, sketch)
+      .writeStream.format("memory").queryName("sdedup").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val flags = spark.sql("SELECT doc_id, dup_candidate FROM sdedup").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags(10L), "exact copy must flag")
+    assert(flags(11L), "near copy (2 word edit) must share a signature band")
+    assert(!flags(12L), "novel doc must pass")
+  }
+
   test("anomaly stream ≡ batch rate_anomaly: full row equality on a bounded source") {
     import graft.ops.Events
     val dir = "/root/testdata/sf0.001"
