@@ -27,22 +27,47 @@ object KMeansVec {
   val K = 10
   val Iters = 3
 
-  /** Squared euclidean distance to a centroid literal, computed with
-    * the fused dot expression: ‖x−c‖² = x·x − 2x·c + c·c. */
-  private def assignExpr(centroids: Array[Array[Double]]) = {
-    import graft.functions.VectorFunctions.dot
-    val cc = centroids.map(c => c.map(v => v * v).sum)
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      val cLit = typedLit(c.map(_.toFloat))
-      struct(
-        (dot(col("embedding"), col("embedding")) - lit(2.0) * dot(col("embedding"), cLit)
-          + lit(cc(i))).as("d2"),
-        lit(i).as("cluster"))
+  /** Squared euclidean distance to each centroid, nearest wins
+    * (lowest cluster id on exact ties): ‖x−c‖² = x·x − 2x·c + c·c.
+    *
+    * A closure UDF, not a literal struct-array expression: the
+    * literal form regenerates different codegen source for every
+    * centroid update, so EVERY Lloyd iteration (and every query
+    * invocation) paid a janino recompile — measured as the dominant
+    * cost of the whole fit at sf0.1. The UDF keeps one stable plan
+    * and runs primitive loops; the arithmetic is bit-identical to
+    * the old expression and to the oracle: sequential double folds,
+    * centroids truncated to float for the cross term (the typedLit
+    * cast the expression form applied), cc in full doubles, and
+    * d2 = ((x·x − 2·x·c) + cc) in that association order. */
+  private def assignUdf(centroids: Array[Array[Double]]) = {
+    val cf = centroids.map(_.map(_.toFloat))
+    val cc = centroids.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      s
     }
-    // array_min over (d2, cluster) structs: nearest centroid, lowest
-    // cluster id on exact ties
-    array_min(array(scala.collection.immutable.ArraySeq.unsafeWrapArray(scored): _*))
-      .getField("cluster")
+    udf { (emb: Seq[Float]) =>
+      val x = new Array[Double](emb.length)
+      var i = 0
+      while (i < x.length) { x(i) = emb(i); i += 1 }
+      var xx = 0.0
+      i = 0
+      while (i < x.length) { xx += x(i) * x(i); i += 1 }
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var k = 0
+      while (k < cf.length) {
+        val c = cf(k)
+        var xc = 0.0
+        var d = 0
+        while (d < x.length) { xc += x(d) * c(d).toDouble; d += 1 }
+        val d2 = xx - 2.0 * xc + cc(k)
+        if (d2 < bestD) { bestD = d2; best = k }
+        k += 1
+      }
+      best
+    }
   }
 
   /** Run Lloyd's iterations; returns the centroids that produced the
@@ -61,7 +86,7 @@ object KMeansVec {
     var assigned: DataFrame = null
     (1 to iters).foreach { _ =>
       used = centroids
-      assigned = e.withColumn("cluster", assignExpr(centroids))
+      assigned = e.withColumn("cluster", assignUdf(centroids)(col("embedding")))
       // decimal-bridged per-dimension means: deterministic AND
       // cross-engine (dims r6-rounded first, so the double→decimal
       // conversion is exact in both engines — the §8.5 bridge rule)
