@@ -77,14 +77,49 @@ object Dedup {
     withShingleArray(d)
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
 
-  /** Distinct shingles HASHED to the 60-bit cross-engine md5 value,
-    * one pass. Candidate generation never needs the shingle text —
-    * only equality — so the posting shuffle carries 8-byte longs
-    * instead of ~40-byte strings (measured ~2× on the postings
-    * stage). The oracle keys on the strings; at fixture scale the
-    * 60-bit space makes a collision vanishingly unlikely (p ≈ n²/2⁶¹)
-    * and the tri-scale hash-match gate would catch one. */
+  /** Distinct shingles HASHED to 64-bit longs, one pass. Candidate
+    * generation never needs the shingle text — only equality — so
+    * the posting shuffle carries 8-byte longs instead of ~40-byte
+    * strings (measured ~2× on the postings stage). The oracle keys
+    * on the strings, so the hash function is free to be FAST: FNV-1a
+    * built char-by-char across the shingle's words (no md5, no
+    * intermediate string, no memo cache — soup shingles are nearly
+    * all unique, so the md5 form re-hashed ~5M strings per sf0.1
+    * pass and thrashed its cache). Collision risk p ≈ n²/2⁶⁵ and the
+    * tri-scale hash-match gate would catch one. md5 stays where the
+    * oracle must recompute the values (MinHash signatures, SimHash,
+    * span hashes). */
   private val hashedShingleUdf = udf { (text: String) =>
+    val w = if (text == null) Array.empty[String] else text.split(" ")
+    if (w.length < ShingleK) Array.empty[Long]
+    else {
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      var i = 0
+      while (i + ShingleK <= w.length) {
+        var h = 0xCBF29CE484222325L
+        var t = 0
+        while (t < ShingleK) {
+          if (t > 0) { h ^= ' '.toLong; h *= 0x100000001B3L }
+          val s = w(i + t)
+          var c = 0
+          while (c < s.length) { h ^= s.charAt(c).toLong; h *= 0x100000001B3L; c += 1 }
+          t += 1
+        }
+        seen.add(h)
+        i += 1
+      }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var j = 0
+      while (it.hasNext) { out(j) = it.next().longValue(); j += 1 }
+      out
+    }
+  }
+
+  /** md5-60-bit variant — REQUIRED where the DuckDB oracle
+    * recomputes the hash values themselves (the MinHash signature
+    * family hashes `md5(shingle)`, Dedup.minhashLshSql). */
+  private val md5ShingleUdf = udf { (text: String) =>
     val w = if (text == null) Array.empty[String] else text.split(" ")
     if (w.length < ShingleK) Array.empty[Long]
     else {
@@ -234,7 +269,7 @@ object Dedup {
     * shuffle layer's job, and the raw slice is what DuckDB mirrors. */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    val sig = d.select(col("doc_id"), hashedShingleUdf(col("text")).as("hs"))
+    val sig = d.select(col("doc_id"), md5ShingleUdf(col("text")).as("hs"))
       .filter(size(col("hs")) > 0)
       .select(col("doc_id"), minhashUdf(col("hs")).as("sig"))
     val banded = sig.select(
