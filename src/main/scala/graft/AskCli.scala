@@ -37,7 +37,7 @@ object AskCli {
         out.flush()
         val line = in.readLine()
         if (line == null) done = true // EOF behaves like exit (piped input)
-        else if (Set("exit", "quit", "q").contains(line.toLowerCase)) {
+        else if (Set("exit", "quit", "q").contains(line.trim.toLowerCase)) {
           out.println(s"\nAll responses saved to $outFile")
           done = true
         } else if (line.trim.isEmpty) () // blank-skip (ask.py:306-307)

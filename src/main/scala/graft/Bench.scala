@@ -41,18 +41,19 @@ object Bench {
     // full-precision per-query times to a file (the harness captures
     // only a bounded stdout tail, which truncated the r3 artifact)
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${qsJson(4)},"sf":"$sfDir"}"""
-    try {
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get("/root/repo/bench_queries.json"),
-        full.getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+    val fullPath = java.nio.file.Paths.get("bench_queries.json").toAbsolutePath
+    try java.nio.file.Files.write(fullPath, full.getBytes("UTF-8"))
+    catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}")
+    }
     // the LAST stdout line is the machine-readable artifact: keep it
     // complete within a 2000-char tail capture — per-query seconds at
     // 2 decimals, and if the suite ever outgrows that, drop the map
     // rather than emit an unparseable prefix
     var line = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":${qsJson(2)},"sf":"$sfDir"}"""
     if (line.length > 1900)
-      line = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":{},"queries_file":"bench_queries.json","sf":"$sfDir"}"""
+      line = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":{},"queries_file":"$fullPath","sf":"$sfDir"}"""
     println(line)
     spark.stop()
   }

@@ -186,15 +186,19 @@ object Graft {
       indexPath: String,
       dim: Int = 64,
       backends: Backends = Backends()): AskSession = {
-    val manifest =
-      try VectorIndex.readManifest(spark, indexPath)
-      catch {
-        case e: Exception =>
-          throw new IllegalStateException(
-            s"No index found at $indexPath — run Graft.index first", e)
-      }
-    open(spark, indexPath, embedderFor(manifest, dim, backends))
+    val manifest = readManifestOrFail(spark, indexPath)
+    // dispatch and open share ONE manifest read — no second fetch, no
+    // window for the manifest to change between dispatch and validate
+    openWith(spark, indexPath, manifest, embedderFor(manifest, dim, backends))
   }
+
+  private def readManifestOrFail(spark: SparkSession, indexPath: String): IndexManifest =
+    try VectorIndex.readManifest(spark, indexPath)
+    catch {
+      case e: Exception =>
+        throw new IllegalStateException(
+          s"No index found at $indexPath — run Graft.index first", e)
+    }
 
   /** Open an index for repeated questions. Fails fast with a clear
     * message when the index is absent (reference behavior,
@@ -202,14 +206,14 @@ object Graft {
   def open(
       spark: SparkSession,
       indexPath: String,
-      embedder: Embedder = HashEmbedder.default): AskSession = {
-    val manifest =
-      try VectorIndex.readManifest(spark, indexPath)
-      catch {
-        case e: Exception =>
-          throw new IllegalStateException(
-            s"No index found at $indexPath — run Graft.index first", e)
-      }
+      embedder: Embedder = HashEmbedder.default): AskSession =
+    openWith(spark, indexPath, readManifestOrFail(spark, indexPath), embedder)
+
+  private def openWith(
+      spark: SparkSession,
+      indexPath: String,
+      manifest: IndexManifest,
+      embedder: Embedder): AskSession = {
     validate(manifest, embedder)
     val vectors = VectorIndex.readVectors(spark, indexPath).persist()
     new AskSession(spark, manifest, vectors, embedder)

@@ -77,7 +77,15 @@ final class RemoteEmbedder(
     val arr = Http.mapper.readTree(resp.body()).get("embeddings")
     if (arr == null || !arr.isArray || arr.size() != texts.length)
       throw new RuntimeException("embed server returned malformed embeddings")
-    (0 until arr.size()).map(i => Http.floats(arr.get(i)))
+    (0 until arr.size()).map { i =>
+      val v = Http.floats(arr.get(i))
+      // dim mismatch poisons retrieval silently (zero-fallback vectors
+      // and scoring both assume `dim`) — fail fast instead
+      if (v.length != dim)
+        throw new RuntimeException(
+          s"embed server returned dim ${v.length}, expected $dim")
+      v
+    }
   }
 
   /** GET /health, 5 s — reference `check_availability` (index.py:204-211). */
@@ -136,7 +144,10 @@ final class OllamaEmbedder(
     val arr = Http.mapper.readTree(resp.body()).get("embedding")
     if (arr == null || !arr.isArray)
       throw new RuntimeException("ollama returned malformed embedding")
-    Http.floats(arr)
+    val v = Http.floats(arr)
+    if (v.length != dim)
+      throw new RuntimeException(s"ollama returned dim ${v.length}, expected $dim")
+    v
   }
 
   /** GET /api/tags, model must appear in `models[].name`

@@ -348,7 +348,53 @@ object Curation {
       |JOIN lh ON lh.doc_id = sv.doc_id
       |ORDER BY sv.doc_id""".stripMargin
 
+  /** Domain-level curation — the C4/Gopher "filter by source" step:
+    * per-source rollup of doc count, exact-dup rate (md5 fingerprint
+    * groups), mean length, mean type-token ratio, and a keep
+    * decision. At 100 TB this is the cheap first gate: one
+    * hash-partitioned aggregation over ~millions of domains prunes
+    * whole sources before any per-document scoring runs. Integer
+    * sums stay exact; the TTR mean goes through r6 + the decimal
+    * bridge. */
+  def sourceCuration(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val per = d.select(
+      col("source"), col("n_chars"),
+      md5(col("text")).as("fp"),
+      TextOps.ttrOf(ws).as("ttr"))
+    per.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        r6(lit(1.0) - countDistinct(col("fp")).cast("double") / count(lit(1)))
+          .as("dup_rate"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        r6(graft.functions.OracleMath.davg(col("ttr"))).as("avg_ttr"))
+      .withColumn("keep",
+        (col("dup_rate") <= 0.2 && col("avg_ttr") >= 0.5 && col("avg_chars") >= 260.0)
+          .cast("int"))
+      .orderBy(col("source"))
+  }
+
+  val sourceCurationSql: String =
+    """WITH per AS (
+      |  SELECT source, n_chars, md5(text) AS fp,
+      |    round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |      / len(string_split(text, ' ')), 6) + 0 AS ttr
+      |  FROM documents)
+      |SELECT source, n_docs, dup_rate, avg_chars, avg_ttr,
+      |  CASE WHEN dup_rate <= 0.2 AND avg_ttr >= 0.5 AND avg_chars >= 260.0
+      |       THEN 1 ELSE 0 END AS keep
+      |FROM (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    round(1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 6) + 0 AS dup_rate,
+      |    CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+      |    round(CAST(SUM(CAST(ttr AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) + 0 AS avg_ttr
+      |  FROM per
+      |  GROUP BY source)
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_curation" -> (sourceCuration _),
     "curation_pipeline" -> (curationPipeline _),
     "sample_hash" -> (sampleHash _),
     "decontaminate" -> (decontaminate _),
@@ -359,6 +405,7 @@ object Curation {
     "shard_pack" -> (shardPack _))
 
   val oracles: Map[String, String] = Map(
+    "source_curation" -> sourceCurationSql,
     "curation_pipeline" -> curationPipelineSql,
     "sample_hash" -> sampleHashSql,
     "decontaminate" -> decontaminateSql,

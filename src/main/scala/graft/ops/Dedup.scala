@@ -235,12 +235,18 @@ object Dedup {
   def minhashA(j: Int): Long = md5Hash60("a" + j) % (MinhashP - 1) + 1
   def minhashB(j: Int): Long = md5Hash60("b" + j) % MinhashP
 
+  /** The 64+64 coefficients memoized per JVM — they are constants,
+    * and both the per-row minhash UDF and the streaming bandKeysOf
+    * used to redo 128 md5 digests per document without this. */
+  private lazy val minhashAs: Array[Long] = Array.tabulate(NumHashes)(minhashA)
+  private lazy val minhashBs: Array[Long] = Array.tabulate(NumHashes)(minhashB)
+
   /** Signatures from the HASHED shingle array (shared with
     * dedupJaccard's candidate stream — the md5 runs once). */
   private val minhashUdf = udf { (hashed0: Seq[Long]) =>
     val hashed = if (hashed0 == null) Seq.empty[Long] else hashed0
-    val as = Array.tabulate(NumHashes)(minhashA)
-    val bs = Array.tabulate(NumHashes)(minhashB)
+    val as = minhashAs
+    val bs = minhashBs
     val sigs = Array.fill(NumHashes)(Long.MaxValue)
     hashed.foreach { h0 =>
       val h = h0 % MinhashP
@@ -402,8 +408,8 @@ object Dedup {
     if (w.length < ShingleK) return Array.empty[Long]
     val seen = new java.util.HashSet[java.lang.Long]()
     val sigs = Array.fill(NumHashes)(Long.MaxValue)
-    val as = Array.tabulate(NumHashes)(minhashA)
-    val bs = Array.tabulate(NumHashes)(minhashB)
+    val as = minhashAs
+    val bs = minhashBs
     var i = 0
     while (i + ShingleK <= w.length) {
       val h0 = cachedHash60(w(i) + " " + w(i + 1) + " " + w(i + 2))

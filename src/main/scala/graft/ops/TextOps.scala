@@ -65,6 +65,12 @@ object TextOps {
   /** Per-document quality signals: token count, distinct tokens,
     * type-token ratio, stopword ratio — the length/stopword slice of
     * an LLM-data quality score, all in codegen'd array functions. */
+  /** Type-token ratio of a split token array — ONE definition shared
+    * by docQuality and Curation.sourceCuration so the two "TTR"
+    * columns can never diverge. */
+  def ttrOf(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    r6(size(array_distinct(w)).cast("double") / size(w))
+
   def docQuality(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val w = split(col("text"), " ")
@@ -72,7 +78,7 @@ object TextOps {
         col("doc_id"),
         size(w).cast("long").as("n_tokens"),
         size(array_distinct(w)).cast("long").as("n_distinct"),
-        r6(size(array_distinct(w)).cast("double") / size(w)).as("ttr"),
+        ttrOf(w).as("ttr"),
         r6(size(filter(w, x => x.isInCollection(Stopwords))).cast("double") / size(w))
           .as("stop_ratio"))
       .orderBy(col("doc_id"))

@@ -27,15 +27,19 @@ import org.apache.spark.sql.functions._
 object StreamingDedup {
 
   /** Build the corpus sketch: Bloom filter over every document's
-    * band keys. One pass over the static corpus, driver holds only
-    * the filter bits. */
+    * band keys. ONE pass over the static corpus when `expectedDocs`
+    * is supplied (pass the catalog/metadata row count — don't make
+    * the builder burn a dedicated counting scan of 100 TB); without
+    * it a count() job runs first and the build costs two passes. */
   def corpusSketch(
       corpus: DataFrame,
       textCol: String = "text",
-      fpp: Double = 0.001): org.apache.spark.util.sketch.BloomFilter = {
+      fpp: Double = 0.001,
+      expectedDocs: Option[Long] = None): org.apache.spark.util.sketch.BloomFilter = {
     val keysUdf = udf { (text: String) => Dedup.bandKeysOf(text) }
     val keys = corpus.select(explode(keysUdf(col(textCol))).as("key"))
-    val expected = math.max(1000L, corpus.count() * graft.ops.Dedup.Bands)
+    val expected =
+      math.max(1000L, expectedDocs.getOrElse(corpus.count()) * graft.ops.Dedup.Bands)
     keys.stat.bloomFilter("key", expected, fpp)
   }
 

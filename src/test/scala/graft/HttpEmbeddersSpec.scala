@@ -98,6 +98,18 @@ class HttpEmbeddersSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2).sameElements(Array(1.0f, 2.0f, 3.0f, 4.0f)))
   }
 
+  test("dim mismatch fails fast instead of poisoning retrieval") {
+    // stub returns 4-dim vectors; declaring dim=8 must throw, not
+    // mix 8-dim zero-fallbacks with 4-dim successes downstream
+    val remote = new RemoteEmbedder(base, "test-model", dim = 8)
+    failuresToInject.set(0)
+    val e = intercept[RuntimeException](remote.embed(Seq("x")))
+    assert(e.getMessage.contains("dim"))
+    val ollama = new OllamaEmbedder(base, "nomic-embed-text", dim = 8)
+    val e2 = intercept[RuntimeException](ollama.embedOne("fine"))
+    assert(e2.getMessage.contains("dim"))
+  }
+
   test("ollama: availability requires the model in /api/tags") {
     assert(new OllamaEmbedder(base, "nomic-embed-text", 4).checkAvailability())
     assert(!new OllamaEmbedder(base, "missing-model", 4).checkAvailability())

@@ -5,12 +5,12 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** ANN recall harness — substantiates the "same retrieval
   * capability" claim the reference's HNSW index makes
-  * (index.py:434): recall@5 / recall@20 of the sign-LSH and IVF
-  * approximate paths against exact brute-force kNN, swept over their
-  * probe knobs (Hamming radius for LSH, nProbe for IVF) on the
-  * sf0.01 fixture. Everything is deterministic (md5 plane table,
-  * lowest-vec_id centroid init), so the numbers are stable across
-  * runs and partitionings.
+  * (index.py:434): recall@5 / recall@20 of the multi-band sign-LSH
+  * and IVF approximate paths against exact brute-force kNN, swept
+  * over their probe knobs (per-band Hamming radius for LSH, nProbe
+  * for IVF) on the sf0.1 fixture — the bench density. Everything is
+  * deterministic (md5 plane table, lowest-vec_id centroid init), so
+  * the numbers are stable across runs and partitionings.
   */
 class RecallSpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
@@ -52,9 +52,10 @@ class RecallSpec extends AnyFunSuite {
     assert(lsh.map(_._2) == lsh.map(_._2).sorted, "LSH recall@5 not monotone in radius")
     assert(ivf.map(_._2) == ivf.map(_._2).sorted, "IVF recall@5 not monotone in nProbe")
 
-    // the REGISTERED settings (ann_lsh_topk: radius 2; ann_ivf_topk:
-    // nProbe 3) must hold ≥0.9 recall@5 — the quality bar that makes
-    // the approximate paths usable stand-ins for exact kNN
+    // the REGISTERED settings (ann_lsh_topk: per-band radius
+    // VectorQueries.ProbeRadius; ann_ivf_topk: nProbe 3) must hold
+    // ≥0.9 recall@5 — the quality bar that makes the approximate
+    // paths usable stand-ins for exact kNN
     val lshAtRegistered = lsh.find(_._1 == VectorQueries.ProbeRadius).get
     assert(lshAtRegistered._2 >= 0.9,
       s"LSH recall@5 at registered radius: ${lshAtRegistered._2}")
