@@ -419,7 +419,16 @@ object VectorQueries {
     * cosine is verified (so precision is 1; recall trades against
     * bucket count — multi-band repetition raises it, same pattern
     * as MinHash banding). One shuffle on the code; never all-pairs.
-    * Oracle-checked: DuckDB rebuilds the md5 plane table and codes. */
+    *
+    * Recall is regime-dependent by the collision math
+    * (p_band = (1 − θ/π)^6 per band): ≈0.5 at the fixture's
+    * coincidental sim≈0.47 pairs, measured 1.0 at sim ≥ 0.8 — the
+    * range real near-duplicates occupy (RecallSpec injects perturbed
+    * copies and pins this). Driving recall up at LOW thresholds
+    * requires near-all-pairs candidate volume with any hash family;
+    * that exact semantics is what the gated [[embedNeardupGated]]
+    * provides. Oracle-checked: DuckDB rebuilds the md5 plane table
+    * and codes. */
   def embedNeardupLsh(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     // candidate generation carries ONLY ids through the shuffles

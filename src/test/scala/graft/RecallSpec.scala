@@ -68,4 +68,46 @@ class RecallSpec extends AnyFunSuite {
     assert(recall(ids(KMeansVec.ivfTopKFrom(fitted, spark, dir, 5, KMeansVec.K)), exact5) == 1.0)
     fitted._2.unpersist()
   }
+
+  test("neardup LSH recall in the regime the operator is for: true near-duplicates") {
+    // The fixture's exact pairs all sit at sim 0.45-0.51 — near-random
+    // soup, where ANY sub-quadratic family has partial recall by the
+    // LSH collision math (p_band = (1 - θ/π)^6 ≈ 0.08 per band at
+    // θ≈62°). Real near-duplicates live at sim ≥ 0.8, where the same
+    // 8×6 banding recalls essentially everything. Inject perturbed
+    // copies and measure both regimes against the exact twin.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val src = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select("vec_id", "embedding", "label")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val rng = new scala.util.Random(1234)
+    // 20 near-copies: small additive noise → sim ≈ 0.97-0.995
+    val copies = src.take(20).zipWithIndex.map { case ((id, v, lab), i) =>
+      val w = v.map(x => x + (rng.nextFloat() - 0.5f) * 0.04f)
+      (100000L + i, w, lab)
+    }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val rows = (src ++ copies).map { case (id, v, lab) =>
+      Row(id, v.toSeq, lab) }
+    val root = java.nio.file.Files.createTempDirectory("graft-ndrecall")
+    spark.createDataFrame(
+        new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)), schema)
+      .write.mode("overwrite").parquet(s"$root/embeddings.parquet")
+
+    val exact = VectorQueries.embedNeardupTriangle(spark, root.toString, blocks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = VectorQueries.embedNeardupLsh(spark, root.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact.keySet), "exact verify keeps precision 1")
+    val hi = exact.filter(_._2 >= 0.8).keySet
+    val hiRecall = if (hi.isEmpty) 1.0 else lsh.intersect(hi).size.toDouble / hi.size
+    info(f"neardup pairs: ${exact.size} exact (${hi.size} at sim≥0.8); " +
+      f"LSH recall overall ${lsh.size.toDouble / exact.size}%.2f, sim≥0.8 $hiRecall%.2f")
+    assert(hi.nonEmpty, "injected copies must create sim≥0.8 pairs")
+    assert(hiRecall >= 0.95, s"high-sim recall $hiRecall")
+  }
 }
