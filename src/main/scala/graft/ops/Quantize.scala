@@ -191,6 +191,67 @@ object Quantize {
        |WHERE dist IS NOT NULL AND NOT isnan(dist)
        |ORDER BY dist, vec_id LIMIT 5""".stripMargin
 
+  /** Materialize the int8 index: codes stored as ARRAY<TINYINT> —
+    * physically 1 byte/dim in parquet vs 4 for the float column —
+    * beside vec_id/label/scale. At 100 TB this is the table the
+    * phase-1 scan reads; the float table is touched only for the
+    * shortlist rescore. */
+  def writeSqIndex(s: SparkSession, dir: String, outDir: String): Unit =
+    withQuant(t(s, dir, "embeddings"))
+      .select(col("vec_id"), col("label"),
+        expr("transform(qcodes, c -> CAST(c AS TINYINT))").as("codes8"),
+        col("scale"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$outDir/codes")
+
+  /** Probe search over a materialized int8 index: phase 1 scans ONLY
+    * the codes table (column pruning keeps the float embeddings out
+    * of the plan entirely — asserted in QuantizeSpec), phase 2
+    * rescores the [[SqShortlist]] survivors against the float table
+    * via an id semi-join. Identical output to the inline [[sqTopK]]
+    * for the same query vector. */
+  def sqSearchIndexed(
+      s: SparkSession,
+      indexDir: String,
+      floatsDir: String,
+      q: Array[Float],
+      k: Int = 5,
+      excludeId: Option[Long] = None): DataFrame = {
+    val (qq, nb) = quantOne(q)
+    val sqrtNb = math.sqrt(nb.toDouble)
+    val distQUdf = udf { (codes: Seq[Byte]) =>
+      var dq = 0L
+      var na = 0L
+      var i = 0
+      while (i < codes.length) {
+        val c = codes(i).toLong
+        dq += c * qq(i)
+        na += c * c
+        i += 1
+      }
+      if (na == 0L) Option.empty[Double]
+      else Some(1.0 - dq.toDouble / (math.sqrt(na.toDouble) * sqrtNb))
+    }
+    val codesDf = excludeId.foldLeft(s.read.parquet(s"$indexDir/codes")) {
+      (df, id) => df.filter(col("vec_id") =!= id)
+    }
+    val shortIds = codesDf
+      .withColumn("dist_q", distQUdf(col("codes8")))
+      .filter(col("dist_q").isNotNull)
+      .select(col("vec_id"), col("dist_q"))
+      .orderBy(col("dist_q"), col("vec_id"))
+      .limit(SqShortlist)
+      .collect().map(_.getLong(0))
+    t(s, floatsDir, "embeddings")
+      .filter(col("vec_id").isInCollection(shortIds))
+      .withColumn("dist",
+        r6(graft.functions.VectorFunctions.cosineDist(col("embedding"), typedLit(q))))
+      .filter(!isnan(col("dist")) && col("dist").isNotNull)
+      .select(col("vec_id"), col("label"), col("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sq_error" -> (sqError _),
     "ann_sq_topk" -> ((s, d) => sqTopK(s, d)))

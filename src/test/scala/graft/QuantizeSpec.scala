@@ -35,6 +35,25 @@ class QuantizeSpec extends AnyFunSuite {
     }
   }
 
+  test("materialized int8 index: same answer as inline search, floats out of phase 1") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sqidx").toString
+    Quantize.writeSqIndex(spark, dir, root)
+    // codes are physically TINYINT in parquet — the 4x storage claim
+    val codesSchema = spark.read.parquet(s"$root/codes").schema("codes8").dataType.sql
+    assert(codesSchema == "ARRAY<TINYINT>", codesSchema)
+    // phase-1 plan reads only the codes table: no "embedding" column
+    // anywhere in its scan (column pruning is the bandwidth win)
+    val phase1 = spark.read.parquet(s"$root/codes").select("vec_id", "codes8")
+    assert(!phase1.queryExecution.executedPlan.toString.contains("embedding"))
+
+    val q = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") === 0L).select("embedding").head().getSeq[Float](0).toArray
+    val indexed = Quantize.sqSearchIndexed(spark, root, dir, q, excludeId = Some(0L))
+      .collect().map(_.toString).toSeq
+    val inline = Quantize.sqTopK(spark, dir).collect().map(_.toString).toSeq
+    assert(indexed == inline, s"indexed=$indexed inline=$inline")
+  }
+
   test("quantized shortlist + exact rescore recovers the exact top-5") {
     val exact = VectorQueries.knnTopkK(spark, dir, 5).collect()
       .map(_.getAs[Long]("vec_id")).toSet
