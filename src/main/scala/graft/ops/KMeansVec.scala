@@ -251,7 +251,7 @@ object KMeansVec {
     * assignment a{t} → centroids c{t}). The engine truncates
     * centroid dims to FLOAT for the dot (typedLit(c.map(_.toFloat)))
     * but keeps Σc² in full doubles — both mirrored. */
-  private def assignCte(t: Int): String =
+  private[ops] def assignCte(t: Int): String =
     s"""s$t AS (
        |  SELECT e.vec_id, e.label, e.embedding, c.cluster,
        |    ${xx("e.embedding")}
@@ -280,7 +280,7 @@ object KMeansVec {
 
   /** c0 = the k lowest vec_ids' embeddings as doubles, cluster id =
     * rank within that prefix (the engine's array index). */
-  private def initCte: String =
+  private[ops] def initCte: String =
     s"""c0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
@@ -328,11 +328,60 @@ object KMeansVec {
        |WHERE dist IS NOT NULL AND NOT isnan(dist)
        |ORDER BY dist, vec_id LIMIT 5""".stripMargin
 
+  /** Semantic dedup, SemDeDup-style (cluster-then-compare): one
+    * Lloyd's assignment partitions the corpus into k cells, then
+    * pairwise cosine runs ONLY within each cell — the cluster id is
+    * the join key, so candidate volume is Σ|cell|² instead of n²
+    * (the k-means step is what makes semantic dedup sub-quadratic
+    * at corpus scale; semantically-near duplicates land in the same
+    * cell by construction because assignment is distance-based).
+    * Emits within-cell pairs with cosine ≥ [[SemDedupThreshold]],
+    * keep = the lower vec_id (min-id survivorship). */
+  val SemDedupThreshold = 0.4
+
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.{dot, l2norm, r6}
+    val assigned = fit(s, dir, K, iters = 1)._2
+      .withColumn("nrm", l2norm(col("embedding")))
+      .filter(col("nrm") > 0)
+    val a = assigned.select(col("cluster").as("ca"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"), col("nrm").as("na"))
+    val b = assigned.select(col("cluster").as("cb"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"), col("nrm").as("nb"))
+    a.join(b, col("ca") === col("cb") && col("vec_a") < col("vec_b"))
+      .withColumn("sim", r6(try_divide(dot(col("emb_a"), col("emb_b")), col("na") * col("nb"))))
+      .filter(col("sim") >= SemDedupThreshold)
+      .select(col("ca").cast("long").as("cluster"), col("vec_a"), col("vec_b"), col("sim"))
+      .orderBy(col("cluster"), col("vec_a"), col("vec_b"))
+  }
+
+  /** Oracle mirror of [[semanticDedup]]: the one-iteration assignment
+    * CTE, then within-cluster pairwise cosine with the same
+    * sequential folds (zero-norm rows excluded on both sides). */
+  val semanticDedupSql: String =
+    s"""WITH $initCte,
+       |${assignCte(1)},
+       |n AS (
+       |  SELECT cluster, vec_id, embedding, sqrt(${xx("embedding")}) AS nrm
+       |  FROM a1
+       |  WHERE ${xx("embedding")} > 0)
+       |SELECT cluster, vec_a, vec_b, sim FROM (
+       |  SELECT CAST(x.cluster AS BIGINT) AS cluster,
+       |    x.vec_id AS vec_a, y.vec_id AS vec_b,
+       |    round(list_sum(list_transform(range(1, len(x.embedding)+1),
+       |            i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+       |          / (x.nrm * y.nrm), 6) + 0 AS sim
+       |  FROM n x JOIN n y ON x.cluster = y.cluster AND x.vec_id < y.vec_id)
+       |WHERE sim >= $SemDedupThreshold
+       |ORDER BY cluster, vec_a, vec_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kmeans_clusters" -> (clusterProfile _),
+    "semantic_dedup" -> (semanticDedup _),
     "ann_ivf_topk" -> ((s, d) => ivfTopK(s, d)))
 
   val oracles: Map[String, String] = Map(
     "kmeans_clusters" -> clusterProfileSql,
+    "semantic_dedup" -> semanticDedupSql,
     "ann_ivf_topk" -> ivfTopKSql)
 }
