@@ -393,7 +393,77 @@ object Curation {
       |  GROUP BY source)
       |ORDER BY source""".stripMargin
 
+  /** Token capacity of one packed training sequence. */
+  val SeqCapacity = 800L
+
+  private val packUdf = udf { (docs: Seq[org.apache.spark.sql.Row]) =>
+    var seq = 0L
+    var running = 0L
+    docs.map { r =>
+      val id = r.getLong(0)
+      val n = r.getLong(1)
+      if (running > 0 && running + n > SeqCapacity) { seq += 1; running = n }
+      else running += n
+      (id, seq, n)
+    }
+  }
+
+  /** Sequence packing — the "fill fixed context windows" step that
+    * turns curated documents into training samples: docs in doc_id
+    * order pack next-fit into [[SeqCapacity]]-token sequences (a doc
+    * that would overflow starts the next sequence; docs longer than
+    * the capacity are truncated to it). The fold is inherently
+    * sequential WITHIN a source but sources pack independently, so
+    * the operator is partition-parallel across the corpus — same
+    * parallel shape as shardPack, different semantics (next-fit
+    * with reset vs cumulative-offset binning; a doc never straddles
+    * two sequences here). A pathological single source with millions
+    * of docs would need a pre-pass salting the source key into
+    * bounded segments; the fixture's sources are bounded. */
+  def seqPack(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select(col("source"),
+        struct(col("doc_id"),
+          least(size(ws).cast("long"), lit(SeqCapacity)).as("n")).as("dn"))
+      .groupBy(col("source"))
+      .agg(sort_array(collect_list(col("dn"))).as("docs"))
+      .select(col("source"), explode(packUdf(col("docs"))).as("p"))
+      .select(col("source"), col("p._2").as("seq"), col("p._3").as("n_eff"))
+      .groupBy(col("source"), col("seq"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_eff")).as("sum_tokens"),
+        r6(sum(col("n_eff")).cast("double") / SeqCapacity).as("fill"))
+      .orderBy(col("source"), col("seq"))
+  }
+
+  /** Oracle mirror of [[seqPack]]: the next-fit fold replayed as a
+    * recursive CTE stepping one doc per level across all sources at
+    * once (same shape as the chunker oracle). */
+  val seqPackSql: String =
+    s"""WITH RECURSIVE d AS (
+       |  SELECT source, doc_id,
+       |    LEAST(CAST(len(string_split(text, ' ')) AS BIGINT), $SeqCapacity) AS n
+       |  FROM documents),
+       |ord AS (
+       |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS i
+       |  FROM d),
+       |step(source, i, n, running, seq) AS (
+       |  SELECT source, i, n, n, CAST(0 AS BIGINT) FROM ord WHERE i = 1
+       |  UNION ALL
+       |  SELECT o.source, o.i, o.n,
+       |    CASE WHEN s.running + o.n > $SeqCapacity THEN o.n
+       |         ELSE s.running + o.n END,
+       |    CASE WHEN s.running + o.n > $SeqCapacity THEN s.seq + 1 ELSE s.seq END
+       |  FROM step s JOIN ord o ON o.source = s.source AND o.i = s.i + 1)
+       |SELECT source, seq, COUNT(*) AS n_docs,
+       |  CAST(SUM(n) AS BIGINT) AS sum_tokens,
+       |  round(CAST(SUM(n) AS DOUBLE) / $SeqCapacity, 6) + 0 AS fill
+       |FROM step
+       |GROUP BY source, seq
+       |ORDER BY source, seq""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "seq_pack" -> (seqPack _),
     "source_curation" -> (sourceCuration _),
     "curation_pipeline" -> (curationPipeline _),
     "sample_hash" -> (sampleHash _),
@@ -405,6 +475,7 @@ object Curation {
     "shard_pack" -> (shardPack _))
 
   val oracles: Map[String, String] = Map(
+    "seq_pack" -> seqPackSql,
     "source_curation" -> sourceCurationSql,
     "curation_pipeline" -> curationPipelineSql,
     "sample_hash" -> sampleHashSql,

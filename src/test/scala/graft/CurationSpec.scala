@@ -123,6 +123,21 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("seq_pack: capacity never exceeded, every doc packed exactly once") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Curation.seqPack(spark, sf).collect()
+    // next-fit invariant: a packed sequence holds at most the capacity
+    rows.foreach { r =>
+      assert(r.getAs[Long]("sum_tokens") <= Curation.SeqCapacity,
+        s"overfull sequence: $r")
+      assert(r.getAs[Double]("fill") > 0.0 && r.getAs[Double]("fill") <= 1.0)
+    }
+    // conservation: the pack is a partition of the corpus
+    val packedDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(packedDocs ==
+      spark.read.parquet(s"$sf/documents.parquet").count())
+  }
+
   test("shard_pack assigns docs by per-source running token budget") {
     // craft one source with 3 docs of 200 tokens each and a 500 budget:
     // prefix sums before each doc are 0, 200, 400 → all shard 0;
