@@ -84,23 +84,29 @@ object KMeansVec {
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
     var used: Array[Array[Double]] = centroids
     var assigned: DataFrame = null
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { it =>
       used = centroids
       assigned = e.withColumn("cluster", assignUdf(centroids)(col("embedding")))
-      // decimal-bridged per-dimension means: deterministic AND
-      // cross-engine (dims r6-rounded first, so the double→decimal
-      // conversion is exact in both engines — the §8.5 bridge rule)
-      val sums = assigned
-        .select(col("cluster"), posexplode(col("embedding")).as(Seq("d", "v")))
-        .groupBy(col("cluster"), col("d"))
-        .agg(OracleMath.dsum(r6(col("v").cast("double"))).as("s"), count(lit(1)).as("n"))
-        .collect()
-      val next = Array.tabulate(k)(i => centroids(i).clone())
-      sums.foreach { r =>
-        val c = r.getInt(0); val d = r.getInt(1)
-        next(c)(d) = r.getDouble(2) / r.getLong(3)
+      // the update after the LAST assignment is never consumed (the
+      // returned pair is the pre-update centroids + their assignment),
+      // so skip it — iters=1 callers pay only the init collect and a
+      // lazy assignment, no aggregation job at all
+      if (it < iters) {
+        // decimal-bridged per-dimension means: deterministic AND
+        // cross-engine (dims r6-rounded first, so the double→decimal
+        // conversion is exact in both engines — the §8.5 bridge rule)
+        val sums = assigned
+          .select(col("cluster"), posexplode(col("embedding")).as(Seq("d", "v")))
+          .groupBy(col("cluster"), col("d"))
+          .agg(OracleMath.dsum(r6(col("v").cast("double"))).as("s"), count(lit(1)).as("n"))
+          .collect()
+        val next = Array.tabulate(k)(i => centroids(i).clone())
+        sums.foreach { r =>
+          val c = r.getInt(0); val d = r.getInt(1)
+          next(c)(d) = r.getDouble(2) / r.getLong(3)
+        }
+        centroids = next
       }
-      centroids = next
     }
     (used, assigned)
   }
@@ -251,7 +257,7 @@ object KMeansVec {
     * assignment a{t} → centroids c{t}). The engine truncates
     * centroid dims to FLOAT for the dot (typedLit(c.map(_.toFloat)))
     * but keeps Σc² in full doubles — both mirrored. */
-  private[ops] def assignCte(t: Int): String =
+  private def assignCte(t: Int): String =
     s"""s$t AS (
        |  SELECT e.vec_id, e.label, e.embedding, c.cluster,
        |    ${xx("e.embedding")}
@@ -280,7 +286,7 @@ object KMeansVec {
 
   /** c0 = the k lowest vec_ids' embeddings as doubles, cluster id =
     * rank within that prefix (the engine's array index). */
-  private[ops] def initCte: String =
+  private def initCte: String =
     s"""c0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
@@ -341,9 +347,12 @@ object KMeansVec {
 
   def semanticDedup(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.{dot, l2norm, r6}
+    // cache the assignment: the self-join otherwise re-runs the scan
+    // and the assignUdf pass once per side
     val assigned = fit(s, dir, K, iters = 1)._2
       .withColumn("nrm", l2norm(col("embedding")))
       .filter(col("nrm") > 0)
+      .cache()
     val a = assigned.select(col("cluster").as("ca"), col("vec_id").as("vec_a"),
       col("embedding").as("emb_a"), col("nrm").as("na"))
     val b = assigned.select(col("cluster").as("cb"), col("vec_id").as("vec_b"),

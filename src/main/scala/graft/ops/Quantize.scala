@@ -210,16 +210,11 @@ object Quantize {
     * rescores the [[SqShortlist]] survivors against the float table
     * via an id semi-join. Identical output to the inline [[sqTopK]]
     * for the same query vector. */
-  def sqSearchIndexed(
-      s: SparkSession,
-      indexDir: String,
-      floatsDir: String,
-      q: Array[Float],
-      k: Int = 5,
-      excludeId: Option[Long] = None): DataFrame = {
-    val (qq, nb) = quantOne(q)
+  /** Integer-dot quantized-distance UDF against a pre-quantized
+    * query (codes arrive as TINYINT from the materialized index). */
+  private def codesDistUdf(qq: Array[Int], nb: Long) = {
     val sqrtNb = math.sqrt(nb.toDouble)
-    val distQUdf = udf { (codes: Seq[Byte]) =>
+    udf { (codes: Seq[Byte]) =>
       var dq = 0L
       var na = 0L
       var i = 0
@@ -232,15 +227,17 @@ object Quantize {
       if (na == 0L) Option.empty[Double]
       else Some(1.0 - dq.toDouble / (math.sqrt(na.toDouble) * sqrtNb))
     }
-    val codesDf = excludeId.foldLeft(s.read.parquet(s"$indexDir/codes")) {
-      (df, id) => df.filter(col("vec_id") =!= id)
-    }
-    val shortIds = codesDf
-      .withColumn("dist_q", distQUdf(col("codes8")))
-      .filter(col("dist_q").isNotNull)
-      .select(col("vec_id"), col("dist_q"))
-      .orderBy(col("dist_q"), col("vec_id"))
-      .limit(SqShortlist)
+  }
+
+  def sqSearchIndexed(
+      s: SparkSession,
+      indexDir: String,
+      floatsDir: String,
+      q: Array[Float],
+      k: Int = 5,
+      excludeId: Option[Long] = None): DataFrame = {
+    val (qq, nb) = quantOne(q)
+    val shortIds = sqPhase1(s, indexDir, codesDistUdf(qq, nb), excludeId)
       .collect().map(_.getLong(0))
     t(s, floatsDir, "embeddings")
       .filter(col("vec_id").isInCollection(shortIds))
@@ -250,6 +247,32 @@ object Quantize {
       .select(col("vec_id"), col("label"), col("dist"))
       .orderBy(col("dist"), col("vec_id"))
       .limit(k)
+  }
+
+  /** The indexed search's phase-1 shortlist plan, exposed so
+    * QuantizeSpec can assert the ACTUAL plan the search runs never
+    * touches the float column (not a hand-built stand-in). */
+  private[graft] def sqPhase1(
+      s: SparkSession,
+      indexDir: String,
+      distQUdf: org.apache.spark.sql.expressions.UserDefinedFunction,
+      excludeId: Option[Long]): DataFrame = {
+    val codesDf = excludeId.foldLeft(s.read.parquet(s"$indexDir/codes")) {
+      (df, id) => df.filter(col("vec_id") =!= id)
+    }
+    codesDf
+      .withColumn("dist_q", distQUdf(col("codes8")))
+      .filter(col("dist_q").isNotNull)
+      .select(col("vec_id"), col("dist_q"))
+      .orderBy(col("dist_q"), col("vec_id"))
+      .limit(SqShortlist)
+  }
+
+  /** Test hook: the phase-1 plan for a given query vector. */
+  private[graft] def sqPhase1Plan(
+      s: SparkSession, indexDir: String, q: Array[Float], excludeId: Option[Long]): DataFrame = {
+    val (qq, nb) = quantOne(q)
+    sqPhase1(s, indexDir, codesDistUdf(qq, nb), excludeId)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

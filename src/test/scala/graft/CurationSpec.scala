@@ -138,6 +138,33 @@ class CurationSpec extends AnyFunSuite {
       spark.read.parquet(s"$sf/documents.parquet").count())
   }
 
+  test("seq_pack crafted boundaries: truncation, exact fit, and overflow reset") {
+    val d = Files.createTempDirectory("graft-seqpack").toString
+    def doc(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    // src0: a 900-token doc (truncates to 800 and fills one sequence),
+    //       then 300 + 500 (exactly fills the next — running+n == cap
+    //       must FIT, not reset), then 1 more (starts sequence 2)
+    // src1: 400 + 500 (overflow → reset into its own sequence)
+    Seq(
+      (0L, doc(900), "en", "src0"),
+      (1L, doc(300), "en", "src0"),
+      (2L, doc(500), "en", "src0"),
+      (3L, doc(1), "en", "src0"),
+      (10L, doc(400), "en", "src1"),
+      (11L, doc(500), "en", "src1"))
+      .map { case (id, txt, lang, src) => (id, txt, lang, src, txt.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Curation.seqPack(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tokens")))).toMap
+    assert(got(("src0", 0L)) == ((1L, 800L)), "900-token doc truncates to capacity")
+    assert(got(("src0", 1L)) == ((2L, 800L)), "300+500 fills exactly — no premature reset")
+    assert(got(("src0", 2L)) == ((1L, 1L)), "next doc starts a fresh sequence")
+    assert(got(("src1", 0L)) == ((1L, 400L)), "overflowing doc does not join")
+    assert(got(("src1", 1L)) == ((1L, 500L)), "it starts its own sequence")
+  }
+
   test("shard_pack assigns docs by per-source running token budget") {
     // craft one source with 3 docs of 200 tokens each and a 500 budget:
     // prefix sums before each doc are 0, 200, 400 → all shard 0;

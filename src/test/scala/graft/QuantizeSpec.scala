@@ -41,13 +41,15 @@ class QuantizeSpec extends AnyFunSuite {
     // codes are physically TINYINT in parquet — the 4x storage claim
     val codesSchema = spark.read.parquet(s"$root/codes").schema("codes8").dataType.sql
     assert(codesSchema == "ARRAY<TINYINT>", codesSchema)
-    // phase-1 plan reads only the codes table: no "embedding" column
-    // anywhere in its scan (column pruning is the bandwidth win)
-    val phase1 = spark.read.parquet(s"$root/codes").select("vec_id", "codes8")
-    assert(!phase1.queryExecution.executedPlan.toString.contains("embedding"))
-
     val q = spark.read.parquet(s"$dir/embeddings.parquet")
       .filter(col("vec_id") === 0L).select("embedding").head().getSeq[Float](0).toArray
+    // the ACTUAL phase-1 plan the search runs (not a stand-in) reads
+    // only the codes table: the float embedding column is absent and
+    // the scan schema is the pruned vec_id/codes8 pair
+    val phase1 = Quantize.sqPhase1Plan(spark, root, q, Some(0L))
+    val plan = phase1.queryExecution.executedPlan.toString
+    assert(!plan.contains("embedding"), plan)
+    assert(plan.contains("codes8"), plan)
     val indexed = Quantize.sqSearchIndexed(spark, root, dir, q, excludeId = Some(0L))
       .collect().map(_.toString).toSeq
     val inline = Quantize.sqTopK(spark, dir).collect().map(_.toString).toSeq
