@@ -170,6 +170,43 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(md.contains("File: ")) // the assembled context is the answer
   }
 
+  test("index CLI: flags parse, corpus indexes end-to-end, bad input fails fast") {
+    // flag parsing mirrors the reference's mutually-exclusive group
+    val parsed = IndexCli.parse(Array("/tmp/corpus", "--chunk-size", "50",
+      "--index-path", "/tmp/idx", "--ollama-embeddings", "--model", "m"))
+    assert(parsed.exists(a => a.corpus == "/tmp/corpus" && a.chunkSize == 50 &&
+      a.backend == "ollama" && a.model.contains("m")))
+    assert(IndexCli.parse(Array("--chunk-size", "50")).isLeft) // no corpus
+    assert(IndexCli.parse(Array("/c", "--bogus")).isLeft)
+
+    // end-to-end with the default hash backend
+    val corpus = writeCorpus()
+    val idx = Files.createTempDirectory("graft-cli-index").toString
+    val out = new java.io.ByteArrayOutputStream()
+    val code = IndexCli.run(spark,
+      IndexCli.Args(corpus = corpus.toString, chunkSize = 50, indexPath = idx),
+      new java.io.PrintStream(out, true, "UTF-8"))
+    assert(code == 0, out.toString("UTF-8"))
+    val console = out.toString("UTF-8")
+    assert(console.contains("Log Indexer"))
+    assert(console.contains("Indexed "))
+    assert(Graft.ask(spark, idx, "database timeout", k = 2).hits.count() == 2)
+
+    // missing corpus dir → error exit, nothing written
+    val bad = IndexCli.run(spark,
+      IndexCli.Args(corpus = "/definitely/not/here", indexPath = idx),
+      new java.io.PrintStream(new java.io.ByteArrayOutputStream()))
+    assert(bad == 1)
+
+    // unavailable ollama backend → availability gate aborts (the
+    // reference's check_availability exit, index.py:559-561)
+    val gated = IndexCli.run(spark,
+      IndexCli.Args(corpus = corpus.toString, backend = "ollama",
+        backends = Graft.Backends(ollamaUrl = "http://127.0.0.1:1")),
+      new java.io.PrintStream(new java.io.ByteArrayOutputStream()))
+    assert(gated == 1)
+  }
+
   private class FlakyEmbedder(failures: Int) extends Embedder {
     var calls = 0
     override def dim: Int = 4
