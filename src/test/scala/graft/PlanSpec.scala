@@ -110,4 +110,39 @@ class PlanSpec extends AnyFunSuite {
     val plan = chunks.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle in ingest: $plan")
   }
+
+  test("semantic_dedup: self-join keyed on cluster — never a cartesian") {
+    val plan = graft.ops.KMeansVec.semanticDedup(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan: $plan")
+  }
+
+  test("embed_neardup triangle: co-partitioned equi-join, no cartesian/BNLJ") {
+    val plan = graft.ops.VectorQueries.embedNeardupTriangle(spark, sf, blocks = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan: $plan")
+  }
+
+  test("source_curation: single aggregation pass, scan pruned to its four columns") {
+    val plan = graft.ops.Curation.sourceCuration(spark, sf)
+      .queryExecution.executedPlan.toString
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    // one scan, reading only source/n_chars/text (fp and ttr derive
+    // from text) — doc_id and lang never leave the reader
+    assert(schemas.nonEmpty && schemas.forall(s =>
+      !s.contains("doc_id") && !s.contains("lang")), s"schemas: $schemas")
+  }
+
+  test("seq_pack: exactly one shuffle (the per-source pack), then partial aggs") {
+    val plan = graft.ops.Curation.seqPack(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the per-source collect + the (source, seq) rollup hash-partition
+    // on the SAME source-prefixed key: no extra exchanges beyond them
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"$exchanges exchanges: $plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
