@@ -59,13 +59,7 @@ object AskCli {
     }
     val indexPath = args(0)
     val outFile = if (args.length == 2) args(1) else "qa_log.md"
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
-      .appName("graft-ask")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = SparkCli.session("graft-ask")
     try run(spark, indexPath, outFile,
       new BufferedReader(new java.io.InputStreamReader(System.in)), System.out)
     finally spark.stop()

@@ -16,6 +16,10 @@ import org.apache.spark.sql.SparkSession
   *   --model NAME         backend model name
   *   --chunk-size N       chunk size (default 2000, reference default)
   *   --index-path PATH    index output (default ./graft_index)
+  *   --dim N              embedding dimensionality (default 64)
+  *   --ollama-url URL / --remote-url URL
+  * Backend URLs default from the reference's env names OLLAMA_HOST /
+  * EMBEDDING_SERVER when set.
   */
 object IndexCli {
 
@@ -26,28 +30,51 @@ object IndexCli {
       chunkSize: Int = graft.ingest.Chunker.DefaultChunkSize,
       indexPath: String = "graft_index",
       dim: Int = 64,
-      backends: Graft.Backends = Graft.Backends())
+      backends: Graft.Backends = envBackends())
+
+  /** Reference env defaults (index.py reads OLLAMA_HOST /
+    * EMBEDDING_SERVER from .env). */
+  def envBackends(): Graft.Backends = Graft.Backends(
+    remoteUrl = sys.env.getOrElse("EMBEDDING_SERVER", "http://localhost:8080"),
+    ollamaUrl = sys.env.getOrElse("OLLAMA_HOST", "http://localhost:11434"))
 
   private[graft] def parse(argv: Array[String]): Either[String, Args] = {
     var a = Args()
     var i = 0
+    // a value-taking flag must have a value, and that value cannot
+    // itself be a flag (catches `--model --remote-embeddings`)
+    def value(flag: String): Either[String, String] =
+      if (i + 1 >= argv.length) Left(s"$flag requires a value")
+      else if (argv(i + 1).startsWith("--")) Left(s"$flag requires a value, got ${argv(i + 1)}")
+      else { i += 1; Right(argv(i)) }
+    def intValue(flag: String, min: Int): Either[String, Int] =
+      value(flag).flatMap { v =>
+        v.toIntOption match {
+          case Some(n) if n >= min => Right(n)
+          case Some(n) => Left(s"$flag must be ≥ $min, got $n")
+          case None => Left(s"$flag expects an integer, got $v")
+        }
+      }
     while (i < argv.length) {
-      argv(i) match {
-        case "--hash-embeddings" => a = a.copy(backend = "hash")
-        case "--ollama-embeddings" => a = a.copy(backend = "ollama")
-        case "--remote-embeddings" => a = a.copy(backend = "remote")
-        case "--model" if i + 1 < argv.length =>
-          a = a.copy(model = Some(argv(i + 1))); i += 1
-        case "--chunk-size" if i + 1 < argv.length =>
-          a = a.copy(chunkSize = argv(i + 1).toInt); i += 1
-        case "--index-path" if i + 1 < argv.length =>
-          a = a.copy(indexPath = argv(i + 1)); i += 1
-        case "--dim" if i + 1 < argv.length =>
-          a = a.copy(dim = argv(i + 1).toInt); i += 1
-        case flag if flag.startsWith("--") =>
-          return Left(s"unknown flag: $flag")
-        case positional if a.corpus == null => a = a.copy(corpus = positional)
-        case extra => return Left(s"unexpected argument: $extra")
+      val r: Either[String, Unit] = argv(i) match {
+        case "--hash-embeddings" => a = a.copy(backend = "hash"); Right(())
+        case "--ollama-embeddings" => a = a.copy(backend = "ollama"); Right(())
+        case "--remote-embeddings" => a = a.copy(backend = "remote"); Right(())
+        case "--model" => value("--model").map(v => a = a.copy(model = Some(v)))
+        case "--chunk-size" => intValue("--chunk-size", 1).map(v => a = a.copy(chunkSize = v))
+        case "--dim" => intValue("--dim", 1).map(v => a = a.copy(dim = v))
+        case "--index-path" => value("--index-path").map(v => a = a.copy(indexPath = v))
+        case "--ollama-url" => value("--ollama-url").map(v =>
+          a = a.copy(backends = a.backends.copy(ollamaUrl = v)))
+        case "--remote-url" => value("--remote-url").map(v =>
+          a = a.copy(backends = a.backends.copy(remoteUrl = v)))
+        case flag if flag.startsWith("--") => Left(s"unknown flag: $flag")
+        case positional if a.corpus == null => a = a.copy(corpus = positional); Right(())
+        case extra => Left(s"unexpected argument: $extra")
+      }
+      r match {
+        case Left(err) => return Left(err)
+        case Right(()) => ()
       }
       i += 1
     }
@@ -55,8 +82,11 @@ object IndexCli {
     else Right(a)
   }
 
-  /** Backend from flags; availability-gated like the reference's
-    * `check_availability` abort (index.py:559-561). */
+  /** Backend from flags. HTTP backends are gated by availability AND
+    * a probe embed — the probe is what catches a server whose model
+    * emits a different dimensionality (otherwise the zero-fallback
+    * stack would silently index all-zero vectors, reference-style
+    * availability alone cannot see it). */
   private[graft] def embedderOf(a: Args): Either[String, Embedder] = a.backend match {
     case "hash" => Right(new HashEmbedder(a.dim))
     case "ollama" =>
@@ -64,18 +94,29 @@ object IndexCli {
       val raw = new OllamaEmbedder(a.backends.ollamaUrl, model, a.dim)
       if (!raw.checkAvailability())
         Left(s"Ollama not available at ${a.backends.ollamaUrl} (or model $model missing)")
-      else Right(graft.embed.OllamaEmbedder.resilient(a.backends.ollamaUrl, model, a.dim))
+      else probe(raw).map(_ =>
+        graft.embed.OllamaEmbedder.resilient(a.backends.ollamaUrl, model, a.dim))
     case "remote" =>
       val model = a.model.getOrElse("all-MiniLM-L6-v2")
       val raw = new RemoteEmbedder(a.backends.remoteUrl, model, a.dim)
       if (!raw.checkAvailability())
         Left(s"embedding server not available at ${a.backends.remoteUrl}")
-      else Right(RemoteEmbedder.withRetry(a.backends.remoteUrl, model, a.dim))
+      else probe(raw).map(_ =>
+        RemoteEmbedder.withRetry(a.backends.remoteUrl, model, a.dim))
+    case other => Left(s"unknown backend: $other (expected hash|ollama|remote)")
   }
+
+  private def probe(e: Embedder): Either[String, Unit] =
+    try { e.embedOne("probe"); Right(()) }
+    catch { case ex: Exception => Left(s"probe embed failed: ${ex.getMessage}") }
 
   /** Scriptable body (tests inject the session and read the result). */
   def run(spark: SparkSession, a: Args, out: java.io.PrintStream): Int = {
-    if (!new java.io.File(a.corpus).exists()) {
+    // Hadoop-FS existence check so hdfs:///s3a:// corpora work — the
+    // ingest itself already reads any Hadoop-visible filesystem
+    val corpusPath = new org.apache.hadoop.fs.Path(a.corpus)
+    val fs = corpusPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(corpusPath)) {
       out.println(s"Error: corpus path does not exist: ${a.corpus}")
       return 1
     }
@@ -103,13 +144,7 @@ object IndexCli {
       System.err.println(err)
       sys.exit(1)
     case Right(a) =>
-      val spark = SparkSession.builder()
-        .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
-        .appName("graft-index")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      spark.sparkContext.setLogLevel("WARN")
+      val spark = SparkCli.session("graft-index")
       val code = try run(spark, a, System.out) finally spark.stop()
       if (code != 0) sys.exit(code)
   }

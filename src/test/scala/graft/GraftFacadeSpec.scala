@@ -178,6 +178,16 @@ class GraftFacadeSpec extends AnyFunSuite {
       a.backend == "ollama" && a.model.contains("m")))
     assert(IndexCli.parse(Array("--chunk-size", "50")).isLeft) // no corpus
     assert(IndexCli.parse(Array("/c", "--bogus")).isLeft)
+    // value-taking flag abuse: missing value, flag-as-value, bad ints
+    assert(IndexCli.parse(Array("/c", "--model")).left.exists(_.contains("requires a value")))
+    assert(IndexCli.parse(Array("/c", "--model", "--remote-embeddings")).isLeft)
+    assert(IndexCli.parse(Array("/c", "--chunk-size", "2k")).left.exists(_.contains("integer")))
+    assert(IndexCli.parse(Array("/c", "--dim", "0")).left.exists(_.contains("≥ 1")))
+    // backend URLs configurable from the command line
+    assert(IndexCli.parse(Array("/c", "--ollama-url", "http://h:1234"))
+      .exists(_.backends.ollamaUrl == "http://h:1234"))
+    // unknown backend string surfaces as an error, not a MatchError
+    assert(IndexCli.embedderOf(IndexCli.Args(corpus = "/c", backend = "olama")).isLeft)
 
     // end-to-end with the default hash backend
     val corpus = writeCorpus()

@@ -116,6 +116,24 @@ class HttpEmbeddersSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!new OllamaEmbedder("http://127.0.0.1:1", "x", 4).checkAvailability())
   }
 
+  test("IndexCli backend gate: probe embed catches a dim-mismatched live server") {
+    // server is up and lists the model, but emits 4-dim vectors: the
+    // availability check alone passes, the probe must reject dim=8 —
+    // otherwise the zero-fallback stack would index all-zero vectors
+    val bad = IndexCli.embedderOf(IndexCli.Args(corpus = "/c", backend = "ollama",
+      dim = 8, backends = Graft.Backends(ollamaUrl = base)))
+    assert(bad.left.exists(_.contains("probe embed failed")), bad.toString)
+    val good = IndexCli.embedderOf(IndexCli.Args(corpus = "/c", backend = "ollama",
+      dim = 4, model = Some("nomic-embed-text"),
+      backends = Graft.Backends(ollamaUrl = base)))
+    assert(good.exists(_.kind == "ollama"), good.toString)
+    // remote backend: health passes, probe validates the batch shape
+    failuresToInject.set(0)
+    val remote = IndexCli.embedderOf(IndexCli.Args(corpus = "/c", backend = "remote",
+      dim = 4, backends = Graft.Backends(remoteUrl = base)))
+    assert(remote.exists(_.kind == "remote"), remote.toString)
+  }
+
   test("manifest dispatch: embedding_type picks the backend stack (ask.py:109-116)") {
     import graft.index.IndexManifest
     def m(kind: String) = IndexManifest("t", "r", kind, "nomic-embed-text", 200, "p")
