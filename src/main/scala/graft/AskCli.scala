@@ -25,7 +25,10 @@ object AskCli {
       outFile: String,
       in: BufferedReader,
       out: PrintStream): Unit = {
-    val session = Graft.openAuto(spark, indexPath)
+    // backend URLs honor the same env vars as index-side (IndexCli):
+    // an index built with --ollama-embeddings against OLLAMA_HOST must
+    // be queried against that host, not the localhost default
+    val session = Graft.openAuto(spark, indexPath, backends = Graft.Backends.fromEnv())
     try {
       out.println("Log Query Tool")
       out.println(s"Index: $indexPath")

@@ -146,6 +146,18 @@ object Graft {
       remoteUrl: String = "http://localhost:8080",
       ollamaUrl: String = "http://localhost:11434")
 
+  object Backends {
+    /** Backend URLs from the reference's env names (index.py/ask.py
+      * read OLLAMA_HOST / EMBEDDING_SERVER from .env). Index-side and
+      * ask-side MUST resolve identically: an index built against a
+      * non-default host, opened by an ask session pointing at
+      * localhost, would degrade every query embedding to the
+      * zero-fallback vector with no error. */
+    def fromEnv(): Backends = Backends(
+      remoteUrl = sys.env.getOrElse("EMBEDDING_SERVER", "http://localhost:8080"),
+      ollamaUrl = sys.env.getOrElse("OLLAMA_HOST", "http://localhost:11434"))
+  }
+
   /** Manifest-driven embedder dispatch — the reference resolves the
     * query-side backend from the index's recorded `embedding_type`
     * (`ask.py:109-116`: ollama → per-text Ollama client, local →
@@ -187,9 +199,43 @@ object Graft {
       dim: Int = 64,
       backends: Backends = Backends()): AskSession = {
     val manifest = readManifestOrFail(spark, indexPath)
+    // fail fast at open time, reference-style (ask.py checks backend
+    // availability before answering): a down or dim-mismatched server
+    // behind the zero-fallback stack would otherwise silently turn
+    // every query embedding into a zero vector (empty kNN context)
+    gateBackend(manifest, dim, backends)
     // dispatch and open share ONE manifest read — no second fetch, no
     // window for the manifest to change between dispatch and validate
     openWith(spark, indexPath, manifest, embedderFor(manifest, dim, backends))
+  }
+
+  /** Open-time availability + probe gate on the RAW (unwrapped) HTTP
+    * client — probing the resilient wrapper would be useless, its
+    * fallback swallows exactly the failures the gate must surface.
+    * The probe embed additionally catches a live server whose model
+    * emits a different dimensionality (availability alone cannot). */
+  private def gateBackend(manifest: IndexManifest, dim: Int, backends: Backends): Unit = {
+    def probe(e: Embedder, what: String): Unit =
+      try e.embedOne("probe")
+      catch {
+        case ex: Exception => throw new IllegalStateException(
+          s"$what probe embed failed (is the model's dimensionality $dim?): ${ex.getMessage}", ex)
+      }
+    manifest.embedding_type match {
+      case "hash" => ()
+      case "ollama" =>
+        val raw = new OllamaEmbedder(backends.ollamaUrl, manifest.embedding_model, dim)
+        if (!raw.checkAvailability())
+          throw new IllegalStateException(
+            s"Ollama not available at ${backends.ollamaUrl} (or model ${manifest.embedding_model} missing)")
+        probe(raw, "Ollama")
+      case _ =>
+        val raw = new RemoteEmbedder(backends.remoteUrl, manifest.embedding_model, dim)
+        if (!raw.checkAvailability())
+          throw new IllegalStateException(
+            s"embedding server not available at ${backends.remoteUrl}")
+        probe(raw, "embedding server")
+    }
   }
 
   private def readManifestOrFail(spark: SparkSession, indexPath: String): IndexManifest =

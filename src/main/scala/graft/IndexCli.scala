@@ -33,10 +33,9 @@ object IndexCli {
       backends: Graft.Backends = envBackends())
 
   /** Reference env defaults (index.py reads OLLAMA_HOST /
-    * EMBEDDING_SERVER from .env). */
-  def envBackends(): Graft.Backends = Graft.Backends(
-    remoteUrl = sys.env.getOrElse("EMBEDDING_SERVER", "http://localhost:8080"),
-    ollamaUrl = sys.env.getOrElse("OLLAMA_HOST", "http://localhost:11434"))
+    * EMBEDDING_SERVER from .env) — shared with the ask side so both
+    * resolve the same hosts. */
+  def envBackends(): Graft.Backends = Graft.Backends.fromEnv()
 
   private[graft] def parse(argv: Array[String]): Either[String, Args] = {
     var a = Args()

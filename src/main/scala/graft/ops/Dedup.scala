@@ -47,6 +47,18 @@ object Dedup {
     * split into every lambda element access (CollapseProject into
     * the Generate input), turning O(tokens) into O(tokens²) —
     * measured 13× slower than this UDF on the sf0.1 bench. */
+  /** The canonical ShingleK-word shingle string starting at word i —
+    * the ONE definition every string-hashed shingle path shares
+    * (shingleUdf, md5ShingleUdf, bandKeysOf), so changing ShingleK
+    * can never silently desync a hashed path from the string-shingle
+    * keys the DuckDB oracle recomputes. */
+  private[ops] def shingleAt(w: Array[String], i: Int): String = {
+    val sb = new java.lang.StringBuilder(w(i))
+    var t = 1
+    while (t < ShingleK) { sb.append(' ').append(w(i + t)); t += 1 }
+    sb.toString
+  }
+
   private val shingleUdf = udf { (text: String) =>
     val w = if (text == null) Array.empty[String] else text.split(" ")
     if (w.length < ShingleK) Array.empty[String]
@@ -54,7 +66,7 @@ object Dedup {
       val seen = new java.util.LinkedHashSet[String]()
       var i = 0
       while (i + ShingleK <= w.length) {
-        seen.add(w(i) + " " + w(i + 1) + " " + w(i + 2))
+        seen.add(shingleAt(w, i))
         i += 1
       }
       val out = new Array[String](seen.size)
@@ -126,7 +138,7 @@ object Dedup {
       val seen = new java.util.LinkedHashSet[java.lang.Long]()
       var i = 0
       while (i + ShingleK <= w.length) {
-        seen.add(Dedup.cachedHash60(w(i) + " " + w(i + 1) + " " + w(i + 2)))
+        seen.add(Dedup.cachedHash60(shingleAt(w, i)))
         i += 1
       }
       val out = new Array[Long](seen.size)
@@ -412,7 +424,7 @@ object Dedup {
     val bs = minhashBs
     var i = 0
     while (i + ShingleK <= w.length) {
-      val h0 = cachedHash60(w(i) + " " + w(i + 1) + " " + w(i + 2))
+      val h0 = cachedHash60(shingleAt(w, i))
       if (seen.add(h0)) {
         val h = h0 % MinhashP
         var j = 0

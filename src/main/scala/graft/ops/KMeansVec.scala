@@ -347,12 +347,17 @@ object KMeansVec {
 
   def semanticDedup(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.{dot, l2norm, r6}
-    // cache the assignment: the self-join otherwise re-runs the scan
-    // and the assignUdf pass once per side
+    // materialize the assignment once: the self-join otherwise
+    // re-runs the scan and the assignUdf pass per side. localCheckpoint
+    // (not cache()) because CacheManager entries live until explicitly
+    // unpersisted — repeated invocations (bench loop, tri-scale verify
+    // in one session) would accumulate cached partitions forever —
+    // while checkpoint blocks are released by the ContextCleaner as
+    // soon as the returned plan is garbage-collected
     val assigned = fit(s, dir, K, iters = 1)._2
       .withColumn("nrm", l2norm(col("embedding")))
       .filter(col("nrm") > 0)
-      .cache()
+      .localCheckpoint(true)
     val a = assigned.select(col("cluster").as("ca"), col("vec_id").as("vec_a"),
       col("embedding").as("emb_a"), col("nrm").as("na"))
     val b = assigned.select(col("cluster").as("cb"), col("vec_id").as("vec_b"),

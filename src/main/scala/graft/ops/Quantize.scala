@@ -115,8 +115,16 @@ object Quantize {
     * TakeOrderedAndProject. */
   def sqTopK(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val qVec = e.filter(col("vec_id") === VectorQueries.QueryVecId)
-      .select(col("embedding")).head().getSeq[Float](0).toArray
+    // a missing or all-zero query row yields an EMPTY result, not an
+    // exception — the oracle's qz CTE filters zero-max vectors, so
+    // its q side is empty and the query returns no rows
+    val qOpt = e.filter(col("vec_id") === VectorQueries.QueryVecId)
+      .select(col("embedding")).head(1).headOption
+      .map(_.getSeq[Float](0).toArray)
+      .filter(_.exists(_ != 0f))
+    if (qOpt.isEmpty)
+      return e.select(col("vec_id"), col("label"), lit(0d).as("dist")).filter(lit(false))
+    val qVec = qOpt.get
     val (qq, nb) = quantOne(qVec)
     val sqrtNb = math.sqrt(nb.toDouble)
     val distQUdf = udf { (emb: Seq[Float]) =>

@@ -288,10 +288,19 @@ object TextOps {
       .agg(
         count(lit(1)).as("n_chunks"),
         sum(length(col("text"))).as("n_chars"),
-        // cross-chunk sum goes through the DECIMAL(38,6) bridge:
-        // plain double sum is partition-order dependent (SURVEY §8.5)
-        r6(graft.functions.OracleMath.dsum(aggregate(col("embedding"), lit(0d),
-          (acc, x) => acc + x))).as("embed_checksum"))
+        // cross-chunk checksum is quantized to exact integers BEFORE
+        // any aggregation: the per-chunk element sum is a sequential
+        // IEEE fold over the same floats in the same order in both
+        // engines (bit-identical double), and floor(cs * 1e6) of a
+        // bit-identical double has no decimal-representation
+        // ambiguity at all — unlike a double→DECIMAL(38,6) cast,
+        // where Spark converts via the shortest decimal repr and
+        // DuckDB via the exact binary value, which round differently
+        // whenever the shortest repr terminates near the 6-decimal
+        // boundary (SURVEY §8.5). Summing the resulting longs is
+        // exact and partition-order independent.
+        sum(floor(aggregate(col("embedding"), lit(0d),
+          (acc, x) => acc + x) * lit(1e6))).as("embed_checksum"))
       .orderBy(col("source"))
   }
 
@@ -423,7 +432,7 @@ object TextOps {
        |  JOIN chunks c ON c.doc_id = s.doc_id AND c.cno = s.cno
        |  LEFT JOIN chksum k ON k.doc_id = s.doc_id AND k.cno = s.cno)
        |SELECT w2.source, COUNT(*) AS n_chunks, SUM(p.clen) AS n_chars,
-       |  round(CAST(SUM(CAST(p.cs AS DECIMAL(38,6))) AS DOUBLE), 6) + 0 AS embed_checksum
+       |  CAST(SUM(CAST(floor(p.cs * 1000000.0) AS BIGINT)) AS BIGINT) AS embed_checksum
        |FROM per_chunk p
        |JOIN (SELECT DISTINCT doc_id, source FROM w) w2 ON w2.doc_id = p.doc_id
        |GROUP BY w2.source

@@ -352,8 +352,15 @@ object VectorQueries {
     // broadcast join and no interpreted array-HOF in the filter
     // (exists(zip_with(...)) is CodegenFallback and measured ~3×
     // the whole query's remaining cost)
-    val qVec = e.filter(col("vec_id") === QueryVecId)
-      .select(col("embedding")).head().getSeq[Float](0).toArray
+    // missing/all-zero query row → empty result (the oracle's NaN
+    // filter drops every row when the query side is degenerate)
+    val qOpt = e.filter(col("vec_id") === QueryVecId)
+      .select(col("embedding")).head(1).headOption
+      .map(_.getSeq[Float](0).toArray)
+      .filter(_.exists(_ != 0f))
+    if (qOpt.isEmpty)
+      return e.select(col("vec_id"), col("label"), lit(0d).as("dist")).filter(lit(false))
+    val qVec = qOpt.get
     val qSeq = scala.collection.immutable.ArraySeq.unsafeWrapArray(qVec)
     val qcodes = Array.tabulate(NeardupBands)(b => signCode(qSeq, b))
     val radius = probeRadius
