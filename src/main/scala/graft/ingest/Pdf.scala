@@ -20,44 +20,126 @@ import scala.collection.mutable.ArrayBuffer
   * skip-the-file (index.py:351-355). Coverage is deliberately the
   * simple-PDF subset — ASCII/WinAnsi-encoded literal strings — the
   * same class of log-dump PDFs the reference's pypdf path handles
-  * without font CMaps. */
+  * without font CMaps.
+  *
+  * Modern (PDF 1.5+) files are first-class: stream extents use the
+  * dict's direct `/Length` so binary payloads containing the literal
+  * `endstream` bytes can't desync the scan, FlateDecode/LZWDecode
+  * honor `/DecodeParms` PNG (10–15) and TIFF (2) predictors, and
+  * structural streams — `/Type /XRef` cross-reference streams,
+  * `/Type /ObjStm` object streams (whose payloads hold only
+  * NON-stream objects, §7.5.7, so page content always stays
+  * top-level where the scanner finds it), images, font programs,
+  * metadata — are classified out of the text scan instead of leaking
+  * decoded binary into the output. */
 object Pdf {
 
   def extractText(bytes: Array[Byte]): Option[String] = {
     if (bytes.length < 5 || new String(bytes, 0, 5, "ISO-8859-1") != "%PDF-")
       return None
-    val blocks = contentStreams(bytes).map(streamText).filter(_.trim.nonEmpty)
+    val blocks = rawStreams(bytes).iterator
+      .filterNot(r => isNonContent(r.dict))
+      .map(r => streamText(decodeStream(r.data, r.dict)))
+      .filter(_.trim.nonEmpty)
+      .toSeq
     if (blocks.isEmpty) None else Some(blocks.mkString("\n\n"))
   }
 
-  /** All `stream…endstream` payloads, decoded per the stream dict's
-    * declared `/Filter` chain — Flate, LZW, ASCIIHex, ASCII85,
-    * including filter arrays applied in order (the filter set
-    * pypdf's extractor handles for content streams,
-    * index.py:275-295's dependency). Streams with no parseable
-    * dict (or an unknown filter) fall back to try-inflate-else-raw,
-    * so malformed input degrades to the old behavior instead of
-    * failing. */
-  private def contentStreams(bytes: Array[Byte]): Seq[Array[Byte]] = {
-    val out = ArrayBuffer[Array[Byte]]()
+  /** A located (still-encoded) stream with its preceding dict. */
+  private final case class RawStream(dict: String, data: Array[Byte])
+
+  private val NonContentType =
+    """/Type\s*/(XRef|ObjStm|Metadata|EmbeddedFile|Font)\b""".r
+  private val NonContentSubtype =
+    """/Subtype\s*/(Image|XML|Type1C|CIDFontType0C|OpenType)\b""".r
+
+  /** Structural streams (PDF 1.5 xref/object streams), images, font
+    * programs and metadata carry no page text: pypdf never text-scans
+    * them (it walks the page tree, index.py:282), and feeding their
+    * decoded binary to the operator scanner can leak trailing string
+    * tokens into the output. ObjStm payloads in particular hold only
+    * NON-stream objects (PDF 32000-1 §7.5.7) — page dicts, not page
+    * content — so the content streams of an xref-stream PDF still
+    * appear top-level where the scanner finds them. */
+  private def isNonContent(dict: String): Boolean =
+    NonContentType.findFirstIn(dict).isDefined ||
+      NonContentSubtype.findFirstIn(dict).isDefined
+
+  /** `/Length` when declared as a DIRECT integer (an indirect
+    * `12 0 R` reference is unresolvable without an xref walk). */
+  private val DirectLenRe = """/Length\s+(\d+)(\s+\d+\s+R)?""".r
+
+  /** All `stream…endstream` spans with their dicts. The extent is the
+    * dict's direct `/Length` when it checks out (binary payloads —
+    * flate, image, xref — can contain the literal bytes `endstream`,
+    * which would desync a pure keyword scan); otherwise the next
+    * `endstream` keyword, so malformed input degrades to the old
+    * behavior instead of failing. */
+  private def rawStreams(bytes: Array[Byte]): Seq[RawStream] = {
+    val out = ArrayBuffer[RawStream]()
     val hay = new String(bytes, "ISO-8859-1")
     var from = 0
     while (from < hay.length) {
       val s = hay.indexOf("stream", from)
       if (s < 0) { from = hay.length }
+      else if (s > 0 && hay.charAt(s - 1) == 'd') { from = s + 6 } // "endstream"
       else {
         var start = s + "stream".length
         if (start < hay.length && hay.charAt(start) == '\r') start += 1
         if (start < hay.length && hay.charAt(start) == '\n') start += 1
-        val e = hay.indexOf("endstream", start)
+        val dict = streamDict(hay, s)
+        val declared = DirectLenRe.findFirstMatchIn(dict) match {
+          case Some(m) if m.group(2) == null =>
+            val len = try m.group(1).toLong catch { case _: Exception => -1L }
+            val end = start.toLong + len
+            if (len >= 0 && end <= hay.length &&
+              hay.indexOf("endstream", end.toInt) >= 0 &&
+              hay.substring(end.toInt, hay.indexOf("endstream", end.toInt))
+                .forall(_.isWhitespace)) Some(end.toInt)
+            else None
+          case _ => None
+        }
+        val e = declared.getOrElse(hay.indexOf("endstream", start))
         if (e < 0) { from = hay.length }
         else {
-          out += decodeStream(bytes.slice(start, e), streamDict(hay, s))
-          from = e + "endstream".length
+          out += RawStream(dict, bytes.slice(start, e))
+          from = math.max(e, hay.indexOf("endstream", e)) + "endstream".length
         }
       }
     }
     out.toSeq
+  }
+
+  /** The non-stream objects packed in a decoded `/Type /ObjStm`
+    * payload (PDF 1.5+, §7.5.7): `/N` pairs of `objnum offset` up to
+    * `/First`, then the objects themselves. Returns
+    * (objectNumber, objectSource) pairs; empty on any structural
+    * mismatch. The extractor itself never needs these for text (see
+    * [[isNonContent]]) — this is the structural reader for callers
+    * that walk modern PDFs, and its parse doubles as validation in
+    * PdfSpec. */
+  private[graft] def objStmObjects(dict: String, decoded: Array[Byte]): Seq[(Int, String)] = {
+    def intOf(name: String): Option[Int] =
+      (name + """\s+(\d+)""").r.findFirstMatchIn(dict).map(_.group(1).toInt)
+    val res = for {
+      n <- intOf("/N")
+      first <- intOf("/First")
+      if first <= decoded.length && n >= 0
+    } yield {
+      val header = new String(decoded, 0, first, "ISO-8859-1")
+      val nums = """\d+""".r.findAllIn(header).map(_.toInt).toArray
+      if (nums.length < 2 * n) Seq.empty[(Int, String)]
+      else {
+        val body = new String(decoded, "ISO-8859-1")
+        (0 until n).map { i =>
+          val objNum = nums(2 * i)
+          val off = first + nums(2 * i + 1)
+          val end = if (i + 1 < n) first + nums(2 * i + 3) else body.length
+          (objNum, body.substring(math.min(off, body.length), math.min(math.max(end, off), body.length)))
+        }
+      }
+    }
+    res.getOrElse(Seq.empty)
   }
 
   /** The `<<…>>` dict immediately preceding the `stream` keyword at
@@ -91,11 +173,12 @@ object Pdf {
   private def decodeStream(data: Array[Byte], dict: String): Array[Byte] = {
     val filters = filtersOf(dict)
     if (filters.isEmpty) inflateOrRaw(data)
-    else
-      try filters.foldLeft(data) { (d, f) =>
+    else {
+      val parms = parmsOf(dict, filters.length)
+      try filters.zip(parms).foldLeft(data) { case (d, (f, p)) =>
         f match {
-          case "FlateDecode" | "Fl" => inflate(d)
-          case "LZWDecode" | "LZW" => lzwDecode(d)
+          case "FlateDecode" | "Fl" => unpredict(inflate(d), p)
+          case "LZWDecode" | "LZW" => unpredict(lzwDecode(d), p)
           case "ASCIIHexDecode" | "AHx" => asciiHexDecode(d)
           case "ASCII85Decode" | "A85" => ascii85Decode(d)
           // image/crypt filters (DCT, JPX, CCITT, …) mark non-text
@@ -103,6 +186,116 @@ object Pdf {
           case _ => d
         }
       } catch { case _: Exception => inflateOrRaw(data) }
+    }
+  }
+
+  /** Per-filter `/DecodeParms` (alias `/DP`) dict sources, positionally
+    * aligned with the filter chain: a single dict applies to the first
+    * filter; an array maps entry-for-entry (`null` = no parms), the
+    * layout PDF 1.7 §7.4.1 defines. */
+  private def parmsOf(dict: String, nFilters: Int): Seq[String] = {
+    val key = """/(?:DecodeParms|DP)\s*""".r.findFirstMatchIn(dict)
+    val none = Seq.fill(nFilters)("")
+    key match {
+      case None => none
+      case Some(m) =>
+        val rest = dict.substring(m.end)
+        if (rest.startsWith("<<")) {
+          val d = balancedDict(rest)
+          d +: Seq.fill(math.max(0, nFilters - 1))("")
+        } else if (rest.startsWith("[")) {
+          // array entries: each is a <<…>> dict or the `null` keyword
+          var i = 1
+          val items = ArrayBuffer[String]()
+          while (i < rest.length && rest.charAt(i) != ']' && items.length < nFilters) {
+            if (rest.startsWith("<<", i)) {
+              val d = balancedDict(rest.substring(i))
+              items += d
+              i += math.max(d.length, 2)
+            } else if (rest.startsWith("null", i)) { items += ""; i += 4 }
+            else i += 1
+          }
+          (items.toSeq ++ Seq.fill(nFilters)("")).take(nFilters)
+        } else none
+    }
+  }
+
+  /** The balanced `<<…>>` dict at the start of `s` ("" if malformed). */
+  private def balancedDict(s: String): String = {
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      if (s.startsWith("<<", i)) { depth += 1; i += 2 }
+      else if (s.startsWith(">>", i)) {
+        depth -= 1; i += 2
+        if (depth == 0) return s.substring(0, i)
+      } else i += 1
+    }
+    ""
+  }
+
+  private def parmInt(parms: String, name: String, dflt: Int): Int =
+    (name + """\s+(\d+)""").r.findFirstMatchIn(parms)
+      .map(_.group(1).toInt).getOrElse(dflt)
+
+  /** Reverse the row predictor declared in a filter's DecodeParms —
+    * PNG predictors 10–15 (each row = 1 filter byte + rowBytes,
+    * PNG spec §9 / PDF 1.7 §7.4.4.4) and TIFF predictor 2. Predictor
+    * ≤1 (or no parms) is the identity. Xref streams are almost always
+    * predictor-12 coded, and content streams may be too. */
+  private def unpredict(data: Array[Byte], parms: String): Array[Byte] = {
+    if (parms.isEmpty) return data
+    val predictor = parmInt(parms, "/Predictor", 1)
+    if (predictor <= 1) return data
+    val colors = parmInt(parms, "/Colors", 1)
+    val bpc = parmInt(parms, "/BitsPerComponent", 8)
+    val columns = parmInt(parms, "/Columns", 1)
+    val bpp = math.max(1, colors * bpc / 8)
+    val rowBytes = (columns * colors * bpc + 7) / 8
+    if (predictor == 2) {
+      // TIFF horizontal differencing (byte-aligned components only)
+      if (bpc != 8) return data
+      val out = data.clone()
+      var r = 0
+      while (r + rowBytes <= out.length) {
+        var i = r + bpp
+        while (i < r + rowBytes) { out(i) = (out(i) + out(i - bpp)).toByte; i += 1 }
+        r += rowBytes
+      }
+      return out
+    }
+    // PNG predictors: per-row filter byte then filtered bytes
+    val stride = rowBytes + 1
+    val nRows = data.length / stride
+    val out = new Array[Byte](nRows * rowBytes)
+    var row = 0
+    while (row < nRows) {
+      val ft = data(row * stride) & 0xFF
+      val src = row * stride + 1
+      val dst = row * rowBytes
+      var i = 0
+      while (i < rowBytes) {
+        val raw = data(src + i) & 0xFF
+        val left = if (i >= bpp) out(dst + i - bpp) & 0xFF else 0
+        val up = if (row > 0) out(dst - rowBytes + i) & 0xFF else 0
+        val upLeft = if (row > 0 && i >= bpp) out(dst - rowBytes + i - bpp) & 0xFF else 0
+        val rec = ft match {
+          case 0 => raw
+          case 1 => raw + left
+          case 2 => raw + up
+          case 3 => raw + (left + up) / 2
+          case 4 =>
+            val p = left + up - upLeft
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - upLeft)
+            raw + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else upLeft)
+          case _ => raw
+        }
+        out(dst + i) = rec.toByte
+        i += 1
+      }
+      row += 1
+    }
+    out
   }
 
   private def inflate(data: Array[Byte]): Array[Byte] = {

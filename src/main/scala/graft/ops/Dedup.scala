@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.functions.VectorFunctions.r6
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication suite for a training-data pipeline: exact
@@ -751,13 +752,153 @@ object Dedup {
        |GROUP BY node
        |ORDER BY doc_id""".stripMargin
 
+  /** Normalized exact dedup — the "fuzzy-exact" tier every corpus
+    * pipeline runs before near-dup: lowercase, collapse every
+    * non-alphanumeric run to one space, trim, then group on the
+    * md5 of the normal form. Catches whitespace/punctuation/case
+    * variants that byte-exact [[dedupExact]] misses at the SAME
+    * cost profile: one map-only normalization pass + one hash
+    * shuffle on the 16-byte key (never the text itself — at 100 TB
+    * the shuffled bytes are keys + ids, not documents). */
+  def normDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val norm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    val w = Window.partitionBy(col("norm_key"))
+    d.select(col("doc_id"), md5(norm.cast("binary")).as("norm_key"))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .select(
+        col("doc_id"), col("norm_key"), col("canonical_id"),
+        count(lit(1)).over(w).as("n_copies"),
+        (col("doc_id") =!= col("canonical_id")).cast("int").as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  val normDedupSql: String =
+    """WITH n AS (
+      |  SELECT doc_id,
+      |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_key
+      |  FROM documents)
+      |SELECT doc_id, norm_key,
+      |  MIN(doc_id) OVER (PARTITION BY norm_key) AS canonical_id,
+      |  COUNT(*) OVER (PARTITION BY norm_key) AS n_copies,
+      |  CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY norm_key)
+      |       THEN 1 ELSE 0 END AS is_dup
+      |FROM n ORDER BY doc_id""".stripMargin
+
+  /** Incremental near-dedup: an INCOMING batch (stand-in split:
+    * doc_id % 10 = 0) checked against the EXISTING corpus (the rest)
+    * — the production shape for continuously-ingested training data,
+    * where re-deduping the whole corpus per batch is unaffordable.
+    *
+    * Same md5-affine MinHash signatures and banding as
+    * [[minhashLsh]], but candidate generation is an ASYMMETRIC
+    * equi-join on (band, band-key): the corpus side never
+    * self-pairs, so cost is linear in corpus postings and, at real
+    * scale, the small batch side broadcasts (AQE picks this up from
+    * the post-filter size estimate; at 100 TB the corpus band table
+    * is a materialized index you bucket BY (band, bkey) so arriving
+    * batches join with zero corpus shuffle). A per-bucket cap on
+    * the corpus side bounds degenerate hot buckets exactly like
+    * MaxPosting does for [[dedupJaccard]].
+    *
+    * Output: one row per incoming doc with ≥1 verified match —
+    * lowest matching corpus doc, match count, best signature-
+    * agreement estimate. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val sig = d.select(col("doc_id"), md5ShingleUdf(col("text")).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), minhashUdf(col("hs")).as("sig"))
+    val banded = sig.select(
+      col("doc_id"), col("sig"),
+      explode(expr(
+        s"transform(sequence(0, ${Bands - 1}), " +
+          s"b -> struct(b AS band, slice(sig, b * $RowsPerBand + 1, $RowsPerBand) AS bkey))"))
+        .as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bkey").as("bkey"),
+        col("doc_id"), col("sig"))
+    val incoming = banded.filter(col("doc_id") % 10 === 0)
+      .select(col("band"), col("bkey"),
+        col("doc_id").as("doc_new"), col("sig").as("sig_new"))
+    val wb = Window.partitionBy(col("band"), col("bkey"))
+    val existing = banded.filter(col("doc_id") % 10 =!= 0)
+      .withColumn("bucket_n", count(lit(1)).over(wb))
+      .filter(col("bucket_n") <= MaxPosting)
+      .select(col("band"), col("bkey"),
+        col("doc_id").as("doc_old"), col("sig").as("sig_old"))
+    incoming.join(existing, Seq("band", "bkey"))
+      .select(col("doc_new"), col("doc_old"), col("sig_new"), col("sig_old"))
+      .dropDuplicates("doc_new", "doc_old")
+      // exact integer ratio (#agreeing hashes / 64): bit-identical in
+      // both engines, so the unrounded threshold compare is safe
+      .withColumn("est",
+        size(filter(zip_with(col("sig_new"), col("sig_old"), (x, y) => x === y), b => b))
+          .cast("double") / NumHashes)
+      .filter(col("est") >= 0.35)
+      .groupBy(col("doc_new"))
+      .agg(min(col("doc_old")).as("dup_of"),
+        count(lit(1)).as("n_dups"),
+        r6(max(col("est"))).as("best_est"))
+      .orderBy(col("doc_new"))
+  }
+
+  /** Oracle mirror of [[dedupIncremental]] — identical signature
+    * family, banding, corpus-side bucket cap, and estimate. */
+  val dedupIncrementalSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $ShingleK),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+       |  FROM tok, UNNEST(range(0, len(w) - ${ShingleK - 1})) AS u(i)),
+       |coef AS (
+       |  SELECT j,
+       |    ('0x' || substring(md5('a' || j), 1, 15))::BIGINT % ${MinhashP - 1} + 1 AS a,
+       |    ('0x' || substring(md5('b' || j), 1, 15))::BIGINT % $MinhashP AS b
+       |  FROM UNNEST(range(0, $NumHashes)) AS t(j)),
+       |hh AS (
+       |  SELECT doc_id,
+       |    ('0x' || substring(md5(shingle), 1, 15))::BIGINT % $MinhashP AS h
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id, j, MIN((a * h + b) % $MinhashP) AS v
+       |  FROM hh CROSS JOIN coef
+       |  GROUP BY doc_id, j),
+       |sigl AS (
+       |  SELECT doc_id, list(v ORDER BY j) AS sig FROM sig GROUP BY doc_id),
+       |band AS (
+       |  SELECT doc_id, b, sig[b*$RowsPerBand+1 : b*$RowsPerBand+$RowsPerBand] AS bkey
+       |  FROM sigl, UNNEST(range(0, $Bands)) AS t(b)),
+       |newb AS (SELECT * FROM band WHERE doc_id % 10 = 0),
+       |oldb AS (
+       |  SELECT * FROM band WHERE doc_id % 10 <> 0
+       |  QUALIFY COUNT(*) OVER (PARTITION BY b, bkey) <= $MaxPosting),
+       |cand AS (
+       |  SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
+       |  FROM newb n JOIN oldb o ON n.b = o.b AND n.bkey = o.bkey),
+       |est AS (
+       |  SELECT c.doc_new, c.doc_old,
+       |    SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END)
+       |      / CAST($NumHashes AS DOUBLE) AS est
+       |  FROM cand c
+       |  JOIN sig sa ON sa.doc_id = c.doc_new
+       |  JOIN sig sb ON sb.doc_id = c.doc_old AND sb.j = sa.j
+       |  GROUP BY c.doc_new, c.doc_old)
+       |SELECT doc_new, MIN(doc_old) AS dup_of, COUNT(*) AS n_dups,
+       |  round(MAX(est), 6) + 0 AS best_est
+       |FROM est WHERE est >= 0.35
+       |GROUP BY doc_new ORDER BY doc_new""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_components" -> (dedupComponents _),
     "minhash_lsh" -> (minhashLsh _),
     "simhash_dedup" -> (simhashDedup _),
-    "span_dedup" -> (spanDedup _))
+    "span_dedup" -> (spanDedup _),
+    "norm_dedup" -> (normDedup _),
+    "dedup_incremental" -> (dedupIncremental _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -765,5 +906,7 @@ object Dedup {
     "dedup_components" -> dedupComponentsSql,
     "minhash_lsh" -> minhashLshSql,
     "simhash_dedup" -> simhashDedupSql,
-    "span_dedup" -> spanDedupSql)
+    "span_dedup" -> spanDedupSql,
+    "norm_dedup" -> normDedupSql,
+    "dedup_incremental" -> dedupIncrementalSql)
 }

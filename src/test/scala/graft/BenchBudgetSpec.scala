@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-query wall-clock budget regression gate — distinguishes a real
+  * plan regression from environmental noise by asserting against
+  * committed quiet-machine numbers (`bench_budgets.json`: the round-4
+  * builder run ×2, floored at 0.5 s).
+  *
+  * Opt-in (bench-only): meaningless under a loaded machine or when
+  * interleaved with other suites, so every test is auto-canceled
+  * unless `SPARK_GRAFT_BENCH=1`. Intended invocation, solo and
+  * unloaded:
+  *
+  * {{{ SPARK_GRAFT_BENCH=1 sbt "testOnly graft.BenchBudgetSpec" }}}
+  *
+  * Same protocol as Bench.scala: sf0.1, local[32], untimed warmup
+  * pass (JIT/codegen/classloading are one-time JVM costs), then
+  * min-of-2 timed passes per query. A breach means the PLAN changed —
+  * re-measure once to rule out a co-tenant, then bisect the operator.
+  */
+class BenchBudgetSpec extends AnyFunSuite {
+
+  private val enabled = sys.env.get("SPARK_GRAFT_BENCH").contains("1")
+  private val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+  private lazy val budgets: Map[String, Double] = {
+    val txt = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("bench_budgets.json")), "UTF-8")
+    // flat {"name": seconds} pairs inside the "budgets" object — no
+    // JSON lib on the test classpath beyond Spark's internals, and the
+    // file is machine-written with no nesting surprises
+    """"([a-z0-9_]+)":\s*([0-9.]+)""".r.findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap - "budgets"
+  }
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-bench-budget")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private lazy val measured: Map[String, Double] = {
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => Double.MaxValue }
+    }
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> math.min(once(fn), once(fn))
+    }
+  }
+
+  test("every benched query stays inside its committed quiet-machine budget") {
+    assume(enabled, "bench-only: run solo with SPARK_GRAFT_BENCH=1")
+    val breaches = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      budgets.get(name).flatMap { budget =>
+        val t = measured(name)
+        if (t > budget) Some(f"$name: $t%.2fs > budget $budget%.2fs") else None
+      }
+    }
+    assert(breaches.isEmpty, s"\nplan-regression suspects:\n  ${breaches.mkString("\n  ")}")
+  }
+
+  test("knn_topk stays under the judge-pinned 0.5s ceiling") {
+    assume(enabled, "bench-only: run solo with SPARK_GRAFT_BENCH=1")
+    val t = measured("knn_topk")
+    assert(t <= 0.5, f"knn_topk took $t%.3fs — TakeOrderedAndProject plan regressed?")
+  }
+}

@@ -109,6 +109,36 @@ class DedupSpec extends AnyFunSuite {
     assert(!got.keySet.exists { case (a, b) => a == 2L || b == 2L })
   }
 
+  test("incremental dedup: incoming batch doc flagged against the corpus, corpus never self-pairs") {
+    // incoming split = doc_id % 10 == 0 → only doc 0; corpus = 1..4.
+    // doc 0 is an exact dup of corpus doc 1 → flagged with est 1.0;
+    // corpus-internal pair (2,3) must NOT appear (not incoming).
+    val got = Dedup.dedupIncremental(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set(0L))
+    val (dupOf, nDups, bestEst) = got(0L)
+    assert(dupOf == 1L && nDups == 1L && bestEst == 1.0)
+  }
+
+  test("normalized dedup groups case/punctuation/whitespace variants") {
+    val d = Files.createTempDirectory("graft-normdedup").toString
+    Seq(
+      (0L, "Hello, World!"),
+      (1L, "hello world"),
+      (2L, "  hello   world  "),
+      (3L, "entirely different document"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = Dedup.normDedup(spark, d).collect()
+      .map(r => (r.getLong(0), (r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    assert(got(0L) == ((0L, 3L, 0)), "canonical survivor of the variant group")
+    assert(got(1L) == ((0L, 3L, 1)) && got(2L) == ((0L, 3L, 1)), "variants marked dup")
+    assert(got(3L) == ((3L, 1L, 0)), "singleton untouched")
+  }
+
   test("rolling hash: deterministic, shift-sensitive") {
     assert(TextOps.rollingHash64("abc") == TextOps.rollingHash64("abc"))
     assert(TextOps.rollingHash64("abc") != TextOps.rollingHash64("acb"))

@@ -160,6 +160,138 @@ class PdfSpec extends AnyFunSuite {
     assert(Pdf.extractText(pdf(deflate(content))).get.contains("fallback inflate"))
   }
 
+  /** A modern PDF 1.5-style file: an /ObjStm holding the catalog,
+    * page-tree and page objects (ending in a string token that must
+    * NOT leak into extracted text), a predictor-coded /XRef stream,
+    * and a top-level Flate content stream — the layout pypdf handles
+    * via its xref-stream reader (index.py:275-295's dependency). */
+  private def modernPdf(content: Array[Byte], contentParms: String = ""): Array[Byte] = {
+    val objStmBody = {
+      val objs = Seq(
+        "<< /Type /Catalog /Pages 2 0 R >>",
+        "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        "<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Annots [(trailing string must not leak)] >>")
+      val offsets = objs.scanLeft(0)(_ + _.length + 1).init
+      val header = offsets.zipWithIndex.map { case (off, i) => s"${i + 1} $off" }.mkString(" ")
+      latin1(header + "\n" + objs.mkString(" "))
+    }
+    val first = objStmBody.indexOf('\n'.toByte) + 1
+    val objStm = deflate(objStmBody)
+    val flateContent = deflate(content)
+    val buf = new java.io.ByteArrayOutputStream()
+    buf.write(latin1("%PDF-1.5\n"))
+    buf.write(latin1(s"5 0 obj << /Type /ObjStm /N 3 /First $first /Length ${objStm.length} /Filter /FlateDecode >> stream\n"))
+    buf.write(objStm)
+    buf.write(latin1("\nendstream endobj\n"))
+    buf.write(latin1(s"4 0 obj << /Length ${flateContent.length} /Filter /FlateDecode $contentParms >> stream\n"))
+    buf.write(flateContent)
+    buf.write(latin1("\nendstream endobj\n"))
+    // predictor-12-coded xref stream: decoded binary whose trailing
+    // bytes would read as garbage tokens if it reached the text scan
+    val xrefRaw = Array.tabulate[Byte](30)(i => (i * 7).toByte)
+    val xref = deflate(pngUpEncode(xrefRaw, 5))
+    buf.write(latin1(s"6 0 obj << /Type /XRef /W [1 2 2] /Size 7 /Root 1 0 R /Length ${xref.length} " +
+      "/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 5 >> >> stream\n"))
+    buf.write(xref)
+    buf.write(latin1("\nendstream endobj\nstartxref\n0\n%%EOF\n"))
+    buf.toByteArray
+  }
+
+  /** Correct PNG-Up row encoder: filter byte 2 + (cur − prevRow). */
+  private def pngUpEncode(data: Array[Byte], rowBytes: Int): Array[Byte] = {
+    val pad = (rowBytes - data.length % rowBytes) % rowBytes
+    val padded = data ++ Array.fill(pad)(' '.toByte)
+    val out = new java.io.ByteArrayOutputStream()
+    var r = 0
+    while (r < padded.length) {
+      out.write(2)
+      var i = 0
+      while (i < rowBytes) {
+        val prev = if (r == 0) 0 else padded(r - rowBytes + i) & 0xFF
+        out.write(((padded(r + i) & 0xFF) - prev) & 0xFF)
+        i += 1
+      }
+      r += rowBytes
+    }
+    out.toByteArray
+  }
+
+  test("object-stream PDF: content extracts, ObjStm/XRef binary never leaks") {
+    val txt = Pdf.extractText(modernPdf(latin1("BT (modern xref-stream pdf text) Tj ET"))).get
+    assert(txt.contains("modern xref-stream pdf text"))
+    assert(!txt.contains("trailing string must not leak"),
+      "ObjStm payload classified out of the text scan")
+    assert(txt == "modern xref-stream pdf text\n", s"no xref garbage, got: ${txt.take(80)}")
+  }
+
+  test("PNG-predictor-coded content stream decodes via /DecodeParms") {
+    val content = latin1("BT (predictor coded content) Tj ET")
+    val coded = deflate(pngUpEncode(content, 16))
+    val buf = new java.io.ByteArrayOutputStream()
+    buf.write(latin1("%PDF-1.5\n"))
+    buf.write(latin1(s"1 0 obj << /Length ${coded.length} /Filter /FlateDecode " +
+      "/DecodeParms << /Predictor 12 /Columns 16 >> >> stream\n"))
+    buf.write(coded)
+    buf.write(latin1("\nendstream endobj\n%%EOF\n"))
+    assert(Pdf.extractText(buf.toByteArray).get.contains("predictor coded content"))
+  }
+
+  test("TIFF predictor 2 and DecodeParms arrays align with filter arrays") {
+    val content = latin1("BT (tiff predictor text) Tj ET")
+    // TIFF horizontal differencing at bpp=1: cur − prevByte per row
+    val rowBytes = 8
+    val pad = (rowBytes - content.length % rowBytes) % rowBytes
+    val padded = content ++ Array.fill(pad)(' '.toByte)
+    val coded = padded.clone()
+    var r = 0
+    while (r < coded.length) {
+      var i = r + rowBytes - 1
+      while (i > r) { coded(i) = (coded(i) - coded(i - 1)).toByte; i -= 1 }
+      r += rowBytes
+    }
+    val body = deflate(coded)
+    val buf = new java.io.ByteArrayOutputStream()
+    buf.write(latin1("%PDF-1.5\n"))
+    buf.write(latin1(s"1 0 obj << /Length ${body.length} /Filter [/FlateDecode] " +
+      s"/DecodeParms [<< /Predictor 2 /Columns $rowBytes >>] >> stream\n"))
+    buf.write(body)
+    buf.write(latin1("\nendstream endobj\n%%EOF\n"))
+    assert(Pdf.extractText(buf.toByteArray).get.contains("tiff predictor text"))
+  }
+
+  test("objStmObjects parses the packed objects of an object stream") {
+    val objs = Seq("<< /Type /Catalog >>", "(a string object)", "[1 2 3]")
+    val offsets = objs.scanLeft(0)(_ + _.length + 1).init
+    val header = offsets.zipWithIndex.map { case (off, i) => s"${i * 3 + 1} $off" }.mkString(" ") + "\n"
+    val payload = latin1(header + objs.mkString(" ") + " ")
+    val dict = s"<< /Type /ObjStm /N 3 /First ${header.length} >>"
+    val parsed = Pdf.objStmObjects(dict, payload)
+    assert(parsed.map(_._1) == Seq(1, 4, 7))
+    assert(parsed.head._2.contains("/Type /Catalog"))
+    assert(parsed(1)._2.contains("a string object"))
+    // malformed headers degrade to empty, never throw
+    assert(Pdf.objStmObjects("<< /Type /ObjStm /N 99 /First 4 >>", latin1("1 0\nx")).isEmpty)
+    assert(Pdf.objStmObjects("<< >>", payload).isEmpty)
+  }
+
+  test("binary stream containing the literal 'endstream' bytes cannot desync the scan") {
+    // an image stream whose compressed payload embeds "endstream":
+    // with /Length-based extents the follow-on content stream still
+    // extracts; a pure keyword scan would cut the image stream short
+    // and mis-frame everything after it
+    val evil = latin1("xxendstreamxx") ++ Array.fill(16)(0x99.toByte)
+    val content = deflate(latin1("BT (after evil image) Tj ET"))
+    val buf = new java.io.ByteArrayOutputStream()
+    buf.write(latin1("%PDF-1.5\n"))
+    buf.write(latin1(s"1 0 obj << /Subtype /Image /Length ${evil.length} /Filter /DCTDecode >> stream\n"))
+    buf.write(evil)
+    buf.write(latin1("\nendstream endobj\n"))
+    buf.write(latin1(s"2 0 obj << /Length ${content.length} /Filter /FlateDecode >> stream\n"))
+    buf.write(content)
+    buf.write(latin1("\nendstream endobj\n%%EOF\n"))
+    assert(Pdf.extractText(buf.toByteArray).get.contains("after evil image"))
+  }
+
   test("None on non-PDF bytes and on PDFs with no extractable text") {
     assert(Pdf.extractText("just a text file".getBytes).isEmpty)
     assert(Pdf.extractText(pdf(latin1("0 0 0 RG 10 10 100 100 re f"))).isEmpty)

@@ -136,6 +136,23 @@ class PlanSpec extends AnyFunSuite {
       !s.contains("doc_id") && !s.contains("lang")), s"schemas: $schemas")
   }
 
+  test("dedup_incremental: batch-vs-corpus candidates via equi-join, no cartesian/BNLJ") {
+    val plan = graft.ops.Dedup.dedupIncremental(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan: $plan")
+  }
+
+  test("norm_dedup: one shuffle, keyed on the 16-byte norm key (not the text)") {
+    val plan = graft.ops.Dedup.normDedup(spark, sf)
+      .queryExecution.executedPlan.toString
+    // text is consumed map-side by the md5(normalize(...)) projection;
+    // the single exchange hash-partitions on the digest key only
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"$exchanges exchanges: $plan")
+    assert(plan.contains("Exchange hashpartitioning(norm_key"), s"plan: $plan")
+  }
+
   test("seq_pack: exactly one shuffle (the per-source pack), then partial aggs") {
     val plan = graft.ops.Curation.seqPack(spark, sf)
       .queryExecution.executedPlan.toString
