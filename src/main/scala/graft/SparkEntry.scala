@@ -40,12 +40,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Events.queries ++ VectorQueries.queries ++
       TextOps.queries ++ Dedup.queries ++ Multimodal.queries ++ AsOf.queries ++
-      KMeansVec.queries ++ Curation.queries ++ Retrieval.queries ++ Quantize.queries
+      KMeansVec.queries ++ Curation.queries ++ Retrieval.queries ++ Quantize.queries ++
+      Pca.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Events.oracles ++ VectorQueries.oracles ++
       TextOps.oracles ++ Dedup.oracles ++ Multimodal.oracles ++ AsOf.oracles ++
-      KMeansVec.oracles ++ Curation.oracles ++ Retrieval.oracles ++ Quantize.oracles
+      KMeansVec.oracles ++ Curation.oracles ++ Retrieval.oracles ++ Quantize.oracles ++
+      Pca.oracles
 }

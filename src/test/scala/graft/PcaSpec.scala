@@ -1,0 +1,61 @@
+package graft
+
+import graft.ops.Pca
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Power-iteration PCA over embeddings: recovers a planted dominant
+  * direction, is deterministic under repartitioning (the bridged Gram
+  * is order-free), and keeps the corpus-sized work distributed. */
+class PcaSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  /** Corpus with a planted dominant direction u = e0: vectors are
+    * a·u + small fixed noise in the remaining coordinates. */
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-pca").toString
+    val rows = (0 until 200).map { n =>
+      val v = new Array[Float](Pca.Dim)
+      v(0) = (3.0f + (n % 7) * 0.5f) * (if (n % 2 == 0) 1f else -1f)
+      var k = 1
+      while (k < Pca.Dim) { v(k) = ((n * 31 + k * 17) % 13 - 6) * 0.01f; k += 1 }
+      (n.toLong, v.toSeq, n % 3)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("recovers the planted dominant direction (|pc1·u| ≈ 1) with λ > 0") {
+    val got = Pca.embedPcaPower(spark, dir).collect()
+    assert(got.length == Pca.Dim)
+    val pc = got.sortBy(_.getLong(0)).map(_.getDouble(1))
+    val lambda = got.head.getDouble(2)
+    assert(lambda > 0.0)
+    // |first coordinate| ≈ 1, everything else tiny
+    assert(math.abs(pc(0)) > 0.99, s"pc1(0) = ${pc(0)}")
+    assert(pc.drop(1).forall(c => math.abs(c) < 0.1), "noise dims stay small")
+    // unit norm up to the per-step r6 rounding
+    val nrm = math.sqrt(pc.map(c => c * c).sum)
+    assert(math.abs(nrm - 1.0) < 1e-3, s"norm $nrm")
+  }
+
+  test("deterministic across runs (bridged Gram is partition-order-free)") {
+    val a = Pca.embedPcaPower(spark, dir).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val b = Pca.embedPcaPower(spark, dir).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(a.sameElements(b))
+  }
+
+  test("gram aggregation partial-aggregates map-side: one exchange, dim² cells") {
+    val g = Pca.gram(spark, dir)
+    val plan = g.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"$exchanges exchanges: $plan")
+    assert(plan.contains("partial_"), s"no map-side partial aggregation: $plan")
+    assert(g.count() == Pca.Dim.toLong * Pca.Dim)
+  }
+}
