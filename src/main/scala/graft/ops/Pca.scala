@@ -87,10 +87,10 @@ object Pca {
       .orderBy(col("d"))
   }
 
-  /** Oracle mirror: identical bridged Gram, identical v₀ = 1/√dim,
-    * three unrolled (matvec, norm, r6-normalize) steps with ordered
-    * list folds standing in for the driver's sequential loops. */
-  val embedPcaPowerSql: String = {
+  /** Shared CTE chain: bridged Gram, v₀ = 1/√dim, three unrolled
+    * (matvec, norm, r6-normalize) steps with ordered list folds
+    * standing in for the driver's sequential loops. */
+  private val pcaCtes: String = {
     def step(n: Int, prev: String): String =
       s"""s$n AS (
          |  SELECT g.i AS i, list_sum(list(g.g * $prev.v ORDER BY g.j)) AS s
@@ -110,14 +110,62 @@ object Pca {
        |v0 AS (SELECT i, 1.0 / sqrt(${Dim}.0) AS v FROM UNNEST(range(0, $Dim)) AS t(i)),
        |${step(1, "v0")},
        |${step(2, "v1")},
-       |${step(3, "v2")}
-       |SELECT v3.i AS d, v3.v AS pc1, round(n3.n, 6) + 0 AS lambda
-       |FROM v3, n3 ORDER BY d""".stripMargin
+       |${step(3, "v2")}""".stripMargin
   }
 
+  /** Oracle mirror of [[embedPcaPower]]. */
+  val embedPcaPowerSql: String =
+    s"""$pcaCtes
+       |SELECT v3.i AS d, v3.v AS pc1, round(n3.n, 6) + 0 AS lambda
+       |FROM v3, n3 ORDER BY d""".stripMargin
+
+  /** The fitted component CONSUMED: per-label statistics of each
+    * embedding's projection onto pc1 — the one-number-per-vector
+    * compression a mixture monitor or drift detector reads. The
+    * projection pass is map-only (the 64 component doubles ride the
+    * closure, the corpus never re-shuffles); only the per-label
+    * aggregate moves rows. */
+  def pcaProjection(s: SparkSession, dir: String): DataFrame = {
+    val pc = embedPcaPower(s, dir).orderBy(col("d")).collect()
+      .map(_.getDouble(1))
+    val projUdf = udf { (emb: Seq[Float]) =>
+      // sequential ascending fold, the cosine-kernel convention
+      var acc = 0.0
+      var i = 0
+      while (i < pc.length && i < emb.length) { acc += emb(i).toDouble * pc(i); i += 1 }
+      acc
+    }
+    t(s, dir, "embeddings")
+      .select(col("label"), r6(projUdf(col("embedding"))).as("p"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        r6(OracleMath.davg(col("p"))).as("avg_proj"),
+        min(col("p")).as("min_proj"),
+        max(col("p")).as("max_proj"))
+      .orderBy(col("label"))
+  }
+
+  /** Oracle mirror of [[pcaProjection]]: the full power-iteration CTE
+    * chain, then an ordered list-comprehension fold per vector. */
+  val pcaProjectionSql: String =
+    s"""$pcaCtes,
+       |pv AS (SELECT list(v ORDER BY i) AS pv FROM v3),
+       |proj AS (
+       |  SELECT e.label,
+       |    round(list_sum([CAST(e.embedding[k+1] AS DOUBLE) * pv.pv[k+1]
+       |                    FOR k IN range(0, $Dim)]), 6) + 0 AS p
+       |  FROM embeddings e, pv)
+       |SELECT label, COUNT(*) AS n,
+       |  round(CAST(SUM(CAST(p AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) + 0 AS avg_proj,
+       |  MIN(p) AS min_proj, MAX(p) AS max_proj
+       |FROM proj GROUP BY label ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "embed_pca_power" -> (embedPcaPower _))
+    "embed_pca_power" -> (embedPcaPower _),
+    "pca_projection" -> (pcaProjection _))
 
   val oracles: Map[String, String] = Map(
-    "embed_pca_power" -> embedPcaPowerSql)
+    "embed_pca_power" -> embedPcaPowerSql,
+    "pca_projection" -> pcaProjectionSql)
 }
