@@ -431,7 +431,8 @@ object TextOps {
        |  FROM surv s
        |  JOIN chunks c ON c.doc_id = s.doc_id AND c.cno = s.cno
        |  LEFT JOIN chksum k ON k.doc_id = s.doc_id AND k.cno = s.cno)
-       |SELECT w2.source, COUNT(*) AS n_chunks, SUM(p.clen) AS n_chars,
+       |SELECT w2.source, COUNT(*) AS n_chunks,
+       |  CAST(SUM(p.clen) AS BIGINT) AS n_chars,
        |  CAST(SUM(CAST(floor(p.cs * 1000000.0) AS BIGINT)) AS BIGINT) AS embed_checksum
        |FROM per_chunk p
        |JOIN (SELECT DISTINCT doc_id, source FROM w) w2 ON w2.doc_id = p.doc_id

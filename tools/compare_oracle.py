@@ -60,8 +60,11 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: value col={c} row={i} ours={x!r} oracle={y!r}")
         fail += 1
     elif kinds:
-        print(f"WARN {name}: dtype kinds differ {kinds} (values match)")
-        print(f"PASS {name} ({len(ours)} rows, dtype warn)")
+        # The driver hashes serialized values, so an int64-vs-float64 (or
+        # hugeint) kind difference fails its gate even when every value is
+        # equal. Mirror that: dtype-kind mismatch is a FAIL here, full stop.
+        print(f"FAIL {name}: dtype kinds differ {kinds} (values match)")
+        fail += 1
     else:
         print(f"PASS {name} ({len(ours)} rows)")
 rowsonly = [n for n in __import__('os').listdir(out_dir)
