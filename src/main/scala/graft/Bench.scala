@@ -27,8 +27,17 @@ object Bench {
     // two timed passes, report the min: single-pass numbers carry
     // GC/compaction/scheduler noise (up to 2-3x on heavy queries);
     // the min is the reproducible steady-state cost
+    //
+    // session-memoized fits (PCA) are cleared before each timed pass of
+    // the FITTING query so its number stays the honest distributed-fit
+    // cost; consumers (pca_projection) time the designed warm path
+    val coldSetup: Map[String, () => Unit] = Map(
+      "embed_pca_power" -> (() => graft.ops.Pca.clearFitCache()))
     val results = SparkEntry.queries.map { case (name, fn) =>
+      val pre = coldSetup.getOrElse(name, () => ())
+      pre()
       val a = timeOnce(fn)
+      pre()
       val b = timeOnce(fn)
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }

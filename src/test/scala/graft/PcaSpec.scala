@@ -44,18 +44,51 @@ class PcaSpec extends AnyFunSuite {
     assert(math.abs(nrm - 1.0) < 1e-3, s"norm $nrm")
   }
 
-  test("deterministic across runs (bridged Gram is partition-order-free)") {
+  test("deterministic across cold runs (long-scaled Gram is partition-order-free)") {
+    Pca.clearFitCache()
     val a = Pca.embedPcaPower(spark, dir).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    Pca.clearFitCache()
     val b = Pca.embedPcaPower(spark, dir).collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(a.sameElements(b))
   }
 
-  test("gram aggregation partial-aggregates map-side: one exchange, dim² cells") {
-    val g = Pca.gram(spark, dir)
-    val plan = g.queryExecution.executedPlan.toString
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(exchanges == 1, s"$exchanges exchanges: $plan")
-    assert(plan.contains("partial_"), s"no map-side partial aggregation: $plan")
-    assert(g.count() == Pca.Dim.toLong * Pca.Dim)
+  test("gram accumulation matches a driver-side brute force exactly (scaled longs)") {
+    val dim = Pca.Dim
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("embedding").cast("array<float>")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    def s6(p: Double): Long =
+      java.math.BigDecimal.valueOf(p)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .movePointRight(6).longValueExact()
+    val want = new Array[Long](dim * dim)
+    vecs.foreach { x =>
+      var i = 0
+      while (i < dim) {
+        var j = i
+        while (j < dim) { want(i * dim + j) += s6(x(i).toDouble * x(j).toDouble); j += 1 }
+        i += 1
+      }
+    }
+    val got = Pca.gramScaled(spark, dir)
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        assert(got(i * dim + j) == want(i * dim + j), s"cell ($i,$j)")
+        j += 1
+      }
+      i += 1
+    }
+  }
+
+  test("pca_projection reuses the memoized fit (no second distributed Gram pass)") {
+    Pca.clearFitCache()
+    Pca.embedPcaPower(spark, dir).collect()
+    val passes = Pca.gramPasses.get()
+    val got = Pca.pcaProjection(spark, dir).collect()
+    assert(got.nonEmpty)
+    assert(Pca.gramPasses.get() == passes,
+      "pca_projection re-ran the distributed Gram instead of reading the memo")
   }
 }
