@@ -194,7 +194,16 @@ object Pdf {
     * filter; an array maps entry-for-entry (`null` = no parms), the
     * layout PDF 1.7 §7.4.1 defines. */
   private def parmsOf(dict: String, nFilters: Int): Seq[String] = {
-    val key = """/(?:DecodeParms|DP)\s*""".r.findFirstMatchIn(dict)
+    // name boundary: without it `/DP` matches the prefix of unrelated
+    // names (`/DPI 300`); and take the first occurrence actually
+    // followed by a dict/array value, so a decoy never shadows the
+    // real key later in the dict
+    val key = """/(?:DecodeParms|DP)(?![A-Za-z0-9])\s*""".r
+      .findAllMatchIn(dict)
+      .find { m =>
+        val r = dict.substring(m.end)
+        r.startsWith("<<") || r.startsWith("[")
+      }
     val none = Seq.fill(nFilters)("")
     key match {
       case None => none

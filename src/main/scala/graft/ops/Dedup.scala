@@ -43,6 +43,12 @@ object Dedup {
 
   val ShingleK = 3
 
+  /** DuckDB-side twin of [[shingleAt]], derived from [[ShingleK]] so
+    * the oracle shingle string can never silently desync from the
+    * engine's if the constant changes. */
+  private def shingleSql: String =
+    (1 to ShingleK).map(t => s"w[i+$t]").mkString(" || ' ' || ")
+
   /** text → DISTINCT word 3-gram shingles, in one pass. A UDF
     * rather than transform()-over-split(): the optimizer inlines the
     * split into every lambda element access (CollapseProject into
@@ -210,7 +216,7 @@ object Dedup {
        |  WHERE len(string_split(text, ' ')) >= $ShingleK),
        |sh AS (
        |  SELECT DISTINCT doc_id,
-       |    w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+       |    $shingleSql AS shingle
        |  FROM tok, UNNEST(range(0, len(w) - ${ShingleK - 1})) AS u(i)),
        |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
        |good AS (SELECT shingle FROM sh GROUP BY shingle
@@ -330,7 +336,7 @@ object Dedup {
        |  WHERE len(string_split(text, ' ')) >= $ShingleK),
        |sh AS (
        |  SELECT DISTINCT doc_id,
-       |    w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+       |    $shingleSql AS shingle
        |  FROM tok, UNNEST(range(0, len(w) - ${ShingleK - 1})) AS u(i)),
        |coef AS (
        |  SELECT j,
@@ -721,7 +727,7 @@ object Dedup {
        |  WHERE len(string_split(text, ' ')) >= $ShingleK),
        |sh AS (
        |  SELECT DISTINCT doc_id,
-       |    w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+       |    $shingleSql AS shingle
        |  FROM tok, UNNEST(range(0, len(w) - ${ShingleK - 1})) AS u(i)),
        |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
        |good AS (SELECT shingle FROM sh GROUP BY shingle
@@ -850,7 +856,7 @@ object Dedup {
        |  WHERE len(string_split(text, ' ')) >= $ShingleK),
        |sh AS (
        |  SELECT DISTINCT doc_id,
-       |    w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+       |    $shingleSql AS shingle
        |  FROM tok, UNNEST(range(0, len(w) - ${ShingleK - 1})) AS u(i)),
        |coef AS (
        |  SELECT j,

@@ -158,9 +158,20 @@ object KMeansVec {
       nProbe: Int): DataFrame = {
     import graft.functions.VectorFunctions.{cosineDist, r6}
     val (centroids, assigned) = fitted
-    val q = t(s, dir, "embeddings")
+    // missing or all-zero query row → EMPTY result, not an exception —
+    // the oracle's q CTE is empty/NaN-filtered in the same cases (the
+    // sqTopK/annLshTopk convention)
+    val qOpt = t(s, dir, "embeddings")
       .filter(col("vec_id") === VectorQueries.QueryVecId)
-      .head().getSeq[Float](1).toArray
+      .select(col("embedding")).head(1).headOption
+      .map(_.getSeq[Float](0).toArray)
+      .filter(_.exists(_ != 0f))
+    if (qOpt.isEmpty)
+      return assigned
+        .select(col("vec_id"), col("label"), col("cluster").cast("long").as("cluster"),
+          lit(0d).as("dist"))
+        .filter(lit(false))
+    val q = qOpt.get
     def cosDist(c: Array[Double]): Double = {
       var dotp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < c.length) {

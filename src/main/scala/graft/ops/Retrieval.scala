@@ -141,7 +141,10 @@ object Retrieval {
     val bm = bm25Scored(s, dir)
       .orderBy(col("score").desc, col("doc_id")).limit(FuseDepth)
       .withColumn("r_kw",
-        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+        // constant partition key: the window runs over the ≤FuseDepth-row
+        // post-limit slice, and an explicit (single) partition keeps the
+        // "No Partition Defined" warning from burying a real unbounded one
+        row_number().over(Window.partitionBy(lit(0)).orderBy(col("score").desc, col("doc_id"))))
       .select(col("doc_id"), col("r_kw"))
     val e = t(s, dir, "embeddings")
     val q = e.filter(col("vec_id") === VectorQueries.QueryVecId)
@@ -152,7 +155,7 @@ object Retrieval {
       .filter(!isnan(col("dist")) && col("dist").isNotNull)
       .orderBy(col("dist"), col("vec_id")).limit(FuseDepth)
       .withColumn("r_vec",
-        row_number().over(Window.orderBy(col("dist"), col("vec_id"))))
+        row_number().over(Window.partitionBy(lit(0)).orderBy(col("dist"), col("vec_id"))))
       .select(col("vec_id").as("doc_id"), col("r_vec"))
     bm.join(vec, "doc_id")
       .withColumn("fused",
