@@ -1,6 +1,6 @@
 package graft
 
-import graft.embed.{EmbedOps, Embedder, HashEmbedder, OllamaEmbedder, RemoteEmbedder}
+import graft.embed.{EmbedOps, Embedder, HashEmbedder, OllamaEmbedder, RemoteEmbedder, TransformerEmbedder}
 import graft.index.{IndexManifest, VectorIndex}
 import graft.ingest.{Chunker, Sources}
 import graft.query.Knn
@@ -143,10 +143,13 @@ object Graft {
   }
 
   /** Backend endpoints for manifest-driven dispatch (reference env
-    * defaults: EMBEDDING_SERVER / OLLAMA_HOST). */
+    * defaults: EMBEDDING_SERVER / OLLAMA_HOST), plus the optional
+    * local model directory that makes the `local` manifest tag run
+    * fully in-process (the reference's SentenceTransformer path). */
   case class Backends(
       remoteUrl: String = "http://localhost:8080",
-      ollamaUrl: String = "http://localhost:11434")
+      ollamaUrl: String = "http://localhost:11434",
+      localModelDir: Option[String] = None)
 
   object Backends {
     /** Backend URLs from the reference's env names (index.py/ask.py
@@ -154,10 +157,13 @@ object Graft {
       * ask-side MUST resolve identically: an index built against a
       * non-default host, opened by an ask session pointing at
       * localhost, would degrade every query embedding to the
-      * zero-fallback vector with no error. */
+      * zero-fallback vector with no error. GRAFT_LOCAL_MODEL points at
+      * a local sentence-encoder export (safetensors + vocab) for the
+      * in-process `local` backend. */
     def fromEnv(): Backends = Backends(
       remoteUrl = sys.env.getOrElse("EMBEDDING_SERVER", "http://localhost:8080"),
-      ollamaUrl = sys.env.getOrElse("OLLAMA_HOST", "http://localhost:11434"))
+      ollamaUrl = sys.env.getOrElse("OLLAMA_HOST", "http://localhost:11434"),
+      localModelDir = sys.env.get("GRAFT_LOCAL_MODEL"))
   }
 
   /** Manifest-driven embedder dispatch — the reference resolves the
@@ -176,17 +182,23 @@ object Graft {
       case "ollama" =>
         OllamaEmbedder.resilient(backends.ollamaUrl, manifest.embedding_model, dim)
       case "local" =>
-        // no in-JVM SentenceTransformer exists; the reference's own
-        // ImportError path falls back to the remote server
-        // (ask.py:160-163) — same here, with the wrapper keeping the
-        // manifest's `local` tag so validation stays consistent
-        val fallback =
-          RemoteEmbedder.withRetry(backends.remoteUrl, manifest.embedding_model, dim)
-        new Embedder {
-          override def dim: Int = fallback.dim
-          override def model: String = fallback.model
-          override def kind: String = "local"
-          override def embed(texts: Seq[String]): Seq[Array[Float]] = fallback.embed(texts)
+        backends.localModelDir match {
+          // real in-process model: the reference's primary path
+          // (index.py:72-111 loads a SentenceTransformer in-process)
+          case Some(dir) => new TransformerEmbedder(dir)
+          // no local weights configured: the reference's own
+          // ImportError path falls back to the remote server
+          // (ask.py:160-163) — same here, with the wrapper keeping the
+          // manifest's `local` tag so validation stays consistent
+          case None =>
+            val fallback =
+              RemoteEmbedder.withRetry(backends.remoteUrl, manifest.embedding_model, dim)
+            new Embedder {
+              override def dim: Int = fallback.dim
+              override def model: String = fallback.model
+              override def kind: String = "local"
+              override def embed(texts: Seq[String]): Seq[Array[Float]] = fallback.embed(texts)
+            }
         }
       case _ =>
         RemoteEmbedder.withRetry(backends.remoteUrl, manifest.embedding_model, dim)
@@ -225,6 +237,15 @@ object Graft {
       }
     manifest.embedding_type match {
       case "hash" => ()
+      case "local" if backends.localModelDir.isDefined =>
+        // in-process model gate: loading + one probe embed surfaces a
+        // missing/corrupt export or a hidden-size mismatch with the
+        // indexed vectors before any query runs
+        val e = new TransformerEmbedder(backends.localModelDir.get)
+        probe(e, s"local model ${backends.localModelDir.get}")
+        if (e.dim != dim)
+          throw new IllegalStateException(
+            s"local model ${backends.localModelDir.get} emits dim ${e.dim}, index expects $dim")
       case "ollama" =>
         val raw = new OllamaEmbedder(backends.ollamaUrl, manifest.embedding_model, dim)
         if (!raw.checkAvailability())

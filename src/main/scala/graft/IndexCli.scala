@@ -13,6 +13,9 @@ import org.apache.spark.sql.SparkSession
   *   --hash-embeddings    deterministic offline featurizer (default)
   *   --ollama-embeddings  Ollama per-text HTTP client (zero-fallback)
   *   --remote-embeddings  batched remote server client (retry stack)
+  *   --local-model DIR    in-process sentence encoder from a local
+  *                        safetensors export (reference index.py:72-111;
+  *                        DIR defaults from GRAFT_LOCAL_MODEL)
   *   --model NAME         backend model name
   *   --chunk-size N       chunk size (default 2000, reference default)
   *   --index-path PATH    index output (default ./graft_index)
@@ -59,6 +62,9 @@ object IndexCli {
         case "--hash-embeddings" => a = a.copy(backend = "hash"); Right(())
         case "--ollama-embeddings" => a = a.copy(backend = "ollama"); Right(())
         case "--remote-embeddings" => a = a.copy(backend = "remote"); Right(())
+        case "--local-model" => value("--local-model").map(v =>
+          a = a.copy(backend = "local",
+            backends = a.backends.copy(localModelDir = Some(v))))
         case "--model" => value("--model").map(v => a = a.copy(model = Some(v)))
         case "--chunk-size" => intValue("--chunk-size", 1).map(v => a = a.copy(chunkSize = v))
         case "--dim" => intValue("--dim", 1).map(v => a = a.copy(dim = v))
@@ -88,6 +94,15 @@ object IndexCli {
     * availability alone cannot see it). */
   private[graft] def embedderOf(a: Args): Either[String, Embedder] = a.backend match {
     case "hash" => Right(new HashEmbedder(a.dim))
+    case "local" =>
+      a.backends.localModelDir match {
+        case None => Left("--local-model requires a model directory (or set GRAFT_LOCAL_MODEL)")
+        case Some(dir) =>
+          // construction is lazy; the probe is what loads and validates
+          // the export (missing safetensors/vocab, corrupt header)
+          val e = new graft.embed.TransformerEmbedder(dir)
+          probe(e).map(_ => e)
+      }
     case "ollama" =>
       val model = a.model.getOrElse("nomic-embed-text")
       val raw = new OllamaEmbedder(a.backends.ollamaUrl, model, a.dim)
@@ -102,7 +117,7 @@ object IndexCli {
         Left(s"embedding server not available at ${a.backends.remoteUrl}")
       else probe(raw).map(_ =>
         RemoteEmbedder.withRetry(a.backends.remoteUrl, model, a.dim))
-    case other => Left(s"unknown backend: $other (expected hash|ollama|remote)")
+    case other => Left(s"unknown backend: $other (expected hash|local|ollama|remote)")
   }
 
   private def probe(e: Embedder): Either[String, Unit] =
