@@ -1,0 +1,212 @@
+package graft.ops
+
+import graft.functions.VectorFunctions.{cosineDist, r6}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Partition-local navigable-small-world graph ANN — the engine's
+  * answer to the reference's HNSW index (log-vector `index.py:432-435`
+  * configures ChromaDB's `hnsw:space=cosine`), re-expressed in Spark's
+  * execution model the way Lucene/segment systems ship HNSW: ONE graph
+  * PER PARTITION, built and searched inside `mapPartitions`, with a
+  * global exact-rescored top-k merge of the ≤ k·partitions candidates.
+  *
+  * Why this shape at 100 TB: a single monolithic graph cannot be built
+  * or held on one node, but per-shard graphs parallelize perfectly —
+  * each executor answers from its local graph in sub-linear time
+  * (greedy best-first beam over ~log-degree neighborhoods instead of a
+  * full scan), and the merge moves only k rows per partition. Shards ≡
+  * partitions means the index co-lives with the data layout
+  * (`repartition(shards, vec_id)` here; bucketed index files in a
+  * materialized deployment, the [[KMeansVec.ivfIndex]] pattern).
+  *
+  * Construction is the classic NSW incremental insert — deterministic:
+  * nodes inserted in ascending `vec_id`, each linked bidirectionally to
+  * its [[M]] nearest among already-inserted nodes (found by beam search
+  * with [[EfConstruction]]), neighbor lists pruned to closest-[[M]]
+  * with id tie-breaks. A hierarchy (the H of HNSW) buys nothing at
+  * per-partition node counts — the entry hop count is already tiny —
+  * so a single layer keeps build cost flat.
+  *
+  * Correctness gate: at the registered settings the beam is wide
+  * enough that the merged candidates contain the true top-k on the
+  * fixture corpus (recall@5 = 1.0, asserted in GraphAnnSpec across
+  * scales and partitionings), so the DuckDB oracle is the EXACT kNN
+  * query — the same gate `ann_lsh_topk` takes. Final distances are
+  * computed by the shared r6(cosineDist) column kernel, so values are
+  * bit-identical to every other kNN query. */
+object GraphAnn {
+
+  /** Max neighbors kept per node (graph degree). */
+  val M = 12
+
+  /** Beam width while inserting (candidate pool for neighbor pick). */
+  val EfConstruction = 48
+
+  /** Beam width while querying (≥ k; wider = higher recall). */
+  val EfSearch = 64
+
+  /** Deterministic shard count for the inline fixture path: fixed so
+    * the per-partition graphs (and thus candidates) are independent of
+    * the input file layout. */
+  val Shards = 8
+
+  def annGraphTopk(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    // missing/all-zero query row → empty result (the family-wide
+    // degenerate-query convention, DegenerateQuerySpec)
+    val qOpt = e.filter(col("vec_id") === VectorQueries.QueryVecId)
+      .select(col("embedding")).head(1).headOption
+      .map(_.getSeq[Float](0).toArray)
+      .filter(_.exists(_ != 0f))
+    if (qOpt.isEmpty)
+      return e.select(col("vec_id"), col("label"), lit(0d).as("dist")).filter(lit(false))
+    val qVec = qOpt.get
+    val kk = k
+    import s.implicits._
+    val candidates = e.filter(col("vec_id") =!= VectorQueries.QueryVecId)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<float>"))
+      .as[(Long, Int, Seq[Float])]
+      // hash-partition by id: graph membership is a pure function of
+      // vec_id, independent of file layout / upstream partitioning
+      .repartition(Shards, col("vec_id"))
+      .mapPartitions { it =>
+        val rows = it.toArray.sortBy(_._1)
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val vecs = rows.map(_._3.toArray)
+          val keep = rows.indices.filter(i => vecs(i).exists(_ != 0f)).toArray
+          if (keep.isEmpty) Iterator.empty
+          else {
+            val g = build(keep.map(vecs))
+            val top = g.search(qVec, math.max(EfSearch, kk))
+            top.take(kk).iterator.map { i =>
+              val r = rows(keep(i))
+              (r._1, r._2, r._3)
+            }
+          }
+        }
+      }
+      .toDF("vec_id", "label", "embedding")
+    candidates
+      .withColumn("dist", r6(cosineDist(col("embedding"), typedLit(qVec))))
+      .filter(!isnan(col("dist")) && col("dist").isNotNull)
+      .select(col("vec_id"), col("label"), col("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
+  }
+
+  // ----------------------------------------------------------- graph
+
+  /** One partition's NSW graph over `vecs` (local indices 0..n-1).
+    * `adj` is read live (the build searches the partial graph through
+    * the same instance while inserting — no per-insert copies). */
+  private[graft] final class Graph(
+      vecs: Array[Array[Float]],
+      adj: Array[scala.collection.mutable.ArrayBuffer[Int]]) {
+
+    /** Greedy best-first beam search: returns up to `ef` local node
+      * ids ordered by ascending distance to `q` (id tie-break). */
+    def search(q: Array[Float], ef: Int): Array[Int] = {
+      val n = vecs.length
+      if (n == 0) return Array.empty
+      val d = new Array[Double](n)
+      java.util.Arrays.fill(d, Double.NaN)
+      def dist(i: Int): Double = {
+        if (d(i).isNaN) d(i) = cosine(q, vecs(i))
+        d(i)
+      }
+      val visited = new java.util.BitSet(n)
+      // frontier: min-heap by (dist, id); results: max-heap by (dist, id)
+      val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)
+      val frontier = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ord.reverse)
+      val results = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](ord)
+      val entry = 0
+      visited.set(entry)
+      frontier.enqueue((dist(entry), entry))
+      results.enqueue((dist(entry), entry))
+      while (frontier.nonEmpty) {
+        val (cd, c) = frontier.dequeue()
+        // stop when the closest unexplored candidate cannot improve
+        // the worst of the ef results — the standard HNSW bound
+        if (results.size >= ef && cd > results.head._1) frontier.clear()
+        else {
+          var ni = 0
+          val ns = adj(c)
+          while (ni < ns.length) {
+            val nb = ns(ni)
+            if (!visited.get(nb)) {
+              visited.set(nb)
+              val nd = dist(nb)
+              if (results.size < ef || nd < results.head._1 ||
+                  (nd == results.head._1 && nb < results.head._2)) {
+                frontier.enqueue((nd, nb))
+                results.enqueue((nd, nb))
+                if (results.size > ef) results.dequeue()
+              }
+            }
+            ni += 1
+          }
+        }
+      }
+      results.dequeueAll.toArray.reverse.map(_._2)
+    }
+  }
+
+  /** Deterministic incremental NSW build over local vectors. */
+  private[graft] def build(vecs: Array[Array[Float]]): Graph = {
+    val n = vecs.length
+    val adj = Array.fill(n)(new scala.collection.mutable.ArrayBuffer[Int](M + 1))
+    val g = new Graph(vecs, adj) // live view: searches see every insert so far
+    var i = 1
+    while (i < n) {
+      // candidates among inserted nodes 0..i-1 via search in the
+      // partial graph, then keep the M nearest as links
+      val cand = g.search(vecs(i), EfConstruction)
+        .filter(_ < i)
+      val near = cand.take(M)
+      near.foreach { nb =>
+        adj(i) += nb
+        adj(nb) += i
+        if (adj(nb).length > M) {
+          // prune to the M closest of nb's neighbors (id tie-break) —
+          // keeps degree bounded, deterministic
+          val pruned = adj(nb).toArray
+            .map(x => (cosine(vecs(nb), vecs(x)), x))
+            .sortBy(identity)(Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int))
+            .take(M).map(_._2)
+          adj(nb).clear()
+          adj(nb) ++= pruned
+        }
+      }
+      i += 1
+    }
+    g
+  }
+
+  /** Plain double cosine distance, sequential ascending fold — the
+    * ranking metric inside the graph (final reported distances go
+    * through the shared r6(cosineDist) column kernel instead). */
+  private[graft] def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      dp += a(i).toDouble * b(i)
+      na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) Double.MaxValue
+    else 1.0 - dp / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_graph_topk" -> ((s, d) => annGraphTopk(s, d)))
+
+  /** Exact-kNN oracle: at the registered (M, ef, shards) the merged
+    * candidate set provably contains the true top-5 on the fixtures
+    * (GraphAnnSpec recall sweep), so the approximate plan must emit
+    * exactly the exact answer — the `ann_lsh_topk` gate pattern. */
+  val oracles: Map[String, String] = Map(
+    "ann_graph_topk" -> VectorQueries.knnTopkSql)
+}

