@@ -151,6 +151,9 @@ object GraphAnn {
       }
       results.dequeueAll.toArray.reverse.map(_._2)
     }
+
+    /** Adjacency of local node `i` (materialized-index export). */
+    def neighborsOf(i: Int): Array[Int] = adj(i).toArray
   }
 
   /** Deterministic incremental NSW build over local vectors. */
@@ -198,6 +201,82 @@ object GraphAnn {
     }
     if (na == 0.0 || nb == 0.0) Double.MaxValue
     else 1.0 - dp / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  // ----------------------------------------- materialized graph index
+
+  /** Build the per-shard NSW graphs ONCE and persist them as a
+    * Hive-partitioned parquet index (`shard=N/` dirs): one row per
+    * vector carrying its adjacency as neighbor vec_ids. This is the
+    * index-build-time half of the deployment story — the same
+    * materialized split [[KMeansVec.ivfIndex]] and
+    * [[Quantize.writeSqIndex]] make: the O(n·ef·M) construction cost
+    * is paid once per shard at ingest, queries only read. */
+  def writeGraphIndex(s: SparkSession, dir: String, indexPath: String): Unit = {
+    import s.implicits._
+    Tables.t(s, dir, "embeddings")
+      .filter(col("vec_id") =!= VectorQueries.QueryVecId)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<float>"))
+      .as[(Long, Int, Seq[Float])]
+      .repartition(Shards, col("vec_id"))
+      .mapPartitions { it =>
+        val rows = it.toArray.sortBy(_._1)
+        val vecs = rows.map(_._3.toArray)
+        val keep = rows.indices.filter(i => vecs(i).exists(_ != 0f)).toArray
+        if (keep.isEmpty) Iterator.empty
+        else {
+          val g = build(keep.map(vecs))
+          // the shard tag IS the build partition: queries only need
+          // rows of one graph to land together again, whatever the id
+          val shard = org.apache.spark.TaskContext.getPartitionId()
+          keep.indices.iterator.map { li =>
+            val r = rows(keep(li))
+            (shard, r._1, r._2, r._3, g.neighborsOf(li).map(n => rows(keep(n))._1).toSeq)
+          }
+        }
+      }
+      .toDF("shard", "vec_id", "label", "embedding", "neighbors")
+      .write.mode("overwrite").partitionBy("shard").parquet(indexPath)
+  }
+
+  /** Query a materialized graph index: NO construction — each task
+    * reassembles its shards' adjacency from the persisted rows and
+    * runs the same beam search, then the global exact-rescored merge.
+    * At 100 TB this is the steady-state query path: the build cost is
+    * amortized at ingest and a query touches each shard's graph
+    * sub-linearly instead of scanning its vectors. */
+  def graphSearchIndexed(
+      s: SparkSession, indexPath: String, qVec: Array[Float], k: Int = 5): DataFrame = {
+    import s.implicits._
+    val kk = k
+    val candidates = s.read.parquet(indexPath)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<float>"),
+        col("neighbors"), col("shard").cast("int"))
+      .as[(Long, Int, Seq[Float], Seq[Long], Int)]
+      .repartition(Shards, col("shard"))
+      .mapPartitions { it =>
+        // a task may hold several shards (hash collisions): search each
+        // shard's graph independently, emit each one's local top-k
+        it.toArray.groupBy(_._5).iterator.flatMap { case (_, rows0) =>
+          val rows = rows0.sortBy(_._1)
+          val local = rows.map(_._1).zipWithIndex.toMap
+          val vecs = rows.map(_._3.toArray)
+          val adj = rows.map(r =>
+            scala.collection.mutable.ArrayBuffer.from(r._4.iterator.flatMap(local.get)))
+          val g = new Graph(vecs, adj)
+          g.search(qVec, math.max(EfSearch, kk)).take(kk).iterator.map { i =>
+            val r = rows(i)
+            (r._1, r._2, r._3)
+          }
+        }
+      }
+      .toDF("vec_id", "label", "embedding")
+    candidates
+      .withColumn("dist", r6(cosineDist(col("embedding"), typedLit(qVec))))
+      .filter(!isnan(col("dist")) && col("dist").isNotNull)
+      .select(col("vec_id"), col("label"), col("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -55,6 +55,24 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(res.head == 0)
   }
 
+  test("materialized graph index: persisted shards answer identically to inline") {
+    val dir = dirs(1) // sf0.01
+    val idx = Files.createTempDirectory("graft-gann-idx").resolve("gindex").toString
+    GraphAnn.writeGraphIndex(spark, dir, idx)
+    // degree bound holds in the persisted adjacency
+    val maxDeg = spark.read.parquet(idx)
+      .select(size(col("neighbors")).as("deg")).agg(max(col("deg"))).head().getInt(0)
+    assert(maxDeg <= GraphAnn.M, s"persisted degree $maxDeg exceeds M=${GraphAnn.M}")
+    // shard dirs exist (Hive partitioning = the pruning/layout story)
+    assert(new java.io.File(idx).listFiles().exists(_.getName.startsWith("shard=")))
+    val q = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") === VectorQueries.QueryVecId)
+      .head().getSeq[Float](1).toArray
+    val indexed = GraphAnn.graphSearchIndexed(spark, idx, q).collect().toSeq
+    val inline = GraphAnn.annGraphTopk(spark, dir).collect().toSeq
+    assert(indexed == inline, "indexed search must equal inline build+search")
+  }
+
   test("empty and degenerate partitions: zero vectors excluded, no crash") {
     val d = Files.createTempDirectory("graft-gann").toString
     import spark.implicits._
