@@ -217,7 +217,7 @@ object Graft {
     // availability before answering): a down or dim-mismatched server
     // behind the zero-fallback stack would otherwise silently turn
     // every query embedding into a zero vector (empty kNN context)
-    gateBackend(manifest, dim, backends)
+    gateBackend(spark, indexPath, manifest, dim, backends)
     // dispatch and open share ONE manifest read — no second fetch, no
     // window for the manifest to change between dispatch and validate
     openWith(spark, indexPath, manifest, embedderFor(manifest, dim, backends))
@@ -228,7 +228,8 @@ object Graft {
     * fallback swallows exactly the failures the gate must surface.
     * The probe embed additionally catches a live server whose model
     * emits a different dimensionality (availability alone cannot). */
-  private def gateBackend(manifest: IndexManifest, dim: Int, backends: Backends): Unit = {
+  private def gateBackend(spark: SparkSession, indexPath: String,
+      manifest: IndexManifest, dim: Int, backends: Backends): Unit = {
     def probe(e: Embedder, what: String): Unit =
       try e.embedOne("probe")
       catch {
@@ -239,13 +240,21 @@ object Graft {
       case "hash" => ()
       case "local" if backends.localModelDir.isDefined =>
         // in-process model gate: loading + one probe embed surfaces a
-        // missing/corrupt export or a hidden-size mismatch with the
-        // indexed vectors before any query runs
+        // missing/corrupt export; the dim check compares against the
+        // INDEXED vectors themselves (not the caller's dim param, which
+        // AskCli can't know for an arbitrary model) — a wrong model dir
+        // for this index fails fast instead of searching a mixed space
         val e = new TransformerEmbedder(backends.localModelDir.get)
         probe(e, s"local model ${backends.localModelDir.get}")
-        if (e.dim != dim)
-          throw new IllegalStateException(
-            s"local model ${backends.localModelDir.get} emits dim ${e.dim}, index expects $dim")
+        VectorIndex.readVectors(spark, indexPath)
+          .select(org.apache.spark.sql.functions.size(
+            org.apache.spark.sql.functions.col("embedding")))
+          .head(1).headOption.map(_.getInt(0)).foreach { indexDim =>
+          if (e.dim != indexDim)
+            throw new IllegalStateException(
+              s"local model ${backends.localModelDir.get} emits dim ${e.dim}, " +
+                s"index vectors are dim $indexDim")
+        }
       case "ollama" =>
         val raw = new OllamaEmbedder(backends.ollamaUrl, manifest.embedding_model, dim)
         if (!raw.checkAvailability())

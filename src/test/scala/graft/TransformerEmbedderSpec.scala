@@ -60,43 +60,45 @@ class TransformerEmbedderSpec extends AnyFunSuite {
     Files.write(path, bb.array())
   }
 
-  private lazy val modelDir: String = {
+  private def makeModel(hidden: Int, layers: Int, heads: Int, inter: Int): String = {
     val d = Files.createTempDirectory("graft-st-model")
     val ts = scala.collection.mutable.ArrayBuffer[(String, Seq[Int], Array[Float])]()
     def add(name: String, shape: Int*): Unit =
       ts += ((name, shape.toSeq, fill(name, shape.product)))
-    add("embeddings.word_embeddings.weight", vocabTokens.length, Hidden)
-    add("embeddings.position_embeddings.weight", MaxPos, Hidden)
-    add("embeddings.token_type_embeddings.weight", 2, Hidden)
-    add("embeddings.LayerNorm.weight", Hidden)
-    add("embeddings.LayerNorm.bias", Hidden)
-    for (l <- 0 until Layers) {
+    add("embeddings.word_embeddings.weight", vocabTokens.length, hidden)
+    add("embeddings.position_embeddings.weight", MaxPos, hidden)
+    add("embeddings.token_type_embeddings.weight", 2, hidden)
+    add("embeddings.LayerNorm.weight", hidden)
+    add("embeddings.LayerNorm.bias", hidden)
+    for (l <- 0 until layers) {
       val p = s"encoder.layer.$l."
-      add(p + "attention.self.query.weight", Hidden, Hidden)
-      add(p + "attention.self.query.bias", Hidden)
-      add(p + "attention.self.key.weight", Hidden, Hidden)
-      add(p + "attention.self.key.bias", Hidden)
-      add(p + "attention.self.value.weight", Hidden, Hidden)
-      add(p + "attention.self.value.bias", Hidden)
-      add(p + "attention.output.dense.weight", Hidden, Hidden)
-      add(p + "attention.output.dense.bias", Hidden)
-      add(p + "attention.output.LayerNorm.weight", Hidden)
-      add(p + "attention.output.LayerNorm.bias", Hidden)
-      add(p + "intermediate.dense.weight", Inter, Hidden)
-      add(p + "intermediate.dense.bias", Inter)
-      add(p + "output.dense.weight", Hidden, Inter)
-      add(p + "output.dense.bias", Hidden)
-      add(p + "output.LayerNorm.weight", Hidden)
-      add(p + "output.LayerNorm.bias", Hidden)
+      add(p + "attention.self.query.weight", hidden, hidden)
+      add(p + "attention.self.query.bias", hidden)
+      add(p + "attention.self.key.weight", hidden, hidden)
+      add(p + "attention.self.key.bias", hidden)
+      add(p + "attention.self.value.weight", hidden, hidden)
+      add(p + "attention.self.value.bias", hidden)
+      add(p + "attention.output.dense.weight", hidden, hidden)
+      add(p + "attention.output.dense.bias", hidden)
+      add(p + "attention.output.LayerNorm.weight", hidden)
+      add(p + "attention.output.LayerNorm.bias", hidden)
+      add(p + "intermediate.dense.weight", inter, hidden)
+      add(p + "intermediate.dense.bias", inter)
+      add(p + "output.dense.weight", hidden, inter)
+      add(p + "output.dense.bias", hidden)
+      add(p + "output.LayerNorm.weight", hidden)
+      add(p + "output.LayerNorm.bias", hidden)
     }
     writeSafetensors(d.resolve("model.safetensors"), ts.toSeq)
     Files.write(d.resolve("vocab.txt"),
       vocabTokens.mkString("\n").getBytes("UTF-8"))
     Files.write(d.resolve("config.json"),
-      s"""{"num_attention_heads": $Heads, "layer_norm_eps": 1e-12,
-         | "num_hidden_layers": $Layers, "hidden_size": $Hidden}""".stripMargin.getBytes("UTF-8"))
+      s"""{"num_attention_heads": $heads, "layer_norm_eps": 1e-12,
+         | "num_hidden_layers": $layers, "hidden_size": $hidden}""".stripMargin.getBytes("UTF-8"))
     d.toString
   }
+
+  private lazy val modelDir: String = makeModel(Hidden, Layers, Heads, Inter)
 
   // ----------------------------------------------------------- loader
 
@@ -218,15 +220,19 @@ class TransformerEmbedderSpec extends AnyFunSuite {
     } finally session.close()
   }
 
-  test("openAuto gate: dim mismatch against the local model fails fast") {
+  test("openAuto gate: opening with a different-width local model fails fast") {
     val idx = Files.createTempDirectory("graft-st-idx2").resolve("index").toString
     val corpus = Files.createTempDirectory("graft-st-corpus2")
     Files.write(corpus.resolve("a.txt"), "the quick fox".getBytes("UTF-8"))
     val e = new TransformerEmbedder(modelDir)
     Graft.index(spark, corpus.toString, idx, Graft.IndexConfig(embedder = e))
+    // the gate compares the model's hidden size against the INDEXED
+    // vectors (AskCli passes no dim), so pointing the session at a
+    // model of a different width must fail before any query
+    val otherModel = makeModel(hidden = 4, layers = 1, heads = 1, inter = 8)
     val ex = intercept[IllegalStateException] {
-      Graft.openAuto(spark, idx, dim = Hidden + 1,
-        backends = Graft.Backends(localModelDir = Some(modelDir)))
+      Graft.openAuto(spark, idx,
+        backends = Graft.Backends(localModelDir = Some(otherModel)))
     }
     assert(ex.getMessage.contains("dim"))
   }
