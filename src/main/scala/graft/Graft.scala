@@ -118,15 +118,18 @@ object Graft {
       .filter(col("score") > 0) // a zero-score doc holds no keyword rank
       .orderBy(col("score").desc, col("_uid")).limit(depth)
       .withColumn("r_kw",
-        // constant partition key on the ≤depth-row slice — see
-        // Retrieval.hybridRrf: silences the spurious WindowExec warning
-        row_number().over(Window.partitionBy(length(col("_uid")) - length(col("_uid"))).orderBy(col("score").desc, col("_uid"))))
+        // bounded ≤depth-row slice — see WindowKeys.boundedRankKey
+        row_number().over(Window.partitionBy(
+          graft.functions.WindowKeys.boundedRankKey(col("_uid")))
+          .orderBy(col("score").desc, col("_uid"))))
       .select(col("_uid"), col("r_kw"))
     val vecTop = Knn
       .topK(uids.select(col("_uid"), col("embedding")),
         EmbedOps.embedLiteral(question, embedder), depth, idCol = "_uid")
       .withColumn("r_vec",
-        row_number().over(Window.partitionBy(length(col("_uid")) - length(col("_uid"))).orderBy(col("dist"), col("_uid"))))
+        row_number().over(Window.partitionBy(
+          graft.functions.WindowKeys.boundedRankKey(col("_uid")))
+          .orderBy(col("dist"), col("_uid"))))
       .select(col("_uid"), col("r_vec"))
     val fused = kwTop.join(vecTop, Seq("_uid"), "full_outer")
       .withColumn("fused",

@@ -60,6 +60,18 @@ object SafeTensors {
             var i = 0
             while (i < n) { a(i) = f16ToF32(sb.get(i)); i += 1 }
             a
+          case "BF16" =>
+            // bfloat16 = the top 16 bits of an IEEE float32
+            val n = (end - start) / 2
+            val sb = ByteBuffer.wrap(bytes, start, end - start)
+              .order(ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+            val a = new Array[Float](n)
+            var i = 0
+            while (i < n) {
+              a(i) = java.lang.Float.intBitsToFloat((sb.get(i) & 0xFFFF) << 16)
+              i += 1
+            }
+            a
           case other =>
             // integer/index tensors (I64 position ids etc.) are not
             // weights the forward pass reads — skip rather than fail

@@ -81,6 +81,12 @@ object TransformerEmbedder {
     private val posEmb = w("embeddings.position_embeddings.weight")
     private val typeEmb = w("embeddings.token_type_embeddings.weight")
 
+    /** Sequence cap: the global [[MaxTokens]] bound clamped to the
+      * model's own position table — indexing past it would be an
+      * ArrayIndexOutOfBounds, not a truncation. */
+    private val maxSeq: Int =
+      math.min(MaxTokens, t("embeddings.position_embeddings.weight").shape(0))
+
     /** Encode one text to a unit-norm sentence vector. */
     def encode(text: String): Array[Float] = {
       val ids = tokenizeToIds(text)
@@ -246,26 +252,37 @@ object TransformerEmbedder {
       ids += clsId
       val words = basicTokens(if (text == null) "" else text)
       var wi = 0
-      while (wi < words.length && ids.length < MaxTokens - 1) {
+      while (wi < words.length && ids.length < maxSeq - 1) {
         wordPiece(words(wi), ids)
         wi += 1
       }
       val trimmed =
-        if (ids.length > MaxTokens - 1) ids.take(MaxTokens - 1) else ids
+        if (ids.length > maxSeq - 1) ids.take(maxSeq - 1) else ids
       (trimmed += sepId).toArray
     }
 
+    /** BERT-uncased basic normalization: lowercase, NFD accent
+      * stripping (combining marks removed, so "café" → "cafe" finds
+      * its vocab entry like the trained tokenizer), code-point
+      * iteration (a non-BMP char is ONE token, never a pair of lone
+      * surrogates), punctuation split into single-char tokens. */
     private def basicTokens(text: String): Array[String] = {
+      val norm = java.text.Normalizer.normalize(text, java.text.Normalizer.Form.NFD)
       val out = new scala.collection.mutable.ArrayBuffer[String](32)
       val sb = new java.lang.StringBuilder
       def flush(): Unit = if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
       var i = 0
-      while (i < text.length) {
-        val c = Character.toLowerCase(text.charAt(i))
-        if (Character.isWhitespace(c)) flush()
-        else if (Character.isLetterOrDigit(c)) sb.append(c)
-        else { flush(); out += c.toString } // punctuation = its own token
-        i += 1
+      while (i < norm.length) {
+        val cp = norm.codePointAt(i)
+        val lc = Character.toLowerCase(cp)
+        if (Character.getType(cp) == Character.NON_SPACING_MARK) () // strip accents
+        else if (Character.isWhitespace(lc)) flush()
+        else if (Character.isLetterOrDigit(lc)) sb.appendCodePoint(lc)
+        else { // punctuation/symbol = its own token
+          flush()
+          out += new String(Character.toChars(lc))
+        }
+        i += Character.charCount(cp)
       }
       flush()
       out.toArray
@@ -324,8 +341,14 @@ object TransformerEmbedder {
         .foldLeft(-1)(math.max) + 1
       require(layers > 0, s"no encoder.layer.N tensors found in $weights")
       val cfg = readConfig(dir)
+      // the head count is NOT inferable from tensor shapes (Q/K/V are
+      // hidden×hidden regardless of the head split) and a wrong guess
+      // produces numerically-plausible garbage embeddings — so a
+      // missing config is a hard error, never a silent default
       val heads = cfg.getOrElse("num_attention_heads",
-        math.max(1, hidden / 64).toDouble).toInt
+        throw new IllegalArgumentException(
+          s"config.json under $dir must declare num_attention_heads " +
+            "(the head split cannot be inferred from the weights)")).toInt
       require(hidden % heads == 0, s"hidden $hidden not divisible by heads $heads")
       val eps = cfg.getOrElse("layer_norm_eps", 1e-12).toFloat
       val (vocab, unk, cls, sep) = readVocab(dir)

@@ -143,8 +143,21 @@ object KMeansVec {
     * self-contained. Scoring within probed cells is the same fused
     * cosine + TakeOrderedAndProject as exact kNN — IVF changes what
     * is SCANNED, not how candidates are scored. */
-  def ivfTopK(s: SparkSession, dir: String, k: Int = 5, nProbe: Int = 3): DataFrame =
-    ivfTopKFrom(fit(s, dir, K, iters = 1), s, dir, k, nProbe)
+  def ivfTopK(s: SparkSession, dir: String, k: Int = 5, nProbe: Int = 3): DataFrame = {
+    // check the 1-row query lookup BEFORE paying the distributed
+    // Lloyd fit: a missing/zero query returns empty regardless
+    val degenerate = t(s, dir, "embeddings")
+      .filter(col("vec_id") === VectorQueries.QueryVecId)
+      .select(col("embedding")).head(1).headOption
+      .map(_.getSeq[Float](0))
+      .forall(!_.exists(_ != 0f))
+    if (degenerate)
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), col("vec_id").cast("long").as("cluster"),
+          lit(0d).as("dist"))
+        .filter(lit(false))
+    else ivfTopKFrom(fit(s, dir, K, iters = 1), s, dir, k, nProbe)
+  }
 
   /** Probe search over an already-fitted quantizer — lets a caller
     * (or the RecallSpec sweep) pay the Lloyd's fit once and vary

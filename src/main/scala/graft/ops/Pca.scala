@@ -91,17 +91,22 @@ object Pca {
       .mapPartitions { rows =>
         val acc = new Array[Long](dim * dim)
         rows.foreach { e =>
-          val x = e.toArray
-          var i = 0
-          while (i < dim) {
-            val xi = x(i).toDouble
-            val base = i * dim
-            var j = i
-            while (j < dim) {
-              acc(base + j) += scaled6(xi * x(j).toDouble)
-              j += 1
+          if (e != null) {
+            val x = e.toArray
+            // a short row contributes only its own cells (the old
+            // posexplode form's behavior for ragged/truncated vectors)
+            val m = math.min(dim, x.length)
+            var i = 0
+            while (i < m) {
+              val xi = x(i).toDouble
+              val base = i * dim
+              var j = i
+              while (j < m) {
+                acc(base + j) += scaled6(xi * x(j).toDouble)
+                j += 1
+              }
+              i += 1
             }
-            i += 1
           }
         }
         Iterator.single(acc)
@@ -117,9 +122,26 @@ object Pca {
   /** Memoized fit per fixture dir (the [[KMeansVec]] share-the-work
     * convention): `pca_projection` consumes the same component
     * `embed_pca_power` reports, so within one session the Gram +
-    * power iteration runs once per directory, not once per query. */
+    * power iteration runs once per directory, not once per query.
+    * The key carries a cheap file fingerprint of the embeddings
+    * table, so overwriting a dir in the same JVM (re-ingest, test
+    * fixtures reusing a path) invalidates the memo instead of
+    * silently serving the old corpus's fit. Non-local filesystems
+    * fall back to path-only keying (immutable-ingest assumption). */
   private val fitCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Double)]()
+
+  private def fitKey(dir: String): String = {
+    val root = new java.io.File(s"$dir/embeddings.parquet")
+    val fp =
+      if (!root.exists()) "remote"
+      else {
+        val files = Option(root.listFiles()).map(_.sortBy(_.getName)).getOrElse(Array(root))
+        files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+          .mkString("|").hashCode.toString
+      }
+    s"$dir#$fp"
+  }
 
   /** Test hook: force a cold fit (determinism specs re-run the full
     * distributed path rather than reading the memo). */
@@ -128,7 +150,7 @@ object Pca {
   /** Gram build + [[Iters]] power-iteration steps on the driver's
     * dim×dim scalars; returns (unit component, eigenvalue estimate). */
   private def fit(s: SparkSession, dir: String): (Array[Double], Double) =
-    fitCache.computeIfAbsent(dir, _ => {
+    fitCache.computeIfAbsent(fitKey(dir), _ => {
       val cells = gramScaled(s, dir)
       val G = Array.ofDim[Double](Dim, Dim)
       var i = 0

@@ -141,10 +141,10 @@ object Retrieval {
     val bm = bm25Scored(s, dir)
       .orderBy(col("score").desc, col("doc_id")).limit(FuseDepth)
       .withColumn("r_kw",
-        // constant partition key: the window runs over the ≤FuseDepth-row
-        // post-limit slice, and an explicit (single) partition keeps the
-        // "No Partition Defined" warning from burying a real unbounded one
-        row_number().over(Window.partitionBy(col("doc_id") - col("doc_id")).orderBy(col("score").desc, col("doc_id"))))
+        // bounded ≤FuseDepth-row slice — see WindowKeys.boundedRankKey
+        row_number().over(Window.partitionBy(
+          graft.functions.WindowKeys.boundedRankKey(col("doc_id")))
+          .orderBy(col("score").desc, col("doc_id"))))
       .select(col("doc_id"), col("r_kw"))
     val e = t(s, dir, "embeddings")
     val q = e.filter(col("vec_id") === VectorQueries.QueryVecId)
@@ -155,7 +155,9 @@ object Retrieval {
       .filter(!isnan(col("dist")) && col("dist").isNotNull)
       .orderBy(col("dist"), col("vec_id")).limit(FuseDepth)
       .withColumn("r_vec",
-        row_number().over(Window.partitionBy(col("vec_id") - col("vec_id")).orderBy(col("dist"), col("vec_id"))))
+        row_number().over(Window.partitionBy(
+          graft.functions.WindowKeys.boundedRankKey(col("vec_id")))
+          .orderBy(col("dist"), col("vec_id"))))
       .select(col("vec_id").as("doc_id"), col("r_vec"))
     bm.join(vec, "doc_id")
       .withColumn("fused",

@@ -162,4 +162,16 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"$exchanges exchanges: $plan")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("ann_graph_topk: one shard exchange, candidates merge via TakeOrdered — no global sort") {
+    val plan = graft.ops.GraphAnn.annGraphTopk(spark, sf)
+      .queryExecution.executedPlan.toString
+    // exactly the repartition(Shards, vec_id) that defines graph
+    // membership; per-partition search emits ≤ k rows each, so the
+    // final top-k is a bounded-heap TakeOrderedAndProject
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"$exchanges exchanges: $plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"plan: $plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }

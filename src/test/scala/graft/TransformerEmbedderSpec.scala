@@ -191,6 +191,33 @@ class TransformerEmbedderSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("safetensors"))
   }
 
+  test("missing num_attention_heads is a hard error, never a silent guess") {
+    // the head split is not recoverable from tensor shapes; a wrong
+    // guess yields plausible-looking garbage embeddings
+    val d = java.nio.file.Paths.get(makeModel(Hidden, 1, Heads, Inter))
+    Files.delete(d.resolve("config.json"))
+    val ex = intercept[Exception] { TransformerEmbedder.loaded(d.toString) }
+    assert(ex.getMessage.contains("num_attention_heads"))
+  }
+
+  test("accent stripping and non-BMP safety in the basic tokenizer") {
+    val m = TransformerEmbedder.loaded(modelDir)
+    // "thé" NFD-strips to "the", which IS in vocab
+    assert(m.tokenizeToIds("thé").toSeq ==
+      Seq(vocabTokens.indexOf("[CLS]"), vocabTokens.indexOf("the"),
+        vocabTokens.indexOf("[SEP]")))
+    // a non-BMP char must not crash or split into lone surrogates
+    val ids = m.tokenizeToIds("the 😀 fox")
+    assert(ids.length == 5) // CLS the UNK(emoji) fox SEP
+  }
+
+  test("position-table clamp: fixture model (64 positions) embeds a long text") {
+    val e = new TransformerEmbedder(modelDir)
+    val long = Seq.fill(300)("the quick").mkString(" ")
+    val v = e.embedOne(long) // > MaxPos words: must truncate, not crash
+    assert(v.length == Hidden && v.forall(x => !x.isNaN))
+  }
+
   // --------------------------------------------------- manifest + CLI
 
   test("IndexCli --local-model: e2e index → manifest 'local' → openAuto answers") {
