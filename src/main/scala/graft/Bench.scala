@@ -32,7 +32,8 @@ object Bench {
     // the FITTING query so its number stays the honest distributed-fit
     // cost; consumers (pca_projection) time the designed warm path
     val coldSetup: Map[String, () => Unit] = Map(
-      "embed_pca_power" -> (() => graft.ops.Pca.clearFitCache()))
+      "embed_pca_power" -> (() => graft.ops.Pca.clearFitCache()),
+      "pq_error" -> (() => graft.ops.Pq.clearCbCache()))
     val results = SparkEntry.queries.map { case (name, fn) =>
       val pre = coldSetup.getOrElse(name, () => ())
       pre()

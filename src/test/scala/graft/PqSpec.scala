@@ -1,0 +1,56 @@
+package graft
+
+import graft.ops.{Pq, VectorQueries}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product quantization + ADC search on the real fixtures: error
+  * profile sanity, shortlist quality vs exact kNN, determinism, and
+  * the degenerate-query edge. */
+class PqSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+
+  test("pq_error: one row per label, non-negative bounded errors") {
+    dirs.foreach { dir =>
+      val rows = Pq.pqError(spark, dir).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getLong(1) > 0)
+        val err = r.getDouble(2)
+        assert(err >= 0.0 && !err.isNaN, s"err $err at $dir")
+      }
+    }
+  }
+
+  test("adc top-k: k sorted rows, deterministic across runs") {
+    val dir = dirs.head
+    val a = Pq.annPqTopk(spark, dir).collect()
+    val b = Pq.annPqTopk(spark, dir).collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 5)
+    val dists = a.map(_.getDouble(2)).toSeq
+    assert(dists == dists.sorted)
+  }
+
+  test("adc shortlist covers the true top-5: rescored output equals exact knn") {
+    // the shortlist is sized so the true top-5 survive ADC on the
+    // fixtures (measured peak rank 88 < Shortlist); exact rescoring
+    // then makes the output identical to exact kNN
+    dirs.foreach { dir =>
+      val exact = VectorQueries.knnTopkK(spark, dir, 5).collect().map(_.getLong(0)).toSeq
+      val approx = Pq.annPqTopk(spark, dir, 5).collect().map(_.getLong(0)).toSeq
+      assert(approx == exact, s"ADC top-5 $approx != exact $exact at $dir")
+    }
+  }
+
+  test("degenerate query: missing/zero query row yields empty") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    (1 to 20).map(n => (n.toLong, Seq.tabulate(64)(k => ((n + k) % 7) * 0.1f), n % 3))
+      .toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    assert(Pq.annPqTopk(spark, d).count() == 0L)
+  }
+}
