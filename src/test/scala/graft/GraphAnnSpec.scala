@@ -14,7 +14,8 @@ class GraphAnnSpec extends AnyFunSuite {
 
   private val dirs = Seq(
     "/root/testdata/sf0.001",
-    "/root/testdata/sf0.01")
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1")
 
   private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
     df.collect().map(_.getLong(0)).toSeq

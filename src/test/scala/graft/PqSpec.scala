@@ -8,7 +8,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * the degenerate-query edge. */
 class PqSpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
-  private val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+  private val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1")
 
   test("pq_error: one row per label, non-negative bounded errors") {
     dirs.foreach { dir =>
