@@ -281,7 +281,7 @@ object KMeansVec {
     * assignment a{t} → centroids c{t}). The engine truncates
     * centroid dims to FLOAT for the dot (typedLit(c.map(_.toFloat)))
     * but keeps Σc² in full doubles — both mirrored. */
-  private def assignCte(t: Int): String =
+  private[ops] def assignCte(t: Int): String =
     s"""s$t AS (
        |  SELECT e.vec_id, e.label, e.embedding, c.cluster,
        |    ${xx("e.embedding")}
@@ -310,7 +310,7 @@ object KMeansVec {
 
   /** c0 = the k lowest vec_ids' embeddings as doubles, cluster id =
     * rank within that prefix (the engine's array index). */
-  private def initCte: String =
+  private[ops] def initCte: String =
     s"""c0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

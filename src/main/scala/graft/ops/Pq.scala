@@ -378,11 +378,132 @@ object Pq {
        |WHERE NOT isnan(dist) AND dist IS NOT NULL
        |ORDER BY dist, vec_id LIMIT 5""".stripMargin
 
+  // -------------------------------------------------- IVF-PQ compose
+
+  /** Probe cells ranked by the driver's double cosine against the
+    * query (ties by cluster id — the stable-sort [[KMeansVec]]
+    * convention, mirrored in the probes CTE). */
+  private def probeIds(centroids: Array[Array[Double]], q: Array[Float], nProbe: Int): Seq[Int] = {
+    def cosDist(c: Array[Double]): Double = {
+      var dotp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < c.length) {
+        dotp += c(i) * q(i); na += c(i) * c(i); nb += q(i).toDouble * q(i); i += 1
+      }
+      1.0 - dotp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    centroids.zipWithIndex.map { case (c, i) => (cosDist(c), i) }
+      .sortBy(_._1).take(nProbe).map(_._2).toSeq
+  }
+
+  /** IVF-PQ — the canonical billion-scale ANN layout (coarse
+    * quantizer prunes WHICH cells are read, product codes decide HOW
+    * CHEAPLY the survivors are scanned): one-pass Lloyd IVF
+    * assignment ([[KMeansVec.fit]]), driver-side probe ranking, then
+    * the ADC table scan of ONLY the probed cells' codes, bounded
+    * shortlist, exact rescore. At 100 TB the corpus is written
+    * partitioned by cell with the 8-byte codes column alongside — a
+    * probe reads nProbe/k of the files and only the codes column;
+    * the float vectors surface for the [[Shortlist]]-row rescore. */
+  def annIvfPqTopk(s: SparkSession, dir: String, k: Int = 5, nProbe: Int = 3): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    val qOpt = e.filter(col("vec_id") === VectorQueries.QueryVecId)
+      .select(col("embedding")).head(1).headOption
+      .map(_.getSeq[Float](0).toArray)
+      .filter(_.exists(_ != 0f))
+    if (qOpt.isEmpty)
+      return e.select(col("vec_id"), col("label"), lit(0d).as("dist")).filter(lit(false))
+    val qVec = qOpt.get
+    val (centroids, assigned) = KMeansVec.fit(s, dir, KMeansVec.K, iters = 1)
+    val probes = probeIds(centroids, qVec, nProbe)
+    val cb = trainedCodebooks(s, dir)
+    val qd = normalize(qVec.map(_.toDouble))
+    val sd = qd.length / SubSpaces
+    val qtab = Array.tabulate(SubSpaces, CodeK) { (sp, k0) =>
+      subD2(qd, sp * sd, cb(sp)(k0).map(_.toFloat), cb(sp)(k0))
+    }
+    val enc = encodeUdf(cb)
+    val approxUdf = udf { (codes: Seq[Int]) =>
+      var a = 0.0
+      var sp = 0
+      while (sp < SubSpaces) { a += qtab(sp)(codes(sp)); sp += 1 }
+      a
+    }
+    val shortlist = assigned
+      .filter(col("cluster").isin(probes: _*))
+      .filter(col("vec_id") =!= VectorQueries.QueryVecId)
+      .filter(graft.functions.VectorFunctions.l2norm(col("embedding")) > 0)
+      .withColumn("codes", enc(col("embedding")).getField("_1"))
+      .withColumn("approx", approxUdf(col("codes")))
+      .select(col("vec_id"), col("label"), col("embedding"), col("approx"))
+      .orderBy(col("approx"), col("vec_id"))
+      .limit(Shortlist)
+    shortlist
+      .withColumn("dist", r6(cosineDist(col("embedding"), typedLit(qVec))))
+      .filter(!isnan(col("dist")) && col("dist").isNotNull)
+      .select(col("vec_id"), col("label"), col("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** Oracle mirror of [[annIvfPqTopk]]: the KMeansVec init+assign
+    * CTEs provide cells and probes; the PQ chain provides codes and
+    * the query table; the approx CTE joins all three. */
+  val annIvfPqTopkSql: String =
+    s"""WITH ${KMeansVec.initCte},
+       |${KMeansVec.assignCte(1)},
+       |$pqCtes,
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = ${VectorQueries.QueryVecId}),
+       |probes AS (
+       |  SELECT c.cluster FROM c0 c, q
+       |  ORDER BY 1.0 - list_sum(list_transform(range(1, len(q.qe) + 1),
+       |        i -> c.emb[i] * CAST(q.qe[i] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(c.emb, v -> v * v)))
+       |         * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))),
+       |    c.cluster
+       |  LIMIT 3),
+       |qn AS (SELECT list_transform(qe, x -> CAST(x AS DOUBLE)
+       |    / sqrt(list_sum(list_transform(qe, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE))))) AS nx FROM q),
+       |qsub AS (
+       |  SELECT sp.s AS s,
+       |    list_transform(range(1, $sd + 1), i -> qn.nx[sp.s * $sd + i]) AS x
+       |  FROM qn, UNNEST(range(0, $SubSpaces)) AS sp(s)),
+       |qtab AS (
+       |  SELECT qsub.s, cb.code,
+       |    list_sum(list_transform(qsub.x, v -> v * v))
+       |    - 2.0 * list_sum(list_transform(range(1, $sd + 1),
+       |        i -> qsub.x[i] * CAST(CAST(cb.emb[i] AS FLOAT) AS DOUBLE)))
+       |    + list_sum(list_transform(cb.emb, v -> v * v)) AS d2
+       |  FROM qsub JOIN cb ON cb.s = qsub.s),
+       |approx AS (
+       |  SELECT c.vec_id, c.label,
+       |    list_sum(list(qt.d2 ORDER BY c.s)) AS approx
+       |  FROM codes c
+       |  JOIN qtab qt ON qt.s = c.s AND qt.code = c.code
+       |  JOIN a1 ON a1.vec_id = c.vec_id
+       |  WHERE a1.cluster IN (SELECT cluster FROM probes)
+       |    AND c.vec_id <> ${VectorQueries.QueryVecId}
+       |  GROUP BY c.vec_id, c.label),
+       |short AS (
+       |  SELECT vec_id, label FROM approx
+       |  ORDER BY approx, vec_id LIMIT $Shortlist),
+       |scored AS (
+       |  SELECT e.vec_id, e.label,
+       |    round(1.0 - list_sum(list_transform(range(1, len(e.embedding)+1),
+       |              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+       |          / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+       |             * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) + 0 AS dist
+       |  FROM embeddings e JOIN short sh ON sh.vec_id = e.vec_id, q)
+       |SELECT vec_id, label, dist FROM scored
+       |WHERE NOT isnan(dist) AND dist IS NOT NULL
+       |ORDER BY dist, vec_id LIMIT 5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pq_error" -> (pqError _),
-    "ann_pq_topk" -> ((s, d) => annPqTopk(s, d)))
+    "ann_pq_topk" -> ((s, d) => annPqTopk(s, d)),
+    "ann_ivfpq_topk" -> ((s, d) => annIvfPqTopk(s, d)))
 
   val oracles: Map[String, String] = Map(
     "pq_error" -> pqErrorSql,
-    "ann_pq_topk" -> annPqTopkSql)
+    "ann_pq_topk" -> annPqTopkSql,
+    "ann_ivfpq_topk" -> annIvfPqTopkSql)
 }

@@ -44,6 +44,22 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf-pq: probed-cell ADC is deterministic, k sorted rows, ranks consistent") {
+    dirs.foreach { dir =>
+      val a = Pq.annIvfPqTopk(spark, dir).collect()
+      assert(a.toSeq == Pq.annIvfPqTopk(spark, dir).collect().toSeq)
+      assert(a.length == 5)
+      val dists = a.map(_.getDouble(2)).toSeq
+      assert(dists == dists.sorted)
+      // cell pruning can only SHRINK the candidate pool: every hit the
+      // composed index returns must also rank inside plain ADC's view
+      // of the probed cells — sanity: no distance below the exact best
+      val exactBest = VectorQueries.knnTopkK(spark, dir, 1)
+        .collect().head.getDouble(2)
+      assert(dists.head >= exactBest, s"impossible dist ${dists.head} < $exactBest")
+    }
+  }
+
   test("degenerate query: missing/zero query row yields empty") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
