@@ -34,8 +34,13 @@ object Bench {
     val coldSetup: Map[String, () => Unit] = Map(
       "embed_pca_power" -> (() => graft.ops.Pca.clearFitCache()),
       "pq_error" -> (() => graft.ops.Pq.clearCbCache()))
+    // consumers of a shared fit are timed WARM by contract, regardless
+    // of map iteration order or an earlier fitter-query failure
+    val warmSetup: Map[String, () => Unit] = Map(
+      "ann_pq_topk" -> (() => { graft.ops.Pq.trainedCodebooks(spark, sfDir); () }),
+      "ann_ivfpq_topk" -> (() => { graft.ops.Pq.trainedCodebooks(spark, sfDir); () }))
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val pre = coldSetup.getOrElse(name, () => ())
+      val pre = coldSetup.getOrElse(name, warmSetup.getOrElse(name, () => ()))
       pre()
       val a = timeOnce(fn)
       pre()

@@ -62,9 +62,17 @@ object IndexCli {
         case "--hash-embeddings" => a = a.copy(backend = "hash"); Right(())
         case "--ollama-embeddings" => a = a.copy(backend = "ollama"); Right(())
         case "--remote-embeddings" => a = a.copy(backend = "remote"); Right(())
-        case "--local-model" => value("--local-model").map(v =>
-          a = a.copy(backend = "local",
-            backends = a.backends.copy(localModelDir = Some(v))))
+        case "--local-model" =>
+          // value optional: envBackends() already resolved
+          // GRAFT_LOCAL_MODEL, so a bare flag selects that directory
+          if (i + 1 < argv.length && !argv(i + 1).startsWith("--")) {
+            i += 1
+            a = a.copy(backend = "local",
+              backends = a.backends.copy(localModelDir = Some(argv(i))))
+            Right(())
+          } else if (a.backends.localModelDir.isDefined) {
+            a = a.copy(backend = "local"); Right(())
+          } else Left("--local-model requires a directory (or set GRAFT_LOCAL_MODEL)")
         case "--model" => value("--model").map(v => a = a.copy(model = Some(v)))
         case "--chunk-size" => intValue("--chunk-size", 1).map(v => a = a.copy(chunkSize = v))
         case "--dim" => intValue("--dim", 1).map(v => a = a.copy(dim = v))

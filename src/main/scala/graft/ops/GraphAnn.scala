@@ -55,10 +55,7 @@ object GraphAnn {
     val e = Tables.t(s, dir, "embeddings")
     // missing/all-zero query row → empty result (the family-wide
     // degenerate-query convention, DegenerateQuerySpec)
-    val qOpt = e.filter(col("vec_id") === VectorQueries.QueryVecId)
-      .select(col("embedding")).head(1).headOption
-      .map(_.getSeq[Float](0).toArray)
-      .filter(_.exists(_ != 0f))
+    val qOpt = OpsShared.queryVec(s, dir)
     if (qOpt.isEmpty)
       return e.select(col("vec_id"), col("label"), lit(0d).as("dist")).filter(lit(false))
     val qVec = qOpt.get

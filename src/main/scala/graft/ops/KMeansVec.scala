@@ -145,55 +145,47 @@ object KMeansVec {
     * is SCANNED, not how candidates are scored. */
   def ivfTopK(s: SparkSession, dir: String, k: Int = 5, nProbe: Int = 3): DataFrame = {
     // check the 1-row query lookup BEFORE paying the distributed
-    // Lloyd fit: a missing/zero query returns empty regardless
-    val degenerate = t(s, dir, "embeddings")
-      .filter(col("vec_id") === VectorQueries.QueryVecId)
-      .select(col("embedding")).head(1).headOption
-      .map(_.getSeq[Float](0))
-      .forall(!_.exists(_ != 0f))
-    if (degenerate)
-      t(s, dir, "embeddings")
-        .select(col("vec_id"), col("label"), col("vec_id").cast("long").as("cluster"),
-          lit(0d).as("dist"))
-        .filter(lit(false))
-    else ivfTopKFrom(fit(s, dir, K, iters = 1), s, dir, k, nProbe)
+    // Lloyd fit: a missing/zero query returns empty regardless — and
+    // hand the fetched vector down so the normal path does not repeat
+    // the lookup job
+    OpsShared.queryVec(s, dir) match {
+      case None =>
+        t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"), col("vec_id").cast("long").as("cluster"),
+            lit(0d).as("dist"))
+          .filter(lit(false))
+      case some =>
+        ivfTopKFrom(fit(s, dir, K, iters = 1), s, dir, k, nProbe, some)
+    }
   }
 
   /** Probe search over an already-fitted quantizer — lets a caller
     * (or the RecallSpec sweep) pay the Lloyd's fit once and vary
     * k/nProbe freely, exactly like the materialized-index flow where
-    * the fit happens at build time. */
+    * the fit happens at build time. `preFetchedQ` skips the 1-row
+    * query lookup when the caller already performed it. */
   def ivfTopKFrom(
       fitted: (Array[Array[Double]], DataFrame),
       s: SparkSession,
       dir: String,
       k: Int,
-      nProbe: Int): DataFrame = {
+      nProbe: Int,
+      preFetchedQ: Option[Array[Float]] = None): DataFrame = {
     import graft.functions.VectorFunctions.{cosineDist, r6}
     val (centroids, assigned) = fitted
     // missing or all-zero query row → EMPTY result, not an exception —
     // the oracle's q CTE is empty/NaN-filtered in the same cases (the
     // sqTopK/annLshTopk convention)
-    val qOpt = t(s, dir, "embeddings")
-      .filter(col("vec_id") === VectorQueries.QueryVecId)
-      .select(col("embedding")).head(1).headOption
-      .map(_.getSeq[Float](0).toArray)
-      .filter(_.exists(_ != 0f))
+    val qOpt = preFetchedQ.orElse(OpsShared.queryVec(s, dir))
     if (qOpt.isEmpty)
       return assigned
         .select(col("vec_id"), col("label"), col("cluster").cast("long").as("cluster"),
           lit(0d).as("dist"))
         .filter(lit(false))
     val q = qOpt.get
-    def cosDist(c: Array[Double]): Double = {
-      var dotp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < c.length) {
-        dotp += c(i) * q(i); na += c(i) * c(i); nb += q(i).toDouble * q(i); i += 1
-      }
-      1.0 - dotp / (math.sqrt(na) * math.sqrt(nb))
-    }
     val probes = centroids.zipWithIndex
-      .map { case (c, i) => (cosDist(c), i) }.sortBy(_._1).take(nProbe).map(_._2)
+      .map { case (c, i) => (OpsShared.cosineDistTo(q, c), i) }
+      .sortBy(_._1).take(nProbe).map(_._2)
     assigned
       .filter(col("cluster").isin(probes.toIndexedSeq: _*))
       .filter(col("vec_id") =!= VectorQueries.QueryVecId)
@@ -249,14 +241,7 @@ object KMeansVec {
       .collect()
       .map(r => (r.getAs[Long]("cluster").toInt,
         r.getAs[scala.collection.Seq[Double]]("centroid").toArray))
-    def cosDist(c: Array[Double]): Double = {
-      var dotp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < c.length) {
-        dotp += c(i) * q(i); na += c(i) * c(i); nb += q(i).toDouble * q(i); i += 1
-      }
-      1.0 - dotp / (math.sqrt(na) * math.sqrt(nb))
-    }
-    val probes = centroids.map { case (i, c) => (cosDist(c), i) }
+    val probes = centroids.map { case (i, c) => (OpsShared.cosineDistTo(q, c), i) }
       .sortBy(_._1).take(nProbe).map(_._2)
     s.read.parquet(s"$indexDir/vectors")
       .filter(col("cluster").isin(probes.toIndexedSeq: _*))

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Small helpers shared across the vector-operator family — single
+  * definitions for logic that was previously copy-pasted per op
+  * (fingerprint memo keys, the degenerate-query lookup, driver-side
+  * centroid ranking). */
+object OpsShared {
+
+  /** Session-memo key for a fixture directory: path + a cheap file
+    * fingerprint of the backing table, so overwriting a dir inside
+    * one JVM invalidates any memo keyed on it instead of silently
+    * serving stale results. Non-local filesystems fall back to
+    * path-only keying (immutable-ingest assumption). */
+  def dirKey(dir: String, table: String = "embeddings"): String = {
+    val root = new java.io.File(s"$dir/$table.parquet")
+    val fp =
+      if (!root.exists()) "remote"
+      else {
+        val files = Option(root.listFiles()).map(_.sortBy(_.getName)).getOrElse(Array(root))
+        files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+          .mkString("|").hashCode.toString
+      }
+    s"$dir#$fp"
+  }
+
+  /** The 1-row query-vector lookup every ANN query starts with:
+    * `Some(vector)` when the [[VectorQueries.QueryVecId]] row exists
+    * and is not all-zero, `None` otherwise — the family-wide
+    * degenerate-query convention (missing/zero query → EMPTY result,
+    * matching the oracles' empty/NaN-filtered q side). */
+  def queryVec(s: SparkSession, dir: String): Option[Array[Float]] =
+    Tables.t(s, dir, "embeddings")
+      .filter(col("vec_id") === VectorQueries.QueryVecId)
+      .select(col("embedding")).head(1).headOption
+      .map(_.getSeq[Float](0).toArray)
+      .filter(_.exists(_ != 0f))
+
+  /** Driver-side double cosine distance of a centroid against the
+    * query — the probe-ranking metric (sequential fold; ties broken
+    * by the caller's stable sort on centroid id). */
+  def cosineDistTo(q: Array[Float], c: Array[Double]): Double = {
+    var dotp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < c.length) {
+      dotp += c(i) * q(i); na += c(i) * c(i); nb += q(i).toDouble * q(i); i += 1
+    }
+    1.0 - dotp / (math.sqrt(na) * math.sqrt(nb))
+  }
+}

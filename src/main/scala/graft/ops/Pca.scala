@@ -131,18 +131,6 @@ object Pca {
   private val fitCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Double)]()
 
-  private def fitKey(dir: String): String = {
-    val root = new java.io.File(s"$dir/embeddings.parquet")
-    val fp =
-      if (!root.exists()) "remote"
-      else {
-        val files = Option(root.listFiles()).map(_.sortBy(_.getName)).getOrElse(Array(root))
-        files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-          .mkString("|").hashCode.toString
-      }
-    s"$dir#$fp"
-  }
-
   /** Test hook: force a cold fit (determinism specs re-run the full
     * distributed path rather than reading the memo). */
   private[graft] def clearFitCache(): Unit = fitCache.clear()
@@ -150,7 +138,7 @@ object Pca {
   /** Gram build + [[Iters]] power-iteration steps on the driver's
     * dim×dim scalars; returns (unit component, eigenvalue estimate). */
   private def fit(s: SparkSession, dir: String): (Array[Double], Double) =
-    fitCache.computeIfAbsent(fitKey(dir), _ => {
+    fitCache.computeIfAbsent(OpsShared.dirKey(dir), _ => {
       val cells = gramScaled(s, dir)
       val G = Array.ofDim[Double](Dim, Dim)
       var i = 0

@@ -119,20 +119,8 @@ object Pq {
 
   private[graft] def clearCbCache(): Unit = cbCache.clear()
 
-  private def cbKey(dir: String): String = {
-    val root = new java.io.File(s"$dir/embeddings.parquet")
-    val fp =
-      if (!root.exists()) "remote"
-      else {
-        val files = Option(root.listFiles()).map(_.sortBy(_.getName)).getOrElse(Array(root))
-        files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-          .mkString("|").hashCode.toString
-      }
-    s"$dir#$fp"
-  }
-
   private[graft] def trainedCodebooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
-    cbCache.computeIfAbsent(cbKey(dir), _ => trainCodebooks(s, dir))
+    cbCache.computeIfAbsent(OpsShared.dirKey(dir), _ => trainCodebooks(s, dir))
 
   /** ONE distributed Lloyd update of the prefix-initialized
     * codebooks — real PQ training, the [[KMeansVec.fit]] update at
@@ -182,7 +170,9 @@ object Pq {
         var best = 0
         var bestD = Double.PositiveInfinity
         var k = 0
-        while (k < CodeK) {
+        // actual codebook size, not CodeK: a corpus with fewer than
+        // CodeK nonzero rows yields a shorter prefix — scan what exists
+        while (k < cb(sp).length) {
           val d2 = subD2(x, sp * sd, cf(sp)(k), cb(sp)(k))
           if (d2 < bestD) { bestD = d2; best = k } // strict < = lowest-code ties
           k += 1
@@ -219,10 +209,7 @@ object Pq {
     * the shared cosine kernel. */
   def annPqTopk(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val qOpt = e.filter(col("vec_id") === VectorQueries.QueryVecId)
-      .select(col("embedding")).head(1).headOption
-      .map(_.getSeq[Float](0).toArray)
-      .filter(_.exists(_ != 0f))
+    val qOpt = OpsShared.queryVec(s, dir)
     if (qOpt.isEmpty)
       return e.select(col("vec_id"), col("label"), lit(0d).as("dist")).filter(lit(false))
     val qVec = qOpt.get
@@ -231,9 +218,8 @@ object Pq {
     // NORMALIZED subvector against that centroid
     val qd = normalize(qVec.map(_.toDouble))
     val sd = qd.length / SubSpaces
-    val qtab = Array.tabulate(SubSpaces, CodeK) { (sp, k0) =>
-      subD2(qd, sp * sd, cb(sp)(k0).map(_.toFloat), cb(sp)(k0))
-    }
+    val qtab = Array.tabulate(SubSpaces)(sp => Array.tabulate(cb(sp).length)(k0 =>
+      subD2(qd, sp * sd, cb(sp)(k0).map(_.toFloat), cb(sp)(k0))))
     val enc = encodeUdf(cb)
     val approxUdf = udf { (codes: Seq[Int]) =>
       var a = 0.0
@@ -339,18 +325,20 @@ object Pq {
        |GROUP BY label
        |ORDER BY label""".stripMargin
 
-  /** Oracle mirror of [[annPqTopk]]: the query's own subvectors run
-    * through the SAME d2 CTE (cb is built from the full prefix, like
-    * the engine), approx = ordered per-subspace sum of the chosen
+  /** Oracle mirror of [[annPqTopk]]: the query is NORMALIZED exactly
+    * like the engine's (qn CTE — the engine builds qtab from
+    * normalize(qVec), so an un-unit query row must not rank
+    * differently), approx = ordered per-subspace sum of the chosen
     * codes' query-table entries, shortlist → exact cosine rescore. */
   val annPqTopkSql: String =
     s"""WITH $pqCtes,
        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = ${VectorQueries.QueryVecId}),
+       |qn AS (SELECT list_transform(qe, x -> CAST(x AS DOUBLE)
+       |    / sqrt(list_sum(list_transform(qe, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE))))) AS nx FROM q),
        |qsub AS (
        |  SELECT sp.s AS s,
-       |    list_transform(range(1, $sd + 1),
-       |      i -> CAST(q.qe[sp.s * $sd + i] AS DOUBLE)) AS x
-       |  FROM q, UNNEST(range(0, $SubSpaces)) AS sp(s)),
+       |    list_transform(range(1, $sd + 1), i -> qn.nx[sp.s * $sd + i]) AS x
+       |  FROM qn, UNNEST(range(0, $SubSpaces)) AS sp(s)),
        |qtab AS (
        |  SELECT qsub.s, cb.code,
        |    list_sum(list_transform(qsub.x, v -> v * v))
@@ -383,17 +371,9 @@ object Pq {
   /** Probe cells ranked by the driver's double cosine against the
     * query (ties by cluster id — the stable-sort [[KMeansVec]]
     * convention, mirrored in the probes CTE). */
-  private def probeIds(centroids: Array[Array[Double]], q: Array[Float], nProbe: Int): Seq[Int] = {
-    def cosDist(c: Array[Double]): Double = {
-      var dotp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < c.length) {
-        dotp += c(i) * q(i); na += c(i) * c(i); nb += q(i).toDouble * q(i); i += 1
-      }
-      1.0 - dotp / (math.sqrt(na) * math.sqrt(nb))
-    }
-    centroids.zipWithIndex.map { case (c, i) => (cosDist(c), i) }
+  private def probeIds(centroids: Array[Array[Double]], q: Array[Float], nProbe: Int): Seq[Int] =
+    centroids.zipWithIndex.map { case (c, i) => (OpsShared.cosineDistTo(q, c), i) }
       .sortBy(_._1).take(nProbe).map(_._2).toSeq
-  }
 
   /** IVF-PQ — the canonical billion-scale ANN layout (coarse
     * quantizer prunes WHICH cells are read, product codes decide HOW
@@ -406,10 +386,7 @@ object Pq {
     * the float vectors surface for the [[Shortlist]]-row rescore. */
   def annIvfPqTopk(s: SparkSession, dir: String, k: Int = 5, nProbe: Int = 3): DataFrame = {
     val e = Tables.t(s, dir, "embeddings")
-    val qOpt = e.filter(col("vec_id") === VectorQueries.QueryVecId)
-      .select(col("embedding")).head(1).headOption
-      .map(_.getSeq[Float](0).toArray)
-      .filter(_.exists(_ != 0f))
+    val qOpt = OpsShared.queryVec(s, dir)
     if (qOpt.isEmpty)
       return e.select(col("vec_id"), col("label"), lit(0d).as("dist")).filter(lit(false))
     val qVec = qOpt.get
@@ -418,9 +395,8 @@ object Pq {
     val cb = trainedCodebooks(s, dir)
     val qd = normalize(qVec.map(_.toDouble))
     val sd = qd.length / SubSpaces
-    val qtab = Array.tabulate(SubSpaces, CodeK) { (sp, k0) =>
-      subD2(qd, sp * sd, cb(sp)(k0).map(_.toFloat), cb(sp)(k0))
-    }
+    val qtab = Array.tabulate(SubSpaces)(sp => Array.tabulate(cb(sp).length)(k0 =>
+      subD2(qd, sp * sd, cb(sp)(k0).map(_.toFloat), cb(sp)(k0))))
     val enc = encodeUdf(cb)
     val approxUdf = udf { (codes: Seq[Int]) =>
       var a = 0.0

@@ -33,6 +33,16 @@ class GraphAnnSpec extends AnyFunSuite {
     val a = GraphAnn.annGraphTopk(spark, dir).collect().toSeq
     val b = GraphAnn.annGraphTopk(spark, dir).collect().toSeq
     assert(a == b)
+    // ACTUALLY vary the file layout: rewrite the fixture into many
+    // small files in a different row order — graph membership hangs
+    // on repartition(Shards, vec_id), so the answer must not move
+    val relaid = Files.createTempDirectory("graft-gann-relay").toString
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .orderBy(col("label"), col("vec_id").desc)
+      .repartition(13)
+      .write.mode("overwrite").parquet(s"$relaid/embeddings.parquet")
+    val c = GraphAnn.annGraphTopk(spark, relaid).collect().toSeq
+    assert(c == a, "answer changed under a different physical file layout")
   }
 
   test("graph build: bounded degree, every inserted node reachable") {
