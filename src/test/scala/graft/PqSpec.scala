@@ -60,6 +60,28 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("materialized pq index: codes-only ADC phase, answer equals inline") {
+    val dir = dirs(1) // sf0.01
+    val idx = java.nio.file.Files.createTempDirectory("graft-pq-idx").resolve("pqindex").toString
+    Pq.writePqIndex(spark, dir, idx)
+    // physical schema: ARRAY<TINYINT> codes, no float embedding column
+    val codesSchema = spark.read.parquet(s"$idx/codes").schema
+    assert(codesSchema("codes").dataType.simpleString == "array<tinyint>", codesSchema.treeString)
+    assert(!codesSchema.fieldNames.contains("embedding"))
+    val q = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(org.apache.spark.sql.functions.col("vec_id") === VectorQueries.QueryVecId)
+      .head().getSeq[Float](1).toArray
+    // the ADC phase's actual plan reads only the codes table
+    val qd = Array.fill(Pq.SubSpaces)(Array.fill(Pq.CodeK)(0.0))
+    val phase1Plan = Pq.pqPhase1(spark, idx, qd, Some(0L))
+      .queryExecution.executedPlan.toString
+    assert(!phase1Plan.contains("embedding"), s"float column in ADC phase:\n$phase1Plan")
+    val indexed = Pq.pqSearchIndexed(spark, idx, dir, q, excludeId = Some(VectorQueries.QueryVecId))
+      .collect().toSeq
+    val inline = Pq.annPqTopk(spark, dir).collect().toSeq
+    assert(indexed == inline, "indexed PQ search must equal the inline path")
+  }
+
   test("degenerate query: missing/zero query row yields empty") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
