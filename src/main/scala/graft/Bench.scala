@@ -1,6 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  // session-memoized fits (PCA, PQ codebooks) are cleared before each
+  // timed pass of the FITTING query so its number stays the honest
+  // distributed-fit cost; consumers time the designed warm path.
+  // Shared with BenchBudgetSpec so the budget gate times the SAME
+  // cold/warm protocol the recorded numbers came from.
+  val coldSetup: Map[String, (SparkSession, String) => Unit] = Map(
+    "embed_pca_power" -> ((_, _) => graft.ops.Pca.clearFitCache()),
+    "pq_error" -> ((_, _) => graft.ops.Pq.clearCbCache()))
+  // consumers of a shared fit are timed WARM by contract, regardless
+  // of map iteration order or an earlier fitter-query failure
+  val warmSetup: Map[String, (SparkSession, String) => Unit] = Map(
+    "ann_pq_topk" -> ((s, d) => { graft.ops.Pq.trainedCodebooks(s, d); () }),
+    "ann_ivfpq_topk" -> ((s, d) => { graft.ops.Pq.trainedCodebooks(s, d); () }))
+
+  /** The pre-pass hook for one query under the bench protocol. */
+  def setupFor(name: String): (SparkSession, String) => Unit =
+    coldSetup.getOrElse(name, warmSetup.getOrElse(name, (_, _) => ()))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -27,23 +45,11 @@ object Bench {
     // two timed passes, report the min: single-pass numbers carry
     // GC/compaction/scheduler noise (up to 2-3x on heavy queries);
     // the min is the reproducible steady-state cost
-    //
-    // session-memoized fits (PCA) are cleared before each timed pass of
-    // the FITTING query so its number stays the honest distributed-fit
-    // cost; consumers (pca_projection) time the designed warm path
-    val coldSetup: Map[String, () => Unit] = Map(
-      "embed_pca_power" -> (() => graft.ops.Pca.clearFitCache()),
-      "pq_error" -> (() => graft.ops.Pq.clearCbCache()))
-    // consumers of a shared fit are timed WARM by contract, regardless
-    // of map iteration order or an earlier fitter-query failure
-    val warmSetup: Map[String, () => Unit] = Map(
-      "ann_pq_topk" -> (() => { graft.ops.Pq.trainedCodebooks(spark, sfDir); () }),
-      "ann_ivfpq_topk" -> (() => { graft.ops.Pq.trainedCodebooks(spark, sfDir); () }))
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val pre = coldSetup.getOrElse(name, warmSetup.getOrElse(name, () => ()))
-      pre()
+      val pre = setupFor(name)
+      pre(spark, sfDir)
       val a = timeOnce(fn)
-      pre()
+      pre(spark, sfDir)
       val b = timeOnce(fn)
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }

@@ -43,6 +43,13 @@ object SafeTensors {
         val dtype = m("dtype").asInstanceOf[String]
         val shape = m("shape").asInstanceOf[Seq[Any]].map(_.asInstanceOf[Double].toInt)
         val offs = m("data_offsets").asInstanceOf[Seq[Any]].map(_.asInstanceOf[Double].toLong)
+        // validate before wrapping: corrupt offsets must surface as a
+        // diagnosable error naming the tensor/file, not a raw
+        // IndexOutOfBoundsException from ByteBuffer internals
+        require(offs.length == 2 && offs(0) >= 0 && offs(1) >= offs(0) &&
+            dataStart + offs(1) <= bytes.length,
+          s"corrupt data_offsets ${offs.mkString("[", ",", "]")} for tensor " +
+            s"'$name' in $path (data section ${bytes.length - dataStart} bytes)")
         val (start, end) = (dataStart + offs(0).toInt, dataStart + offs(1).toInt)
         val out = dtype match {
           case "F32" =>

@@ -46,12 +46,31 @@ object GraphAnn {
   /** Beam width while querying (≥ k; wider = higher recall). */
   val EfSearch = 64
 
-  /** Deterministic shard count for the inline fixture path: fixed so
-    * the per-partition graphs (and thus candidates) are independent of
-    * the input file layout. */
+  /** Minimum shard count: the floor [[shardsFor]] never goes below, so
+    * small corpora (the fixtures) always build the same 8 graphs and
+    * the oracle stays deterministic. */
   val Shards = 8
 
-  def annGraphTopk(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  /** Rows one shard's build task is sized for. A build task holds its
+    * whole shard in memory (`it.toArray` — inherent to graph
+    * construction), so this bounds per-task footprint: at 768-dim
+    * float vectors, 100k rows ≈ 300 MB of vectors + O(n·M) adjacency,
+    * comfortably inside an executor core's share. */
+  val TargetRowsPerShard = 100000L
+
+  /** Shard count for a corpus of `rows` vectors:
+    * `max(Shards, ceil(rows / TargetRowsPerShard))`. A pure function
+    * of the row count, so derived sharding is as deterministic as the
+    * fixed constant — membership never depends on file layout. At
+    * 100 TB (billions of vectors) this yields tens of thousands of
+    * bounded-size shards instead of 8 unbuildable ones. */
+  def shardsFor(rows: Long): Int =
+    math.min(
+      math.max(Shards.toLong, (rows + TargetRowsPerShard - 1) / TargetRowsPerShard),
+      Int.MaxValue.toLong).toInt
+
+  def annGraphTopk(
+      s: SparkSession, dir: String, k: Int = 5, shards: Option[Int] = None): DataFrame = {
     val e = Tables.t(s, dir, "embeddings")
     // missing/all-zero query row → empty result (the family-wide
     // degenerate-query convention, DegenerateQuerySpec)
@@ -61,12 +80,16 @@ object GraphAnn {
     val qVec = qOpt.get
     val kk = k
     import s.implicits._
+    // parquet-metadata count: cheap even at scale, and a pure function
+    // of the corpus, so the derived shard count is layout-independent
+    val nShards = shards.getOrElse(shardsFor(e.count()))
     val candidates = e.filter(col("vec_id") =!= VectorQueries.QueryVecId)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<float>"))
       .as[(Long, Int, Seq[Float])]
       // hash-partition by id: graph membership is a pure function of
-      // vec_id, independent of file layout / upstream partitioning
-      .repartition(Shards, col("vec_id"))
+      // (vec_id, shard count), independent of file layout / upstream
+      // partitioning
+      .repartition(nShards, col("vec_id"))
       .mapPartitions { it =>
         val rows = it.toArray.sortBy(_._1)
         if (rows.isEmpty) Iterator.empty
@@ -209,13 +232,16 @@ object GraphAnn {
     * materialized split [[KMeansVec.ivfIndex]] and
     * [[Quantize.writeSqIndex]] make: the O(n·ef·M) construction cost
     * is paid once per shard at ingest, queries only read. */
-  def writeGraphIndex(s: SparkSession, dir: String, indexPath: String): Unit = {
+  def writeGraphIndex(
+      s: SparkSession, dir: String, indexPath: String,
+      shards: Option[Int] = None): Unit = {
     import s.implicits._
-    Tables.t(s, dir, "embeddings")
-      .filter(col("vec_id") =!= VectorQueries.QueryVecId)
+    val e = Tables.t(s, dir, "embeddings")
+    val nShards = shards.getOrElse(shardsFor(e.count()))
+    e.filter(col("vec_id") =!= VectorQueries.QueryVecId)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<float>"))
       .as[(Long, Int, Seq[Float])]
-      .repartition(Shards, col("vec_id"))
+      .repartition(nShards, col("vec_id"))
       .mapPartitions { it =>
         val rows = it.toArray.sortBy(_._1)
         val vecs = rows.map(_._3.toArray)
@@ -250,7 +276,11 @@ object GraphAnn {
       .select(col("vec_id"), col("label"), col("embedding").cast("array<float>"),
         col("neighbors"), col("shard").cast("int"))
       .as[(Long, Int, Seq[Float], Seq[Long], Int)]
-      .repartition(Shards, col("shard"))
+      // co-locate each persisted shard's rows; the task count is free
+      // to follow spark.sql.shuffle.partitions because correctness
+      // only needs one shard's rows together, however many shards the
+      // index was WRITTEN with
+      .repartition(col("shard"))
       .mapPartitions { it =>
         // a task may hold several shards (hash collisions): search each
         // shard's graph independently, emit each one's local top-k

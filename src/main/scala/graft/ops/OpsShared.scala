@@ -38,6 +38,21 @@ object OpsShared {
       .map(_.getSeq[Float](0).toArray)
       .filter(_.exists(_ != 0f))
 
+  /** Eagerly free the executor blocks behind a `localCheckpoint`'d
+    * frame. Checkpoint storage is otherwise released only when the
+    * ContextCleaner notices the plan is garbage — fine for one result
+    * frame, but an iterative loop (label propagation) that leaves
+    * every superseded round's blocks to chance accumulates storage
+    * across a long session (88-query bench + tri-scale verify in one
+    * JVM). Call ONLY on frames whose data has been fully superseded —
+    * a released local checkpoint cannot be recomputed. */
+  def releaseCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => () // not a checkpoint frame — nothing to free
+    }
+
   /** Driver-side double cosine distance of a centroid against the
     * query — the probe-ranking metric (sequential fold; ties broken
     * by the caller's stable sort on centroid id). */

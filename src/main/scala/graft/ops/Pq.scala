@@ -379,6 +379,10 @@ object Pq {
     val cb = trainedCodebooks(s, dir)
     val enc = encodeUdf(cb)
     t(s, dir, "embeddings")
+      // the query sentinel row is not corpus: persisting it would make
+      // an indexed search over its own corpus return the query itself
+      // as the top hit (the writeGraphIndex convention)
+      .filter(col("vec_id") =!= VectorQueries.QueryVecId)
       .filter(graft.functions.VectorFunctions.l2norm(col("embedding")) > 0)
       .withColumn("c", enc(col("embedding")).getField("_1"))
       .select(col("vec_id"), col("label"),

@@ -442,8 +442,14 @@ object TextOps {
   /** TF-IDF top-3 terms per document. Everything stays in-plan: the
     * corpus size N is a broadcast 1-row aggregate (no driver
     * action), tf/df are two hash aggregations over the exploded
-    * token stream, df re-broadcast onto tf. ln() matches between
-    * engines to the ulp; r6 absorbs any libm tail difference. */
+    * token stream. The df side is joined WITHOUT a broadcast hint:
+    * the vocabulary is one row per distinct word, which at web-corpus
+    * scale (URLs, typos, multilingual) is billions of rows — a forced
+    * broadcast would OOM the driver, while a plain equi-join on
+    * `word` shuffles both sides on the key they were just aggregated
+    * by (AQE still broadcasts when the measured size is small). ln()
+    * matches between engines to the ulp; r6 absorbs any libm tail
+    * difference. */
   def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val tok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
@@ -453,7 +459,7 @@ object TextOps {
     val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val n = d.agg(count(lit(1)).as("n_docs"))
     val scored = tf
-      .join(broadcast(df), Seq("word"))
+      .join(df, Seq("word"))
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
         r6(col("tf") * log(col("n_docs").cast("double") / col("df"))))

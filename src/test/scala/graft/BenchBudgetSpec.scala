@@ -53,9 +53,9 @@ class BenchBudgetSpec extends AnyFunSuite {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      // same cold-fit protocol as Bench.scala: the fitting query's
-      // number is the honest distributed-fit cost, not a memo read
-      if (name == "embed_pca_power") graft.ops.Pca.clearFitCache()
+      // the SAME cold/warm protocol as Bench.scala (shared map, so a
+      // new fitter query can't be timed warm here by accident)
+      Bench.setupFor(name)(spark, sfDir)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
       catch { case _: Throwable => Double.MaxValue }

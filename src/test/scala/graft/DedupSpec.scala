@@ -87,6 +87,26 @@ class DedupSpec extends AnyFunSuite {
       (10L, 10L, 1), (11L, 10L, 0), (12L, 10L, 0), (20L, 20L, 1), (21L, 20L, 0)))
   }
 
+  test("components free superseded checkpoints: no block accumulation") {
+    val sc = spark.sparkContext
+    def persisted = sc.getPersistentRDDs.size
+    // chain of 13 nodes: ~12 propagation rounds → several mid-loop
+    // checkpoints, each of which must be freed when superseded
+    val edges = (0 until 12).map(i => (100L + i, 101L + i)).toDF("doc_a", "doc_b")
+    val before = persisted
+    val out = Dedup.componentsDistributed(edges)
+    out.collect()
+    // only the eagerly-materialized result frame may remain; und +
+    // every superseded label round must already be unpersisted
+    assert(persisted - before <= 1,
+      s"leaked checkpoint blocks: before=$before after=$persisted")
+    // the driver path (componentsOf under the cap) retains nothing
+    val before2 = persisted
+    Dedup.componentsOf(edges).collect()
+    assert(persisted - before2 <= 0,
+      s"driver path leaked: before=$before2 after=$persisted")
+  }
+
   test("span dedup: planted duplicated paragraph found at its offsets") {
     val d = Files.createTempDirectory("graft-span").toString
     val boiler = (1 to 25).map(i => s"w$i").mkString(" ") // 25 shared words

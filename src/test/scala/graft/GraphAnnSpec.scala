@@ -84,6 +84,36 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(indexed == inline, "indexed search must equal inline build+search")
   }
 
+  test("derived sharding: recall and answers stable at >=32 shards (sf0.1)") {
+    // the 100-TB knob: shard count is a parameter; a high-shard build
+    // must still merge to the exact answer, and the materialized path
+    // must agree with the inline path at the same shard count
+    val dir = dirs(2)
+    val exact = ids(VectorQueries.knnTopkK(spark, dir, 5))
+    val at32 = GraphAnn.annGraphTopk(spark, dir, 5, Some(32)).collect().toSeq
+    assert(at32.map(_.getLong(0)) == exact, "recall@5 must hold at 32 shards")
+    val default = GraphAnn.annGraphTopk(spark, dir, 5).collect().toSeq
+    assert(at32 == default, "rows (ids AND distances) must not move with shard count")
+    val idx = Files.createTempDirectory("graft-gann-idx32").resolve("g32").toString
+    GraphAnn.writeGraphIndex(spark, dir, idx, Some(32))
+    val shardDirs = new java.io.File(idx).listFiles().count(_.getName.startsWith("shard="))
+    assert(shardDirs > 8, s"expected >8 shard dirs at 32-way build, got $shardDirs")
+    val q = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") === VectorQueries.QueryVecId)
+      .head().getSeq[Float](1).toArray
+    val indexed = GraphAnn.graphSearchIndexed(spark, idx, q).collect().toSeq
+    assert(indexed == at32, "indexed 32-shard search must equal inline 32-shard")
+  }
+
+  test("shardsFor: fixture floor, then linear in corpus size") {
+    assert(GraphAnn.shardsFor(0) == GraphAnn.Shards)
+    assert(GraphAnn.shardsFor(2000) == GraphAnn.Shards)
+    assert(GraphAnn.shardsFor(100 * GraphAnn.TargetRowsPerShard) == 100)
+    assert(GraphAnn.shardsFor(100 * GraphAnn.TargetRowsPerShard + 1) == 101)
+    // a 3B-vector corpus (≈100 TB at 768-dim fp32) gets 30k bounded shards
+    assert(GraphAnn.shardsFor(3000000000L) == 30000)
+  }
+
   test("empty and degenerate partitions: zero vectors excluded, no crash") {
     val d = Files.createTempDirectory("graft-gann").toString
     import spark.implicits._

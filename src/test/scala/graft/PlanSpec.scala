@@ -163,6 +163,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("tfidf: vocabulary join carries no broadcast hint (driver-OOM guard at web scale)") {
+    // the df side is one row per distinct word — billions at corpus
+    // scale. The LOGICAL plan must not pin it as a broadcast; AQE may
+    // still choose one at runtime when the measured size is small,
+    // which is exactly the desired behavior.
+    // the single legitimate hint is the 1-row corpus-size aggregate
+    val hinted = graft.ops.TextOps.tfidfTopTerms(spark, sf)
+      .queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.hint.leftHint.exists(_.strategy.isDefined) ||
+             j.hint.rightHint.exists(_.strategy.isDefined) => j
+      }
+    assert(hinted.size <= 1, s"only the 1-row n_docs side may be hinted, got: $hinted")
+  }
+
   test("ann_graph_topk: one shard exchange, candidates merge via TakeOrdered — no global sort") {
     val plan = graft.ops.GraphAnn.annGraphTopk(spark, sf)
       .queryExecution.executedPlan.toString

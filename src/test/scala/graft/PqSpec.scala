@@ -76,8 +76,13 @@ class PqSpec extends AnyFunSuite {
     val phase1Plan = Pq.pqPhase1(spark, idx, qd, Some(0L))
       .queryExecution.executedPlan.toString
     assert(!phase1Plan.contains("embedding"), s"float column in ADC phase:\n$phase1Plan")
-    val indexed = Pq.pqSearchIndexed(spark, idx, dir, q, excludeId = Some(VectorQueries.QueryVecId))
-      .collect().toSeq
+    // the query sentinel row is excluded at WRITE time (it is not
+    // corpus), so a default search — no excludeId — must not return
+    // the query row as its own top hit
+    assert(spark.read.parquet(s"$idx/codes")
+      .filter(org.apache.spark.sql.functions.col("vec_id") === VectorQueries.QueryVecId)
+      .count() == 0L, "query sentinel row leaked into the persisted codes")
+    val indexed = Pq.pqSearchIndexed(spark, idx, dir, q).collect().toSeq
     val inline = Pq.annPqTopk(spark, dir).collect().toSeq
     assert(indexed == inline, "indexed PQ search must equal the inline path")
   }

@@ -111,6 +111,20 @@ class TransformerEmbedderSpec extends AnyFunSuite {
       vocabTokens.length * Hidden)))
   }
 
+  test("safetensors: corrupt data_offsets fail with tensor name and path") {
+    val d = Files.createTempDirectory("graft-st-corrupt")
+    val header = """{"t":{"dtype":"F32","shape":[4],"data_offsets":[0,999]}}"""
+    val hb = header.getBytes("UTF-8")
+    val bb = java.nio.ByteBuffer.allocate(8 + hb.length + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putLong(hb.length.toLong); bb.put(hb); bb.put(new Array[Byte](8))
+    val p = d.resolve("bad.safetensors")
+    Files.write(p, bb.array())
+    val e = intercept[IllegalArgumentException](SafeTensors.load(p.toString))
+    assert(e.getMessage.contains("'t'") && e.getMessage.contains("bad.safetensors"),
+      s"undiagnosable message: ${e.getMessage}")
+  }
+
   test("f16 widening: known half-precision bit patterns") {
     assert(SafeTensors.f16ToF32(0x3C00.toShort) == 1.0f)
     assert(SafeTensors.f16ToF32(0xC000.toShort) == -2.0f)
