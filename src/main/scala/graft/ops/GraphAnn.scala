@@ -232,26 +232,25 @@ object GraphAnn {
     * materialized split [[KMeansVec.ivfIndex]] and
     * [[Quantize.writeSqIndex]] make: the O(n·ef·M) construction cost
     * is paid once per shard at ingest, queries only read. */
-  def writeGraphIndex(
-      s: SparkSession, dir: String, indexPath: String,
-      shards: Option[Int] = None): Unit = {
-    import s.implicits._
-    val e = Tables.t(s, dir, "embeddings")
-    val nShards = shards.getOrElse(shardsFor(e.count()))
-    e.filter(col("vec_id") =!= VectorQueries.QueryVecId)
-      .select(col("vec_id"), col("label"), col("embedding").cast("array<float>"))
-      .as[(Long, Int, Seq[Float])]
+  /** The shared build core: per-shard NSW graphs over `vecs`, emitted
+    * as persisted-index rows. `shardBase` offsets the shard tag so an
+    * appended segment's shards never collide with existing ones. */
+  private def graphIndexRows(
+      vecs: org.apache.spark.sql.Dataset[(Long, Int, Seq[Float])],
+      nShards: Int, shardBase: Int): DataFrame = {
+    import vecs.sparkSession.implicits._
+    vecs
       .repartition(nShards, col("vec_id"))
       .mapPartitions { it =>
         val rows = it.toArray.sortBy(_._1)
-        val vecs = rows.map(_._3.toArray)
-        val keep = rows.indices.filter(i => vecs(i).exists(_ != 0f)).toArray
+        val vs = rows.map(_._3.toArray)
+        val keep = rows.indices.filter(i => vs(i).exists(_ != 0f)).toArray
         if (keep.isEmpty) Iterator.empty
         else {
-          val g = build(keep.map(vecs))
+          val g = build(keep.map(vs))
           // the shard tag IS the build partition: queries only need
           // rows of one graph to land together again, whatever the id
-          val shard = org.apache.spark.TaskContext.getPartitionId()
+          val shard = shardBase + org.apache.spark.TaskContext.getPartitionId()
           keep.indices.iterator.map { li =>
             val r = rows(keep(li))
             (shard, r._1, r._2, r._3, g.neighborsOf(li).map(n => rows(keep(n))._1).toSeq)
@@ -259,7 +258,66 @@ object GraphAnn {
         }
       }
       .toDF("shard", "vec_id", "label", "embedding", "neighbors")
+  }
+
+  def writeGraphIndex(
+      s: SparkSession, dir: String, indexPath: String,
+      shards: Option[Int] = None): Unit = {
+    import s.implicits._
+    val e = Tables.t(s, dir, "embeddings")
+    val nShards = shards.getOrElse(shardsFor(e.count()))
+    val sel = e.filter(col("vec_id") =!= VectorQueries.QueryVecId)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<float>"))
+      .as[(Long, Int, Seq[Float])]
+    graphIndexRows(sel, nShards, shardBase = 0)
       .write.mode("overwrite").partitionBy("shard").parquet(indexPath)
+  }
+
+  /** Append a batch of new vectors into an EXISTING materialized graph
+    * index without rebuilding it — the Lucene segment pattern: the
+    * batch becomes fresh shard ids (new NSW graphs) past the current
+    * maximum, written as new `shard=N/` dirs; existing shards are
+    * never read or rewritten. The reference's store has the same
+    * property (ChromaDB `collection.add` inserts into its HNSW index
+    * incrementally, `index.py:432-449`); this is its bulk-parallel
+    * form. Continuous ingest = this per micro-batch (see
+    * [[graft.streaming.StreamingIndex.annAppendStream]]), with
+    * [[compactGraphIndex]] as the periodic merge once small segments
+    * accumulate. Caller contract: batch vec_ids are new (an upsert
+    * dedups before appending). */
+  def appendGraphIndex(s: SparkSession, indexPath: String, batch: DataFrame): Unit = {
+    import s.implicits._
+    val base = s.read.parquet(indexPath)
+      .agg(max(col("shard").cast("int"))).head().getInt(0) + 1
+    val sel = batch
+      .filter(col("vec_id") =!= VectorQueries.QueryVecId)
+      .select(col("vec_id"), col("label").cast("int"),
+        col("embedding").cast("array<float>"))
+      .as[(Long, Int, Seq[Float])]
+    val n = sel.count()
+    if (n > 0) {
+      // segment shard count from the BATCH size: a small batch is one
+      // graph, a bulk backfill still gets bounded build tasks
+      val segShards = math.max(1L, (n + TargetRowsPerShard - 1) / TargetRowsPerShard).toInt
+      graphIndexRows(sel, segShards, shardBase = base)
+        .write.mode("append").partitionBy("shard").parquet(indexPath)
+    }
+  }
+
+  /** Merge an appended-to index into a fresh generation at `outPath`:
+    * re-shard ALL vectors with [[shardsFor]] and rebuild — the Lucene
+    * segment-merge half of the maintenance story. Writes to a NEW
+    * path (generation swap by pointer) rather than in place, because
+    * overwriting an input mid-read is illegal and at 100 TB the old
+    * generation must stay queryable until the new one is complete. */
+  def compactGraphIndex(s: SparkSession, indexPath: String, outPath: String): Unit = {
+    import s.implicits._
+    val all = s.read.parquet(indexPath)
+      .select(col("vec_id"), col("label").cast("int"),
+        col("embedding").cast("array<float>"))
+      .as[(Long, Int, Seq[Float])]
+    graphIndexRows(all, shardsFor(all.count()), shardBase = 0)
+      .write.mode("overwrite").partitionBy("shard").parquet(outPath)
   }
 
   /** Query a materialized graph index: NO construction — each task

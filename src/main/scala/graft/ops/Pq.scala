@@ -374,9 +374,15 @@ object Pq {
     * At 100 TB the ADC phase scans ONLY this table; floats surface
     * for the [[Shortlist]]-row rescore — the [[Quantize.writeSqIndex]]
     * split, at 32× instead of 4× compression. */
-  def writePqIndex(s: SparkSession, dir: String, outDir: String): Unit = {
+  /** `trainDir` decouples WHERE codebooks are trained from WHAT is
+    * encoded — the production shape at scale: train on a stable
+    * representative sample, encode the whole corpus (and later
+    * appends) with those frozen books. Defaults to `dir`. */
+  def writePqIndex(
+      s: SparkSession, dir: String, outDir: String,
+      trainDir: Option[String] = None): Unit = {
     import s.implicits._
-    val cb = trainedCodebooks(s, dir)
+    val cb = trainedCodebooks(s, trainDir.getOrElse(dir))
     val enc = encodeUdf(cb)
     t(s, dir, "embeddings")
       // the query sentinel row is not corpus: persisting it would make
@@ -395,6 +401,27 @@ object Pq {
       .coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$outDir/codebooks")
+  }
+
+  /** Append a batch of new vectors into an EXISTING materialized PQ
+    * index: encode with the FROZEN codebooks from the sidecar (no
+    * retraining — the FAISS `add` contract) and append the TINYINT
+    * code rows. Map-only: reads the tiny sidecar, never the existing
+    * codes. Codebook drift under a shifting distribution is handled
+    * by periodic retrain+rewrite ([[writePqIndex]]), the same
+    * generation swap as [[GraphAnn.compactGraphIndex]]. Caller
+    * contract: batch vec_ids are new. */
+  def appendPqIndex(s: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+    val cb = readCodebooks(s, indexDir)
+    val enc = encodeUdf(cb)
+    batch
+      .filter(col("vec_id") =!= VectorQueries.QueryVecId)
+      .filter(graft.functions.VectorFunctions.l2norm(col("embedding")) > 0)
+      .withColumn("c", enc(col("embedding").cast("array<float>")).getField("_1"))
+      .select(col("vec_id"), col("label").cast("int").as("label"),
+        expr("transform(c, x -> CAST(x AS TINYINT))").as("codes"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$indexDir/codes")
   }
 
   /** Codebooks back from the sidecar (SubSpaces·CodeK tiny rows). */

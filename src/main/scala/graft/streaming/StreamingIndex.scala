@@ -98,6 +98,48 @@ object StreamingIndex {
       .trigger(Trigger.AvailableNow())
   }
 
+  /** Continuous ANN-index maintenance: a file stream of vector
+    * batches (parquet rows `vec_id, label, embedding`) is appended
+    * into the MATERIALIZED graph and PQ indexes per micro-batch —
+    * [[graft.ops.GraphAnn.appendGraphIndex]] adds each batch as fresh
+    * graph segments, [[graft.ops.Pq.appendPqIndex]] encodes it with
+    * the frozen codebooks — so searches see new vectors without a
+    * full index rebuild, the same continuous-ingest contract the
+    * flat-index upsert above gives the chunk store. Periodic
+    * [[graft.ops.GraphAnn.compactGraphIndex]] merges accumulated
+    * segments (run it from the same maintenance job that retrains
+    * codebooks). `maxFilesPerTrigger` bounds a backlog. Delivery is
+    * the standard foreachBatch at-least-once: checkpointed source
+    * offsets never re-read a processed file in normal operation, but
+    * a crash BETWEEN the two appends can replay a batch — a
+    * production deployment makes the sink idempotent by keying
+    * segment paths on the micro-batch id and overwriting. */
+  def annAppendStream(
+      spark: SparkSession,
+      inDir: String,
+      graphIndexDir: String,
+      pqIndexDir: String,
+      checkpointDir: String): DataStreamWriter[Row] = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.IntegerType)))
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 16)
+      .parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.GraphAnn.appendGraphIndex(batch.sparkSession, graphIndexDir, batch)
+        graft.ops.Pq.appendPqIndex(batch.sparkSession, pqIndexDir, batch)
+      }
+      .trigger(Trigger.AvailableNow())
+  }
+
   /** Streaming anomaly scorer — train-on-history, score-the-stream:
     * watermarked hourly tumbling counts per event type, stream-static
     * joined to a batch-trained stats table (`Events.hourlyStats`),

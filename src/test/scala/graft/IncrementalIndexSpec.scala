@@ -1,0 +1,150 @@
+package graft
+
+import graft.ops.{GraphAnn, Pq, VectorQueries}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Incremental maintenance of the materialized ANN indexes: an
+  * appended batch must be searchable WITHOUT a full rebuild, and the
+  * post-append answers must equal a from-scratch rebuild over the
+  * combined corpus (both equal exact kNN at fixture scale). */
+class IncrementalIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  // half the fixture corpus (plus the query sentinel) as its own
+  // table dir; the other half arrives later as the appended batch.
+  // Split by PARITY, not range: incremental ingest appends data from
+  // the SAME distribution the index was built on (a shifted
+  // distribution is the retrain-and-rewrite case, not append)
+  private lazy val halfDir: String = {
+    val d = Files.createTempDirectory("graft-inc-half").toString
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+  private def laterBatch = spark.read.parquet(s"$dir/embeddings.parquet")
+    .filter(col("vec_id") % 2 === 1)
+
+  private def queryVec: Array[Float] = spark.read.parquet(s"$dir/embeddings.parquet")
+    .filter(col("vec_id") === VectorQueries.QueryVecId)
+    .head().getSeq[Float](1).toArray
+
+  test("graph index: append new segments, search equals full rebuild and exact kNN") {
+    val tmp = Files.createTempDirectory("graft-inc-g")
+    val inc = tmp.resolve("inc").toString
+    GraphAnn.writeGraphIndex(spark, halfDir, inc)
+    val shardsBefore = new java.io.File(inc).listFiles()
+      .count(_.getName.startsWith("shard="))
+    GraphAnn.appendGraphIndex(spark, inc, laterBatch)
+    // existing shards untouched, batch landed as NEW segment shards
+    val shardDirs = new java.io.File(inc).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).toSet
+    assert(shardDirs.size > shardsBefore, s"no new segments in $shardDirs")
+
+    val q = queryVec
+    val incRes = GraphAnn.graphSearchIndexed(spark, inc, q).collect().toSeq
+    val full = tmp.resolve("full").toString
+    GraphAnn.writeGraphIndex(spark, dir, full)
+    val fullRes = GraphAnn.graphSearchIndexed(spark, full, q).collect().toSeq
+    assert(incRes == fullRes, "post-append search must equal full-rebuild search")
+    val exact = VectorQueries.knnTopkK(spark, dir, 5).collect().map(_.getLong(0)).toSeq
+    assert(incRes.map(_.getLong(0)) == exact, "post-append search must equal exact kNN")
+  }
+
+  test("graph index: compaction merges segments into a fresh generation, same answers") {
+    val tmp = Files.createTempDirectory("graft-inc-c")
+    val inc = tmp.resolve("inc").toString
+    GraphAnn.writeGraphIndex(spark, halfDir, inc)
+    GraphAnn.appendGraphIndex(spark, inc, laterBatch)
+    val compacted = tmp.resolve("gen2").toString
+    GraphAnn.compactGraphIndex(spark, inc, compacted)
+    // merged back to the derived shard count (fixture floor = 8)
+    val shardDirs = new java.io.File(compacted).listFiles()
+      .count(_.getName.startsWith("shard="))
+    assert(shardDirs <= GraphAnn.Shards, s"compaction left $shardDirs shards")
+    val q = queryVec
+    val a = GraphAnn.graphSearchIndexed(spark, inc, q).collect().toSeq
+    val b = GraphAnn.graphSearchIndexed(spark, compacted, q).collect().toSeq
+    assert(a == b, "compaction must not change answers")
+  }
+
+  test("pq index: frozen-codebook append is bit-identical to one-pass bulk encode") {
+    val tmp = Files.createTempDirectory("graft-inc-pq")
+    val inc = tmp.resolve("inc").toString
+    Pq.writePqIndex(spark, halfDir, inc) // codebooks trained on half only
+    val before = spark.read.parquet(s"$inc/codes").count()
+    Pq.appendPqIndex(spark, inc, laterBatch)
+    val after = spark.read.parquet(s"$inc/codes").count()
+    assert(after > before, "append must add code rows")
+    // appended rows carry the same 8-byte TINYINT codes schema
+    val schema = spark.read.parquet(s"$inc/codes").schema
+    assert(schema("codes").dataType.simpleString == "array<tinyint>")
+    // the maintenance contract: build-then-append must yield EXACTLY
+    // the codes (and thus answers) of encoding the combined corpus in
+    // one pass under the same frozen codebooks — append changes WHEN
+    // rows are encoded, never HOW
+    val bulk = tmp.resolve("bulk").toString
+    Pq.writePqIndex(spark, dir, bulk, trainDir = Some(halfDir))
+    val incCodes = spark.read.parquet(s"$inc/codes")
+      .orderBy("vec_id").collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getSeq[Byte](2))).toSeq
+    val bulkCodes = spark.read.parquet(s"$bulk/codes")
+      .orderBy("vec_id").collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getSeq[Byte](2))).toSeq
+    assert(incCodes == bulkCodes, "append produced different codes than bulk encode")
+    val q = queryVec
+    val a = Pq.pqSearchIndexed(spark, inc, dir, q).collect().toSeq
+    val b = Pq.pqSearchIndexed(spark, bulk, dir, q).collect().toSeq
+    assert(a == b, "post-append search must equal bulk-encoded search")
+    // and a retrain-rewrite on the combined corpus (the compaction
+    // twin) restores the full-accuracy path asserted in PqSpec
+    val retrained = tmp.resolve("gen2").toString
+    Pq.writePqIndex(spark, dir, retrained)
+    val exact = VectorQueries.knnTopkK(spark, dir, 5).collect().map(_.getLong(0)).toSeq
+    val r = Pq.pqSearchIndexed(spark, retrained, dir, q).collect().map(_.getLong(0)).toSeq
+    assert(r == exact, "retrained generation must rank the true top-5")
+  }
+
+  test("streaming: micro-batched vector files maintain both ANN indexes") {
+    val tmp = Files.createTempDirectory("graft-inc-stream")
+    val ginc = tmp.resolve("g").toString
+    val pinc = tmp.resolve("p").toString
+    GraphAnn.writeGraphIndex(spark, halfDir, ginc)
+    Pq.writePqIndex(spark, halfDir, pinc)
+    // two vector-batch files arriving on the stream (file-stream
+    // sources list plain files, so stage each batch then drop its
+    // part file into the watched dir)
+    val in = tmp.resolve("in").toString
+    new java.io.File(in).mkdirs()
+    def drop(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmp.resolve(s"stage-$name").toString
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(in, s"$name.parquet"))
+    }
+    drop(laterBatch.filter(col("vec_id") <= 250), "b1")
+    drop(laterBatch.filter(col("vec_id") > 250), "b2")
+    val sq = graft.streaming.StreamingIndex.annAppendStream(
+      spark, in, ginc, pinc, tmp.resolve("ckpt").toString).start()
+    sq.awaitTermination(120000)
+    val q = queryVec
+    val exact = VectorQueries.knnTopkK(spark, dir, 5).collect().map(_.getLong(0)).toSeq
+    val g = GraphAnn.graphSearchIndexed(spark, ginc, q).collect().map(_.getLong(0)).toSeq
+    assert(g == exact, "graph index after streamed appends must answer exactly")
+    // pq: streamed appends ≡ direct batch append (same frozen
+    // codebooks via the halfDir-keyed memo), row-for-row
+    val direct = tmp.resolve("pdirect").toString
+    Pq.writePqIndex(spark, halfDir, direct)
+    Pq.appendPqIndex(spark, direct, laterBatch)
+    val streamed = Pq.pqSearchIndexed(spark, pinc, dir, q).collect().toSeq
+    val batched = Pq.pqSearchIndexed(spark, direct, dir, q).collect().toSeq
+    assert(streamed == batched, "streamed PQ appends must equal direct batch append")
+    assert(spark.read.parquet(s"$pinc/codes").count() ==
+      spark.read.parquet(s"$direct/codes").count())
+  }
+}
