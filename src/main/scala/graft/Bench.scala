@@ -8,7 +8,14 @@ object Bench {
   // cold/warm protocol the recorded numbers came from.
   val coldSetup: Map[String, (SparkSession, String) => Unit] = Map(
     "embed_pca_power" -> ((_, _) => graft.ops.Pca.clearFitCache()),
-    "pq_error" -> ((_, _) => graft.ops.Pq.clearCbCache()))
+    "pq_error" -> ((_, _) => graft.ops.Pq.clearCbCache()),
+    // opq's own rotated-space training is its cold cost; the pc1 it
+    // rotates by is CONSUMED warm (embed_pca_power's fit, ensured here
+    // against map-order / fitter-failure dependence)
+    "opq_error" -> ((s, d) => {
+      graft.ops.Opq.clearCbCache()
+      graft.ops.Pca.fittedPc1(s, d); ()
+    }))
   // consumers of a shared fit are timed WARM by contract, regardless
   // of map iteration order or an earlier fitter-query failure
   val warmSetup: Map[String, (SparkSession, String) => Unit] = Map(

@@ -173,6 +173,12 @@ object Pca {
       (v, r6d(lambda))
     })
 
+  /** The fitted unit pc1 (r6-rounded components — bit-identical to
+    * the oracle's v3 CTE, as `embed_pca_power`'s hash gate proves)
+    * for consumers that compose on the rotation ([[Opq]]). */
+  private[graft] def fittedPc1(s: SparkSession, dir: String): Array[Double] =
+    fit(s, dir)._1
+
   /** Dominant principal component of the embedding Gram matrix via
     * [[Iters]] power-iteration steps: per dimension index `d`, the
     * component `pc1` and the eigenvalue estimate `lambda` (the final
@@ -189,7 +195,7 @@ object Pca {
   /** Shared CTE chain: bridged Gram, v₀ = 1/√dim, three unrolled
     * (matvec, norm, r6-normalize) steps with ordered list folds
     * standing in for the driver's sequential loops. */
-  private val pcaCtes: String = {
+  private[graft] val pcaCtes: String = {
     def step(n: Int, prev: String): String =
       s"""s$n AS (
          |  SELECT g.i AS i, list_sum(list(g.g * $prev.v ORDER BY g.j)) AS s

@@ -55,7 +55,7 @@ object Pq {
     * vectors, euclidean ADC ranking ≡ cosine ranking — the standard
     * way PQ serves a cosine index). Sequential fold, mirrored by the
     * oracle's ne CTE; zero-norm rows are EXCLUDED upstream. */
-  private def normalize(x: Array[Double]): Array[Double] = {
+  private[graft] def normalize(x: Array[Double]): Array[Double] = {
     var n = 0.0
     var i = 0
     while (i < x.length) { n += x(i) * x(i); i += 1 }
@@ -66,15 +66,23 @@ object Pq {
     out
   }
 
+  /** The normalized-corpus view every training/error path starts
+    * from: one row per NONZERO vector, `nx` = unit doubles. The
+    * rotation family ([[Opq]]) swaps in a different nx — everything
+    * downstream (init, Lloyd update, encode, error) is identical. */
+  private[graft] def nxView(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .filter(graft.functions.VectorFunctions.l2norm(col("embedding")) > 0)
+      .select(col("vec_id"), col("label"), normUdf(col("embedding")).as("nx"))
+
   /** Codebooks as [subspace][code][subdim] doubles: the [[CodeK]]
     * lowest NONZERO vec_ids' normalized subvectors, the KMeansVec
     * init convention — deterministic, replayed verbatim by the
     * oracle's cb CTE. */
-  private def codebooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] = {
-    val prefix = t(s, dir, "embeddings")
-      .filter(graft.functions.VectorFunctions.l2norm(col("embedding")) > 0)
-      .orderBy(col("vec_id")).limit(CodeK).collect()
-      .map(r => normalize(r.getSeq[Float](1).map(_.toDouble).toArray))
+  private[graft] def codebooksNx(nxDf: DataFrame): Array[Array[Array[Double]]] = {
+    val prefix = nxDf.orderBy(col("vec_id")).limit(CodeK)
+      .select(col("nx")).collect()
+      .map(_.getSeq[Double](0).toArray)
     require(prefix.nonEmpty, "empty embeddings table")
     val dim = prefix(0).length
     val sd = subDim(dim)
@@ -120,7 +128,7 @@ object Pq {
   private[graft] def clearCbCache(): Unit = cbCache.clear()
 
   private[graft] def trainedCodebooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
-    cbCache.computeIfAbsent(OpsShared.dirKey(dir), _ => trainCodebooks(s, dir))
+    cbCache.computeIfAbsent(OpsShared.dirKey(dir), _ => trainCodebooksNx(nxView(s, dir)))
 
   /** ONE distributed Lloyd update of the prefix-initialized
     * codebooks — real PQ training, the [[KMeansVec.fit]] update at
@@ -129,15 +137,14 @@ object Pq {
     * r6+DECIMAL-bridged mean (deterministic, order-free, mirrored by
     * the oracle's u/cb CTEs). Codes with no members keep their init
     * centroid. Only SubSpaces·CodeK·subDim = 1,024 doubles reach the
-    * driver. */
-  private def trainCodebooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] = {
-    val init = codebooks(s, dir)
-    val enc = encodeUdf(init)
+    * driver. Takes the nx view so the rotated family trains through
+    * the IDENTICAL update. */
+  private[graft] def trainCodebooksNx(nxDf: DataFrame): Array[Array[Array[Double]]] = {
+    val init = codebooksNx(nxDf)
+    val enc = encodeNxUdf(init)
     val sd = init(0)(0).length
-    val sums = t(s, dir, "embeddings")
-      .filter(graft.functions.VectorFunctions.l2norm(col("embedding")) > 0)
-      .withColumn("codes", enc(col("embedding")).getField("_1"))
-      .withColumn("nx", normUdf(col("embedding")))
+    val sums = nxDf
+      .withColumn("codes", enc(col("nx")).getField("_1"))
       .select(posexplode(col("codes")).as(Seq("s", "code")), col("nx"))
       .select(col("s"), col("code"),
         expr(s"slice(nx, s * $sd + 1, $sd)").as("sub"))
@@ -185,15 +192,40 @@ object Pq {
     }
   }
 
-  /** Per-label PQ reconstruction-error profile — the report that
-    * decides whether 8-byte codes are safe for a corpus before the
-    * compressed index is built (the [[Quantize.sqError]] twin). */
-  def pqError(s: SparkSession, dir: String): DataFrame = {
-    val cb = trainedCodebooks(s, dir)
-    val enc = encodeUdf(cb)
-    t(s, dir, "embeddings")
-      .filter(graft.functions.VectorFunctions.l2norm(col("embedding")) > 0)
-      .withColumn("enc", enc(col("embedding")))
+  /** [[encodeUdf]] for an ALREADY-normalized double vector (the nx
+    * view) — the same fused-d2 argmin loop minus the normalize. */
+  private[graft] def encodeNxUdf(cb: Array[Array[Array[Double]]]) = {
+    val cf = cb.map(_.map(_.map(_.toFloat)))
+    udf { (nx: Seq[Double]) =>
+      val x = nx.toArray
+      val sd = x.length / SubSpaces
+      val codes = new Array[Int](SubSpaces)
+      var err = 0.0
+      var sp = 0
+      while (sp < SubSpaces) {
+        var best = 0
+        var bestD = Double.PositiveInfinity
+        var k = 0
+        while (k < cb(sp).length) {
+          val d2 = subD2(x, sp * sd, cf(sp)(k), cb(sp)(k))
+          if (d2 < bestD) { bestD = d2; best = k } // strict < = lowest-code ties
+          k += 1
+        }
+        codes(sp) = best
+        err += bestD
+        sp += 1
+      }
+      (codes, err)
+    }
+  }
+
+  /** Per-label reconstruction error over an arbitrary nx view with
+    * the given codebooks — shared by [[pqError]] and [[Opq]]. */
+  private[graft] def pqErrorNx(
+      nxDf: DataFrame, cb: Array[Array[Array[Double]]]): DataFrame = {
+    val enc = encodeNxUdf(cb)
+    nxDf
+      .withColumn("enc", enc(col("nx")))
       .withColumn("err", r6(col("enc._2") / lit(SubSpaces * subDim(64))))
       .groupBy(col("label"))
       .agg(
@@ -201,6 +233,12 @@ object Pq {
         r6(OracleMath.davg(col("err"))).as("avg_err"))
       .orderBy(col("label"))
   }
+
+  /** Per-label PQ reconstruction-error profile — the report that
+    * decides whether 8-byte codes are safe for a corpus before the
+    * compressed index is built (the [[Quantize.sqError]] twin). */
+  def pqError(s: SparkSession, dir: String): DataFrame =
+    pqErrorNx(nxView(s, dir), trainedCodebooks(s, dir))
 
   /** ADC top-k: build the query's [[SubSpaces]]×[[CodeK]] distance
     * table on the driver, scan the corpus codes summing 8 lookups
@@ -257,15 +295,21 @@ object Pq {
     * init); codes = final assignment against the trained codebooks.
     * Training always sees ALL nonzero rows (query row included), the
     * engine's convention; per-query row filters apply downstream. */
-  private def pqCtes: String =
-    s"""ne AS (
-       |  SELECT vec_id, label,
+  /** The standard ne body: normalized nonzero corpus rows. */
+  private[graft] val neStandardSql: String =
+    s"""  SELECT vec_id, label,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)
        |      / sqrt(list_sum(list_transform(embedding,
        |          y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nx
        |  FROM embeddings
        |  WHERE list_sum(list_transform(embedding,
-       |          y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) > 0),
+       |          y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))) > 0""".stripMargin
+
+  /** The chain from an arbitrary ne body — [[Opq]] swaps in a rotated
+    * nx and replays the IDENTICAL train+encode downstream. */
+  private[graft] def pqCtesFrom(neSql: String): String =
+    s"""ne AS (
+       |$neSql),
        |cb0 AS (
        |  SELECT sp.s AS s,
        |    CAST(row_number() OVER (PARTITION BY sp.s ORDER BY p.vec_id) - 1 AS INT) AS code,
@@ -312,10 +356,11 @@ object Pq {
        |    FROM d2)
        |  WHERE rn = 1)""".stripMargin
 
-  /** Oracle mirror of [[pqError]]. */
-  val pqErrorSql: String =
-    s"""WITH $pqCtes,
-       |per_vec AS (
+  private def pqCtes: String = pqCtesFrom(neStandardSql)
+
+  /** The per-label error tail shared with the [[Opq]] oracle. */
+  private[graft] val pqErrorTailSql: String =
+    s"""per_vec AS (
        |  SELECT vec_id, label,
        |    round(list_sum(list(d2 ORDER BY s)) / 64, 6) + 0 AS err
        |  FROM codes GROUP BY vec_id, label)
@@ -324,6 +369,11 @@ object Pq {
        |FROM per_vec
        |GROUP BY label
        |ORDER BY label""".stripMargin
+
+  /** Oracle mirror of [[pqError]]. */
+  val pqErrorSql: String =
+    s"""WITH $pqCtes,
+       |$pqErrorTailSql""".stripMargin
 
   /** Oracle mirror of [[annPqTopk]]: the query is NORMALIZED exactly
     * like the engine's (qn CTE — the engine builds qtab from
