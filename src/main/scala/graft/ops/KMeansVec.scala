@@ -170,7 +170,8 @@ object KMeansVec {
       dir: String,
       k: Int,
       nProbe: Int,
-      preFetchedQ: Option[Array[Float]] = None): DataFrame = {
+      preFetchedQ: Option[Array[Float]] = None,
+      pred: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     import graft.functions.VectorFunctions.{cosineDist, r6}
     val (centroids, assigned) = fitted
     // missing or all-zero query row → EMPTY result, not an exception —
@@ -189,6 +190,7 @@ object KMeansVec {
     assigned
       .filter(col("cluster").isin(probes.toIndexedSeq: _*))
       .filter(col("vec_id") =!= VectorQueries.QueryVecId)
+      .filter(pred)
       .withColumn("dist", r6(cosineDist(col("embedding"), typedLit(q))))
       .filter(!isnan(col("dist")) && col("dist").isNotNull)
       .select(col("vec_id"), col("label"), col("cluster").cast("long").as("cluster"),
@@ -196,6 +198,34 @@ object KMeansVec {
       .orderBy(col("dist"), col("vec_id"))
       .limit(k)
   }
+
+  /** Label subset for the filtered-search fixture query — ~30%
+    * selectivity over the 10 fixture labels. */
+  val FilterLabels: Seq[Int] = Seq(2, 5, 7)
+
+  /** Filtered vector search — the vector-DB "metadata filter + ANN"
+    * composition (search WHERE label ∈ S): the IVF probe prunes the
+    * scan to nProbe cells exactly as [[ivfTopK]], and the metadata
+    * predicate applies INSIDE the probed cells before scoring, so
+    * selective filters reduce work instead of adding a post-pass.
+    *
+    * At 100 TB this is probe-cell partition pruning × parquet
+    * predicate pushdown on the metadata column — both skips happen
+    * at the scan. Caveat baked into the contract: a fixed nProbe
+    * under a highly selective filter can return fewer than k rows;
+    * production searchers widen probes adaptively (probe until k
+    * survivors), which is a driver-side loop over the same plan. */
+  def ivfFilteredTopK(s: SparkSession, dir: String, k: Int = 5, nProbe: Int = 3): DataFrame =
+    OpsShared.queryVec(s, dir) match {
+      case None =>
+        t(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"), col("vec_id").cast("long").as("cluster"),
+            lit(0d).as("dist"))
+          .filter(lit(false))
+      case some =>
+        ivfTopKFrom(fit(s, dir, K, iters = 1), s, dir, k, nProbe, some,
+          pred = col("label").isin(FilterLabels: _*))
+    }
 
   /** Materialized IVF index: vectors written PARTITIONED BY CELL,
     * centroids persisted beside them — the physical form behind the
@@ -318,7 +348,7 @@ object KMeansVec {
     * centroid probe ranking by the driver's double cosine (ties by
     * cluster id — Scala's stable sort), exact cosine rescoring in
     * the probed cells. */
-  val ivfTopKSql: String =
+  private def ivfTopKSqlWhere(extra: String): String =
     s"""WITH $initCte,
        |${assignCte(1)},
        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = ${VectorQueries.QueryVecId}),
@@ -338,10 +368,17 @@ object KMeansVec {
        |             * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) + 0 AS dist
        |  FROM a1 a JOIN probes p ON p.cluster = a.cluster
        |  CROSS JOIN q
-       |  WHERE a.vec_id <> ${VectorQueries.QueryVecId})
+       |  WHERE a.vec_id <> ${VectorQueries.QueryVecId}$extra)
        |SELECT vec_id, label, cluster, dist FROM scored
        |WHERE dist IS NOT NULL AND NOT isnan(dist)
        |ORDER BY dist, vec_id LIMIT 5""".stripMargin
+
+  val ivfTopKSql: String = ivfTopKSqlWhere("")
+
+  /** Oracle mirror of [[ivfFilteredTopK]] — the same probe replay
+    * with the metadata predicate inside the probed cells. */
+  val ivfFilteredTopKSql: String =
+    ivfTopKSqlWhere(s" AND a.label IN (${FilterLabels.mkString(", ")})")
 
   /** Semantic dedup, SemDeDup-style (cluster-then-compare): one
     * Lloyd's assignment partitions the corpus into k cells, then
@@ -401,10 +438,12 @@ object KMeansVec {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kmeans_clusters" -> (clusterProfile _),
     "semantic_dedup" -> (semanticDedup _),
-    "ann_ivf_topk" -> ((s, d) => ivfTopK(s, d)))
+    "ann_ivf_topk" -> ((s, d) => ivfTopK(s, d)),
+    "ann_filtered_topk" -> ((s, d) => ivfFilteredTopK(s, d)))
 
   val oracles: Map[String, String] = Map(
     "kmeans_clusters" -> clusterProfileSql,
     "semantic_dedup" -> semanticDedupSql,
-    "ann_ivf_topk" -> ivfTopKSql)
+    "ann_ivf_topk" -> ivfTopKSql,
+    "ann_filtered_topk" -> ivfFilteredTopKSql)
 }
