@@ -64,4 +64,23 @@ class KMeansSpec extends AnyFunSuite {
       assert(iv >= ex - 1e-9, s"ivf dist $iv beats exact $ex — impossible")
     }
   }
+
+  test("filtered ivf search: every hit satisfies the predicate, probe-consistent") {
+    val rows = KMeansVec.ivfFilteredTopK(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.length <= 5)
+    rows.foreach(r => assert(KMeansVec.FilterLabels.contains(r.getAs[Int]("label")),
+      s"hit outside the metadata filter: $r"))
+    val dists = rows.map(_.getAs[Double]("dist")).toSeq
+    assert(dists === dists.sorted, "ascending distance")
+    // the filtered search over ALL cells (nProbe = k) must equal the
+    // exact filtered kNN — the filter composes, it doesn't approximate
+    val full = KMeansVec.ivfFilteredTopK(spark, sf, k = 5, nProbe = KMeansVec.K)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    val exactFiltered = graft.ops.VectorQueries.knnTopkK(spark, sf, 100).collect()
+      .filter(r => KMeansVec.FilterLabels.contains(r.getAs[Int]("label")))
+      .take(5).map(_.getAs[Long]("vec_id")).toSeq
+    assert(full === exactFiltered,
+      "all-cells filtered search must reduce to exact filtered kNN")
+  }
 }
