@@ -41,7 +41,8 @@ object SparkEntry {
     Relational.queries ++ Events.queries ++ VectorQueries.queries ++
       TextOps.queries ++ Dedup.queries ++ Multimodal.queries ++ AsOf.queries ++
       KMeansVec.queries ++ Curation.queries ++ Retrieval.queries ++ Quantize.queries ++
-      Pca.queries ++ GraphAnn.queries ++ Pq.queries ++ Opq.queries ++ Rerank.queries
+      Pca.queries ++ GraphAnn.queries ++ Pq.queries ++ Opq.queries ++ Rerank.queries ++
+      QualityModel.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
@@ -49,5 +50,6 @@ object SparkEntry {
     Relational.oracles ++ Events.oracles ++ VectorQueries.oracles ++
       TextOps.oracles ++ Dedup.oracles ++ Multimodal.oracles ++ AsOf.oracles ++
       KMeansVec.oracles ++ Curation.oracles ++ Retrieval.oracles ++ Quantize.oracles ++
-      Pca.oracles ++ GraphAnn.oracles ++ Pq.oracles ++ Opq.oracles ++ Rerank.oracles
+      Pca.oracles ++ GraphAnn.oracles ++ Pq.oracles ++ Opq.oracles ++ Rerank.oracles ++
+      QualityModel.oracles
 }

@@ -1,0 +1,91 @@
+package graft
+
+import graft.ops.QualityModel
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Distributed closed-form ridge regression: the Cramer solve is
+  * cross-checked against an independent Gaussian-elimination solver
+  * on the same collected design matrix, the fit is bit-stable under
+  * physical relayout (the decimal-bridge guarantee), and scoring
+  * respects the fitted model. */
+class QualityModelSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Plain Gaussian elimination with partial pivoting — an
+    * implementation with NOTHING in common with the Cramer path. */
+  private def solve3(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+    val m = a.map(_.clone())
+    val v = b.clone()
+    for (col <- 0 until 3) {
+      val p = (col until 3).maxBy(r => math.abs(m(r)(col)))
+      val (mr, vv) = (m(p), v(p)); m(p) = m(col); v(p) = v(col); m(col) = mr; v(col) = vv
+      for (r <- col + 1 until 3) {
+        val f = m(r)(col) / m(col)(col)
+        for (c <- col until 3) m(r)(c) -= f * m(col)(c)
+        v(r) -= f * v(col)
+      }
+    }
+    val x = new Array[Double](3)
+    for (r <- 2 to 0 by -1) {
+      var s = v(r)
+      for (c <- r + 1 until 3) s -= m(r)(c) * x(c)
+      x(r) = s / m(r)(r)
+    }
+    x
+  }
+
+  test("cramer weights match an independent dense solver") {
+    val feats = QualityModel.featureFrame(spark, dir)
+      .select(col("f2"), col("f3"), col("y")).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getInt(2).toDouble))
+    val n = feats.length.toDouble
+    var s2 = 0.0; var s3 = 0.0; var s22 = 0.0; var s23 = 0.0; var s33 = 0.0
+    var b1 = 0.0; var b2 = 0.0; var b3 = 0.0
+    feats.foreach { case (f2, f3, y) =>
+      s2 += f2; s3 += f3; s22 += f2 * f2; s23 += f2 * f3; s33 += f3 * f3
+      b1 += y; b2 += f2 * y; b3 += f3 * y
+    }
+    val l = QualityModel.Ridge
+    val expected = solve3(
+      Array(
+        Array(n + l, s2, s3),
+        Array(s2, s22 + l, s23),
+        Array(s3, s23, s33 + l)),
+      Array(b1, b2, b3))
+    val (w1, w2, w3) = QualityModel.fitWeights(spark, dir)
+    // r6-rounded Gram entries vs raw-double test sums → small drift;
+    // the solve itself must agree far tighter than the feature noise
+    assert(math.abs(w1 - expected(0)) < 1e-3, s"$w1 vs ${expected(0)}")
+    assert(math.abs(w2 - expected(1)) < 1e-3, s"$w2 vs ${expected(1)}")
+    assert(math.abs(w3 - expected(2)) < 1e-3, s"$w3 vs ${expected(2)}")
+  }
+
+  test("fit is bit-stable under physical relayout") {
+    val a = QualityModel.fitWeights(spark, dir)
+    val relaid = Files.createTempDirectory("graft-qm-relay").toString
+    spark.read.parquet(s"$dir/documents.parquet")
+      .orderBy(col("lang"), col("doc_id").desc)
+      .repartition(13)
+      .write.mode("overwrite").parquet(s"$relaid/documents.parquet")
+    val b = QualityModel.fitWeights(spark, relaid)
+    assert(a == b, "decimal-bridged fit must not depend on layout")
+  }
+
+  test("scored: k rows, descending, model-consistent") {
+    val rows = QualityModel.qualityScored(spark, dir).collect()
+    assert(rows.length == QualityModel.ScoredK)
+    val qs = rows.map(_.getDouble(1)).toSeq
+    assert(qs == qs.sorted.reverse)
+    // recompute the top row's score from the raw features + weights
+    val (w1, w2, w3) = QualityModel.fitWeights(spark, dir)
+    val top = rows.head
+    val f = QualityModel.featureFrame(spark, dir)
+      .filter(col("doc_id") === top.getLong(0)).collect().head
+    val expect = w1 + w2 * f.getDouble(1) + w3 * f.getDouble(2)
+    assert(math.abs(top.getDouble(1) - expect) < 1e-6)
+  }
+}
