@@ -242,6 +242,38 @@ object TextOps {
       |FROM (SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS toks FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** BPE merge-pair statistics — the inner loop of byte-pair-encoding
+    * tokenizer TRAINING, distributed: count adjacent symbol pairs
+    * across every token occurrence (each BPE iteration merges the
+    * argmax pair; this is that argmax's input, here the top-20). One
+    * explode + one map-side-combined groupBy — at 100 TB the token
+    * fan-out collapses in the partial aggregate before the single
+    * shuffle on the pair key, the same shape as [[topWords]]. */
+  def bpePairs(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val toks = regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))
+    d.select(explode(toks).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("tok")) - 1),
+        i => col("tok").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(20)
+  }
+
+  val bpePairsSql: String =
+    """WITH toks AS (
+      |  SELECT tok FROM documents, UNNEST(regexp_extract_all(text, '[a-z]+')) AS u(tok)
+      |  WHERE length(tok) >= 2),
+      |pairs AS (
+      |  SELECT tok[i:i+1] AS pair
+      |  FROM toks, UNNEST(range(1, length(tok))) AS r(i))
+      |SELECT pair, COUNT(*) AS cnt FROM pairs
+      |GROUP BY pair
+      |ORDER BY cnt DESC, pair
+      |LIMIT 20""".stripMargin
+
   /** Exact length percentiles per language (continuous
     * interpolation — both engines use the (n−1)·p rank definition;
     * r6 absorbs interpolation-order ulps). */
@@ -510,6 +542,7 @@ object TextOps {
     "index_pipeline" -> (indexPipeline _),
     "text_percentiles" -> (textPercentiles _),
     "token_regex" -> (tokenRegex _),
+    "bpe_pairs" -> (bpePairs _),
     "text_stats" -> (textStats _),
     "top_words" -> (topWords _),
     "doc_quality" -> (docQuality _),
@@ -522,6 +555,7 @@ object TextOps {
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "text_percentiles" -> textPercentilesSql,
     "token_regex" -> tokenRegexSql,
+    "bpe_pairs" -> bpePairsSql,
     "text_stats" -> textStatsSql,
     "top_words" -> topWordsSql,
     "doc_quality" -> docQualitySql,

@@ -26,6 +26,29 @@ class TextOpsSpec extends AnyFunSuite {
       s"boundaries must shift, not vanish: base=$base shifted=$shifted")
   }
 
+  test("bpe pair counts match a hand-rolled reference on synthetic docs") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "the theme thesis", "en", "t", 16L),
+      (2L, "aa ab AA b", "en", "t", 10L))
+    val tmp = Files.createTempDirectory("graft-bpe").toString
+    import spark.implicits._
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.ops.TextOps.bpePairs(spark, tmp)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // tokens (lowercase alpha runs, len>=2): the, theme, thesis, aa, ab
+    // pairs: th,he | th,he,em,me | th,he,es,si,is | aa | ab
+    val expect = Map("th" -> 3L, "he" -> 3L, "em" -> 1L, "me" -> 1L,
+      "es" -> 1L, "si" -> 1L, "is" -> 1L, "aa" -> 1L, "ab" -> 1L)
+    assert(got == expect, s"got $got")
+    // ordering: count desc, then pair asc
+    val ordered = graft.ops.TextOps.bpePairs(spark, tmp)
+      .collect().map(_.getString(0)).toSeq
+    assert(ordered.take(2) == Seq("he", "th"))
+  }
+
   test("approx percentiles track the exact ones within sketch tolerance") {
     val exact = TextOps.textPercentiles(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
