@@ -77,4 +77,97 @@ object Maintenance {
       .write.mode(SaveMode.Overwrite).parquet(outDir)
     n
   }
+
+  // ---- Z-order (Morton) clustering ----
+  //
+  // Linear sort clusters ONE column; multi-predicate scans need
+  // locality on several. The Z-order curve interleaves the bits of
+  // two bucketed dimensions so rows close on the curve are close in
+  // BOTH — after a range-partition + sort on the key, parquet
+  // min/max stats skip files for filters on either column (the
+  // Delta/Iceberg OPTIMIZE ZORDER pattern, re-expressed as plain
+  // Spark bit arithmetic inside whole-stage codegen).
+
+  val ZBits = 8
+
+  /** Bucket a non-negative value into [0, 2^ZBits) with a fixed
+    * width — layout-stable (no rank windows), so incremental appends
+    * land in the same curve region as the existing data. */
+  def zBucket(c: org.apache.spark.sql.Column, width: Int): org.apache.spark.sql.Column =
+    // floor-of-double division in BOTH engines: Spark's long/int `/`
+    // and DuckDB's `/` are double division, but their double→int
+    // CASTs disagree (truncate vs round) — floor() first makes the
+    // conversion exact and identical for these small non-negatives
+    least(lit(((1 << ZBits) - 1).toLong),
+      floor(c.cast("double") / lit(width)).cast("long"))
+
+  /** Interleave two [[ZBits]]-bit buckets: bit i of `a` lands at
+    * 2i+1, bit i of `b` at 2i — the textbook Morton spread, written
+    * as a sum of shift/mask terms (identical expression tree in the
+    * oracle SQL). */
+  def zInterleave(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until ZBits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i)
+    }.reduce(_ + _)
+
+  /** Rewrite a parquet dataset clustered on the Z-order curve of two
+    * numeric dimensions: range-partition on the Morton key, sort
+    * within partitions, drop the key. File count from real bytes,
+    * as [[compactSorted]]. */
+  def zorderWrite(
+      spark: SparkSession,
+      inDir: String,
+      outDir: String,
+      colA: String, widthA: Int,
+      colB: String, widthB: Int,
+      targetBytes: Long = DefaultTargetBytes): Int = {
+    requireDistinctDirs(spark, inDir, outDir)
+    val n = math.max(1L, (dirBytes(spark, inDir) + targetBytes - 1) / targetBytes).toInt
+    val keyed = spark.read.parquet(inDir)
+      .withColumn("__zkey", zInterleave(zBucket(col(colA), widthA), zBucket(col(colB), widthB)))
+    keyed
+      .repartitionByRange(n, col("__zkey"))
+      .sortWithinPartitions(col("__zkey"))
+      .drop("__zkey")
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+    n
+  }
+
+  /** Fixture widths for the `documents` Z-order demo: n_chars
+    * bucketed by 32 chars, doc_id by 4 — two independent dimensions
+    * a log-corpus scan actually filters on (size band + id range). */
+  val ZWidthChars = 32
+  val ZWidthId = 4
+
+  /** The Morton keys themselves, oracle-checkable end-to-end (pure
+    * integer arithmetic): doc_id → zkey, curve-ordered. */
+  def zorderKey(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val d = Tables.t(s, dir, "documents")
+    d.select(col("doc_id"),
+        zInterleave(
+          zBucket(col("n_chars"), ZWidthChars),
+          zBucket(col("doc_id"), ZWidthId)).as("zkey"))
+      .orderBy(col("zkey"), col("doc_id"))
+  }
+
+  val zorderKeySql: String = {
+    val max = (1 << ZBits) - 1
+    def bucket(c: String, w: Int) =
+      s"least($max, CAST(floor(CAST($c AS DOUBLE) / $w) AS BIGINT))"
+    val a = bucket("n_chars", ZWidthChars)
+    val b = bucket("doc_id", ZWidthId)
+    val terms = (0 until ZBits).map { i =>
+      s"(((za >> $i) & 1) << ${2 * i + 1}) + (((zb >> $i) & 1) << ${2 * i})"
+    }.mkString(" + ")
+    s"""SELECT doc_id, CAST($terms AS BIGINT) AS zkey
+       |FROM (SELECT doc_id, $a AS za, $b AS zb FROM documents)
+       |ORDER BY zkey, doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "zorder_key" -> (zorderKey _))
+
+  val oracles: Map[String, String] = Map(
+    "zorder_key" -> zorderKeySql)
 }

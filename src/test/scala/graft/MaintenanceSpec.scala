@@ -58,4 +58,37 @@ class MaintenanceSpec extends AnyFunSuite {
       assert(hi1 <= lo2, s"overlap: ${ranges.mkString(",")}")
     }
   }
+
+  test("z-order rewrite shrinks per-file min/max ranges on BOTH dimensions") {
+    val root = Files.createTempDirectory("graft-zord")
+    val in = root.resolve("in").toString
+    val out = root.resolve("out").toString
+    // two independent uniform dimensions, scrambled layout
+    val rnd = new scala.util.Random(7)
+    (1 to 8000).map { i => (rnd.nextInt(8192).toLong, rnd.nextInt(1024).toLong, i.toLong) }
+      .toDF("a", "b", "v").repartition(16)
+      .write.mode("overwrite").parquet(in)
+    val bytes = Maintenance.dirBytes(spark, in)
+    // 16 files over a 256×256 bucket grid: each file covers ~4096
+    // curve cells ≈ a 64×64 tile → ~4x span shrink on each dim
+    val n = Maintenance.zorderWrite(spark, in, out,
+      "a", 32, "b", 4, targetBytes = bytes / 16)
+    assert(n >= 8, "need several output files to measure skipping")
+    assert(spark.read.parquet(out).count() === 8000)
+    def avgFileSpan(dir: String, c: String): Double = {
+      val spans = spark.read.parquet(dir)
+        .select(input_file_name().as("f"), col(c))
+        .groupBy("f").agg((max(col(c)) - min(col(c))).cast("double").as("span"))
+        .collect().map(_.getDouble(1))
+      spans.sum / spans.length
+    }
+    // a scan filtering `a BETWEEN x AND y` (or b) skips files whose
+    // min/max miss the band — narrower per-file spans = more skips.
+    // Z-order must tighten BOTH dims vs the scrambled layout (a
+    // plain sort would tighten only one).
+    val aIn = avgFileSpan(in, "a"); val aOut = avgFileSpan(out, "a")
+    val bIn = avgFileSpan(in, "b"); val bOut = avgFileSpan(out, "b")
+    assert(aOut < aIn * 0.6, s"dim a not clustered: $aOut vs $aIn")
+    assert(bOut < bIn * 0.6, s"dim b not clustered: $bOut vs $bIn")
+  }
 }
