@@ -42,12 +42,23 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
-    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // driver-JVM GC time accumulated across all collectors — the
+    // per-query delta separates "plan got slower" from "session
+    // hygiene is dirty" (the round-6 driver-run inflation question):
+    // a query whose wall time inflates WITHOUT a matching GC delta is
+    // contention; with one, it's accumulation in this JVM.
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Long) = {
+      val g0 = gcMillis()
       val t0 = System.nanoTime()
       // a failed query reports -1.0, not its elapsed time — a crash
       // must never masquerade as a fast pass in the totals
-      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-      catch { case _: Throwable => -1.0 }
+      try { fn(spark, sfDir).count(); ((System.nanoTime() - t0) / 1e9, gcMillis() - g0) }
+      catch { case _: Throwable => (-1.0, 0L) }
     }
     // two timed passes, report the min: single-pass numbers carry
     // GC/compaction/scheduler noise (up to 2-3x on heavy queries);
@@ -55,9 +66,12 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val pre = setupFor(name)
       pre(spark, sfDir)
-      val a = timeOnce(fn)
+      val (a, ga) = timeOnce(fn)
       pre(spark, sfDir)
-      val b = timeOnce(fn)
+      val (b, gb) = timeOnce(fn)
+      // stderr diagnostics only — stdout stays the one-line contract
+      System.err.println(
+        f"[bench-gc] $name%-24s pass1=$a%7.3fs gc=${ga}%4dms  pass2=$b%7.3fs gc=${gb}%4dms")
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
