@@ -233,14 +233,25 @@ object KMeansVec {
     * index-build time and every probe query after that reads only
     * nProbe/k of the files (Hive-style partition dirs → the scan's
     * PartitionFilters, asserted in KMeansSpec). */
+  /** `trainDir` decouples WHERE the coarse quantizer is trained from
+    * WHAT is assigned and persisted — the production shape at scale:
+    * fit centroids on a stable representative sample, assign the
+    * whole corpus (and later appends) against those frozen centroids.
+    * Defaults to `dir` (train ≡ index corpus, the original form). */
   def writeIvfIndex(
       s: SparkSession,
       dir: String,
       outDir: String,
       k: Int = K,
-      iters: Int = 1): Array[Array[Double]] = {
-    val (centroids, assigned) = fit(s, dir, k, iters)
-    assigned
+      iters: Int = 1,
+      trainDir: Option[String] = None): Array[Array[Double]] = {
+    val centroids = fit(s, trainDir.getOrElse(dir), k, iters)._1
+    t(s, dir, "embeddings")
+      // the query sentinel row is not corpus (the writeGraphIndex /
+      // writePqIndex convention): persisting it would make an indexed
+      // search over its own corpus return the query itself
+      .filter(col("vec_id") =!= VectorQueries.QueryVecId)
+      .withColumn("cluster", assignUdf(centroids)(col("embedding")))
       .select(col("vec_id"), col("embedding"), col("label"),
         col("cluster").cast("int").as("cluster"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -255,6 +266,36 @@ object KMeansVec {
     centroids
   }
 
+  /** Persisted centroids back from the sidecar, cluster-ordered. */
+  private def readCentroids(s: SparkSession, indexDir: String): Array[Array[Double]] =
+    s.read.json(s"$indexDir/centroids")
+      .collect()
+      .map(r => (r.getAs[Long]("cluster").toInt,
+        r.getAs[scala.collection.Seq[Double]]("centroid").toArray))
+      .sortBy(_._1).map(_._2)
+
+  /** Append a batch of new vectors into an EXISTING materialized IVF
+    * index: assign against the FROZEN centroids from the sidecar (no
+    * refit — the FAISS `add` contract) and land the rows as new files
+    * inside their `cluster=N/` partition dirs. Map-only: reads the
+    * k·dim sidecar, never the existing vectors, and partition pruning
+    * keeps working because appends land in the same cell layout.
+    * Centroid drift under a shifting distribution is the periodic
+    * retrain+rewrite ([[writeIvfIndex]] to a fresh generation), same
+    * as [[GraphAnn.compactGraphIndex]]. Caller contract: batch
+    * vec_ids are new (an upsert dedups before appending). */
+  def appendIvfIndex(s: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+    val centroids = readCentroids(s, indexDir)
+    batch
+      .filter(col("vec_id") =!= VectorQueries.QueryVecId)
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"),
+        col("label").cast("int").as("label"))
+      .withColumn("cluster", assignUdf(centroids)(col("embedding")).cast("int"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("cluster").parquet(s"$indexDir/vectors")
+  }
+
   /** Probe search over a materialized IVF index: rank the persisted
     * centroids against the query on the driver (k rows), then scan
     * ONLY the probed cell partitions — `cluster IN (...)` resolves
@@ -267,11 +308,9 @@ object KMeansVec {
       k: Int = 5,
       nProbe: Int = 3): DataFrame = {
     import graft.functions.VectorFunctions.{cosineDist, r6}
-    val centroids = s.read.json(s"$indexDir/centroids")
-      .collect()
-      .map(r => (r.getAs[Long]("cluster").toInt,
-        r.getAs[scala.collection.Seq[Double]]("centroid").toArray))
-    val probes = centroids.map { case (i, c) => (OpsShared.cosineDistTo(q, c), i) }
+    val centroids = readCentroids(s, indexDir)
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) => (OpsShared.cosineDistTo(q, c), i) }
       .sortBy(_._1).take(nProbe).map(_._2)
     s.read.parquet(s"$indexDir/vectors")
       .filter(col("cluster").isin(probes.toIndexedSeq: _*))

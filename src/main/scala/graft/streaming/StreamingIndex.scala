@@ -103,7 +103,9 @@ object StreamingIndex {
     * into the MATERIALIZED graph and PQ indexes per micro-batch —
     * [[graft.ops.GraphAnn.appendGraphIndex]] adds each batch as fresh
     * graph segments, [[graft.ops.Pq.appendPqIndex]] encodes it with
-    * the frozen codebooks — so searches see new vectors without a
+    * the frozen codebooks, and (when `ivfIndexDir` is set)
+    * [[graft.ops.KMeansVec.appendIvfIndex]] assigns it against the
+    * frozen coarse centroids — so searches see new vectors without a
     * full index rebuild, the same continuous-ingest contract the
     * flat-index upsert above gives the chunk store. Periodic
     * [[graft.ops.GraphAnn.compactGraphIndex]] merges accumulated
@@ -119,7 +121,8 @@ object StreamingIndex {
       inDir: String,
       graphIndexDir: String,
       pqIndexDir: String,
-      checkpointDir: String): DataStreamWriter[Row] = {
+      checkpointDir: String,
+      ivfIndexDir: Option[String] = None): DataStreamWriter[Row] = {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("vec_id",
         org.apache.spark.sql.types.LongType),
@@ -136,6 +139,8 @@ object StreamingIndex {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.ops.GraphAnn.appendGraphIndex(batch.sparkSession, graphIndexDir, batch)
         graft.ops.Pq.appendPqIndex(batch.sparkSession, pqIndexDir, batch)
+        ivfIndexDir.foreach(d =>
+          graft.ops.KMeansVec.appendIvfIndex(batch.sparkSession, d, batch))
       }
       .trigger(Trigger.AvailableNow())
   }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{GraphAnn, Pq, VectorQueries}
+import graft.ops.{GraphAnn, KMeansVec, Pq, VectorQueries}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -109,12 +109,40 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(r == exact, "retrained generation must rank the true top-5")
   }
 
+  test("ivf index: frozen-centroid append equals one-pass bulk assignment") {
+    val tmp = Files.createTempDirectory("graft-inc-ivf")
+    val inc = tmp.resolve("inc").toString
+    KMeansVec.writeIvfIndex(spark, halfDir, inc, iters = 1)
+    val before = spark.read.parquet(s"$inc/vectors").count()
+    KMeansVec.appendIvfIndex(spark, inc, laterBatch)
+    val after = spark.read.parquet(s"$inc/vectors").count()
+    assert(after > before, "append must add vector rows")
+    // the maintenance contract: build-then-append must land every row
+    // in EXACTLY the cell a one-pass bulk assignment under the same
+    // frozen centroids would choose — append changes WHEN rows are
+    // assigned, never HOW (and partition pruning keeps working
+    // because appends land inside the same cluster=N/ dirs)
+    val bulk = tmp.resolve("bulk").toString
+    KMeansVec.writeIvfIndex(spark, dir, bulk, iters = 1, trainDir = Some(halfDir))
+    def cells(p: String) = spark.read.parquet(s"$p/vectors")
+      .select("vec_id", "cluster").orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(cells(inc) == cells(bulk), "append assigned different cells than bulk")
+    val q = queryVec
+    val a = KMeansVec.ivfSearchIndexed(spark, inc, q).collect().toSeq
+    val b = KMeansVec.ivfSearchIndexed(spark, bulk, q).collect().toSeq
+    assert(a == b, "post-append search must equal bulk-assigned search")
+    assert(a.size == 5)
+  }
+
   test("streaming: micro-batched vector files maintain both ANN indexes") {
     val tmp = Files.createTempDirectory("graft-inc-stream")
     val ginc = tmp.resolve("g").toString
     val pinc = tmp.resolve("p").toString
+    val iinc = tmp.resolve("i").toString
     GraphAnn.writeGraphIndex(spark, halfDir, ginc)
     Pq.writePqIndex(spark, halfDir, pinc)
+    KMeansVec.writeIvfIndex(spark, halfDir, iinc, iters = 1)
     // two vector-batch files arriving on the stream (file-stream
     // sources list plain files, so stage each batch then drop its
     // part file into the watched dir)
@@ -130,7 +158,8 @@ class IncrementalIndexSpec extends AnyFunSuite {
     drop(laterBatch.filter(col("vec_id") <= 250), "b1")
     drop(laterBatch.filter(col("vec_id") > 250), "b2")
     val sq = graft.streaming.StreamingIndex.annAppendStream(
-      spark, in, ginc, pinc, tmp.resolve("ckpt").toString).start()
+      spark, in, ginc, pinc, tmp.resolve("ckpt").toString,
+      ivfIndexDir = Some(iinc)).start()
     sq.awaitTermination(120000)
     val q = queryVec
     val exact = VectorQueries.knnTopkK(spark, dir, 5).collect().map(_.getLong(0)).toSeq
@@ -146,5 +175,15 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(streamed == batched, "streamed PQ appends must equal direct batch append")
     assert(spark.read.parquet(s"$pinc/codes").count() ==
       spark.read.parquet(s"$direct/codes").count())
+    // ivf: streamed appends ≡ direct batch append against the same
+    // frozen centroids, cell-for-cell
+    val idirect = tmp.resolve("idirect").toString
+    KMeansVec.writeIvfIndex(spark, halfDir, idirect, iters = 1)
+    KMeansVec.appendIvfIndex(spark, idirect, laterBatch)
+    def cells(p: String) = spark.read.parquet(s"$p/vectors")
+      .select("vec_id", "cluster").orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(cells(iinc) == cells(idirect),
+      "streamed IVF appends must equal direct batch append")
   }
 }

@@ -37,16 +37,13 @@ class KMeansSpec extends AnyFunSuite {
     val plan = indexed.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
       s"probe must prune partitions: $plan")
-    // same fit, same probes → identical rows to the inline query,
-    // modulo the query vector itself living in the index here
+    // same fit, same probes, sentinel excluded at write → the indexed
+    // search answers EXACTLY like the inline query
     val inline = KMeansVec.ivfTopK(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getDouble(3))).toMap
+      .map(r => (r.getLong(0), r.getDouble(3))).toSeq
     val got = indexed.collect()
-      .filter(_.getLong(0) != graft.ops.VectorQueries.QueryVecId)
-      .map(r => (r.getLong(0), r.getDouble(3))).toMap
-    inline.foreach { case (id, d) =>
-      got.get(id).foreach(gd => assert(math.abs(gd - d) < 1e-12)) }
-    assert(got.keySet.intersect(inline.keySet).size >= inline.size - 1)
+      .map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(got === inline, "indexed probe search must equal inline IVF")
   }
 
   test("ivf probe search: k sorted rows, deterministic, rank-dominated by exact knn") {
