@@ -298,8 +298,12 @@ object Relational {
     val li = t(s, dir, "lineitem")
     val p = t(s, dir, "part")
     val su = t(s, dir, "supplier")
+    // no broadcast hint on supplier: unlike nation/region (fixed 25/5
+    // rows), supplier grows linearly with scale factor — ~1B rows at
+    // the 100 TB SF, far past any driver. AQE broadcasts it when the
+    // measured size is actually small (it is, at fixture scale).
     li.join(p, col("l_partkey") === col("p_partkey"))
-      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("p_brand"))
       .agg(
         count(lit(1)).as("n_items"),

@@ -205,7 +205,12 @@ object Retrieval {
     val dw = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
     val vocab = dw.groupBy(col("tok")).agg(sum(col("c")).as("cw"))
     val total = vocab.agg(sum(col("cw")).as("t"))
-    dw.join(broadcast(vocab), "tok")
+    // NO broadcast hint on vocab: one row per distinct token is
+    // billions at web-corpus scale (the tfidf_top_terms rule — an
+    // explicit hint OOMs the driver where a plain shuffle join on
+    // `tok` is safe; AQE still broadcasts when measured-small). The
+    // 1-row corpus total stays hinted.
+    dw.join(vocab, "tok")
       .crossJoin(broadcast(total))
       .withColumn("term", r6(col("c") * log(col("cw").cast("double") / col("t"))))
       .groupBy(col("doc_id"))

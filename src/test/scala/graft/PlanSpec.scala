@@ -178,6 +178,30 @@ class PlanSpec extends AnyFunSuite {
     assert(hinted.size <= 1, s"only the 1-row n_docs side may be hinted, got: $hinted")
   }
 
+  test("unigram_logprob: vocabulary join carries no broadcast hint (same web-scale guard)") {
+    // vocab is one row per distinct token — unbounded at corpus
+    // scale; only the 1-row corpus-total aggregate may stay hinted
+    val hinted = graft.ops.Retrieval.unigramLogprob(spark, sf)
+      .queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.hint.leftHint.exists(_.strategy.isDefined) ||
+             j.hint.rightHint.exists(_.strategy.isDefined) => j
+      }
+    assert(hinted.size <= 1, s"only the 1-row total side may be hinted, got: $hinted")
+  }
+
+  test("q17: supplier side carries no broadcast hint (dim grows with scale factor)") {
+    // nation/region are fixed-size dims; supplier is ~SF·10k rows —
+    // an explicit hint would pin a ~1B-row broadcast at the 100 TB SF
+    val hinted = graft.ops.Relational.supplierParts(spark, sf)
+      .queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.hint.leftHint.exists(_.strategy.isDefined) ||
+             j.hint.rightHint.exists(_.strategy.isDefined) => j
+      }
+    assert(hinted.isEmpty, s"no join in q17 may carry a static hint, got: $hinted")
+  }
+
   test("ann_graph_topk: one shard exchange, candidates merge via TakeOrdered — no global sort") {
     val plan = graft.ops.GraphAnn.annGraphTopk(spark, sf)
       .queryExecution.executedPlan.toString
