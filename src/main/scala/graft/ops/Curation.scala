@@ -462,7 +462,58 @@ object Curation {
        |GROUP BY source, seq
        |ORDER BY source, seq""".stripMargin
 
+  /** Per-source unigram KL divergence against the corpus mixture —
+    * the training-mix drift monitor: KL(P_src ‖ P_corpus) =
+    * Σ_w p_s(w)·ln(p_s(w)/p_c(w)), the signal that a source's token
+    * distribution is diverging from the blend it was weighted into
+    * (rising KL on a crawl snapshot = re-examine its mixture weight;
+    * near-zero = redundant with the blend). Every scored word exists
+    * in the corpus by construction, so the unsmoothed ratio is total.
+    * Shape at 100 TB: one token-stream aggregation, two marginal hash
+    * aggs rejoined on their own keys, then a per-source fold — no
+    * static broadcast hints on the vocab-sized sides (the
+    * tfidf/unigram rule; the 1-row corpus total stays hinted). All
+    * counts are exact integers; per-word terms r6-rounded then
+    * decimal-summed, so the fold is order-free and cross-engine
+    * exact. */
+  def sourceKl(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val toks = d.select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    val csw = toks.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    val ts = csw.groupBy(col("source")).agg(sum(col("c")).as("ts"))
+    val cw = csw.groupBy(col("tok")).agg(sum(col("c")).as("cw"))
+    val tot = cw.agg(sum(col("cw")).as("tt"))
+    csw.join(cw, "tok")
+      .join(ts, "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("term", r6((col("c").cast("double") / col("ts")) *
+        log((col("c").cast("double") * col("tt")) /
+          (col("ts").cast("double") * col("cw")))))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_words"),
+        r6(graft.functions.OracleMath.dsum(col("term"))).as("kl"))
+      .orderBy(col("source"))
+  }
+
+  val sourceKlSql: String =
+    """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |csw AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+      |ts AS (SELECT source, SUM(c) AS ts FROM csw GROUP BY 1),
+      |cw AS (SELECT tok, SUM(c) AS cw FROM csw GROUP BY 1),
+      |tot AS (SELECT SUM(cw) AS tt FROM cw),
+      |terms AS (
+      |  SELECT source, c,
+      |    round((CAST(c AS DOUBLE) / ts) *
+      |          ln((CAST(c AS DOUBLE) * tt) / (CAST(ts AS DOUBLE) * cw)), 6) + 0 AS term
+      |  FROM csw JOIN cw USING (tok) JOIN ts USING (source) CROSS JOIN tot)
+      |SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_words,
+      |  round(CAST(SUM(CAST(term AS DECIMAL(38,6))) AS DOUBLE), 6) + 0 AS kl
+      |FROM terms GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_kl" -> (sourceKl _),
     "seq_pack" -> (seqPack _),
     "source_curation" -> (sourceCuration _),
     "curation_pipeline" -> (curationPipeline _),
@@ -475,6 +526,7 @@ object Curation {
     "shard_pack" -> (shardPack _))
 
   val oracles: Map[String, String] = Map(
+    "source_kl" -> sourceKlSql,
     "seq_pack" -> seqPackSql,
     "source_curation" -> sourceCurationSql,
     "curation_pipeline" -> curationPipelineSql,

@@ -234,13 +234,68 @@ object Retrieval {
       |FROM terms GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Bigram negative log-likelihood per doc — the next perplexity
+    * proxy up from [[unigramLogprob]]: nll = −Σ c(w1w2)·ln(c(w1w2)
+    * / c(w1·)) / n_bigrams, with counts from the corpus itself (the
+    * train-on-self form: every scored bigram is observed, so the
+    * unsmoothed conditional is total). Bigrams materialize map-side
+    * as a `zip_with` over the token array and its tail — no
+    * self-join, no window; the corpus model is two hash aggregations
+    * (bigram counts, left-token marginals) rejoined on their keys.
+    * At 100 TB the join keys are the bigram/token strings and AQE
+    * picks the strategy — the same no-static-hint rule as the
+    * unigram vocabulary. Per-term contributions r6-rounded then
+    * decimal-summed (order-independent, cross-engine exact). */
+  def bigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val bi = d.select(col("doc_id"),
+      explode(expr(
+        """zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+          |         slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+          |         (a, b) -> concat(a, ' ', b))""".stripMargin)).as("bg"))
+    val db = bi.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+    val corpus = db.groupBy(col("bg")).agg(sum(col("c")).as("cbg"))
+    val lefts = corpus
+      .groupBy(element_at(split(col("bg"), " "), 1).as("w1"))
+      .agg(sum(col("cbg")).as("cw1"))
+    db.join(corpus, "bg")
+      .join(lefts, element_at(split(col("bg"), " "), 1) === col("w1"))
+      .withColumn("term", r6(col("c") * log(col("cbg").cast("double") / col("cw1"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), OracleMath.dsum(col("term")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        r6(-col("s") / col("n_bigrams")).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bigramLogprobSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |bi AS (SELECT doc_id,
+      |         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+      |       FROM toks),
+      |db AS (SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY doc_id, bg),
+      |corpus AS (SELECT bg, SUM(c) AS cbg FROM db GROUP BY bg),
+      |lefts AS (SELECT split_part(bg, ' ', 1) AS w1, SUM(cbg) AS cw1
+      |          FROM corpus GROUP BY 1),
+      |terms AS (
+      |  SELECT doc_id, c,
+      |    round(c * ln(CAST(cbg AS DOUBLE) / cw1), 6) + 0 AS term
+      |  FROM db JOIN corpus USING (bg)
+      |  JOIN lefts ON split_part(bg, ' ', 1) = lefts.w1)
+      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+      |  round(-CAST(SUM(CAST(term AS DECIMAL(38,6))) AS DOUBLE) / SUM(c), 6) + 0 AS avg_nll
+      |FROM terms GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_topk" -> (bm25Topk _),
     "hybrid_rrf" -> (hybridRrf _),
-    "unigram_logprob" -> (unigramLogprob _))
+    "unigram_logprob" -> (unigramLogprob _),
+    "bigram_logprob" -> (bigramLogprob _))
 
   val oracles: Map[String, String] = Map(
     "bm25_topk" -> bm25TopkSql,
     "hybrid_rrf" -> hybridRrfSql,
-    "unigram_logprob" -> unigramLogprobSql)
+    "unigram_logprob" -> unigramLogprobSql,
+    "bigram_logprob" -> bigramLogprobSql)
 }

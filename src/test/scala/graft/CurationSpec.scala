@@ -123,6 +123,32 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("source_kl: on-mixture source scores near zero, divergent source higher") {
+    // srcA/srcB share the corpus-dominant vocabulary; srcC is a small
+    // divergent minority (its words exist elsewhere only rarely), so
+    // KL(C ‖ corpus) must exceed KL(A ‖ corpus) and all KLs are ≥ 0
+    // (Gibbs). srcC's words appear once in srcA so every ratio is
+    // defined without smoothing.
+    val d = Files.createTempDirectory("graft-kl").toString
+    Seq(
+      (0L, "alpha beta alpha beta alpha beta gamma delta", "en", "srcA"),
+      (1L, "alpha beta alpha beta gamma delta alpha beta", "en", "srcA"),
+      (2L, "alpha beta alpha beta alpha beta gamma delta", "en", "srcB"),
+      (3L, "gamma delta gamma delta gamma delta gamma delta", "en", "srcC"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = Curation.sourceKl(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3))).toList
+    val kl = out.map(r => r._1 -> r._3).toMap
+    assert(out.map(_._1) == List("srcA", "srcB", "srcC"))
+    assert(out.map(r => r._1 -> r._2).toMap ==
+      Map("srcA" -> 16L, "srcB" -> 8L, "srcC" -> 8L), s"token totals: $out")
+    assert(kl.values.forall(_ >= 0.0), s"KL is non-negative: $kl")
+    assert(kl("srcC") > kl("srcA") && kl("srcC") > kl("srcB"),
+      s"divergent source must dominate: $kl")
+  }
+
   test("seq_pack: capacity never exceeded, every doc packed exactly once") {
     val sf = "/root/testdata/sf0.001"
     val rows = Curation.seqPack(spark, sf).collect()

@@ -67,4 +67,23 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got(3L) > got(4L), s"rare words must have higher NLL: $got")
     assert(got.values.forall(_ > 0.0))
   }
+
+  test("bigram nll: unique-bigram doc scores higher than repeated-bigram doc") {
+    val got = Retrieval.bigramLogprob(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byId = got.map(r => r._1 -> r._3).toMap
+    // doc 3's every bigram is its left token's ONLY continuation in
+    // the corpus → p(w2|w1) = 1, NLL exactly 0 (the bigram model's
+    // determinism credit, where the unigram model scored it worst)
+    assert(byId(3L) == 0.0, s"deterministic continuations must score 0: $byId")
+    // doc 4 branches its contexts (the→{the,spark}, spark→{spark,join},
+    // join→{join,shuffle} corpus-wide) → strictly positive NLL
+    assert(byId(4L) > 0.0, s"branching contexts must score > 0: $byId")
+    // n_bigrams = token count − 1 for every doc
+    got.foreach { case (id, n, _) =>
+      val toks = docs.find(_._1 == id).get._2.split(" ").length
+      assert(n == toks - 1, s"doc $id: $n bigrams for $toks tokens")
+    }
+    assert(byId.values.forall(_ >= 0.0))
+  }
 }
