@@ -110,4 +110,18 @@ class RecallSpec extends AnyFunSuite {
     assert(hi.nonEmpty, "injected copies must create sim≥0.8 pairs")
     assert(hiRecall >= 0.95, s"high-sim recall $hiRecall")
   }
+
+  test("ann_recall_report: all six backends perfect at registered settings (sf0.01)") {
+    // the report is the audit tool; at the REGISTERED knobs on the
+    // fixture density every backend must agree with exact kNN — the
+    // same bar each backend's own oracle gate holds it to
+    val rep = graft.ops.AnnEval.annRecallReport(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rep.map(_._1).toSeq ==
+      Seq("graph", "ivf", "ivfpq", "lsh", "pq", "sq"), s"backends: ${rep.toSeq}")
+    rep.foreach { case (b, returned, hits, rec) =>
+      assert(returned == 5L, s"$b returned $returned")
+      assert(hits == 5L && rec == 1.0, s"$b recall $rec ($hits/5)")
+    }
+  }
 }
