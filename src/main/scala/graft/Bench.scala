@@ -15,12 +15,16 @@ object Bench {
     "opq_error" -> ((s, d) => {
       graft.ops.Opq.clearCbCache()
       graft.ops.Pca.fittedPc1(s, d); ()
-    }))
+    }),
+    // bpe_merges is the BPE fitter; its number is the honest cost of
+    // the full distributed training loop
+    "bpe_merges" -> ((_, _) => graft.ops.Bpe.clearMergeCache()))
   // consumers of a shared fit are timed WARM by contract, regardless
   // of map iteration order or an earlier fitter-query failure
   val warmSetup: Map[String, (SparkSession, String) => Unit] = Map(
     "ann_pq_topk" -> ((s, d) => { graft.ops.Pq.trainedCodebooks(s, d); () }),
-    "ann_ivfpq_topk" -> ((s, d) => { graft.ops.Pq.trainedCodebooks(s, d); () }))
+    "ann_ivfpq_topk" -> ((s, d) => { graft.ops.Pq.trainedCodebooks(s, d); () }),
+    "bpe_encode" -> ((s, d) => { graft.ops.Bpe.trainedMerges(s, d); () }))
 
   /** The pre-pass hook for one query under the bench protocol. */
   def setupFor(name: String): (SparkSession, String) => Unit =

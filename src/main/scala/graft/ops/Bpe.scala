@@ -1,0 +1,212 @@
+package graft.ops
+
+import graft.functions.VectorFunctions.r6
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE tokenizer training + corpus encoding — the full
+  * loop whose per-iteration input [[TextOps.bpePairs]] exposes: train
+  * [[Rounds]] byte-pair merges over the weighted word vocabulary,
+  * then encode the corpus with them.
+  *
+  * Production shape (the HF-tokenizers flow, re-expressed Spark-
+  * first): ONE corpus pass collapses the token stream to distinct
+  * words with occurrence counts — after that, training never touches
+  * the corpus again; every round is a vocab-sized aggregation. Per
+  * round: weighted adjacent-symbol-pair counts (map-side combined,
+  * one shuffle on the pair key), a 1-row argmax to the driver (count
+  * desc, then pair lexicographic — a total order, so training is
+  * deterministic on any partitioning), and a map-only left-to-right
+  * merge apply. The Lloyd's-on-Spark shape: k·dim scalars through
+  * the driver per iteration, never the data.
+  *
+  * Encoding tokenizes each DISTINCT word once (replaying the merges
+  * in rank order — by construction identical to the training-end
+  * state) and joins the vocab-sized result back to the per-doc token
+  * counts; no static broadcast hint on the vocabulary side (the
+  * tfidf/unigram rule).
+  *
+  * Oracle: the whole training loop replays in DuckDB — pair counts
+  * and argmax as plain CTEs per round, the left-to-right non-
+  * overlapping merge scan as a recursive CTE stepping one symbol at
+  * a time (merge at i → i+2, else emit → i+1), exhausted rounds
+  * guarded by a never-matching sentinel pair. Counts are exact
+  * integers throughout; both engines break argmax ties on the same
+  * (cnt DESC, lhs, rhs) total order, so `bpe_merges` and
+  * `bpe_encode` hash-match bit-for-bit.
+  */
+object Bpe {
+  import Tables.t
+
+  /** Merge rounds — one argmax merge per round, the Sennrich loop. */
+  val Rounds = 4
+
+  /** Session memo for the trained merge list (the Pca.fit / Pq
+    * codebook convention, same file-fingerprint invalidation):
+    * bpe_merges is the fitter (timed cold in Bench), bpe_encode the
+    * warm consumer. */
+  private val mergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String, Long)]]()
+  private[graft] def clearMergeCache(): Unit = mergeCache.clear()
+
+  /** Left-to-right non-overlapping single-pair merge — the scan the
+    * oracle's recursive CTE steps through symbol by symbol. */
+  private def mergeOnce(syms: Array[String], a: String, b: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  private def applyMergeUdf(a: String, b: String) =
+    udf { (syms: Seq[String]) => mergeOnce(syms.toArray, a, b).toSeq }
+
+  /** Tokenize one word under a frozen rank-ordered merge list —
+    * replays training per word, which IS the training-end state. */
+  private[graft] def tokenizeWord(word: String, merges: Seq[(String, String)]): Seq[String] = {
+    var syms = word.map(_.toString).toArray
+    merges.foreach { case (a, b) => syms = mergeOnce(syms, a, b) }
+    syms.toSeq
+  }
+
+  private def wordCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
+
+  /** Run the training rounds; stops early if the corpus runs out of
+    * adjacent pairs (each round's argmax then has no input). */
+  def trainedMerges(s: SparkSession, dir: String): Seq[(String, String, Long)] =
+    mergeCache.computeIfAbsent(OpsShared.dirKey(dir, "documents"), _ => {
+      var words = wordCounts(s, dir).withColumn("syms",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      val acc = Seq.newBuilder[(String, String, Long)]
+      var r = 0
+      var exhausted = false
+      while (r < Rounds && !exhausted) {
+        val best = words
+          .select(col("wcnt"), explode(expr(
+            """zip_with(slice(syms, 1, size(syms) - 1),
+              |         slice(syms, 2, size(syms) - 1),
+              |         (x, y) -> struct(x AS a, y AS b))""".stripMargin)).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"), col("wcnt"))
+          .groupBy(col("a"), col("b")).agg(sum(col("wcnt")).as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1).collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          acc += ((a, b, c))
+          words = words.withColumn("syms", applyMergeUdf(a, b)(col("syms")))
+          r += 1
+        }
+      }
+      acc.result()
+    })
+
+  /** The learned merge table: (merge_rank, lhs, rhs, cnt at selection
+    * time) — what a tokenizer ships as `merges.txt`. */
+  def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    trainedMerges(s, dir).zipWithIndex
+      .map { case ((a, b, c), i) => (i + 1, a, b, c) }
+      .toDF("merge_rank", "lhs", "rhs", "cnt")
+      .orderBy(col("merge_rank"))
+  }
+
+  /** Corpus encoding under the trained merges: per-doc token count,
+    * piece count, and pieces-per-token compression — the measurement
+    * a tokenizer-training run is judged on. */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val merges = trainedMerges(s, dir).map(m => (m._1, m._2))
+    val encUdf = udf { (word: String) => tokenizeWord(word, merges).length }
+    val tokc = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+    val vocab = tokc.select(col("word")).distinct()
+      .withColumn("np", encUdf(col("word")).cast("long"))
+    tokc.join(vocab, "word")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), sum(col("c") * col("np")).as("n_pieces"))
+      .select(col("doc_id"), col("n_tokens"), col("n_pieces"),
+        r6(col("n_pieces").cast("double") / col("n_tokens")).as("pieces_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- Oracle: the training loop unrolled, one CTE block per round.
+  // The merge apply is a recursive scan: state (out, i) starts at
+  // ([], 1); each step either merges syms[i],syms[i+1] (advance 2)
+  // or emits syms[i] (advance 1); a word is done when i walks past
+  // its symbol list. bx$r coalesces an exhausted round's argmax to a
+  // sentinel pair of empty strings, which matches no symbol. ----
+
+  private def roundCte(r: Int): String = {
+    val prev = s"s${r - 1}"
+    s"""p$r AS (
+       |  SELECT syms[i] AS a, syms[i + 1] AS b, SUM(wcnt) AS cnt
+       |  FROM $prev, UNNEST(range(1, len(syms))) AS u$r(i)
+       |  GROUP BY 1, 2),
+       |b$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+       |bx$r AS (SELECT coalesce(max(a), '') AS a, coalesce(max(b), '') AS b FROM b$r),
+       |m$r AS (
+       |  SELECT word, wcnt, syms, CAST([] AS VARCHAR[]) AS out, 1 AS i FROM $prev
+       |  UNION ALL
+       |  SELECT m.word, m.wcnt, m.syms,
+       |    CASE WHEN m.i < len(m.syms) AND m.syms[m.i] = x.a AND m.syms[m.i + 1] = x.b
+       |         THEN list_append(m.out, x.a || x.b)
+       |         ELSE list_append(m.out, m.syms[m.i]) END,
+       |    CASE WHEN m.i < len(m.syms) AND m.syms[m.i] = x.a AND m.syms[m.i + 1] = x.b
+       |         THEN m.i + 2 ELSE m.i + 1 END
+       |  FROM m$r m, bx$r x WHERE m.i <= len(m.syms)),
+       |s$r AS (SELECT word, wcnt, out AS syms FROM m$r WHERE i = len(syms) + 1)""".stripMargin
+  }
+
+  private val trainCtes: String =
+    s"""WITH RECURSIVE w0 AS (
+       |  SELECT tok AS word, COUNT(*) AS wcnt
+       |  FROM (SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS tok FROM documents)
+       |  GROUP BY tok),
+       |s0 AS (SELECT word, wcnt,
+       |         list_transform(range(1, length(word) + 1), i -> word[i:i]) AS syms
+       |       FROM w0),
+       |${(1 to Rounds).map(roundCte).mkString(",\n")}""".stripMargin
+
+  val bpeMergesSql: String = {
+    val rows = (1 to Rounds)
+      .map(r => s"SELECT $r AS merge_rank, a AS lhs, b AS rhs, CAST(cnt AS BIGINT) AS cnt FROM b$r")
+      .mkString("\nUNION ALL\n")
+    s"""$trainCtes
+       |SELECT * FROM (
+       |$rows
+       |)
+       |ORDER BY merge_rank""".stripMargin
+  }
+
+  val bpeEncodeSql: String =
+    s"""$trainCtes,
+       |tokc AS (
+       |  SELECT doc_id, tok AS word, COUNT(*) AS c
+       |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+')) AS tok
+       |        FROM documents)
+       |  GROUP BY 1, 2),
+       |enc AS (SELECT word, len(syms) AS np FROM s$Rounds)
+       |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(c * np) AS BIGINT) AS n_pieces,
+       |  round(CAST(SUM(c * np) AS DOUBLE) / SUM(c), 6) + 0 AS pieces_per_token
+       |FROM tokc JOIN enc USING (word)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_merges" -> (bpeMerges _),
+    "bpe_encode" -> (bpeEncode _))
+
+  val oracles: Map[String, String] = Map(
+    "bpe_merges" -> bpeMergesSql,
+    "bpe_encode" -> bpeEncodeSql)
+}
