@@ -42,7 +42,8 @@ object SparkEntry {
       TextOps.queries ++ Dedup.queries ++ Multimodal.queries ++ AsOf.queries ++
       KMeansVec.queries ++ Curation.queries ++ Retrieval.queries ++ Quantize.queries ++
       Pca.queries ++ GraphAnn.queries ++ Pq.queries ++ Opq.queries ++ Rerank.queries ++
-      QualityModel.queries ++ Maintenance.queries ++ AnnEval.queries ++ Bpe.queries
+      QualityModel.queries ++ Maintenance.queries ++ AnnEval.queries ++ Bpe.queries ++
+      Outliers.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
@@ -51,5 +52,6 @@ object SparkEntry {
       TextOps.oracles ++ Dedup.oracles ++ Multimodal.oracles ++ AsOf.oracles ++
       KMeansVec.oracles ++ Curation.oracles ++ Retrieval.oracles ++ Quantize.oracles ++
       Pca.oracles ++ GraphAnn.oracles ++ Pq.oracles ++ Opq.oracles ++ Rerank.oracles ++
-      QualityModel.oracles ++ Maintenance.oracles ++ AnnEval.oracles ++ Bpe.oracles
+      QualityModel.oracles ++ Maintenance.oracles ++ AnnEval.oracles ++ Bpe.oracles ++
+      Outliers.oracles
 }

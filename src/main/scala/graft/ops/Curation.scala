@@ -512,7 +512,54 @@ object Curation {
       |FROM terms GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** Exponent of the temperature-sampling law (the multilingual
+    * α-sampling convention: α < 1 upsamples small sources). */
+  val MixAlpha = 0.3
+
+  /** Temperature-based source sampling weights — the training-mix
+    * computation behind multilingual/multi-source blends: w_s ∝ p_s^α
+    * with p_s the source's token share, α = [[MixAlpha]] < 1 flattening
+    * the natural distribution (small sources upsampled, head sources
+    * downsampled — `boost` = w/p is that per-source factor, the rate
+    * multiplier to feed [[mixtureSample]]). One aggregation over the
+    * corpus, two scalar totals broadcast back — nothing heavier at any
+    * corpus size. pow/division results r6-rounded, the rounded shares
+    * decimal-summed, so both engines fold identically. */
+  def mixtureWeights(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val per = d.groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("nt"))
+    val scored = per.crossJoin(broadcast(tot))
+      .withColumn("p", r6(col("n_tokens").cast("double") / col("nt")))
+      .withColumn("q", r6(pow(col("p"), lit(MixAlpha))))
+    val qt = scored.agg(graft.functions.OracleMath.dsum(col("q")).as("qt"))
+    scored.crossJoin(broadcast(qt))
+      .withColumn("w", r6(col("q") / col("qt")))
+      .select(col("source"), col("n_tokens"), col("p"), col("w"),
+        r6(col("w") / col("p")).as("boost"))
+      .orderBy(col("source"))
+  }
+
+  val mixtureWeightsSql: String =
+    s"""WITH per AS (
+       |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT SUM(n_tokens) AS nt FROM per),
+       |scored AS (
+       |  SELECT source, n_tokens,
+       |    round(CAST(n_tokens AS DOUBLE) / nt, 6) + 0 AS p,
+       |    round(pow(round(CAST(n_tokens AS DOUBLE) / nt, 6) + 0, $MixAlpha), 6) + 0 AS q
+       |  FROM per CROSS JOIN tot),
+       |qt AS (SELECT CAST(SUM(CAST(q AS DECIMAL(38,6))) AS DOUBLE) AS qt FROM scored)
+       |SELECT source, n_tokens, p,
+       |  round(q / qt, 6) + 0 AS w,
+       |  round((round(q / qt, 6) + 0) / p, 6) + 0 AS boost
+       |FROM scored CROSS JOIN qt
+       |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mixture_weights" -> (mixtureWeights _),
     "source_kl" -> (sourceKl _),
     "seq_pack" -> (seqPack _),
     "source_curation" -> (sourceCuration _),
@@ -526,6 +573,7 @@ object Curation {
     "shard_pack" -> (shardPack _))
 
   val oracles: Map[String, String] = Map(
+    "mixture_weights" -> mixtureWeightsSql,
     "source_kl" -> sourceKlSql,
     "seq_pack" -> seqPackSql,
     "source_curation" -> sourceCurationSql,

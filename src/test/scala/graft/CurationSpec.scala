@@ -149,6 +149,26 @@ class CurationSpec extends AnyFunSuite {
       s"divergent source must dominate: $kl")
   }
 
+  test("mixture_weights: α<1 flattens the mix — small sources boosted, weights sum to 1") {
+    val d = Files.createTempDirectory("graft-mixw").toString
+    Seq(
+      (0L, "a b c d e f g h i j k l m n o p", "en", "big"),   // 16 tokens
+      (1L, "a b c d e f g h i j k l m n o p", "en", "big"),   // big: 32 total
+      (2L, "a b c d", "en", "small"))                          // small: 4
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = Curation.mixtureWeights(spark, d).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out("big")._1 == 32L && out("small")._1 == 4L)
+    assert(math.abs(out.values.map(_._3).sum - 1.0) < 1e-5, s"weights sum to 1: $out")
+    // α = 0.3 < 1: the 8x token imbalance compresses to 8^0.3 ≈ 1.87x
+    // in sampling weight, so the small source's boost > 1 > big's
+    assert(out("small")._4 > 1.0 && out("big")._4 < 1.0, s"boosts: $out")
+    assert(out("small")._3 < out("big")._3, "α-sampling still orders by size")
+  }
+
   test("seq_pack: capacity never exceeded, every doc packed exactly once") {
     val sf = "/root/testdata/sf0.001"
     val rows = Curation.seqPack(spark, sf).collect()
