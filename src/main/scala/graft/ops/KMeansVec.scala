@@ -40,7 +40,7 @@ object KMeansVec {
     * centroids truncated to float for the cross term (the typedLit
     * cast the expression form applied), cc in full doubles, and
     * d2 = ((x·x − 2·x·c) + cc) in that association order. */
-  private def assignUdf(centroids: Array[Array[Double]]) = {
+  private[ops] def assignUdf(centroids: Array[Array[Double]]) = {
     val cf = centroids.map(_.map(_.toFloat))
     val cc = centroids.map { c =>
       var s = 0.0; var i = 0
@@ -267,7 +267,7 @@ object KMeansVec {
   }
 
   /** Persisted centroids back from the sidecar, cluster-ordered. */
-  private def readCentroids(s: SparkSession, indexDir: String): Array[Array[Double]] =
+  private[ops] def readCentroids(s: SparkSession, indexDir: String): Array[Array[Double]] =
     s.read.json(s"$indexDir/centroids")
       .collect()
       .map(r => (r.getAs[Long]("cluster").toInt,

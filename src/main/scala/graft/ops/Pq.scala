@@ -489,14 +489,20 @@ object Pq {
       s: SparkSession,
       indexDir: String,
       qtab: Array[Array[Double]],
-      excludeId: Option[Long]): DataFrame = {
+      excludeId: Option[Long],
+      probes: Option[Seq[Int]] = None): DataFrame = {
     val approxUdf = udf { (codes: Seq[Byte]) =>
       var a = 0.0
       var sp = 0
       while (sp < SubSpaces) { a += qtab(sp)(codes(sp).toInt); sp += 1 }
       a
     }
-    val codesDf = excludeId.foldLeft(s.read.parquet(s"$indexDir/codes")) {
+    val base = probes.foldLeft(s.read.parquet(s"$indexDir/codes")) {
+      // IVF-PQ layout: the cell filter resolves as PartitionFilters at
+      // listing time — unprobed cells cost zero I/O
+      (df, p) => df.filter(col("cluster").isin(p: _*))
+    }
+    val codesDf = excludeId.foldLeft(base) {
       (df, id) => df.filter(col("vec_id") =!= id)
     }
     codesDf
@@ -639,6 +645,99 @@ object Pq {
        |SELECT vec_id, label, dist FROM scored
        |WHERE NOT isnan(dist) AND dist IS NOT NULL
        |ORDER BY dist, vec_id LIMIT 5""".stripMargin
+
+  // ------------------------------------------- materialized IVF-PQ
+
+  /** Materialized IVF-PQ index — the FAISS on-disk layout in parquet:
+    * TINYINT code rows written PARTITIONED BY CELL with both sidecars
+    * (coarse centroids + product codebooks) beside them. A probe
+    * query then composes BOTH skips at the scan: `cluster IN (...)`
+    * resolves as PartitionFilters (unprobed cells cost zero I/O) and
+    * the ADC phase reads only the 8-byte codes column; floats surface
+    * for the [[Shortlist]]-row rescore alone. `trainDir` freezes both
+    * quantizers on a sample (the [[writePqIndex]] /
+    * [[KMeansVec.writeIvfIndex]] convention). */
+  def writeIvfPqIndex(
+      s: SparkSession, dir: String, outDir: String,
+      trainDir: Option[String] = None): Unit = {
+    import s.implicits._
+    val td = trainDir.getOrElse(dir)
+    val centroids = KMeansVec.fit(s, td, KMeansVec.K, iters = 1)._1
+    val cb = trainedCodebooks(s, td)
+    val enc = encodeUdf(cb)
+    Tables.t(s, dir, "embeddings")
+      .filter(col("vec_id") =!= VectorQueries.QueryVecId)
+      .filter(graft.functions.VectorFunctions.l2norm(col("embedding")) > 0)
+      .withColumn("cluster", KMeansVec.assignUdf(centroids)(col("embedding")).cast("int"))
+      .withColumn("c", enc(col("embedding")).getField("_1"))
+      .select(col("vec_id"), col("label"),
+        expr("transform(c, x -> CAST(x AS TINYINT))").as("codes"), col("cluster"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cluster").parquet(s"$outDir/codes")
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster", "centroid")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .json(s"$outDir/centroids")
+    cb.zipWithIndex.flatMap { case (book, sp) =>
+      book.zipWithIndex.map { case (c, code) => (sp, code, c.toSeq) }
+    }.toSeq.toDF("s", "code", "emb")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$outDir/codebooks")
+  }
+
+  /** Append a batch into an EXISTING materialized IVF-PQ index: both
+    * quantizers FROZEN from the sidecars (assign + encode, map-only),
+    * rows land inside their `cluster=N/` partition dirs. Drift →
+    * periodic retrain+rewrite to a fresh generation. */
+  def appendIvfPqIndex(s: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+    val centroids = KMeansVec.readCentroids(s, indexDir)
+    val cb = readCodebooks(s, indexDir)
+    val enc = encodeUdf(cb)
+    batch
+      .filter(col("vec_id") =!= VectorQueries.QueryVecId)
+      .filter(graft.functions.VectorFunctions.l2norm(col("embedding")) > 0)
+      .withColumn("cluster",
+        KMeansVec.assignUdf(centroids)(col("embedding").cast("array<float>")).cast("int"))
+      .withColumn("c", enc(col("embedding").cast("array<float>")).getField("_1"))
+      .select(col("vec_id"), col("label").cast("int").as("label"),
+        expr("transform(c, x -> CAST(x AS TINYINT))").as("codes"), col("cluster"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("cluster").parquet(s"$indexDir/codes")
+  }
+
+  /** Search a materialized IVF-PQ index: driver ranks the persisted
+    * centroids (k rows), the ADC phase scans ONLY the probed cells'
+    * codes (partition pruning × codes-only projection — plan-asserted
+    * in PqSpec), floats join in for the bounded rescore. Same answer
+    * as the inline [[annIvfPqTopk]] for the same query vector. */
+  def ivfPqSearchIndexed(
+      s: SparkSession,
+      indexDir: String,
+      floatsDir: String,
+      q: Array[Float],
+      k: Int = 5,
+      nProbe: Int = 3,
+      excludeId: Option[Long] = None): DataFrame = {
+    val centroids = KMeansVec.readCentroids(s, indexDir)
+    val probes = probeIds(centroids, q, nProbe)
+    val cb = readCodebooks(s, indexDir)
+    val qd = normalize(q.map(_.toDouble))
+    val sd = qd.length / SubSpaces
+    val qtab = Array.tabulate(SubSpaces)(sp => Array.tabulate(cb(sp).length)(k0 =>
+      subD2(qd, sp * sd, cb(sp)(k0).map(_.toFloat), cb(sp)(k0))))
+    val shortIds = pqPhase1(s, indexDir, qtab, excludeId, probes = Some(probes))
+      .collect().map(_.getLong(0))
+    Tables.t(s, floatsDir, "embeddings")
+      .filter(col("vec_id").isInCollection(shortIds))
+      .withColumn("dist", r6(cosineDist(col("embedding"), typedLit(q))))
+      .filter(!isnan(col("dist")) && col("dist").isNotNull)
+      .select(col("vec_id"), col("label"), col("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pq_error" -> (pqError _),

@@ -122,7 +122,8 @@ object StreamingIndex {
       graphIndexDir: String,
       pqIndexDir: String,
       checkpointDir: String,
-      ivfIndexDir: Option[String] = None): DataStreamWriter[Row] = {
+      ivfIndexDir: Option[String] = None,
+      ivfPqIndexDir: Option[String] = None): DataStreamWriter[Row] = {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("vec_id",
         org.apache.spark.sql.types.LongType),
@@ -141,6 +142,8 @@ object StreamingIndex {
         graft.ops.Pq.appendPqIndex(batch.sparkSession, pqIndexDir, batch)
         ivfIndexDir.foreach(d =>
           graft.ops.KMeansVec.appendIvfIndex(batch.sparkSession, d, batch))
+        ivfPqIndexDir.foreach(d =>
+          graft.ops.Pq.appendIvfPqIndex(batch.sparkSession, d, batch))
       }
       .trigger(Trigger.AvailableNow())
   }

@@ -135,14 +135,38 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(a.size == 5)
   }
 
+  test("ivf-pq index: frozen-quantizer append equals one-pass bulk build") {
+    val tmp = Files.createTempDirectory("graft-inc-ivfpq")
+    val inc = tmp.resolve("inc").toString
+    Pq.writeIvfPqIndex(spark, halfDir, inc)
+    val before = spark.read.parquet(s"$inc/codes").count()
+    Pq.appendIvfPqIndex(spark, inc, laterBatch)
+    assert(spark.read.parquet(s"$inc/codes").count() > before, "append must add rows")
+    // both quantizers frozen from the sidecars → append lands every
+    // row with EXACTLY the cell and codes a one-pass bulk build under
+    // the same training sample would produce
+    val bulk = tmp.resolve("bulk").toString
+    Pq.writeIvfPqIndex(spark, dir, bulk, trainDir = Some(halfDir))
+    def rows(p: String) = spark.read.parquet(s"$p/codes")
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Byte](2), r.getInt(3))).toSeq
+    assert(rows(inc) == rows(bulk), "append produced different cells/codes than bulk")
+    val q = queryVec
+    val a = Pq.ivfPqSearchIndexed(spark, inc, dir, q).collect().toSeq
+    val b = Pq.ivfPqSearchIndexed(spark, bulk, dir, q).collect().toSeq
+    assert(a == b && a.size == 5, "post-append search must equal bulk search")
+  }
+
   test("streaming: micro-batched vector files maintain both ANN indexes") {
     val tmp = Files.createTempDirectory("graft-inc-stream")
     val ginc = tmp.resolve("g").toString
     val pinc = tmp.resolve("p").toString
     val iinc = tmp.resolve("i").toString
+    val ipinc = tmp.resolve("ip").toString
     GraphAnn.writeGraphIndex(spark, halfDir, ginc)
     Pq.writePqIndex(spark, halfDir, pinc)
     KMeansVec.writeIvfIndex(spark, halfDir, iinc, iters = 1)
+    Pq.writeIvfPqIndex(spark, halfDir, ipinc)
     // two vector-batch files arriving on the stream (file-stream
     // sources list plain files, so stage each batch then drop its
     // part file into the watched dir)
@@ -159,7 +183,7 @@ class IncrementalIndexSpec extends AnyFunSuite {
     drop(laterBatch.filter(col("vec_id") > 250), "b2")
     val sq = graft.streaming.StreamingIndex.annAppendStream(
       spark, in, ginc, pinc, tmp.resolve("ckpt").toString,
-      ivfIndexDir = Some(iinc)).start()
+      ivfIndexDir = Some(iinc), ivfPqIndexDir = Some(ipinc)).start()
     sq.awaitTermination(120000)
     val q = queryVec
     val exact = VectorQueries.knnTopkK(spark, dir, 5).collect().map(_.getLong(0)).toSeq
@@ -185,5 +209,14 @@ class IncrementalIndexSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1))).toSeq
     assert(cells(iinc) == cells(idirect),
       "streamed IVF appends must equal direct batch append")
+    // ivf-pq: streamed appends ≡ direct batch append, cell+codes rows
+    val ipdirect = tmp.resolve("ipdirect").toString
+    Pq.writeIvfPqIndex(spark, halfDir, ipdirect)
+    Pq.appendIvfPqIndex(spark, ipdirect, laterBatch)
+    def coderows(p: String) = spark.read.parquet(s"$p/codes")
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Byte](2), r.getInt(3))).toSeq
+    assert(coderows(ipinc) == coderows(ipdirect),
+      "streamed IVF-PQ appends must equal direct batch append")
   }
 }

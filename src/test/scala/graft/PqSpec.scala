@@ -87,6 +87,31 @@ class PqSpec extends AnyFunSuite {
     assert(indexed == inline, "indexed PQ search must equal the inline path")
   }
 
+  test("materialized ivf-pq index: partition-pruned codes-only ADC, answer equals inline") {
+    val dir = dirs(1) // sf0.01
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-idx")
+      .resolve("ix").toString
+    Pq.writeIvfPqIndex(spark, dir, idx)
+    // sentinel excluded at write; codes partitioned by cell
+    assert(spark.read.parquet(s"$idx/codes")
+      .filter(org.apache.spark.sql.functions.col("vec_id") === VectorQueries.QueryVecId)
+      .count() == 0L)
+    // the ADC phase's ACTUAL plan composes BOTH skips: cluster IN (...)
+    // resolves as PartitionFilters and no float column is read
+    val qd = Array.fill(Pq.SubSpaces)(Array.fill(Pq.CodeK)(0.0))
+    val p = Pq.pqPhase1(spark, idx, qd, None, probes = Some(Seq(0, 1, 2)))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("embedding"), s"float column in IVF-PQ ADC phase:\n$p")
+    assert(p.contains("PartitionFilters") && p.contains("cluster"),
+      s"probe must prune cell partitions:\n$p")
+    val q = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(org.apache.spark.sql.functions.col("vec_id") === VectorQueries.QueryVecId)
+      .head().getSeq[Float](1).toArray
+    val indexed = Pq.ivfPqSearchIndexed(spark, idx, dir, q).collect().toSeq
+    val inline = Pq.annIvfPqTopk(spark, dir).collect().toSeq
+    assert(indexed == inline, "indexed IVF-PQ search must equal the inline path")
+  }
+
   test("degenerate query: missing/zero query row yields empty") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
