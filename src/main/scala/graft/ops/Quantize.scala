@@ -205,12 +205,32 @@ object Quantize {
     * phase-1 scan reads; the float table is touched only for the
     * shortlist rescore. */
   def writeSqIndex(s: SparkSession, dir: String, outDir: String): Unit =
-    withQuant(t(s, dir, "embeddings"))
+    withQuant(t(s, dir, "embeddings")
+        // the query sentinel row is not corpus (the writeGraphIndex /
+        // writePqIndex / writeIvfIndex convention)
+        .filter(col("vec_id") =!= VectorQueries.QueryVecId))
       .select(col("vec_id"), col("label"),
         expr("transform(qcodes, c -> CAST(c AS TINYINT))").as("codes8"),
         col("scale"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$outDir/codes")
+
+  /** Append a batch into an EXISTING materialized int8 index. SQ has
+    * NO trained state — the scale is per-vector — so append is the
+    * same map-only transform as the build: nothing is read, nothing
+    * can drift, and a retrain-rewrite cycle is never needed (the one
+    * maintenance property the trained structures can't offer). */
+  def appendSqIndex(s: SparkSession, indexDir: String, batch: DataFrame): Unit =
+    withQuant(batch
+        .filter(col("vec_id") =!= VectorQueries.QueryVecId)
+        .select(col("vec_id"),
+          col("embedding").cast("array<float>").as("embedding"),
+          col("label").cast("int").as("label")))
+      .select(col("vec_id"), col("label"),
+        expr("transform(qcodes, c -> CAST(c AS TINYINT))").as("codes8"),
+        col("scale"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$indexDir/codes")
 
   /** Probe search over a materialized int8 index: phase 1 scans ONLY
     * the codes table (column pruning keeps the float embeddings out

@@ -123,7 +123,8 @@ object StreamingIndex {
       pqIndexDir: String,
       checkpointDir: String,
       ivfIndexDir: Option[String] = None,
-      ivfPqIndexDir: Option[String] = None): DataStreamWriter[Row] = {
+      ivfPqIndexDir: Option[String] = None,
+      sqIndexDir: Option[String] = None): DataStreamWriter[Row] = {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("vec_id",
         org.apache.spark.sql.types.LongType),
@@ -144,6 +145,8 @@ object StreamingIndex {
           graft.ops.KMeansVec.appendIvfIndex(batch.sparkSession, d, batch))
         ivfPqIndexDir.foreach(d =>
           graft.ops.Pq.appendIvfPqIndex(batch.sparkSession, d, batch))
+        sqIndexDir.foreach(d =>
+          graft.ops.Quantize.appendSqIndex(batch.sparkSession, d, batch))
       }
       .trigger(Trigger.AvailableNow())
   }

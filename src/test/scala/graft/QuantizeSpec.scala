@@ -50,10 +50,26 @@ class QuantizeSpec extends AnyFunSuite {
     val plan = phase1.queryExecution.executedPlan.toString
     assert(!plan.contains("embedding"), plan)
     assert(plan.contains("codes8"), plan)
-    val indexed = Quantize.sqSearchIndexed(spark, root, dir, q, excludeId = Some(0L))
+    // sentinel excluded at WRITE time → a default search (no
+    // excludeId) already equals the inline path
+    val indexed = Quantize.sqSearchIndexed(spark, root, dir, q)
       .collect().map(_.toString).toSeq
     val inline = Quantize.sqTopK(spark, dir).collect().map(_.toString).toSeq
     assert(indexed == inline, s"indexed=$indexed inline=$inline")
+    assert(spark.read.parquet(s"$root/codes")
+      .filter(col("vec_id") === graft.ops.VectorQueries.QueryVecId).count() == 0L)
+    // append has no trained state: build(half)+append(half) ≡ build(all)
+    val half = java.nio.file.Files.createTempDirectory("graft-sqidx-h").toString
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$half/embeddings.parquet")
+    val inc = java.nio.file.Files.createTempDirectory("graft-sqidx-i").toString
+    Quantize.writeSqIndex(spark, half, inc)
+    Quantize.appendSqIndex(spark, inc,
+      spark.read.parquet(s"$dir/embeddings.parquet").filter(col("vec_id") % 2 === 1))
+    def rows(p: String) = spark.read.parquet(s"$p/codes")
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    assert(rows(inc) == rows(root), "SQ append must equal one-pass build")
   }
 
   test("quantized shortlist + exact rescore recovers the exact top-5") {
