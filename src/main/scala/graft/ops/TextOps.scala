@@ -536,7 +536,62 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  /** Per-doc Shannon entropy of the word distribution (nats) plus
+    * the log-normalized form — the information-density quality
+    * signal: near-0 normalized entropy = heavy repetition (spam,
+    * boilerplate, keyword stuffing — content the gopher top-word
+    * fraction only partially sees), near-1 = maximally spread usage.
+    * Shape: per-(doc, word) counts, per-doc totals, one rejoin on
+    * doc_id — two shuffles on corpus-partition-friendly keys, no
+    * vocabulary-sized relation anywhere. Terms r6-rounded then
+    * decimal-summed (order-free, cross-engine exact). */
+  def docEntropy(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val tokc = d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val totals = tokc.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"))
+    tokc.join(totals, "doc_id")
+      .withColumn("term", r6((col("c").cast("double") / col("n")) *
+        log(col("c").cast("double") / col("n"))))
+      .groupBy(col("doc_id"))
+      .agg(first(col("n")).as("n_tokens"), first(col("n_distinct")).as("n_distinct"),
+        r6(-graft.functions.OracleMath.dsum(col("term"))).as("entropy"))
+      .withColumn("norm_entropy",
+        when(col("n_distinct") > 1,
+          r6(col("entropy") / log(col("n_distinct").cast("double"))))
+          .otherwise(lit(0.0)))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("entropy"), col("norm_entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docEntropySql: String =
+    """WITH tokc AS (
+      |  SELECT doc_id, tok, COUNT(*) AS c
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY doc_id, tok),
+      |tot AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS n_distinct
+      |        FROM tokc GROUP BY doc_id),
+      |terms AS (
+      |  SELECT doc_id, n, n_distinct,
+      |    round((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n), 6) + 0 AS term
+      |  FROM tokc JOIN tot USING (doc_id)),
+      |ent AS (
+      |  SELECT doc_id,
+      |    CAST(max(n) AS BIGINT) AS n_tokens,
+      |    CAST(max(n_distinct) AS BIGINT) AS n_distinct,
+      |    round(-CAST(SUM(CAST(term AS DECIMAL(38,6))) AS DOUBLE), 6) + 0 AS entropy
+      |  FROM terms GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, n_distinct, entropy,
+      |  CASE WHEN n_distinct > 1
+      |       THEN round(entropy / ln(CAST(n_distinct AS DOUBLE)), 6) + 0
+      |       ELSE 0.0 END AS norm_entropy
+      |FROM ent
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_entropy" -> (docEntropy _),
     "approx_percentiles" -> (approxPercentiles _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
     "index_pipeline" -> (indexPipeline _),
@@ -552,6 +607,7 @@ object TextOps {
     "cdc_chunks" -> (cdcChunks _))
 
   val oracles: Map[String, String] = Map(
+    "doc_entropy" -> docEntropySql,
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "text_percentiles" -> textPercentilesSql,
     "token_regex" -> tokenRegexSql,

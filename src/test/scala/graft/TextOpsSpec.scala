@@ -49,6 +49,34 @@ class TextOpsSpec extends AnyFunSuite {
     assert(ordered.take(2) == Seq("he", "th"))
   }
 
+  test("doc entropy: repetition scores near 0, diverse usage near 1, bounds hold") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-entropy").toString
+    Seq(
+      (0L, "spam spam spam spam spam spam spam eggs"),  // heavy repetition
+      (1L, "one two three four five six seven eight"),  // uniform: max entropy
+      (2L, "word word word word word word word word"))  // single word: H = 0
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = TextOps.docEntropy(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    // per-term r6 rounding can shave the last ulp off exact 1.0
+    assert(got(1L)._4 >= 0.999998 && got(1L)._4 <= 1.0,
+      s"uniform usage is log-normalized ~1: $got")
+    assert(got(2L)._3 == 0.0 && got(2L)._4 == 0.0, s"constant doc has zero entropy: $got")
+    assert(got(0L)._4 > 0.0 && got(0L)._4 < got(1L)._4,
+      s"repetitive doc sits strictly between: $got")
+    got.values.foreach { case (n, nd, h, nh) =>
+      assert(n == 8L && h >= 0.0 && nh >= 0.0 && nh <= 1.0, s"bounds: $got")
+      assert(nd <= n)
+    }
+  }
+
   test("approx percentiles track the exact ones within sketch tolerance") {
     val exact = TextOps.textPercentiles(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
