@@ -98,8 +98,15 @@ object Curation {
     * the resulting keep/drop decision. The keep flag compares
     * UNROUNDED doubles — both engines compute the identical ratios of
     * identical integers, so the comparison is bit-deterministic. */
-  def gopherQuality(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
+  def gopherQuality(s: SparkSession, dir: String): DataFrame =
+    gopherScore(t(s, dir, "documents")).orderBy(col("doc_id"))
+
+  /** The gopher scoring on ANY (doc_id, text) relation — ONE
+    * definition shared by the batch query and the streaming twin
+    * ([[graft.streaming.StreamingIndex.curationStream]]), so batch
+    * and stream semantics cannot drift. Map-only (array HOFs, no
+    * shuffle), which is exactly why it streams without state. */
+  def gopherScore(d: DataFrame): DataFrame = {
     val base = d.select(col("doc_id"), col("text"), ws.as("w"))
       .withColumn("n_words", size(col("w")))
     val twf = array_max(transform(array_distinct(col("w")),
@@ -117,7 +124,6 @@ object Curation {
       r6(mwl).as("mean_word_len"),
       (twf <= 0.12 && dupFrac <= 0.1 && mwl >= 3.0 && mwl <= 10.0)
         .cast("int").as("keep"))
-      .orderBy(col("doc_id"))
   }
 
   val gopherQualitySql: String =

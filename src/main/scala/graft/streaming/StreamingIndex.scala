@@ -151,6 +151,20 @@ object StreamingIndex {
       .trigger(Trigger.AvailableNow())
   }
 
+  /** Streaming curation filter — the gopher quality gate applied to a
+    * document stream, scoring and flagging each arriving doc with the
+    * SAME shared column definitions as the batch `gopher_quality`
+    * query ([[graft.ops.Curation.gopherScore]] — one definition,
+    * semantics cannot drift). The scoring is map-only array HOFs, so
+    * the stream needs no state store, no watermark, and no shuffle:
+    * unbounded ingest throughput, the property that makes quality
+    * filtering the FIRST stage of a streaming curation pipeline
+    * (drop early, embed/index only survivors — compose with
+    * [[dedupStream]] and [[chunkEmbedStream]] downstream). Callers
+    * filter `keep = 1` to curate or keep the full scores to audit. */
+  def curationStream(docs: DataFrame): DataFrame =
+    graft.ops.Curation.gopherScore(docs)
+
   /** Streaming anomaly scorer — train-on-history, score-the-stream:
     * watermarked hourly tumbling counts per event type, stream-static
     * joined to a batch-trained stats table (`Events.hourlyStats`),

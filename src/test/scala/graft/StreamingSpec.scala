@@ -171,6 +171,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, s"stream rows ${streamed.size} vs batch ${batch.size}")
   }
 
+  test("curation stream ≡ batch gopher_quality: map-only filter, full row equality") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.ops.Curation.gopherQuality(spark, dir)
+      .collect().map(_.toString).toSeq
+    val src = Files.createTempDirectory("graft-cur-eq").resolve("docs").toString
+    spark.read.parquet(s"$dir/documents.parquet")
+      .write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .parquet(src)
+    val q = StreamingIndex.curationStream(stream)
+      .writeStream.format("memory").queryName("cur_eq").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("SELECT * FROM cur_eq")
+      .orderBy(col("doc_id")).collect().map(_.toString).toSeq
+    // one shared column definition (Curation.gopherScore) → exact
+    // equality, and no state/watermark/shuffle anywhere in the stream
+    assert(streamed == batch, s"stream ${streamed.size} vs batch ${batch.size}")
+    assert(batch.nonEmpty)
+  }
+
   test("funnel stream ≡ batch funnel_steps: per-step user counts on the events fixture") {
     import graft.ops.Events
     import graft.streaming.FunnelStream
