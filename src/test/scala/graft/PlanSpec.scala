@@ -190,6 +190,35 @@ class PlanSpec extends AnyFunSuite {
     assert(hinted.size <= 1, s"only the 1-row total side may be hinted, got: $hinted")
   }
 
+  test("bigram_logprob: map-side bigrams — no cartesian, no static hints on vocab sides") {
+    val df = graft.ops.Retrieval.bigramLogprob(spark, sf)
+    assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    val hinted = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.hint.leftHint.exists(_.strategy.isDefined) ||
+           j.hint.rightHint.exists(_.strategy.isDefined) => j
+    }
+    assert(hinted.isEmpty, s"bigram/left-marginal sides are vocab-sized: $hinted")
+  }
+
+  test("source_kl: no static hints on the vocab-sized marginal joins") {
+    val hinted = graft.ops.Curation.sourceKl(spark, sf)
+      .queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.hint.leftHint.exists(_.strategy.isDefined) ||
+             j.hint.rightHint.exists(_.strategy.isDefined) => j
+      }
+    assert(hinted.size <= 1, s"only the 1-row corpus total may be hinted: $hinted")
+  }
+
+  test("embed_outliers: bounded top-20 via TakeOrderedAndProject, centroid join broadcast") {
+    val plan = graft.ops.Outliers.embedOutliers(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"global sort instead of top-k:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"centroid/stats join must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("q17: supplier side carries no broadcast hint (dim grows with scale factor)") {
     // nation/region are fixed-size dims; supplier is ~SF·10k rows —
     // an explicit hint would pin a ~1B-row broadcast at the 100 TB SF
