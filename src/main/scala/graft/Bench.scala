@@ -18,7 +18,13 @@ object Bench {
     }),
     // bpe_merges is the BPE fitter; its number is the honest cost of
     // the full distributed training loop
-    "bpe_merges" -> ((_, _) => graft.ops.Bpe.clearMergeCache()))
+    "bpe_merges" -> ((_, _) => graft.ops.Bpe.clearMergeCache()),
+    // pca_top2's own cold cost is the second Gram pass + deflation;
+    // the pc1 it deflates by is CONSUMED warm (embed_pca_power's fit)
+    "pca_top2" -> ((s, d) => {
+      graft.ops.Pca.clearFit2Cache()
+      graft.ops.Pca.fittedPc1(s, d); ()
+    }))
   // consumers of a shared fit are timed WARM by contract, regardless
   // of map iteration order or an earlier fitter-query failure
   val warmSetup: Map[String, (SparkSession, String) => Unit] = Map(

@@ -137,40 +137,76 @@ object Pca {
 
   /** Gram build + [[Iters]] power-iteration steps on the driver's
     * dim×dim scalars; returns (unit component, eigenvalue estimate). */
+  /** Bridged Gram cells → the symmetric dim×dim double matrix. */
+  private def gramMatrix(cells: Array[Long]): Array[Array[Double]] = {
+    val G = Array.ofDim[Double](Dim, Dim)
+    var i = 0
+    while (i < Dim) {
+      var j = i
+      while (j < Dim) {
+        // exact decimal (unscaled long, scale 6) → nearest double:
+        // identical to CAST(DECIMAL(38,6) AS DOUBLE) on the old agg
+        val g = java.math.BigDecimal.valueOf(cells(i * Dim + j), 6).doubleValue()
+        G(i)(j) = g
+        G(j)(i) = g
+        j += 1
+      }
+      i += 1
+    }
+    G
+  }
+
+  /** [[Iters]] power-iteration steps from the 1/√dim init — the
+    * driver-side eigen-solve both components share. */
+  private def powerIterate(G: Array[Array[Double]]): (Array[Double], Double) = {
+    var v = Array.fill(Dim)(1.0 / math.sqrt(Dim.toDouble))
+    var lambda = 0.0
+    (1 to Iters).foreach { _ =>
+      // s = G·v, sequential fold ascending j (oracle: list_sum ORDER BY j)
+      val sv = Array.tabulate(Dim) { i =>
+        var acc = 0.0
+        var j = 0
+        while (j < Dim) { acc += G(i)(j) * v(j); j += 1 }
+        acc
+      }
+      var nn = 0.0
+      var i = 0
+      while (i < Dim) { nn += sv(i) * sv(i); i += 1 }
+      lambda = math.sqrt(nn)
+      v = sv.map(x => if (lambda == 0.0) 0.0 else r6d(x / lambda))
+    }
+    (v, r6d(lambda))
+  }
+
   private def fit(s: SparkSession, dir: String): (Array[Double], Double) =
-    fitCache.computeIfAbsent(OpsShared.dirKey(dir), _ => {
-      val cells = gramScaled(s, dir)
-      val G = Array.ofDim[Double](Dim, Dim)
+    fitCache.computeIfAbsent(OpsShared.dirKey(dir), _ =>
+      powerIterate(gramMatrix(gramScaled(s, dir))))
+
+  private val fit2Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Double)]()
+
+  private[graft] def clearFit2Cache(): Unit = fit2Cache.clear()
+
+  /** Second principal component via Hotelling deflation: subtract the
+    * fitted dominant component's rank-1 term λ₁·v₁v₁ᵀ from the Gram
+    * (all on the driver's dim² scalars — the corpus pays only the
+    * Gram passes) and power-iterate the deflated matrix from the same
+    * init. The r6-rounded v₁/λ₁ make the deflation — and therefore
+    * pc2 — bit-replayable in the oracle. */
+  private def fit2(s: SparkSession, dir: String): (Array[Double], Double) =
+    fit2Cache.computeIfAbsent(OpsShared.dirKey(dir), _ => {
+      val (v1, l1) = fit(s, dir)
+      val G = gramMatrix(gramScaled(s, dir))
       var i = 0
       while (i < Dim) {
-        var j = i
+        var j = 0
         while (j < Dim) {
-          // exact decimal (unscaled long, scale 6) → nearest double:
-          // identical to CAST(DECIMAL(38,6) AS DOUBLE) on the old agg
-          val g = java.math.BigDecimal.valueOf(cells(i * Dim + j), 6).doubleValue()
-          G(i)(j) = g
-          G(j)(i) = g
+          G(i)(j) = G(i)(j) - l1 * v1(i) * v1(j)
           j += 1
         }
         i += 1
       }
-      var v = Array.fill(Dim)(1.0 / math.sqrt(Dim.toDouble))
-      var lambda = 0.0
-      (1 to Iters).foreach { _ =>
-        // s = G·v, sequential fold ascending j (oracle: list_sum ORDER BY j)
-        val sv = Array.tabulate(Dim) { i =>
-          var acc = 0.0
-          var j = 0
-          while (j < Dim) { acc += G(i)(j) * v(j); j += 1 }
-          acc
-        }
-        var nn = 0.0
-        var i = 0
-        while (i < Dim) { nn += sv(i) * sv(i); i += 1 }
-        lambda = math.sqrt(nn)
-        v = sv.map(x => if (lambda == 0.0) 0.0 else r6d(x / lambda))
-      }
-      (v, r6d(lambda))
+      powerIterate(G)
     })
 
   /** The fitted unit pc1 (r6-rounded components — bit-identical to
@@ -265,11 +301,51 @@ object Pca {
        |  MIN(p) AS min_proj, MAX(p) AS max_proj
        |FROM proj GROUP BY label ORDER BY label""".stripMargin
 
+  /** Second principal component (Hotelling deflation of the fitted
+    * dominant term) — the next step toward the PCA-truncation /
+    * whitening transform: per dimension `d`, the component `pc2` and
+    * its eigenvalue estimate `lambda2`. */
+  def pcaTop2(s: SparkSession, dir: String): DataFrame = {
+    val (v2, l2) = fit2(s, dir)
+    import s.implicits._
+    v2.zipWithIndex
+      .map { case (c, d) => (d.toLong, c, l2) }.toSeq
+      .toDF("d", "pc2", "lambda2")
+      .orderBy(col("d"))
+  }
+
+  /** Oracle mirror of [[pcaTop2]]: the pc1 chain, the rank-1
+    * deflation as a plain cross of the g/lam/v3 CTEs, then the same
+    * three unrolled power steps on the deflated matrix. */
+  val pcaTop2Sql: String = {
+    def stepOn(n: Int, prev: String): String =
+      s"""t$n AS (
+         |  SELECT g2.i AS i, list_sum(list(g2.gv * $prev.v ORDER BY g2.j)) AS s
+         |  FROM g2 JOIN $prev ON $prev.i = g2.j GROUP BY g2.i),
+         |m$n AS (SELECT sqrt(list_sum(list(s*s ORDER BY i))) AS n FROM t$n),
+         |u$n AS (
+         |  SELECT i, CASE WHEN n = 0 THEN 0.0 ELSE round(s / n, 6) + 0 END AS v
+         |  FROM t$n, m$n)""".stripMargin
+    s"""$pcaCtes,
+       |lam AS (SELECT round(n, 6) + 0 AS l FROM n3),
+       |g2 AS (
+       |  SELECT g.i AS i, g.j AS j, g.g - lam.l * vi.v * vj.v AS gv
+       |  FROM g, lam, v3 vi, v3 vj
+       |  WHERE vi.i = g.i AND vj.i = g.j),
+       |${stepOn(1, "v0")},
+       |${stepOn(2, "u1")},
+       |${stepOn(3, "u2")}
+       |SELECT u3.i AS d, u3.v AS pc2, round(m3.n, 6) + 0 AS lambda2
+       |FROM u3, m3 ORDER BY d""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_pca_power" -> (embedPcaPower _),
-    "pca_projection" -> (pcaProjection _))
+    "pca_projection" -> (pcaProjection _),
+    "pca_top2" -> (pcaTop2 _))
 
   val oracles: Map[String, String] = Map(
     "embed_pca_power" -> embedPcaPowerSql,
-    "pca_projection" -> pcaProjectionSql)
+    "pca_projection" -> pcaProjectionSql,
+    "pca_top2" -> pcaTop2Sql)
 }

@@ -44,6 +44,38 @@ class PcaSpec extends AnyFunSuite {
     assert(math.abs(nrm - 1.0) < 1e-3, s"norm $nrm")
   }
 
+  test("pca_top2: deflation recovers a planted SECOND direction, orthogonal to pc1") {
+    // plant axis 5 as the clear second-variance direction on top of
+    // the fixture's dominant axis 0
+    val d = Files.createTempDirectory("graft-pca2").toString
+    val rows = (0 until 200).map { n =>
+      val v = new Array[Float](Pca.Dim)
+      v(0) = (3.0f + (n % 7) * 0.5f) * (if (n % 2 == 0) 1f else -1f)
+      v(5) = (1.5f + (n % 5) * 0.2f) * (if (n % 4 < 2) 1f else -1f)
+      var k = 1
+      while (k < Pca.Dim) {
+        if (k != 5) v(k) = ((n * 31 + k * 17) % 13 - 6) * 0.01f
+        k += 1
+      }
+      (n.toLong, v.toSeq, n % 3)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val pc1 = Pca.embedPcaPower(spark, d).collect()
+      .sortBy(_.getLong(0)).map(_.getDouble(1))
+    val got2 = Pca.pcaTop2(spark, d).collect()
+    val pc2 = got2.sortBy(_.getLong(0)).map(_.getDouble(1))
+    val l2 = got2.head.getDouble(2)
+    assert(l2 > 0.0)
+    assert(math.abs(pc2(5)) > 0.95, s"pc2 must recover axis 5: ${pc2.toSeq}")
+    assert(math.abs(pc2(0)) < 0.1, s"pc2 must not re-find axis 0: ${pc2.toSeq}")
+    // 3 fixed power iterations leave pc1 slightly unconverged, so the
+    // deflation residual bounds orthogonality at ~|Δpc1|, not 0
+    val dot = pc1.zip(pc2).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot) < 0.05, s"components must be near-orthogonal: $dot")
+  }
+
   test("deterministic across cold runs (long-scaled Gram is partition-order-free)") {
     Pca.clearFitCache()
     val a = Pca.embedPcaPower(spark, dir).collect().map(r => (r.getLong(0), r.getDouble(1)))
