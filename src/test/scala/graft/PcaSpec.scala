@@ -123,4 +123,15 @@ class PcaSpec extends AnyFunSuite {
     assert(Pca.gramPasses.get() == passes,
       "pca_projection re-ran the distributed Gram instead of reading the memo")
   }
+
+  test("pca_top2 shares the Gram: one corpus pass serves both components") {
+    Pca.clearFitCache()
+    Pca.clearFit2Cache()
+    Pca.embedPcaPower(spark, dir).collect()
+    val passes = Pca.gramPasses.get()
+    val got = Pca.pcaTop2(spark, dir).collect()
+    assert(got.nonEmpty)
+    assert(Pca.gramPasses.get() == passes,
+      "pca_top2 re-ran the distributed Gram instead of deflating the shared one")
+  }
 }
