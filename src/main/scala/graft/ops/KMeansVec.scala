@@ -414,6 +414,79 @@ object KMeansVec {
 
   val ivfTopKSql: String = ivfTopKSqlWhere("")
 
+  /** Distributed multi-query IVF probe search — the serving-batch
+    * form (the reference's store accepts a LIST of query embeddings;
+    * this is that shape against the IVF layout): per-query probe
+    * cells come from a map-side ranking against the broadcast
+    * centroid table (k·dim doubles in the closure — never a corpus
+    * shuffle), each query then scans ONLY its probed cells via one
+    * equi-join on the cell id, and per-query top-k is a bounded rank
+    * window. NOTHING is per-query driver work — 3 queries here, a
+    * million-query batch at scale, same plan. Query set = the
+    * [[VectorQueries.knnBatch]] convention (vec_id < 3 are queries,
+    * the rest corpus). */
+  def ivfBatchTopK(s: SparkSession, dir: String, k: Int = 3, nProbe: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.{cosineDist, r6}
+    val e = t(s, dir, "embeddings")
+    val (centroids, assigned) = fit(s, dir, K, iters = 1)
+    val probeUdf = udf { (qe: Seq[Float]) =>
+      val q = qe.toArray
+      centroids.zipWithIndex
+        .map { case (c, i) => (OpsShared.cosineDistTo(q, c), i) }
+        .sortBy(p => (p._1, p._2)).take(nProbe).map(_._2)
+    }
+    val qprobes = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .withColumn("cluster", explode(probeUdf(col("qe"))))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
+    assigned.filter(col("vec_id") >= 3)
+      .withColumn("cluster", col("cluster").cast("int"))
+      .join(broadcast(qprobes), "cluster")
+      .withColumn("dist", r6(cosineDist(col("embedding"), col("qe"))))
+      .filter(!isnan(col("dist")) && col("dist").isNotNull)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn"), col("vec_id"), col("dist"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  /** Oracle mirror of [[ivfBatchTopK]]: the same init/assign CTEs,
+    * per-query probe ranking as a window over the query×centroid
+    * cross (3×k rows), then the probed-cell scan + per-query rank. */
+  val ivfBatchTopKSql: String =
+    s"""WITH $initCte,
+       |${assignCte(1)},
+       |qs AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
+       |pr AS (
+       |  SELECT query_id, cluster FROM (
+       |    SELECT q.query_id, c.cluster,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        1.0 - list_sum(list_transform(range(1, len(q.qe) + 1),
+       |              i -> c.emb[i] * CAST(q.qe[i] AS DOUBLE)))
+       |            / (sqrt(list_sum(list_transform(c.emb, v -> v * v)))
+       |               * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))),
+       |        c.cluster) AS pn
+       |    FROM c0 c, qs q)
+       |  WHERE pn <= 3),
+       |scored AS (
+       |  SELECT q.query_id, a.vec_id,
+       |    round(1.0 - list_sum(list_transform(range(1, len(a.embedding) + 1),
+       |              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+       |          / (sqrt(${xx("a.embedding")})
+       |             * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) + 0 AS dist
+       |  FROM a1 a
+       |  JOIN pr ON pr.cluster = a.cluster
+       |  JOIN qs q ON q.query_id = pr.query_id
+       |  WHERE a.vec_id >= 3)
+       |SELECT query_id, CAST(rn AS BIGINT) AS rn, vec_id, dist
+       |FROM (SELECT query_id, vec_id, dist,
+       |             row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+       |      FROM scored
+       |      WHERE dist IS NOT NULL AND NOT isnan(dist))
+       |WHERE rn <= 3
+       |ORDER BY query_id, rn""".stripMargin
+
   /** Oracle mirror of [[ivfFilteredTopK]] — the same probe replay
     * with the metadata predicate inside the probed cells. */
   val ivfFilteredTopKSql: String =
@@ -478,11 +551,13 @@ object KMeansVec {
     "kmeans_clusters" -> (clusterProfile _),
     "semantic_dedup" -> (semanticDedup _),
     "ann_ivf_topk" -> ((s, d) => ivfTopK(s, d)),
+    "ann_ivf_batch" -> ((s, d) => ivfBatchTopK(s, d)),
     "ann_filtered_topk" -> ((s, d) => ivfFilteredTopK(s, d)))
 
   val oracles: Map[String, String] = Map(
     "kmeans_clusters" -> clusterProfileSql,
     "semantic_dedup" -> semanticDedupSql,
     "ann_ivf_topk" -> ivfTopKSql,
+    "ann_ivf_batch" -> ivfBatchTopKSql,
     "ann_filtered_topk" -> ivfFilteredTopKSql)
 }

@@ -46,6 +46,25 @@ class KMeansSpec extends AnyFunSuite {
     assert(got === inline, "indexed probe search must equal inline IVF")
   }
 
+  test("ivf batch search: 3 queries, deterministic, per-rank dominated by exact batch") {
+    val b1 = KMeansVec.ivfBatchTopK(spark, sf).collect()
+    val b2 = KMeansVec.ivfBatchTopK(spark, sf).collect()
+    assert(b1.map(_.toSeq).toSeq == b2.map(_.toSeq).toSeq, "deterministic")
+    assert(b1.map(_.getLong(0)).distinct.sorted.toSeq == Seq(0L, 1L, 2L))
+    val exact = graft.ops.VectorQueries.knnBatch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    b1.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val ds = rows.sortBy(_.getLong(1)).map(_.getDouble(3)).toSeq
+      assert(ds == ds.sorted, s"query $q not ascending: $ds")
+      // probing a subset can only lose candidates: per rank, the IVF
+      // distance is >= the exact batch distance
+      ds.zipWithIndex.foreach { case (d, i) =>
+        exact.get((q, i + 1L)).foreach(ed =>
+          assert(d >= ed - 1e-12, s"query $q rank ${i + 1}: ivf $d < exact $ed"))
+      }
+    }
+  }
+
   test("ivf probe search: k sorted rows, deterministic, rank-dominated by exact knn") {
     val ivf1 = KMeansVec.ivfTopK(spark, sf).collect()
     val ivf2 = KMeansVec.ivfTopK(spark, sf).collect()
