@@ -116,6 +116,66 @@ object GraphAnn {
       .limit(k)
   }
 
+  /** Distributed multi-query graph search — the serving-batch form:
+    * each shard's NSW graph is built ONCE and searched for EVERY
+    * query in the batch (the batch rides a broadcast — queries × dim
+    * floats, never a corpus shuffle), then one exact rescore + a
+    * bounded per-query rank window merges the k·shards candidates per
+    * query. Build cost amortizes across the whole batch, which is
+    * precisely why serving stacks batch their queries; nothing is
+    * per-query driver work. Query set = the
+    * [[VectorQueries.knnBatch]] convention (vec_id < 3 are queries,
+    * the rest corpus), so exact batch kNN is the oracle — recall 1.0
+    * at the registered settings, the single-query gate. */
+  def annGraphBatchTopk(
+      s: SparkSession, dir: String, k: Int = 3,
+      shards: Option[Int] = None): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.t(s, dir, "embeddings")
+    val qRows = e.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+      .map { case (i, v) => (i, v.toArray) }
+      .filter(_._2.exists(_ != 0f))
+    val kk = k
+    val nShards = shards.getOrElse(shardsFor(e.count()))
+    val qsB = s.sparkContext.broadcast(qRows)
+    val candidates = e.filter(col("vec_id") >= 3)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<float>"))
+      .as[(Long, Int, Seq[Float])]
+      .repartition(nShards, col("vec_id"))
+      .mapPartitions { it =>
+        val rows = it.toArray.sortBy(_._1)
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val vecs = rows.map(_._3.toArray)
+          val keep = rows.indices.filter(i => vecs(i).exists(_ != 0f)).toArray
+          if (keep.isEmpty) Iterator.empty
+          else {
+            val g = build(keep.map(vecs))
+            qsB.value.iterator.flatMap { case (qid, q) =>
+              g.search(q, math.max(EfSearch, kk)).take(kk).iterator.map { i =>
+                val r = rows(keep(i))
+                (qid, r._1, r._2, r._3)
+              }
+            }
+          }
+        }
+      }
+      .toDF("query_id", "vec_id", "label", "embedding")
+    val qDf = qRows.toSeq.map { case (i, v) => (i, v.toSeq) }.toDF("query_id", "qe")
+      .select(col("query_id"), col("qe").cast("array<float>").as("qe"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
+    candidates.join(broadcast(qDf), "query_id")
+      .withColumn("dist", r6(cosineDist(col("embedding"), col("qe"))))
+      .filter(!isnan(col("dist")) && col("dist").isNotNull)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= kk)
+      .select(col("query_id"), col("rn"), col("vec_id"), col("dist"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
   // ----------------------------------------------------------- graph
 
   /** One partition's NSW graph over `vecs` (local indices 0..n-1).
@@ -365,12 +425,15 @@ object GraphAnn {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ann_graph_topk" -> ((s, d) => annGraphTopk(s, d)))
+    "ann_graph_topk" -> ((s, d) => annGraphTopk(s, d)),
+    "ann_graph_batch" -> ((s, d) => annGraphBatchTopk(s, d)))
 
   /** Exact-kNN oracle: at the registered (M, ef, shards) the merged
     * candidate set provably contains the true top-5 on the fixtures
     * (GraphAnnSpec recall sweep), so the approximate plan must emit
-    * exactly the exact answer — the `ann_lsh_topk` gate pattern. */
+    * exactly the exact answer — the `ann_lsh_topk` gate pattern.
+    * The batch query takes the exact BATCH kNN oracle the same way. */
   val oracles: Map[String, String] = Map(
-    "ann_graph_topk" -> VectorQueries.knnTopkSql)
+    "ann_graph_topk" -> VectorQueries.knnTopkSql,
+    "ann_graph_batch" -> VectorQueries.knnBatchSql)
 }

@@ -28,6 +28,16 @@ class GraphAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("batch search: every query's rows equal exact batch kNN, on all fixtures") {
+    dirs.foreach { dir =>
+      val exact = VectorQueries.knnBatch(spark, dir).collect().map(_.toSeq).toSeq
+      val approx = GraphAnn.annGraphBatchTopk(spark, dir).collect()
+        .map(r => Seq(r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      val exactRows = exact.map(s => Seq(s(0), s(1), s(2), s(3)))
+      assert(approx == exactRows, s"batch graph ANN diverged from exact at $dir")
+    }
+  }
+
   test("deterministic across runs and input partitionings") {
     val dir = dirs.head
     val a = GraphAnn.annGraphTopk(spark, dir).collect().toSeq
