@@ -116,58 +116,130 @@ object GraphAnn {
       .limit(k)
   }
 
+  /** Query batches at or below this many rows ride the driver-collect
+    * + torrent-broadcast path (10k × 64-dim float queries ≈ 3 MB —
+    * one cheap replication, and the corpus never shuffles twice).
+    * Above the cap the batch is NEVER collected: queries fan out to
+    * every shard through a cogroup shuffle instead, so driver and
+    * per-executor memory stay flat however large the batch grows.
+    * The fan-out (queries × shards rows in flight) is inherent to
+    * shard-local graph ANN — like Lucene, every segment's graph must
+    * see every query — and a shuffle spreads that cost across the
+    * cluster where a broadcast would concentrate it on every
+    * executor's heap. */
+  val BatchQueryBroadcastCap = 10000L
+
   /** Distributed multi-query graph search — the serving-batch form:
     * each shard's NSW graph is built ONCE and searched for EVERY
-    * query in the batch (the batch rides a broadcast — queries × dim
-    * floats, never a corpus shuffle), then one exact rescore + a
-    * bounded per-query rank window merges the k·shards candidates per
-    * query. Build cost amortizes across the whole batch, which is
-    * precisely why serving stacks batch their queries; nothing is
-    * per-query driver work. Query set = the
-    * [[VectorQueries.knnBatch]] convention (vec_id < 3 are queries,
-    * the rest corpus), so exact batch kNN is the oracle — recall 1.0
-    * at the registered settings, the single-query gate. */
+    * query in the batch, then one exact rescore + a bounded per-query
+    * rank window merges the k·shards candidates per query. Build cost
+    * amortizes across the whole batch, which is precisely why serving
+    * stacks batch their queries; nothing is per-query driver work.
+    *
+    * Two size-gated regimes for HOW queries reach the shard tasks
+    * (identical results, asserted in GraphAnnSpec; the above-cap plan
+    * is pinned broadcast-free in PlanSpec):
+    *  - ≤ [[BatchQueryBroadcastCap]] rows: collect + one torrent
+    *    broadcast (bounded by the cap; the broadcast's lifetime is
+    *    tied to the returned plan — the ContextCleaner reclaims it
+    *    when the plan is garbage-collected, the localCheckpoint
+    *    convention).
+    *  - above the cap: the batch stays distributed — each query row
+    *    is exploded to one (shard, query) pair and cogrouped with the
+    *    corpus on the shard key (the SAME `pmod(hash(vec_id), n)`
+    *    assignment `repartition` uses, so the per-shard graphs are
+    *    identical), each shard task builds its graph once and streams
+    *    the query iterator through it. Per-task memory = one shard +
+    *    one query at a time.
+    *
+    * Query set = the [[VectorQueries.knnBatch]] convention (vec_id <
+    * 3 are queries, the rest corpus), so exact batch kNN is the
+    * oracle — recall 1.0 at the registered settings, the single-query
+    * gate. */
   def annGraphBatchTopk(
       s: SparkSession, dir: String, k: Int = 3,
-      shards: Option[Int] = None): DataFrame = {
+      shards: Option[Int] = None,
+      broadcastCap: Long = BatchQueryBroadcastCap): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val e = Tables.t(s, dir, "embeddings")
-    val qRows = e.filter(col("vec_id") < 3)
-      .select(col("vec_id"), col("embedding").cast("array<float>"))
-      .as[(Long, Seq[Float])].collect().sortBy(_._1)
-      .map { case (i, v) => (i, v.toArray) }
-      .filter(_._2.exists(_ != 0f))
     val kk = k
     val nShards = shards.getOrElse(shardsFor(e.count()))
-    val qsB = s.sparkContext.broadcast(qRows)
-    val candidates = e.filter(col("vec_id") >= 3)
+    val corpus = e.filter(col("vec_id") >= 3)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<float>"))
       .as[(Long, Int, Seq[Float])]
-      .repartition(nShards, col("vec_id"))
-      .mapPartitions { it =>
-        val rows = it.toArray.sortBy(_._1)
-        if (rows.isEmpty) Iterator.empty
-        else {
-          val vecs = rows.map(_._3.toArray)
-          val keep = rows.indices.filter(i => vecs(i).exists(_ != 0f)).toArray
-          if (keep.isEmpty) Iterator.empty
-          else {
-            val g = build(keep.map(vecs))
-            qsB.value.iterator.flatMap { case (qid, q) =>
-              g.search(q, math.max(EfSearch, kk)).take(kk).iterator.map { i =>
-                val r = rows(keep(i))
-                (qid, r._1, r._2, r._3)
+    val nQ = e.filter(col("vec_id") < 3).count()
+    val withQe: DataFrame =
+      if (nQ <= broadcastCap) {
+        val qRows = e.filter(col("vec_id") < 3)
+          .select(col("vec_id"), col("embedding").cast("array<float>"))
+          .as[(Long, Seq[Float])].collect().sortBy(_._1)
+          .map { case (i, v) => (i, v.toArray) }
+          .filter(_._2.exists(_ != 0f))
+        val qsB = s.sparkContext.broadcast(qRows)
+        val candidates = corpus
+          .repartition(nShards, col("vec_id"))
+          .mapPartitions { it =>
+            val rows = it.toArray.sortBy(_._1)
+            if (rows.isEmpty) Iterator.empty
+            else {
+              val vecs = rows.map(_._3.toArray)
+              val keep = rows.indices.filter(i => vecs(i).exists(_ != 0f)).toArray
+              if (keep.isEmpty) Iterator.empty
+              else {
+                val g = build(keep.map(vecs))
+                qsB.value.iterator.flatMap { case (qid, q) =>
+                  g.search(q, math.max(EfSearch, kk)).take(kk).iterator.map { i =>
+                    val r = rows(keep(i))
+                    (qid, r._1, r._2, r._3)
+                  }
+                }
               }
             }
           }
-        }
+          .toDF("query_id", "vec_id", "label", "embedding")
+        val qDf = qRows.toSeq.map { case (i, v) => (i, v.toSeq) }.toDF("query_id", "qe")
+          .select(col("query_id"), col("qe").cast("array<float>").as("qe"))
+        candidates.join(broadcast(qDf), "query_id")
+      } else {
+        // distributed query side: explode each query to its (shard,
+        // query) fan-out rows, cogroup with the corpus on the shard
+        // key. hash() IS the Murmur3 repartition hash, so membership
+        // matches the broadcast path bit-for-bit.
+        val cKV = corpus
+          .withColumn("shard", pmod(hash(col("vec_id")), lit(nShards)).cast("int"))
+          .as[(Long, Int, Seq[Float], Int)]
+          .groupByKey(_._4)
+        val qKV = e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").cast("array<float>").as("qe"))
+          .withColumn("shard", explode(sequence(lit(0), lit(nShards - 1))))
+          .as[(Long, Seq[Float], Int)]
+          .groupByKey(_._3)
+        cKV.cogroup(qKV) { (_, cIt, qIt) =>
+          val rows = cIt.map(r => (r._1, r._2, r._3)).toArray.sortBy(_._1)
+          if (rows.isEmpty) Iterator.empty
+          else {
+            val vecs = rows.map(_._3.toArray)
+            val keep = rows.indices.filter(i => vecs(i).exists(_ != 0f)).toArray
+            if (keep.isEmpty) Iterator.empty
+            else {
+              val g = build(keep.map(vecs))
+              // queries STREAM through: never materialized per task
+              qIt.flatMap { case (qid, qe, _) =>
+                val q = qe.toArray
+                if (!q.exists(_ != 0f)) Iterator.empty
+                else g.search(q, math.max(EfSearch, kk)).take(kk).iterator.map { i =>
+                  val r = rows(keep(i))
+                  (qid, r._1, r._2, r._3, qe)
+                }
+              }
+            }
+          }
+        }.toDF("query_id", "vec_id", "label", "embedding", "qe")
       }
-      .toDF("query_id", "vec_id", "label", "embedding")
-    val qDf = qRows.toSeq.map { case (i, v) => (i, v.toSeq) }.toDF("query_id", "qe")
-      .select(col("query_id"), col("qe").cast("array<float>").as("qe"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
-    candidates.join(broadcast(qDf), "query_id")
+    withQe
       .withColumn("dist", r6(cosineDist(col("embedding"), col("qe"))))
       .filter(!isnan(col("dist")) && col("dist").isNotNull)
       .withColumn("rn", row_number().over(w).cast("long"))

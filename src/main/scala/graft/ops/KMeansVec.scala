@@ -414,6 +414,16 @@ object KMeansVec {
 
   val ivfTopKSql: String = ivfTopKSqlWhere("")
 
+  /** Query batches at or below this many rows ride an explicit
+    * broadcast hint on the probe side (the right default: the CORPUS
+    * side must never shuffle for a serving batch, and a bounded batch
+    * is cheap to replicate — 100k × 64-dim float queries ≈ 30 MB per
+    * executor). Above the cap the hint is DROPPED and the probe join
+    * runs as a plain equi-join: AQE picks the strategy from the
+    * measured size, so a million-query batch degrades to a shuffle
+    * join instead of a multi-GB per-executor broadcast. */
+  val BatchBroadcastCap = 100000L
+
   /** Distributed multi-query IVF probe search — the serving-batch
     * form (the reference's store accepts a LIST of query embeddings;
     * this is that shape against the IVF layout): per-query probe
@@ -422,10 +432,18 @@ object KMeansVec {
     * shuffle), each query then scans ONLY its probed cells via one
     * equi-join on the cell id, and per-query top-k is a bounded rank
     * window. NOTHING is per-query driver work — 3 queries here, a
-    * million-query batch at scale, same plan. Query set = the
+    * million-query batch at scale, same plan shape; only the join
+    * strategy shifts at [[BatchBroadcastCap]] (explicit broadcast
+    * below — fixture-deterministic, corpus never moves — plain
+    * equi-join above, AQE deciding; both regimes return identical
+    * rows, asserted in KMeansSpec, and the above-cap plan is pinned
+    * hint-free in PlanSpec). Query set = the
     * [[VectorQueries.knnBatch]] convention (vec_id < 3 are queries,
-    * the rest corpus). */
-  def ivfBatchTopK(s: SparkSession, dir: String, k: Int = 3, nProbe: Int = 3): DataFrame = {
+    * the rest corpus); the gate's query count is one metadata-cheap
+    * pushdown-filtered count of that tiny slice. */
+  def ivfBatchTopK(
+      s: SparkSession, dir: String, k: Int = 3, nProbe: Int = 3,
+      broadcastCap: Long = BatchBroadcastCap): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.VectorFunctions.{cosineDist, r6}
     val e = t(s, dir, "embeddings")
@@ -439,10 +457,12 @@ object KMeansVec {
     val qprobes = e.filter(col("vec_id") < 3)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       .withColumn("cluster", explode(probeUdf(col("qe"))))
+    val nQ = e.filter(col("vec_id") < 3).count()
+    val probeSide = if (nQ <= broadcastCap) broadcast(qprobes) else qprobes
     val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
     assigned.filter(col("vec_id") >= 3)
       .withColumn("cluster", col("cluster").cast("int"))
-      .join(broadcast(qprobes), "cluster")
+      .join(probeSide, "cluster")
       .withColumn("dist", r6(cosineDist(col("embedding"), col("qe"))))
       .filter(!isnan(col("dist")) && col("dist").isNotNull)
       .withColumn("rn", row_number().over(w).cast("long"))

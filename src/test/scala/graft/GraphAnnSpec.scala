@@ -38,6 +38,19 @@ class GraphAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("batch search: above-cap cogroup regime returns exactly the broadcast-path rows") {
+    // broadcastCap = 0 forces the distributed query side (the path a
+    // million-row batch takes); the two regimes must be row-identical
+    // on every fixture — the gate changes HOW queries travel, not
+    // graph membership or ranking
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+      val viaBroadcast = GraphAnn.annGraphBatchTopk(spark, dir).collect().toSeq
+      val viaCogroup = GraphAnn.annGraphBatchTopk(spark, dir, broadcastCap = 0)
+        .collect().toSeq
+      assert(viaCogroup == viaBroadcast, s"regimes diverged at $dir")
+    }
+  }
+
   test("deterministic across runs and input partitionings") {
     val dir = dirs.head
     val a = GraphAnn.annGraphTopk(spark, dir).collect().toSeq

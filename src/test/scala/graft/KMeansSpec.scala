@@ -65,6 +65,16 @@ class KMeansSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf batch search: above-cap un-hinted regime returns exactly the hinted rows") {
+    // broadcastCap = 0 drops the probe-side hint (the plan a
+    // million-query batch runs, AQE choosing the join); only the join
+    // strategy may change, never the rows
+    val hinted = KMeansVec.ivfBatchTopK(spark, sf).collect().map(_.toSeq).toSeq
+    val unhinted = KMeansVec.ivfBatchTopK(spark, sf, broadcastCap = 0)
+      .collect().map(_.toSeq).toSeq
+    assert(unhinted == hinted, "gated regimes diverged")
+  }
+
   test("ivf probe search: k sorted rows, deterministic, rank-dominated by exact knn") {
     val ivf1 = KMeansVec.ivfTopK(spark, sf).collect()
     val ivf2 = KMeansVec.ivfTopK(spark, sf).collect()

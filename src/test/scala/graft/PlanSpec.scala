@@ -231,6 +231,31 @@ class PlanSpec extends AnyFunSuite {
     assert(hinted.isEmpty, s"no join in q17 may carry a static hint, got: $hinted")
   }
 
+  test("ann_ivf_batch: probe-side broadcast is size-gated — un-hinted plan above the cap") {
+    def hints(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.hint.leftHint.exists(_.strategy.isDefined) ||
+             j.hint.rightHint.exists(_.strategy.isDefined) => j
+      }
+    // below the cap (fixture: 3 queries) the explicit hint is the
+    // deliberate, bounded choice — exactly one hinted join
+    assert(hints(graft.ops.KMeansVec.ivfBatchTopK(spark, sf)).size == 1)
+    // above the cap the hint must vanish so AQE picks the strategy
+    // from the measured batch size (driver-OOM guard at serving scale)
+    assert(hints(graft.ops.KMeansVec.ivfBatchTopK(spark, sf, broadcastCap = 0)).isEmpty,
+      "query-batch side must not carry a static hint above the cap")
+  }
+
+  test("ann_graph_batch above the cap: no broadcast anywhere, no cartesian") {
+    val plan = graft.ops.GraphAnn.annGraphBatchTopk(spark, sf, broadcastCap = 0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"), s"plan: $plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan: $plan")
+    assert(!plan.contains("BroadcastExchange"), s"plan: $plan")
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+  }
+
   test("ann_graph_topk: one shard exchange, candidates merge via TakeOrdered — no global sort") {
     val plan = graft.ops.GraphAnn.annGraphTopk(spark, sf)
       .queryExecution.executedPlan.toString
