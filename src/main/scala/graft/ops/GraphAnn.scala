@@ -452,6 +452,45 @@ object GraphAnn {
       .write.mode("overwrite").partitionBy("shard").parquet(outPath)
   }
 
+  /** Segment shards currently in the index — ONE file-status listing
+    * of the `shard=N/` partition dirs (metadata-cheap on any Hadoop
+    * filesystem; no data is read), so the merge-policy check costs
+    * nothing even at 100 TB. */
+  private[graft] def segmentCount(s: SparkSession, indexPath: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).count(st => st.isDirectory && st.getPath.getName.startsWith("shard="))
+  }
+
+  /** Default compaction threshold. Search cost is linear in segment
+    * count (every shard's graph answers every query — the Lucene
+    * many-small-segments tax), so the policy bounds it: steady small
+    * appends accumulate up to this many segments before one merge
+    * re-shards everything back to [[shardsFor]]'s derived count. */
+  val DefaultMaxSegments = 64
+
+  /** The merge-policy half of the maintenance story — [[appendGraphIndex]]
+    * grows segments without bound; THIS decides when to merge (the
+    * Lucene `MergePolicy` analog, one knob): count the current
+    * segment shards (cheap listing) and, past `maxSegments`, run
+    * [[compactGraphIndex]] into `outPath` as a fresh generation.
+    * Returns true when a compaction ran — the caller (the periodic
+    * maintenance job; see [[graft.streaming.StreamingIndex.annAppendStream]])
+    * then swaps its live pointer to `outPath` and retires the old
+    * generation once in-flight queries drain. The swap is BY POINTER,
+    * never in place: overwriting an input mid-read is illegal, and at
+    * 100 TB the old generation must stay queryable until the new one
+    * is complete. */
+  def maintainGraphIndex(
+      s: SparkSession, indexPath: String, outPath: String,
+      maxSegments: Int = DefaultMaxSegments): Boolean = {
+    val nSeg = segmentCount(s, indexPath)
+    if (nSeg > maxSegments) {
+      compactGraphIndex(s, indexPath, outPath)
+      true
+    } else false
+  }
+
   /** Query a materialized graph index: NO construction — each task
     * reassembles its shards' adjacency from the persisted rows and
     * runs the same beam search, then the global exact-rescored merge.

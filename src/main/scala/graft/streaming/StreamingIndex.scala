@@ -107,15 +107,25 @@ object StreamingIndex {
     * [[graft.ops.KMeansVec.appendIvfIndex]] assigns it against the
     * frozen coarse centroids — so searches see new vectors without a
     * full index rebuild, the same continuous-ingest contract the
-    * flat-index upsert above gives the chunk store. Periodic
-    * [[graft.ops.GraphAnn.compactGraphIndex]] merges accumulated
-    * segments (run it from the same maintenance job that retrains
-    * codebooks). `maxFilesPerTrigger` bounds a backlog. Delivery is
-    * the standard foreachBatch at-least-once: checkpointed source
-    * offsets never re-read a processed file in normal operation, but
-    * a crash BETWEEN the two appends can replay a batch — a
-    * production deployment makes the sink idempotent by keying
-    * segment paths on the micro-batch id and overwriting. */
+    * flat-index upsert above gives the chunk store.
+    * [[graft.ops.GraphAnn.maintainGraphIndex]] is the merge policy
+    * that bounds segment accumulation — run it from the same periodic
+    * maintenance job that retrains codebooks, swapping the live
+    * pointer when it reports a compaction. `maxFilesPerTrigger`
+    * bounds a backlog.
+    *
+    * Delivery caveat (applies to EVERY append sink here —
+    * `appendGraphIndex` / `appendPqIndex` / `appendIvfIndex` /
+    * `appendIvfPqIndex` / `appendSqIndex`): foreachBatch is
+    * at-least-once. Checkpointed source offsets never re-read a
+    * processed file in normal operation, but a crash BETWEEN the
+    * appends can replay a batch, and the appends themselves assume
+    * batch vec_ids are new — a replay would duplicate rows in the
+    * materialized indexes. A production deployment makes the sink
+    * idempotent by keying each segment/file path on the micro-batch
+    * id and overwriting (replay then rewrites the same paths), or by
+    * anti-joining the batch against the probed partitions before
+    * appending. */
   def annAppendStream(
       spark: SparkSession,
       inDir: String,

@@ -72,6 +72,40 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(a == b, "compaction must not change answers")
   }
 
+  test("graph index: merge policy — no-op below maxSegments, auto-compacts past it") {
+    val tmp = Files.createTempDirectory("graft-inc-mp")
+    val inc = tmp.resolve("inc").toString
+    GraphAnn.writeGraphIndex(spark, halfDir, inc)
+    def segs(p: String) = new java.io.File(p).listFiles()
+      .count(_.getName.startsWith("shard="))
+    val base = segs(inc)
+    // K small appends, each landing as its own fresh segment
+    Seq(
+      laterBatch.filter(col("vec_id") < 150),
+      laterBatch.filter(col("vec_id") >= 150 && col("vec_id") < 300),
+      laterBatch.filter(col("vec_id") >= 300))
+      .foreach(b => GraphAnn.appendGraphIndex(spark, inc, b))
+    val grown = segs(inc)
+    assert(grown == base + 3, s"expected $base+3 segments, got $grown")
+    val gen2 = tmp.resolve("gen2").toString
+    // at or below the threshold: policy must NOT touch anything
+    assert(!GraphAnn.maintainGraphIndex(spark, inc, gen2, maxSegments = grown))
+    assert(!new java.io.File(gen2).exists(), "no-op must not write a generation")
+    // past it: compaction runs into the fresh generation, merged back
+    // to the derived shard count, with unchanged answers
+    assert(GraphAnn.maintainGraphIndex(spark, inc, gen2, maxSegments = grown - 1))
+    val merged = segs(gen2)
+    assert(merged <= GraphAnn.Shards, s"compaction left $merged segments")
+    val q = queryVec
+    val full = tmp.resolve("full").toString
+    GraphAnn.writeGraphIndex(spark, dir, full)
+    val gen2Res = GraphAnn.graphSearchIndexed(spark, gen2, q).collect().toSeq
+    val fullRes = GraphAnn.graphSearchIndexed(spark, full, q).collect().toSeq
+    assert(gen2Res == fullRes, "maintained generation must equal a bulk rebuild")
+    val exact = VectorQueries.knnTopkK(spark, dir, 5).collect().map(_.getLong(0)).toSeq
+    assert(gen2Res.map(_.getLong(0)) == exact, "maintained generation must answer exactly")
+  }
+
   test("pq index: frozen-codebook append is bit-identical to one-pass bulk encode") {
     val tmp = Files.createTempDirectory("graft-inc-pq")
     val inc = tmp.resolve("inc").toString
