@@ -38,8 +38,22 @@ import org.apache.spark.sql.functions._
 object Bpe {
   import Tables.t
 
-  /** Merge rounds — one argmax merge per round, the Sennrich loop. */
+  /** Merge rounds for the REGISTERED queries — one argmax merge per
+    * round, the Sennrich loop. Training itself is parameterized
+    * ([[trainedMergesN]]): a real tokenizer run raises this to 30k+,
+    * which the lineage checkpointing below is sized for. */
   val Rounds = 4
+
+  /** Truncate the `words` lineage every this many rounds. Each round
+    * stacks one merge UDF on the symbol column, so an unchecked
+    * 30k-merge run grows the plan tree and task closures without
+    * bound until the driver chokes on analysis alone. A
+    * `localCheckpoint` every N rounds keeps plan depth O(N) at the
+    * cost of rounds/N vocab-sized materializations; superseded
+    * checkpoints are released the moment their successor lands (the
+    * [[Dedup.componentsDistributed]] hygiene pattern), so exactly one
+    * vocab-sized block set is ever retained. */
+  val CheckpointEvery = 8
 
   /** Session memo for the trained merge list (the Pca.fit / Pq
     * codebook convention, same file-fingerprint invalidation):
@@ -78,35 +92,65 @@ object Bpe {
       .select(explode(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
 
-  /** Run the training rounds; stops early if the corpus runs out of
-    * adjacent pairs (each round's argmax then has no input). */
+  /** Run the registered [[Rounds]] training rounds (memoized). */
   def trainedMerges(s: SparkSession, dir: String): Seq[(String, String, Long)] =
-    mergeCache.computeIfAbsent(OpsShared.dirKey(dir, "documents"), _ => {
-      var words = wordCounts(s, dir).withColumn("syms",
+    trainedMergesN(s, dir, Rounds)
+
+  /** `rounds`-merge training, memoized per (corpus, rounds); stops
+    * early if the corpus runs out of adjacent pairs (each round's
+    * argmax then has no input). */
+  private[graft] def trainedMergesN(
+      s: SparkSession, dir: String, rounds: Int): Seq[(String, String, Long)] =
+    mergeCache.computeIfAbsent(s"${OpsShared.dirKey(dir, "documents")}#$rounds",
+      _ => trainWords(s, dir, rounds)._1)
+
+  /** The training loop itself. ONE corpus pass collapses the token
+    * stream to (word, count) and is EAGERLY materialized
+    * (`localCheckpoint(true)`), so every round's pair-count
+    * aggregation replays from vocab-sized checkpoint blocks — the
+    * corpus is never touched again, whatever `rounds` is. Every
+    * [[CheckpointEvery]] rounds the merge-UDF lineage is truncated by
+    * a fresh checkpoint and the superseded blocks are freed; on exit
+    * ALL blocks are freed (training state lives in the returned merge
+    * list). The returned frame is the final words relation for PLAN
+    * INSPECTION (BpeSpec's bounded-depth assertion) — its backing
+    * blocks are already released, so it must not be executed. */
+  private[graft] def trainWords(
+      s: SparkSession, dir: String, rounds: Int): (Seq[(String, String, Long)], DataFrame) = {
+    var words = wordCounts(s, dir)
+      .withColumn("syms",
         expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
-      val acc = Seq.newBuilder[(String, String, Long)]
-      var r = 0
-      var exhausted = false
-      while (r < Rounds && !exhausted) {
-        val best = words
-          .select(col("wcnt"), explode(expr(
-            """zip_with(slice(syms, 1, size(syms) - 1),
-              |         slice(syms, 2, size(syms) - 1),
-              |         (x, y) -> struct(x AS a, y AS b))""".stripMargin)).as("p"))
-          .select(col("p.a").as("a"), col("p.b").as("b"), col("wcnt"))
-          .groupBy(col("a"), col("b")).agg(sum(col("wcnt")).as("cnt"))
-          .orderBy(col("cnt").desc, col("a"), col("b"))
-          .limit(1).collect()
-        if (best.isEmpty) exhausted = true
-        else {
-          val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-          acc += ((a, b, c))
-          words = words.withColumn("syms", applyMergeUdf(a, b)(col("syms")))
-          r += 1
+      .localCheckpoint(true)
+    var liveCkpt = words
+    val acc = Seq.newBuilder[(String, String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < rounds && !exhausted) {
+      val best = words
+        .select(col("wcnt"), explode(expr(
+          """zip_with(slice(syms, 1, size(syms) - 1),
+            |         slice(syms, 2, size(syms) - 1),
+            |         (x, y) -> struct(x AS a, y AS b))""".stripMargin)).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"), col("wcnt"))
+        .groupBy(col("a"), col("b")).agg(sum(col("wcnt")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        acc += ((a, b, c))
+        words = words.withColumn("syms", applyMergeUdf(a, b)(col("syms")))
+        r += 1
+        if (r % CheckpointEvery == 0) {
+          words = words.localCheckpoint(true)
+          OpsShared.releaseCheckpoint(liveCkpt)
+          liveCkpt = words
         }
       }
-      acc.result()
-    })
+    }
+    OpsShared.releaseCheckpoint(liveCkpt)
+    (acc.result(), words)
+  }
 
   /** The learned merge table: (merge_rank, lhs, rhs, cnt at selection
     * time) — what a tokenizer ships as `merges.txt`. */

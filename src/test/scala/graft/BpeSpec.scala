@@ -58,6 +58,24 @@ class BpeSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("tokenizer-scale training: 67 merges on sf0.001, lineage stays bounded") {
+    val sf = "/root/testdata/sf0.001"
+    val (merges, words) = Bpe.trainWords(spark, sf, 67)
+    assert(merges.length == 67, s"corpus exhausted early at ${merges.length} merges")
+    // greedy training is prefix-stable: the first Rounds merges ARE
+    // the registered bpe_merges result
+    assert(merges.take(Bpe.Rounds) == Bpe.trainedMerges(spark, sf),
+      "long run's prefix diverged from the registered training")
+    // 67 rounds stacked only (67 mod CheckpointEvery) merge
+    // projections over the last checkpoint — the plan tree must be
+    // O(CheckpointEvery), not O(rounds)
+    val nodes = words.queryExecution.logical.collect { case n => n }.size
+    assert(nodes <= Bpe.CheckpointEvery + 4, s"lineage not truncated: $nodes plan nodes")
+    // and the corpus scan itself is checkpointed away
+    assert(!words.queryExecution.logical.toString.contains("documents"),
+      "documents scan must not survive in the trained lineage")
+  }
+
   test("early exhaustion: a pairless corpus yields an empty merge table") {
     val d = Files.createTempDirectory("graft-bpe-ex").toString
     Seq((0L, "a b c")).toDF("doc_id", "text")
