@@ -26,26 +26,40 @@ object AnnEval {
 
   private val K = 5
 
-  private def backends(s: SparkSession, dir: String): Seq[(String, DataFrame)] = Seq(
-    ("graph", GraphAnn.annGraphTopk(s, dir)),
-    ("ivf", KMeansVec.ivfTopK(s, dir)),
-    ("ivfpq", Pq.annIvfPqTopk(s, dir)),
-    ("lsh", VectorQueries.annLshTopk(s, dir)),
-    ("pq", Pq.annPqTopk(s, dir)),
-    ("sq", Quantize.sqTopK(s, dir)))
+  private[graft] val BackendNames = Seq("graph", "ivf", "ivfpq", "lsh", "pq", "sq")
 
-  /** backend, returned, hits, recall@5 — ordered by backend name. */
+  private def backends(s: SparkSession, dir: String): Seq[(String, DataFrame)] =
+    BackendNames.zip(Seq(
+      GraphAnn.annGraphTopk(s, dir),
+      KMeansVec.ivfTopK(s, dir),
+      Pq.annIvfPqTopk(s, dir),
+      VectorQueries.annLshTopk(s, dir),
+      Pq.annPqTopk(s, dir),
+      Quantize.sqTopK(s, dir)))
+
+  /** backend, returned, hits, recall@5 — ordered by backend name.
+    * EVERY backend always has a row: the aggregation left-joins
+    * against the literal backend list, so a degenerate backend that
+    * returns zero rows reports recall 0.0 instead of silently
+    * vanishing from its own audit (groupBy would drop the empty
+    * group — the one failure mode a recall report exists to catch). */
   def annRecallReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val exact = VectorQueries.knnTopkK(s, dir, K)
       .select(col("vec_id").as("evid"))
     val all = backends(s, dir)
       .map { case (n, df) => df.select(lit(n).as("backend"), col("vec_id")) }
       .reduce(_ union _)
-    all.join(exact, col("vec_id") === col("evid"), "left")
+    val agg = all.join(exact, col("vec_id") === col("evid"), "left")
       .groupBy(col("backend"))
       .agg(count(lit(1)).as("returned"), count(col("evid")).as("hits"))
-      .select(col("backend"), col("returned"), col("hits"),
-        r6(col("hits").cast("double") / lit(K.toDouble)).as("recall_at_5"))
+    BackendNames.toDF("backend")
+      .join(agg, Seq("backend"), "left")
+      .select(col("backend"),
+        coalesce(col("returned"), lit(0L)).as("returned"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        r6(coalesce(col("hits"), lit(0L)).cast("double") / lit(K.toDouble))
+          .as("recall_at_5"))
       .orderBy(col("backend"))
   }
 
@@ -62,18 +76,23 @@ object AnnEval {
       sub("lsh", VectorQueries.annLshTopkSql),
       sub("pq", Pq.annPqTopkSql),
       sub("sq", Quantize.sqTopKSql)).mkString("\nUNION ALL\n")
+    val nameList = BackendNames.map(n => s"'$n'").mkString(", ")
     s"""WITH exact AS (SELECT vec_id AS evid FROM (
        |${VectorQueries.knnTopkSql}
        |)),
        |allb AS (
        |$union
-       |)
-       |SELECT backend, CAST(COUNT(*) AS BIGINT) AS returned,
-       |  CAST(COUNT(e.evid) AS BIGINT) AS hits,
-       |  round(CAST(COUNT(e.evid) AS DOUBLE) / $K.0, 6) + 0 AS recall_at_5
-       |FROM allb a LEFT JOIN exact e ON a.vec_id = e.evid
-       |GROUP BY backend
-       |ORDER BY backend""".stripMargin
+       |),
+       |names AS (SELECT unnest([$nameList]) AS backend),
+       |agg AS (
+       |  SELECT backend, COUNT(*) AS returned, COUNT(e.evid) AS hits
+       |  FROM allb a LEFT JOIN exact e ON a.vec_id = e.evid
+       |  GROUP BY backend)
+       |SELECT n.backend, CAST(coalesce(agg.returned, 0) AS BIGINT) AS returned,
+       |  CAST(coalesce(agg.hits, 0) AS BIGINT) AS hits,
+       |  round(CAST(coalesce(agg.hits, 0) AS DOUBLE) / $K.0, 6) + 0 AS recall_at_5
+       |FROM names n LEFT JOIN agg ON agg.backend = n.backend
+       |ORDER BY n.backend""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

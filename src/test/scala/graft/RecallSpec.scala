@@ -124,4 +124,29 @@ class RecallSpec extends AnyFunSuite {
       assert(hits == 5L && rec == 1.0, s"$b recall $rec ($hits/5)")
     }
   }
+
+  test("ann_recall_report: empty backends still report — recall 0.0, never a missing row") {
+    // an all-zero query makes EVERY backend (and exact kNN) return
+    // empty — the audit must show six explicit zero rows, not an
+    // empty report (a groupBy would silently drop its worst case)
+    val d = java.nio.file.Files.createTempDirectory("graft-recall-degq").toString
+    import spark.implicits._
+    val corpus = (1 to 40).map { n =>
+      val v = Array.tabulate(64)(k => ((n * 31 + k * 17) % 13 - 6) * 0.01f)
+      (n.toLong, v.toSeq, n % 3)
+    }
+    val rows = (graft.ops.VectorQueries.QueryVecId, Seq.fill(64)(0f), 0) +: corpus
+    rows.toDF("vec_id", "embedding", "label")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding").cast("array<float>"),
+        org.apache.spark.sql.functions.col("label"))
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val rep = graft.ops.AnnEval.annRecallReport(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rep.map(_._1).toSeq == graft.ops.AnnEval.BackendNames, s"rows: ${rep.toSeq}")
+    rep.foreach { case (b, returned, hits, rec) =>
+      assert(returned == 0L && hits == 0L && rec == 0.0,
+        s"$b must report an explicit zero row, got ($returned, $hits, $rec)")
+    }
+  }
 }
