@@ -125,6 +125,27 @@ class RecallSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_recall_batch: full grid, graph exact at registered knobs, mean rows consistent") {
+    val rep = graft.ops.AnnEval.annRecallBatch(spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // 2 backends × (3 queries + 1 mean row at query_id = -1)
+    assert(rep.length == 8, s"rows: ${rep.toSeq}")
+    assert(rep.map(_._1).distinct.toSeq == graft.ops.AnnEval.BatchBackendNames)
+    // graph batch equals exact batch kNN at the registered settings
+    // (its own oracle gate), so every graph row is recall 1.0
+    rep.filter(_._1 == "graph").foreach { case (_, q, ret, hits, rec) =>
+      val n = if (q == -1L) 9L else 3L
+      assert(ret == n && hits == n && rec == 1.0, s"graph q=$q: ($ret, $hits, $rec)")
+    }
+    // each mean row aggregates its per-query rows exactly
+    graft.ops.AnnEval.BatchBackendNames.foreach { b =>
+      val per = rep.filter(r => r._1 == b && r._2 >= 0)
+      val mean = rep.find(r => r._1 == b && r._2 == -1L).get
+      assert(per.map(_._3).sum == mean._3 && per.map(_._4).sum == mean._4,
+        s"$b mean row inconsistent with per-query rows")
+    }
+  }
+
   test("ann_recall_report: empty backends still report — recall 0.0, never a missing row") {
     // an all-zero query makes EVERY backend (and exact kNN) return
     // empty — the audit must show six explicit zero rows, not an
