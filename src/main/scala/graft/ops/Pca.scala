@@ -230,6 +230,45 @@ object Pca {
   private[graft] def fittedPc1(s: SparkSession, dir: String): Array[Double] =
     fit(s, dir)._1
 
+  private val fitMCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Array[Double], Double)]]()
+
+  private[graft] def clearFitMCache(): Unit = fitMCache.clear()
+
+  /** Top-m principal components by REPEATED Hotelling deflation of
+    * the shared Gram — [[fit2]]'s rank-2 deflation generalized: after
+    * each component, subtract its r6-rounded rank-1 term λ·v·vᵀ and
+    * power-iterate the residual from the same init. Everything past
+    * the one memoized Gram pass is dim² driver arithmetic per
+    * component, so the corpus cost of m components equals the cost of
+    * one — the production spectral-analytics shape. Components 1 and
+    * 2 are bit-identical to [[fit]]/[[fit2]] by construction (same
+    * expressions in the same order), and every deflation input is
+    * r6-rounded, so the whole rank-m basis replays in the oracle's
+    * CTE chain ([[pcaChainSql]]). */
+  private[graft] def fitTopM(
+      s: SparkSession, dir: String, m: Int): Seq[(Array[Double], Double)] =
+    fitMCache.computeIfAbsent(s"${OpsShared.dirKey(dir)}#$m", _ => {
+      val G = gramMatrix(cachedGram(s, dir))
+      val out = Seq.newBuilder[(Array[Double], Double)]
+      var c = 0
+      while (c < m) {
+        val (v, l) = powerIterate(G)
+        out += ((v, l))
+        var i = 0
+        while (i < Dim) {
+          var j = 0
+          while (j < Dim) {
+            G(i)(j) = G(i)(j) - l * v(i) * v(j)
+            j += 1
+          }
+          i += 1
+        }
+        c += 1
+      }
+      out.result()
+    })
+
   /** Dominant principal component of the embedding Gram matrix via
     * [[Iters]] power-iteration steps: per dimension index `d`, the
     * component `pc1` and the eigenvalue estimate `lambda` (the final
@@ -354,13 +393,99 @@ object Pca {
        |FROM u3, m3 ORDER BY d""".stripMargin
   }
 
+  /** Components the registered rank-m query fits — enough to exercise
+    * a genuinely repeated deflation (3 > the special-cased 2) while
+    * keeping the unrolled oracle chain bounded. */
+  val PcaM = 3
+
+  /** Top-[[PcaM]] components in long format: (comp 1-based, d,
+    * v = component value at dimension d, lambda = the component's
+    * eigenvalue estimate) — the truncation basis a whitening /
+    * compression transform consumes. */
+  def pcaTopM(s: SparkSession, dir: String): DataFrame = {
+    val comps = fitTopM(s, dir, PcaM)
+    import s.implicits._
+    comps.zipWithIndex.flatMap { case ((v, l), c) =>
+      v.zipWithIndex.map { case (x, d) => (c + 1L, d.toLong, x, l) }
+    }.toDF("comp", "d", "v", "lambda")
+      .orderBy(col("comp"), col("d"))
+  }
+
+  /** Deflation chains for components 2..m as CTE SQL (component 1 is
+    * [[pcaCtes]]'s v3/n3). Returns (cteSql, per-component (vector CTE,
+    * norm CTE) references for 1..m). Component c's gram g$c =
+    * previous gram − round(λ,6)·v·vᵀ, then the same three unrolled
+    * power steps — the [[fitTopM]] loop verbatim. */
+  private[graft] def pcaChainSql(m: Int): (String, Seq[(String, String)]) = {
+    val parts = Seq.newBuilder[String]
+    // MATERIALIZED bridges first: the shared comp-1 CTEs are plain
+    // (inlined) CTEs, and every chain below references them several
+    // times — without materialization DuckDB re-evaluates the whole
+    // upstream (including the corpus-sized Gram) once PER REFERENCE,
+    // which goes exponential in m (observed as an fd blowup at m=3).
+    // One materialized copy each bounds the whole chain to a single
+    // Gram evaluation. Values are unchanged.
+    parts +=
+      s"""v3m AS MATERIALIZED (SELECT * FROM v3),
+         |n3m AS MATERIALIZED (SELECT * FROM n3),
+         |gm AS MATERIALIZED (SELECT * FROM g)""".stripMargin
+    var refs = Seq(("v3m", "n3m"))
+    var prevG = "gm"
+    var prevGCol = "g"
+    var c = 2
+    while (c <= m) {
+      val (pv, pn) = refs.last
+      val g = s"g$c"
+      def step(n: Int, prev: String): String =
+        s"""c${c}s$n AS MATERIALIZED (
+           |  SELECT q.i AS i, list_sum(list(q.gv * $prev.v ORDER BY q.j)) AS s
+           |  FROM $g q JOIN $prev ON $prev.i = q.j GROUP BY q.i),
+           |c${c}n$n AS MATERIALIZED (SELECT sqrt(list_sum(list(s*s ORDER BY i))) AS n FROM c${c}s$n),
+           |c${c}v$n AS MATERIALIZED (
+           |  SELECT i, CASE WHEN n = 0 THEN 0.0 ELSE round(s / n, 6) + 0 END AS v
+           |  FROM c${c}s$n, c${c}n$n)""".stripMargin
+      parts +=
+        s"""lam$c AS MATERIALIZED (SELECT round(n, 6) + 0 AS l FROM $pn),
+           |$g AS MATERIALIZED (
+           |  SELECT p.i AS i, p.j AS j, p.$prevGCol - lam$c.l * vi.v * vj.v AS gv
+           |  FROM $prevG p, lam$c, $pv vi, $pv vj
+           |  WHERE vi.i = p.i AND vj.i = p.j),
+           |${step(1, "v0")},
+           |${step(2, s"c${c}v1")},
+           |${step(3, s"c${c}v2")}""".stripMargin
+      refs = refs :+ ((s"c${c}v3", s"c${c}n3"))
+      prevG = g
+      prevGCol = "gv"
+      c += 1
+    }
+    (parts.result().mkString(",\n"), refs)
+  }
+
+  /** Oracle mirror of [[pcaTopM]]: the pc1 chain plus [[pcaChainSql]]
+    * deflation chains, one UNION ALL arm per component. */
+  val pcaTopMSql: String = {
+    val (chain, refs) = pcaChainSql(PcaM)
+    val rows = refs.zipWithIndex.map { case ((pv, pn), idx) =>
+      s"""SELECT ${idx + 1} AS comp, $pv.i AS d, $pv.v AS v,
+         |    round($pn.n, 6) + 0 AS lambda FROM $pv, $pn""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$pcaCtes,
+       |$chain
+       |SELECT CAST(comp AS BIGINT) AS comp, CAST(d AS BIGINT) AS d, v, lambda FROM (
+       |$rows
+       |)
+       |ORDER BY comp, d""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_pca_power" -> (embedPcaPower _),
     "pca_projection" -> (pcaProjection _),
-    "pca_top2" -> (pcaTop2 _))
+    "pca_top2" -> (pcaTop2 _),
+    "pca_topm" -> (pcaTopM _))
 
   val oracles: Map[String, String] = Map(
     "embed_pca_power" -> embedPcaPowerSql,
     "pca_projection" -> pcaProjectionSql,
-    "pca_top2" -> pcaTop2Sql)
+    "pca_top2" -> pcaTop2Sql,
+    "pca_topm" -> pcaTopMSql)
 }

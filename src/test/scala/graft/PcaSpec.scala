@@ -76,6 +76,36 @@ class PcaSpec extends AnyFunSuite {
     assert(math.abs(dot) < 0.05, s"components must be near-orthogonal: $dot")
   }
 
+  test("pca_topm: rank-3 deflation — prefix-equal to fit/fit2, pairwise near-orthogonal") {
+    val comps = Pca.pcaTopM(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(comps.length == Pca.PcaM * Pca.Dim)
+    // components 1 and 2 are bit-identical to the registered
+    // embed_pca_power / pca_top2 fits (same arithmetic, same order)
+    val pc1 = Pca.embedPcaPower(spark, dir).collect()
+      .sortBy(_.getLong(0)).map(r => (r.getDouble(1), r.getDouble(2)))
+    val got1 = comps.filter(_._1 == 1L).sortBy(_._2).map(r => (r._3, r._4))
+    assert(got1.sameElements(pc1), "comp 1 diverged from embed_pca_power")
+    val pc2 = Pca.pcaTop2(spark, dir).collect()
+      .sortBy(_.getLong(0)).map(r => (r.getDouble(1), r.getDouble(2)))
+    val got2 = comps.filter(_._1 == 2L).sortBy(_._2).map(r => (r._3, r._4))
+    assert(got2.sameElements(pc2), "comp 2 diverged from pca_top2")
+    // each component is unit-normed (to r6 resolution) and the basis
+    // is pairwise near-orthogonal (deflation residual ~|Δv| bounds it)
+    val byComp = comps.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toArray).toMap
+    byComp.values.foreach { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-4, s"non-unit component: $n")
+    }
+    for (a <- 1 to Pca.PcaM; b <- (a + 1) to Pca.PcaM) {
+      val dot = byComp(a.toLong).zip(byComp(b.toLong)).map { case (x, y) => x * y }.sum
+      assert(math.abs(dot) < 0.05, s"comps $a,$b not near-orthogonal: $dot")
+    }
+    // eigenvalue estimates are non-increasing across the basis
+    val lams = (1 to Pca.PcaM).map(c => comps.find(_._1 == c.toLong).get._4)
+    assert(lams == lams.sortBy(-_), s"eigenvalues must be non-increasing: $lams")
+  }
+
   test("deterministic across cold runs (long-scaled Gram is partition-order-free)") {
     Pca.clearFitCache()
     val a = Pca.embedPcaPower(spark, dir).collect().map(r => (r.getLong(0), r.getDouble(1)))
