@@ -24,6 +24,18 @@ object Bench {
     "pca_top2" -> ((s, d) => {
       graft.ops.Pca.clearFit2Cache()
       graft.ops.Pca.fittedPc1(s, d); ()
+    }),
+    // pca_topm's cold cost is its m deflation chains over the SHARED
+    // Gram (warmed via the pc1 fit, the pca_top2 convention)
+    "pca_topm" -> ((s, d) => {
+      graft.ops.Pca.clearFitMCache()
+      graft.ops.Pca.fittedPc1(s, d); ()
+    }),
+    // opq_m_error's cold cost is training in the rank-m rotated
+    // space; the basis it rotates by is CONSUMED warm
+    "opq_m_error" -> ((s, d) => {
+      graft.ops.Opq.clearCbMCache()
+      graft.ops.Pca.fitTopM(s, d, graft.ops.Opq.OpqM); ()
     }))
   // consumers of a shared fit are timed WARM by contract, regardless
   // of map iteration order or an earlier fitter-query failure

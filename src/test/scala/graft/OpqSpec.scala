@@ -49,12 +49,65 @@ class OpqSpec extends AnyFunSuite {
     assert(opq < pq * 0.99, s"improvement under 1%: opq=$opq pq=$pq")
   }
 
+  /** TWO dominant directions with distinct scales, both spread across
+    * all 64 coordinates (d2 Gram-Schmidt-orthogonalized against d1 so
+    * the spectrum genuinely has two planted eigenvalues): the single
+    * reflection packs only d1's variance into subspace 0 — d2 stays
+    * smeared across all eight — while the rank-2 allocation also
+    * packs d2 into subspace 1. */
+  private def anisotropic2Dir(): String = {
+    val d = Files.createTempDirectory("graft-opq-aniso2").toString
+    var seed = 98765L
+    def lcg(): Double = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (seed >>> 11).toDouble / (1L << 53).toDouble - 0.5
+    }
+    val d1 = Array.tabulate(64)(k => math.sin(k * 0.7) + 0.3)
+    val n1 = math.sqrt(d1.map(x => x * x).sum)
+    val u1 = d1.map(_ / n1)
+    val raw2 = Array.tabulate(64)(k => math.cos(k * 1.3) - 0.2)
+    val proj = raw2.zip(u1).map { case (a, b) => a * b }.sum
+    val d2 = raw2.zip(u1).map { case (a, b) => a - proj * b }
+    val n2 = math.sqrt(d2.map(x => x * x).sum)
+    val u2 = d2.map(_ / n2)
+    import spark.implicits._
+    val rows = (1 to 400).map { n =>
+      val c1 = lcg() * 6.0
+      val c2 = lcg() * 3.0
+      val v = Array.tabulate(64)(k => (c1 * u1(k) + c2 * u2(k) + lcg() * 0.2).toFloat)
+      (n.toLong, v.toSeq, n % 10)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("two-direction anisotropy: rank-2 allocation strictly beats the single reflection") {
+    val dir = anisotropic2Dir()
+    val pq = totalErr(Pq.pqError(spark, dir))
+    val opq1 = totalErr(Opq.opqError(spark, dir))
+    val opq2 = totalErr(Opq.opqMError(spark, dir))
+    assert(opq1 < pq, s"single reflection must already win here: opq1=$opq1 pq=$pq")
+    assert(opq2 < opq1 * 0.99,
+      s"rank-2 must materially beat the single reflection: opq2=$opq2 opq1=$opq1")
+  }
+
   test("isotropic fixtures: parity — rotation neither helps nor meaningfully hurts") {
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
       val pq = totalErr(Pq.pqError(spark, dir))
       val opq = totalErr(Opq.opqError(spark, dir))
       assert(opq <= pq * 1.05, s"$dir: opq=$opq pq=$pq")
+      val opqM = totalErr(Opq.opqMError(spark, dir))
+      assert(opqM <= pq * 1.05, s"$dir: opq_m=$opqM pq=$pq")
     }
+  }
+
+  test("opq_m_error deterministic across repeated runs") {
+    val dir = "/root/testdata/sf0.001"
+    val a = Opq.opqMError(spark, dir).collect().toSeq
+    val b = Opq.opqMError(spark, dir).collect().toSeq
+    assert(a == b)
   }
 
   test("deterministic: repeated runs return identical rows") {
