@@ -417,10 +417,35 @@ object GraphAnn {
     * [[compactGraphIndex]] as the periodic merge once small segments
     * accumulate. Caller contract: batch vec_ids are new (an upsert
     * dedups before appending). */
-  def appendGraphIndex(s: SparkSession, indexPath: String, batch: DataFrame): Unit = {
+  /** Start of the tag-keyed segment-id space: batch tag t owns shard
+    * ids [base + t·span, base + (t+1)·span). Far above any derived
+    * bulk shard count, so the two spaces never collide. */
+  private[graft] val SegTagBase = 1000000
+
+  /** Max segment shards one tagged batch may produce (span width). */
+  private[graft] val SegTagSpan = 10000
+
+  /** `segmentTag = None`: plain at-least-once append — fresh shard
+    * ids past the current bulk maximum (tag-space ids excluded from
+    * the max so the spaces stay disjoint); a replayed batch would
+    * duplicate its rows.
+    *
+    * `segmentTag = Some(t)` (e.g. the foreachBatch micro-batch id):
+    * IDEMPOTENT append — the batch's shard ids are a pure function of
+    * the tag ([[SegTagBase]] + t·[[SegTagSpan]] + i), written with
+    * dynamic partition OVERWRITE, so a replay rewrites exactly its
+    * own `shard=N/` dirs instead of appending duplicates. This is the
+    * standard Spark idempotent-sink pattern (deterministic partition
+    * keys + dynamic overwrite), and with it the at-least-once
+    * [[graft.streaming.StreamingIndex.annAppendStream]] delivery
+    * becomes effectively exactly-once for this index. The tag space
+    * holds ~214k batches before the int shard range runs out —
+    * [[maintainGraphIndex]] compacts (collapsing all segments back to
+    * the dense range) orders of magnitude sooner on any real stream. */
+  def appendGraphIndex(
+      s: SparkSession, indexPath: String, batch: DataFrame,
+      segmentTag: Option[Long] = None): Unit = {
     import s.implicits._
-    val base = s.read.parquet(indexPath)
-      .agg(max(col("shard").cast("int"))).head().getInt(0) + 1
     val sel = batch
       .filter(col("vec_id") =!= VectorQueries.QueryVecId)
       .select(col("vec_id"), col("label").cast("int"),
@@ -431,8 +456,27 @@ object GraphAnn {
       // segment shard count from the BATCH size: a small batch is one
       // graph, a bulk backfill still gets bounded build tasks
       val segShards = math.max(1L, (n + TargetRowsPerShard - 1) / TargetRowsPerShard).toInt
-      graphIndexRows(sel, segShards, shardBase = base)
-        .write.mode("append").partitionBy("shard").parquet(indexPath)
+      segmentTag match {
+        case None =>
+          val base = s.read.parquet(indexPath)
+            .filter(col("shard").cast("int") < SegTagBase)
+            .agg(coalesce(max(col("shard").cast("int")), lit(-1))).head().getInt(0) + 1
+          graphIndexRows(sel, segShards, shardBase = base)
+            .write.mode("append").partitionBy("shard").parquet(indexPath)
+        case Some(tag) =>
+          require(tag >= 0 && tag <= (Int.MaxValue - SegTagBase).toLong / SegTagSpan,
+            s"segment tag $tag outside the id space — compact the index first")
+          require(segShards <= SegTagSpan,
+            s"batch needs $segShards segment shards, tag span is $SegTagSpan — " +
+              "split the batch or raise TargetRowsPerShard")
+          val base = SegTagBase + tag.toInt * SegTagSpan
+          val key = "spark.sql.sources.partitionOverwriteMode"
+          val prev = s.conf.getOption(key)
+          s.conf.set(key, "dynamic")
+          try graphIndexRows(sel, segShards, shardBase = base)
+            .write.mode("overwrite").partitionBy("shard").parquet(indexPath)
+          finally prev.fold(s.conf.unset(key))(v => s.conf.set(key, v))
+      }
     }
   }
 

@@ -282,17 +282,35 @@ object KMeansVec {
     * keeps working because appends land in the same cell layout.
     * Centroid drift under a shifting distribution is the periodic
     * retrain+rewrite ([[writeIvfIndex]] to a fresh generation), same
-    * as [[GraphAnn.compactGraphIndex]]. Caller contract: batch
-    * vec_ids are new (an upsert dedups before appending). */
-  def appendIvfIndex(s: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+    * as [[GraphAnn.compactGraphIndex]].
+    *
+    * `dedupeExisting = false` (default): caller contract is that
+    * batch vec_ids are new — an at-least-once replay duplicates rows.
+    * `dedupeExisting = true`: anti-join against the existing rows of
+    * the batch's OWN cells first (a replayed row's prior copy lives
+    * in the same cell under the frozen centroids, so `cluster IN`
+    * partition pruning bounds the scan) — appends become idempotent
+    * at the row level. */
+  def appendIvfIndex(
+      s: SparkSession, indexDir: String, batch: DataFrame,
+      dedupeExisting: Boolean = false): Unit = {
     val centroids = readCentroids(s, indexDir)
-    batch
+    val rows = batch
       .filter(col("vec_id") =!= VectorQueries.QueryVecId)
       .select(col("vec_id"),
         col("embedding").cast("array<float>").as("embedding"),
         col("label").cast("int").as("label"))
       .withColumn("cluster", assignUdf(centroids)(col("embedding")).cast("int"))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
+    val out =
+      if (dedupeExisting) {
+        val cells = rows.select(col("cluster")).distinct()
+          .collect().map(_.getInt(0)).toSeq // bounded by K
+        rows.join(
+          s.read.parquet(s"$indexDir/vectors")
+            .filter(col("cluster").isin(cells: _*)).select(col("vec_id")),
+          Seq("vec_id"), "left_anti")
+      } else rows
+    out.write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("cluster").parquet(s"$indexDir/vectors")
   }
 

@@ -459,18 +459,34 @@ object Pq {
     * code rows. Map-only: reads the tiny sidecar, never the existing
     * codes. Codebook drift under a shifting distribution is handled
     * by periodic retrain+rewrite ([[writePqIndex]]), the same
-    * generation swap as [[GraphAnn.compactGraphIndex]]. Caller
-    * contract: batch vec_ids are new. */
-  def appendPqIndex(s: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+    * generation swap as [[GraphAnn.compactGraphIndex]].
+    *
+    * `dedupeExisting = false` (default): caller contract is that
+    * batch vec_ids are new — an at-least-once replay duplicates rows.
+    * `dedupeExisting = true`: anti-join the batch against the
+    * existing index's vec_id column first, making the append
+    * idempotent at the row level (a replayed or partially-applied
+    * batch converges instead of duplicating). Cost: one slim
+    * vec_id-column scan of the codes table — the price of replay
+    * safety on a flat layout; the IVF variants prune that scan to the
+    * batch's own cells. */
+  def appendPqIndex(
+      s: SparkSession, indexDir: String, batch: DataFrame,
+      dedupeExisting: Boolean = false): Unit = {
     val cb = readCodebooks(s, indexDir)
     val enc = encodeUdf(cb)
-    batch
+    val rows = batch
       .filter(col("vec_id") =!= VectorQueries.QueryVecId)
       .filter(graft.functions.VectorFunctions.l2norm(col("embedding")) > 0)
       .withColumn("c", enc(col("embedding").cast("array<float>")).getField("_1"))
       .select(col("vec_id"), col("label").cast("int").as("label"),
         expr("transform(c, x -> CAST(x AS TINYINT))").as("codes"))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
+    val out =
+      if (dedupeExisting)
+        rows.join(s.read.parquet(s"$indexDir/codes").select(col("vec_id")),
+          Seq("vec_id"), "left_anti")
+      else rows
+    out.write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(s"$indexDir/codes")
   }
 
@@ -691,12 +707,17 @@ object Pq {
   /** Append a batch into an EXISTING materialized IVF-PQ index: both
     * quantizers FROZEN from the sidecars (assign + encode, map-only),
     * rows land inside their `cluster=N/` partition dirs. Drift →
-    * periodic retrain+rewrite to a fresh generation. */
-  def appendIvfPqIndex(s: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+    * periodic retrain+rewrite to a fresh generation.
+    * `dedupeExisting` = the [[appendPqIndex]] idempotency option,
+    * with the existing-row scan PRUNED to the batch's own cells
+    * (`cluster IN (...)` resolves at listing time). */
+  def appendIvfPqIndex(
+      s: SparkSession, indexDir: String, batch: DataFrame,
+      dedupeExisting: Boolean = false): Unit = {
     val centroids = KMeansVec.readCentroids(s, indexDir)
     val cb = readCodebooks(s, indexDir)
     val enc = encodeUdf(cb)
-    batch
+    val rows = batch
       .filter(col("vec_id") =!= VectorQueries.QueryVecId)
       .filter(graft.functions.VectorFunctions.l2norm(col("embedding")) > 0)
       .withColumn("cluster",
@@ -704,7 +725,16 @@ object Pq {
       .withColumn("c", enc(col("embedding").cast("array<float>")).getField("_1"))
       .select(col("vec_id"), col("label").cast("int").as("label"),
         expr("transform(c, x -> CAST(x AS TINYINT))").as("codes"), col("cluster"))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
+    val out =
+      if (dedupeExisting) {
+        val cells = rows.select(col("cluster")).distinct()
+          .collect().map(_.getInt(0)).toSeq // bounded by K
+        rows.join(
+          s.read.parquet(s"$indexDir/codes")
+            .filter(col("cluster").isin(cells: _*)).select(col("vec_id")),
+          Seq("vec_id"), "left_anti")
+      } else rows
+    out.write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("cluster").parquet(s"$indexDir/codes")
   }
 

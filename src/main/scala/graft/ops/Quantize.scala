@@ -219,9 +219,15 @@ object Quantize {
     * NO trained state — the scale is per-vector — so append is the
     * same map-only transform as the build: nothing is read, nothing
     * can drift, and a retrain-rewrite cycle is never needed (the one
-    * maintenance property the trained structures can't offer). */
-  def appendSqIndex(s: SparkSession, indexDir: String, batch: DataFrame): Unit =
-    withQuant(batch
+    * maintenance property the trained structures can't offer).
+    * `dedupeExisting` = the [[graft.ops.Pq.appendPqIndex]] idempotency
+    * option: anti-join the batch against the existing vec_id column
+    * (one slim-column scan of the flat codes table) so an
+    * at-least-once replay converges instead of duplicating. */
+  def appendSqIndex(
+      s: SparkSession, indexDir: String, batch: DataFrame,
+      dedupeExisting: Boolean = false): Unit = {
+    val rows = withQuant(batch
         .filter(col("vec_id") =!= VectorQueries.QueryVecId)
         .select(col("vec_id"),
           col("embedding").cast("array<float>").as("embedding"),
@@ -229,8 +235,14 @@ object Quantize {
       .select(col("vec_id"), col("label"),
         expr("transform(qcodes, c -> CAST(c AS TINYINT))").as("codes8"),
         col("scale"))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
+    val out =
+      if (dedupeExisting)
+        rows.join(s.read.parquet(s"$indexDir/codes").select(col("vec_id")),
+          Seq("vec_id"), "left_anti")
+      else rows
+    out.write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(s"$indexDir/codes")
+  }
 
   /** Probe search over a materialized int8 index: phase 1 scans ONLY
     * the codes table (column pruning keeps the float embeddings out

@@ -114,18 +114,22 @@ object StreamingIndex {
     * pointer when it reports a compaction. `maxFilesPerTrigger`
     * bounds a backlog.
     *
-    * Delivery caveat (applies to EVERY append sink here —
-    * `appendGraphIndex` / `appendPqIndex` / `appendIvfIndex` /
-    * `appendIvfPqIndex` / `appendSqIndex`): foreachBatch is
-    * at-least-once. Checkpointed source offsets never re-read a
-    * processed file in normal operation, but a crash BETWEEN the
-    * appends can replay a batch, and the appends themselves assume
-    * batch vec_ids are new — a replay would duplicate rows in the
-    * materialized indexes. A production deployment makes the sink
-    * idempotent by keying each segment/file path on the micro-batch
-    * id and overwriting (replay then rewrites the same paths), or by
-    * anti-joining the batch against the probed partitions before
-    * appending. */
+    * Delivery: foreachBatch is at-least-once — checkpointed source
+    * offsets never re-read a processed file in normal operation, but
+    * a crash BETWEEN the appends can replay a batch, and the default
+    * appends assume batch vec_ids are new, so a replay would
+    * duplicate rows. `idempotent = true` closes exactly that window,
+    * per structure by the mechanism its layout supports:
+    *  - graph: segment shard ids become a pure function of the
+    *    micro-batch id and the write is a dynamic partition OVERWRITE
+    *    (`appendGraphIndex(segmentTag)`) — a replay rewrites its own
+    *    `shard=N/` dirs, the standard Spark idempotent-sink pattern;
+    *  - PQ / IVF / IVF-PQ / SQ: `dedupeExisting` anti-joins the batch
+    *    against the existing rows first (pruned to the batch's own
+    *    cells where the layout is partitioned), so replayed or
+    *    partially-applied batches CONVERGE at the row level.
+    * The default stays false: ingest of provably-fresh ids skips the
+    * existing-row scans and keeps append strictly map-only. */
   def annAppendStream(
       spark: SparkSession,
       inDir: String,
@@ -134,7 +138,8 @@ object StreamingIndex {
       checkpointDir: String,
       ivfIndexDir: Option[String] = None,
       ivfPqIndexDir: Option[String] = None,
-      sqIndexDir: Option[String] = None): DataStreamWriter[Row] = {
+      sqIndexDir: Option[String] = None,
+      idempotent: Boolean = false): DataStreamWriter[Row] = {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("vec_id",
         org.apache.spark.sql.types.LongType),
@@ -148,15 +153,20 @@ object StreamingIndex {
       .parquet(inDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ops.GraphAnn.appendGraphIndex(batch.sparkSession, graphIndexDir, batch)
-        graft.ops.Pq.appendPqIndex(batch.sparkSession, pqIndexDir, batch)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.GraphAnn.appendGraphIndex(batch.sparkSession, graphIndexDir, batch,
+          segmentTag = if (idempotent) Some(batchId) else None)
+        graft.ops.Pq.appendPqIndex(batch.sparkSession, pqIndexDir, batch,
+          dedupeExisting = idempotent)
         ivfIndexDir.foreach(d =>
-          graft.ops.KMeansVec.appendIvfIndex(batch.sparkSession, d, batch))
+          graft.ops.KMeansVec.appendIvfIndex(batch.sparkSession, d, batch,
+            dedupeExisting = idempotent))
         ivfPqIndexDir.foreach(d =>
-          graft.ops.Pq.appendIvfPqIndex(batch.sparkSession, d, batch))
+          graft.ops.Pq.appendIvfPqIndex(batch.sparkSession, d, batch,
+            dedupeExisting = idempotent))
         sqIndexDir.foreach(d =>
-          graft.ops.Quantize.appendSqIndex(batch.sparkSession, d, batch))
+          graft.ops.Quantize.appendSqIndex(batch.sparkSession, d, batch,
+            dedupeExisting = idempotent))
       }
       .trigger(Trigger.AvailableNow())
   }

@@ -143,6 +143,62 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(r == exact, "retrained generation must rank the true top-5")
   }
 
+  test("graph index: tag-keyed append is idempotent — replay rewrites, never duplicates") {
+    val tmp = Files.createTempDirectory("graft-inc-idem-g")
+    val inc = tmp.resolve("inc").toString
+    GraphAnn.writeGraphIndex(spark, halfDir, inc)
+    GraphAnn.appendGraphIndex(spark, inc, laterBatch, segmentTag = Some(7L))
+    val rows1 = spark.read.parquet(inc).count()
+    val q = queryVec
+    val res1 = GraphAnn.graphSearchIndexed(spark, inc, q).collect().toSeq
+    // replay the same micro-batch — the at-least-once crash case the
+    // deterministic shard ids + dynamic overwrite exist for
+    GraphAnn.appendGraphIndex(spark, inc, laterBatch, segmentTag = Some(7L))
+    assert(spark.read.parquet(inc).count() == rows1, "replay must not add rows")
+    assert(GraphAnn.graphSearchIndexed(spark, inc, q).collect().toSeq == res1)
+    // tagged segments answer exactly, same as the untagged append path
+    val exact = VectorQueries.knnTopkK(spark, dir, 5).collect().map(_.getLong(0)).toSeq
+    assert(res1.map(_.getLong(0)) == exact)
+  }
+
+  test("quantized appends: dedupeExisting makes a replayed batch a row-level no-op") {
+    val tmp = Files.createTempDirectory("graft-inc-idem-q")
+    // pq — and the first deduped append must equal a plain append
+    // (nothing over-dropped on genuinely fresh ids)
+    val p = tmp.resolve("p").toString
+    val pPlain = tmp.resolve("pp").toString
+    Pq.writePqIndex(spark, halfDir, p)
+    Pq.writePqIndex(spark, halfDir, pPlain)
+    Pq.appendPqIndex(spark, p, laterBatch, dedupeExisting = true)
+    Pq.appendPqIndex(spark, pPlain, laterBatch)
+    val n1 = spark.read.parquet(s"$p/codes").count()
+    assert(n1 == spark.read.parquet(s"$pPlain/codes").count(),
+      "dedupe must drop nothing on fresh ids")
+    Pq.appendPqIndex(spark, p, laterBatch, dedupeExisting = true)
+    assert(spark.read.parquet(s"$p/codes").count() == n1, "pq replay added rows")
+    // ivf (existing-row scan pruned to the batch's cells)
+    val i = tmp.resolve("i").toString
+    KMeansVec.writeIvfIndex(spark, halfDir, i, iters = 1)
+    KMeansVec.appendIvfIndex(spark, i, laterBatch, dedupeExisting = true)
+    val ni = spark.read.parquet(s"$i/vectors").count()
+    KMeansVec.appendIvfIndex(spark, i, laterBatch, dedupeExisting = true)
+    assert(spark.read.parquet(s"$i/vectors").count() == ni, "ivf replay added rows")
+    // ivf-pq
+    val ip = tmp.resolve("ip").toString
+    Pq.writeIvfPqIndex(spark, halfDir, ip)
+    Pq.appendIvfPqIndex(spark, ip, laterBatch, dedupeExisting = true)
+    val nip = spark.read.parquet(s"$ip/codes").count()
+    Pq.appendIvfPqIndex(spark, ip, laterBatch, dedupeExisting = true)
+    assert(spark.read.parquet(s"$ip/codes").count() == nip, "ivf-pq replay added rows")
+    // sq
+    val sq = tmp.resolve("sq").toString
+    graft.ops.Quantize.writeSqIndex(spark, halfDir, sq)
+    graft.ops.Quantize.appendSqIndex(spark, sq, laterBatch, dedupeExisting = true)
+    val nsq = spark.read.parquet(s"$sq/codes").count()
+    graft.ops.Quantize.appendSqIndex(spark, sq, laterBatch, dedupeExisting = true)
+    assert(spark.read.parquet(s"$sq/codes").count() == nsq, "sq replay added rows")
+  }
+
   test("ivf index: frozen-centroid append equals one-pass bulk assignment") {
     val tmp = Files.createTempDirectory("graft-inc-ivf")
     val inc = tmp.resolve("inc").toString
@@ -215,9 +271,13 @@ class IncrementalIndexSpec extends AnyFunSuite {
     }
     drop(laterBatch.filter(col("vec_id") <= 250), "b1")
     drop(laterBatch.filter(col("vec_id") > 250), "b2")
+    // idempotent mode end-to-end: batchId-keyed graph segments +
+    // dedupeExisting quantized appends must be invisible on a clean
+    // run — every ≡-direct-append assertion below still holds
     val sq = graft.streaming.StreamingIndex.annAppendStream(
       spark, in, ginc, pinc, tmp.resolve("ckpt").toString,
-      ivfIndexDir = Some(iinc), ivfPqIndexDir = Some(ipinc)).start()
+      ivfIndexDir = Some(iinc), ivfPqIndexDir = Some(ipinc),
+      idempotent = true).start()
     sq.awaitTermination(120000)
     val q = queryVec
     val exact = VectorQueries.knnTopkK(spark, dir, 5).collect().map(_.getLong(0)).toSeq
