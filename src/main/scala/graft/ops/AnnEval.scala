@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.functions.OracleMath
 import graft.functions.VectorFunctions.r6
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -190,11 +191,132 @@ object AnnEval {
        |ORDER BY backend, query_id""".stripMargin
   }
 
+  // ------------------------------------------- retrieval quality
+
+  private val NdcgK = 10
+
+  /** (doc_id, pos) — positions within a ≤[[NdcgK]]-row top-k slice;
+    * the window is over a bounded relation (TakeOrderedAndProject
+    * heads), the boundedRankKey contract. */
+  private def ranked(df: DataFrame, idCol: String,
+      ord: Seq[org.apache.spark.sql.Column]): DataFrame =
+    df.withColumn("pos", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(graft.functions.WindowKeys.boundedRankKey(col(idCol)))
+        .orderBy(ord: _*)))
+      .select(col(idCol).as("doc_id"), col("pos"))
+
+  /** Ranking-quality metrics — the eval a retrieval stack runs when
+    * recall alone can't arbitrate (recall counts set membership;
+    * NDCG/MRR grade POSITIONS): NDCG@10 and MRR of the keyword
+    * (`bm25_topk`) and fused (`hybrid_rrf`) rankings against graded
+    * relevance from the exact-cosine ranking (rel = 11 − exact rank,
+    * the standard graded-from-gold construction), plus the exact
+    * ranking itself as a self-validating row — its DCG fold IS the
+    * IDCG fold, so ndcg = 1.0 and mrr = 1.0 by construction
+    * (spec-asserted). Composition, not re-implementation: every
+    * ranked list is a registered query's own proven result. Cost at
+    * scale = the component searches (each bounded/sub-linear by its
+    * own design) + arithmetic over ≤10-row lists; the joins are
+    * broadcasts of the 10-row relevance set. Per-position gains are
+    * r6-rounded then decimal-summed (§8.5 bridge) with ln(x)/ln(2)
+    * spelled identically in both engines. */
+  def retrievalNdcg(s: SparkSession, dir: String): DataFrame = {
+    val log2 = (c: org.apache.spark.sql.Column) => log(c) / log(lit(2.0))
+    val exactR = ranked(VectorQueries.knnTopkK(s, dir, NdcgK), "vec_id",
+      Seq(col("dist"), col("vec_id")))
+    val rel = exactR.select(col("doc_id"),
+      (lit(NdcgK + 1) - col("pos")).cast("long").as("rel"))
+    val systems = Seq(
+      "bm25" -> ranked(Retrieval.bm25Topk(s, dir), "doc_id",
+        Seq(col("score").desc, col("doc_id"))),
+      "exact" -> exactR,
+      "hybrid" -> ranked(Retrieval.hybridRrf(s, dir), "doc_id",
+        Seq(col("fused").desc, col("doc_id"))))
+    val all = systems
+      .map { case (n, df) => df.select(lit(n).as("system"), col("doc_id"), col("pos")) }
+      .reduce(_ union _)
+    // ideal position of relevance r is 11 − r (rel grades are distinct
+    // by construction), so IDCG folds over the same 10-row relation
+    val idcg = rel.select(
+        r6(col("rel").cast("double") /
+          log2((lit(NdcgK + 1) - col("rel")).cast("double") + 1)).as("g"))
+      .agg(OracleMath.dsum(col("g")).as("idcg"))
+    val scored = all.join(broadcast(rel), Seq("doc_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+      .withColumn("gain",
+        r6(col("rel").cast("double") / log2(col("pos").cast("double") + 1)))
+    scored.groupBy(col("system"))
+      .agg(
+        count(lit(1)).as("returned"),
+        count(when(col("rel") > 0, lit(1))).as("hits"),
+        OracleMath.dsum(col("gain")).as("dcgraw"),
+        min(when(col("rel") > 0, col("pos"))).as("fp"))
+      .crossJoin(broadcast(idcg))
+      .select(col("system"), col("returned"), col("hits"),
+        r6(col("dcgraw")).as("dcg"),
+        r6(col("dcgraw") / col("idcg")).as("ndcg"),
+        r6(coalesce(lit(1.0) / col("fp"), lit(0.0))).as("mrr"))
+      .orderBy(col("system"))
+  }
+
+  /** Oracle: the exact list is the proven kNN oracle at k=10, the
+    * system lists are the registered bm25/hybrid oracles verbatim;
+    * metric arithmetic mirrors the Column fold exactly. */
+  val retrievalNdcgSql: String = {
+    val exact10 = VectorQueries.knnTopkSql.replace("LIMIT 5", s"LIMIT $NdcgK")
+    s"""WITH exact AS (
+       |  SELECT vec_id AS doc_id, row_number() OVER (ORDER BY dist, vec_id) AS pos
+       |  FROM (
+       |$exact10
+       |  )),
+       |rel AS (SELECT doc_id, CAST(${NdcgK + 1} - pos AS BIGINT) AS rel FROM exact),
+       |bm AS (
+       |  SELECT 'bm25' AS system, doc_id,
+       |    row_number() OVER (ORDER BY score DESC, doc_id) AS pos
+       |  FROM (
+       |${Retrieval.bm25TopkSql}
+       |  )),
+       |hy AS (
+       |  SELECT 'hybrid' AS system, doc_id,
+       |    row_number() OVER (ORDER BY fused DESC, doc_id) AS pos
+       |  FROM (
+       |${Retrieval.hybridRrfSql}
+       |  )),
+       |ex AS (SELECT 'exact' AS system, doc_id, pos FROM exact),
+       |allr AS (SELECT * FROM bm UNION ALL SELECT * FROM ex UNION ALL SELECT * FROM hy),
+       |idcg AS (
+       |  SELECT CAST(SUM(CAST(round(CAST(rel AS DOUBLE) /
+       |      (ln(CAST(${NdcgK + 1} - rel AS DOUBLE) + 1) / ln(2.0)), 6) + 0
+       |    AS DECIMAL(38,6))) AS DOUBLE) AS idcg
+       |  FROM rel),
+       |scored AS (
+       |  SELECT a.system, a.pos, coalesce(r.rel, 0) AS rel,
+       |    round(CAST(coalesce(r.rel, 0) AS DOUBLE) /
+       |          (ln(CAST(a.pos AS DOUBLE) + 1) / ln(2.0)), 6) + 0 AS gain
+       |  FROM allr a LEFT JOIN rel r USING (doc_id)),
+       |agg AS (
+       |  SELECT system, COUNT(*) AS returned,
+       |    COUNT(CASE WHEN rel > 0 THEN 1 END) AS hits,
+       |    CAST(SUM(CAST(gain AS DECIMAL(38,6))) AS DOUBLE) AS dcgraw,
+       |    MIN(CASE WHEN rel > 0 THEN pos END) AS fp
+       |  FROM scored GROUP BY system)
+       |SELECT system, CAST(returned AS BIGINT) AS returned,
+       |  CAST(hits AS BIGINT) AS hits,
+       |  round(dcgraw, 6) + 0 AS dcg,
+       |  round(dcgraw / idcg, 6) + 0 AS ndcg,
+       |  round(coalesce(CAST(1 AS DOUBLE) / fp, CAST(0 AS DOUBLE)), 6) + 0 AS mrr
+       |FROM agg CROSS JOIN idcg
+       |ORDER BY system""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_recall_report" -> (annRecallReport _),
-    "ann_recall_batch" -> (annRecallBatch _))
+    "ann_recall_batch" -> (annRecallBatch _),
+    "retrieval_ndcg" -> (retrievalNdcg _))
 
   val oracles: Map[String, String] = Map(
     "ann_recall_report" -> annRecallReportSql,
-    "ann_recall_batch" -> annRecallBatchSql)
+    "ann_recall_batch" -> annRecallBatchSql,
+    "retrieval_ndcg" -> retrievalNdcgSql)
 }

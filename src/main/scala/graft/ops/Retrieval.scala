@@ -287,15 +287,70 @@ object Retrieval {
       |FROM terms GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** CCNet-style perplexity buckets (Wenzek et al. 2020): score every
+    * doc with the corpus-self unigram LM ([[unigramLogprob]]), cut
+    * the score distribution at its exact tertiles, and report the
+    * head / middle / tail segments — the classic split where "head"
+    * (lowest NLL ≈ lowest perplexity) feeds training first. Cutoffs
+    * are two scalar aggregates broadcast back over the scored docs,
+    * so bucketing is map-only — no global sort of the corpus, unlike
+    * CCNet's literal sort-then-split. Spark's exact `percentile`
+    * buffers per-value counts on one reducer; at real corpus scale
+    * swap in `approx_percentile` (the registered
+    * `approx_percentiles` twin documents that path) — the bucket
+    * semantics are unchanged. Both engines interpolate at (n−1)·p;
+    * r6 absorbs interpolation-order ulps (the textPercentiles
+    * bridge). */
+  def pplBuckets(s: SparkSession, dir: String): DataFrame = {
+    val nll = unigramLogprob(s, dir)
+    val cuts = nll.agg(
+      r6(percentile(col("avg_nll"), lit(1.0 / 3))).as("c1"),
+      r6(percentile(col("avg_nll"), lit(2.0 / 3))).as("c2"))
+    nll.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col("avg_nll") <= col("c1"), lit("head"))
+          .when(col("avg_nll") <= col("c2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        r6(OracleMath.davg(col("avg_nll"))).as("mean_nll"),
+        min(col("avg_nll")).as("min_nll"),
+        max(col("avg_nll")).as("max_nll"))
+      .orderBy(col("bucket"))
+  }
+
+  val pplBucketsSql: String =
+    s"""WITH nll AS (${unigramLogprobSql.replace("ORDER BY doc_id", "")}),
+       |cuts AS (
+       |  SELECT round(quantile_cont(avg_nll, CAST(1 AS DOUBLE) / 3), 6) + 0 AS c1,
+       |         round(quantile_cont(avg_nll, CAST(2 AS DOUBLE) / 3), 6) + 0 AS c2
+       |  FROM nll),
+       |b AS (
+       |  SELECT CASE WHEN avg_nll <= c1 THEN 'head'
+       |              WHEN avg_nll <= c2 THEN 'middle'
+       |              ELSE 'tail' END AS bucket,
+       |         n_tokens, avg_nll
+       |  FROM nll CROSS JOIN cuts)
+       |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |  round(CAST(SUM(CAST(avg_nll AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) + 0 AS mean_nll,
+       |  MIN(avg_nll) AS min_nll, MAX(avg_nll) AS max_nll
+       |FROM b GROUP BY bucket
+       |ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_topk" -> (bm25Topk _),
     "hybrid_rrf" -> (hybridRrf _),
     "unigram_logprob" -> (unigramLogprob _),
-    "bigram_logprob" -> (bigramLogprob _))
+    "bigram_logprob" -> (bigramLogprob _),
+    "ppl_buckets" -> (pplBuckets _))
 
   val oracles: Map[String, String] = Map(
     "bm25_topk" -> bm25TopkSql,
     "hybrid_rrf" -> hybridRrfSql,
     "unigram_logprob" -> unigramLogprobSql,
-    "bigram_logprob" -> bigramLogprobSql)
+    "bigram_logprob" -> bigramLogprobSql,
+    "ppl_buckets" -> pplBucketsSql)
 }

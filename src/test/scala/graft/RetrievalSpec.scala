@@ -86,4 +86,22 @@ class RetrievalSpec extends AnyFunSuite {
     }
     assert(byId.values.forall(_ >= 0.0))
   }
+
+  test("ppl buckets: tertile segments are disjoint, exhaustive, NLL-ordered") {
+    val got = Retrieval.pplBuckets(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(got.keySet == Set("head", "middle", "tail"))
+    assert(got.values.map(_._1).sum == docs.size.toLong)
+    val tokenTotal = docs.map(_._2.split(" ").length.toLong).sum
+    assert(got.values.map(_._2).sum == tokenTotal)
+    // segments partition the NLL axis: head's max < middle's min, etc.
+    assert(got("head")._5 <= got("middle")._4)
+    assert(got("middle")._5 <= got("tail")._4)
+    // the rare-word doc (highest NLL) defines tail's max
+    val nll = Retrieval.unigramLogprob(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got("tail")._5 == nll.values.max)
+  }
 }
