@@ -71,14 +71,14 @@ object Dsir {
     * weight against the `lang='en'` target model). */
   def dsirWeights(s: SparkSession, dir: String): DataFrame = {
     val dfb = docBuckets(s, dir)
-    val raw = dfb.groupBy(col("b")).agg(sum(col("c")).as("cr"))
-    val tgt = dfb.filter(col("lang") === "en")
-      .groupBy(col("b")).agg(sum(col("c")).as("ct"))
-    // ≤ Buckets rows by construction — the fixed-capacity model table
-    // (centroid rule: parameter-bounded, so the hint is safe at any
-    // corpus size; vocab-sized tables stay hint-free)
-    val model = raw.join(tgt, Seq("b"), "left")
-      .select(col("b"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+    // both marginals in ONE conditional aggregation, so the model fit
+    // costs a single evaluation of the explode+count lineage instead
+    // of two. ≤ Buckets rows by construction — the fixed-capacity
+    // model table (centroid rule: parameter-bounded, so the hint is
+    // safe at any corpus size; vocab-sized tables stay hint-free)
+    val model = dfb.groupBy(col("b")).agg(
+      sum(col("c")).as("cr"),
+      sum(when(col("lang") === "en", col("c")).otherwise(lit(0L))).as("ct"))
     val tot = model.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
     dfb.join(broadcast(model), "b")
       .crossJoin(broadcast(tot))
@@ -101,9 +101,9 @@ object Dsir {
        |dfb AS (SELECT doc_id, lang,
        |          ${CrossHash.sqlHash60("feat")} % $Buckets AS b, COUNT(*) AS c
        |        FROM f GROUP BY 1, 2, 3),
-       |raw AS (SELECT b, SUM(c) AS cr FROM dfb GROUP BY b),
-       |tgt AS (SELECT b, SUM(c) AS ct FROM dfb WHERE lang = 'en' GROUP BY b),
-       |model AS (SELECT b, cr, COALESCE(ct, 0) AS ct FROM raw LEFT JOIN tgt USING (b)),
+       |model AS (SELECT b, SUM(c) AS cr,
+       |            SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS ct
+       |          FROM dfb GROUP BY b),
        |tot AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM model),
        |terms AS (
        |  SELECT doc_id, lang, c,
