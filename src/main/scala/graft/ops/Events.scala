@@ -10,23 +10,32 @@ import org.apache.spark.sql.functions._
   * extraction, time-bucketed aggregation, lag-based sessionization
   * (SURVEY §2.B map/json + date/time + window rows).
   *
-  * `events.ts` is nanosecond parquet, which Spark 4 rejects as an
-  * illegal Parquet type unless `spark.sql.legacy.parquet.nanosAsLong`
-  * is on; [[eventsTable]] enables it, reads `ts` as long nanos, and
-  * floor-truncates to a microsecond TIMESTAMP — the same truncation
-  * DuckDB applies in `CAST(ts AS TIMESTAMP)`, so oracles cast
-  * consistently (FIXTURES.md note).
+  * `events.ts` has shipped in two physical layouts across fixture
+  * generations: nanosecond parquet (which Spark 4 rejects unless
+  * `spark.sql.legacy.parquet.nanosAsLong` is on — read as long
+  * nanos, floor-truncated to microseconds) and plain `timestamp[us]`
+  * (read as TIMESTAMP_NTZ). [[eventsTable]] normalizes BOTH to a
+  * session-zone TIMESTAMP (all harness sessions run UTC), the same
+  * value DuckDB's `CAST(ts AS TIMESTAMP)` yields on either layout,
+  * so every oracle casts consistently (FIXTURES.md note).
   */
 object Events {
 
   def eventsTable(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables.t(s, dir, "events")
-      // Floor division, not `div` (which truncates toward zero):
-      // DuckDB's CAST(ns AS TIMESTAMP) floors, so pre-epoch negative
-      // nanos must round down too. (ts - pmod(ts,1000)) div 1000 is
-      // exact long floor-division — no double precision loss at 1e18.
-      .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+    val raw = Tables.t(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // Floor division, not `div` (which truncates toward zero):
+        // DuckDB's CAST(ns AS TIMESTAMP) floors, so pre-epoch negative
+        // nanos must round down too. (ts - pmod(ts,1000)) div 1000 is
+        // exact long floor-division — no double precision loss at 1e18.
+        raw.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+      case _ =>
+        // timestamp[us] layout: NTZ→TIMESTAMP is wall-clock identity
+        // under the UTC session zone every harness session sets
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Per-event-type stats over a JSON-extracted field:
