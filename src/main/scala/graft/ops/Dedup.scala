@@ -922,9 +922,75 @@ object Dedup {
        |FROM est WHERE est >= 0.35
        |GROUP BY doc_new ORDER BY doc_new""".stripMargin
 
+  /** Asymmetric shingle-containment pairs — the near-SUBSET detector
+    * symmetric Jaccard structurally misses: a 100-word quote inside a
+    * 10k-word article scores J = |A∩B|/|A∪B| ≈ 0.01 (diluted by the
+    * big doc's size) but containment C(A,B) = |A∩B|/|A| ≈ 1.0. The
+    * standard second dedup pass of web-corpus pipelines (quotes,
+    * boilerplate inclusions, partial mirrors).
+    *
+    * Same inverted-index plan as [[dedupJaccard]] — ONE scan pass,
+    * two shuffles, packed-BIGINT pair keys, MaxPosting skew cap; only
+    * the final scoring differs: both direction ratios common/n_a,
+    * common/n_b plus their max as the ranking key. */
+  def containmentDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val buckets = hashedPostings(d)
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("docs"))
+      .filter(size(col("docs")).between(2, MaxPosting))
+    buckets
+      .select(explode(expr(
+        "flatten(transform(docs, (x, i) -> " +
+          "transform(slice(docs, i + 2, size(docs)), " +
+          "y -> struct(shiftleft(x.doc_id, 32) + y.doc_id AS pk, " +
+          "x.n_sh AS na, y.n_sh AS nb))))"))
+        .as("p"))
+      .groupBy(col("p.pk").as("pk"))
+      .agg(count(lit(1)).as("common"),
+        first(col("p.na")).as("na"), first(col("p.nb")).as("nb"))
+      .select(shiftright(col("pk"), 32).as("doc_a"),
+        col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("doc_b"),
+        col("common"), col("na"), col("nb"))
+      .withColumn("cont_a", r6(col("common").cast("double") / col("na")))
+      .withColumn("cont_b", r6(col("common").cast("double") / col("nb")))
+      .withColumn("cmax", greatest(col("cont_a"), col("cont_b")))
+      .select(col("doc_a"), col("doc_b"), col("cont_a"), col("cont_b"), col("cmax"))
+      .orderBy(col("cmax").desc, col("doc_a"), col("doc_b"))
+      .limit(50)
+  }
+
+  val containmentDedupSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $ShingleK),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    $shingleSql AS shingle
+       |  FROM tok, UNNEST(range(0, len(w) - ${ShingleK - 1})) AS u(i)),
+       |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |good AS (SELECT shingle FROM sh GROUP BY shingle
+       |         HAVING COUNT(*) BETWEEN 2 AND $MaxPosting),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  JOIN good g ON g.shingle = a.shingle
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(common AS DOUBLE) / ca.n_sh, 6) + 0 AS cont_a,
+       |  round(CAST(common AS DOUBLE) / cb.n_sh, 6) + 0 AS cont_b,
+       |  greatest(round(CAST(common AS DOUBLE) / ca.n_sh, 6) + 0,
+       |           round(CAST(common AS DOUBLE) / cb.n_sh, 6) + 0) AS cmax
+       |FROM pairs
+       |JOIN counts ca ON ca.doc_id = doc_a
+       |JOIN counts cb ON cb.doc_id = doc_b
+       |ORDER BY cmax DESC, doc_a, doc_b
+       |LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard" -> (dedupJaccard _),
+    "containment_dedup" -> (containmentDedup _),
     "dedup_components" -> (dedupComponents _),
     "minhash_lsh" -> (minhashLsh _),
     "simhash_dedup" -> (simhashDedup _),
@@ -935,6 +1001,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,
+    "containment_dedup" -> containmentDedupSql,
     "dedup_components" -> dedupComponentsSql,
     "minhash_lsh" -> minhashLshSql,
     "simhash_dedup" -> simhashDedupSql,

@@ -46,6 +46,33 @@ class DedupSpec extends AnyFunSuite {
     assert(!got.keySet.exists { case (a, b) => Set(a, b).contains(4L) })
   }
 
+  test("containment catches a near-subset quote that jaccard dilutes") {
+    // doc 11 = a 12-word quote lifted verbatim from 100-word doc 10;
+    // doc 12 unrelated. Jaccard(10,11) ≈ 10/98 — below any near-dup
+    // bar — but containment of the quote side is 1.0.
+    val big = (0 until 100).map(i => s"w$i").mkString(" ")
+    val quote = (40 until 52).map(i => s"w$i").mkString(" ")
+    val d = Files.createTempDirectory("graft-contain").toString
+    Seq((10L, big), (11L, quote), (12L, "totally other content here now"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = Dedup.containmentDedup(spark, d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val (contA, contB, cmax) = rows((10L, 11L))
+    assert(contB == 1.0, "every quote shingle is inside the big doc")
+    assert(contA < 0.2, "the big doc is NOT contained in the quote")
+    assert(cmax == 1.0)
+    // jaccard on the same pair stays small — the signal containment adds
+    val j = Dedup.dedupJaccard(spark, d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((10L, 11L)) < 0.2)
+    assert(!rows.keySet.exists { case (a, b) => Set(a, b).contains(12L) })
+  }
+
   test("components collapse transitive dup pairs under the min survivor") {
     val got = Dedup.dedupComponents(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
