@@ -42,7 +42,9 @@ object Bench {
   val warmSetup: Map[String, (SparkSession, String) => Unit] = Map(
     "ann_pq_topk" -> ((s, d) => { graft.ops.Pq.trainedCodebooks(s, d); () }),
     "ann_ivfpq_topk" -> ((s, d) => { graft.ops.Pq.trainedCodebooks(s, d); () }),
-    "bpe_encode" -> ((s, d) => { graft.ops.Bpe.trainedMerges(s, d); () }))
+    "bpe_encode" -> ((s, d) => { graft.ops.Bpe.trainedMerges(s, d); () }),
+    // whitening consumes the shared rank-m fit (the pca_topm cold cost)
+    "embed_whiten" -> ((s, d) => { graft.ops.Pca.fitTopM(s, d, graft.ops.Pca.PcaM); () }))
 
   /** The pre-pass hook for one query under the bench protocol. */
   def setupFor(name: String): (SparkSession, String) => Unit =

@@ -477,15 +477,82 @@ object Pca {
        |ORDER BY comp, d""".stripMargin
   }
 
+  /** Output sample size for [[embedWhiten]] (the whitened view is
+    * corpus-sized; the registered query pins a bounded prefix). */
+  val WhitenRows = 10
+
+  /** The whitened corpus view: each embedding's projection onto the
+    * [[PcaM]] fitted components, scaled to unit per-component
+    * variance — z_c = (x·v_c)/√(λ_c/n), Su et al.'s whitening-BERT
+    * transform (the retrieval-quality normalization that equalizes
+    * the dominant directions a cosine metric otherwise over-weights).
+    * Map-only: the m·dim component doubles and m scale factors ride
+    * the closure, the corpus never shuffles — the [[pcaProjection]]
+    * shape generalized to a rank-m basis. λ is r6-rounded (the
+    * oracle's lam-CTE convention) and the fold order (ascending-dim
+    * dot, then one divide) mirrors the SQL list fold verbatim. */
+  private[graft] def whitenAll(s: SparkSession, dir: String): DataFrame = {
+    val comps = fitTopM(s, dir, PcaM)
+    val n = t(s, dir, "embeddings").count()
+    val vs = comps.map(_._1).toArray
+    val scales = comps.map { case (_, l) =>
+      val lr = r6d(l)
+      if (lr <= 0) 0.0 else math.sqrt(lr / n.toDouble)
+    }.toArray
+    val zUdf = udf { (emb: Seq[Float]) =>
+      vs.indices.map { c =>
+        val v = vs(c)
+        var acc = 0.0
+        var i = 0
+        while (i < v.length && i < emb.length) { acc += emb(i).toDouble * v(i); i += 1 }
+        if (scales(c) == 0.0) 0.0 else acc / scales(c)
+      }.toArray
+    }
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), zUdf(col("embedding")).as("z"))
+      .select(col("vec_id") +:
+        (0 until PcaM).map(c => r6(col("z")(c)).as(s"z${c + 1}")): _*)
+  }
+
+  def embedWhiten(s: SparkSession, dir: String): DataFrame =
+    whitenAll(s, dir).orderBy(col("vec_id")).limit(WhitenRows)
+
+  /** Oracle mirror of [[embedWhiten]]: the [[pcaChainSql]] basis, one
+    * scale CTE per component (√(r6(λ)/n)), and a per-row list-fold
+    * projection — the same ascending-dim dot / single divide / r6. */
+  val embedWhitenSql: String = {
+    val (chain, refs) = pcaChainSql(PcaM)
+    val per = refs.zipWithIndex.map { case ((pv, pn), idx) =>
+      val c = idx + 1
+      s"""wv$c AS (SELECT list(v ORDER BY i) AS vl FROM $pv),
+         |ws$c AS (SELECT CASE WHEN round(l.n, 6) + 0 <= 0 THEN 0.0
+         |  ELSE sqrt((round(l.n, 6) + 0) / c.n) END AS s FROM $pn l, wcnt c)""".stripMargin
+    }
+    val zCols = (1 to PcaM).map { c =>
+      s"""round(CASE WHEN ws$c.s = 0 THEN 0.0 ELSE
+         |  list_sum([CAST(e.embedding[x+1] AS DOUBLE) * wv$c.vl[x+1]
+         |            FOR x IN range(0, $Dim)]) / ws$c.s END, 6) + 0 AS z$c""".stripMargin
+    }
+    s"""$pcaCtes,
+       |$chain,
+       |wcnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+       |${per.mkString(",\n")}
+       |SELECT e.vec_id, ${zCols.mkString(",\n")}
+       |FROM embeddings e, ${(1 to PcaM).map(c => s"wv$c, ws$c").mkString(", ")}
+       |ORDER BY e.vec_id LIMIT $WhitenRows""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_pca_power" -> (embedPcaPower _),
     "pca_projection" -> (pcaProjection _),
     "pca_top2" -> (pcaTop2 _),
-    "pca_topm" -> (pcaTopM _))
+    "pca_topm" -> (pcaTopM _),
+    "embed_whiten" -> (embedWhiten _))
 
   val oracles: Map[String, String] = Map(
     "embed_pca_power" -> embedPcaPowerSql,
     "pca_projection" -> pcaProjectionSql,
     "pca_top2" -> pcaTop2Sql,
-    "pca_topm" -> pcaTopMSql)
+    "pca_topm" -> pcaTopMSql,
+    "embed_whiten" -> embedWhitenSql)
 }

@@ -106,6 +106,46 @@ class PcaSpec extends AnyFunSuite {
     assert(lams == lams.sortBy(-_), s"eigenvalues must be non-increasing: $lams")
   }
 
+  test("embed_whiten: unit per-component variance and decorrelated components") {
+    // three planted directions (axes 0, 5, 11) with well-separated
+    // variances and alternating signs (mean ≈ 0, so the uncentered
+    // Gram is the covariance the whitening formula assumes)
+    val d = Files.createTempDirectory("graft-whiten").toString
+    val rows = (0 until 300).map { n =>
+      val v = new Array[Float](Pca.Dim)
+      // Walsh sign patterns (periods 2/4/8) are mutually orthogonal
+      // over any multiple of 4 samples, so the planted axes are
+      // exactly sample-decorrelated
+      // wide eigengaps (64:4:0.49) keep the 3-step power basis
+      // within ~1e-3 of the true axes — the whitening identity is
+      // only as clean as the fitted basis
+      v(0) = 8.0f * (if (n % 2 == 0) 1f else -1f)
+      v(5) = 2.0f * (if ((n / 2) % 2 == 0) 1f else -1f)
+      v(11) = 0.7f * (if ((n / 4) % 2 == 0) 1f else -1f)
+      var k = 1
+      while (k < Pca.Dim) {
+        if (k != 5 && k != 11) v(k) = ((n * 37 + k * 13) % 11 - 5) * 0.005f
+        k += 1
+      }
+      (n.toLong, v.toSeq, n % 3)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val z = Pca.whitenAll(spark, d).collect()
+    val n = z.length.toDouble
+    (1 to Pca.PcaM).foreach { c =>
+      val ms = z.map(r => r.getDouble(c) * r.getDouble(c)).sum / n
+      assert(math.abs(ms - 1.0) < 0.05, s"component $c mean square $ms, want 1")
+    }
+    (1 until Pca.PcaM).foreach { a =>
+      ((a + 1) to Pca.PcaM).foreach { b =>
+        val cross = z.map(r => r.getDouble(a) * r.getDouble(b)).sum / n
+        assert(math.abs(cross) < 0.1, s"components $a,$b correlate: $cross")
+      }
+    }
+  }
+
   test("deterministic across cold runs (long-scaled Gram is partition-order-free)") {
     Pca.clearFitCache()
     val a = Pca.embedPcaPower(spark, dir).collect().map(r => (r.getLong(0), r.getDouble(1)))
