@@ -340,17 +340,118 @@ object Retrieval {
        |FROM b GROUP BY bucket
        |ORDER BY bucket""".stripMargin
 
+  /** DoReMi-style domain reweighting (Xie et al., NeurIPS 2023) with
+    * the engine's two n-gram LMs standing in for proxy/reference:
+    * per-source EXCESS LOSS = mean over the source's docs of
+    * (unigram NLL − bigram NLL) — how much the richer model improves
+    * on the simpler one, the "learnability" signal DoReMi upweights —
+    * and one exponentiated-gradient step from the baseline share:
+    * w ∝ share · exp(η·excess), normalized. Domains whose text has
+    * exploitable structure (high excess) gain weight; memorized /
+    * degenerate domains (excess ≈ 0) lose it.
+    *
+    * Scale shape: both NLL relations are the proven one-aggregation
+    * plans; the per-source reduce is one hash aggregation; the
+    * normalizer is ONE scalar broadcast back (the mixture_weights
+    * convention). exp() ulp drift across engines is collapsed by
+    * r6-rounding the r6-rounded exponent's image — the ln() parity
+    * argument the whole §8.5 bridge already rests on. */
+  val DoremiEta = 1.0
+
+  def doremiWeights(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    val u = unigramLogprob(s, dir).select(col("doc_id"), col("avg_nll").as("u_nll"))
+    val b = bigramLogprob(s, dir).select(col("doc_id"), col("avg_nll").as("b_nll"))
+    val perSrc = d.join(u, "doc_id").join(b, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        r6(OracleMath.davg(col("u_nll") - col("b_nll"))).as("excess"))
+    val tot = perSrc.agg(sum(col("n_docs")).as("nd"))
+    val raw = perSrc.crossJoin(broadcast(tot))
+      .withColumn("share", r6(col("n_docs").cast("double") / col("nd")))
+      .withColumn("w_raw", r6(col("share") * exp(lit(DoremiEta) * col("excess"))))
+    val norm = raw.agg(OracleMath.dsum(col("w_raw")).as("wsum"))
+    raw.crossJoin(broadcast(norm))
+      .select(col("source"), col("n_docs"), col("excess"), col("share"),
+        r6(col("w_raw") / col("wsum")).as("weight"))
+      .orderBy(col("source"))
+  }
+
+  val doremiWeightsSql: String =
+    s"""WITH u AS (${unigramLogprobSql.replace("ORDER BY doc_id", "")}),
+       |b AS (${bigramLogprobSql.replace("ORDER BY doc_id", "")}),
+       |per AS (
+       |  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    round(CAST(SUM(CAST(u.avg_nll - b.avg_nll AS DECIMAL(38,6))) AS DOUBLE)
+       |          / COUNT(*), 6) + 0 AS excess
+       |  FROM documents d JOIN u USING (doc_id) JOIN b USING (doc_id)
+       |  GROUP BY d.source),
+       |tot AS (SELECT SUM(n_docs) AS nd FROM per),
+       |raw AS (
+       |  SELECT source, n_docs, excess,
+       |    round(CAST(n_docs AS DOUBLE) / nd, 6) + 0 AS share,
+       |    round((round(CAST(n_docs AS DOUBLE) / nd, 6) + 0)
+       |          * exp($DoremiEta * excess), 6) + 0 AS w_raw
+       |  FROM per CROSS JOIN tot),
+       |norm AS (SELECT CAST(SUM(CAST(w_raw AS DECIMAL(38,6))) AS DOUBLE) AS wsum FROM raw)
+       |SELECT source, n_docs, excess, share,
+       |  round(w_raw / wsum, 6) + 0 AS weight
+       |FROM raw CROSS JOIN norm
+       |ORDER BY source""".stripMargin
+
+  /** Per-source quantile calibration of the unigram-LM quality score
+    * — the cross-domain fairness fix for any global threshold (CCNet
+    * cuts per LANGUAGE for the same reason): a global NLL bar keeps
+    * almost everything from an easy domain and guts a hard one,
+    * while a within-source percentile keeps the best
+    * [[CalibKeepFrac]] of EVERY source. keep = percent_rank within
+    * the doc's own source ≤ the fraction.
+    *
+    * Scale shape: one shuffle on `source`, per-source sort inside
+    * the window. A pathological mega-domain makes that partition
+    * sort-heavy; the documented at-scale swap is per-source
+    * `approx_percentile` cutoffs broadcast back (two map passes, no
+    * per-source sort — the ppl_buckets pattern), identical keep
+    * semantics. percent_rank is deterministic here because the
+    * window orders by (avg_nll, doc_id) — a unique key. */
+  val CalibKeepFrac = 0.7
+
+  def qualityCalibrated(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    val w = Window.partitionBy(col("source")).orderBy(col("avg_nll"), col("doc_id"))
+    unigramLogprob(s, dir).join(d, "doc_id")
+      .withColumn("src_pr", r6(percent_rank().over(w)))
+      .select(col("doc_id"), col("source"), col("avg_nll"), col("src_pr"),
+        (col("src_pr") <= CalibKeepFrac).cast("int").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityCalibratedSql: String =
+    s"""WITH nll AS (${unigramLogprobSql.replace("ORDER BY doc_id", "")})
+       |SELECT doc_id, d.source, avg_nll,
+       |  round(percent_rank() OVER (PARTITION BY d.source
+       |                             ORDER BY avg_nll, doc_id), 6) + 0 AS src_pr,
+       |  CAST(round(percent_rank() OVER (PARTITION BY d.source
+       |                                  ORDER BY avg_nll, doc_id), 6) + 0
+       |       <= $CalibKeepFrac AS INT) AS keep
+       |FROM nll JOIN documents d USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_topk" -> (bm25Topk _),
     "hybrid_rrf" -> (hybridRrf _),
     "unigram_logprob" -> (unigramLogprob _),
     "bigram_logprob" -> (bigramLogprob _),
-    "ppl_buckets" -> (pplBuckets _))
+    "ppl_buckets" -> (pplBuckets _),
+    "doremi_weights" -> (doremiWeights _),
+    "quality_calibrated" -> (qualityCalibrated _))
 
   val oracles: Map[String, String] = Map(
     "bm25_topk" -> bm25TopkSql,
     "hybrid_rrf" -> hybridRrfSql,
     "unigram_logprob" -> unigramLogprobSql,
     "bigram_logprob" -> bigramLogprobSql,
-    "ppl_buckets" -> pplBucketsSql)
+    "ppl_buckets" -> pplBucketsSql,
+    "doremi_weights" -> doremiWeightsSql,
+    "quality_calibrated" -> qualityCalibratedSql)
 }

@@ -87,6 +87,60 @@ class RetrievalSpec extends AnyFunSuite {
     assert(byId.values.forall(_ >= 0.0))
   }
 
+  test("doremi: a bigram-predictable source gains weight over its baseline share") {
+    // "structured" docs alternate two tokens — every bigram is fully
+    // determined by its left token (bigram NLL ≈ 0, excess ≈ unigram
+    // NLL). "flat" docs enumerate distinct tokens in rotating orders —
+    // bigram structure adds nothing (excess ≈ 0 or negative).
+    val d = java.nio.file.Files.createTempDirectory("graft-doremi").toString
+    val structured = (0 until 6).map(i => (100L + i, "ping pong ping pong ping pong ping", "structured"))
+    val flat = (0 until 6).map { i =>
+      // distinct stride per doc: each left token sees a DIFFERENT
+      // successor in every doc, so the corpus bigram conditionals
+      // are ~1/6 — bigram structure adds little over unigram
+      val ws = (0 until 7).map(j => s"t${(j * (i + 1)) % 7}")
+      (200L + i, ws.mkString(" "), "flat")
+    }
+    (structured ++ flat).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val w = graft.ops.Retrieval.doremiWeights(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (exS, shS, wS) = w("structured")
+    val (exF, _, wF) = w("flat")
+    assert(exS > exF + 0.3, s"structured excess $exS should beat flat $exF")
+    assert(wS > shS, "learnable source is upweighted past its share")
+    assert(math.abs(w.values.map(_._3).sum - 1.0) < 1e-4, "weights normalize")
+    assert(wS > wF)
+  }
+
+  test("quality calibration keeps the best fraction of EVERY source") {
+    // source "hard" is uniformly higher-NLL than "easy"; a global cut
+    // would gut it, the per-source percentile keeps ~70% of each
+    val d = java.nio.file.Files.createTempDirectory("graft-calib").toString
+    val easy = (0 until 10).map(i => (300L + i, "common words common words common", "easy"))
+    val hard = (0 until 10).map(i => (400L + i, s"rare$i unique$i obscure$i", "hard"))
+    (easy ++ hard).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = graft.ops.Retrieval.qualityCalibrated(spark, d).collect()
+    val bySrc = rows.groupBy(_.getString(1))
+    bySrc.foreach { case (src, rs) =>
+      val kept = rs.count(_.getInt(4) == 1)
+      // percent_rank ≤ 0.7 over n=10 keeps floor(0.7·9)+1 = 7
+      assert(kept == 7, s"source $src kept $kept of ${rs.length}")
+    }
+    // the within-source rank of the best hard doc beats a global cut:
+    // every easy doc's NLL is below every hard doc's
+    val easyMax = rows.filter(_.getString(1) == "easy").map(_.getDouble(2)).max
+    val hardMin = rows.filter(_.getString(1) == "hard").map(_.getDouble(2)).min
+    assert(easyMax < hardMin, "planted separation holds")
+  }
+
   test("ppl buckets: tertile segments are disjoint, exhaustive, NLL-ordered") {
     val got = Retrieval.pplBuckets(spark, dir).collect()
       .map(r => r.getString(0) ->
