@@ -43,7 +43,8 @@ object SparkEntry {
       KMeansVec.queries ++ Curation.queries ++ Retrieval.queries ++ Quantize.queries ++
       Pca.queries ++ GraphAnn.queries ++ Pq.queries ++ Opq.queries ++ Rerank.queries ++
       QualityModel.queries ++ Maintenance.queries ++ AnnEval.queries ++ Bpe.queries ++
-      Outliers.queries ++ Dsir.queries ++ Cms.queries ++ Coreset.queries
+      Outliers.queries ++ Dsir.queries ++ Cms.queries ++ Coreset.queries ++
+      PageRank.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
@@ -53,5 +54,6 @@ object SparkEntry {
       KMeansVec.oracles ++ Curation.oracles ++ Retrieval.oracles ++ Quantize.oracles ++
       Pca.oracles ++ GraphAnn.oracles ++ Pq.oracles ++ Opq.oracles ++ Rerank.oracles ++
       QualityModel.oracles ++ Maintenance.oracles ++ AnnEval.oracles ++ Bpe.oracles ++
-      Outliers.oracles ++ Dsir.oracles ++ Cms.oracles ++ Coreset.oracles
+      Outliers.oracles ++ Dsir.oracles ++ Cms.oracles ++ Coreset.oracles ++
+      PageRank.oracles
 }

@@ -1,0 +1,164 @@
+package graft.ops
+
+import graft.functions.OracleMath
+import graft.functions.VectorFunctions.r6
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Weighted PageRank over the SOURCE-similarity graph — domain-level
+  * graph centrality (Page et al. 1999), the curation signal that
+  * spots template/boilerplate hub domains: sources sharing many
+  * word-shingles with many other sources (mirrors, aggregators,
+  * boilerplate families) concentrate rank; isolated original domains
+  * stay near the teleport floor.
+  *
+  * Graph build: (source, shingle) DISTINCT pairs → inverted index on
+  * the shingle → co-occurrence counts per source pair (the
+  * [[Dedup.dedupJaccard]] machinery at source granularity, same
+  * posting-size cap as the skew guard) → symmetric weighted edges.
+  *
+  * Iteration (the Pregel shape, 3 unrolled rounds like
+  * [[KMeansVec]]'s Lloyd loop): p' = (1−d)/N + d·(Σ_in p·w/W +
+  * dangling/N). Each round is ONE join of the rank relation with the
+  * edge relation plus one aggregation — no driver materialization of
+  * nodes or edges at any graph size; the dangling mass is a single
+  * broadcast scalar. Per-edge contributions are r6-rounded then
+  * decimal-summed (§8.5), so every round is partition-order-free and
+  * the whole walk replays as unrolled DuckDB CTEs.
+  */
+object PageRank {
+  import Tables.t
+
+  val Damp = 0.85
+  val Iters = 3
+
+  /** Sources-per-shingle posting cap — same role as
+    * [[Dedup.MaxPosting]]: a boilerplate shingle shared by every
+    * domain on the web would otherwise fan out quadratically. */
+  val MaxSrcPosting = 50
+
+  private val ShingleK = Dedup.ShingleK
+
+  /** (source, shingle-string) distinct pairs, pure builtins. */
+  private def srcShingles(d: DataFrame): DataFrame =
+    d.select(col("source"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= ShingleK)
+      .select(col("source"), explode(array_distinct(expr(
+        s"transform(sequence(0, size(w) - $ShingleK), " +
+          s"i -> concat_ws(' ', slice(w, i + 1, $ShingleK)))"))).as("shingle"))
+      .distinct()
+
+  /** PageRank after [[Iters]] rounds: (source, n_out, pr) ordered by
+    * rank descending. n_out = total outgoing edge weight (0 for
+    * isolated sources, which contribute via the dangling term). */
+  def sourcePagerank(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val nodes = docs.select(col("source")).distinct()
+    val n = nodes.count()
+    val nD = n.toDouble
+
+    val posts = srcShingles(docs)
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("source"))).as("srcs"))
+      .filter(size(col("srcs")).between(2, MaxSrcPosting))
+    val pairs = posts
+      .select(explode(expr(
+        "flatten(transform(srcs, (x, i) -> " +
+          "transform(slice(srcs, i + 2, size(srcs)), y -> struct(x AS a, y AS b))))"))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("w"))
+    val edges = pairs.unionByName(
+      pairs.select(col("b").as("a"), col("a").as("b"), col("w")))
+    val outw = edges.groupBy(col("a")).agg(sum(col("w")).as("ow"))
+    val em = edges.join(outw, "a")
+    val dangling = nodes.join(edges.select(col("a").as("source")).distinct(),
+      Seq("source"), "left_anti")
+
+    // every round re-joins the rank frame with `em`/`nodes`, whose
+    // lineage the frame already carries — explicit aliases keep the
+    // self-join column references unambiguous
+    var p = nodes.withColumn("p", r6(lit(1.0) / lit(nD)))
+    var it = 0
+    while (it < Iters) {
+      val contrib = p.alias("pp")
+        .join(em.alias("ee"), col("pp.source") === col("ee.a"))
+        .select(col("ee.b").as("source"),
+          r6(col("pp.p") * col("ee.w") / col("ee.ow")).as("term"))
+        .groupBy(col("source"))
+        .agg(OracleMath.dsum(col("term")).as("csum"))
+      val dang = p.alias("pd")
+        .join(dangling.alias("dd"), col("pd.source") === col("dd.source"))
+        .agg(coalesce(OracleMath.dsum(col("pd.p")), lit(0.0)).as("dg"))
+      p = nodes.alias("nn")
+        .join(contrib.alias("cc"), col("nn.source") === col("cc.source"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("nn.source").as("source"),
+          r6((lit(1.0) - lit(Damp)) / lit(nD) +
+            lit(Damp) * (coalesce(col("cc.csum"), lit(0.0)) +
+              col("dg") / lit(nD))).as("p"))
+      it += 1
+    }
+    p.alias("pf")
+      .join(outw.alias("oo"), col("pf.source") === col("oo.a"), "left")
+      .select(col("pf.source").as("source"),
+        coalesce(col("oo.ow"), lit(0L)).as("n_out"),
+        col("pf.p").as("pr"))
+      .orderBy(col("pr").desc, col("source"))
+  }
+
+  val sourcePagerankSql: String = {
+    val shingleExpr = (1 to ShingleK).map(t => s"w[i+$t]").mkString(" || ' ' || ")
+    def round(i: Int, prev: String): String =
+      s"""c$i AS (
+         |  SELECT em.b AS source,
+         |    CAST(SUM(CAST(round(p.p * em.w / em.ow, 6) + 0
+         |      AS DECIMAL(38,6))) AS DOUBLE) AS csum
+         |  FROM $prev p JOIN em ON em.a = p.source
+         |  GROUP BY em.b),
+         |dg$i AS (
+         |  SELECT COALESCE(CAST(SUM(CAST(p.p AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS dg
+         |  FROM $prev p JOIN dangling d ON d.source = p.source),
+         |p$i AS (
+         |  SELECT n.source,
+         |    round((1.0 - $Damp) / nn.n + $Damp * (COALESCE(c.csum, 0.0)
+         |      + dg$i.dg / nn.n), 6) + 0 AS p
+         |  FROM nodes n CROSS JOIN nn CROSS JOIN dg$i
+         |  LEFT JOIN c$i c ON c.source = n.source)""".stripMargin
+    s"""WITH nodes AS MATERIALIZED (SELECT DISTINCT source FROM documents),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+       |tok AS (
+       |  SELECT source, string_split(text, ' ') AS w FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $ShingleK),
+       |sh AS (
+       |  SELECT DISTINCT source, $shingleExpr AS shingle
+       |  FROM tok, UNNEST(range(0, len(w) - ${ShingleK - 1})) AS u(i)),
+       |good AS (SELECT shingle FROM sh GROUP BY shingle
+       |         HAVING COUNT(*) BETWEEN 2 AND $MaxSrcPosting),
+       |pairs AS (
+       |  SELECT a.source AS a, b.source AS b, COUNT(*) AS w
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+       |  JOIN good g ON g.shingle = a.shingle
+       |  GROUP BY a.source, b.source),
+       |edges AS MATERIALIZED (
+       |  SELECT a, b, w FROM pairs
+       |  UNION ALL SELECT b AS a, a AS b, w FROM pairs),
+       |outw AS (SELECT a, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY a),
+       |em AS MATERIALIZED (SELECT e.a, e.b, e.w, o.ow FROM edges e JOIN outw o ON o.a = e.a),
+       |dangling AS MATERIALIZED (
+       |  SELECT source FROM nodes
+       |  EXCEPT SELECT DISTINCT a AS source FROM edges),
+       |p0 AS (SELECT n.source, round(1.0 / nn.n, 6) + 0 AS p
+       |       FROM nodes n CROSS JOIN nn),
+       |${(1 to Iters).map(i => round(i, s"p${i - 1}")).mkString(",\n")}
+       |SELECT p.source, CAST(COALESCE(o.ow, 0) AS BIGINT) AS n_out, p.p AS pr
+       |FROM p$Iters p LEFT JOIN outw o ON o.a = p.source
+       |ORDER BY pr DESC, p.source""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_pagerank" -> (sourcePagerank _))
+
+  val oracles: Map[String, String] = Map(
+    "source_pagerank" -> sourcePagerankSql)
+}

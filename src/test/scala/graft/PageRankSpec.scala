@@ -1,0 +1,57 @@
+package graft
+
+import graft.ops.PageRank
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Source-graph PageRank on a planted topology: a hub source sharing
+  * shingles with two leaves, plus an isolated source. The hub must
+  * out-rank the leaves, the leaves must out-rank the isolated node,
+  * and total rank mass is conserved (Σpr ≈ 1). */
+class PageRankSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-pagerank").toString
+    val phraseA = "alpha beta gamma delta epsilon"
+    val phraseB = "one two three four five"
+    // hub shares phraseA with leaf1 and phraseB with leaf2;
+    // leaves share nothing with each other; loner shares nothing
+    val docs = Seq(
+      (0L, s"$phraseA $phraseB", "hub"),
+      (1L, s"$phraseA sailing words here", "leaf1"),
+      (2L, s"$phraseB walking words there", "leaf2"),
+      (3L, "totally isolated original content forever", "loner"))
+    docs.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("hub out-ranks leaves, leaves out-rank the isolated source, mass conserved") {
+    val rows = PageRank.sourcePagerank(spark, dir).collect()
+    val pr = rows.map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val nOut = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pr("hub") > pr("leaf1") && pr("hub") > pr("leaf2"),
+      s"hub ${pr("hub")} must beat leaves ${pr("leaf1")}, ${pr("leaf2")}")
+    assert(pr("leaf1") > pr("loner") && pr("leaf2") > pr("loner"))
+    assert(nOut("loner") == 0L, "isolated source has no edges")
+    assert(nOut("hub") > nOut("leaf1"), "hub carries the most edge weight")
+    val mass = pr.values.sum
+    assert(math.abs(mass - 1.0) < 1e-3, s"rank mass $mass drifted")
+    // output ordering: descending rank
+    val sorted = rows.map(_.getDouble(2))
+    assert(sorted.sameElements(sorted.sortBy(-_)))
+  }
+
+  test("deterministic across runs") {
+    val a = PageRank.sourcePagerank(spark, dir).collect().map(_.toSeq)
+    val b = PageRank.sourcePagerank(spark, dir).collect().map(_.toSeq)
+    assert(a.sameElements(b))
+  }
+}
