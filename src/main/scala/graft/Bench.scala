@@ -19,6 +19,8 @@ object Bench {
     // bpe_merges is the BPE fitter; its number is the honest cost of
     // the full distributed training loop
     "bpe_merges" -> ((_, _) => graft.ops.Bpe.clearMergeCache()),
+    // rq_error is the RQ fitter: both Lloyd levels are its cold cost
+    "rq_error" -> ((_, _) => graft.ops.Rq.clearCbCache()),
     // pca_top2's own cold cost is the second Gram pass + deflation;
     // the pc1 it deflates by is CONSUMED warm (embed_pca_power's fit)
     "pca_top2" -> ((s, d) => {
