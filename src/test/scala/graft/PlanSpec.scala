@@ -267,4 +267,33 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"plan: $plan")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("embed_whiten: the whitened view is map-only — no exchange, no join") {
+    val plan = graft.ops.Pca.whitenAll(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"plan: $plan")
+    assert(!plan.contains("Join"), s"plan: $plan")
+  }
+
+  test("source_pagerank: rank walk is all equi-joins — no cartesian, 1-row masses broadcast") {
+    val plan = graft.ops.PageRank.sourcePagerank(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+    // the dangling-mass scalar rides a broadcast, never a shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"plan: $plan")
+  }
+
+  test("quality_calibrated: exactly the source-keyed window — no global-sort window partition") {
+    val plan = graft.ops.Retrieval.qualityCalibrated(spark, sf)
+      .queryExecution.executedPlan.toString
+    // a percent_rank over the WHOLE corpus would plan a single-
+    // partition window ("Window ... ORDER BY" with no partition
+    // spec); the calibrated form must key every window by source
+    assert(plan.contains("windowspecdefinition(source#"), s"plan: $plan")
+    // every window in the plan is source-partitioned
+    val allSpecs = "windowspecdefinition\\(".r.findAllIn(plan).size
+    val srcSpecs = "windowspecdefinition\\(source#".r.findAllIn(plan).size
+    assert(allSpecs == srcSpecs, s"unpartitioned window present: $plan")
+  }
 }
