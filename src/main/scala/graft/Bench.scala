@@ -45,6 +45,7 @@ object Bench {
     "ann_pq_topk" -> ((s, d) => { graft.ops.Pq.trainedCodebooks(s, d); () }),
     "ann_ivfpq_topk" -> ((s, d) => { graft.ops.Pq.trainedCodebooks(s, d); () }),
     "bpe_encode" -> ((s, d) => { graft.ops.Bpe.trainedMerges(s, d); () }),
+    "ann_rq_topk" -> ((s, d) => { graft.ops.Rq.trainedRq(s, d); () }),
     // whitening consumes the shared rank-m fit (the pca_topm cold cost)
     "embed_whiten" -> ((s, d) => { graft.ops.Pca.fitTopM(s, d, graft.ops.Pca.PcaM); () }))
 

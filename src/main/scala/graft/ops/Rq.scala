@@ -219,9 +219,103 @@ object Rq {
        |FROM pv GROUP BY label
        |ORDER BY label""".stripMargin
 
+  /** Phase-1 candidate pool. RQ at 2×4 bits has only CodeK² = 256
+    * distinct reconstructions, so the approx score is COARSE — rows
+    * in the same (c1,c2) cell tie and break by vec_id, which makes
+    * this a cell-pruning candidate generator (the IVF shape), not
+    * PQ's fine-grained ADC. RqSpec measures recall at the registered
+    * knobs; production RQ raises levels/bits for discrimination. */
+  val Shortlist = 100
+
+  /** Two-phase RQ search: driver builds the CodeK×CodeK lookup table
+    * d2(query, c1+c2) — 256 doubles, one O(1) lookup per corpus row
+    * (cheaper than PQ's 8 lookups) — shortlists [[Shortlist]] by
+    * (approx, vec_id), exact-rescores with the shared cosine kernel.
+    * The scan is map-only with the 512-double model in the closure;
+    * oracle replays codes, LUT, shortlist, and rescore. */
+  def annRqTopk(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = Tables.t(s, dir, "embeddings")
+    val qOpt = OpsShared.queryVec(s, dir)
+    if (qOpt.isEmpty)
+      return e.select(col("vec_id"), col("label"), lit(0d).as("dist")).filter(lit(false))
+    val qVec = qOpt.get
+    val (cb1, cb2) = trainedRq(s, dir)
+    val cb1F = floats(cb1)
+    val cb2F = floats(cb2)
+    val nq = Pq.normalize(qVec.map(_.toDouble))
+    val lut = Array.tabulate(CodeK, CodeK) { (a, b) =>
+      val rec = Array.tabulate(Dim)(i => cb1(a)(i) + cb2(b)(i))
+      d2(nq, rec.map(_.toFloat), rec)
+    }
+    val approxU = udf { (emb: Seq[Float]) =>
+      val raw = new Array[Double](emb.length)
+      var i = 0
+      while (i < raw.length) { raw(i) = emb(i); i += 1 }
+      val xa = Pq.normalize(raw)
+      val c1 = nearest(xa, cb1, cb1F)._1
+      val cent = cb1(c1)
+      val rx = Array.tabulate(xa.length)(j => xa(j) - cent(j))
+      val c2 = nearest(rx, cb2, cb2F)._1
+      lut(c1)(c2)
+    }
+    import graft.functions.VectorFunctions.{cosineDist, l2norm}
+    e.filter(col("vec_id") =!= VectorQueries.QueryVecId)
+      .filter(l2norm(col("embedding")) > 0)
+      .withColumn("approx", approxU(col("embedding")))
+      .orderBy(col("approx"), col("vec_id"))
+      .limit(Shortlist)
+      .withColumn("dist", r6(cosineDist(col("embedding"), typedLit(qVec))))
+      .filter(!isnan(col("dist")) && col("dist").isNotNull)
+      .select(col("vec_id"), col("label"), col("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
+  }
+
+  val annRqTopkSql: String =
+    s"""WITH ne AS MATERIALIZED (
+       |${Pq.neStandardSql}),
+       |nx AS (SELECT vec_id, label, nx AS x FROM ne),
+       |${levelSql("r", "nx")},
+       |res AS MATERIALIZED (
+       |  SELECT c.vec_id, c.label,
+       |    list_transform(range(1, ${Dim + 1}), i -> c.x[i] - cb.emb[i]) AS x
+       |  FROM rc c JOIN rcb cb ON cb.code = c.code),
+       |${levelSql("s", "res")},
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = ${VectorQueries.QueryVecId}),
+       |qn AS (SELECT list_transform(qe, x -> CAST(x AS DOUBLE)
+       |    / sqrt(list_sum(list_transform(qe, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE))))) AS nx FROM q),
+       |lut AS (
+       |  SELECT a.code AS c1, b.code AS c2,
+       |    list_sum(list_transform(qn.nx, v -> v * v))
+       |    - 2.0 * list_sum(list_transform(range(1, ${Dim + 1}),
+       |        i -> qn.nx[i] * CAST(CAST(a.emb[i] + b.emb[i] AS FLOAT) AS DOUBLE)))
+       |    + list_sum(list_transform(range(1, ${Dim + 1}),
+       |        i -> (a.emb[i] + b.emb[i]) * (a.emb[i] + b.emb[i]))) AS d2
+       |  FROM rcb a, scb b, qn),
+       |approx AS (
+       |  SELECT r.vec_id, r.label, lut.d2 AS approx
+       |  FROM rc r JOIN sc s2 ON s2.vec_id = r.vec_id
+       |  JOIN lut ON lut.c1 = r.code AND lut.c2 = s2.code
+       |  WHERE r.vec_id <> ${VectorQueries.QueryVecId}),
+       |short AS (
+       |  SELECT vec_id, label FROM approx
+       |  ORDER BY approx, vec_id LIMIT $Shortlist),
+       |scored AS (
+       |  SELECT e.vec_id, e.label,
+       |    round(1.0 - list_sum(list_transform(range(1, len(e.embedding)+1),
+       |              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+       |          / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+       |             * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) + 0 AS dist
+       |  FROM embeddings e JOIN short ON short.vec_id = e.vec_id, q)
+       |SELECT vec_id, label, dist FROM scored
+       |WHERE dist IS NOT NULL AND NOT isnan(dist)
+       |ORDER BY dist, vec_id LIMIT 5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "rq_error" -> (rqError _))
+    "rq_error" -> (rqError _),
+    "ann_rq_topk" -> ((s, d) => annRqTopk(s, d)))
 
   val oracles: Map[String, String] = Map(
-    "rq_error" -> rqErrorSql)
+    "rq_error" -> rqErrorSql,
+    "ann_rq_topk" -> annRqTopkSql)
 }

@@ -51,6 +51,20 @@ class RqSpec extends AnyFunSuite {
     assert(tot2 < tot1 * 0.8, s"two-level error $tot2 should be well under level-1 $tot1")
   }
 
+  test("ann_rq_topk recall@5 vs exact kNN on the real fixture") {
+    val sf = "/root/testdata/sf0.001"
+    val exact = graft.ops.VectorQueries.knnTopkK(spark, sf, 5)
+      .collect().map(_.getLong(0)).toSet
+    val got = graft.ops.Rq.annRqTopk(spark, sf, 5)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    info(f"rq recall@5 = $recall%.2f")
+    // 2×4-bit RQ is a 256-cell candidate generator (cell ties break
+    // by vec_id) — the docstring's honesty bar: this asserts the
+    // measured floor at the registered knobs, not perfection
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
   test("deterministic across cold runs") {
     Rq.clearCbCache()
     val a = Rq.rqError(spark, dir).collect().map(_.toSeq)
