@@ -185,6 +185,23 @@ object StreamingIndex {
   def curationStream(docs: DataFrame): DataFrame =
     graft.ops.Curation.gopherScore(docs)
 
+  /** Streaming DSIR scorer — the importance-resampling front half on
+    * a document stream, train-on-history / score-the-stream: the
+    * frozen hashed-n-gram model (two ≤512-bucket marginals + totals,
+    * parameter-bounded by construction) rides the closure, so
+    * scoring is MAP-ONLY — no state store, no watermark, no shuffle,
+    * unbounded throughput (the StreamingDedup shape). Shares
+    * [[graft.ops.Dsir.scoreUdf]]'s arithmetic with the batch query
+    * verbatim — batch ≡ stream row equality asserted in
+    * StreamingSpec. Selection (the Gumbel-top-k back half) stays a
+    * batch/window concern downstream. */
+  def dsirScoreStream(docs: DataFrame,
+      model: Map[Long, (Long, Long)], tr: Long, tt: Long): DataFrame =
+    docs
+      .withColumn("sc", graft.ops.Dsir.scoreUdf(model, tr, tt)(col("text")))
+      .select(col("doc_id"), col("lang"),
+        col("sc._1").as("n_feats"), col("sc._2").as("logw"))
+
   /** Streaming anomaly scorer — train-on-history, score-the-stream:
     * watermarked hourly tumbling counts per event type, stream-static
     * joined to a batch-trained stats table (`Events.hourlyStats`),

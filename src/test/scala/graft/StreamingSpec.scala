@@ -192,6 +192,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("dsir stream ≡ batch dsir_weights: frozen-model map-only scoring, row equality") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.ops.Dsir.dsirWeights(spark, dir)
+      .collect().map(_.toString).toSeq
+    val (model, tr, tt) = graft.ops.Dsir.fittedModel(spark, dir)
+    val src = Files.createTempDirectory("graft-dsir-eq").resolve("docs").toString
+    spark.read.parquet(s"$dir/documents.parquet")
+      .write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .parquet(src)
+    val q = StreamingIndex.dsirScoreStream(stream, model, tr, tt)
+      .writeStream.format("memory").queryName("dsir_eq").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("SELECT * FROM dsir_eq")
+      .orderBy(col("doc_id")).collect().map(_.toString).toSeq
+    // scoring the training corpus itself through the frozen model
+    // must reproduce the batch relation bit-for-bit — one shared
+    // term arithmetic (Dsir.scoreUdf ↔ dsirWeights), no state
+    // store, no watermark, no shuffle anywhere in the stream
+    assert(streamed == batch, s"stream ${streamed.size} vs batch ${batch.size}")
+    assert(batch.nonEmpty)
+  }
+
   test("funnel stream ≡ batch funnel_steps: per-step user counts on the events fixture") {
     import graft.ops.Events
     import graft.streaming.FunnelStream
