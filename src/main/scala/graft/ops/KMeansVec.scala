@@ -585,9 +585,64 @@ object KMeansVec {
        |WHERE sim >= $SemDedupThreshold
        |ORDER BY cluster, vec_a, vec_b""".stripMargin
 
+  /** Cluster-balanced (density-equalizing) sampling — the geometric
+    * form of stratified balancing where the strata are LEARNED
+    * k-means cells instead of labels (the DataComp/SSL-curation
+    * density-sampling recipe, and SemDeDup's sibling: dedup removes
+    * near-identical pairs, density sampling thins over-dense REGIONS
+    * wholesale). Each cell is downsampled by deterministic
+    * hash-threshold to the smallest cell's rate: rate_c = min_n /
+    * n_c, keep iff u(vec_id) < rate_c.
+    *
+    * Scale shape: the cell-size relation is K rows (parameter-
+    * bounded → broadcast under the centroid rule), the min a 1-row
+    * broadcast, the keep decision map-only — zero coordination, the
+    * sample_hash property at cell granularity. Output is the
+    * per-cell audit (n, rate, kept), the report a curation run
+    * reads before materializing the sample. */
+  def clusterSample(s: SparkSession, dir: String): DataFrame = {
+    val a = assign(s, dir)
+    val sizes = a.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+    val mn = sizes.agg(min(col("n")).as("mn"))
+    val u = ((graft.functions.CrossHash.md5Hash60Col(concat(lit("cs:"), col("vec_id").cast("string")))
+      % Dsir.TwoPow50).cast("double") + lit(0.5)) / lit(Dsir.TwoPow50).cast("double")
+    a.join(broadcast(sizes), "cluster")
+      .crossJoin(broadcast(mn))
+      .withColumn("rate", r6(col("mn").cast("double") / col("n")))
+      .withColumn("keep", (u < col("rate")).cast("int"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_cell"), min(col("rate")).as("rate"),
+        sum(col("keep")).as("kept"))
+      .select(col("cluster"), col("n_cell").as("n"), col("rate"), col("kept"))
+      .orderBy(col("cluster"))
+  }
+
+  val clusterSampleSql: String = {
+    val h = graft.functions.CrossHash.sqlHash60("'cs:' || CAST(vec_id AS VARCHAR)")
+    val iters = (1 to Iters).map { t =>
+      if (t < Iters) assignCte(t) + ",\n" + updateCte(t) else assignCte(t)
+    }.mkString(",\n")
+    s"""WITH $initCte,
+       |$iters,
+       |sizes AS (SELECT cluster, COUNT(*) AS n FROM a$Iters GROUP BY cluster),
+       |mn AS (SELECT MIN(n) AS mn FROM sizes),
+       |rws AS (
+       |  SELECT a.vec_id, a.cluster,
+       |    round(CAST(mn.mn AS DOUBLE) / s.n, 6) + 0 AS rate,
+       |    (CAST($h % ${Dsir.TwoPow50} AS DOUBLE) + 0.5)
+       |      / CAST(${Dsir.TwoPow50} AS DOUBLE) AS u
+       |  FROM a$Iters a JOIN sizes s USING (cluster) CROSS JOIN mn)
+       |SELECT CAST(cluster AS BIGINT) AS cluster, CAST(COUNT(*) AS BIGINT) AS n,
+       |  MIN(rate) AS rate,
+       |  CAST(SUM(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT) AS kept
+       |FROM rws GROUP BY cluster
+       |ORDER BY cluster""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kmeans_clusters" -> (clusterProfile _),
     "semantic_dedup" -> (semanticDedup _),
+    "cluster_sample" -> (clusterSample _),
     "ann_ivf_topk" -> ((s, d) => ivfTopK(s, d)),
     "ann_ivf_batch" -> ((s, d) => ivfBatchTopK(s, d)),
     "ann_filtered_topk" -> ((s, d) => ivfFilteredTopK(s, d)))
@@ -595,6 +650,7 @@ object KMeansVec {
   val oracles: Map[String, String] = Map(
     "kmeans_clusters" -> clusterProfileSql,
     "semantic_dedup" -> semanticDedupSql,
+    "cluster_sample" -> clusterSampleSql,
     "ann_ivf_topk" -> ivfTopKSql,
     "ann_ivf_batch" -> ivfBatchTopKSql,
     "ann_filtered_topk" -> ivfFilteredTopKSql)

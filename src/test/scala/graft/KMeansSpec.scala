@@ -109,4 +109,27 @@ class KMeansSpec extends AnyFunSuite {
     assert(full === exactFiltered,
       "all-cells filtered search must reduce to exact filtered kNN")
   }
+
+  test("cluster_sample equalizes cell densities at the smallest cell's rate") {
+    val rows = graft.ops.KMeansVec.clusterSample(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getLong(1))
+    val rate = rows.map(_.getDouble(2))
+    val kept = rows.map(_.getLong(3))
+    val minN = n.min
+    // the smallest cell keeps everything (rate 1.0, kept = n)
+    val smallest = rows(n.indexOf(minN))
+    assert(smallest.getDouble(2) == 1.0)
+    assert(smallest.getLong(3) == minN)
+    rows.indices.foreach { i =>
+      assert(kept(i) <= n(i))
+      assert(kept(i) > 0, s"cell ${rows(i).getLong(0)} sampled to zero")
+      // hash-threshold expectation is minN per cell; allow sampling
+      // variance but require the equalization to bite
+      assert(kept(i) <= minN * 2, s"cell kept ${kept(i)} far above target $minN")
+      assert(rate(i) <= 1.0 && rate(i) > 0.0)
+    }
+    // balancing: kept spread is much tighter than raw spread
+    assert(kept.max - kept.min <= (n.max - n.min) || n.max == n.min)
+  }
 }
