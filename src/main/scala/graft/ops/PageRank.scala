@@ -53,7 +53,11 @@ object PageRank {
     * isolated sources, which contribute via the dangling term). */
   def sourcePagerank(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val nodes = docs.select(col("source")).distinct()
+    // the graph relations are STATIC across rounds but referenced in
+    // every unrolled iteration's lineage — eager localCheckpoint
+    // computes each once (shingle pass, edge aggregation, degree
+    // join) instead of once per reference in the final plan
+    val nodes = docs.select(col("source")).distinct().localCheckpoint(true)
     val n = nodes.count()
     val nD = n.toDouble
 
@@ -71,9 +75,9 @@ object PageRank {
     val edges = pairs.unionByName(
       pairs.select(col("b").as("a"), col("a").as("b"), col("w")))
     val outw = edges.groupBy(col("a")).agg(sum(col("w")).as("ow"))
-    val em = edges.join(outw, "a")
+    val em = edges.join(outw, "a").localCheckpoint(true)
     val dangling = nodes.join(edges.select(col("a").as("source")).distinct(),
-      Seq("source"), "left_anti")
+      Seq("source"), "left_anti").localCheckpoint(true)
 
     // every round re-joins the rank frame with `em`/`nodes`, whose
     // lineage the frame already carries — explicit aliases keep the
