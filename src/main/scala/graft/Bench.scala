@@ -21,6 +21,8 @@ object Bench {
     "bpe_merges" -> ((_, _) => graft.ops.Bpe.clearMergeCache()),
     // rq_error is the RQ fitter: both Lloyd levels are its cold cost
     "rq_error" -> ((_, _) => graft.ops.Rq.clearCbCache()),
+    // unigram_vocab is the unigram-LM fitter (piece stats + top-V)
+    "unigram_vocab" -> ((_, _) => graft.ops.UnigramLm.clearVocabCache()),
     // pca_top2's own cold cost is the second Gram pass + deflation;
     // the pc1 it deflates by is CONSUMED warm (embed_pca_power's fit)
     "pca_top2" -> ((s, d) => {
@@ -46,6 +48,7 @@ object Bench {
     "ann_ivfpq_topk" -> ((s, d) => { graft.ops.Pq.trainedCodebooks(s, d); () }),
     "bpe_encode" -> ((s, d) => { graft.ops.Bpe.trainedMerges(s, d); () }),
     "ann_rq_topk" -> ((s, d) => { graft.ops.Rq.trainedRq(s, d); () }),
+    "unigram_encode" -> ((s, d) => { graft.ops.UnigramLm.fittedVocab(s, d); () }),
     // whitening consumes the shared rank-m fit (the pca_topm cold cost)
     "embed_whiten" -> ((s, d) => { graft.ops.Pca.fitTopM(s, d, graft.ops.Pca.PcaM); () }))
 

@@ -1,0 +1,256 @@
+package graft.ops
+
+import graft.functions.OracleMath
+import graft.functions.VectorFunctions.r6
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM (SentencePiece-style) subword tokenizer — the OTHER
+  * major tokenizer family next to BPE (Kudo 2018): fit a piece
+  * vocabulary with unigram log-prob costs from substring statistics,
+  * then segment every word by VITERBI — the minimum-cost path
+  * through the word's piece lattice (BPE applies merges greedily;
+  * unigram-LM picks the globally cheapest segmentation).
+  *
+  * Fit ([[unigramVocab]]): one corpus pass collapses the token
+  * stream to weighted distinct words (the [[Bpe]] convention);
+  * candidate pieces are ALL substrings of length ≤ [[MaxPieceLen]]
+  * weighted by word frequency; the vocabulary is the top
+  * [[VocabTop]] by (count, piece) UNION all single characters (the
+  * coverage guarantee that makes every word encodable); cost(p) =
+  * −ln(count_p / total), r6-rounded.
+  *
+  * Encode ([[unigramEncode]]): the DP runs per DISTINCT word inside
+  * a UDF — the vocabulary (≤ VocabTop + alphabet entries, parameter-
+  * bounded → closure under the centroid rule) rides to the
+  * executors, each word costs O(len·MaxPieceLen) — then joins back
+  * to the token stream (each distinct word segmented ONCE, the
+  * bpe_encode shape). Per-step scores are r6-rounded after EVERY
+  * accumulation and ties break on the smallest predecessor (longest
+  * piece), so the whole lattice walk replays in DuckDB: unrolled
+  * per-position DP CTEs + a recursive backtrack counting pieces.
+  *
+  * Scale shape: two aggregations (word counts, piece counts), one
+  * bounded top-V collect, one map-only DP pass over distinct words,
+  * one join back to the stream — no per-word driver work, no
+  * unbounded state anywhere.
+  */
+object UnigramLm {
+  import Tables.t
+
+  val MaxPieceLen = 4
+  val VocabTop = 48
+
+  /** DP position cap — the oracle unrolls this many per-position
+    * CTEs. Words longer than this are excluded from the piece
+    * statistics in BOTH engines (real tokenizers route such outliers
+    * through byte-fallback; the fixture's longest word is 8). */
+  val MaxWordLen = 16
+
+  val VocabOut = 20
+
+  private def r6d(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+      .doubleValue() + 0.0
+
+  /** Weighted distinct words: (w, f), empty strings and
+    * over-[[MaxWordLen]] words excluded (mirrored in every CTE). */
+  private def wordsDf(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "" && length(col("w")) <= MaxWordLen)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+
+  /** The fitted vocabulary: piece → (count, cost), memoized per
+    * directory. Bounded by VocabTop + alphabet size. */
+  private val vocabCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long, Double)]]()
+
+  private[graft] def clearVocabCache(): Unit = vocabCache.clear()
+
+  private[graft] def fittedVocab(s: SparkSession, dir: String): Seq[(String, Long, Double)] =
+    vocabCache.computeIfAbsent(OpsShared.dirKey(dir), _ => {
+      val pieces = wordsDf(s, dir)
+        .select(col("f"), explode(expr(
+          s"""flatten(transform(sequence(1, least($MaxPieceLen, length(w))),
+             |  l -> transform(sequence(0, length(w) - l),
+             |    i -> substring(w, i + 1, l))))""".stripMargin)).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("f")).as("cnt"))
+      val top = pieces.orderBy(col("cnt").desc, col("piece")).limit(VocabTop)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val chars = pieces.filter(length(col("piece")) === 1)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val vocab = (top ++ chars).distinct
+      val tot = vocab.map(_._2).sum
+      vocab.map { case (p, c) =>
+        (p, c, r6d(-math.log(c.toDouble / tot.toDouble)))
+      }.toSeq
+    })
+
+  /** Top-[[VocabOut]] fitted pieces — the fit's audit surface. */
+  def unigramVocab(s: SparkSession, dir: String): DataFrame = {
+    val v = fittedVocab(s, dir)
+    import s.implicits._
+    v.sortBy { case (p, c, _) => (-c, p) }.take(VocabOut)
+      .toDF("piece", "cnt", "cost")
+  }
+
+  val unigramVocabSql: String = vocabCtes +
+    s"""
+       |SELECT piece, cnt, cost FROM vcost
+       |ORDER BY cnt DESC, piece LIMIT $VocabOut""".stripMargin
+
+  private def vocabCtes: String =
+    s"""WITH RECURSIVE words AS MATERIALIZED (
+       |  SELECT w, COUNT(*) AS f FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '' AND len(w) <= $MaxWordLen
+       |  GROUP BY w),
+       |pieces AS MATERIALIZED (
+       |  SELECT substr(w, i + 1, l) AS piece, CAST(SUM(f) AS BIGINT) AS cnt
+       |  FROM words,
+       |    UNNEST(range(1, $MaxPieceLen + 1)) AS pl(l),
+       |    UNNEST(range(0, len(w))) AS ps(i)
+       |  WHERE l <= len(w) AND i + l <= len(w)
+       |  GROUP BY 1),
+       |vocab AS (
+       |  SELECT DISTINCT piece, cnt FROM (
+       |    SELECT piece, cnt FROM
+       |      (SELECT piece, cnt FROM pieces ORDER BY cnt DESC, piece LIMIT $VocabTop)
+       |    UNION ALL
+       |    SELECT piece, cnt FROM pieces WHERE len(piece) = 1)),
+       |vtot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM vocab),
+       |-- MATERIALIZED: the DP chain references words/vcost once per
+       |-- unrolled position×arm; inlined they re-evaluate the corpus
+       |-- scan per reference (fd blowup — the pcaChainSql lesson)
+       |vcost AS MATERIALIZED (
+       |  SELECT piece, cnt,
+       |    round(-ln(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE)), 6) + 0 AS cost
+       |  FROM vocab, vtot)""".stripMargin
+
+  /** Per-distinct-word Viterbi stats via the closure vocabulary:
+    * returns (n_pieces, score) or null when unencodable (cannot
+    * happen while the char-coverage union holds). */
+  private def viterbiUdf(vocab: Map[String, Double]) =
+    udf { (w: String) =>
+      val n = w.length
+      val best = Array.fill(n + 1)(Double.MaxValue)
+      val back = Array.fill(n + 1)(-1)
+      best(0) = 0.0
+      var i = 1
+      while (i <= n) {
+        var j = math.max(0, i - MaxPieceLen)
+        while (j < i) {
+          if (best(j) != Double.MaxValue) {
+            vocab.get(w.substring(j, i)) match {
+              case Some(cost) =>
+                val cand = r6d(best(j) + cost)
+                if (cand < best(i)) { best(i) = cand; back(i) = j }
+              case None => ()
+            }
+          }
+          j += 1
+        }
+        i += 1
+      }
+      if (best(n) == Double.MaxValue) None
+      else {
+        var k = 0
+        var pos = n
+        while (pos > 0) { pos = back(pos); k += 1 }
+        Some((k, best(n)))
+      }
+    }
+
+  /** Per-document segmentation profile: word count, total pieces,
+    * fertility (pieces per word — THE tokenizer-quality number), and
+    * mean per-word path cost. */
+  /** Per-distinct-word Viterbi stats (w, n_pieces, score) — the
+    * relation [[unigramEncode]] joins back to the token stream. */
+  private[graft] def wordStats(s: SparkSession, dir: String): DataFrame = {
+    val vocab = fittedVocab(s, dir).map { case (p, _, c) => p -> c }.toMap
+    val vit = viterbiUdf(vocab)
+    wordsDf(s, dir)
+      .withColumn("st", vit(col("w")))
+      .filter(col("st").isNotNull)
+      .select(col("w"), col("st._1").as("n_pieces"), col("st._2").as("score"))
+  }
+
+  def unigramEncode(s: SparkSession, dir: String): DataFrame = {
+    val wstats = wordStats(s, dir)
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "" && length(col("w")) <= MaxWordLen)
+    toks.join(wstats, "w")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).cast("long").as("n_pieces"),
+        r6(sum(col("n_pieces")).cast("double") / count(lit(1))).as("fertility"),
+        r6(OracleMath.davg(col("score"))).as("avg_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Unrolled DP + recursive backtrack, generated for any
+    * [[MaxWordLen]]. */
+  val unigramEncodeSql: String = {
+    val dps = (1 to MaxWordLen).map { i =>
+      val arms = (math.max(0, i - MaxPieceLen) until i).map { j =>
+        s"""      SELECT d.w, round(d.score + v.cost, 6) + 0 AS score, $j AS back
+           |      FROM dp$j d JOIN words wl ON wl.w = d.w
+           |      JOIN vcost v ON v.piece = substr(d.w, ${j + 1}, ${i - j})
+           |      WHERE len(wl.w) >= $i""".stripMargin
+      }.mkString("\n      UNION ALL\n")
+      // every DP level is MATERIALIZED: dp$i is referenced by up to
+      // MaxPieceLen later levels plus alldp — inlined, the chain
+      // expands into a 4^MaxWordLen scan tree (observed as a runaway
+      // DuckDB evaluation; same class as the pcaChainSql fd blowup)
+      s"""dp$i AS MATERIALIZED (
+         |  SELECT w, score, back FROM (
+         |    SELECT w, score, back,
+         |      row_number() OVER (PARTITION BY w ORDER BY score, back) AS rn
+         |    FROM (
+         |$arms
+         |    ))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val allArms = (1 to MaxWordLen)
+      .map(i => s"SELECT w, $i AS pos, score, back FROM dp$i")
+      .mkString("\n  UNION ALL ")
+    s"""$vocabCtes,
+       |dp0 AS MATERIALIZED (SELECT w, CAST(0.0 AS DOUBLE) AS score, 0 AS back FROM words),
+       |$dps,
+       |alldp AS MATERIALIZED (
+       |  $allArms),
+       |bt AS (
+       |  SELECT w, len(w) AS pos, 0 AS k FROM words
+       |  UNION ALL
+       |  SELECT b.w, a.back, b.k + 1
+       |  FROM bt b JOIN alldp a ON a.w = b.w AND a.pos = b.pos
+       |  WHERE b.pos > 0),
+       |wstats AS (
+       |  SELECT ws.w, np.k AS n_pieces, dp.score
+       |  FROM words ws
+       |  JOIN alldp dp ON dp.w = ws.w AND dp.pos = len(ws.w)
+       |  JOIN (SELECT w, k FROM bt WHERE pos = 0) np ON np.w = ws.w),
+       |toks AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '' AND len(w) <= $MaxWordLen)
+       |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(s.n_pieces) AS BIGINT) AS n_pieces,
+       |  round(CAST(CAST(SUM(s.n_pieces) AS BIGINT) AS DOUBLE) / COUNT(*), 6) + 0 AS fertility,
+       |  round(CAST(SUM(CAST(s.score AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) + 0 AS avg_score
+       |FROM toks t JOIN wstats s ON s.w = t.w
+       |GROUP BY t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "unigram_vocab" -> (unigramVocab _),
+    "unigram_encode" -> (unigramEncode _))
+
+  val oracles: Map[String, String] = Map(
+    "unigram_vocab" -> unigramVocabSql,
+    "unigram_encode" -> unigramEncodeSql)
+}
