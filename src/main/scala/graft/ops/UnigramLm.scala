@@ -246,11 +246,108 @@ object UnigramLm {
        |ORDER BY t.doc_id""".stripMargin
   }
 
+  /** Viterbi path pieces (not just counts) — backtracks the same
+    * back-pointer chain the stats UDF walks. */
+  private def viterbiPiecesUdf(vocab: Map[String, Double]) =
+    udf { (w: String) =>
+      val n = w.length
+      val best = Array.fill(n + 1)(Double.MaxValue)
+      val back = Array.fill(n + 1)(-1)
+      best(0) = 0.0
+      var i = 1
+      while (i <= n) {
+        var j = math.max(0, i - MaxPieceLen)
+        while (j < i) {
+          if (best(j) != Double.MaxValue) {
+            vocab.get(w.substring(j, i)) match {
+              case Some(cost) =>
+                val cand = r6d(best(j) + cost)
+                if (cand < best(i)) { best(i) = cand; back(i) = j }
+              case None => ()
+            }
+          }
+          j += 1
+        }
+        i += 1
+      }
+      if (best(n) == Double.MaxValue) None
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var pos = n
+        while (pos > 0) { out += w.substring(back(pos), pos); pos = back(pos) }
+        Some(out.reverse.toArray)
+      }
+    }
+
+  /** One hard-EM (Viterbi-EM) re-estimation round — the training
+    * step SentencePiece iterates: E-step = each word's Viterbi path
+    * under the current costs (the [[wordStats]] lattice walk,
+    * emitting pieces), M-step = piece mass re-counted from the paths
+    * (weighted by word frequency, add-1 smoothed over the SAME
+    * vocabulary so unused pieces shrink to the floor instead of
+    * dividing by zero). Pieces the Viterbi actually uses GAIN mass;
+    * candidates that only existed as substring statistics drain —
+    * the sharpening each EM round buys.
+    *
+    * Shape: one map-only path pass over distinct words, one
+    * vocab-bounded aggregation, driver arithmetic on ≤|V| rows.
+    * Output: the re-estimated top-[[VocabOut]] vocabulary. */
+  def unigramEm(s: SparkSession, dir: String): DataFrame = {
+    val vocab = fittedVocab(s, dir)
+    val costs = vocab.map { case (p, _, c) => p -> c }.toMap
+    val vp = viterbiPiecesUdf(costs)
+    val counts2 = wordsDf(s, dir)
+      .withColumn("pieces", vp(col("w")))
+      .filter(col("pieces").isNotNull)
+      .select(explode(col("pieces")).as("piece"), col("f"))
+      .groupBy(col("piece")).agg(sum(col("f")).as("c2"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nv = vocab.size
+    val tot2 = counts2.values.sum
+    import s.implicits._
+    vocab.map { case (p, _, _) =>
+      val c2 = counts2.getOrElse(p, 0L)
+      (p, c2, r6d(-math.log((c2 + 1).toDouble / (tot2 + nv).toDouble)))
+    }.sortBy { case (p, c2, _) => (-c2, p) }.take(VocabOut)
+      .toDF("piece", "cnt", "cost")
+  }
+
+  val unigramEmSql: String = {
+    // the encode chain minus its final SELECT, then: pieces from the
+    // backtrack (carried on the recursion), recounted mass, smoothed
+    // re-estimated costs over the SAME vocabulary
+    val dpChain = unigramEncodeSql
+      .substring(0, unigramEncodeSql.indexOf(",\nbt AS ("))
+    s"""$dpChain,
+       |btp AS (
+       |  SELECT w, len(w) AS pos, CAST(NULL AS VARCHAR) AS piece FROM words
+       |  UNION ALL
+       |  SELECT b.w, a.back, substr(b.w, a.back + 1, b.pos - a.back)
+       |  FROM btp b JOIN alldp a ON a.w = b.w AND a.pos = b.pos
+       |  WHERE b.pos > 0),
+       |c2 AS (
+       |  SELECT p.piece, CAST(SUM(ws.f) AS BIGINT) AS c2
+       |  FROM (SELECT w, piece FROM btp WHERE piece IS NOT NULL) p
+       |  JOIN words ws ON ws.w = p.w
+       |  GROUP BY p.piece),
+       |t2 AS (
+       |  SELECT CAST(COALESCE(SUM(c2), 0) AS BIGINT) AS t,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM vcost) AS nv
+       |  FROM c2)
+       |SELECT v.piece, CAST(COALESCE(c.c2, 0) AS BIGINT) AS cnt,
+       |  round(-ln(CAST(COALESCE(c.c2, 0) + 1 AS DOUBLE)
+       |            / CAST(t2.t + t2.nv AS DOUBLE)), 6) + 0 AS cost
+       |FROM vcost v LEFT JOIN c2 c ON c.piece = v.piece CROSS JOIN t2
+       |ORDER BY cnt DESC, v.piece LIMIT $VocabOut""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "unigram_vocab" -> (unigramVocab _),
-    "unigram_encode" -> (unigramEncode _))
+    "unigram_encode" -> (unigramEncode _),
+    "unigram_em" -> (unigramEm _))
 
   val oracles: Map[String, String] = Map(
     "unigram_vocab" -> unigramVocabSql,
-    "unigram_encode" -> unigramEncodeSql)
+    "unigram_encode" -> unigramEncodeSql,
+    "unigram_em" -> unigramEmSql)
 }

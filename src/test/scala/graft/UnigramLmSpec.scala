@@ -58,6 +58,44 @@ class UnigramLmSpec extends AnyFunSuite {
     }
   }
 
+  test("EM round: path mass is conserved and unused substring candidates drain to zero") {
+    import spark.implicits._
+    // tiny alphabet → the FULL piece vocabulary fits in the output
+    val d = java.nio.file.Files.createTempDirectory("graft-em").toString
+    Seq((1L, "abab abab ab cd"), (2L, "abab ab ab cd"), (3L, "cd cd abab"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val em = UnigramLm.unigramEm(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val fullVocab = UnigramLm.fittedVocab(spark, d)
+    assert(fullVocab.size <= UnigramLm.VocabOut,
+      "planted corpus must expose the whole vocabulary")
+    // conservation: EM counts sum to the total path mass Σ f(w)·n_pieces(w)
+    val stats = UnigramLm.wordStats(spark, d).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    val words = Seq("abab" -> 4L, "ab" -> 3L, "cd" -> 4L)
+    val pathMass = words.map { case (w, f) => f * stats(w) }.sum
+    assert(em.map(_._2).sum == pathMass,
+      s"EM mass ${em.map(_._2).sum} != path mass $pathMass")
+    // sharpening: some substring candidate ('ba', 'aba', …) is never
+    // on a Viterbi path and drains to zero mass
+    assert(em.exists(_._2 == 0L), "expected a drained candidate piece")
+    // whole words stay live
+    assert(em.find(_._1 == "cd").exists(_._2 > 0L))
+    // smoothed cost formula holds on every row
+    val tot = em.map(_._2).sum
+    val nv = fullVocab.size
+    em.foreach { case (_, c, cost) =>
+      val want = BigDecimal(-math.log((c + 1).toDouble / (tot + nv).toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      assert(cost == want)
+    }
+  }
+
   test("fertility is bounded and encode is deterministic") {
     val a = UnigramLm.unigramEncode(spark, sf).collect()
     assert(a.nonEmpty)
