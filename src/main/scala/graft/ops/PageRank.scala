@@ -48,6 +48,21 @@ object PageRank {
           s"i -> concat_ws(' ', slice(w, i + 1, $ShingleK)))"))).as("shingle"))
       .distinct()
 
+  /** Undirected source-pair edges (a < b, shared-shingle weight) via
+    * the capped inverted index — the graph both [[sourcePagerank]]
+    * and [[sourceTriangles]] walk. */
+  private[ops] def srcPairs(docs: DataFrame): DataFrame =
+    srcShingles(docs)
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("source"))).as("srcs"))
+      .filter(size(col("srcs")).between(2, MaxSrcPosting))
+      .select(explode(expr(
+        "flatten(transform(srcs, (x, i) -> " +
+          "transform(slice(srcs, i + 2, size(srcs)), y -> struct(x AS a, y AS b))))"))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("w"))
+
   /** PageRank after [[Iters]] rounds: (source, n_out, pr) ordered by
     * rank descending. n_out = total outgoing edge weight (0 for
     * isolated sources, which contribute via the dangling term). */
@@ -61,17 +76,7 @@ object PageRank {
     val n = nodes.count()
     val nD = n.toDouble
 
-    val posts = srcShingles(docs)
-      .groupBy(col("shingle"))
-      .agg(sort_array(collect_list(col("source"))).as("srcs"))
-      .filter(size(col("srcs")).between(2, MaxSrcPosting))
-    val pairs = posts
-      .select(explode(expr(
-        "flatten(transform(srcs, (x, i) -> " +
-          "transform(slice(srcs, i + 2, size(srcs)), y -> struct(x AS a, y AS b))))"))
-        .as("p"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-      .agg(count(lit(1)).as("w"))
+    val pairs = srcPairs(docs)
     val edges = pairs.unionByName(
       pairs.select(col("b").as("a"), col("a").as("b"), col("w")))
     val outw = edges.groupBy(col("a")).agg(sum(col("w")).as("ow"))
@@ -160,9 +165,120 @@ object PageRank {
        |ORDER BY pr DESC, p.source""".stripMargin
   }
 
+  /** Triangle counting on the source graph with DEGREE-ORDERED
+    * orientation (Cohen's MR trick, the GraphFrames/GraphX shape):
+    * orient every undirected edge from its (degree, name)-smaller
+    * endpoint to the larger, so each triangle has exactly ONE apex
+    * with out-edges to the other two — wedges enumerate once, and
+    * per-apex out-degree is bounded by O(√E) whatever the degree
+    * skew (the hub that would explode a naive wedge join is always
+    * the wedge's SINK, never its apex). Plan: one self-equi-join of
+    * the oriented edges on the apex + one closing-edge equi-join —
+    * no cartesian, integer arithmetic end to end.
+    *
+    * Output: per-source degree, triangle participation, and the
+    * clustering coefficient 2·tri/(deg·(deg−1)) — the
+    * template-family detector (boilerplate domain clusters close
+    * into cliques; organic similarity stays wedge-open). */
+  def sourceTriangles(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val nodes = docs.select(col("source")).distinct()
+    val und = srcPairs(docs).select(col("a"), col("b")).localCheckpoint(true)
+    val deg = und.select(col("a").as("n"))
+      .unionByName(und.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")), col("a"))
+        .otherwise(col("b")).as("src"),
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")), col("b"))
+        .otherwise(col("a")).as("dst"))
+      .localCheckpoint(true)
+    val wedges = oriented.alias("e1")
+      .join(oriented.alias("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("apex"),
+        col("e1.dst").as("x"), col("e2.dst").as("y"))
+    val closed = wedges.join(und,
+      least(col("x"), col("y")) === col("a") &&
+        greatest(col("x"), col("y")) === col("b"))
+      .select(col("apex"), col("x"), col("y"))
+    val perNode = closed
+      .select(explode(array(col("apex"), col("x"), col("y"))).as("source"))
+      .groupBy(col("source")).agg(count(lit(1)).as("tri"))
+    nodes
+      .join(deg.select(col("n").as("source"), col("deg")), Seq("source"), "left")
+      .join(perNode, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("deg"), lit(0L)).as("degree"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("clustering",
+        when(col("degree") >= 2,
+          r6(lit(2.0) * col("tri") / (col("degree") * (col("degree") - 1))))
+          .otherwise(lit(0.0)))
+      .orderBy(col("tri").desc, col("source"))
+  }
+
+  val sourceTrianglesSql: String = {
+    val shingleExpr = (1 to ShingleK).map(t => s"w[i+$t]").mkString(" || ' ' || ")
+    s"""WITH nodes AS MATERIALIZED (SELECT DISTINCT source FROM documents),
+       |tok AS (
+       |  SELECT source, string_split(text, ' ') AS w FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $ShingleK),
+       |sh AS (
+       |  SELECT DISTINCT source, $shingleExpr AS shingle
+       |  FROM tok, UNNEST(range(0, len(w) - ${ShingleK - 1})) AS u(i)),
+       |good AS (SELECT shingle FROM sh GROUP BY shingle
+       |         HAVING COUNT(*) BETWEEN 2 AND $MaxSrcPosting),
+       |und AS MATERIALIZED (
+       |  SELECT a.source AS a, b.source AS b
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+       |  JOIN good g ON g.shingle = a.shingle
+       |  GROUP BY a.source, b.source),
+       |deg AS MATERIALIZED (
+       |  SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+       |    SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und)
+       |  GROUP BY n),
+       |oriented AS MATERIALIZED (
+       |  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+       |    THEN u.a ELSE u.b END AS src,
+       |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+       |    THEN u.b ELSE u.a END AS dst
+       |  FROM und u JOIN deg da ON da.n = u.a JOIN deg db ON db.n = u.b),
+       |closed AS (
+       |  SELECT e1.src AS apex, e1.dst AS x, e2.dst AS y
+       |  FROM oriented e1 JOIN oriented e2
+       |    ON e1.src = e2.src AND e1.dst < e2.dst
+       |  JOIN und ON und.a = least(e1.dst, e2.dst)
+       |    AND und.b = greatest(e1.dst, e2.dst)),
+       |pn AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS tri FROM (
+       |    SELECT apex AS source FROM closed
+       |    UNION ALL SELECT x FROM closed
+       |    UNION ALL SELECT y FROM closed)
+       |  GROUP BY source)
+       |SELECT n.source,
+       |  CAST(COALESCE(d.deg, 0) AS BIGINT) AS degree,
+       |  CAST(COALESCE(p.tri, 0) AS BIGINT) AS tri,
+       |  CASE WHEN COALESCE(d.deg, 0) >= 2
+       |    THEN round(2.0 * COALESCE(p.tri, 0)
+       |               / (COALESCE(d.deg, 0) * (COALESCE(d.deg, 0) - 1)), 6) + 0
+       |    ELSE 0.0 END AS clustering
+       |FROM nodes n
+       |LEFT JOIN deg d ON d.n = n.source
+       |LEFT JOIN pn p ON p.source = n.source
+       |ORDER BY tri DESC, n.source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "source_pagerank" -> (sourcePagerank _))
+    "source_pagerank" -> (sourcePagerank _),
+    "source_triangles" -> (sourceTriangles _))
 
   val oracles: Map[String, String] = Map(
-    "source_pagerank" -> sourcePagerankSql)
+    "source_pagerank" -> sourcePagerankSql,
+    "source_triangles" -> sourceTrianglesSql)
 }

@@ -49,6 +49,37 @@ class PageRankSpec extends AnyFunSuite {
     assert(sorted.sameElements(sorted.sortBy(-_)))
   }
 
+  test("triangle counting: a planted 3-clique closes, a wedge stays open") {
+    val d = Files.createTempDirectory("graft-tri").toString
+    val pAB = "alpha beta gamma delta"
+    val pBC = "one two three four"
+    val pAC = "red green blue yellow"
+    val pAD = "north south east west"
+    // A-B-C pairwise connected (triangle); D touches only A (wedge
+    // arms A-D vs A-B/A-C never close); E isolated
+    val docs = Seq(
+      (0L, s"$pAB $pAC $pAD", "srcA"),
+      (1L, s"$pAB $pBC extra words here", "srcB"),
+      (2L, s"$pBC $pAC other words there", "srcC"),
+      (3L, s"$pAD unrelated tail words", "srcD"),
+      (4L, "totally isolated content forever", "srcE"))
+    docs.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = PageRank.sourceTriangles(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows("srcA")._2 == 1L && rows("srcB")._2 == 1L && rows("srcC")._2 == 1L,
+      s"triangle members must count 1: $rows")
+    assert(rows("srcD")._2 == 0L, "wedge endpoint closes nothing")
+    assert(rows("srcE") == ((0L, 0L, 0.0)), "isolated source all zeros")
+    // clustering: B and C are fully closed (deg 2, tri 1 -> 1.0);
+    // A has deg 3, tri 1 -> 2*1/(3*2) = 1/3
+    assert(rows("srcB")._3 == 1.0 && rows("srcC")._3 == 1.0)
+    assert(math.abs(rows("srcA")._3 - 0.333333) < 1e-6)
+  }
+
   test("deterministic across runs") {
     val a = PageRank.sourcePagerank(spark, dir).collect().map(_.toSeq)
     val b = PageRank.sourcePagerank(spark, dir).collect().map(_.toSeq)
