@@ -564,7 +564,47 @@ object Curation {
        |FROM scored CROSS JOIN qt
        |ORDER BY source""".stripMargin
 
+  /** The dataset card — the per-language + grand-total summary a
+    * corpus release publishes (HuggingFace dataset-card statistics
+    * section): doc/source/token/char counts, mean length, and the
+    * exact-duplicate rate, in ONE rollup aggregation. Counting
+    * passes a release would otherwise run serially (per-lang, then
+    * global) collapse into one grouping-sets Expand — a single scan
+    * whatever the corpus size; the two COUNT(DISTINCT)s are the only
+    * shuffle-heavy terms and partial-aggregate as usual. */
+  def datasetCard(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), col("source"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("toks"),
+        md5(col("text")).as("fp"))
+      .rollup(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("toks")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        r6(sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        r6(lit(1.0) - countDistinct(col("fp")).cast("double") / count(lit(1)))
+          .as("dup_rate"))
+      .select(coalesce(col("lang"), lit("TOTAL")).as("lang"),
+        col("n_docs"), col("n_sources"), col("n_tokens"), col("n_chars"),
+        col("avg_chars"), col("dup_rate"))
+      .orderBy(col("lang"))
+
+  val datasetCardSql: String =
+    """SELECT COALESCE(lang, 'TOTAL') AS lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      |  round(CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / COUNT(*), 6) + 0 AS avg_chars,
+      |  round(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 6) + 0 AS dup_rate
+      |FROM documents
+      |GROUP BY ROLLUP(lang)
+      |ORDER BY COALESCE(lang, 'TOTAL')""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dataset_card" -> (datasetCard _),
     "mixture_weights" -> (mixtureWeights _),
     "source_kl" -> (sourceKl _),
     "seq_pack" -> (seqPack _),
@@ -579,6 +619,7 @@ object Curation {
     "shard_pack" -> (shardPack _))
 
   val oracles: Map[String, String] = Map(
+    "dataset_card" -> datasetCardSql,
     "mixture_weights" -> mixtureWeightsSql,
     "source_kl" -> sourceKlSql,
     "seq_pack" -> seqPackSql,

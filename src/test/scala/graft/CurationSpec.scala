@@ -226,4 +226,27 @@ class CurationSpec extends AnyFunSuite {
     assert(out(("srcA", 0L)) === ((3L, 600L)), "docs 0-2 fill shard 0")
     assert(out(("srcA", 1L)) === ((1L, 200L)), "doc 3 opens shard 1")
   }
+
+  test("dataset_card: TOTAL row aggregates the per-lang rows; planted dup rate exact") {
+    val d = Files.createTempDirectory("graft-card").toString
+    Seq(
+      (0L, "one two three", "en", "sA"),
+      (1L, "one two three", "en", "sB"), // exact dup of doc 0
+      (2L, "vier funf", "de", "sA"),
+      (3L, "sechs sieben acht", "de", "sC"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = Curation.datasetCard(spark, d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(6)))).toMap
+    val (enD, enS, enT, enC, enDup) = rows("en")
+    assert((enD, enS, enT) == ((2L, 2L, 6L)))
+    assert(enDup == 0.5, "one of two en docs is a dup")
+    val (deD, _, deT, deC, deDup) = rows("de")
+    assert((deD, deT, deDup) == ((2L, 5L, 0.0)))
+    val (tD, tS, tT, tC, _) = rows("TOTAL")
+    assert(tD == enD + deD && tT == enT + deT && tC == enC + deC)
+    assert(tS == 3L, "three distinct sources overall")
+  }
 }
