@@ -284,6 +284,21 @@ class PlanSpec extends AnyFunSuite {
       s"plan: $plan")
   }
 
+  test("source_triangles: oriented wedge + closing joins are equi-joins — no cartesian/BNLJ") {
+    val plan = graft.ops.PageRank.sourceTriangles(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan: $plan")
+  }
+
+  test("dataset_card: rollup plans ONE Expand over one documents scan") {
+    val plan = graft.ops.Curation.datasetCard(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"plan: $plan")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"$scans scans: $plan")
+  }
+
   test("quality_calibrated: exactly the source-keyed window — no global-sort window partition") {
     val plan = graft.ops.Retrieval.qualityCalibrated(spark, sf)
       .queryExecution.executedPlan.toString
