@@ -49,6 +49,7 @@ object Bench {
     "bpe_encode" -> ((s, d) => { graft.ops.Bpe.trainedMerges(s, d); () }),
     "ann_rq_topk" -> ((s, d) => { graft.ops.Rq.trainedRq(s, d); () }),
     "unigram_encode" -> ((s, d) => { graft.ops.UnigramLm.fittedVocab(s, d); () }),
+    "unigram_em" -> ((s, d) => { graft.ops.UnigramLm.fittedVocab(s, d); () }),
     // whitening consumes the shared rank-m fit (the pca_topm cold cost)
     "embed_whiten" -> ((s, d) => { graft.ops.Pca.fitTopM(s, d, graft.ops.Pca.PcaM); () }))
 

@@ -27,4 +27,12 @@ object OracleMath {
   /** Order-independent mean: exact decimal sum / count, as double.
     * Oracle mirror: `CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)`. */
   def davg(c: Column): Column = dsum(c) / count(lit(1))
+
+  /** Driver-side twin of the column `r6`: Spark's `round(x, 6)` on
+    * DoubleType is BigDecimal HALF_UP (= DuckDB's round-half-away),
+    * and `+ 0.0` collapses −0.0 the same way. ONE definition for
+    * every driver-side arithmetic mirror (Pca/Dsir/UnigramLm). */
+  def r6d(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+      .doubleValue() + 0.0
 }

@@ -65,8 +65,12 @@ object Coreset {
       return s.createDataFrame(s.sparkContext.emptyRDD[Row], outSchema)
 
     // (vec_id, label, mind-at-pick, embedding); driver state ≤ K·dim
-    val picked = scala.collection.mutable.ArrayBuffer[(Long, Int, Option[Double], Array[Float])](
-      (seed(0).getLong(0), seed(0).getInt(1), None,
+    // label is nullable in the fixture contract — read it boxed so a
+    // NULL label flows through to the (nullable) output column
+    def labelOf(r: Row, i: Int): Integer =
+      if (r.isNullAt(i)) null else Integer.valueOf(r.getInt(i))
+    val picked = scala.collection.mutable.ArrayBuffer[(Long, Integer, Option[Double], Array[Float])](
+      (seed(0).getLong(0), labelOf(seed(0), 1), None,
         seed(0).getSeq[Float](2).toArray))
 
     while (picked.length < K) {
@@ -83,7 +87,7 @@ object Coreset {
         // fewer than K usable rows — emit what was selected
         return finish(s, picked.toSeq)
       }
-      picked += ((next(0).getLong(0), next(0).getInt(1),
+      picked += ((next(0).getLong(0), labelOf(next(0), 1),
         Some(next(0).getDouble(3)), next(0).getSeq[Float](2).toArray))
     }
     finish(s, picked.toSeq)
@@ -91,7 +95,7 @@ object Coreset {
 
   private def finish(
       s: SparkSession,
-      picked: Seq[(Long, Int, Option[Double], Array[Float])]): DataFrame = {
+      picked: Seq[(Long, Integer, Option[Double], Array[Float])]): DataFrame = {
     val rows = picked.zipWithIndex.map { case ((id, label, mind, _), i) =>
       Row((i + 1).toLong, id, label, mind.map(Double.box).orNull)
     }

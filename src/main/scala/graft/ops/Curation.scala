@@ -585,14 +585,21 @@ object Curation {
         sum(col("n_chars")).as("n_chars"),
         r6(sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
         r6(lit(1.0) - countDistinct(col("fp")).cast("double") / count(lit(1)))
-          .as("dup_rate"))
-      .select(coalesce(col("lang"), lit("TOTAL")).as("lang"),
+          .as("dup_rate"),
+        grouping(col("lang")).as("g"))
+      // grouping() distinguishes the grand-total row from a literal
+      // NULL-lang group — coalesce alone would label both 'TOTAL'
+      // and make the ordered output nondeterministic
+      .select(
+        when(col("g") === 1, lit("TOTAL"))
+          .otherwise(coalesce(col("lang"), lit("(none)"))).as("lang"),
         col("n_docs"), col("n_sources"), col("n_tokens"), col("n_chars"),
         col("avg_chars"), col("dup_rate"))
       .orderBy(col("lang"))
 
   val datasetCardSql: String =
-    """SELECT COALESCE(lang, 'TOTAL') AS lang,
+    """SELECT CASE WHEN GROUPING(lang) = 1 THEN 'TOTAL'
+      |       ELSE COALESCE(lang, '(none)') END AS lang,
       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
       |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
@@ -601,7 +608,8 @@ object Curation {
       |  round(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 6) + 0 AS dup_rate
       |FROM documents
       |GROUP BY ROLLUP(lang)
-      |ORDER BY COALESCE(lang, 'TOTAL')""".stripMargin
+      |ORDER BY CASE WHEN GROUPING(lang) = 1 THEN 'TOTAL'
+      |         ELSE COALESCE(lang, '(none)') END""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dataset_card" -> (datasetCard _),

@@ -141,11 +141,7 @@ object Dsir {
        |LIMIT $SampleK""".stripMargin
   }
 
-  /** Driver-side twin of the column r6 (BigDecimal HALF_UP, −0.0
-    * collapsed) — the [[graft.ops.Pca]] convention. */
-  private def r6d(x: Double): Double =
-    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
-      .doubleValue() + 0.0
+  private def r6d(x: Double): Double = OracleMath.r6d(x)
 
   /** The fitted model COLLECTED: bucket → (raw count, target count)
     * plus the two totals. ≤ [[Buckets]] rows by construction — the

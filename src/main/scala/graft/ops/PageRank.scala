@@ -30,6 +30,15 @@ object PageRank {
   import Tables.t
 
   val Damp = 0.85
+
+  /** Teleport mass (1 − d) precomputed as the ONE JVM double both
+    * engines consume: DuckDB evaluates the literal `1.0 - 0.85` in
+    * exact DECIMAL (0.15) while the JVM computes
+    * 0.15000000000000002 — interpolating this value (and CASTing it
+    * to DOUBLE in SQL) keeps every round's pre-round rank
+    * bit-identical instead of one ulp apart. */
+  val Tele: Double = 1.0 - Damp
+
   val Iters = 3
 
   /** Sources-per-shingle posting cap — same role as
@@ -103,13 +112,17 @@ object PageRank {
         .join(contrib.alias("cc"), col("nn.source") === col("cc.source"), "left")
         .crossJoin(broadcast(dang))
         .select(col("nn.source").as("source"),
-          r6((lit(1.0) - lit(Damp)) / lit(nD) +
+          r6(lit(Tele) / lit(nD) +
             lit(Damp) * (coalesce(col("cc.csum"), lit(0.0)) +
               col("dg") / lit(nD))).as("p"))
       it += 1
     }
+    // n_out from the CHECKPOINTED em (one row per source after
+    // distinct) — joining the raw outw would re-derive the whole
+    // shingle/edge pipeline for one column
     p.alias("pf")
-      .join(outw.alias("oo"), col("pf.source") === col("oo.a"), "left")
+      .join(em.select(col("a"), col("ow")).distinct().alias("oo"),
+        col("pf.source") === col("oo.a"), "left")
       .select(col("pf.source").as("source"),
         coalesce(col("oo.ow"), lit(0L)).as("n_out"),
         col("pf.p").as("pr"))
@@ -130,7 +143,7 @@ object PageRank {
          |  FROM $prev p JOIN dangling d ON d.source = p.source),
          |p$i AS (
          |  SELECT n.source,
-         |    round((1.0 - $Damp) / nn.n + $Damp * (COALESCE(c.csum, 0.0)
+         |    round(CAST($Tele AS DOUBLE) / nn.n + $Damp * (COALESCE(c.csum, 0.0)
          |      + dg$i.dg / nn.n), 6) + 0 AS p
          |  FROM nodes n CROSS JOIN nn CROSS JOIN dg$i
          |  LEFT JOIN c$i c ON c.source = n.source)""".stripMargin

@@ -39,12 +39,10 @@ object Pca {
     * replayable as plain CTEs. */
   val Iters = 3
 
-  /** Driver-side twin of the column `r6`: Spark's `round(x, 6)` on
-    * DoubleType is BigDecimal HALF_UP (= DuckDB's round-half-away),
-    * and `+ 0.0` collapses −0.0 the same way `r6` does. */
+  /** Driver-side twin of the column `r6` — the one shared
+    * definition ([[graft.functions.OracleMath.r6d]]). */
   private def r6d(x: Double): Double =
-    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
-      .doubleValue() + 0.0
+    graft.functions.OracleMath.r6d(x)
 
   /** Per-product bridge scalar: r6(x_i·x_j) as an EXACT ×1e6-scaled
     * long. `BigDecimal.valueOf` is the shortest-repr decimal of the

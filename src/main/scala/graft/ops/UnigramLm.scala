@@ -49,9 +49,7 @@ object UnigramLm {
 
   val VocabOut = 20
 
-  private def r6d(x: Double): Double =
-    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
-      .doubleValue() + 0.0
+  private def r6d(x: Double): Double = OracleMath.r6d(x)
 
   /** Weighted distinct words: (w, f), empty strings and
     * over-[[MaxWordLen]] words excluded (mirrored in every CTE). */
@@ -128,31 +126,42 @@ object UnigramLm {
        |    round(-ln(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE)), 6) + 0 AS cost
        |  FROM vocab, vtot)""".stripMargin
 
+  /** ONE lattice fill shared by the stats and pieces paths — the
+    * per-step r6 rounding and smallest-predecessor tie-break live
+    * here and nowhere else, so the encode and EM oracles cannot
+    * drift apart. Returns (best, back) arrays. */
+  private def fillLattice(
+      w: String, vocab: Map[String, Double]): (Array[Double], Array[Int]) = {
+    val n = w.length
+    val best = Array.fill(n + 1)(Double.MaxValue)
+    val back = Array.fill(n + 1)(-1)
+    best(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - MaxPieceLen)
+      while (j < i) {
+        if (best(j) != Double.MaxValue) {
+          vocab.get(w.substring(j, i)) match {
+            case Some(cost) =>
+              val cand = r6d(best(j) + cost)
+              if (cand < best(i)) { best(i) = cand; back(i) = j }
+            case None => ()
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    (best, back)
+  }
+
   /** Per-distinct-word Viterbi stats via the closure vocabulary:
     * returns (n_pieces, score) or null when unencodable (cannot
     * happen while the char-coverage union holds). */
   private def viterbiUdf(vocab: Map[String, Double]) =
     udf { (w: String) =>
       val n = w.length
-      val best = Array.fill(n + 1)(Double.MaxValue)
-      val back = Array.fill(n + 1)(-1)
-      best(0) = 0.0
-      var i = 1
-      while (i <= n) {
-        var j = math.max(0, i - MaxPieceLen)
-        while (j < i) {
-          if (best(j) != Double.MaxValue) {
-            vocab.get(w.substring(j, i)) match {
-              case Some(cost) =>
-                val cand = r6d(best(j) + cost)
-                if (cand < best(i)) { best(i) = cand; back(i) = j }
-              case None => ()
-            }
-          }
-          j += 1
-        }
-        i += 1
-      }
+      val (best, back) = fillLattice(w, vocab)
       if (best(n) == Double.MaxValue) None
       else {
         var k = 0
@@ -247,29 +256,11 @@ object UnigramLm {
   }
 
   /** Viterbi path pieces (not just counts) — backtracks the same
-    * back-pointer chain the stats UDF walks. */
+    * [[fillLattice]] back-pointer chain the stats UDF walks. */
   private def viterbiPiecesUdf(vocab: Map[String, Double]) =
     udf { (w: String) =>
       val n = w.length
-      val best = Array.fill(n + 1)(Double.MaxValue)
-      val back = Array.fill(n + 1)(-1)
-      best(0) = 0.0
-      var i = 1
-      while (i <= n) {
-        var j = math.max(0, i - MaxPieceLen)
-        while (j < i) {
-          if (best(j) != Double.MaxValue) {
-            vocab.get(w.substring(j, i)) match {
-              case Some(cost) =>
-                val cand = r6d(best(j) + cost)
-                if (cand < best(i)) { best(i) = cand; back(i) = j }
-              case None => ()
-            }
-          }
-          j += 1
-        }
-        i += 1
-      }
+      val (best, back) = fillLattice(w, vocab)
       if (best(n) == Double.MaxValue) None
       else {
         val out = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -198,6 +198,10 @@ object StreamingIndex {
   def dsirScoreStream(docs: DataFrame,
       model: Map[Long, (Long, Long)], tr: Long, tt: Long): DataFrame =
     docs
+      // the batch dsirWeights drops null-text docs structurally (the
+      // feature explode of NULL yields no rows) — the stream must
+      // drop them too or the batch ≡ stream contract breaks
+      .filter(col("text").isNotNull)
       .withColumn("sc", graft.ops.Dsir.scoreUdf(model, tr, tt)(col("text")))
       .select(col("doc_id"), col("lang"),
         col("sc._1").as("n_feats"), col("sc._2").as("logw"))
