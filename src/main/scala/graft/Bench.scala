@@ -23,6 +23,8 @@ object Bench {
     "rq_error" -> ((_, _) => graft.ops.Rq.clearCbCache()),
     // unigram_vocab is the unigram-LM fitter (piece stats + top-V)
     "unigram_vocab" -> ((_, _) => graft.ops.UnigramLm.clearVocabCache()),
+    // wordpiece_vocab is the WordPiece fitter (positional piece stats)
+    "wordpiece_vocab" -> ((_, _) => graft.ops.WordPiece.clearVocabCache()),
     // pca_top2's own cold cost is the second Gram pass + deflation;
     // the pc1 it deflates by is CONSUMED warm (embed_pca_power's fit)
     "pca_top2" -> ((s, d) => {
@@ -50,6 +52,7 @@ object Bench {
     "ann_rq_topk" -> ((s, d) => { graft.ops.Rq.trainedRq(s, d); () }),
     "unigram_encode" -> ((s, d) => { graft.ops.UnigramLm.fittedVocab(s, d); () }),
     "unigram_em" -> ((s, d) => { graft.ops.UnigramLm.fittedVocab(s, d); () }),
+    "wordpiece_encode" -> ((s, d) => { graft.ops.WordPiece.fittedVocab(s, d); () }),
     // whitening consumes the shared rank-m fit (the pca_topm cold cost)
     "embed_whiten" -> ((s, d) => { graft.ops.Pca.fitTopM(s, d, graft.ops.Pca.PcaM); () }))
 

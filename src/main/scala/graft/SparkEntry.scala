@@ -44,7 +44,8 @@ object SparkEntry {
       Pca.queries ++ GraphAnn.queries ++ Pq.queries ++ Opq.queries ++ Rerank.queries ++
       QualityModel.queries ++ Maintenance.queries ++ AnnEval.queries ++ Bpe.queries ++
       Outliers.queries ++ Dsir.queries ++ Cms.queries ++ Coreset.queries ++
-      PageRank.queries ++ Rq.queries ++ UnigramLm.queries
+      PageRank.queries ++ Rq.queries ++ UnigramLm.queries ++ Bq.queries ++
+      WordPiece.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
@@ -55,5 +56,6 @@ object SparkEntry {
       Pca.oracles ++ GraphAnn.oracles ++ Pq.oracles ++ Opq.oracles ++ Rerank.oracles ++
       QualityModel.oracles ++ Maintenance.oracles ++ AnnEval.oracles ++ Bpe.oracles ++
       Outliers.oracles ++ Dsir.oracles ++ Cms.oracles ++ Coreset.oracles ++
-      PageRank.oracles ++ Rq.oracles ++ UnigramLm.oracles
+      PageRank.oracles ++ Rq.oracles ++ UnigramLm.oracles ++ Bq.oracles ++
+      WordPiece.oracles
 }

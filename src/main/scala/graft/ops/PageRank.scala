@@ -287,11 +287,142 @@ object PageRank {
        |ORDER BY tri DESC, n.source""".stripMargin
   }
 
+  /** Label-propagation rounds for [[sourceCommunities]] — fixed and
+    * unrolled in the oracle like [[Iters]]. */
+  val LpaRounds = 3
+
+  /** Community detection on the source graph by SYNCHRONOUS weighted
+    * label propagation (Raghavan et al. 2007) — the template-family
+    * clusterer one level up from [[sourceTriangles]]'s local
+    * coefficient: mirror/boilerplate domains that share heavy
+    * shingle edges converge onto one community label in a handful of
+    * rounds, giving curation a whole-family handle (drop or
+    * downweight the entire community) instead of pairwise edges.
+    *
+    * Determinism: labels start as the source name; each round every
+    * node simultaneously adopts the label with the largest total
+    * vote, where neighbors vote their label at the connecting edge
+    * weight and the node votes its CURRENT label at its maximum
+    * incident edge weight (ties → smallest label). The self-vote is
+    * the anti-oscillation device: plain synchronous LPA flips a
+    * 2-node cluster's labels forever (the classic bipartite
+    * oscillation), while a self-vote at max-edge strength turns that
+    * exchange into a tie both nodes resolve to the same minimum
+    * label — yet a genuinely dominant neighboring community
+    * (Σ votes > own max edge) still absorbs the node. No randomized
+    * visit order anywhere, so the fixed [[LpaRounds]] rounds replay
+    * exactly as unrolled CTEs. All arithmetic is integer
+    * (shingle-count weights), so there is no float bridge anywhere.
+    *
+    * Scale shape: per round ONE equi-join of the label relation with
+    * the checkpointed edge relation, one (node, label) aggregation,
+    * and one per-node window (partitioned by node — never a global
+    * sort). The graph is source-granularity: nodes are domains, not
+    * documents, so even a web-scale corpus keeps this relation
+    * orders of magnitude smaller than the data it curates. */
+  def sourceCommunities(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val nodes = docs.select(col("source")).distinct().localCheckpoint(true)
+    val pairs = srcPairs(docs)
+    val edges = pairs.unionByName(
+      pairs.select(col("b").as("a"), col("a").as("b"), col("w")))
+      .localCheckpoint(true)
+    val maxw = edges.groupBy(col("a").as("source"))
+      .agg(max(col("w")).as("selfw")).localCheckpoint(true)
+
+    var lab = nodes.withColumn("lab", col("source"))
+    var it = 0
+    while (it < LpaRounds) {
+      val nbVotes = edges.alias("e")
+        .join(lab.alias("l"), col("e.b") === col("l.source"))
+        .groupBy(col("e.a").as("source"), col("l.lab").as("cand"))
+        .agg(sum(col("e.w")).as("wsum"))
+      val selfVotes = lab.alias("l2").join(maxw.alias("m"),
+          col("l2.source") === col("m.source"))
+        .select(col("l2.source").as("source"), col("l2.lab").as("cand"),
+          col("m.selfw").as("wsum"))
+      // a neighbor sharing the node's own label votes the same cand
+      // key as the self-vote — totals are per (node, label)
+      val scores = nbVotes.unionByName(selfVotes)
+        .groupBy(col("source"), col("cand"))
+        .agg(sum(col("wsum")).as("wsum"))
+      val pick = scores
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("wsum").desc, col("cand"))))
+        .filter(col("rn") === 1)
+        .select(col("source"), col("cand"))
+      // isolated sources never receive a candidate and keep their own
+      // name as label (they are their own singleton community)
+      lab = nodes.alias("n")
+        .join(pick.alias("p"), col("n.source") === col("p.source"), "left")
+        .select(col("n.source").as("source"),
+          coalesce(col("p.cand"), col("n.source")).as("lab"))
+      it += 1
+    }
+    val sizes = lab.groupBy(col("lab")).agg(count(lit(1)).as("csize"))
+    lab.join(sizes, "lab")
+      .select(col("source"), col("lab").as("community"), col("csize"))
+      .orderBy(col("csize").desc, col("community"), col("source"))
+  }
+
+  val sourceCommunitiesSql: String = {
+    val shingleExpr = (1 to ShingleK).map(t => s"w[i+$t]").mkString(" || ' ' || ")
+    def round(i: Int, prev: String): String =
+      s"""s$i AS (
+         |  SELECT source, cand, CAST(SUM(wsum) AS BIGINT) AS wsum FROM (
+         |    SELECT e.a AS source, l.lab AS cand, CAST(SUM(e.w) AS BIGINT) AS wsum
+         |    FROM edges e JOIN $prev l ON l.source = e.b
+         |    GROUP BY e.a, l.lab
+         |    UNION ALL
+         |    SELECT l.source, l.lab AS cand, m.selfw AS wsum
+         |    FROM $prev l JOIN maxw m ON m.source = l.source)
+         |  GROUP BY source, cand),
+         |p$i AS (
+         |  SELECT source, cand FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY source ORDER BY wsum DESC, cand) AS rn FROM s$i)
+         |  WHERE rn = 1),
+         |l$i AS (
+         |  SELECT n.source, COALESCE(p.cand, n.source) AS lab
+         |  FROM nodes n LEFT JOIN p$i p ON p.source = n.source)""".stripMargin
+    s"""WITH nodes AS MATERIALIZED (SELECT DISTINCT source FROM documents),
+       |tok AS (
+       |  SELECT source, string_split(text, ' ') AS w FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $ShingleK),
+       |sh AS (
+       |  SELECT DISTINCT source, $shingleExpr AS shingle
+       |  FROM tok, UNNEST(range(0, len(w) - ${ShingleK - 1})) AS u(i)),
+       |good AS (SELECT shingle FROM sh GROUP BY shingle
+       |         HAVING COUNT(*) BETWEEN 2 AND $MaxSrcPosting),
+       |pairs AS (
+       |  SELECT a.source AS a, b.source AS b, COUNT(*) AS w
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+       |  JOIN good g ON g.shingle = a.shingle
+       |  GROUP BY a.source, b.source),
+       |edges AS MATERIALIZED (
+       |  SELECT a, b, w FROM pairs
+       |  UNION ALL SELECT b AS a, a AS b, w FROM pairs),
+       |maxw AS MATERIALIZED (
+       |  SELECT a AS source, CAST(MAX(w) AS BIGINT) AS selfw
+       |  FROM edges GROUP BY a),
+       |l0 AS (SELECT source, source AS lab FROM nodes),
+       |${(1 to LpaRounds).map(i => round(i, s"l${i - 1}")).mkString(",\n")},
+       |sizes AS (SELECT lab, CAST(COUNT(*) AS BIGINT) AS csize
+       |          FROM l$LpaRounds GROUP BY lab)
+       |SELECT l.source, l.lab AS community, s.csize
+       |FROM l$LpaRounds l JOIN sizes s ON s.lab = l.lab
+       |ORDER BY s.csize DESC, community, l.source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_pagerank" -> (sourcePagerank _),
-    "source_triangles" -> (sourceTriangles _))
+    "source_triangles" -> (sourceTriangles _),
+    "source_communities" -> (sourceCommunities _))
 
   val oracles: Map[String, String] = Map(
     "source_pagerank" -> sourcePagerankSql,
-    "source_triangles" -> sourceTrianglesSql)
+    "source_triangles" -> sourceTrianglesSql,
+    "source_communities" -> sourceCommunitiesSql)
 }

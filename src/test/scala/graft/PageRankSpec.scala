@@ -80,9 +80,43 @@ class PageRankSpec extends AnyFunSuite {
     assert(math.abs(rows("srcA")._3 - 0.333333) < 1e-6)
   }
 
+  test("label propagation: planted clusters converge, a 2-node cluster does not oscillate") {
+    val d = Files.createTempDirectory("graft-lpa").toString
+    val pA = "alpha beta gamma delta epsilon"
+    val pB = "one two three four five"
+    // triangle cluster {srcA1,srcA2,srcA3} on phrase family A, pair
+    // cluster {srcB1,srcB2} on family B (the synchronous-LPA
+    // oscillation case), srcC isolated
+    val docs = Seq(
+      (0L, s"$pA first tail words", "srcA1"),
+      (1L, s"$pA second tail words", "srcA2"),
+      (2L, s"$pA third tail words", "srcA3"),
+      (3L, s"$pB fourth tail words", "srcB1"),
+      (4L, s"$pB fifth tail words", "srcB2"),
+      (5L, "totally isolated original content forever", "srcC"))
+    docs.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = PageRank.sourceCommunities(spark, d).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(rows("srcA1") == rows("srcA2") && rows("srcA2") == rows("srcA3"),
+      s"A-cluster must share one community: $rows")
+    assert(rows("srcA1")._2 == 3L)
+    assert(rows("srcB1") == rows("srcB2"),
+      s"2-node cluster must converge, not oscillate: $rows")
+    assert(rows("srcB1")._2 == 2L)
+    assert(rows("srcA1")._1 != rows("srcB1")._1, "clusters must stay distinct")
+    assert(rows("srcC") == (("srcC", 1L)), "isolated source is its own singleton")
+  }
+
   test("deterministic across runs") {
     val a = PageRank.sourcePagerank(spark, dir).collect().map(_.toSeq)
     val b = PageRank.sourcePagerank(spark, dir).collect().map(_.toSeq)
     assert(a.sameElements(b))
+    val c = PageRank.sourceCommunities(spark, dir).collect().map(_.toSeq)
+    val e = PageRank.sourceCommunities(spark, dir).collect().map(_.toSeq)
+    assert(c.sameElements(e))
   }
 }

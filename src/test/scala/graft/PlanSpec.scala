@@ -299,6 +299,26 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"$scans scans: $plan")
   }
 
+  test("source_communities: label walk is all equi-joins and node-keyed windows — no cartesian") {
+    val plan = graft.ops.PageRank.sourceCommunities(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan: $plan")
+    // every vote-pick window is node-partitioned, never a global sort
+    val allSpecs = "windowspecdefinition\\(".r.findAllIn(plan).size
+    val srcSpecs = "windowspecdefinition\\(source#".r.findAllIn(plan).size
+    assert(allSpecs > 0 && allSpecs == srcSpecs, s"unpartitioned window: $plan")
+  }
+
+  test("ann_bq_topk: both phases bounded top-k, query resolved driver-side — no join at all") {
+    val plan = graft.ops.Bq.bqTopK(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan: $plan")
+    // the query fingerprint rides the UDF closure; the corpus pass is
+    // a pure scan→shortlist pipeline with no join of any kind
+    assert(!plan.contains("Join"), s"plan: $plan")
+  }
+
   test("quality_calibrated: exactly the source-keyed window — no global-sort window partition") {
     val plan = graft.ops.Retrieval.qualityCalibrated(spark, sf)
       .queryExecution.executedPlan.toString
