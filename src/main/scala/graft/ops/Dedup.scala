@@ -46,7 +46,7 @@ object Dedup {
   /** DuckDB-side twin of [[shingleAt]], derived from [[ShingleK]] so
     * the oracle shingle string can never silently desync from the
     * engine's if the constant changes. */
-  private def shingleSql: String =
+  private[ops] def shingleSql: String =
     (1 to ShingleK).map(t => s"w[i+$t]").mkString(" || ' ' || ")
 
   /** text → DISTINCT word 3-gram shingles, in one pass. A UDF
@@ -85,7 +85,7 @@ object Dedup {
   /** Per-doc distinct shingle array; doing the dedup inside the
     * array avoids the explode → global DISTINCT shuffle the naive
     * plan pays. */
-  private def withShingleArray(d: DataFrame): DataFrame =
+  private[ops] def withShingleArray(d: DataFrame): DataFrame =
     d.select(col("doc_id"), shingleUdf(col("text")).as("shingles"))
       .filter(size(col("shingles")) > 0)
 
@@ -987,9 +987,103 @@ object Dedup {
        |ORDER BY cmax DESC, doc_a, doc_b
        |LIMIT 50""".stripMargin
 
+  /** Jaccard threshold for [[dedupJaccardPrefix]]: pairs at or above
+    * it are reported EXACTLY (no posting cap, no top-k cut). */
+  val PrefixTau = 0.5
+
+  /** Threshold self-join with AllPairs/PPJoin prefix filtering
+    * (Bayardo et al. 2007; Xiao et al. 2008) — the EXACT scale path
+    * beside [[dedupJaccard]]'s capped top-k: report every pair with
+    * J ≥ [[PrefixTau]], generating candidates only from each
+    * document's PREFIX under a global rarity order.
+    *
+    * The principle: fix ANY total order on the shingle universe and
+    * sort each document's shingle set by it; if J(A,B) ≥ τ, then A
+    * and B must share at least one shingle among each one's first
+    * |X| − ⌈τ·|X|⌉ + 1 shingles — so indexing only those prefixes
+    * loses NO qualifying pair, for any order. Ordering by ascending
+    * global document frequency makes the surviving inverted index
+    * concentrate on RARE shingles: the frequent shingles that
+    * produce the O(df²) pair blow-ups sort to the suffixes and never
+    * enter the index at all — which is why this needs no
+    * [[MaxPosting]] cap to stay bounded, and hence stays exact.
+    * (The order is an engine-internal choice with no oracle
+    * footprint: candidates are verified against FULL shingle sets,
+    * so the oracle is the plain threshold join.)
+    *
+    * Shape at 100 TB: one scan+UDF pass (shared shingle machinery);
+    * the frequency join keys on the shingle hash (vocab-sized →
+    * hint-free, the tfidf rule); candidate pairs carry only ids; the
+    * size filter τ·|A| ≤ |B| ≤ |A|/τ prunes before verification; and
+    * verification joins the candidates back to the per-doc hashed
+    * arrays on doc_id — pair count ~ planted-dup count, not corpus². */
+  def dedupJaccardPrefix(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val docs = d.select(col("doc_id"), hashedShingleUdf(col("text")).as("hs"))
+      .filter(size(col("hs")) > 0)
+    val postings = docs.select(col("doc_id"),
+      size(col("hs")).cast("long").as("n_sh"), explode(col("hs")).as("sh"))
+    val freq = postings.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val prefLen = (col("n_sh") - ceil(lit(PrefixTau) * col("n_sh")) + 1).cast("int")
+    val pref = postings.join(freq, Seq("sh"))
+      .groupBy(col("doc_id"), col("n_sh"))
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ord"))
+      .select(col("doc_id"), col("n_sh"),
+        slice(col("ord"), lit(1), prefLen).as("pfx"))
+      .select(col("doc_id"), col("n_sh"),
+        explode(expr("transform(pfx, x -> x.sh)")).as("sh"))
+    val cand = pref
+      .groupBy(col("sh"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ds, (x, i) -> " +
+          "transform(slice(ds, i + 2, size(ds)), " +
+          "y -> struct(x.doc_id AS da, y.doc_id AS db, " +
+          "x.n_sh AS na, y.n_sh AS nb))))")).as("p"))
+      .select(col("p.da").as("da"), col("p.db").as("db"),
+        col("p.na").as("na"), col("p.nb").as("nb"))
+      .filter(col("nb") * lit(PrefixTau) <= col("na") &&
+        col("na") * lit(PrefixTau) <= col("nb"))
+      .select(col("da"), col("db")).distinct()
+    cand
+      .join(docs.select(col("doc_id").as("da"), col("hs").as("ha")), Seq("da"))
+      .join(docs.select(col("doc_id").as("db"), col("hs").as("hb")), Seq("db"))
+      .withColumn("common", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("jraw", col("common").cast("double") /
+        (size(col("ha")) + size(col("hb")) - col("common")))
+      .filter(col("jraw") >= PrefixTau)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"), r6(col("jraw")).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+  }
+
+  /** The oracle never sees the prefix machinery: exactness of the
+    * filter means the plain threshold join IS the specification. */
+  val dedupJaccardPrefixSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $ShingleK),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    $shingleSql AS shingle
+       |  FROM tok, UNNEST(range(0, len(w) - ${ShingleK - 1})) AS u(i)),
+       |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common), 6) + 0 AS jaccard
+       |FROM pairs
+       |JOIN counts ca ON ca.doc_id = doc_a
+       |JOIN counts cb ON cb.doc_id = doc_b
+       |WHERE CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) >= $PrefixTau
+       |ORDER BY jaccard DESC, doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard" -> (dedupJaccard _),
+    "dedup_jaccard_prefix" -> (dedupJaccardPrefix _),
     "containment_dedup" -> (containmentDedup _),
     "dedup_components" -> (dedupComponents _),
     "minhash_lsh" -> (minhashLsh _),
@@ -1001,6 +1095,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,
+    "dedup_jaccard_prefix" -> dedupJaccardPrefixSql,
     "containment_dedup" -> containmentDedupSql,
     "dedup_components" -> dedupComponentsSql,
     "minhash_lsh" -> minhashLshSql,

@@ -331,4 +331,25 @@ class PlanSpec extends AnyFunSuite {
     val srcSpecs = "windowspecdefinition\\(source#".r.findAllIn(plan).size
     assert(allSpecs == srcSpecs, s"unpartitioned window present: $plan")
   }
+
+  test("bloom_decontaminate: corpus probe is join-free — the bitset rides the closure") {
+    val plan = graft.ops.Bloom.bloomDecontaminate(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the exact variant pays a broadcast hash join + a doc_id
+    // aggregation; the bloom probe must be a pure scan→UDF→filter
+    // pipeline with no join and no aggregation exchange at all
+    assert(!plan.contains("Join"), s"plan: $plan")
+    assert(!plan.contains("HashAggregate"), s"plan: $plan")
+  }
+
+  test("dedup_jaccard_prefix: frequency join carries no broadcast hint (vocab-sized side)") {
+    // df is one row per distinct shingle — unbounded at corpus scale
+    val hinted = graft.ops.Dedup.dedupJaccardPrefix(spark, sf)
+      .queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.hint.leftHint.exists(_.strategy.isDefined) ||
+             j.hint.rightHint.exists(_.strategy.isDefined) => j
+      }
+    assert(hinted.isEmpty, s"no side of the prefix pipeline may be hinted: $hinted")
+  }
 }
