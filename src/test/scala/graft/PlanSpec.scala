@@ -342,6 +342,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("HashAggregate"), s"plan: $plan")
   }
 
+  test("jl_project: transform is map-only — no join, no aggregation, vec_id filter pushed") {
+    val plan = graft.ops.RandomProjection.jlProject(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"plan: $plan")
+    assert(!plan.contains("HashAggregate"), s"plan: $plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,10)]"),
+      s"plan: $plan")
+  }
+
   test("dedup_jaccard_prefix: frequency join carries no broadcast hint (vocab-sized side)") {
     // df is one row per distinct shingle — unbounded at corpus scale
     val hinted = graft.ops.Dedup.dedupJaccardPrefix(spark, sf)
