@@ -54,7 +54,13 @@ object Bench {
     "unigram_em" -> ((s, d) => { graft.ops.UnigramLm.fittedVocab(s, d); () }),
     "wordpiece_encode" -> ((s, d) => { graft.ops.WordPiece.fittedVocab(s, d); () }),
     // whitening consumes the shared rank-m fit (the pca_topm cold cost)
-    "embed_whiten" -> ((s, d) => { graft.ops.Pca.fitTopM(s, d, graft.ops.Pca.PcaM); () }))
+    "embed_whiten" -> ((s, d) => { graft.ops.Pca.fitTopM(s, d, graft.ops.Pca.PcaM); () }),
+    // the fertility table consumes all three frozen tokenizers
+    "tokenizer_fertility" -> ((s, d) => {
+      graft.ops.Bpe.trainedMerges(s, d)
+      graft.ops.UnigramLm.fittedVocab(s, d)
+      graft.ops.WordPiece.fittedVocab(s, d); ()
+    }))
 
   /** The pre-pass hook for one query under the bench protocol. */
   def setupFor(name: String): (SparkSession, String) => Unit =

@@ -45,7 +45,8 @@ object SparkEntry {
       QualityModel.queries ++ Maintenance.queries ++ AnnEval.queries ++ Bpe.queries ++
       Outliers.queries ++ Dsir.queries ++ Cms.queries ++ Coreset.queries ++
       PageRank.queries ++ Rq.queries ++ UnigramLm.queries ++ Bq.queries ++
-      WordPiece.queries ++ Bloom.queries ++ RandomProjection.queries
+      WordPiece.queries ++ Bloom.queries ++ RandomProjection.queries ++
+      TokenizerEval.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
@@ -57,5 +58,6 @@ object SparkEntry {
       QualityModel.oracles ++ Maintenance.oracles ++ AnnEval.oracles ++ Bpe.oracles ++
       Outliers.oracles ++ Dsir.oracles ++ Cms.oracles ++ Coreset.oracles ++
       PageRank.oracles ++ Rq.oracles ++ UnigramLm.oracles ++ Bq.oracles ++
-      WordPiece.oracles ++ Bloom.oracles ++ RandomProjection.oracles
+      WordPiece.oracles ++ Bloom.oracles ++ RandomProjection.oracles ++
+      TokenizerEval.oracles
 }
