@@ -401,6 +401,66 @@ object KMeansVec {
        |ORDER BY cluster""".stripMargin
   }
 
+  /** Per-cluster topic terms: top-3 words by cluster-level TF-IDF
+    * (tf = word count inside the cluster; idf = ln(#clusters /
+    * #clusters containing the word)) over the k-means partition of
+    * the embedding space, with documents joined on the fixture's
+    * vec_id ≡ doc_id identity — the "what IS this cluster" label a
+    * SemDeDup-style curation pass reads before deciding which
+    * clusters to prune. Ubiquitous words score ln(1) = 0, so the
+    * table surfaces exactly the cluster-SPECIFIC vocabulary.
+    *
+    * Shape at 100 TB: the Lloyd fit is the shared k·dim model
+    * (broadcast-safe); the doc join keys on id; tf is one
+    * map-side-combined aggregation of the token stream; cf is
+    * vocab-sized (NO static hint — the tfidf rule); the 1-row
+    * cluster count is the one legitimate broadcast; top-3 is a
+    * cluster-keyed window, never a global sort. */
+  def clusterTopics(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = assign(s, dir)
+    val d = t(s, dir, "documents")
+    val tok = d.join(a, d("doc_id") === a("vec_id"))
+      .select(col("cluster"), explode(split(col("text"), " ")).as("word"))
+    val tf = tok.groupBy(col("cluster"), col("word")).agg(count(lit(1)).as("tf"))
+    val cf = tf.groupBy(col("word")).agg(count(lit(1)).as("cf"))
+    val nc = a.select(col("cluster")).distinct().agg(count(lit(1)).as("n_clusters"))
+    val w = Window.partitionBy(col("cluster")).orderBy(col("score").desc, col("word"))
+    tf.join(cf, Seq("word"))
+      .crossJoin(broadcast(nc))
+      .withColumn("score",
+        r6(col("tf") * log(col("n_clusters").cast("double") / col("cf"))))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("cluster"), col("rn"), col("word"), col("score"))
+      .orderBy(col("cluster"), col("rn"))
+  }
+
+  val clusterTopicsSql: String = {
+    val iters = (1 to Iters).map { t =>
+      if (t < Iters) assignCte(t) + ",\n" + updateCte(t) else assignCte(t)
+    }.mkString(",\n")
+    s"""WITH $initCte,
+       |$iters,
+       |asgn AS MATERIALIZED (SELECT vec_id, cluster FROM a$Iters),
+       |tok AS (
+       |  SELECT a.cluster, unnest(string_split(d.text, ' ')) AS word
+       |  FROM documents d JOIN asgn a ON a.vec_id = d.doc_id),
+       |tf AS (SELECT cluster, word, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |cf AS (SELECT word, COUNT(*) AS cf FROM tf GROUP BY 1),
+       |nc AS (SELECT COUNT(DISTINCT cluster) AS n_clusters FROM asgn),
+       |scored AS (
+       |  SELECT tf.cluster, tf.word,
+       |    round(tf * ln(CAST(n_clusters AS DOUBLE) / cf), 6) + 0 AS score
+       |  FROM tf JOIN cf USING (word) CROSS JOIN nc)
+       |SELECT CAST(cluster AS BIGINT) AS cluster, CAST(rn AS BIGINT) AS rn, word, score
+       |FROM (SELECT *, row_number() OVER (PARTITION BY cluster
+       |                                   ORDER BY score DESC, word) AS rn
+       |      FROM scored)
+       |WHERE rn <= 3
+       |ORDER BY cluster, rn""".stripMargin
+  }
+
   /** Oracle mirror of [[ivfTopK]]: one Lloyd's assignment under c0,
     * centroid probe ranking by the driver's double cosine (ties by
     * cluster id — Scala's stable sort), exact cosine rescoring in
@@ -641,6 +701,7 @@ object KMeansVec {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kmeans_clusters" -> (clusterProfile _),
+    "cluster_topics" -> (clusterTopics _),
     "semantic_dedup" -> (semanticDedup _),
     "cluster_sample" -> (clusterSample _),
     "ann_ivf_topk" -> ((s, d) => ivfTopK(s, d)),
@@ -649,6 +710,7 @@ object KMeansVec {
 
   val oracles: Map[String, String] = Map(
     "kmeans_clusters" -> clusterProfileSql,
+    "cluster_topics" -> clusterTopicsSql,
     "semantic_dedup" -> semanticDedupSql,
     "cluster_sample" -> clusterSampleSql,
     "ann_ivf_topk" -> ivfTopKSql,

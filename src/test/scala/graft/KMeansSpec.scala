@@ -132,4 +132,19 @@ class KMeansSpec extends AnyFunSuite {
     // balancing: kept spread is much tighter than raw spread
     assert(kept.max - kept.min <= (n.max - n.min) || n.max == n.min)
   }
+
+  test("cluster_topics: 3 terms per cluster, idf never negative, deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.ops.KMeansVec.clusterTopics(spark, dir).collect()
+    val byCluster = rows.groupBy(_.getLong(0))
+    assert(byCluster.size == graft.ops.KMeansVec.K,
+      s"expected every cluster labeled, got ${byCluster.keySet}")
+    byCluster.foreach { case (c, rs) =>
+      assert(rs.map(_.getLong(1)).toSeq.sorted == Seq(1L, 2L, 3L), s"cluster $c ranks")
+      assert(rs.map(_.getString(2)).distinct.length == 3, s"cluster $c repeated term")
+      rs.foreach(r => assert(r.getDouble(3) >= 0.0, s"negative tf-idf in cluster $c"))
+    }
+    val again = graft.ops.KMeansVec.clusterTopics(spark, dir).collect()
+    assert(rows.toSeq == again.toSeq)
+  }
 }

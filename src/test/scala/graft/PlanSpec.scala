@@ -351,6 +351,21 @@ class PlanSpec extends AnyFunSuite {
       s"plan: $plan")
   }
 
+  test("cluster_topics: cf join un-hinted (vocab-sized), window keyed by cluster") {
+    val df = graft.ops.KMeansVec.clusterTopics(spark, sf)
+    val hinted = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.hint.leftHint.exists(_.strategy.isDefined) ||
+           j.hint.rightHint.exists(_.strategy.isDefined) => j
+    }
+    // the single legitimate hint is the 1-row cluster-count aggregate
+    assert(hinted.size <= 1, s"only the 1-row nc side may be hinted: $hinted")
+    val plan = df.queryExecution.executedPlan.toString
+    val allSpecs = "windowspecdefinition\\(".r.findAllIn(plan).size
+    val cSpecs = "windowspecdefinition\\(cluster#".r.findAllIn(plan).size
+    assert(allSpecs > 0 && allSpecs == cSpecs, s"unkeyed window: $plan")
+  }
+
   test("dedup_jaccard_prefix: frequency join carries no broadcast hint (vocab-sized side)") {
     // df is one row per distinct shingle — unbounded at corpus scale
     val hinted = graft.ops.Dedup.dedupJaccardPrefix(spark, sf)
