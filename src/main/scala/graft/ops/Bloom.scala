@@ -63,8 +63,10 @@ object Bloom {
 
   /** Build the benchmark bitset: distinct grams of the benchmark
     * slice → K positions each → distinct positions (≤ MBits rows)
-    * collected into 2 KB of driver state. */
-  private def benchBitset(s: SparkSession, dir: String): java.util.BitSet = {
+    * collected into 2 KB of driver state. Public: the streaming twin
+    * ([[graft.streaming.StreamingIndex.bloomScoreStream]]) freezes
+    * this as its model state. */
+  def benchBitset(s: SparkSession, dir: String): java.util.BitSet = {
     val d = t(s, dir, "documents").filter(col("doc_id") % 50 === 0)
     val pos = Dedup.shingles(d)
       .select(col("shingle")).distinct()
@@ -78,14 +80,14 @@ object Bloom {
     bits
   }
 
-  /** (doc_id, n_flagged) for every non-benchmark document with at
-    * least one gram whose K positions are all set — a superset of
-    * the exact decontamination hits, with n_flagged ≥ the exact
-    * n_shared per doc (spec-asserted). */
-  def bloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
-    val bitsB = s.sparkContext.broadcast(benchBitset(s, dir))
+  /** Map-only scoring of ANY (doc_id, text) relation against a
+    * frozen bitset: (doc_id, n_flagged). ONE definition shared by
+    * the batch query and the streaming twin, so batch and stream
+    * semantics cannot drift (the gopherScore convention). The 2 KB
+    * bitset rides the UDF closure — no join, no shuffle, streams
+    * without state. */
+  def scoreDocs(docs: DataFrame, bits: java.util.BitSet): DataFrame = {
     val flagged = udf { (sh: Seq[String]) =>
-      val bits = bitsB.value
       var n = 0L
       sh.foreach { g =>
         var all = true
@@ -98,9 +100,17 @@ object Bloom {
       }
       n
     }
-    val corpus = t(s, dir, "documents").filter(col("doc_id") % 50 =!= 0)
-    Dedup.withShingleArray(corpus)
+    Dedup.withShingleArray(docs)
       .select(col("doc_id"), flagged(col("shingles")).as("n_flagged"))
+  }
+
+  /** (doc_id, n_flagged) for every non-benchmark document with at
+    * least one gram whose K positions are all set — a superset of
+    * the exact decontamination hits, with n_flagged ≥ the exact
+    * n_shared per doc (spec-asserted). */
+  def bloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val corpus = t(s, dir, "documents").filter(col("doc_id") % 50 =!= 0)
+    scoreDocs(corpus, benchBitset(s, dir))
       .filter(col("n_flagged") > 0)
       .orderBy(col("doc_id"))
   }

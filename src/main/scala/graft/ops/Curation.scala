@@ -611,7 +611,58 @@ object Curation {
       |ORDER BY CASE WHEN GROUPING(lang) = 1 THEN 'TOTAL'
       |         ELSE COALESCE(lang, '(none)') END""".stripMargin
 
+  /** Leakage-safe train/val/test split (80/10/10) assigned at SOURCE
+    * granularity: the split key is the md5 bucket of the source, not
+    * the document, so every document of one source lands in ONE
+    * split — the standard guard against near-duplicate leakage
+    * across splits (same-source documents are the correlated ones;
+    * a doc-keyed split would put a page and its mirror on opposite
+    * sides of the train/test wall). Reported per split: document,
+    * source, and token counts plus the realized document fraction.
+    *
+    * Same scale shape as [[sampleHash]]: assignment is a pure map
+    * (no RNG state, no coordination — identical on 1 or 1000
+    * executors; the rate moves by moving the cuts), one aggregation
+    * pass; the 1-row corpus total is the only broadcast. */
+  def dataSplit(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val b = graft.functions.CrossHash.md5Hash60Col(
+      concat(lit("split:"), col("source"))) % 100
+    val assigned = d.withColumn("split",
+      when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+    val total = d.agg(count(lit(1)).as("n_total"))
+    assigned
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("split"), col("n_docs"), col("n_sources"), col("n_tokens"),
+        r6(col("n_docs").cast("double") / col("n_total")).as("frac_docs"))
+      .orderBy(col("split"))
+  }
+
+  val dataSplitSql: String = {
+    val h = graft.functions.CrossHash.sqlHash60("'split:' || source")
+    s"""WITH a AS (
+       |  SELECT CASE WHEN $h % 100 < 80 THEN 'train'
+       |              WHEN $h % 100 < 90 THEN 'val'
+       |              ELSE 'test' END AS split,
+       |    source, len(string_split(text, ' ')) AS n_toks
+       |  FROM documents),
+       |tot AS (SELECT COUNT(*) AS n_total FROM documents)
+       |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       |  round(CAST(COUNT(*) AS DOUBLE) / n_total, 6) + 0 AS frac_docs
+       |FROM a CROSS JOIN tot
+       |GROUP BY split, n_total
+       |ORDER BY split""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "data_split" -> (dataSplit _),
     "dataset_card" -> (datasetCard _),
     "mixture_weights" -> (mixtureWeights _),
     "source_kl" -> (sourceKl _),
@@ -627,6 +678,7 @@ object Curation {
     "shard_pack" -> (shardPack _))
 
   val oracles: Map[String, String] = Map(
+    "data_split" -> dataSplitSql,
     "dataset_card" -> datasetCardSql,
     "mixture_weights" -> mixtureWeightsSql,
     "source_kl" -> sourceKlSql,

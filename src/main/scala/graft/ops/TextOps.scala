@@ -590,7 +590,50 @@ object TextOps {
       |FROM ent
       |ORDER BY doc_id""".stripMargin
 
+  /** Per-document novelty: mean inverse document frequency of the
+    * document's DISTINCT word 3-gram shingles — ln(N/df) averaged
+    * over the doc's grams. A document of corpus-unique content
+    * scores ~ln(N); boilerplate assembled from grams every doc
+    * shares scores ~0 — the scalar twin of the pairwise dedup
+    * family: pairwise detectors find WHO copied, novelty ranks HOW
+    * templated each doc is without materializing any pair.
+    *
+    * Shape at 100 TB: the shared one-pass shingle stream
+    * ([[Dedup.shingles]]), one vocab-sized df aggregation rejoined
+    * hint-free (the tfidf rule), the 1-row corpus count as the only
+    * broadcast, one doc-keyed fold — no pairs anywhere. */
+  def docNovelty(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val grams = Dedup.shingles(d)
+    val df = grams.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    grams.join(df, Seq("shingle"))
+      .crossJoin(broadcast(n))
+      .withColumn("idf", r6(log(col("n_docs").cast("double") / col("df"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        r6(graft.functions.OracleMath.davg(col("idf"))).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docNoveltySql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+      |  FROM tok, UNNEST(range(0, len(w) - 2)) AS u(i)),
+      |df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |  round(CAST(SUM(CAST(round(ln(CAST(n_docs AS DOUBLE) / df.df), 6) + 0
+      |                      AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) + 0 AS novelty
+      |FROM sh JOIN df USING (shingle) CROSS JOIN n
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_novelty" -> (docNovelty _),
     "doc_entropy" -> (docEntropy _),
     "approx_percentiles" -> (approxPercentiles _),
     "tfidf_top_terms" -> (tfidfTopTerms _),
@@ -607,6 +650,7 @@ object TextOps {
     "cdc_chunks" -> (cdcChunks _))
 
   val oracles: Map[String, String] = Map(
+    "doc_novelty" -> docNoveltySql,
     "doc_entropy" -> docEntropySql,
     "tfidf_top_terms" -> tfidfTopTermsSql,
     "text_percentiles" -> textPercentilesSql,

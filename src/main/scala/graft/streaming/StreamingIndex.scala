@@ -206,6 +206,17 @@ object StreamingIndex {
       .select(col("doc_id"), col("lang"),
         col("sc._1").as("n_feats"), col("sc._2").as("logw"))
 
+  /** Streaming Bloom decontamination — the same train-on-history /
+    * score-the-stream split as [[dsirScoreStream]]: the 2 KB
+    * benchmark bitset ([[graft.ops.Bloom.benchBitset]], frozen at
+    * stream start) rides the closure, and scoring is MAP-ONLY via
+    * the ONE shared [[graft.ops.Bloom.scoreDocs]] definition — no
+    * state store, no watermark, no shuffle. A benchmark refresh is a
+    * stream restart with a rebuilt bitset (model swap, not state
+    * migration). */
+  def bloomScoreStream(docs: DataFrame, bits: java.util.BitSet): DataFrame =
+    graft.ops.Bloom.scoreDocs(docs, bits)
+
   /** Streaming anomaly scorer — train-on-history, score-the-stream:
     * watermarked hourly tumbling counts per event type, stream-static
     * joined to a batch-trained stats table (`Events.hourlyStats`),

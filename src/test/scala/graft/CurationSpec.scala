@@ -249,4 +249,21 @@ class CurationSpec extends AnyFunSuite {
     assert(tD == enD + deD && tT == enT + deT && tC == enC + deC)
     assert(tS == 3L, "three distinct sources overall")
   }
+
+  test("data_split: every source in exactly one split, totals partition the corpus") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Curation.dataSplit(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(rows.keySet == Set("train", "val", "test"), s"splits: ${rows.keySet}")
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val totalDocs = d.count()
+    val totalSources = d.select("source").distinct().count()
+    assert(rows.values.map(_._1).sum == totalDocs, "docs must partition")
+    // source-granular assignment: per-split distinct sources sum to
+    // the corpus total — no source straddles a split boundary
+    assert(rows.values.map(_._2).sum == totalSources, "sources must partition")
+    assert(math.abs(rows.values.map(_._4).sum - 1.0) < 1e-4)
+    assert(rows("train")._1 > rows("val")._1 && rows("train")._1 > rows("test")._1)
+  }
 }

@@ -216,6 +216,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("bloom stream ≡ batch bloom_decontaminate: frozen-bitset map-only scoring") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.ops.Bloom.bloomDecontaminate(spark, dir)
+      .collect().map(_.toString).toSeq
+    val bits = graft.ops.Bloom.benchBitset(spark, dir)
+    val src = Files.createTempDirectory("graft-bloom-eq").resolve("docs").toString
+    spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 50 =!= 0)
+      .write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .parquet(src)
+    val q = StreamingIndex.bloomScoreStream(stream, bits)
+      .writeStream.format("memory").queryName("bloom_eq").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("SELECT * FROM bloom_eq WHERE n_flagged > 0")
+      .orderBy(col("doc_id")).collect().map(_.toString).toSeq
+    assert(streamed == batch, s"stream ${streamed.size} vs batch ${batch.size}")
+    assert(batch.nonEmpty)
+  }
+
   test("funnel stream ≡ batch funnel_steps: per-step user counts on the events fixture") {
     import graft.ops.Events
     import graft.streaming.FunnelStream

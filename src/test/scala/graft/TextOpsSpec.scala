@@ -92,4 +92,31 @@ class TextOpsSpec extends AnyFunSuite {
       assert(math.abs(a99 - e99) <= math.max(15.0, e99 * 0.08), s"$lang p99: $a99 vs $e99")
     }
   }
+
+  test("doc_novelty: exact duplicates sink, unique content tops, range bounded") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-novelty").toString
+    def words(p: String, n: Int) = (1 to n).map(p + _).mkString(" ")
+    val dup = words("boiler", 12)
+    val rows = (0L to 4L).map(i =>
+        org.apache.spark.sql.Row(i, dup, "en", "s", 0L)) :+
+      org.apache.spark.sql.Row(5L, words("unique", 12), "en", "s", 0L)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+    spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          java.util.Arrays.asList(rows: _*)), schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.docNovelty(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val n = 6.0
+    // the 5 mutual duplicates share every gram: idf = ln(6/5); the
+    // unique doc's grams appear once: idf = ln(6/1)
+    (0L to 4L).foreach(i => assert(math.abs(got(i) - math.log(n / 5)) < 1e-5, s"doc $i ${got(i)}"))
+    assert(math.abs(got(5L) - math.log(n)) < 1e-5, s"unique doc ${got(5L)}")
+    got.values.foreach(v => assert(v >= 0.0 && v <= math.log(n) + 1e-9))
+  }
 }
