@@ -618,6 +618,99 @@ object Dedup {
        |ORDER BY n_shared DESC, doc_a, doc_b
        |LIMIT 50""".stripMargin
 
+  /** Winnowing window (in shingles): every [[WinnowWindow]]
+    * consecutive shingle hashes contribute their minimum (rightmost
+    * on ties — Schleimer et al.'s robust winnowing rule). */
+  val WinnowWindow = 4
+
+  /** Winnowed fingerprint set of one text: positional ShingleK-word
+    * shingle hashes → per-window minimum selection → distinct
+    * selected hashes. The guarantee (the reason MOSS uses it over
+    * plain 0-mod-p sampling): any shared substring of at least
+    * WinnowWindow + ShingleK − 1 words is caught by at least one
+    * shared fingerprint, while only ~2/(WinnowWindow+1) of hashes
+    * are kept — density-bounded sampling with a matching guarantee,
+    * which plain stride sampling ([[spanHashUdf]]) does not give
+    * (spans only match when aligned to the stride). */
+  private val winnowUdf = udf { (text: String) =>
+    val w = if (text == null) Array.empty[String] else text.split(" ")
+    val n = w.length - ShingleK + 1
+    if (n < WinnowWindow) Array.empty[Long]
+    else {
+      val hs = new Array[Long](n)
+      var i = 0
+      while (i < n) { hs(i) = Dedup.cachedHash60(shingleAt(w, i)); i += 1 }
+      val sel = scala.collection.mutable.SortedSet[Long]()
+      var j = 0
+      while (j + WinnowWindow <= n) {
+        var best = j
+        var k = j + 1
+        while (k < j + WinnowWindow) {
+          if (hs(k) <= hs(best)) best = k
+          k += 1
+        }
+        sel += hs(best)
+        j += 1
+      }
+      sel.toArray
+    }
+  }
+
+  /** Cross-doc winnowing-fingerprint pairs (the MOSS plagiarism
+    * plan): docs ranked by how many winnowed fingerprints they
+    * share. Sits between [[spanDedup]] (aligned-stride exact spans)
+    * and [[dedupJaccard]] (full shingle sets): guaranteed to catch
+    * any ≥ WinnowWindow+ShingleK−1-word overlap like the full set
+    * would, at a fraction of the postings. Same inverted-index
+    * shape — one scan+UDF pass, bucket by fingerprint, pairs expand
+    * map-side within capped buckets, never a corpus self-join. */
+  def winnowPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val fp = d.select(col("doc_id"), explode(winnowUdf(col("text"))).as("h"))
+    val buckets = fp.groupBy(col("h"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")).between(2, MaxPosting))
+    buckets
+      .select(explode(expr(
+        "flatten(transform(docs, (x, i) -> " +
+          "transform(slice(docs, i + 2, size(docs)), " +
+          "y -> struct(x AS doc_a, y AS doc_b))))"))
+        .as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
+      .limit(50)
+  }
+
+  /** Oracle mirror: positional shingle hashes, per-window argmin via
+    * a (h ASC, i DESC) rank — exactly the engine's rightmost-min
+    * scan — then the distinct-fingerprint threshold join. */
+  val winnowPairsSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE len(string_split(text, ' ')) >= ${ShingleK + WinnowWindow - 1}),
+       |ph AS MATERIALIZED (
+       |  SELECT doc_id, i, ${graft.functions.CrossHash.sqlHash60(shingleSql)} AS h
+       |  FROM tok, UNNEST(range(0, len(w) - ${ShingleK - 1})) AS t(i)),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM ph GROUP BY doc_id),
+       |wins AS (
+       |  SELECT p.doc_id, j.j, p.h,
+       |    row_number() OVER (PARTITION BY p.doc_id, j.j ORDER BY p.h, p.i DESC) AS rn
+       |  FROM ph p
+       |  JOIN (SELECT doc_id, unnest(range(0, n - $WinnowWindow + 1)) AS j
+       |        FROM cnt WHERE n >= $WinnowWindow) j
+       |    ON j.doc_id = p.doc_id AND p.i BETWEEN j.j AND j.j + ${WinnowWindow - 1}),
+       |fp AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM wins WHERE rn = 1),
+       |good AS (SELECT h FROM fp GROUP BY h
+       |         HAVING COUNT(*) BETWEEN 2 AND $MaxPosting)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+       |FROM fp a
+       |JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+       |JOIN good g ON g.h = a.h
+       |GROUP BY a.doc_id, b.doc_id
+       |ORDER BY n_shared DESC, doc_a, doc_b
+       |LIMIT 50""".stripMargin
+
   /** Near-dup CLUSTERING — the step after pair generation that an
     * actual dedup pipeline needs: the Jaccard pair list is an
     * undirected graph, connected components collapse transitive
@@ -1057,6 +1150,57 @@ object Dedup {
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
   }
 
+  /** Precision/recall audit of the MinHash-LSH detector against the
+    * EXACT threshold join at τ = [[PrefixTau]] — the dedup twin of
+    * AnnEval.annRecallReport: before trusting an approximate
+    * detector on a 100 TB corpus, measure it against exact ground
+    * truth on a slice. Truth = every pair with true J ≥ τ
+    * ([[dedupJaccardPrefix]], exact by the prefix-filter argument);
+    * predicted = LSH candidate pairs whose signature estimate ≥ τ
+    * ([[minhashLsh]] re-thresholded). One full-outer join of two
+    * id-pair relations + one aggregation — the audit costs the sum
+    * of the two detectors it compares, nothing more; at production
+    * scale it runs on a hash-sampled document slice while the
+    * detector under audit runs the same plan on everything. */
+  def dedupLshAudit(s: SparkSession, dir: String): DataFrame = {
+    val truth = dedupJaccardPrefix(s, dir)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
+    val pred = minhashLsh(s, dir)
+      .filter(col("est_jaccard") >= PrefixTau)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("p"))
+    truth.join(pred, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(coalesce(col("t"), lit(0L))).as("n_true"),
+        sum(coalesce(col("p"), lit(0L))).as("n_pred"),
+        sum(when(col("t").isNotNull && col("p").isNotNull, 1L).otherwise(0L)).as("tp"))
+      .select(col("n_true"), col("n_pred"), col("tp"),
+        r6(when(col("n_pred") === 0, 0.0)
+          .otherwise(col("tp").cast("double") / col("n_pred"))).as("prec"),
+        r6(when(col("n_true") === 0, 0.0)
+          .otherwise(col("tp").cast("double") / col("n_true"))).as("rec"))
+  }
+
+  /** Composes the two detectors' own proven SQL (the recall-report
+    * convention): truth = the exact threshold join, pred = the LSH
+    * pipeline re-thresholded at τ. */
+  lazy val dedupLshAuditSql: String =
+    s"""WITH truth AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM ($dedupJaccardPrefixSql)),
+       |pred AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM ($minhashLshSql)
+       |  WHERE est_jaccard >= $PrefixTau),
+       |m AS (
+       |  SELECT
+       |    CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
+       |    CAST((SELECT COUNT(*) FROM pred) AS BIGINT) AS n_pred,
+       |    CAST((SELECT COUNT(*) FROM truth JOIN pred USING (doc_a, doc_b)) AS BIGINT) AS tp)
+       |SELECT n_true, n_pred, tp,
+       |  round(CASE WHEN n_pred = 0 THEN 0.0
+       |             ELSE CAST(tp AS DOUBLE) / n_pred END, 6) + 0 AS prec,
+       |  round(CASE WHEN n_true = 0 THEN 0.0
+       |             ELSE CAST(tp AS DOUBLE) / n_true END, 6) + 0 AS rec
+       |FROM m""".stripMargin
+
   /** The oracle never sees the prefix machinery: exactness of the
     * filter means the plain threshold join IS the specification. */
   val dedupJaccardPrefixSql: String =
@@ -1084,11 +1228,13 @@ object Dedup {
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_jaccard_prefix" -> (dedupJaccardPrefix _),
+    "dedup_lsh_audit" -> (dedupLshAudit _),
     "containment_dedup" -> (containmentDedup _),
     "dedup_components" -> (dedupComponents _),
     "minhash_lsh" -> (minhashLsh _),
     "simhash_dedup" -> (simhashDedup _),
     "span_dedup" -> (spanDedup _),
+    "winnow_pairs" -> (winnowPairs _),
     "norm_dedup" -> (normDedup _),
     "dedup_incremental" -> (dedupIncremental _))
 
@@ -1096,11 +1242,13 @@ object Dedup {
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_jaccard_prefix" -> dedupJaccardPrefixSql,
+    "dedup_lsh_audit" -> dedupLshAuditSql,
     "containment_dedup" -> containmentDedupSql,
     "dedup_components" -> dedupComponentsSql,
     "minhash_lsh" -> minhashLshSql,
     "simhash_dedup" -> simhashDedupSql,
     "span_dedup" -> spanDedupSql,
+    "winnow_pairs" -> winnowPairsSql,
     "norm_dedup" -> normDedupSql,
     "dedup_incremental" -> dedupIncrementalSql)
 }

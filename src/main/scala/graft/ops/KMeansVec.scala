@@ -401,6 +401,98 @@ object KMeansVec {
        |ORDER BY cluster""".stripMargin
   }
 
+  /** Euclidean distances to the nearest and second-nearest centroid
+    * — the exact d2 arithmetic of [[assignUdf]] (same fused form,
+    * same float-truncated cross term, same association order), so
+    * the nearest cluster here IS the assigned cluster. d2 can go
+    * epsilon-negative when a vector coincides with its centroid;
+    * both engines clamp at 0 before the sqrt. */
+  private[ops] def twoNearestUdf(centroids: Array[Array[Double]]) = {
+    val cf = centroids.map(_.map(_.toFloat))
+    val cc = centroids.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      s
+    }
+    udf { (emb: Seq[Float]) =>
+      val x = new Array[Double](emb.length)
+      var i = 0
+      while (i < x.length) { x(i) = emb(i); i += 1 }
+      var xx = 0.0
+      i = 0
+      while (i < x.length) { xx += x(i) * x(i); i += 1 }
+      var best = Double.PositiveInfinity
+      var second = Double.PositiveInfinity
+      var k = 0
+      while (k < cf.length) {
+        val c = cf(k)
+        var xc = 0.0
+        var d = 0
+        while (d < x.length) { xc += x(d) * c(d).toDouble; d += 1 }
+        val d2 = xx - 2.0 * xc + cc(k)
+        if (d2 < best) { second = best; best = d2 }
+        else if (d2 < second) { second = d2 }
+        k += 1
+      }
+      Array(math.sqrt(math.max(best, 0.0)), math.sqrt(math.max(second, 0.0)))
+    }
+  }
+
+  /** Simplified (centroid-based) silhouette per cluster — the
+    * clustering-quality audit an IVF/SemDeDup build reads before
+    * trusting its cells: s = (b − a) / max(a, b) with a = distance
+    * to the NEAREST centroid (≡ the assigned one) and b = distance
+    * to the second nearest. The full silhouette is O(n²) pairwise
+    * and dead at corpus scale; the centroid form (Hruschka et al.'s
+    * "simplified silhouette") is MAP-ONLY given the k·dim fit — one
+    * UDF pass + one cluster-keyed aggregation, no pair ever
+    * materializes. Near +1 = compact well-separated cell, near 0 =
+    * boundary mush (cells an ANN probe will mis-rank and a
+    * cluster-sampling pass should not treat as strata). */
+  def clusterSilhouette(s: SparkSession, dir: String): DataFrame = {
+    val (centroids, assigned) = fit(s, dir)
+    assigned
+      .withColumn("ab", twoNearestUdf(centroids)(col("embedding")))
+      .select(col("cluster"),
+        col("ab").getItem(0).as("a"), col("ab").getItem(1).as("b"))
+      .withColumn("sil",
+        when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
+          .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))))
+      .groupBy(col("cluster").cast("long").as("cluster"))
+      .agg(count(lit(1)).as("n"),
+        r6(OracleMath.davg(r6(col("sil")))).as("avg_sil"))
+      .orderBy(col("cluster"))
+  }
+
+  /** Chains the proven Lloyd CTEs; a/b are ranks 1/2 of the final
+    * iteration's per-(vec, cluster) d2 relation — the assignment
+    * argmin and the silhouette's nearest centroid are the same row
+    * by construction. */
+  lazy val clusterSilhouetteSql: String = {
+    val iters = (1 to Iters).map { t =>
+      if (t < Iters) assignCte(t) + ",\n" + updateCte(t) else assignCte(t)
+    }.mkString(",\n")
+    s"""WITH $initCte,
+       |$iters,
+       |dd AS MATERIALIZED (
+       |  SELECT vec_id, cluster, sqrt(greatest(d2, 0)) AS dist,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+       |  FROM s$Iters),
+       |ab AS (
+       |  SELECT d1.vec_id, d1.cluster, d1.dist AS a, dn.dist AS b
+       |  FROM (SELECT * FROM dd WHERE rn = 1) d1
+       |  JOIN (SELECT * FROM dd WHERE rn = 2) dn USING (vec_id)),
+       |sil AS (
+       |  SELECT cluster,
+       |    CASE WHEN greatest(a, b) = 0 THEN 0.0
+       |         ELSE (b - a) / greatest(a, b) END AS sil
+       |  FROM ab)
+       |SELECT CAST(cluster AS BIGINT) AS cluster, COUNT(*) AS n,
+       |  round(CAST(SUM(CAST(round(sil, 6) + 0 AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) + 0 AS avg_sil
+       |FROM sil GROUP BY cluster
+       |ORDER BY cluster""".stripMargin
+  }
+
   /** Per-cluster topic terms: top-3 words by cluster-level TF-IDF
     * (tf = word count inside the cluster; idf = ln(#clusters /
     * #clusters containing the word)) over the k-means partition of
@@ -701,6 +793,7 @@ object KMeansVec {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kmeans_clusters" -> (clusterProfile _),
+    "cluster_silhouette" -> (clusterSilhouette _),
     "cluster_topics" -> (clusterTopics _),
     "semantic_dedup" -> (semanticDedup _),
     "cluster_sample" -> (clusterSample _),
@@ -710,6 +803,7 @@ object KMeansVec {
 
   val oracles: Map[String, String] = Map(
     "kmeans_clusters" -> clusterProfileSql,
+    "cluster_silhouette" -> clusterSilhouetteSql,
     "cluster_topics" -> clusterTopicsSql,
     "semantic_dedup" -> semanticDedupSql,
     "cluster_sample" -> clusterSampleSql,

@@ -287,6 +287,71 @@ object Retrieval {
       |FROM terms GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Jelinek–Mercer interpolated LM scoring — the smoothing tier
+    * between [[unigramLogprob]] and [[bigramLogprob]]: each bigram
+    * position scores ln(λ·p(w2|w1) + (1−λ)·p(w2)) with λ = 0.75, so
+    * an unseen-context position degrades to the unigram prior
+    * instead of dominating the NLL (the standard fix the unsmoothed
+    * bigram model needs the moment it scores text it was not fit
+    * on). Same dataflow as the two parents — map-side bigrams, two
+    * hash-aggregated model relations plus the vocab join, all
+    * hint-free (the tfidf rule), 1-row total broadcast — one extra
+    * vocab-keyed join over bigramLogprob, nothing more. */
+  def jmLogprob(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val bi = d.select(col("doc_id"),
+      explode(expr(
+        """zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+          |         slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+          |         (a, b) -> concat(a, ' ', b))""".stripMargin)).as("bg"))
+    val db = bi.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+    val corpus = db.groupBy(col("bg")).agg(sum(col("c")).as("cbg"))
+    val lefts = corpus
+      .groupBy(element_at(split(col("bg"), " "), 1).as("w1"))
+      .agg(sum(col("cbg")).as("cw1"))
+    val toks = d.select(explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cw"))
+    val total = vocab.agg(sum(col("cw")).as("t"))
+    db.join(corpus, "bg")
+      .join(lefts, element_at(split(col("bg"), " "), 1) === col("w1"))
+      .join(vocab, element_at(split(col("bg"), " "), 2) === col("tok"))
+      .crossJoin(broadcast(total))
+      .withColumn("term", r6(col("c") * log(
+        lit(0.75) * (col("cbg").cast("double") / col("cw1")) +
+          lit(0.25) * (col("cw").cast("double") / col("t")))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), OracleMath.dsum(col("term")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        r6(-col("s") / col("n_bigrams")).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  val jmLogprobSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |bi AS (SELECT doc_id,
+      |         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+      |       FROM toks),
+      |db AS (SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY doc_id, bg),
+      |corpus AS (SELECT bg, SUM(c) AS cbg FROM db GROUP BY bg),
+      |lefts AS (SELECT split_part(bg, ' ', 1) AS w1, SUM(cbg) AS cw1
+      |          FROM corpus GROUP BY 1),
+      |uni AS (SELECT tok, COUNT(*) AS cw
+      |        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |        GROUP BY tok),
+      |tot AS (SELECT SUM(cw) AS t FROM uni),
+      |terms AS (
+      |  SELECT doc_id, c,
+      |    round(c * ln(0.75 * (CAST(cbg AS DOUBLE) / cw1)
+      |               + 0.25 * (CAST(cw AS DOUBLE) / t)), 6) + 0 AS term
+      |  FROM db JOIN corpus USING (bg)
+      |  JOIN lefts ON split_part(bg, ' ', 1) = lefts.w1
+      |  JOIN uni ON split_part(bg, ' ', 2) = uni.tok
+      |  CROSS JOIN tot)
+      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+      |  round(-CAST(SUM(CAST(term AS DECIMAL(38,6))) AS DOUBLE) / SUM(c), 6) + 0 AS avg_nll
+      |FROM terms GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** CCNet-style perplexity buckets (Wenzek et al. 2020): score every
     * doc with the corpus-self unigram LM ([[unigramLogprob]]), cut
     * the score distribution at its exact tertiles, and report the
@@ -442,6 +507,7 @@ object Retrieval {
     "hybrid_rrf" -> (hybridRrf _),
     "unigram_logprob" -> (unigramLogprob _),
     "bigram_logprob" -> (bigramLogprob _),
+    "jm_logprob" -> (jmLogprob _),
     "ppl_buckets" -> (pplBuckets _),
     "doremi_weights" -> (doremiWeights _),
     "quality_calibrated" -> (qualityCalibrated _))
@@ -451,6 +517,7 @@ object Retrieval {
     "hybrid_rrf" -> hybridRrfSql,
     "unigram_logprob" -> unigramLogprobSql,
     "bigram_logprob" -> bigramLogprobSql,
+    "jm_logprob" -> jmLogprobSql,
     "ppl_buckets" -> pplBucketsSql,
     "doremi_weights" -> doremiWeightsSql,
     "quality_calibrated" -> qualityCalibratedSql)

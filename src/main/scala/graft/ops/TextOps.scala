@@ -93,6 +93,63 @@ object TextOps {
        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  /** Gopher repetition signals (Rae et al. 2021 §A1.1, the filters
+    * the unigram TTR in [[docQuality]] can't see): the fraction of
+    * 2-grams taken by the single most frequent 2-gram, and the
+    * fraction of 3-grams that are duplicated (count > 1) — looping
+    * boilerplate scores high on both while keeping a healthy TTR.
+    * N-grams materialize map-side (`zip_with` over the token array
+    * and its tails — the bigramLogprob convention, no self-join);
+    * both signals are doc_id-keyed aggregations, so the only
+    * shuffles hash on doc_id. Docs with < 3 tokens have no 3-gram
+    * and are out of scope of the filter (dropped, like the
+    * shingle-minimum rule in Dedup). */
+  def repNgrams(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val w = split(col("text"), " ")
+    val base = d.select(col("doc_id"), w.as("w")).filter(size(col("w")) >= 3)
+    val g2 = base.select(col("doc_id"), explode(expr(
+        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), (a, b) -> concat(a, ' ', b))"))
+        .as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(r6(max(col("c")).cast("double") / sum(col("c"))).as("top2_frac"))
+    val g3 = base.select(col("doc_id"), explode(expr(
+        "zip_with(zip_with(slice(w, 1, size(w) - 2), slice(w, 2, size(w) - 2), (a, b) -> concat(a, ' ', b)), " +
+          "slice(w, 3, size(w) - 2), (ab, c) -> concat(ab, ' ', c))"))
+        .as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(r6(sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).cast("double") / sum(col("c")))
+        .as("dup3_frac"))
+    g2.join(g3, "doc_id")
+      .select(col("doc_id"), col("top2_frac"), col("dup3_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val repNgramsSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |             WHERE len(string_split(text, ' ')) >= 3),
+      |g2 AS (
+      |  SELECT doc_id, g, COUNT(*) AS c FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+      |    FROM tok)
+      |  GROUP BY doc_id, g),
+      |t2 AS (SELECT doc_id, round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) + 0 AS top2_frac
+      |       FROM g2 GROUP BY doc_id),
+      |g3 AS (
+      |  SELECT doc_id, g, COUNT(*) AS c FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+      |                                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+      |    FROM tok)
+      |  GROUP BY doc_id, g),
+      |t3 AS (SELECT doc_id,
+      |         round(CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c), 6) + 0 AS dup3_frac
+      |       FROM g3 GROUP BY doc_id)
+      |SELECT doc_id, top2_frac, dup3_frac
+      |FROM t2 JOIN t3 USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** Content fingerprint for exact-dup detection at scale: md5 of
     * the text (hash-compare instead of string-compare in the
     * downstream groupBy). Oracle-checkable since both engines emit
@@ -644,6 +701,7 @@ object TextOps {
     "text_stats" -> (textStats _),
     "top_words" -> (topWords _),
     "doc_quality" -> (docQuality _),
+    "rep_ngrams" -> (repNgrams _),
     "doc_fingerprint" -> (docFingerprint _),
     "lang_id" -> (langId _),
     "chunk_stats" -> (chunkStats _),
@@ -659,6 +717,7 @@ object TextOps {
     "text_stats" -> textStatsSql,
     "top_words" -> topWordsSql,
     "doc_quality" -> docQualitySql,
+    "rep_ngrams" -> repNgramsSql,
     "doc_fingerprint" -> docFingerprintSql,
     "lang_id" -> langIdSql,
     "chunk_stats" -> chunkStatsSql,

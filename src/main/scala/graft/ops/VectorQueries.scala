@@ -420,6 +420,136 @@ object VectorQueries {
       |WHERE rn <= 3
       |ORDER BY query_id, rn""".stripMargin
 
+  /** kNN-classifier label evaluation — the embedding-space health
+    * check SURVEY §5.5 sketches ("majority label of 5-NN ≈ query
+    * label"): the first 20 vectors are held out as probes, each is
+    * classified by the majority label of its exact 5-NN among the
+    * rest (ties → lexicographically smallest label), and per-label
+    * accuracy is reported. Low accuracy for a label means its region
+    * of the space is mush — retrieval, ANN cells, and semantic dedup
+    * will all be unreliable there before any of them is run.
+    *
+    * Scale shape: the probe set is a bounded broadcast (the audit-
+    * sample convention — at production scale the probes are a hash
+    * sample, the corpus side is the one scan); scoring is the batch
+    * kNN plan (window per probe, never a global sort); voting and
+    * accuracy are probe-count-sized aggregations. */
+  def knnLabelEval(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val qs = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("label").as("true_label"),
+        col("embedding").as("qe"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
+    val top = e.filter(col("vec_id") >= 20)
+      .crossJoin(broadcast(qs))
+      .withColumn("dist", r6(cosineDist(col("embedding"), col("qe"))))
+      .filter(!isnan(col("dist")) && col("dist").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("true_label"), col("label"))
+    val wv = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("label"))
+    val pred = top.groupBy(col("query_id"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(wv))
+      .filter(col("vr") === 1)
+    pred.groupBy(col("true_label").as("label"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("label") === col("true_label"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("acc", r6(col("n_correct").cast("double") / col("n_eval")))
+      .orderBy(col("label"))
+  }
+
+  val knnLabelEvalSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, label AS true_label, embedding AS qe
+      |           FROM embeddings WHERE vec_id < 20),
+      |scored AS (
+      |  SELECT q.query_id, q.true_label, e.vec_id, e.label,
+      |    round(1.0 - list_sum(list_transform(range(1, len(e.embedding)+1),
+      |              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+      |          / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+      |             * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) + 0 AS dist
+      |  FROM embeddings e, q
+      |  WHERE e.vec_id >= 20),
+      |top5 AS (
+      |  SELECT query_id, true_label, label FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+      |    FROM scored)
+      |  WHERE rn <= 5),
+      |votes AS (SELECT query_id, true_label, label, COUNT(*) AS votes
+      |          FROM top5 GROUP BY query_id, true_label, label),
+      |pred AS (
+      |  SELECT query_id, true_label, label AS pred_label FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS vr
+      |    FROM votes)
+      |  WHERE vr = 1)
+      |SELECT true_label AS label, COUNT(*) AS n_eval,
+      |  CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+      |  round(CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / COUNT(*), 6) + 0 AS acc
+      |FROM pred GROUP BY true_label
+      |ORDER BY label""".stripMargin
+
+  /** Rocchio pseudo-relevance feedback (the classic query-expansion
+    * loop, Rocchio 1971 as used in modern dense PRF): retrieve the
+    * exact top-10 for the query, move the query vector toward their
+    * centroid (q' = q + 0.75·mean(top-10)), and re-retrieve the
+    * final top-5 with the expanded vector — one extra retrieval
+    * round for a recall boost, no model required.
+    *
+    * Scale shape: round 1 is the proven exact-kNN plan
+    * (TakeOrderedAndProject); the feedback centroid is a
+    * 10-vector decimal-bridged mean — DIM doubles through the
+    * driver (the centroid rule, same as every Lloyd fit); round 2
+    * is one more scan with the literal expanded vector. Nothing
+    * corpus-sized ever leaves the executors. */
+  def rocchioTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q0 = e.filter(col("vec_id") === QueryVecId)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    val prf = withQuery(s, dir)
+      .orderBy(col("dist"), col("vec_id")).limit(10)
+    val means = prf
+      .select(posexplode(col("embedding")).as(Seq("d", "v")))
+      .groupBy(col("d"))
+      .agg(r6(davg(r6(col("v").cast("double")))).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // expanded query truncated to FLOAT — the storage dtype every
+    // other query vector has (and what the native cosine expression
+    // expects); the oracle mirrors the same IEEE narrowing
+    val qp = Array.tabulate(q0.length)(i => (q0(i) + 0.75 * means(i)).toFloat)
+    e.filter(col("vec_id") =!= QueryVecId)
+      .withColumn("dist", r6(cosineDist(col("embedding"), typedLit(qp))))
+      .filter(!isnan(col("dist")) && col("dist").isNotNull)
+      .select(col("vec_id"), col("label"), col("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(5)
+  }
+
+  val rocchioTopkSql: String =
+    s"""$cosineOracleCte,
+       |prf AS (SELECT vec_id FROM scored ORDER BY dist, vec_id LIMIT 10),
+       |pe AS (SELECT e.embedding FROM prf JOIN embeddings e USING (vec_id)),
+       |md AS (
+       |  SELECT d,
+       |    round(CAST(SUM(CAST(round(CAST(embedding[d] AS DOUBLE), 6) + 0 AS DECIMAL(38,6))) AS DOUBLE)
+       |          / COUNT(*), 6) + 0 AS m
+       |  FROM pe, UNNEST(range(1, len(embedding) + 1)) AS t(d)
+       |  GROUP BY d),
+       |qp AS (
+       |  SELECT list(CAST(CAST(q.qe[d] AS DOUBLE) + 0.75 * md.m AS FLOAT) ORDER BY d) AS qv
+       |  FROM md, q),
+       |final AS (
+       |  SELECT e.vec_id, e.label,
+       |    round(1.0 - list_sum(list_transform(range(1, len(e.embedding)+1),
+       |              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qp.qv[i] AS DOUBLE)))
+       |          / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+       |             * sqrt(list_sum(list_transform(qp.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) + 0 AS dist
+       |  FROM embeddings e, qp
+       |  WHERE e.vec_id <> $QueryVecId)
+       |SELECT vec_id, label, dist FROM final
+       |ORDER BY dist, vec_id LIMIT 5""".stripMargin
+
   /** LSH-bucketed near-duplicate pairs — the 100 TB path for
     * [[embedNeardup]]: vectors sharing a sign-LSH code land in one
     * bucket; pairs expand map-side within buckets and their exact
@@ -524,6 +654,8 @@ object VectorQueries {
     "knn_per_label" -> (knnPerLabel _),
     "q12_embed_stats" -> (embedStats _),
     "embed_neardup" -> ((s: SparkSession, dir: String) => embedNeardupGated(s, dir)),
+    "knn_label_eval" -> (knnLabelEval _),
+    "rocchio_topk" -> (rocchioTopk _),
     "ann_lsh_topk" -> (annLshTopk _))
 
   val oracles: Map[String, String] = Map(
@@ -532,6 +664,8 @@ object VectorQueries {
     "knn_per_label" -> knnPerLabelSql,
     "q12_embed_stats" -> embedStatsSql,
     "embed_neardup" -> embedNeardupSql,
+    "knn_label_eval" -> knnLabelEvalSql,
+    "rocchio_topk" -> rocchioTopkSql,
     "ann_lsh_topk" -> annLshTopkSql,
     "embed_neardup_lsh" -> embedNeardupLshSql)
 }
