@@ -376,4 +376,48 @@ class PlanSpec extends AnyFunSuite {
       }
     assert(hinted.isEmpty, s"no side of the prefix pipeline may be hinted: $hinted")
   }
+
+  test("cluster_silhouette: map-only scoring — one cluster-keyed aggregation, no joins") {
+    val plan = graft.ops.KMeansVec.clusterSilhouette(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"silhouette must not join: $plan")
+    assert(!plan.contains("CartesianProduct"))
+    // the only exchange is the final cluster-keyed aggregation
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"$exchanges exchanges: $plan")
+  }
+
+  test("knn_label_eval: bounded probe side broadcasts; windows keyed by query_id") {
+    val df = graft.ops.VectorQueries.knnLabelEval(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"probe slice must broadcast: $plan")
+    assert(!plan.contains("CartesianProduct"))
+    val allSpecs = "windowspecdefinition\\(".r.findAllIn(plan).size
+    val qSpecs = "windowspecdefinition\\(query_id#".r.findAllIn(plan).size
+    assert(allSpecs > 0 && allSpecs == qSpecs, s"unkeyed window: $plan")
+  }
+
+  test("jm_logprob: no static hints on the three vocab-sized model joins") {
+    val df = graft.ops.Retrieval.jmLogprob(spark, sf)
+    assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    val hinted = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.hint.leftHint.exists(_.strategy.isDefined) ||
+           j.hint.rightHint.exists(_.strategy.isDefined) => j
+    }
+    // the single legitimate hint is the 1-row corpus-total aggregate
+    assert(hinted.size <= 1, s"only the 1-row total side may be hinted: $hinted")
+  }
+
+  test("rep_ngrams: scan prunes to (doc_id, text); shuffles key on doc-scoped groups") {
+    val df = graft.ops.TextOps.repNgrams(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    val scanSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(scanSchemas.nonEmpty && scanSchemas.forall(s =>
+        s.contains("doc_id") && s.contains("text") && !s.contains("lang")),
+      s"scan must read only (doc_id, text): $scanSchemas")
+  }
 }
