@@ -310,13 +310,96 @@ object AnnEval {
        |ORDER BY system""".stripMargin
   }
 
+  // ------------------------------------------- matryoshka truncation
+
+  private[graft] val MatryoshkaDims = Seq(8, 16, 32, 64)
+
+  /** Matryoshka truncation audit (Kusupati et al. 2022): recall@5 of
+    * retrieval over only the first m dimensions against the
+    * full-dimension exact top-5, for m ∈ [[MatryoshkaDims]] — the
+    * measurement behind the "shorten the vectors, keep the recall"
+    * memory/bandwidth trade MRL-trained encoders advertise. The
+    * full-width row (m = dim) reproduces the exact ranking by
+    * construction — recall 1.0 is the report's self-validation, the
+    * retrieval_ndcg convention. Each truncated retrieval is the
+    * SAME TakeOrderedAndProject scan shape as exact kNN (a sliced
+    * array is narrower, never wider); the audit costs |dims| scans
+    * of (vec_id, embedding) and one 4-row join. At scale the scans
+    * fuse trivially into a sampled-query audit; the m-grid left
+    * join keeps a degenerate truncation (zero rows) visible as 0.0. */
+  def matryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions.cosineDist
+    val e = Tables.t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === VectorQueries.QueryVecId)
+      .select(col("embedding").as("qe"))
+    val exact = VectorQueries.knnTopkK(s, dir, K).select(col("vec_id").as("evid"))
+    val all = MatryoshkaDims.map { m =>
+      e.filter(col("vec_id") =!= VectorQueries.QueryVecId)
+        .crossJoin(broadcast(q))
+        .withColumn("dist",
+          r6(cosineDist(slice(col("embedding"), 1, m), slice(col("qe"), 1, m))))
+        .filter(!isnan(col("dist")) && col("dist").isNotNull)
+        .select(col("vec_id"), col("dist"))
+        .orderBy(col("dist"), col("vec_id")).limit(K)
+        .select(lit(m).as("m"), col("vec_id"))
+    }.reduce(_ union _)
+    val agg = all.join(exact, col("vec_id") === col("evid"), "left")
+      .groupBy(col("m")).agg(count(col("evid")).as("hits"))
+    MatryoshkaDims.toDF("m")
+      .join(agg, Seq("m"), "left")
+      .select(col("m").cast("long").as("m"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        r6(coalesce(col("hits"), lit(0L)).cast("double") / lit(K.toDouble))
+          .as("recall_at_5"))
+      .orderBy(col("m"))
+  }
+
+  /** Per-m truncated scoring mirrors the exact-kNN fold over the
+    * sliced prefix; the grid + left-join tail is the recall-report
+    * convention. */
+  val matryoshkaRecallSql: String = {
+    def topM(m: Int): String =
+      s"""SELECT $m AS m, vec_id FROM (
+         |  SELECT e.vec_id,
+         |    round(1.0 - list_sum(list_transform(range(1, $m + 1),
+         |              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+         |          / (sqrt(list_sum(list_transform(e.embedding[1:$m], x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+         |             * sqrt(list_sum(list_transform(q.qe[1:$m], x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) + 0 AS dist
+         |  FROM embeddings e, q
+         |  WHERE e.vec_id <> ${VectorQueries.QueryVecId}
+         |  ORDER BY dist, vec_id LIMIT $K)""".stripMargin
+    val union = MatryoshkaDims.map(topM).mkString("\nUNION ALL\n")
+    val dimList = MatryoshkaDims.mkString(", ")
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings
+       |           WHERE vec_id = ${VectorQueries.QueryVecId}),
+       |exact AS (SELECT vec_id AS evid FROM (
+       |${VectorQueries.knnTopkSql}
+       |)),
+       |allm AS (
+       |$union
+       |),
+       |agg AS (
+       |  SELECT m, COUNT(e.evid) AS hits
+       |  FROM allm a LEFT JOIN exact e ON a.vec_id = e.evid
+       |  GROUP BY m),
+       |dims AS (SELECT unnest([$dimList]) AS m)
+       |SELECT CAST(d.m AS BIGINT) AS m,
+       |  CAST(coalesce(agg.hits, 0) AS BIGINT) AS hits,
+       |  round(CAST(coalesce(agg.hits, 0) AS DOUBLE) / $K.0, 6) + 0 AS recall_at_5
+       |FROM dims d LEFT JOIN agg ON agg.m = d.m
+       |ORDER BY m""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_recall_report" -> (annRecallReport _),
     "ann_recall_batch" -> (annRecallBatch _),
+    "matryoshka_recall" -> (matryoshkaRecall _),
     "retrieval_ndcg" -> (retrievalNdcg _))
 
   val oracles: Map[String, String] = Map(
     "ann_recall_report" -> annRecallReportSql,
     "ann_recall_batch" -> annRecallBatchSql,
+    "matryoshka_recall" -> matryoshkaRecallSql,
     "retrieval_ndcg" -> retrievalNdcgSql)
 }

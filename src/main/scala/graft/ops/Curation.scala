@@ -661,8 +661,71 @@ object Curation {
        |ORDER BY split""".stripMargin
   }
 
+  /** Train/test leakage audit — the check [[dataSplit]]'s
+    * source-granular assignment is designed to pass for SAME-source
+    * near-dups, and the one that catches what it cannot prevent:
+    * near-duplicate pairs (the proven MinHash-LSH detector) whose
+    * two documents landed in DIFFERENT splits. Any `leak = 1` row
+    * with n_pairs > 0 is test-set contamination by paraphrase — the
+    * quiet eval-inflation bug no within-split dedup can see. The
+    * pair relation is the sub-quadratic LSH plan; split assignment
+    * is a map-only hash; the 6-row split-pair grid left-joins the
+    * counts so an empty cell reads 0 instead of vanishing (the
+    * recall-report totality rule). */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = t(s, dir, "documents")
+    val b = graft.functions.CrossHash.md5Hash60Col(
+      concat(lit("split:"), col("source"))) % 100
+    val splits = d.select(col("doc_id"),
+      when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"))
+    val pairs = Dedup.minhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
+    val counted = pairs
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("sa")), Seq("doc_a"))
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("sb")), Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b")).agg(count(lit(1)).as("n"))
+    val grid = Seq(
+      ("test", "test"), ("test", "train"), ("test", "val"),
+      ("train", "train"), ("train", "val"), ("val", "val"))
+      .toDF("split_a", "split_b")
+    grid.join(counted, Seq("split_a", "split_b"), "left")
+      .select(col("split_a"), col("split_b"),
+        coalesce(col("n"), lit(0L)).as("n_pairs"),
+        (col("split_a") =!= col("split_b")).cast("int").as("leak"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
+  lazy val splitLeakageSql: String = {
+    val h = graft.functions.CrossHash.sqlHash60("'split:' || source")
+    s"""WITH splits AS (
+       |  SELECT doc_id, CASE WHEN $h % 100 < 80 THEN 'train'
+       |                      WHEN $h % 100 < 90 THEN 'val'
+       |                      ELSE 'test' END AS split
+       |  FROM documents),
+       |pred AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM (${Dedup.minhashLshSql})),
+       |lab AS (
+       |  SELECT least(sa.split, sb.split) AS split_a,
+       |         greatest(sa.split, sb.split) AS split_b
+       |  FROM pred p
+       |  JOIN splits sa ON sa.doc_id = p.doc_a
+       |  JOIN splits sb ON sb.doc_id = p.doc_b),
+       |grid(split_a, split_b) AS (
+       |  VALUES ('test','test'), ('test','train'), ('test','val'),
+       |         ('train','train'), ('train','val'), ('val','val')),
+       |cnt AS (SELECT split_a, split_b, COUNT(*) AS n FROM lab GROUP BY 1, 2)
+       |SELECT g.split_a, g.split_b,
+       |  CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_pairs,
+       |  CASE WHEN g.split_a <> g.split_b THEN 1 ELSE 0 END AS leak
+       |FROM grid g LEFT JOIN cnt USING (split_a, split_b)
+       |ORDER BY split_a, split_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "data_split" -> (dataSplit _),
+    "split_leakage" -> (splitLeakage _),
     "dataset_card" -> (datasetCard _),
     "mixture_weights" -> (mixtureWeights _),
     "source_kl" -> (sourceKl _),
@@ -679,6 +742,7 @@ object Curation {
 
   val oracles: Map[String, String] = Map(
     "data_split" -> dataSplitSql,
+    "split_leakage" -> splitLeakageSql,
     "dataset_card" -> datasetCardSql,
     "mixture_weights" -> mixtureWeightsSql,
     "source_kl" -> sourceKlSql,

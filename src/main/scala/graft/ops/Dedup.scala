@@ -877,6 +877,50 @@ object Dedup {
        |GROUP BY node
        |ORDER BY doc_id""".stripMargin
 
+  /** Quality-aware survivor selection — the survivor rule a real
+    * pipeline uses instead of min(doc_id): within each near-dup
+    * component, keep the member that passes the most quality gates
+    * (gopher `keep` first, then the longer document, doc_id as the
+    * deterministic tiebreak). min-id survival can systematically
+    * keep the WORSE copy (a truncated mirror crawled first); this op
+    * re-elects per cluster. One doc_id-keyed join of the component
+    * relation with the map-only gopher signals + one component-keyed
+    * window over near-dup clusters (tiny by construction) — cost is
+    * the component build it already shares. */
+  def dedupSurvivorQuality(s: SparkSession, dir: String): DataFrame = {
+    val comp = dedupComponents(s, dir).select(col("doc_id"), col("component"))
+    val q = Curation.gopherScore(t(s, dir, "documents"))
+      .select(col("doc_id"), col("keep"), col("n_words"))
+    val wElect = Window.partitionBy(col("component"))
+      .orderBy(col("keep").desc, col("n_words").desc, col("doc_id"))
+    val wSize = Window.partitionBy(col("component"))
+    comp.join(q, "doc_id")
+      .withColumn("rn", row_number().over(wElect))
+      .withColumn("n_members", count(lit(1)).over(wSize))
+      .filter(col("rn") === 1)
+      .select(col("component"), col("doc_id").as("survivor_id"),
+        col("n_members"), col("keep"))
+      .orderBy(col("component"))
+  }
+
+  /** Composes the proven component + gopher oracles; the election is
+    * one window. */
+  lazy val dedupSurvivorQualitySql: String =
+    s"""WITH comp AS MATERIALIZED (
+       |  SELECT doc_id, component FROM ($dedupComponentsSql)),
+       |q AS MATERIALIZED (
+       |  SELECT doc_id, keep, n_words FROM (${Curation.gopherQualitySql})),
+       |j AS (SELECT c.component, c.doc_id, q.keep, q.n_words
+       |      FROM comp c JOIN q USING (doc_id))
+       |SELECT component, doc_id AS survivor_id, n_members, keep
+       |FROM (SELECT *,
+       |        row_number() OVER (PARTITION BY component
+       |                           ORDER BY keep DESC, n_words DESC, doc_id) AS rn,
+       |        COUNT(*) OVER (PARTITION BY component) AS n_members
+       |      FROM j)
+       |WHERE rn = 1
+       |ORDER BY component""".stripMargin
+
   /** Normalized exact dedup — the "fuzzy-exact" tier every corpus
     * pipeline runs before near-dup: lowercase, collapse every
     * non-alphanumeric run to one space, trim, then group on the
@@ -1231,6 +1275,7 @@ object Dedup {
     "dedup_lsh_audit" -> (dedupLshAudit _),
     "containment_dedup" -> (containmentDedup _),
     "dedup_components" -> (dedupComponents _),
+    "dedup_survivor_quality" -> (dedupSurvivorQuality _),
     "minhash_lsh" -> (minhashLsh _),
     "simhash_dedup" -> (simhashDedup _),
     "span_dedup" -> (spanDedup _),
@@ -1245,6 +1290,7 @@ object Dedup {
     "dedup_lsh_audit" -> dedupLshAuditSql,
     "containment_dedup" -> containmentDedupSql,
     "dedup_components" -> dedupComponentsSql,
+    "dedup_survivor_quality" -> dedupSurvivorQualitySql,
     "minhash_lsh" -> minhashLshSql,
     "simhash_dedup" -> simhashDedupSql,
     "span_dedup" -> spanDedupSql,

@@ -1,0 +1,104 @@
+package graft
+
+import graft.functions.CrossHash
+import graft.ops.{AnnEval, Curation, Dedup}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** The three pipeline audits: matryoshka truncation recall,
+  * quality-aware survivor election, and cross-split leakage. */
+class PipelineAuditSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("matryoshka: full-width row self-validates at 1.0, all recalls in [0,1]") {
+    val got = AnnEval.matryoshkaRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == Seq(8L, 16L, 32L, 64L), s"m grid total: ${got.toSeq}")
+    got.foreach { case (m, hits, rec) =>
+      assert(hits >= 0 && hits <= 5, s"m=$m hits=$hits")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    assert(got.last._3 == 1.0, "m = dim reproduces the exact ranking")
+  }
+
+  // --- survivor election -------------------------------------------------
+
+  /** ~40 words of healthy prose (passes the gopher gates), plus a
+    * truncated near-dup copy with the LOWER doc_id — min-id survival
+    * would keep the truncation. */
+  private val full = ("many distinct reasonable words compose this healthy document " +
+    "about storage engines query planners and vectorized execution " +
+    "with enough lexical variety that every quality gate passes " +
+    "while remaining similar to its truncated sibling copy below here").trim
+  private lazy val survivorDir: String = {
+    val d = Files.createTempDirectory("graft-survivor").toString
+    val truncated = full.split(" ").take(24).mkString(" ")
+    val rows = Seq(
+      Row(0L, truncated, "s0"),
+      Row(1L, full, "s1"),
+      Row(2L, "entirely unrelated filler content with no overlap at all whatsoever today", "s2"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("source", StringType)))
+    spark.createDataFrame(
+        new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)), schema)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("survivor election keeps the longer copy, not the lower id") {
+    val got = Dedup.dedupSurvivorQuality(spark, survivorDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // component 0 = {0, 1}: min-id survival would keep doc 0 (the
+    // truncation); quality election must keep doc 1
+    val c0 = got.find(_._1 == 0L)
+    assert(c0.isDefined, s"near-dup pair must form a component: ${got.toSeq}")
+    assert(c0.get._2 == 1L, s"longer copy must survive: ${got.toSeq}")
+    assert(c0.get._3 == 2L, "component has two members")
+  }
+
+  // --- split leakage ------------------------------------------------------
+
+  private def splitOf(source: String): String = {
+    val b = CrossHash.md5Hash60(s"split:$source") % 100
+    if (b < 80) "train" else if (b < 90) "val" else "test"
+  }
+
+  private lazy val leakDir: String = {
+    val d = Files.createTempDirectory("graft-leak").toString
+    // find two sources landing in different splits (deterministic scan)
+    val srcs = (0 until 200).map(i => s"src$i")
+    val trainSrc = srcs.find(splitOf(_) == "train").get
+    val testSrc = srcs.find(splitOf(_) == "test").get
+    val dup = "the very same long document text repeated across the split " +
+      "boundary with identical shingles everywhere in both copies"
+    val rows = Seq(
+      Row(0L, dup, trainSrc),
+      Row(1L, dup, testSrc),
+      Row(2L, "harmless unique content in its own source partition today", trainSrc))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("source", StringType)))
+    spark.createDataFrame(
+        new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)), schema)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("a planted cross-split duplicate surfaces as a leak cell; grid is total") {
+    val got = Curation.splitLeakage(spark, leakDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getInt(3)))).toMap
+    assert(got.size == 6, s"6-cell grid must be total: $got")
+    val (n, leak) = got(("test", "train"))
+    assert(leak == 1)
+    assert(n >= 1, s"planted cross-split duplicate must be counted: $got")
+    // diagonal cells are flagged non-leaks
+    Seq("test", "train", "val").foreach { sp =>
+      assert(got((sp, sp))._2 == 0, s"diagonal is not leakage: $got")
+    }
+  }
+}
