@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.functions.OracleMath
 import graft.functions.VectorFunctions.r6
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -626,10 +627,7 @@ object Curation {
     * pass; the 1-row corpus total is the only broadcast. */
   def dataSplit(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    val b = graft.functions.CrossHash.md5Hash60Col(
-      concat(lit("split:"), col("source"))) % 100
-    val assigned = d.withColumn("split",
-      when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+    val assigned = d.withColumn("split", splitCol)
     val total = d.agg(count(lit(1)).as("n_total"))
     assigned
       .groupBy(col("split"))
@@ -675,10 +673,7 @@ object Curation {
   def splitLeakage(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = t(s, dir, "documents")
-    val b = graft.functions.CrossHash.md5Hash60Col(
-      concat(lit("split:"), col("source"))) % 100
-    val splits = d.select(col("doc_id"),
-      when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"))
+    val splits = d.select(col("doc_id"), splitCol.as("split"))
     val pairs = Dedup.minhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
     val counted = pairs
       .join(splits.select(col("doc_id").as("doc_a"), col("split").as("sa")), Seq("doc_a"))
@@ -723,9 +718,145 @@ object Curation {
        |ORDER BY split_a, split_b""".stripMargin
   }
 
+  /** The split hash shared by [[dataSplit]], [[splitLeakage]],
+    * [[heldoutPpl]] and [[splitBalance]] — one definition so the
+    * wall cannot drift between the assigner and its audits. */
+  private def splitCol = {
+    val b = graft.functions.CrossHash.md5Hash60Col(
+      concat(lit("split:"), col("source"))) % 100
+    when(b < 80, "train").when(b < 90, "val").otherwise("test")
+  }
+
+  private def splitCaseSql: String = {
+    val h = graft.functions.CrossHash.sqlHash60("'split:' || source")
+    s"""CASE WHEN $h % 100 < 80 THEN 'train'
+       |     WHEN $h % 100 < 90 THEN 'val'
+       |     ELSE 'test' END""".stripMargin.replace('\n', ' ').replaceAll(" +", " ")
+  }
+
+  /** Held-out perplexity — the train/test discipline the in-corpus
+    * LM scores ([[Retrieval.unigramLogprob]] etc.) deliberately skip:
+    * fit an add-1-smoothed unigram LM on the TRAIN split only, score
+    * every split with the FROZEN model, and report per-split token
+    * count, OOV rate, and mean per-doc NLL. Train's self-score is
+    * the baseline row; a val/test NLL far above it (or a high OOV
+    * rate) means the split wall actually held — memorized duplicates
+    * would show as val ≈ train (the generalization-gap read, and the
+    * reason eval perplexities must come from a held-out model).
+    *
+    * Scale: split tag is map-only; the model is ONE token aggregation
+    * over the train partition; scoring joins the doc-term relation
+    * with the model on the token key (hint-free — the tfidf rule);
+    * V/T are a 1-row broadcast. Smoothing p(w) = (c+1)/(T+V+1) keeps
+    * every OOV term finite — no special-casing in the fold. */
+  def heldoutPpl(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val toks = d.select(col("doc_id"), splitCol.as("split"),
+        explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("split"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+    val model = toks.filter(col("split") === "train")
+      .groupBy(col("tok")).agg(sum(col("n")).as("c"))
+    val stats = model.agg(sum(col("c")).as("tt"), count(lit(1)).as("v"))
+    val scored = toks.join(model, Seq("tok"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("p", (coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
+        (col("tt") + col("v") + lit(1L)).cast("double"))
+      .withColumn("term", r6(col("n") * log(col("p"))))
+      .withColumn("oov", when(col("c").isNull, col("n")).otherwise(lit(0L)))
+    val perDoc = scored.groupBy(col("doc_id"), col("split"))
+      .agg(sum(col("n")).as("n_tokens"), sum(col("oov")).as("n_oov"),
+        OracleMath.dsum(col("term")).as("sterm"))
+      .withColumn("nll", r6(-col("sterm") / col("n_tokens")))
+    perDoc.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        r6(sum(col("n_oov")).cast("double") / sum(col("n_tokens"))).as("oov_frac"),
+        r6(OracleMath.davg(col("nll"))).as("mean_nll"))
+      .orderBy(col("split"))
+  }
+
+  val heldoutPplSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $splitCaseSql AS split, tok, COUNT(*) AS n
+       |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+       |        FROM documents)
+       |  GROUP BY 1, 2, 3),
+       |model AS (SELECT tok, SUM(n) AS c FROM toks WHERE split = 'train' GROUP BY tok),
+       |stats AS (SELECT SUM(c) AS tt, COUNT(*) AS v FROM model),
+       |scored AS (
+       |  SELECT t.doc_id, t.split, t.n,
+       |    round(t.n * ln(CAST(coalesce(m.c, 0) + 1 AS DOUBLE)
+       |                   / CAST(tt + v + 1 AS DOUBLE)), 6) + 0 AS term,
+       |    CASE WHEN m.c IS NULL THEN t.n ELSE 0 END AS oov
+       |  FROM toks t LEFT JOIN model m USING (tok) CROSS JOIN stats),
+       |per_doc AS (
+       |  SELECT doc_id, split, SUM(n) AS n_tokens, SUM(oov) AS n_oov,
+       |    round(-CAST(SUM(CAST(term AS DECIMAL(38,6))) AS DOUBLE) / SUM(n), 6) + 0 AS nll
+       |  FROM scored GROUP BY doc_id, split)
+       |SELECT split, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |  round(CAST(SUM(n_oov) AS DOUBLE) / SUM(n_tokens), 6) + 0 AS oov_frac,
+       |  round(CAST(SUM(CAST(nll AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) + 0 AS mean_nll
+       |FROM per_doc GROUP BY split
+       |ORDER BY split""".stripMargin
+
+  /** Split representativeness — the stratification audit beside
+    * [[splitLeakage]]'s contamination one: per (split, lang) doc
+    * share within the split vs the corpus-wide lang share, with the
+    * absolute gap. A stratified-representative split reads ~0 gaps;
+    * a source-granular split over lang-skewed sources can read
+    * large ones (which is the trade [[dataSplit]] documents — this
+    * measures it). The (split × lang) grid is total: an absent cell
+    * reads share 0, not a missing row. All relations are
+    * aggregate-sized; only the 1-row total is hinted. */
+  def splitBalance(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val tagged = d.select(splitCol.as("split"), col("lang"))
+    val cells = tagged.groupBy(col("split"), col("lang")).agg(count(lit(1)).as("n"))
+    val splitTot = cells.groupBy(col("split")).agg(sum(col("n")).as("n_split"))
+    val langTot = cells.groupBy(col("lang")).agg(sum(col("n")).as("n_lang"))
+    val total = cells.agg(sum(col("n")).as("n_total"))
+    val grid = splitTot.select(col("split")).crossJoin(langTot.select(col("lang")))
+    grid.join(cells, Seq("split", "lang"), "left")
+      .join(splitTot, Seq("split"))
+      .join(langTot, Seq("lang"))
+      .crossJoin(broadcast(total))
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .select(col("split"), col("lang"), col("n"),
+        r6(col("n").cast("double") / col("n_split")).as("share_split"),
+        r6(col("n_lang").cast("double") / col("n_total")).as("share_corpus"))
+      .withColumn("gap", r6(abs(col("share_split") - col("share_corpus"))))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  val splitBalanceSql: String =
+    s"""WITH tagged AS (
+       |  SELECT $splitCaseSql AS split, lang FROM documents),
+       |cells AS (SELECT split, lang, COUNT(*) AS n FROM tagged GROUP BY 1, 2),
+       |st AS (SELECT split, SUM(n) AS n_split FROM cells GROUP BY split),
+       |lt AS (SELECT lang, SUM(n) AS n_lang FROM cells GROUP BY lang),
+       |tot AS (SELECT SUM(n) AS n_total FROM cells),
+       |grid AS (SELECT st.split, lt.lang FROM st CROSS JOIN lt),
+       |j AS (
+       |  SELECT g.split, g.lang, CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+       |    round(CAST(coalesce(c.n, 0) AS DOUBLE) / st.n_split, 6) + 0 AS share_split,
+       |    round(CAST(lt.n_lang AS DOUBLE) / tot.n_total, 6) + 0 AS share_corpus
+       |  FROM grid g
+       |  LEFT JOIN cells c ON c.split = g.split AND c.lang = g.lang
+       |  JOIN st ON st.split = g.split
+       |  JOIN lt ON lt.lang = g.lang
+       |  CROSS JOIN tot)
+       |SELECT split, lang, n, share_split, share_corpus,
+       |  round(abs(share_split - share_corpus), 6) + 0 AS gap
+       |FROM j
+       |ORDER BY split, lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "data_split" -> (dataSplit _),
     "split_leakage" -> (splitLeakage _),
+    "heldout_ppl" -> (heldoutPpl _),
+    "split_balance" -> (splitBalance _),
     "dataset_card" -> (datasetCard _),
     "mixture_weights" -> (mixtureWeights _),
     "source_kl" -> (sourceKl _),
@@ -743,6 +874,8 @@ object Curation {
   val oracles: Map[String, String] = Map(
     "data_split" -> dataSplitSql,
     "split_leakage" -> splitLeakageSql,
+    "heldout_ppl" -> heldoutPplSql,
+    "split_balance" -> splitBalanceSql,
     "dataset_card" -> datasetCardSql,
     "mixture_weights" -> mixtureWeightsSql,
     "source_kl" -> sourceKlSql,

@@ -89,6 +89,53 @@ class PipelineAuditSpec extends AnyFunSuite {
     d
   }
 
+  private lazy val ppDir: String = {
+    val d = Files.createTempDirectory("graft-heldout").toString
+    val srcs = (0 until 200).map(i => s"src$i")
+    val trainSrc = srcs.find(splitOf(_) == "train").get
+    val testSrc = srcs.find(splitOf(_) == "test").get
+    val trainText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val rows = Seq(
+      Row(0L, trainText, "en", trainSrc),
+      Row(1L, trainText + " alpha beta", "en", trainSrc),
+      // test doc: every token unseen in training
+      Row(2L, "nu xi omicron pi rho sigma tau upsilon", "de", testSrc))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType)))
+    spark.createDataFrame(
+        new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)), schema)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("held-out scoring: train self-score has zero OOV; unseen test split scores worse") {
+    val got = Curation.heldoutPpl(spark, ppDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.contains("train") && got.contains("test"), s"splits present: $got")
+    assert(got("train")._1 == 0.0, "every train token is in the model")
+    assert(got("test")._1 == 1.0, "planted test doc is fully OOV")
+    assert(got("test")._2 > got("train")._2,
+      s"unseen vocabulary must score a higher NLL: $got")
+  }
+
+  test("split balance: total grid, shares sum to 1 within each split") {
+    val rows = Curation.splitBalance(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    val splits = rows.map(_._1).distinct.sorted
+    val langs = rows.map(_._2).distinct.sorted
+    assert(rows.length == splits.length * langs.length, "grid must be total")
+    splits.foreach { sp =>
+      val shareSum = rows.filter(_._1 == sp).map(_._4).sum
+      assert(math.abs(shareSum - 1.0) < 1e-4, s"$sp shares sum to $shareSum")
+    }
+    rows.foreach { r =>
+      assert(r._6 >= 0.0 && r._6 <= 1.0, s"gap bounds: $r")
+      assert(math.abs(r._6 - math.abs(r._4 - r._5)) < 2e-6, s"gap consistency: $r")
+    }
+  }
+
   test("a planted cross-split duplicate surfaces as a leak cell; grid is total") {
     val got = Curation.splitLeakage(spark, leakDir).collect()
       .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getInt(3)))).toMap
