@@ -618,6 +618,111 @@ object Dedup {
        |ORDER BY n_shared DESC, doc_a, doc_b
        |LIMIT 50""".stripMargin
 
+  /** TF·IDF-weighted SimHash (Charikar 2002 as productionized in
+    * Manku et al. 2007): each distinct token votes on every
+    * fingerprint bit with weight tf·ln(N/df) instead of raw
+    * occurrence count — ubiquitous tokens (df = N) vote ln(1) = 0,
+    * so the fingerprint concentrates on the DISCRIMINATIVE
+    * vocabulary and boilerplate scaffolding shared by every page
+    * stops dragging unrelated docs into Hamming range (the failure
+    * mode of the unweighted [[simhashDedup]] on templated corpora).
+    *
+    * Plan: per-doc token counts (one map-side-combined groupBy), a
+    * hint-free df join (the tfidf rule), then the bit votes
+    * materialize as a 60-way explode of the DISTINCT-token stream
+    * aggregated per (doc, bit) with the decimal bridge — exact,
+    * order-free, cross-engine. The ×60 blowup is the documented
+    * trade at fixture scale; the production swap-in is a custom
+    * aggregate folding all 60 accumulators per doc in one pass (the
+    * TopKPairs pattern), which changes no semantics. Banding and
+    * Hamming verification are [[simhashDedup]]'s shapes verbatim. */
+  def simhashWeighted(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val cnt = d.select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+      .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("c"))
+    val df = cnt.groupBy(col("tk")).agg(count(lit(1)).as("df"))
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val votes = cnt.join(df, Seq("tk"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"),
+        graft.functions.CrossHash.md5Hash60Col(col("tk")).as("h"),
+        (col("c") * log(col("n_docs").cast("double") / col("df"))).as("w"))
+      .select(col("doc_id"), col("h"), col("w"),
+        explode(expr(s"sequence(0, ${SimhashBits - 1})")).as("b"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(graft.functions.OracleMath.dsum(
+        r6(when(expr("shiftright(h, CAST(b AS INT)) & 1") === 1L,
+          col("w")).otherwise(-col("w")))).as("acc"))
+    val fp = votes.groupBy(col("doc_id"))
+      .agg(sum(when(col("acc") > 0, expr("shiftleft(1L, CAST(b AS INT))"))
+        .otherwise(lit(0L))).as("fp"))
+    val banded = fp.select(col("doc_id"), col("fp"),
+      explode(expr(
+        s"transform(sequence(0, ${SimhashBands - 1}), " +
+          s"b -> struct(b AS band, CAST(shiftright(fp, b * $SimhashBandBits) & ${(1 << SimhashBandBits) - 1} AS INT) AS bval))"))
+        .as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bval").as("bval"),
+        col("doc_id"), col("fp"))
+    val buckets = banded
+      .groupBy(col("band"), col("bval"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("fp")))).as("members"))
+      .filter(size(col("members")).between(2, MaxPosting))
+    buckets
+      .select(explode(expr(
+        "flatten(transform(members, (m, i) -> " +
+          "transform(slice(members, i + 2, size(members)), n -> " +
+          "struct(m.doc_id AS doc_a, n.doc_id AS doc_b, m.fp AS fp_a, n.fp AS fp_b))))"))
+        .as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        bit_count(col("p.fp_a").bitwiseXOR(col("p.fp_b"))).cast("long").as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= 3)
+      .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+  }
+
+  /** Oracle mirror: identical md5 hashes, r6+decimal-bridged signed
+    * votes, banding, cap, Hamming verify. */
+  val simhashWeightedSql: String =
+    s"""WITH cnt AS (
+       |  SELECT doc_id, tk, COUNT(*) AS c
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents)
+       |  GROUP BY doc_id, tk),
+       |dfreq AS (SELECT tk, COUNT(*) AS df FROM cnt GROUP BY tk),
+       |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |th AS (
+       |  SELECT doc_id,
+       |    ('0x' || substring(md5(tk), 1, 15))::BIGINT AS h,
+       |    c * ln(CAST(n_docs AS DOUBLE) / df) AS w
+       |  FROM cnt JOIN dfreq USING (tk) CROSS JOIN nd),
+       |bits AS (
+       |  SELECT doc_id, b,
+       |    CAST(SUM(CAST(round(CASE WHEN (h >> b) & 1 = 1 THEN w ELSE -w END, 6) + 0
+       |                  AS DECIMAL(38,6))) AS DOUBLE) AS acc
+       |  FROM th, UNNEST(range(0, $SimhashBits)) AS t(b)
+       |  GROUP BY doc_id, b),
+       |fp AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN acc > 0 THEN 1::BIGINT << CAST(b AS INT) ELSE 0 END) AS BIGINT) AS fp
+       |  FROM bits GROUP BY doc_id),
+       |band AS (
+       |  SELECT doc_id, fp, b,
+       |    (fp >> (b * $SimhashBandBits)) & ${(1 << SimhashBandBits) - 1} AS bval
+       |  FROM fp, UNNEST(range(0, $SimhashBands)) AS t(b)),
+       |bucketed AS (
+       |  SELECT band.* FROM band
+       |  JOIN (SELECT b, bval FROM band GROUP BY b, bval
+       |        HAVING COUNT(*) BETWEEN 2 AND $MaxPosting) g
+       |  USING (b, bval)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    x.fp AS fa, y.fp AS fb
+       |  FROM bucketed x JOIN bucketed y
+       |    ON x.b = y.b AND x.bval = y.bval AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(fa, fb)) <= 3
+       |ORDER BY hamming, doc_a, doc_b""".stripMargin
+
   /** Winnowing window (in shingles): every [[WinnowWindow]]
     * consecutive shingle hashes contribute their minimum (rightmost
     * on ties — Schleimer et al.'s robust winnowing rule). */
@@ -1278,6 +1383,7 @@ object Dedup {
     "dedup_survivor_quality" -> (dedupSurvivorQuality _),
     "minhash_lsh" -> (minhashLsh _),
     "simhash_dedup" -> (simhashDedup _),
+    "simhash_weighted" -> (simhashWeighted _),
     "span_dedup" -> (spanDedup _),
     "winnow_pairs" -> (winnowPairs _),
     "norm_dedup" -> (normDedup _),
@@ -1293,6 +1399,7 @@ object Dedup {
     "dedup_survivor_quality" -> dedupSurvivorQualitySql,
     "minhash_lsh" -> minhashLshSql,
     "simhash_dedup" -> simhashDedupSql,
+    "simhash_weighted" -> simhashWeightedSql,
     "span_dedup" -> spanDedupSql,
     "winnow_pairs" -> winnowPairsSql,
     "norm_dedup" -> normDedupSql,

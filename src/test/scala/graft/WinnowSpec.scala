@@ -60,6 +60,53 @@ class WinnowSpec extends AnyFunSuite {
     assert(a == b, "winnow pairs must not depend on physical layout")
   }
 
+  // --- weighted simhash --------------------------------------------------
+
+  private val boiler = "nav home about contact copyright terms privacy cookie " +
+    "policy footer header menu search login signup subscribe newsletter " +
+    "share follow twitter facebook site page powered by engine view all more"
+
+  private lazy val shwDir: String = {
+    val d = Files.createTempDirectory("graft-shw").toString
+    // boilerplate repeated 4x per doc: occurrence-weighted votes are
+    // dominated by it (the unweighted failure mode); its idf weight
+    // is ln(N/N) = 0 regardless of repetition
+    val b4 = Seq.fill(4)(boiler).mkString(" ")
+    val rows = Seq(
+      // same boilerplate everywhere; 0/1 differ in ALL content
+      Row(0L, s"$b4 quark lepton boson hadron meson gluon photon neutrino"),
+      Row(1L, s"$b4 violin cello oboe clarinet trumpet timpani harp flute"),
+      // 2/3: identical content → must pair under the weighted scheme
+      Row(2L, s"$b4 kernel scheduler interrupt pagefault mutex semaphore thread stack"),
+      Row(3L, s"$b4 kernel scheduler interrupt pagefault mutex semaphore thread stack"),
+      Row(4L, s"$b4 glacier tundra fjord moraine crevasse permafrost iceberg floe"),
+      Row(5L, s"$b4 sonnet stanza meter rhyme couplet caesura enjambment verse"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    spark.createDataFrame(
+        new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)), schema)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("weighted simhash ignores corpus-wide boilerplate; unweighted drowns in it") {
+    val weighted = Dedup.simhashWeighted(spark, shwDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical content = identical weighted fingerprints
+    assert(weighted.contains((2L, 3L)), s"true dup must pair: $weighted")
+    // all-different content must NOT land in Hamming range once the
+    // ubiquitous boilerplate votes ln(N/N) = 0
+    assert(weighted == Set((2L, 3L)),
+      s"boilerplate-only overlap must not pair: $weighted")
+    // the unweighted fingerprint is majority-voted by the 28 shared
+    // boilerplate tokens, so every doc pair collapses into Hamming
+    // range — the exact failure mode the weighting removes
+    val unweighted = Dedup.simhashDedup(spark, shwDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unweighted.size > 1,
+      s"unweighted simhash should false-positive on shared boilerplate: $unweighted")
+  }
+
   test("LSH audit: planted exact duplicate is found; measures are consistent") {
     val r = Dedup.dedupLshAudit(spark, dir).collect().head
     val (nTrue, nPred, tp) = (r.getLong(0), r.getLong(1), r.getLong(2))
