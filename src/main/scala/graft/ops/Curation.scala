@@ -469,6 +469,124 @@ object Curation {
        |GROUP BY source, seq
        |ORDER BY source, seq""".stripMargin
 
+  /** Packing-efficiency audit: per source, bins used by the next-fit
+    * pack vs the offline lower bound ⌈Σn / capacity⌉, mean fill, and
+    * the overhead ratio — the number a training-throughput owner
+    * reads before deciding whether smarter packing ([[packBfd]]) is
+    * worth running. Pure aggregation over [[seqPack]]'s per-bin
+    * relation (cost = the pack it audits). */
+  def packEfficiency(s: SparkSession, dir: String): DataFrame =
+    seqPack(s, dir)
+      .groupBy(col("source"))
+      .agg(
+        (max(col("seq")) + 1).as("bins_used"),
+        sum(col("sum_tokens")).as("total_tokens"),
+        r6(OracleMath.davg(col("fill"))).as("mean_fill"))
+      .withColumn("lower_bound",
+        ceil(col("total_tokens").cast("double") / SeqCapacity).cast("long"))
+      .select(col("source"), col("bins_used"), col("total_tokens"),
+        col("lower_bound"), col("mean_fill"),
+        r6(col("bins_used").cast("double") / col("lower_bound")).as("overhead"))
+      .orderBy(col("source"))
+
+  lazy val packEfficiencySql: String =
+    s"""WITH pack AS MATERIALIZED (SELECT * FROM ($seqPackSql))
+       |SELECT source,
+       |  CAST(MAX(seq) + 1 AS BIGINT) AS bins_used,
+       |  CAST(SUM(sum_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(ceil(CAST(SUM(sum_tokens) AS DOUBLE) / $SeqCapacity) AS BIGINT) AS lower_bound,
+       |  round(CAST(SUM(CAST(fill AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) + 0 AS mean_fill,
+       |  round(CAST(MAX(seq) + 1 AS DOUBLE)
+       |        / ceil(CAST(SUM(sum_tokens) AS DOUBLE) / $SeqCapacity), 6) + 0 AS overhead
+       |FROM pack
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  private val bfdUdf = udf { (docs: Seq[org.apache.spark.sql.Row]) =>
+    // docs pre-sorted (n DESC, doc_id ASC) by the caller
+    val rem = scala.collection.mutable.ArrayBuffer[Long]()
+    docs.map { r =>
+      val id = r.getLong(0)
+      val n = r.getLong(1)
+      var best = -1
+      var i = 0
+      while (i < rem.length) {
+        if (rem(i) >= n && (best < 0 || rem(i) < rem(best))) best = i
+        i += 1
+      }
+      if (best < 0) { rem += (SeqCapacity - n); best = rem.length - 1 }
+      else rem(best) -= n
+      (id, best.toLong, n)
+    }
+  }
+
+  /** Best-fit-decreasing packing — the offline algorithm next-fit
+    * leaves throughput on the table against (BFD is an 11/9·OPT+1
+    * approximation; next-fit only 2·OPT): docs sorted longest-first,
+    * each placed in the OPEN bin with the least remaining room that
+    * still fits (ties → lowest bin), new bin only when none fits.
+    * Same partition-parallel shape as [[seqPack]] — the fold is
+    * sequential within a source (bin state is inherently serial),
+    * sources pack independently; the per-source doc list rides one
+    * collect_list, the bounded-source caveat shared with seqPack.
+    * PackSpec asserts BFD never uses more bins than next-fit and
+    * both conserve tokens. */
+  def packBfd(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val sortKey = struct((lit(SeqCapacity + 1) - col("dn.n")).as("inv"),
+      col("dn.doc_id").as("doc_id"))
+    d.select(col("source"),
+        struct(col("doc_id"),
+          least(size(ws).cast("long"), lit(SeqCapacity)).as("n")).as("dn"))
+      .select(col("source"), struct(sortKey.as("k"), col("dn").as("dn")).as("kd"))
+      .groupBy(col("source"))
+      .agg(sort_array(collect_list(col("kd"))).as("kds"))
+      .select(col("source"),
+        explode(bfdUdf(expr("transform(kds, x -> x.dn)"))).as("p"))
+      .select(col("source"), col("p._2").as("seq"), col("p._3").as("n_eff"))
+      .groupBy(col("source"), col("seq"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_eff")).as("sum_tokens"),
+        r6(sum(col("n_eff")).cast("double") / SeqCapacity).as("fill"))
+      .orderBy(col("source"), col("seq"))
+  }
+
+  /** The BFD fold replayed as a recursive CTE: per step, the fitting
+    * open bin with minimal (remaining, index) wins via a packed
+    * integer argmin; bin state is a remaining-capacity list carried
+    * through the recursion (exact integer arithmetic end to end). */
+  val packBfdSql: String =
+    s"""WITH RECURSIVE d AS (
+       |  SELECT source, doc_id,
+       |    LEAST(CAST(len(string_split(text, ' ')) AS BIGINT), $SeqCapacity) AS n
+       |  FROM documents),
+       |ord AS (
+       |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY n DESC, doc_id) AS i
+       |  FROM d),
+       |step(source, i, doc_id, n, bin, rem) AS (
+       |  SELECT source, i, doc_id, n, CAST(1 AS BIGINT),
+       |    [$SeqCapacity - n] FROM ord WHERE i = 1
+       |  UNION ALL
+       |  SELECT o.source, o.i, o.doc_id, o.n,
+       |    CASE WHEN pick.key IS NULL THEN len(s.rem) + 1
+       |         ELSE pick.key % 100000 END,
+       |    CASE WHEN pick.key IS NULL THEN list_append(s.rem, $SeqCapacity - o.n)
+       |         ELSE [CASE WHEN j = pick.key % 100000 THEN s.rem[j] - o.n
+       |                    ELSE s.rem[j] END
+       |               FOR j IN range(1, len(s.rem) + 1)] END
+       |  FROM step s
+       |  JOIN ord o ON o.source = s.source AND o.i = s.i + 1
+       |  CROSS JOIN LATERAL (
+       |    SELECT list_min([s.rem[j] * 100000 + j
+       |                     FOR j IN range(1, len(s.rem) + 1)
+       |                     IF s.rem[j] >= o.n]) AS key) pick)
+       |SELECT source, CAST(bin - 1 AS BIGINT) AS seq, COUNT(*) AS n_docs,
+       |  CAST(SUM(n) AS BIGINT) AS sum_tokens,
+       |  round(CAST(SUM(n) AS DOUBLE) / $SeqCapacity, 6) + 0 AS fill
+       |FROM step
+       |GROUP BY source, bin
+       |ORDER BY source, seq""".stripMargin
+
   /** Per-source unigram KL divergence against the corpus mixture —
     * the training-mix drift monitor: KL(P_src ‖ P_corpus) =
     * Σ_w p_s(w)·ln(p_s(w)/p_c(w)), the signal that a source's token
@@ -861,6 +979,8 @@ object Curation {
     "mixture_weights" -> (mixtureWeights _),
     "source_kl" -> (sourceKl _),
     "seq_pack" -> (seqPack _),
+    "pack_efficiency" -> (packEfficiency _),
+    "pack_bfd" -> (packBfd _),
     "source_curation" -> (sourceCuration _),
     "curation_pipeline" -> (curationPipeline _),
     "sample_hash" -> (sampleHash _),
@@ -880,6 +1000,8 @@ object Curation {
     "mixture_weights" -> mixtureWeightsSql,
     "source_kl" -> sourceKlSql,
     "seq_pack" -> seqPackSql,
+    "pack_efficiency" -> packEfficiencySql,
+    "pack_bfd" -> packBfdSql,
     "source_curation" -> sourceCurationSql,
     "curation_pipeline" -> curationPipelineSql,
     "sample_hash" -> sampleHashSql,
