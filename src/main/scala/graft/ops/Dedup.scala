@@ -628,34 +628,48 @@ object Dedup {
     * mode of the unweighted [[simhashDedup]] on templated corpora).
     *
     * Plan: per-doc token counts (one map-side-combined groupBy), a
-    * hint-free df join (the tfidf rule), then the bit votes
-    * materialize as a 60-way explode of the DISTINCT-token stream
-    * aggregated per (doc, bit) with the decimal bridge — exact,
-    * order-free, cross-engine. The ×60 blowup is the documented
-    * trade at fixture scale; the production swap-in is a custom
-    * aggregate folding all 60 accumulators per doc in one pass (the
-    * TopKPairs pattern), which changes no semantics. Banding and
+    * hint-free df join (the tfidf rule), then ONE doc-keyed shuffle
+    * of (hash, weight) pairs folded into all 60 bit accumulators by
+    * a single per-doc pass — weights are quantized to exact
+    * micro-units (r6 × 10⁶ longs), so the fold is exact integer
+    * arithmetic, order-free, and bit-identical to the decimal
+    * bridge the oracle replays per (doc, bit). (The first cut
+    * exploded the token stream ×60 to aggregate per (doc, bit)
+    * directly — same numbers, 6× the bench time.) Banding and
     * Hamming verification are [[simhashDedup]]'s shapes verbatim. */
+  private val weightedFpUdf = udf { (hw: Seq[org.apache.spark.sql.Row]) =>
+    val acc = new Array[Long](SimhashBits)
+    hw.foreach { r =>
+      val h = r.getLong(0)
+      // exact micro-units of the 6-decimal weight: ×1e6 is within
+      // an ulp of the integer, rounding recovers it exactly
+      val w = Math.round(r.getDouble(1) * 1e6)
+      var b = 0
+      while (b < SimhashBits) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += w else acc(b) -= w
+        b += 1
+      }
+    }
+    var fp = 0L
+    var b = 0
+    while (b < SimhashBits) { if (acc(b) > 0) fp |= (1L << b); b += 1 }
+    fp
+  }
+
   def simhashWeighted(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val cnt = d.select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
       .groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("c"))
     val df = cnt.groupBy(col("tk")).agg(count(lit(1)).as("df"))
     val nDocs = d.agg(count(lit(1)).as("n_docs"))
-    val votes = cnt.join(df, Seq("tk"))
+    val fp = cnt.join(df, Seq("tk"))
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"),
-        graft.functions.CrossHash.md5Hash60Col(col("tk")).as("h"),
-        (col("c") * log(col("n_docs").cast("double") / col("df"))).as("w"))
-      .select(col("doc_id"), col("h"), col("w"),
-        explode(expr(s"sequence(0, ${SimhashBits - 1})")).as("b"))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(graft.functions.OracleMath.dsum(
-        r6(when(expr("shiftright(h, CAST(b AS INT)) & 1") === 1L,
-          col("w")).otherwise(-col("w")))).as("acc"))
-    val fp = votes.groupBy(col("doc_id"))
-      .agg(sum(when(col("acc") > 0, expr("shiftleft(1L, CAST(b AS INT))"))
-        .otherwise(lit(0L))).as("fp"))
+        struct(graft.functions.CrossHash.md5Hash60Col(col("tk")).as("h"),
+          r6(col("c") * log(col("n_docs").cast("double") / col("df"))).as("w"))
+          .as("hw"))
+      .groupBy(col("doc_id"))
+      .agg(weightedFpUdf(collect_list(col("hw"))).as("fp"))
     val banded = fp.select(col("doc_id"), col("fp"),
       explode(expr(
         s"transform(sequence(0, ${SimhashBands - 1}), " +
