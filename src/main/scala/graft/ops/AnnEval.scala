@@ -391,13 +391,82 @@ object AnnEval {
        |ORDER BY m""".stripMargin
   }
 
+  // ------------------------------------------- IVF nprobe sweep
+
+  private[graft] val ProbeGrid = Seq(1, 2, 4, 8)
+
+  /** The nprobe operating curve — the tuning table an IVF deployment
+    * is actually sized from: recall@5 against exact kNN at each probe
+    * count in [[ProbeGrid]]. Probing more cells buys recall linearly
+    * in scan cost (nprobe/k of the corpus per query); this table is
+    * where the knee is read off. `ann_recall_report` grades backends
+    * at their registered knobs; this grades ONE backend across its
+    * knob — the other half of a real tuning session.
+    *
+    * Cost shape: the Lloyd fit is paid ONCE ([[KMeansVec.fit]] is
+    * called once and shared across all four searches via
+    * [[KMeansVec.ivfTopKFrom]]); each sweep point then scans only its
+    * probed cells. The grid left-join keeps a degenerate point (zero
+    * rows) visible as recall 0.0 — the report-totality convention. */
+  def ivfProbeSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fitted = KMeansVec.fit(s, dir, iters = 1)
+    val exact = VectorQueries.knnTopkK(s, dir, K).select(col("vec_id").as("evid"))
+    val all = ProbeGrid.map { p =>
+      KMeansVec.ivfTopKFrom(fitted, s, dir, K, p)
+        .select(lit(p).as("nprobe"), col("vec_id"))
+    }.reduce(_ union _)
+    val agg = all.join(exact, col("vec_id") === col("evid"), "left")
+      .groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("returned"), count(col("evid")).as("hits"))
+    ProbeGrid.toDF("nprobe")
+      .join(agg, Seq("nprobe"), "left")
+      .select(col("nprobe").cast("long").as("nprobe"),
+        coalesce(col("returned"), lit(0L)).as("returned"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        r6(coalesce(col("hits"), lit(0L)).cast("double") / lit(K.toDouble))
+          .as("recall_at_5"))
+      .orderBy(col("nprobe"))
+  }
+
+  /** Oracle: each sweep point is the proven IVF oracle replayed at
+    * that nProbe ([[KMeansVec.ivfTopKSqlProbes]] — same init/assign
+    * CTEs, parametric probe LIMIT), nested as independent subqueries
+    * so their CTE names cannot collide; the grid + left-join tail is
+    * the recall-report convention. */
+  val ivfProbeSweepSql: String = {
+    val union = ProbeGrid.map { p =>
+      s"SELECT $p AS nprobe, vec_id FROM (\n${KMeansVec.ivfTopKSqlProbes(p)}\n)"
+    }.mkString("\nUNION ALL\n")
+    val probeList = ProbeGrid.mkString(", ")
+    s"""WITH exact AS (SELECT vec_id AS evid FROM (
+       |${VectorQueries.knnTopkSql}
+       |)),
+       |allp AS (
+       |$union
+       |),
+       |agg AS (
+       |  SELECT nprobe, COUNT(*) AS returned, COUNT(e.evid) AS hits
+       |  FROM allp a LEFT JOIN exact e ON a.vec_id = e.evid
+       |  GROUP BY nprobe),
+       |grid AS (SELECT unnest([$probeList]) AS nprobe)
+       |SELECT CAST(g.nprobe AS BIGINT) AS nprobe,
+       |  CAST(coalesce(agg.returned, 0) AS BIGINT) AS returned,
+       |  CAST(coalesce(agg.hits, 0) AS BIGINT) AS hits,
+       |  round(CAST(coalesce(agg.hits, 0) AS DOUBLE) / $K.0, 6) + 0 AS recall_at_5
+       |FROM grid g LEFT JOIN agg ON agg.nprobe = g.nprobe
+       |ORDER BY nprobe""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ivf_probe_sweep" -> (ivfProbeSweep _),
     "ann_recall_report" -> (annRecallReport _),
     "ann_recall_batch" -> (annRecallBatch _),
     "matryoshka_recall" -> (matryoshkaRecall _),
     "retrieval_ndcg" -> (retrievalNdcg _))
 
   val oracles: Map[String, String] = Map(
+    "ivf_probe_sweep" -> ivfProbeSweepSql,
     "ann_recall_report" -> annRecallReportSql,
     "ann_recall_batch" -> annRecallBatchSql,
     "matryoshka_recall" -> matryoshkaRecallSql,

@@ -970,7 +970,157 @@ object Curation {
        |FROM j
        |ORDER BY split, lang""".stripMargin
 
+  /** Filter-funnel attrition report — the audit table every published
+    * curation pipeline ships (C4, Gopher, FineWeb all report it):
+    * apply [[curationPipeline]]'s rules in their pipeline order
+    * (exact-dedup survivorship → Gopher quality → language ID →
+    * length gate) and report, per stage, how many docs entered, how
+    * many that stage killed, and how many survived. The numbers are
+    * SEQUENTIAL (a stage only sees prior survivors), which is what
+    * makes the table actionable — a rule with zero marginal kills is
+    * dead weight however many docs it would have flagged alone.
+    *
+    * Scale shape: the per-doc flags are curationPipeline's proven
+    * plan; the funnel itself is ONE scalar aggregation of conjunction
+    * prefixes (int multiplies, exact) unpivoted to four rows — no
+    * second pass, no per-stage scan. */
+  def funnelReport(s: SparkSession, dir: String): DataFrame = {
+    val f = curationPipeline(s, dir)
+    val s1 = col("is_survivor")
+    val s2 = s1 * col("gopher_keep")
+    val s3 = s2 * col("lang_ok")
+    val s4 = s3 * col("len_ok")
+    f.agg(
+        count(lit(1)).as("n0"),
+        sum(s1.cast("long")).as("n1"),
+        sum(s2.cast("long")).as("n2"),
+        sum(s3.cast("long")).as("n3"),
+        sum(s4.cast("long")).as("n4"))
+      .selectExpr(
+        """stack(4,
+          |  CAST(1 AS BIGINT), 'exact_dedup', n0, n1,
+          |  CAST(2 AS BIGINT), 'gopher_quality', n1, n2,
+          |  CAST(3 AS BIGINT), 'lang_id', n2, n3,
+          |  CAST(4 AS BIGINT), 'length', n3, n4) AS (stage, rule, n_in, n_out)"""
+          .stripMargin)
+      .select(col("stage"), col("rule"), col("n_in"),
+        (col("n_in") - col("n_out")).as("n_killed"), col("n_out"))
+      .orderBy(col("stage"))
+  }
+
+  val funnelReportSql: String =
+    s"""WITH p AS (${curationPipelineSql.replace("ORDER BY sv.doc_id", "")}),
+       |a AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+       |    CAST(SUM(is_survivor) AS BIGINT) AS n1,
+       |    CAST(SUM(is_survivor * gopher_keep) AS BIGINT) AS n2,
+       |    CAST(SUM(is_survivor * gopher_keep * lang_ok) AS BIGINT) AS n3,
+       |    CAST(SUM(is_survivor * gopher_keep * lang_ok * len_ok) AS BIGINT) AS n4
+       |  FROM p)
+       |SELECT stage, rule, n_in, n_in - n_out AS n_killed, n_out
+       |FROM (
+       |  SELECT CAST(1 AS BIGINT) AS stage, 'exact_dedup' AS rule, n0 AS n_in, n1 AS n_out FROM a
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT), 'gopher_quality', n1, n2 FROM a
+       |  UNION ALL
+       |  SELECT CAST(3 AS BIGINT), 'lang_id', n2, n3 FROM a
+       |  UNION ALL
+       |  SELECT CAST(4 AS BIGINT), 'length', n3, n4 FROM a)
+       |ORDER BY stage""".stripMargin
+
+  /** Fraction of the corpus's tokens the budget sample keeps. */
+  val BudgetFrac = 0.25
+
+  /** Token-budget sampling — the step that turns "10T-token corpus,
+    * 2.5T-token training run" into an actual document selection:
+    * a global token budget ([[BudgetFrac]] of the corpus) is
+    * allocated across sources by temperature-α=0.5 weights
+    * (w ∝ √tokens, the standard up-weight-the-tail allocation
+    * [[mixtureWeights]] reports as weights — materialized here as a
+    * SELECTION), then each source fills its allocation in
+    * deterministic hash order until the next doc would overflow it.
+    * Hash-order fill means the kept set is stable under re-runs and
+    * cluster resizing, and adjusting [[BudgetFrac]] only moves the
+    * waterline — survivors never reshuffle.
+    *
+    * Scale shape: per-source token totals are one aggregation; the
+    * allocation table is sources-sized and broadcast back; the fill
+    * is one prefix-sum window per source (partition-parallel, the
+    * shardPack shape); the report is one more per-source
+    * aggregation. A mega-source makes its window sort-heavy — the
+    * documented swap is bucketing the hash into fixed quantile
+    * slabs (the sampleHash pattern) at the cost of approximate
+    * fill. */
+  def tokenBudgetSample(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.OracleMath
+    val d = t(s, dir, "documents")
+    val docs = d.select(col("doc_id"), col("source"),
+      size(ws).cast("long").as("n_tok"),
+      md5(concat(lit("tb:"), col("doc_id").cast("string"))).as("h"))
+    val per = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        r6(sqrt(sum(col("n_tok")).cast("double"))).as("rt"))
+    val tot = per.agg(sum(col("n_tokens")).as("tt"),
+      OracleMath.dsum(col("rt")).as("rtsum"))
+    val alloc = per.crossJoin(broadcast(tot))
+      .withColumn("budget", floor(lit(BudgetFrac) * col("tt").cast("double")))
+      .withColumn("w", r6(col("rt") / col("rtsum")))
+      .withColumn("alloc_tokens",
+        floor(col("budget").cast("double") * col("w")).cast("long"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("alloc_tokens"))
+    val wnd = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = docs.withColumn("cum", sum(col("n_tok")).over(wnd))
+      .join(alloc.select(col("source"), col("alloc_tokens")), "source")
+      .filter(col("cum") <= col("alloc_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("kept_tokens"))
+    alloc.join(filled, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("alloc_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val tokenBudgetSampleSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    md5('tb:' || CAST(doc_id AS VARCHAR)) AS h
+       |  FROM documents),
+       |per AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |    round(sqrt(CAST(CAST(SUM(n_tok) AS BIGINT) AS DOUBLE)), 6) + 0 AS rt
+       |  FROM docs GROUP BY source),
+       |tot AS (
+       |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt,
+       |    CAST(SUM(CAST(rt AS DECIMAL(38,6))) AS DOUBLE) AS rtsum
+       |  FROM per),
+       |alloc AS (
+       |  SELECT source, n_docs, n_tokens,
+       |    CAST(floor(floor($BudgetFrac * CAST(tt AS DOUBLE))
+       |               * (round(rt / rtsum, 6) + 0)) AS BIGINT) AS alloc_tokens
+       |  FROM per CROSS JOIN tot),
+       |filled AS (
+       |  SELECT d.source, COUNT(*) AS n_kept, SUM(d.n_tok) AS kept_tokens
+       |  FROM (
+       |    SELECT source, n_tok,
+       |      SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |    FROM docs) d
+       |  JOIN alloc a ON a.source = d.source
+       |  WHERE d.cum <= a.alloc_tokens
+       |  GROUP BY d.source)
+       |SELECT a.source, a.n_docs, a.n_tokens, a.alloc_tokens,
+       |  CAST(coalesce(f.n_kept, 0) AS BIGINT) AS n_kept,
+       |  CAST(coalesce(f.kept_tokens, 0) AS BIGINT) AS kept_tokens
+       |FROM alloc a LEFT JOIN filled f ON f.source = a.source
+       |ORDER BY a.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "token_budget_sample" -> (tokenBudgetSample _),
+    "funnel_report" -> (funnelReport _),
     "data_split" -> (dataSplit _),
     "split_leakage" -> (splitLeakage _),
     "heldout_ppl" -> (heldoutPpl _),
@@ -992,6 +1142,8 @@ object Curation {
     "shard_pack" -> (shardPack _))
 
   val oracles: Map[String, String] = Map(
+    "token_budget_sample" -> tokenBudgetSampleSql,
+    "funnel_report" -> funnelReportSql,
     "data_split" -> dataSplitSql,
     "split_leakage" -> splitLeakageSql,
     "heldout_ppl" -> heldoutPplSql,

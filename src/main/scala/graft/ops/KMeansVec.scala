@@ -557,7 +557,12 @@ object KMeansVec {
     * centroid probe ranking by the driver's double cosine (ties by
     * cluster id — Scala's stable sort), exact cosine rescoring in
     * the probed cells. */
-  private def ivfTopKSqlWhere(extra: String): String =
+  private def ivfTopKSqlWhere(extra: String): String = ivfTopKSqlProbes(3, extra)
+
+  /** [[ivfTopKSql]] with a parametric probe count — the sweep oracle
+    * ([[AnnEval]]'s nprobe operating curve) replays the same plan at
+    * each nProbe. */
+  private[ops] def ivfTopKSqlProbes(nProbe: Int, extra: String = ""): String =
     s"""WITH $initCte,
        |${assignCte(1)},
        |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = ${VectorQueries.QueryVecId}),
@@ -568,7 +573,7 @@ object KMeansVec {
        |      / (sqrt(list_sum(list_transform(c.emb, v -> v * v)))
        |         * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))),
        |    c.cluster
-       |  LIMIT 3),
+       |  LIMIT $nProbe),
        |scored AS (
        |  SELECT a.vec_id, a.label, CAST(a.cluster AS BIGINT) AS cluster,
        |    round(1.0 - list_sum(list_transform(range(1, len(a.embedding) + 1),

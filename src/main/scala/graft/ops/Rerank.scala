@@ -233,11 +233,77 @@ object Rerank {
        |WHERE rn <= $NegK
        |ORDER BY anchor_id, rn""".stripMargin
 
+  /** Contrastive-triplet mining — the batch that trains an embedding
+    * model: for each anchor, the hardest positive (nearest neighbor
+    * sharing the anchor's label) and the hardest negative (nearest
+    * neighbor with a DIFFERENT label), plus the margin between them.
+    * A negative margin is a violated triplet — exactly the examples
+    * a triplet/InfoNCE loss learns from; near-zero margins are the
+    * semi-hard band. Anchors are the [[NegAnchors]] probe convention
+    * [[hardNegatives]] already uses, so the two miners compose into
+    * one training-pair feed.
+    *
+    * Scale shape: anchors broadcast as a tiny dim table, ONE corpus
+    * scan scores all of them, and each (anchor, polarity) argmin is
+    * a struct-min aggregate — map-side combined, never a per-anchor
+    * sort. The anchor set is the bounded audit-sample convention; a
+    * production run hash-samples anchors and keeps the same plan. */
+  def contrastiveTriplets(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val anchors = e.filter(col("vec_id").isin(NegAnchors: _*))
+      .select(col("vec_id").as("anchor_id"), col("label").as("a_label"),
+        col("embedding").as("qe"))
+    val scored = e.crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("anchor_id"))
+      .withColumn("dist", r6(cosineDist(col("embedding"), col("qe"))))
+      .filter(col("dist").isNotNull && !isnan(col("dist")))
+    val same = col("label") === col("a_label")
+    scored.groupBy(col("anchor_id"))
+      .agg(
+        min(when(same, struct(col("dist").as("dist"), col("vec_id").as("id")))).as("p"),
+        min(when(!same, struct(col("dist").as("dist"), col("vec_id").as("id")))).as("n"))
+      .select(col("anchor_id"),
+        col("p.id").as("pos_id"), col("p.dist").as("pos_dist"),
+        col("n.id").as("neg_id"), col("n.dist").as("neg_dist"),
+        r6(col("n.dist") - col("p.dist")).as("margin"))
+      .orderBy(col("anchor_id"))
+  }
+
+  val contrastiveTripletsSql: String =
+    s"""WITH a AS (
+       |  SELECT vec_id AS anchor_id, label AS a_label, embedding AS qe
+       |  FROM embeddings WHERE vec_id IN (${NegAnchors.mkString(", ")})),
+       |scored AS (
+       |  SELECT a.anchor_id, a.a_label, e.vec_id, e.label,
+       |    round(1.0 - ${foldSql("e.embedding", "a.qe")}
+       |          / (sqrt(${foldSql("e.embedding", "e.embedding")})
+       |             * sqrt(${foldSql("a.qe", "a.qe")})), 6) + 0 AS dist
+       |  FROM embeddings e CROSS JOIN a
+       |  WHERE e.vec_id <> a.anchor_id),
+       |ok AS (
+       |  SELECT * FROM scored WHERE dist IS NOT NULL AND NOT isnan(dist)),
+       |p AS (
+       |  SELECT anchor_id, vec_id, dist,
+       |    row_number() OVER (PARTITION BY anchor_id ORDER BY dist, vec_id) AS rn
+       |  FROM ok WHERE label = a_label),
+       |n AS (
+       |  SELECT anchor_id, vec_id, dist,
+       |    row_number() OVER (PARTITION BY anchor_id ORDER BY dist, vec_id) AS rn
+       |  FROM ok WHERE label <> a_label)
+       |SELECT p.anchor_id, p.vec_id AS pos_id, p.dist AS pos_dist,
+       |  n.vec_id AS neg_id, n.dist AS neg_dist,
+       |  round(n.dist - p.dist, 6) + 0 AS margin
+       |FROM p JOIN n ON n.anchor_id = p.anchor_id
+       |WHERE p.rn = 1 AND n.rn = 1
+       |ORDER BY p.anchor_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mmr_topk" -> (mmrTopk _),
-    "hard_negatives" -> (hardNegatives _))
+    "hard_negatives" -> (hardNegatives _),
+    "contrastive_triplets" -> (contrastiveTriplets _))
 
   val oracles: Map[String, String] = Map(
     "mmr_topk" -> mmrTopkSql,
-    "hard_negatives" -> hardNegativesSql)
+    "hard_negatives" -> hardNegativesSql,
+    "contrastive_triplets" -> contrastiveTripletsSql)
 }

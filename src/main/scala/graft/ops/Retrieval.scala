@@ -502,7 +502,54 @@ object Retrieval {
        |FROM nll JOIN documents d USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Fraction of docs the excess-loss selection keeps. */
+  val ExcessKeepFrac = 0.3
+
+  /** Excess-loss data selection — the doc-level form of the RHO-style
+    * "learnability" rule (select where a stronger model improves most
+    * over a weaker one), with the engine's two corpus-self LMs as the
+    * model pair: excess = unigram NLL − bigram NLL per document, keep
+    * the top [[ExcessKeepFrac]] of docs by excess. High excess means
+    * the document has exploitable sequential structure the richer
+    * model rewards — the signal [[doremiWeights]] aggregates per
+    * SOURCE, applied here per DOCUMENT as a selection, which is the
+    * form a pretraining data pipeline actually materializes.
+    *
+    * Scale shape: both NLL relations are the proven one-aggregation
+    * plans; the join is doc_id-keyed; the cutoff is ONE scalar
+    * percentile broadcast back, so the keep decision is map-only — no
+    * global rank of the corpus (the ppl_buckets pattern; at real
+    * scale the percentile swaps to approx_percentile, semantics
+    * unchanged). */
+  def excessSelect(s: SparkSession, dir: String): DataFrame = {
+    val u = unigramLogprob(s, dir).select(col("doc_id"), col("avg_nll").as("u_nll"))
+    val b = bigramLogprob(s, dir).select(col("doc_id"), col("avg_nll").as("b_nll"))
+    val ex = u.join(b, "doc_id")
+      .select(col("doc_id"), r6(col("u_nll") - col("b_nll")).as("excess"))
+    val cut = ex.agg(
+      r6(percentile(col("excess"), lit(1.0 - ExcessKeepFrac))).as("c"))
+    ex.crossJoin(broadcast(cut))
+      .select(col("doc_id"), col("excess"),
+        (col("excess") >= col("c")).cast("int").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val excessSelectSql: String =
+    s"""WITH u AS (${unigramLogprobSql.replace("ORDER BY doc_id", "")}),
+       |b AS (${bigramLogprobSql.replace("ORDER BY doc_id", "")}),
+       |ex AS (
+       |  SELECT u.doc_id, round(u.avg_nll - b.avg_nll, 6) + 0 AS excess
+       |  FROM u JOIN b USING (doc_id)),
+       |cut AS (
+       |  SELECT round(quantile_cont(excess, ${1.0 - ExcessKeepFrac}), 6) + 0 AS c
+       |  FROM ex)
+       |SELECT doc_id, excess,
+       |  CAST(excess >= c AS INT) AS keep
+       |FROM ex CROSS JOIN cut
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "excess_select" -> (excessSelect _),
     "bm25_topk" -> (bm25Topk _),
     "hybrid_rrf" -> (hybridRrf _),
     "unigram_logprob" -> (unigramLogprob _),
@@ -513,6 +560,7 @@ object Retrieval {
     "quality_calibrated" -> (qualityCalibrated _))
 
   val oracles: Map[String, String] = Map(
+    "excess_select" -> excessSelectSql,
     "bm25_topk" -> bm25TopkSql,
     "hybrid_rrf" -> hybridRrfSql,
     "unigram_logprob" -> unigramLogprobSql,

@@ -689,7 +689,175 @@ object TextOps {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Terms the Zipf fit regresses over — the high-frequency head,
+    * where Zipf's law actually holds and where a bounded
+    * TakeOrderedAndProject can fetch them without ranking the whole
+    * vocabulary. */
+  val ZipfTopN = 256
+
+  /** Zipf's-law fit over the corpus vocabulary — the classic corpus
+    * -health audit: natural text has ln(freq) ≈ a + s·ln(rank) with
+    * slope s ≈ −1; a much flatter slope means boilerplate/templated
+    * text (too-even frequencies), a much steeper one means degenerate
+    * repetition. Reports the OLS slope, intercept and R² over the
+    * top-[[ZipfTopN]] terms.
+    *
+    * Scale shape: ONE token aggregation (map-side combined) feeds a
+    * bounded top-N (TakeOrderedAndProject — the vocabulary is never
+    * globally sorted), ranks come from a window over that ≤N-row
+    * slice, and the fit is one scalar aggregation of per-term
+    * moments. Nothing grows with corpus size except the first
+    * vocabulary groupBy, which every text operator already pays.
+    *
+    * Determinism bridge: x = r6(ln rank), y = r6(ln cnt) and the
+    * cross-moments are r6-rounded per term then decimal-summed, so
+    * the five sums are bit-identical in both engines; the closed-form
+    * slope/intercept/R² arithmetic is mirrored operation-for-
+    * operation on those identical doubles. */
+  def zipfFit(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.OracleMath
+    val d = t(s, dir, "documents")
+    val top = d.select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(ZipfTopN)
+    val ranked = top.withColumn("rnk",
+      row_number().over(Window.partitionBy(
+        graft.functions.WindowKeys.boundedRankKey(col("word")))
+        .orderBy(col("cnt").desc, col("word"))))
+    val terms = ranked
+      .select(r6(log(col("rnk").cast("double"))).as("x"),
+        r6(log(col("cnt").cast("double"))).as("y"))
+      .select(col("x"), col("y"),
+        r6(col("x") * col("y")).as("xy"),
+        r6(col("x") * col("x")).as("xx"),
+        r6(col("y") * col("y")).as("yy"))
+    val agg = terms.agg(
+      count(lit(1)).as("n_terms"),
+      OracleMath.dsum(col("x")).as("sx"),
+      OracleMath.dsum(col("y")).as("sy"),
+      OracleMath.dsum(col("xy")).as("sxy"),
+      OracleMath.dsum(col("xx")).as("sxx"),
+      OracleMath.dsum(col("yy")).as("syy"))
+    val n = col("n_terms").cast("double")
+    agg
+      .withColumn("slope", r6((n * col("sxy") - col("sx") * col("sy")) /
+        (n * col("sxx") - col("sx") * col("sx"))))
+      .select(
+        col("n_terms"),
+        col("slope"),
+        r6((col("sy") - col("slope") * col("sx")) / n).as("intercept"),
+        r6(((n * col("sxy") - col("sx") * col("sy")) *
+            (n * col("sxy") - col("sx") * col("sy"))) /
+          ((n * col("sxx") - col("sx") * col("sx")) *
+            (n * col("syy") - col("sy") * col("sy")))).as("r2"))
+  }
+
+  val zipfFitSql: String =
+    s"""WITH v AS (
+       |  SELECT w AS word, COUNT(*) AS cnt
+       |  FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+       |  GROUP BY w ORDER BY cnt DESC, word LIMIT $ZipfTopN),
+       |r AS (
+       |  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rnk FROM v),
+       |xy AS (
+       |  SELECT round(ln(CAST(rnk AS DOUBLE)), 6) + 0 AS x,
+       |         round(ln(CAST(cnt AS DOUBLE)), 6) + 0 AS y
+       |  FROM r),
+       |m AS (
+       |  SELECT x, y,
+       |    round(x * y, 6) + 0 AS xy,
+       |    round(x * x, 6) + 0 AS xx,
+       |    round(y * y, 6) + 0 AS yy
+       |  FROM xy),
+       |a AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+       |    CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(xy AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+       |    CAST(SUM(CAST(xx AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+       |    CAST(SUM(CAST(yy AS DECIMAL(38,6))) AS DOUBLE) AS syy
+       |  FROM m),
+       |f AS (
+       |  SELECT *, round((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+       |      / (CAST(n_terms AS DOUBLE) * sxx - sx * sx), 6) + 0 AS slope
+       |  FROM a)
+       |SELECT n_terms, slope,
+       |  round((sy - slope * sx) / CAST(n_terms AS DOUBLE), 6) + 0 AS intercept,
+       |  round(((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+       |         * (CAST(n_terms AS DOUBLE) * sxy - sx * sy))
+       |      / ((CAST(n_terms AS DOUBLE) * sxx - sx * sx)
+       |         * (CAST(n_terms AS DOUBLE) * syy - sy * sy)), 6) + 0 AS r2
+       |FROM f""".stripMargin
+
+  /** Vocabulary sizes the coverage curve is evaluated at — geometric,
+    * so the curve's knee is visible whatever the corpus's type count
+    * (the fixture soup has ~dozens of types; a web corpus has
+    * millions — the grid is a knob, the plan is the same bounded
+    * top-max(grid) either way). */
+  val CoverageGrid: Seq[Int] = Seq(4, 16, 64, 256)
+
+  /** Token-coverage curve — the table a tokenizer designer sizes the
+    * vocabulary from: for each candidate vocab size k, what fraction
+    * of all corpus token OCCURRENCES the top-k types cover. The
+    * knee of this curve is where added vocabulary stops paying for
+    * itself (everything past it is handled by subword fallback).
+    *
+    * Scale shape: the corpus-total token count is a map-only scan
+    * aggregate (no explode — `size(split())` per doc); the type
+    * counts are the one vocabulary groupBy; the top-max(grid) slice
+    * is a bounded TakeOrderedAndProject; ranks window over that
+    * bounded slice; the grid sums are conditional aggregates of ≤
+    * max(grid) rows. The full vocabulary is never ranked. */
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val kMax = CoverageGrid.max
+    val total = d.agg(sum(size(split(col("text"), " ")).cast("long")).as("total"))
+    val top = d.select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(kMax)
+    val ranked = top.withColumn("rnk",
+      row_number().over(Window.partitionBy(
+        graft.functions.WindowKeys.boundedRankKey(col("word")))
+        .orderBy(col("cnt").desc, col("word"))))
+    val covCols = CoverageGrid.map(k =>
+      sum(when(col("rnk") <= k, col("cnt")).otherwise(lit(0L))).as(s"c$k"))
+    val covered = ranked.agg(covCols.head, covCols.tail: _*)
+    val stackExpr = CoverageGrid
+      .map(k => s"CAST($k AS BIGINT), c$k").mkString(", ")
+    covered.crossJoin(broadcast(total))
+      .selectExpr("total", s"stack(${CoverageGrid.size}, $stackExpr) AS (k, n_covered)")
+      .select(col("k"), col("n_covered"),
+        r6(col("n_covered").cast("double") / col("total")).as("frac"))
+      .orderBy(col("k"))
+  }
+
+  val vocabCoverageSql: String = {
+    val kMax = CoverageGrid.max
+    val grid = CoverageGrid
+      .map(k => s"SELECT CAST($k AS BIGINT) AS k").mkString(" UNION ALL ")
+    s"""WITH tot AS (
+       |  SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total
+       |  FROM documents),
+       |v AS (
+       |  SELECT w AS word, COUNT(*) AS cnt
+       |  FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+       |  GROUP BY w ORDER BY cnt DESC, word LIMIT $kMax),
+       |r AS (
+       |  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rnk FROM v),
+       |g AS ($grid)
+       |SELECT g.k,
+       |  CAST(COALESCE(SUM(CASE WHEN r.rnk <= g.k THEN r.cnt ELSE 0 END), 0) AS BIGINT)
+       |    AS n_covered,
+       |  round(CAST(COALESCE(SUM(CASE WHEN r.rnk <= g.k THEN r.cnt ELSE 0 END), 0)
+       |             AS DOUBLE) / (SELECT total FROM tot), 6) + 0 AS frac
+       |FROM g CROSS JOIN r
+       |GROUP BY g.k
+       |ORDER BY g.k""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "zipf_fit" -> (zipfFit _),
+    "vocab_coverage" -> (vocabCoverage _),
     "doc_novelty" -> (docNovelty _),
     "doc_entropy" -> (docEntropy _),
     "approx_percentiles" -> (approxPercentiles _),
@@ -708,6 +876,8 @@ object TextOps {
     "cdc_chunks" -> (cdcChunks _))
 
   val oracles: Map[String, String] = Map(
+    "zipf_fit" -> zipfFitSql,
+    "vocab_coverage" -> vocabCoverageSql,
     "doc_novelty" -> docNoveltySql,
     "doc_entropy" -> docEntropySql,
     "tfidf_top_terms" -> tfidfTopTermsSql,

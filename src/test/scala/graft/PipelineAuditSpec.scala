@@ -136,6 +136,98 @@ class PipelineAuditSpec extends AnyFunSuite {
     }
   }
 
+  // --- round-8 batch-4 audits -------------------------------------------
+
+  test("funnel_report: stages chain (n_out feeds the next n_in), totals consistent") {
+    val rows = Curation.funnelReport(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    rows.foreach { case (_, _, nIn, nKilled, nOut) =>
+      assert(nIn - nKilled == nOut && nKilled >= 0, s"stage arithmetic: ${rows.toSeq}")
+    }
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._5 == b._3, s"chain break: ${rows.toSeq}")
+      case _ =>
+    }
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.head._3 == total, "stage 1 sees the whole corpus")
+  }
+
+  test("zipf_fit: one-row fit with finite slope/intercept and r2 in [0,1]") {
+    val r = graft.ops.TextOps.zipfFit(spark, sf).collect()
+    assert(r.length == 1)
+    val (n, slope, r2) = (r(0).getLong(0), r(0).getDouble(1), r(0).getDouble(3))
+    assert(n >= 2 && n <= graft.ops.TextOps.ZipfTopN)
+    assert(slope < 0.0, s"rank-frequency slope must be negative: $slope")
+    assert(r2 >= 0.0 && r2 <= 1.0)
+  }
+
+  test("vocab_coverage: fracs monotone nondecreasing in k, bounded by 1") {
+    val rows = graft.ops.TextOps.vocabCoverage(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq ==
+      graft.ops.TextOps.CoverageGrid.map(_.toLong), s"grid total: ${rows.toSeq}")
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._3 <= b._3 && a._2 <= b._2, s"coverage monotone: ${rows.toSeq}")
+      case _ =>
+    }
+    rows.foreach(r => assert(r._3 >= 0.0 && r._3 <= 1.0))
+    // geometric grid reaches saturation on the small-vocab fixture
+    assert(rows.last._3 == 1.0, s"top-256 covers the soup vocab: ${rows.toSeq}")
+  }
+
+  test("ivf_probe_sweep: grid total, recall monotone in nprobe (superset candidates)") {
+    val rows = AnnEval.ivfProbeSweep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == AnnEval.ProbeGrid.map(_.toLong))
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 <= b._4, s"recall monotone: ${rows.toSeq}")
+      case _ =>
+    }
+    rows.foreach(r => assert(r._4 >= 0.0 && r._4 <= 1.0))
+  }
+
+  test("excess_select: keep set is exactly the top tail (min kept >= max dropped)") {
+    val rows = graft.ops.Retrieval.excessSelect(spark, sf).collect()
+      .map(r => (r.getDouble(1), r.getInt(2)))
+    val kept = rows.filter(_._2 == 1).map(_._1)
+    val dropped = rows.filter(_._2 == 0).map(_._1)
+    assert(kept.nonEmpty && dropped.nonEmpty)
+    assert(kept.min >= dropped.max, "percentile cut separates the sets")
+    val frac = kept.length.toDouble / rows.length
+    assert(frac >= 0.2 && frac <= 0.4, s"keep fraction ~30%: $frac")
+  }
+
+  test("token_budget_sample: per-source fill never exceeds its allocation") {
+    val rows = Curation.tokenBudgetSample(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nDocs, nTok, alloc, nKept, keptTok) =>
+      assert(keptTok <= alloc, s"$src overfills: kept=$keptTok alloc=$alloc")
+      assert(nKept <= nDocs && keptTok <= nTok)
+      assert(nKept > 0, s"$src keeps nothing — allocation degenerate")
+    }
+    val budget = math.floor(Curation.BudgetFrac * rows.map(_._3).sum).toLong
+    assert(rows.map(_._6).sum <= budget, "global fill within the global budget")
+  }
+
+  test("contrastive_triplets: positives share the anchor label, negatives do not") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = graft.ops.Rerank.contrastiveTriplets(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.map(_._1).toSeq == graft.ops.Rerank.NegAnchors)
+    rows.foreach { case (a, pos, pd, neg, nd, margin) =>
+      assert(e(pos) == e(a), s"positive label mismatch for anchor $a")
+      assert(e(neg) != e(a), s"negative label collision for anchor $a")
+      assert(math.abs(margin - graft.functions.OracleMath.r6d(nd - pd)) < 1e-9)
+    }
+  }
+
   test("a planted cross-split duplicate surfaces as a leak cell; grid is total") {
     val got = Curation.splitLeakage(spark, leakDir).collect()
       .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getInt(3)))).toMap

@@ -420,4 +420,60 @@ class PlanSpec extends AnyFunSuite {
         s.contains("doc_id") && s.contains("text") && !s.contains("lang")),
       s"scan must read only (doc_id, text): $scanSchemas")
   }
+
+  test("zipf_fit: vocabulary head via TakeOrderedAndProject — never a global vocab sort") {
+    val plan = graft.ops.TextOps.zipfFit(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan: $plan")
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+  }
+
+  test("vocab_coverage: bounded top-grid head, corpus total never joins the vocab side") {
+    val plan = graft.ops.TextOps.vocabCoverage(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan: $plan")
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+  }
+
+  test("excess_select: only 1-row sides carry hints (corpus total + percentile cut)") {
+    val df = graft.ops.Retrieval.excessSelect(spark, sf)
+    assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    val hinted = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.hint.leftHint.exists(_.strategy.isDefined) ||
+           j.hint.rightHint.exists(_.strategy.isDefined) => j
+    }
+    // the only legitimate hints are 1-row scalar sides (corpus total,
+    // percentile cut) riding CROSS joins; the vocab/bigram model
+    // equi-joins must stay hint-free (the tfidf rule)
+    assert(hinted.forall(
+        _.joinType == org.apache.spark.sql.catalyst.plans.Cross),
+      s"a keyed join carries a hint: $hinted")
+  }
+
+  test("ivf_probe_sweep: every sweep point is a bounded top-k; no cartesian anywhere") {
+    val plan = graft.ops.AnnEval.ivfProbeSweep(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+    val heads = "TakeOrderedAndProject".r.findAllIn(plan).size
+    assert(heads >= graft.ops.AnnEval.ProbeGrid.size,
+      s"one bounded head per sweep point: $heads")
+  }
+
+  test("token_budget_sample: windows keyed by source — no global-sort window") {
+    val plan = graft.ops.Curation.tokenBudgetSample(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+    val allSpecs = "windowspecdefinition\\(".r.findAllIn(plan).size
+    val keyed = "windowspecdefinition\\(source#".r.findAllIn(plan).size
+    assert(allSpecs > 0 && allSpecs == keyed, s"unkeyed window: $plan")
+  }
+
+  test("contrastive_triplets: anchors broadcast; one scan feeds one grouped argmin") {
+    val plan = graft.ops.Rerank.contrastiveTriplets(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), s"anchor side must broadcast: $plan")
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must never shuffle for 3 anchors: $plan")
+  }
 }
