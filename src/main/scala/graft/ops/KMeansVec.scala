@@ -796,7 +796,178 @@ object KMeansVec {
        |ORDER BY cluster""".stripMargin
   }
 
+  // --------------------------------------------- k-means|| init
+
+  /** Oversampling factor per k-means|| round (Bahmani et al., VLDB
+    * 2012 recommend l = Θ(k); 2k is their benchmarked sweet spot). */
+  val ParL: Int = 2 * K
+
+  /** Fixed round count — the paper's point is that O(log n) rounds
+    * beat k-means++'s k sequential passes; ~5 rounds suffice in
+    * their experiments, 3 do here (fixture k = 10). */
+  val ParRounds = 3
+
+  /** Hard cap on selections accepted per round (lowest vec_ids
+    * first) — E[selected] = l per round, but the coin flips are
+    * unbounded above; the cap turns a pathological round into a
+    * bounded driver collect. Mirrored in the oracle as ORDER BY
+    * vec_id LIMIT. */
+  val ParSelCap: Int = 4 * ParL
+
+  private def sqDistTo(cand: Array[(Long, Array[Float])]) = {
+    // per-pair r6 then min — partition-order-independent and
+    // DuckDB-recomputable (the §8.5 bridge); sequential ascending
+    // fold over dims matches list_sum's order exactly
+    (x: Seq[Float]) => {
+      val xs = x.toArray
+      var best = Double.MaxValue
+      var c = 0
+      while (c < cand.length) {
+        val cv = cand(c)._2
+        var s = 0.0; var i = 0
+        val n = math.min(xs.length, cv.length)
+        while (i < n) {
+          val d = xs(i).toDouble - cv(i).toDouble
+          s += d * d; i += 1
+        }
+        val r = OracleMath.r6d(s)
+        if (r < best) best = r
+        c += 1
+      }
+      best
+    }
+  }
+
+  /** k-means|| scalable initialization (Bahmani et al., VLDB 2012) —
+    * the production answer to "how do you SEED the coarse quantizer
+    * at 100 TB": k-means++'s k sequential full passes are replaced by
+    * [[ParRounds]] rounds that each sample ~[[ParL]] candidates in
+    * PARALLEL with probability l·d²(x,C)/φ, then the oversampled
+    * candidate set is weighted by how many points it attracts and
+    * reduced to k centers (deterministic reduction: heaviest k by
+    * (weight, id) — the candidates already cover every mass region,
+    * which is the property the paper proves). The engine's Lloyd fit
+    * ([[fit]]) keeps its lowest-k-ids init for fixture determinism of
+    * every downstream IVF oracle; THIS op is the documented
+    * at-scale seeding path, consumable via [[ivfTopKFrom]].
+    *
+    * Scale shape per round: candidates ride the task closure
+    * (≤ 1 + rounds·[[ParSelCap]] small vectors — the broadcast-
+    * centroid convention), the distance scan is map-only, φ is ONE
+    * decimal-bridged scalar to the driver, and the selection collect
+    * is bounded by [[ParSelCap]] (expected l). The final weighting is
+    * one map-only argmin + a candidates-sized aggregation. Total:
+    * O(rounds) scans, zero shuffles beyond the tiny weight groupBy —
+    * vs k full passes for k-means++.
+    *
+    * Randomness is the [[graft.functions.CrossHash]] 60-bit md5
+    * uniform u = h/2^60 keyed by (round, vec_id) — deterministic,
+    * engine-independent, and replayed verbatim in the oracle. */
+  def kmeansParInit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    var cand: Vector[(Long, Array[Float], Int)] = e
+      .orderBy(col("vec_id")).limit(1).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, 0)).toVector
+    (1 to ParRounds).foreach { round =>
+      val d2Udf = udf(sqDistTo(cand.map(c => (c._1, c._2)).toArray))
+      val scored = e.withColumn("d2", d2Udf(col("embedding")))
+      val phi = scored.agg(OracleMath.dsum(col("d2"))).head().getDouble(0)
+      val u = graft.functions.CrossHash
+        .md5Hash60Col(concat(lit(s"kpp:$round:"), col("vec_id").cast("string")))
+        .cast("double") / lit(1152921504606846976.0)
+      val sel = scored
+        .filter(u < least(lit(1.0), lit(ParL.toDouble) * col("d2") / lit(phi)))
+        .orderBy(col("vec_id")).limit(ParSelCap)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, round))
+      cand = cand ++ sel
+    }
+    // weight = points attracted (argmin by (r6 d², candidate id))
+    val candArr = cand.map(c => (c._1, c._2)).toArray
+    val argminUdf = udf { (x: Seq[Float]) =>
+      val xs = x.toArray
+      var bestD = Double.MaxValue; var bestId = Long.MaxValue
+      var c = 0
+      while (c < candArr.length) {
+        val cv = candArr(c)._2
+        var sum = 0.0; var i = 0
+        val n = math.min(xs.length, cv.length)
+        while (i < n) {
+          val d = xs(i).toDouble - cv(i).toDouble
+          sum += d * d; i += 1
+        }
+        val r = OracleMath.r6d(sum)
+        if (r < bestD || (r == bestD && candArr(c)._1 < bestId)) {
+          bestD = r; bestId = candArr(c)._1
+        }
+        c += 1
+      }
+      bestId
+    }
+    val weights = e.withColumn("cid", argminUdf(col("embedding")))
+      .groupBy(col("cid")).agg(count(lit(1)).as("weight"))
+    val rounds = cand.map(c => (c._1, c._3.toLong)).toDF("cid", "sel_round")
+    rounds.join(weights, Seq("cid"), "left")
+      .select(col("cid").as("center_id"), col("sel_round"),
+        coalesce(col("weight"), lit(0L)).as("weight"))
+      .orderBy(col("weight").desc, col("center_id"))
+      .limit(K)
+  }
+
+  /** Oracle: the rounds replay as MATERIALIZED CTE generations (cN =
+    * candidates after round N; sN = round N's coin-flip winners,
+    * capped in vec_id order), distances as per-pair r6'd list folds,
+    * the coin as the shared CrossHash 60-bit uniform. */
+  val kmeansParInitSql: String = {
+    def sqd(a: String, b: String): String =
+      s"""list_sum(list_transform(range(1, len($a) + 1),
+         |      i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+         |           * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))""".stripMargin
+    val u = graft.functions.CrossHash
+      .sqlHash60("'kpp:' || r.rnd || ':' || CAST(d.vec_id AS VARCHAR)")
+    val rounds = (1 to ParRounds).map { t =>
+      s"""d$t AS MATERIALIZED (
+         |  SELECT e.vec_id, MIN(round(${sqd("e.embedding", "c.embedding")}, 6) + 0) AS d2
+         |  FROM embeddings e CROSS JOIN c${t - 1} c
+         |  GROUP BY e.vec_id),
+         |phi$t AS (SELECT CAST(SUM(CAST(d2 AS DECIMAL(38,6))) AS DOUBLE) AS phi FROM d$t),
+         |s$t AS MATERIALIZED (
+         |  SELECT d.vec_id FROM d$t d CROSS JOIN phi$t CROSS JOIN (SELECT $t AS rnd) r
+         |  WHERE $u / 1152921504606846976.0
+         |        < LEAST(1.0, $ParL.0 * d.d2 / phi)
+         |  ORDER BY d.vec_id LIMIT $ParSelCap),
+         |c$t AS MATERIALIZED (
+         |  SELECT * FROM c${t - 1}
+         |  UNION ALL
+         |  SELECT e.vec_id, e.embedding FROM embeddings e JOIN s$t USING (vec_id))"""
+        .stripMargin
+    }.mkString(",\n")
+    val roundTags = (s"SELECT vec_id, CAST(0 AS BIGINT) AS sel_round FROM c0" +:
+      (1 to ParRounds).map(t =>
+        s"SELECT vec_id, CAST($t AS BIGINT) AS sel_round FROM s$t")).mkString("\nUNION ALL\n")
+    s"""WITH c0 AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)),
+       |$rounds,
+       |tags AS ($roundTags),
+       |nearest AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.vec_id AS cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY round(${sqd("e.embedding", "c.embedding")}, 6) + 0, c.vec_id) AS rn
+       |    FROM embeddings e CROSS JOIN c$ParRounds c)
+       |  WHERE rn = 1),
+       |w AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS weight FROM nearest GROUP BY cid)
+       |SELECT t.vec_id AS center_id, t.sel_round,
+       |  CAST(coalesce(w.weight, 0) AS BIGINT) AS weight
+       |FROM tags t LEFT JOIN w ON w.cid = t.vec_id
+       |ORDER BY weight DESC, center_id
+       |LIMIT $K""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kmeans_par_init" -> (kmeansParInit _),
     "kmeans_clusters" -> (clusterProfile _),
     "cluster_silhouette" -> (clusterSilhouette _),
     "cluster_topics" -> (clusterTopics _),
@@ -807,6 +978,7 @@ object KMeansVec {
     "ann_filtered_topk" -> ((s, d) => ivfFilteredTopK(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "kmeans_par_init" -> kmeansParInitSql,
     "kmeans_clusters" -> clusterProfileSql,
     "cluster_silhouette" -> clusterSilhouetteSql,
     "cluster_topics" -> clusterTopicsSql,

@@ -147,4 +147,45 @@ class KMeansSpec extends AnyFunSuite {
     val again = graft.ops.KMeansVec.clusterTopics(spark, dir).collect()
     assert(rows.toSeq == again.toSeq)
   }
+
+  // --- k-means|| initialization ------------------------------------------
+
+  private def initCost(centers: Array[Array[Double]],
+      points: Array[Array[Float]]): Double =
+    points.map { x =>
+      centers.map { c =>
+        var s = 0.0; var i = 0
+        val n = math.min(x.length, c.length)
+        while (i < n) { val d = x(i).toDouble - c(i); s += d * d; i += 1 }
+        s
+      }.min
+    }.sum
+
+  test("kmeans_par_init: k spread centers, deterministic, beats the naive prefix seed") {
+    val rows = KMeansVec.kmeansParInit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == KMeansVec.K)
+    assert(rows.map(_._1).distinct.length == KMeansVec.K, "center ids distinct")
+    rows.foreach { case (_, rnd, w) =>
+      assert(rnd >= 0 && rnd <= KMeansVec.ParRounds)
+      assert(w >= 0)
+    }
+    // deterministic across runs (hash coins, no RNG state)
+    val again = KMeansVec.kmeansParInit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == again.toSeq)
+
+    // the seeding's point: lower within-cluster cost than the naive
+    // lowest-k-ids prefix seed the fixture-deterministic fit uses
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val points = e.values.toArray
+    val parCenters = rows.map(r => e(r._1).map(_.toDouble))
+    val naiveCenters = e.toSeq.sortBy(_._1).take(KMeansVec.K)
+      .map(_._2.map(_.toDouble)).toArray
+    val (cPar, cNaive) = (initCost(parCenters, points), initCost(naiveCenters, points))
+    info(s"kmeans|| cost $cPar vs naive prefix $cNaive")
+    assert(cPar <= cNaive, s"oversampled+weighted seed should not lose: $cPar vs $cNaive")
+  }
 }

@@ -469,6 +469,15 @@ class PlanSpec extends AnyFunSuite {
     assert(allSpecs > 0 && allSpecs == keyed, s"unkeyed window: $plan")
   }
 
+  test("kmeans_par_init: weighting is one map-only argmin + tiny aggregation") {
+    val plan = graft.ops.KMeansVec.kmeansParInit(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"candidate tags are driver-local — must broadcast: $plan")
+    assert(plan.contains("HashAggregate"), s"plan: $plan")
+  }
+
   test("contrastive_triplets: anchors broadcast; one scan feeds one grouped argmin") {
     val plan = graft.ops.Rerank.contrastiveTriplets(spark, sf)
       .queryExecution.executedPlan.toString
