@@ -1364,6 +1364,157 @@ object Dedup {
        |             ELSE CAST(tp AS DOUBLE) / n_true END, 6) + 0 AS rec
        |FROM m""".stripMargin
 
+  /** Band counts the sweep evaluates (NumHashes = 64 fixed, so
+    * rows-per-band = 64/b): more bands → looser match requirement →
+    * higher recall, lower precision — the LSH S-curve. */
+  val SweepBandings: Seq[Int] = Seq(8, 16, 32)
+
+  /** The LSH banding operating curve — how (b, r) is actually chosen
+    * before a 100 TB dedup run: for each banding in [[SweepBandings]]
+    * over the SAME 64-hash signatures, candidate pairs are generated,
+    * re-thresholded at τ = [[PrefixTau]], and audited against the
+    * exact threshold join ([[dedupJaccardPrefix]]) — precision and
+    * recall per banding, the measured S-curve beside the registered
+    * detector's single point ([[dedupLshAudit]]).
+    *
+    * Scale shape: ONE signature pass and ONE bucket shuffle for ALL
+    * bandings — each doc explodes its (banding, band, key-slice)
+    * rows (8+16+32 = 56/doc) into a single groupBy keyed by
+    * (banding, band, key); pairs expand map-side per bucket with the
+    * same [[MaxPosting]] skew cap; the audit is one full-outer join
+    * per banding against the truth pairs (a bandings×truth grid —
+    * truth is near-dup-sized, not corpus-sized). */
+  def lshBandSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = t(s, dir, "documents")
+    val sig = d.select(col("doc_id"), md5ShingleUdf(col("text")).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), minhashUdf(col("hs")).as("sig"))
+    val bandingList = SweepBandings.mkString(", ")
+    val banded = sig.select(
+      col("doc_id"), col("sig"),
+      explode(expr(
+        s"""flatten(transform(array($bandingList), nb ->
+           |  transform(sequence(0, nb - 1), b ->
+           |    struct(nb AS nb, b AS band,
+           |      slice(sig, b * ($NumHashes div nb) + 1, $NumHashes div nb) AS bkey))))"""
+          .stripMargin)).as("bb"))
+      .select(col("bb.nb").as("nb"), col("bb.band").as("band"),
+        col("bb.bkey").as("bkey"), col("doc_id"), col("sig"))
+    val buckets = banded
+      .groupBy(col("nb"), col("band"), col("bkey"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("members"))
+      .filter(size(col("members")).between(2, MaxPosting))
+    val pred = buckets
+      .select(col("nb"), explode(expr(
+        "flatten(transform(members, (m, i) -> " +
+          "transform(slice(members, i + 2, size(members)), n -> " +
+          "struct(m.doc_id AS doc_a, n.doc_id AS doc_b, m.sig AS sig_a, n.sig AS sig_b))))"))
+        .as("p"))
+      .select(col("nb"), col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.sig_a").as("sig_a"), col("p.sig_b").as("sig_b"))
+      .dropDuplicates("nb", "doc_a", "doc_b")
+      .withColumn("est",
+        r6(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / NumHashes))
+      .filter(col("est") >= PrefixTau)
+      .select(col("nb"), col("doc_a"), col("doc_b"), lit(1L).as("p"))
+    val truth = dedupJaccardPrefix(s, dir)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
+      .crossJoin(SweepBandings.toDF("nb"))
+    truth.join(pred, Seq("nb", "doc_a", "doc_b"), "full_outer")
+      .groupBy(col("nb"))
+      .agg(
+        sum(coalesce(col("t"), lit(0L))).as("n_true"),
+        sum(coalesce(col("p"), lit(0L))).as("n_pred"),
+        sum(when(col("t").isNotNull && col("p").isNotNull, 1L).otherwise(0L)).as("tp"))
+      .select(col("nb").cast("long").as("bands"),
+        expr(s"CAST($NumHashes div nb AS BIGINT)").as("rows_per_band"),
+        col("n_true"), col("n_pred"), col("tp"),
+        r6(when(col("n_pred") === 0, 0.0)
+          .otherwise(col("tp").cast("double") / col("n_pred"))).as("prec"),
+        r6(when(col("n_true") === 0, 0.0)
+          .otherwise(col("tp").cast("double") / col("n_true"))).as("rec"))
+      .orderBy(col("bands"))
+  }
+
+  /** Shared signature CTEs computed once (MATERIALIZED), per-banding
+    * band/bucket/pair relations keyed by the banding tag — the same
+    * one-shuffle-for-all-bandings shape as the engine. Truth = the
+    * proven exact-join SQL, nested. */
+  lazy val lshBandSweepSql: String = {
+    val bandingList = SweepBandings.mkString(", ")
+    s"""WITH s_tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $ShingleK),
+       |s_sh AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id,
+       |    $shingleSql AS shingle
+       |  FROM s_tok, UNNEST(range(0, len(w) - ${ShingleK - 1})) AS u(i)),
+       |s_coef AS (
+       |  SELECT j,
+       |    ('0x' || substring(md5('a' || j), 1, 15))::BIGINT % ${MinhashP - 1} + 1 AS a,
+       |    ('0x' || substring(md5('b' || j), 1, 15))::BIGINT % $MinhashP AS b
+       |  FROM UNNEST(range(0, $NumHashes)) AS t(j)),
+       |s_hh AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    ('0x' || substring(md5(shingle), 1, 15))::BIGINT % $MinhashP AS h
+       |  FROM s_sh),
+       |s_sig AS MATERIALIZED (
+       |  SELECT doc_id, j, MIN((a * h + b) % $MinhashP) AS v
+       |  FROM s_hh CROSS JOIN s_coef
+       |  GROUP BY doc_id, j),
+       |s_sigl AS MATERIALIZED (
+       |  SELECT doc_id, list(v ORDER BY j) AS sig FROM s_sig GROUP BY doc_id),
+       |s_bandings AS (SELECT unnest([$bandingList]) AS nb),
+       |s_band AS MATERIALIZED (
+       |  SELECT doc_id, nb, b,
+       |    sig[b*($NumHashes // nb)+1 : b*($NumHashes // nb)+($NumHashes // nb)] AS bkey
+       |  FROM s_sigl CROSS JOIN s_bandings, UNNEST(range(0, nb)) AS t(b)),
+       |s_bucketed AS MATERIALIZED (
+       |  SELECT s_band.* FROM s_band
+       |  JOIN (SELECT nb, b, bkey FROM s_band GROUP BY nb, b, bkey
+       |        HAVING COUNT(*) BETWEEN 2 AND $MaxPosting) g
+       |  USING (nb, b, bkey)),
+       |s_cand AS MATERIALIZED (
+       |  SELECT DISTINCT x.nb, x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM s_bucketed x JOIN s_bucketed y
+       |    ON x.nb = y.nb AND x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |s_pred AS MATERIALIZED (
+       |  SELECT nb, doc_a, doc_b FROM (
+       |    SELECT c.nb, c.doc_a, c.doc_b,
+       |      round(SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END)
+       |        / CAST($NumHashes AS DOUBLE), 6) + 0 AS est
+       |    FROM s_cand c
+       |    JOIN s_sig sa ON sa.doc_id = c.doc_a
+       |    JOIN s_sig sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
+       |    GROUP BY c.nb, c.doc_a, c.doc_b)
+       |  WHERE est >= $PrefixTau),
+       |truth AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM ($dedupJaccardPrefixSql)),
+       |s_grid AS (SELECT nb, doc_a, doc_b FROM truth CROSS JOIN s_bandings),
+       |s_joined AS (
+       |  SELECT coalesce(g.nb, p.nb) AS nb,
+       |    CASE WHEN g.doc_a IS NOT NULL THEN 1 ELSE 0 END AS t,
+       |    CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END AS p
+       |  FROM s_grid g FULL OUTER JOIN s_pred p
+       |    ON p.nb = g.nb AND p.doc_a = g.doc_a AND p.doc_b = g.doc_b)
+       |SELECT CAST(nb AS BIGINT) AS bands,
+       |  CAST($NumHashes // nb AS BIGINT) AS rows_per_band,
+       |  CAST(SUM(t) AS BIGINT) AS n_true,
+       |  CAST(SUM(p) AS BIGINT) AS n_pred,
+       |  CAST(SUM(CASE WHEN t = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |  round(CASE WHEN SUM(p) = 0 THEN 0.0
+       |             ELSE CAST(SUM(CASE WHEN t = 1 AND p = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |                  / SUM(p) END, 6) + 0 AS prec,
+       |  round(CASE WHEN SUM(t) = 0 THEN 0.0
+       |             ELSE CAST(SUM(CASE WHEN t = 1 AND p = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |                  / SUM(t) END, 6) + 0 AS rec
+       |FROM s_joined
+       |GROUP BY nb
+       |ORDER BY bands""".stripMargin
+  }
+
   /** The oracle never sees the prefix machinery: exactness of the
     * filter means the plain threshold join IS the specification. */
   val dedupJaccardPrefixSql: String =
@@ -1401,6 +1552,7 @@ object Dedup {
     "span_dedup" -> (spanDedup _),
     "winnow_pairs" -> (winnowPairs _),
     "norm_dedup" -> (normDedup _),
+    "lsh_band_sweep" -> (lshBandSweep _),
     "dedup_incremental" -> (dedupIncremental _))
 
   val oracles: Map[String, String] = Map(
@@ -1417,5 +1569,6 @@ object Dedup {
     "span_dedup" -> spanDedupSql,
     "winnow_pairs" -> winnowPairsSql,
     "norm_dedup" -> normDedupSql,
+    "lsh_band_sweep" -> lshBandSweepSql,
     "dedup_incremental" -> dedupIncrementalSql)
 }

@@ -200,11 +200,73 @@ object Multimodal {
        |FROM f
        |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Bucket cap for the frame inverted index — a boilerplate frame
+    * (shared intro/watermark) otherwise fans out quadratically; the
+    * Dedup.MaxPosting skew rule applied to media. */
+  val FrameBucketCap = 64
+
+  /** Media near-dup detection via shared frame fingerprints — the
+    * video/audio dedup standard (identical keyframes ⇒ re-encoded or
+    * trimmed copies of the same asset, where whole-payload checksums
+    * see nothing): fingerprint each [[FrameBytes]]-byte frame window
+    * ([[mediaFrames]]'s exact slicing), invert to (fingerprint →
+    * docs) postings, emit doc pairs sharing ≥ 1 frame with their
+    * shared-frame count. Exact whole-payload duplicates surface
+    * automatically as pairs sharing every frame.
+    *
+    * Scale shape: the inverted index is the span_dedup plan applied
+    * to binary — the shuffle carries (8-byte fingerprint, doc_id),
+    * NEVER payload bytes; pairs expand map-side per posting with
+    * [[FrameBucketCap]] guarding boilerplate frames; one final
+    * pair-keyed count. */
+  def mediaDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val frames = d
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"),
+        explode(expr(
+          s"transform(sequence(0, greatest(int(ceil(octet_length(payload) / $FrameBytes.0)), 1) - 1), " +
+            s"i -> substring(payload, i * $FrameBytes + 1, $FrameBytes))")).as("frame"))
+      .select(col("doc_id"), CrossHash.md5Hash60Col(col("frame")).as("fp")).distinct()
+    val postings = frames.groupBy(col("fp"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, FrameBucketCap))
+    postings
+      .select(explode(expr(
+        "flatten(transform(ds, (a, i) -> " +
+          "transform(slice(ds, i + 2, size(ds)), b -> struct(a AS doc_a, b AS doc_b))))"))
+        .as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_frames"))
+      .orderBy(col("n_shared_frames").desc, col("doc_a"), col("doc_b"))
+  }
+
+  /** ASCII fixtures: char windows ≡ byte windows, DuckDB string md5
+    * ≡ the engine's byte md5 (the mediaFrames bridge). */
+  val mediaDedupSql: String =
+    s"""WITH f AS (
+       |  SELECT DISTINCT doc_id,
+       |    ${CrossHash.sqlHash60(
+             s"substring(text, i * $FrameBytes + 1, $FrameBytes)")} AS fp
+       |  FROM documents,
+       |    UNNEST(range(0, greatest(CAST(ceil(length(text) / $FrameBytes.0) AS INT), 1))) AS t(i)),
+       |posting AS (
+       |  SELECT fp FROM f GROUP BY fp
+       |  HAVING COUNT(*) BETWEEN 2 AND $FrameBucketCap)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  COUNT(*) AS n_shared_frames
+       |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |JOIN posting p ON p.fp = a.fp
+       |GROUP BY a.doc_id, b.doc_id
+       |ORDER BY n_shared_frames DESC, doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_meta" -> (mediaMeta _),
-    "media_frames" -> (mediaFrames _))
+    "media_frames" -> (mediaFrames _),
+    "media_dedup" -> (mediaDedup _))
 
   val oracles: Map[String, String] = Map(
     "media_meta" -> mediaMetaSql,
-    "media_frames" -> mediaFramesSql)
+    "media_frames" -> mediaFramesSql,
+    "media_dedup" -> mediaDedupSql)
 }

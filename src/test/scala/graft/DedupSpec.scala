@@ -190,4 +190,23 @@ class DedupSpec extends AnyFunSuite {
     assert(TextOps.rollingHash64("abc") == TextOps.rollingHash64("abc"))
     assert(TextOps.rollingHash64("abc") != TextOps.rollingHash64("acb"))
   }
+
+  test("lsh_band_sweep: grid total, bounds hold, candidates grow with band count") {
+    val rows = Dedup.lshBandSweep(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.map(_._1).toSeq == Dedup.SweepBandings.map(_.toLong))
+    rows.foreach { case (b, rpb, nTrue, nPred, tp, prec, rec) =>
+      assert(b * rpb == Dedup.NumHashes.toLong)
+      assert(tp <= nPred && tp <= nTrue)
+      assert(prec >= 0.0 && prec <= 1.0 && rec >= 0.0 && rec <= 1.0)
+    }
+    // aligned slicing: an r-row band agreement implies agreement on
+    // its sub-bands, so more bands can only add candidates (no
+    // fixture bucket reaches the skew cap)
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 <= b._4, s"candidate monotone: ${rows.toSeq}")
+      case _ =>
+    }
+  }
 }

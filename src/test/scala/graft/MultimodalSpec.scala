@@ -130,4 +130,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(x.count() == 2, "pruned dir must not contribute rows")
     assert(x.filter(col("code") === 500).select("user").head.getString(0) == "bob")
   }
+
+  test("media_dedup: planted shared-prefix payloads pair up; disjoint ones do not") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val dir = Files.createTempDirectory("graft-mediadedup").toString
+    // two DISTINCT shared frames (identical frames collapse to one fp)
+    val shared = "x" * Multimodal.FrameBytes + "y" * Multimodal.FrameBytes
+    val rows = Seq(
+      Row(0L, shared + "tailA"),
+      Row(1L, shared + "completely different tail content here"),
+      Row(2L, "z" * (Multimodal.FrameBytes * 3)))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    spark.createDataFrame(
+        new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)), schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Multimodal.mediaDedup(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got.keySet == Set((0L, 1L)), s"only the shared-prefix pair: $got")
+    // both share the two full 'x' frames; doc 2's 'z' frames pair with nobody
+    assert(got((0L, 1L)) == 2L, s"shared frame count: $got")
+  }
 }

@@ -469,6 +469,24 @@ class PlanSpec extends AnyFunSuite {
     assert(allSpecs > 0 && allSpecs == keyed, s"unkeyed window: $plan")
   }
 
+  test("media_dedup: postings shuffle carries fingerprints, pairs expand map-side — no cartesian/SMJ") {
+    val plan = graft.ops.Multimodal.mediaDedup(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+    assert(!plan.contains("SortMergeJoin"), s"pairs must expand from postings, not a join: $plan")
+  }
+
+  test("lsh_band_sweep: one bucket exchange serves all bandings; no cartesian pair join") {
+    val plan = graft.ops.Dedup.lshBandSweep(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+    // candidate pairs come from per-bucket expansion, never a
+    // corpus-side self-join: the only SMJ allowed is the audit's
+    // pair-keyed full-outer against the truth relation
+    val smj = "SortMergeJoin".r.findAllIn(plan).size
+    assert(smj <= 2, s"pair generation must stay join-free: $plan")
+  }
+
   test("kmeans_par_init: weighting is one map-only argmin + tiny aggregation") {
     val plan = graft.ops.KMeansVec.kmeansParInit(spark, sf)
       .queryExecution.executedPlan.toString
