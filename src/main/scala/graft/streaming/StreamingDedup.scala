@@ -63,4 +63,40 @@ object StreamingDedup {
     }
     newDocs.withColumn("dup_candidate", dupUdf(col(textCol)))
   }
+
+  /** Continuous band-index ingest — the maintenance half of the
+    * streaming dedup story (the probe half is [[flagAgainstCorpus]]):
+    * each arriving micro-batch of documents appends its band rows
+    * into the persisted bucketed index ([[Dedup.appendBandIndex]]),
+    * so the NEXT batch's [[Dedup.dedupIncrementalIndexed]] probe sees
+    * everything that ever streamed in — the ANN analog is
+    * [[StreamingIndex.annAppendStream]]. Per-batch cap counts are the
+    * documented per-segment semantics; a periodic compaction rewrite
+    * ([[Dedup.writeBandIndex]] over the accumulated corpus into a
+    * fresh table generation) restores global counts. foreachBatch is
+    * at-least-once: a replayed batch re-appends its rows — run the
+    * compaction, or dedupe on (doc_id, bkey60) at probe time, if the
+    * source cannot guarantee exactly-once file delivery. */
+  def bandAppendStream(
+      spark: org.apache.spark.sql.SparkSession,
+      inDir: String,
+      table: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.DataStreamWriter[
+      org.apache.spark.sql.Row] = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 16)
+      .parquet(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Dedup.appendBandIndex(batch.sparkSession, batch, table)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+  }
 }
