@@ -231,14 +231,20 @@ object Bpe {
        |ORDER BY merge_rank""".stripMargin
   }
 
-  val bpeEncodeSql: String =
+  /** The encode chain's CTE prefix (train rounds + per-doc word
+    * counts + per-word piece counts) — shared with downstream
+    * composition oracles ([[graft.ops.Curation.bpePackSql]]). */
+  private[ops] lazy val bpeEncodePrefixCtes: String =
     s"""$trainCtes,
        |tokc AS (
        |  SELECT doc_id, tok AS word, COUNT(*) AS c
        |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+')) AS tok
        |        FROM documents)
        |  GROUP BY 1, 2),
-       |enc AS (SELECT word, len(syms) AS np FROM s$Rounds)
+       |enc AS (SELECT word, len(syms) AS np FROM s$Rounds)""".stripMargin
+
+  val bpeEncodeSql: String =
+    s"""$bpeEncodePrefixCtes
        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
        |  CAST(SUM(c * np) AS BIGINT) AS n_pieces,
        |  round(CAST(SUM(c * np) AS DOUBLE) / SUM(c), 6) + 0 AS pieces_per_token

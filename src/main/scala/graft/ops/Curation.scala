@@ -1118,7 +1118,65 @@ object Curation {
        |FROM alloc a LEFT JOIN filled f ON f.source = a.source
        |ORDER BY a.source""".stripMargin
 
+  /** Token-exact sequence packing — [[seqPack]] with the lengths a
+    * training run actually bills: per-doc BPE PIECE counts from the
+    * trained tokenizer ([[Bpe.bpeEncode]]) instead of whitespace
+    * token counts. Whitespace packing under-fills windows exactly
+    * where subword fertility is high (rare words split into many
+    * pieces), which is why production packers measure in pieces;
+    * running both queries side by side quantifies that gap on this
+    * corpus. Same partition-parallel per-source next-fit fold; the
+    * piece counts add one doc_id-keyed join over the proven encode
+    * relation. */
+  def bpePack(s: SparkSession, dir: String): DataFrame = {
+    val pieces = Bpe.bpeEncode(s, dir)
+      .select(col("doc_id"), least(col("n_pieces"), lit(SeqCapacity)).as("n"))
+    val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    d.join(pieces, "doc_id")
+      .select(col("source"), struct(col("doc_id"), col("n")).as("dn"))
+      .groupBy(col("source"))
+      .agg(sort_array(collect_list(col("dn"))).as("docs"))
+      .select(col("source"), explode(packUdf(col("docs"))).as("p"))
+      .select(col("source"), col("p._2").as("seq"), col("p._3").as("n_eff"))
+      .groupBy(col("source"), col("seq"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_eff")).as("sum_pieces"),
+        r6(sum(col("n_eff")).cast("double") / SeqCapacity).as("fill"))
+      .orderBy(col("source"), col("seq"))
+  }
+
+  /** Oracle: the proven BPE encode chain supplies per-doc piece
+    * counts; the next-fit fold replays as the seqPack recursive CTE
+    * over them. */
+  lazy val bpePackSql: String =
+    s"""${Bpe.bpeEncodePrefixCtes},
+       |pp AS MATERIALIZED (
+       |  SELECT doc_id, CAST(SUM(c * np) AS BIGINT) AS n_pieces
+       |  FROM tokc JOIN enc USING (word)
+       |  GROUP BY doc_id),
+       |d AS MATERIALIZED (
+       |  SELECT dd.source, dd.doc_id, LEAST(pp.n_pieces, $SeqCapacity) AS n
+       |  FROM documents dd JOIN pp ON pp.doc_id = dd.doc_id),
+       |ord AS MATERIALIZED (
+       |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS i
+       |  FROM d),
+       |step(source, i, n, running, seq) AS (
+       |  SELECT source, i, n, n, CAST(0 AS BIGINT) FROM ord WHERE i = 1
+       |  UNION ALL
+       |  SELECT o.source, o.i, o.n,
+       |    CASE WHEN s.running + o.n > $SeqCapacity THEN o.n
+       |         ELSE s.running + o.n END,
+       |    CASE WHEN s.running + o.n > $SeqCapacity THEN s.seq + 1 ELSE s.seq END
+       |  FROM step s JOIN ord o ON o.source = s.source AND o.i = s.i + 1)
+       |SELECT source, seq, COUNT(*) AS n_docs,
+       |  CAST(SUM(n) AS BIGINT) AS sum_pieces,
+       |  round(CAST(SUM(n) AS DOUBLE) / $SeqCapacity, 6) + 0 AS fill
+       |FROM step
+       |GROUP BY source, seq
+       |ORDER BY source, seq""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_pack" -> (bpePack _),
     "token_budget_sample" -> (tokenBudgetSample _),
     "funnel_report" -> (funnelReport _),
     "data_split" -> (dataSplit _),
@@ -1142,6 +1200,7 @@ object Curation {
     "shard_pack" -> (shardPack _))
 
   val oracles: Map[String, String] = Map(
+    "bpe_pack" -> bpePackSql,
     "token_budget_sample" -> tokenBudgetSampleSql,
     "funnel_report" -> funnelReportSql,
     "data_split" -> dataSplitSql,

@@ -43,4 +43,20 @@ class PackSpec extends AnyFunSuite {
       assert(overhead >= 1.0 - 1e-9, s"overhead below 1: ${r.toSeq}")
     }
   }
+
+  test("bpe_pack: capacity respected; piece packing needs at least as many windows as whitespace") {
+    val bp = graft.ops.Curation.bpePack(spark, sf).collect()
+    assert(bp.nonEmpty)
+    bp.foreach { r =>
+      val (sum, fill) = (r.getLong(3), r.getDouble(4))
+      assert(sum <= graft.ops.Curation.SeqCapacity, s"overfull window: $r")
+      assert(fill > 0.0 && fill <= 1.0)
+    }
+    // subword fertility ≥ 1 piece/word ⇒ the piece-metric corpus is
+    // at least as large, so next-fit can only need MORE windows
+    val bpSeqs = bp.groupBy(_.getString(0)).map { case (_, rs) => rs.length }.sum
+    val wsSeqs = graft.ops.Curation.seqPack(spark, sf).collect()
+      .groupBy(_.getString(0)).map { case (_, rs) => rs.length }.sum
+    assert(bpSeqs >= wsSeqs, s"bpe windows $bpSeqs < whitespace windows $wsSeqs")
+  }
 }
