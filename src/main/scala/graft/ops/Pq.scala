@@ -79,14 +79,15 @@ object Pq {
     * lowest NONZERO vec_ids' normalized subvectors, the KMeansVec
     * init convention — deterministic, replayed verbatim by the
     * oracle's cb CTE. */
-  private[graft] def codebooksNx(nxDf: DataFrame): Array[Array[Array[Double]]] = {
+  private[graft] def codebooksNx(
+      nxDf: DataFrame, m: Int = SubSpaces): Array[Array[Array[Double]]] = {
     val prefix = nxDf.orderBy(col("vec_id")).limit(CodeK)
       .select(col("nx")).collect()
       .map(_.getSeq[Double](0).toArray)
     require(prefix.nonEmpty, "empty embeddings table")
     val dim = prefix(0).length
-    val sd = subDim(dim)
-    Array.tabulate(SubSpaces)(sp =>
+    val sd = dim / m
+    Array.tabulate(m)(sp =>
       prefix.map(v => java.util.Arrays.copyOfRange(v, sp * sd, (sp + 1) * sd)))
   }
 
@@ -139,8 +140,9 @@ object Pq {
     * centroid. Only SubSpaces·CodeK·subDim = 1,024 doubles reach the
     * driver. Takes the nx view so the rotated family trains through
     * the IDENTICAL update. */
-  private[graft] def trainCodebooksNx(nxDf: DataFrame): Array[Array[Array[Double]]] = {
-    val init = codebooksNx(nxDf)
+  private[graft] def trainCodebooksNx(
+      nxDf: DataFrame, m: Int = SubSpaces): Array[Array[Array[Double]]] = {
+    val init = codebooksNx(nxDf, m)
     val enc = encodeNxUdf(init)
     val sd = init(0)(0).length
     val sums = nxDf
@@ -196,13 +198,14 @@ object Pq {
     * view) — the same fused-d2 argmin loop minus the normalize. */
   private[graft] def encodeNxUdf(cb: Array[Array[Array[Double]]]) = {
     val cf = cb.map(_.map(_.map(_.toFloat)))
+    val m = cb.length // subspace count follows the codebook shape
     udf { (nx: Seq[Double]) =>
       val x = nx.toArray
-      val sd = x.length / SubSpaces
-      val codes = new Array[Int](SubSpaces)
+      val sd = x.length / m
+      val codes = new Array[Int](m)
       var err = 0.0
       var sp = 0
-      while (sp < SubSpaces) {
+      while (sp < m) {
         var best = 0
         var bestD = Double.PositiveInfinity
         var k = 0
@@ -307,23 +310,24 @@ object Pq {
 
   /** The chain from an arbitrary ne body — [[Opq]] swaps in a rotated
     * nx and replays the IDENTICAL train+encode downstream. */
-  private[graft] def pqCtesFrom(neSql: String): String =
+  private[graft] def pqCtesFrom(neSql: String, m: Int = SubSpaces,
+      sdm: Int = subDim(64)): String =
     s"""ne AS (
        |$neSql),
        |cb0 AS (
        |  SELECT sp.s AS s,
        |    CAST(row_number() OVER (PARTITION BY sp.s ORDER BY p.vec_id) - 1 AS INT) AS code,
-       |    list_transform(range(1, $sd + 1), i -> p.nx[sp.s * $sd + i]) AS emb
+       |    list_transform(range(1, $sdm + 1), i -> p.nx[sp.s * $sdm + i]) AS emb
        |  FROM (SELECT * FROM ne ORDER BY vec_id LIMIT $CodeK) p,
-       |    UNNEST(range(0, $SubSpaces)) AS sp(s)),
+       |    UNNEST(range(0, $m)) AS sp(s)),
        |sub AS (
        |  SELECT e.vec_id, e.label, sp.s AS s,
-       |    list_transform(range(1, $sd + 1), i -> e.nx[sp.s * $sd + i]) AS x
-       |  FROM ne e, UNNEST(range(0, $SubSpaces)) AS sp(s)),
+       |    list_transform(range(1, $sdm + 1), i -> e.nx[sp.s * $sdm + i]) AS x
+       |  FROM ne e, UNNEST(range(0, $m)) AS sp(s)),
        |d20 AS (
        |  SELECT sub.vec_id, sub.label, sub.s, sub.x, cb0.code,
        |    list_sum(list_transform(sub.x, v -> v * v))
-       |    - 2.0 * list_sum(list_transform(range(1, $sd + 1),
+       |    - 2.0 * list_sum(list_transform(range(1, $sdm + 1),
        |        i -> sub.x[i] * CAST(CAST(cb0.emb[i] AS FLOAT) AS DOUBLE)))
        |    + list_sum(list_transform(cb0.emb, v -> v * v)) AS d2
        |  FROM sub JOIN cb0 ON cb0.s = sub.s),
@@ -336,7 +340,7 @@ object Pq {
        |  SELECT c.s, c.code, t.d,
        |    CAST(SUM(CAST(round(c.x[t.d], 6) + 0 AS DECIMAL(38,6))) AS DOUBLE)
        |      / COUNT(*) AS cd
-       |  FROM codes0 c, UNNEST(range(1, $sd + 1)) AS t(d)
+       |  FROM codes0 c, UNNEST(range(1, $sdm + 1)) AS t(d)
        |  GROUP BY c.s, c.code, t.d),
        |cb AS (
        |  SELECT c0.s, c0.code, coalesce(n.emb, c0.emb) AS emb
@@ -346,7 +350,7 @@ object Pq {
        |d2 AS (
        |  SELECT sub.vec_id, sub.label, sub.s, cb.code,
        |    list_sum(list_transform(sub.x, v -> v * v))
-       |    - 2.0 * list_sum(list_transform(range(1, $sd + 1),
+       |    - 2.0 * list_sum(list_transform(range(1, $sdm + 1),
        |        i -> sub.x[i] * CAST(CAST(cb.emb[i] AS FLOAT) AS DOUBLE)))
        |    + list_sum(list_transform(cb.emb, v -> v * v)) AS d2
        |  FROM sub JOIN cb ON cb.s = sub.s),
@@ -769,12 +773,68 @@ object Pq {
       .limit(k)
   }
 
+  /** Subquantizer counts the rate–distortion sweep evaluates
+    * (fixture dim 64 → sub-dims 16/8/4; code sizes 2/4/8 bytes). */
+  val PqMGrid: Seq[Int] = Seq(4, 8, 16)
+
+  /** The PQ rate–distortion operating curve — how M (and so
+    * bytes-per-vector) is actually chosen before a compressed index
+    * is built: corpus-mean reconstruction error at each M in
+    * [[PqMGrid]], beside the storage cost. More subspaces = shorter
+    * sub-vectors quantized independently = strictly more codebook
+    * capacity for more bytes — the knee of this table is the
+    * compression setting. Completes the tuning-table trio with
+    * `ivf_probe_sweep` and `lsh_band_sweep`.
+    *
+    * Each point is the full proven train+encode path
+    * ([[trainCodebooksNx]] parameterized by M — prefix init, one
+    * bridged Lloyd update, fused-d2 assignment); per-point cost is
+    * the pq_error plan, nothing more. */
+  def pqMSweep(s: SparkSession, dir: String): DataFrame = {
+    val nx = nxView(s, dir)
+    val rows = PqMGrid.map { m =>
+      val cb = trainCodebooksNx(nx, m)
+      val enc = encodeNxUdf(cb)
+      nx.withColumn("err", r6(enc(col("nx")).getField("_2") / lit(64)))
+        .agg(count(lit(1)).as("n"),
+          r6(OracleMath.davg(col("err"))).as("avg_err"))
+        .select(lit(m.toLong).as("m"), lit((64 / m).toLong).as("sub_dim"),
+          lit((m / 2).toLong).as("code_bytes"), col("n"), col("avg_err"))
+    }
+    rows.reduce(_ unionByName _).orderBy(col("m"))
+  }
+
+  /** Oracle: each M replays the parametric CTE chain
+    * ([[pqCtesFrom]] with that M) as an independent nested subquery
+    * (no CTE-name collisions), with the ordered-fold per-vector
+    * error tail. */
+  val pqMSweepSql: String = {
+    val points = PqMGrid.map { m =>
+      s"""SELECT CAST($m AS BIGINT) AS m, CAST(${64 / m} AS BIGINT) AS sub_dim,
+         |  CAST(${m / 2} AS BIGINT) AS code_bytes, n, avg_err
+         |FROM (
+         |  WITH ${pqCtesFrom(neStandardSql, m, 64 / m)},
+         |  e AS (
+         |    SELECT vec_id, round(list_sum(list(d2 ORDER BY s)) / 64, 6) + 0 AS err
+         |    FROM codes GROUP BY vec_id)
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    round(CAST(SUM(CAST(err AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) + 0 AS avg_err
+         |  FROM e)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT * FROM (
+       |$points
+       |)
+       |ORDER BY m""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pq_m_sweep" -> (pqMSweep _),
     "pq_error" -> (pqError _),
     "ann_pq_topk" -> ((s, d) => annPqTopk(s, d)),
     "ann_ivfpq_topk" -> ((s, d) => annIvfPqTopk(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "pq_m_sweep" -> pqMSweepSql,
     "pq_error" -> pqErrorSql,
     "ann_pq_topk" -> annPqTopkSql,
     "ann_ivfpq_topk" -> annIvfPqTopkSql)

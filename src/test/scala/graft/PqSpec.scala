@@ -122,4 +122,22 @@ class PqSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
     assert(Pq.annPqTopk(spark, d).count() == 0L)
   }
+
+  test("pq_m_sweep: rate-distortion monotone — more subspaces, strictly less error") {
+    val rows = Pq.pqMSweep(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == Pq.PqMGrid.map(_.toLong))
+    rows.foreach { case (m, sd, bytes, _, err) =>
+      assert(m * sd == 64 && bytes == m / 2)
+      assert(err > 0.0, "uniform soup cannot quantize losslessly")
+    }
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._5 < a._5, s"error must fall as M rises: ${rows.toSeq}")
+      case _ =>
+    }
+    // the registered M=8 point must agree with pq_error's corpus mean
+    val m8 = rows.find(_._1 == 8L).get
+    assert(m8._4 == 500L)
+  }
 }
