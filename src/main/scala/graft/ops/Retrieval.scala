@@ -502,6 +502,105 @@ object Retrieval {
        |FROM nll JOIN documents d USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Passages returned by [[bestPassage]]. */
+  val PassageK = 5
+
+  /** Chunk-level BM25 passage retrieval — the keyword twin of the
+    * reference's own serving shape (it retrieves CHUNKS, not
+    * documents — log-vector `ask.py` returns chunk context): the
+    * corpus is chunked with the reference chunker ([[graft.ingest
+    * .Chunker]], the chunk_stats greedy line-packer), every chunk is
+    * BM25-scored against the flagship query WITH CHUNK-LEVEL corpus
+    * statistics (chunk df/avgdl — passage statistics, not document
+    * statistics), the best passage per document survives, and the
+    * top-[[PassageK]] documents return with their winning passage.
+    * This is "answer locality": a long document with one relevant
+    * paragraph outranks a mildly-relevant-everywhere one.
+    *
+    * Scale shape: chunking is map-only (the index_pipeline UDF),
+    * scoring is the proven one-groupBy BM25 plan over the chunk
+    * stream, best-per-doc is a doc-keyed window over scored chunks,
+    * and the final top-k is a bounded TakeOrderedAndProject. */
+  def bestPassage(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val chunkUdf = udf((txt: String) =>
+      graft.ingest.Chunker.chunkLines(txt, TextOps.ChunkStatsSize))
+    val chunks = d
+      .select(col("doc_id"),
+        posexplode(chunkUdf(translate(col("text"), " ", "\n")))
+          .as(Seq("chunk_idx", "ctext")))
+      .select((col("doc_id") * 100000 + col("chunk_idx")).as("cid"),
+        translate(col("ctext"), "\n", " ").as("text"))
+    val scored = bm25Score(chunks, "cid", "text", QueryTerms)
+      .select(expr("cid div 100000").cast("long").as("doc_id"),
+        pmod(col("cid"), lit(100000)).cast("long").as("chunk_idx"),
+        col("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("chunk_idx"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("chunk_idx"), r6(col("score")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(PassageK)
+  }
+
+  /** Oracle: the chunk_stats recursive fold assigns each word its
+    * chunk number, chunk token streams feed the bm25 conditional-
+    * aggregate shape with CHUNK-level stats, then best-per-doc +
+    * top-k. */
+  val bestPassageSql: String = {
+    val tfCols = QueryTerms.zipWithIndex.map { case (term, i) =>
+      s"SUM(CASE WHEN tok = '$term' THEN 1 ELSE 0 END) AS tf_$i" }.mkString(",\n    ")
+    val dfCols = QueryTerms.zipWithIndex.map { case (_, i) =>
+      s"SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i" }.mkString(",\n    ")
+    def termScore(i: Int): String =
+      s"""CASE WHEN tf_$i > 0
+         |  THEN ln((n_docs - df_$i + 0.5) / (df_$i + 0.5) + 1.0)
+         |       * (tf_$i * ${K1 + 1.0})
+         |       / (tf_$i + $K1 * (${1.0 - B} + $B * dl / (CAST(total AS DOUBLE) / n_docs)))
+         |  ELSE 0.0 END""".stripMargin.replace('\n', ' ').replaceAll(" +", " ")
+    val scoreExpr = QueryTerms.indices.map(termScore).mkString(" + ")
+    s"""WITH RECURSIVE w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |words AS (
+       |  SELECT doc_id, i, length(ws[i]) + 1 AS lsz
+       |  FROM w, UNNEST(range(1, len(ws) + 1)) AS t(i)),
+       |step(doc_id, i, csize, cno) AS (
+       |  SELECT doc_id, 1, lsz, 1 FROM words WHERE i = 1
+       |  UNION ALL
+       |  SELECT s.doc_id, s.i + 1,
+       |    CASE WHEN s.csize + nw.lsz > ${TextOps.ChunkStatsSize} THEN nw.lsz
+       |         ELSE s.csize + nw.lsz END,
+       |    CASE WHEN s.csize + nw.lsz > ${TextOps.ChunkStatsSize} THEN s.cno + 1
+       |         ELSE s.cno END
+       |  FROM step s JOIN words nw ON nw.doc_id = s.doc_id AND nw.i = s.i + 1),
+       |ctoks AS MATERIALIZED (
+       |  SELECT s.doc_id, s.cno - 1 AS chunk_idx, w.ws[s.i] AS tok
+       |  FROM step s JOIN w ON w.doc_id = s.doc_id),
+       |per_chunk AS (
+       |  SELECT doc_id, chunk_idx, COUNT(*) AS dl,
+       |    $tfCols
+       |  FROM ctoks GROUP BY doc_id, chunk_idx),
+       |stats AS (
+       |  SELECT COUNT(*) AS n_docs, SUM(dl) AS total,
+       |    $dfCols
+       |  FROM per_chunk),
+       |bm AS (
+       |  SELECT doc_id, chunk_idx, $scoreExpr AS score
+       |  FROM per_chunk, stats),
+       |best AS (
+       |  SELECT doc_id, chunk_idx, score FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, chunk_idx) AS rn
+       |    FROM bm)
+       |  WHERE rn = 1)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  round(score, 6) + 0 AS score
+       |FROM best
+       |ORDER BY score DESC, doc_id
+       |LIMIT $PassageK""".stripMargin
+  }
+
   /** Fraction of docs the excess-loss selection keeps. */
   val ExcessKeepFrac = 0.3
 
@@ -549,6 +648,7 @@ object Retrieval {
        |ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "best_passage" -> (bestPassage _),
     "excess_select" -> (excessSelect _),
     "bm25_topk" -> (bm25Topk _),
     "hybrid_rrf" -> (hybridRrf _),
@@ -560,6 +660,7 @@ object Retrieval {
     "quality_calibrated" -> (qualityCalibrated _))
 
   val oracles: Map[String, String] = Map(
+    "best_passage" -> bestPassageSql,
     "excess_select" -> excessSelectSql,
     "bm25_topk" -> bm25TopkSql,
     "hybrid_rrf" -> hybridRrfSql,

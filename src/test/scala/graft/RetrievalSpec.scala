@@ -158,4 +158,29 @@ class RetrievalSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(got("tail")._5 == nll.values.max)
   }
+
+  test("best_passage: answer locality — one dense passage beats thin spread everywhere") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val dir = java.nio.file.Files.createTempDirectory("graft-passage").toString
+    val filler = Seq.fill(60)("lorem ipsum dolor sit amet").mkString(" ")
+    // doc 0: irrelevant filler, then ONE dense window of query terms
+    val dense = Seq.fill(8)("spark join shuffle slow query error").mkString(" ")
+    // doc 1: the same term mass diluted across the whole doc
+    val thin = (1 to 8).map(_ => "spark " + Seq.fill(12)("unrelated words here").mkString(" "))
+      .mkString(" ")
+    val rows = Seq(Row(0L, filler + " " + dense), Row(1L, thin))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    spark.createDataFrame(
+        new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)), schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Retrieval.bestPassage(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty && got.head._1 == 0L, s"dense-passage doc must lead: ${got.toSeq}")
+    assert(got.head._2 > 0L, "the winning passage is the dense one, not the filler head")
+    val d0 = got.find(_._1 == 0L).get
+    val d1 = got.find(_._1 == 1L)
+    d1.foreach(x => assert(d0._3 > x._3, s"locality must win: ${got.toSeq}"))
+  }
 }
