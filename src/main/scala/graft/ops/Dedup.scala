@@ -1455,6 +1455,52 @@ object Dedup {
       .orderBy(col("doc_new"))
   }
 
+  /** Rewrite an appended-to band index into a fresh generation at
+    * `outTable`: one pass over the persisted rows recomputing GLOBAL
+    * `bucket_n` (appends count per segment — see [[appendBandIndex]])
+    * and re-bucketing into clean files. A NEW table, never in place —
+    * the [[graft.ops.GraphAnn.compactGraphIndex]] generation-swap
+    * rule: the old generation stays queryable until the caller flips
+    * its pointer. No text is re-hashed — the band rows already carry
+    * everything. */
+  def compactBandIndex(s: SparkSession, table: String, outTable: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    s.table(table)
+      .select(col("doc_id"), col("sig"), col("bkey60"))
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy(col("bkey60"))))
+      .write.mode("overwrite")
+      .bucketBy(BandIndexBuckets, "bkey60").sortBy("bkey60")
+      .saveAsTable(outTable)
+  }
+
+  /** Files per bucket before compaction triggers: every append adds
+    * one file per bucket it touches, and probe cost grows with the
+    * per-bucket file count (each is opened and merge-read). */
+  val DefaultMaxFilesPerBucket = 16
+
+  /** The band-index merge policy — [[appendBandIndex]] grows file
+    * segments without bound; THIS decides when to fold them (the
+    * [[graft.ops.GraphAnn.maintainGraphIndex]] analog): ONE
+    * metadata-cheap file listing of the table location, and past
+    * `maxFilesPerBucket` average files per bucket the index rewrites
+    * into `outTable` via [[compactBandIndex]]. Returns true when a
+    * compaction ran — the caller swaps its pointer and retires the
+    * old generation. */
+  def maintainBandIndex(
+      s: SparkSession, table: String, outTable: String,
+      maxFilesPerBucket: Int = DefaultMaxFilesPerBucket): Boolean = {
+    val loc = new org.apache.hadoop.fs.Path(
+      s.sql(s"DESCRIBE EXTENDED $table").filter(col("col_name") === "Location")
+        .head().getString(1))
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val nFiles = fs.listStatus(loc).count(f => f.getPath.getName.endsWith(".parquet"))
+    if (nFiles > maxFilesPerBucket.toLong * BandIndexBuckets) {
+      compactBandIndex(s, table, outTable)
+      true
+    } else false
+  }
+
   /** Band counts the sweep evaluates (NumHashes = 64 fixed, so
     * rows-per-band = 64/b): more bands → looser match requirement →
     * higher recall, lower precision — the LSH S-curve. */

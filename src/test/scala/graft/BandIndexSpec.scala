@@ -61,6 +61,26 @@ class BandIndexSpec extends AnyFunSuite {
     assert(streamed == direct)
   }
 
+  test("maintenance: no-op below the file threshold; compaction yields identical probes with global caps") {
+    Dedup.writeBandIndex(spark, sf, "band_idx_m")
+    // fresh single-generation index: far below any file threshold
+    assert(!Dedup.maintainBandIndex(spark, "band_idx_m", "band_idx_m2"))
+    // force the policy: threshold 0 files per bucket always triggers
+    assert(Dedup.maintainBandIndex(spark, "band_idx_m", "band_idx_m2",
+      maxFilesPerBucket = 0))
+    val before = Dedup.dedupIncrementalIndexed(spark, sf, "band_idx_m").collect().toSeq
+    val after = Dedup.dedupIncrementalIndexed(spark, sf, "band_idx_m2").collect().toSeq
+    assert(after == before, "generation swap must be answer-stable")
+    // the compacted generation's bucket_n is GLOBAL (equals the
+    // true per-key row counts)
+    val counts = spark.table("band_idx_m2")
+      .groupBy("bkey60").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.table("band_idx_m2").select("bkey60", "bucket_n").collect()
+      .foreach(r => assert(r.getLong(1) == counts(r.getLong(0)),
+        s"stale bucket_n for key ${r.getLong(0)}"))
+  }
+
   test("probe join: the bucketed corpus side reads in place — exactly one Exchange (the batch's)") {
     Dedup.writeBandIndex(spark, sf, "band_idx_plan")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
