@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.functions.VectorFunctions.r6
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1387,12 +1387,25 @@ object Dedup {
           s"transform(sequence(0, ${Bands - 1}), " +
             s"b -> struct(b AS band, slice(sig, b * $RowsPerBand + 1, $RowsPerBand) AS bkey))"))
           .as("bb"))
-      .select(col("doc_id"), col("sig"),
+      .select(col("doc_id"), col("sig"), col("bb.band").cast("int").as("band"),
         graft.functions.CrossHash.md5Hash60Col(expr(
           "concat(cast(bb.band AS string), ':', " +
             "concat_ws(',', transform(bb.bkey, x -> cast(x AS string))))"))
           .as("bkey60"))
   }
+
+  /** The TRUE band key a row belongs to — (band, its signature
+    * slice), recomputable from stored columns. The hot-bucket cap
+    * counts over THIS, not bkey60: a 60-bit collision merging two
+    * real buckets must never push their combined count over the cap
+    * and silently drop rows the inline detector keeps (collisions
+    * may only ADD candidates — the probe-side contract). */
+  private def trueBandKeyCols: Seq[Column] =
+    Seq(col("band"), expr(s"slice(sig, band * $RowsPerBand + 1, $RowsPerBand)"))
+
+  private def withBucketN(rows: DataFrame): DataFrame =
+    rows.withColumn("bucket_n",
+      count(lit(1)).over(Window.partitionBy(trueBandKeyCols: _*)))
 
   /** Materialize the corpus's MinHash band rows as a BUCKETED table —
     * the missing half of [[dedupIncremental]]'s at-scale story: with
@@ -1407,11 +1420,8 @@ object Dedup {
     * (a compaction rewrite restores global counts, the
     * maintainGraphIndex pattern). */
   def writeBandIndex(s: SparkSession, dir: String, table: String): Unit = {
-    import org.apache.spark.sql.expressions.Window
     val corpus = t(s, dir, "documents").filter(col("doc_id") % 10 =!= 0)
-    bandRows(corpus)
-      .withColumn("bucket_n",
-        count(lit(1)).over(Window.partitionBy(col("bkey60"))))
+    withBucketN(bandRows(corpus))
       .write.mode("overwrite")
       .bucketBy(BandIndexBuckets, "bkey60").sortBy("bkey60")
       .saveAsTable(table)
@@ -1423,13 +1433,9 @@ object Dedup {
     * segments; the cap exists to bound skew fan-out, so a
     * per-segment bound is the same protection (and a periodic
     * compaction rewrite recomputes global counts). */
-  def appendBandIndex(s: SparkSession, batch: DataFrame, table: String): Unit = {
-    import org.apache.spark.sql.expressions.Window
-    bandRows(batch)
-      .withColumn("bucket_n",
-        count(lit(1)).over(Window.partitionBy(col("bkey60"))))
+  def appendBandIndex(batch: DataFrame, table: String): Unit =
+    withBucketN(bandRows(batch))
       .write.mode("append").insertInto(table)
-  }
 
   /** [[dedupIncremental]] against the PERSISTED band index: the
     * incoming batch computes its own band rows and equi-joins the
@@ -1463,16 +1469,12 @@ object Dedup {
     * rule: the old generation stays queryable until the caller flips
     * its pointer. No text is re-hashed — the band rows already carry
     * everything. */
-  def compactBandIndex(s: SparkSession, table: String, outTable: String): Unit = {
-    import org.apache.spark.sql.expressions.Window
-    s.table(table)
-      .select(col("doc_id"), col("sig"), col("bkey60"))
-      .withColumn("bucket_n",
-        count(lit(1)).over(Window.partitionBy(col("bkey60"))))
+  def compactBandIndex(s: SparkSession, table: String, outTable: String): Unit =
+    withBucketN(s.table(table)
+        .select(col("doc_id"), col("sig"), col("band"), col("bkey60")))
       .write.mode("overwrite")
       .bucketBy(BandIndexBuckets, "bkey60").sortBy("bkey60")
       .saveAsTable(outTable)
-  }
 
   /** Files per bucket before compaction triggers: every append adds
     * one file per bucket it touches, and probe cost grows with the

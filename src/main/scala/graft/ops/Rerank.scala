@@ -262,6 +262,9 @@ object Rerank {
       .agg(
         min(when(same, struct(col("dist").as("dist"), col("vec_id").as("id")))).as("p"),
         min(when(!same, struct(col("dist").as("dist"), col("vec_id").as("id")))).as("n"))
+      // an anchor missing either polarity has no triplet — dropped,
+      // matching the oracle's inner p⋈n join
+      .filter(col("p").isNotNull && col("n").isNotNull)
       .select(col("anchor_id"),
         col("p.id").as("pos_id"), col("p.dist").as("pos_dist"),
         col("n.id").as("neg_id"), col("n.dist").as("neg_dist"),

@@ -525,15 +525,18 @@ object Retrieval {
     val d = t(s, dir, "documents")
     val chunkUdf = udf((txt: String) =>
       graft.ingest.Chunker.chunkLines(txt, TextOps.ChunkStatsSize))
+    // chunk identity is a STRUCT key (groupBy handles it natively) —
+    // no doc_id*K+idx packing, so no chunk-count overflow at any
+    // document size
     val chunks = d
       .select(col("doc_id"),
         posexplode(chunkUdf(translate(col("text"), " ", "\n")))
           .as(Seq("chunk_idx", "ctext")))
-      .select((col("doc_id") * 100000 + col("chunk_idx")).as("cid"),
+      .select(struct(col("doc_id"), col("chunk_idx")).as("cid"),
         translate(col("ctext"), "\n", " ").as("text"))
     val scored = bm25Score(chunks, "cid", "text", QueryTerms)
-      .select(expr("cid div 100000").cast("long").as("doc_id"),
-        pmod(col("cid"), lit(100000)).cast("long").as("chunk_idx"),
+      .select(col("cid.doc_id").as("doc_id"),
+        col("cid.chunk_idx").cast("long").as("chunk_idx"),
         col("score"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("chunk_idx"))

@@ -714,16 +714,23 @@ object TextOps {
     * the five sums are bit-identical in both engines; the closed-form
     * slope/intercept/R² arithmetic is mirrored operation-for-
     * operation on those identical doubles. */
-  def zipfFit(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.OracleMath
-    val d = t(s, dir, "documents")
+  /** The ranked vocabulary head shared by [[zipfFit]] and
+    * [[vocabCoverage]]: top-`n` types by (count, word) via a bounded
+    * TakeOrderedAndProject, ranks from a window over that ≤n-row
+    * slice — the full vocabulary is never globally sorted. */
+  private def vocabHead(d: DataFrame, n: Int): DataFrame = {
     val top = d.select(explode(split(col("text"), " ")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("word")).limit(ZipfTopN)
-    val ranked = top.withColumn("rnk",
+      .orderBy(col("cnt").desc, col("word")).limit(n)
+    top.withColumn("rnk",
       row_number().over(Window.partitionBy(
         graft.functions.WindowKeys.boundedRankKey(col("word")))
         .orderBy(col("cnt").desc, col("word"))))
+  }
+
+  def zipfFit(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.OracleMath
+    val ranked = vocabHead(t(s, dir, "documents"), ZipfTopN)
     val terms = ranked
       .select(r6(log(col("rnk").cast("double"))).as("x"),
         r6(log(col("cnt").cast("double"))).as("y"))
@@ -810,17 +817,11 @@ object TextOps {
     * max(grid) rows. The full vocabulary is never ranked. */
   def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    val kMax = CoverageGrid.max
     val total = d.agg(sum(size(split(col("text"), " ")).cast("long")).as("total"))
-    val top = d.select(explode(split(col("text"), " ")).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("word")).limit(kMax)
-    val ranked = top.withColumn("rnk",
-      row_number().over(Window.partitionBy(
-        graft.functions.WindowKeys.boundedRankKey(col("word")))
-        .orderBy(col("cnt").desc, col("word"))))
+    val ranked = vocabHead(d, CoverageGrid.max)
     val covCols = CoverageGrid.map(k =>
-      sum(when(col("rnk") <= k, col("cnt")).otherwise(lit(0L))).as(s"c$k"))
+      coalesce(sum(when(col("rnk") <= k, col("cnt")).otherwise(lit(0L))), lit(0L))
+        .as(s"c$k"))
     val covered = ranked.agg(covCols.head, covCols.tail: _*)
     val stackExpr = CoverageGrid
       .map(k => s"CAST($k AS BIGINT), c$k").mkString(", ")
@@ -850,7 +851,7 @@ object TextOps {
        |    AS n_covered,
        |  round(CAST(COALESCE(SUM(CASE WHEN r.rnk <= g.k THEN r.cnt ELSE 0 END), 0)
        |             AS DOUBLE) / (SELECT total FROM tot), 6) + 0 AS frac
-       |FROM g CROSS JOIN r
+       |FROM g LEFT JOIN r ON TRUE
        |GROUP BY g.k
        |ORDER BY g.k""".stripMargin
   }

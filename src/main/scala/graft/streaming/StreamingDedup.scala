@@ -95,7 +95,7 @@ object StreamingDedup {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        Dedup.appendBandIndex(batch.sparkSession, batch, table)
+        Dedup.appendBandIndex(batch, table)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
   }

@@ -35,7 +35,7 @@ class BandIndexSpec extends AnyFunSuite {
     val tmpDir = java.nio.file.Files.createTempDirectory("graft-bandseg").toString
     firstHalf.write.mode("overwrite").parquet(s"$tmpDir/documents.parquet")
     Dedup.writeBandIndex(spark, tmpDir, "band_idx_seg")
-    Dedup.appendBandIndex(spark, secondHalf, "band_idx_seg")
+    Dedup.appendBandIndex(secondHalf, "band_idx_seg")
     val oneShot = Dedup.dedupIncrementalIndexed(spark, sf, "band_idx_all").collect().toSeq
     val segmented = Dedup.dedupIncrementalIndexed(spark, sf, "band_idx_seg").collect().toSeq
     assert(segmented == oneShot)
@@ -72,13 +72,13 @@ class BandIndexSpec extends AnyFunSuite {
     val after = Dedup.dedupIncrementalIndexed(spark, sf, "band_idx_m2").collect().toSeq
     assert(after == before, "generation swap must be answer-stable")
     // the compacted generation's bucket_n is GLOBAL (equals the
-    // true per-key row counts)
+    // true per-(band, key) row counts)
     val counts = spark.table("band_idx_m2")
-      .groupBy("bkey60").count().collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    spark.table("band_idx_m2").select("bkey60", "bucket_n").collect()
-      .foreach(r => assert(r.getLong(1) == counts(r.getLong(0)),
-        s"stale bucket_n for key ${r.getLong(0)}"))
+      .groupBy("band", "bkey60").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    spark.table("band_idx_m2").select("band", "bkey60", "bucket_n").collect()
+      .foreach(r => assert(r.getLong(2) == counts((r.getInt(0), r.getLong(1))),
+        s"stale bucket_n for key ${r.getLong(1)}"))
   }
 
   test("probe join: the bucketed corpus side reads in place — exactly one Exchange (the batch's)") {
