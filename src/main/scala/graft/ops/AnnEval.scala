@@ -458,7 +458,73 @@ object AnnEval {
        |ORDER BY nprobe""".stripMargin
   }
 
+  // ------------------------------------------------ hubness audit
+
+  private val HubProbes = 20
+  private val HubK = 5
+  private val HubTop = 10
+
+  /** Hubness audit (Radovanović et al., JMLR 2010) — the
+    * embedding-space pathology ANN recall numbers hide: in high
+    * dimensions some vectors ("hubs") appear in a wildly
+    * disproportionate share of OTHER points' k-NN lists, dragging
+    * retrieval toward the same results regardless of query. Measured
+    * as k-occurrence over the [[HubProbes]]-probe holdout (the
+    * knn_label_eval sampling convention): each probe's exact top-5
+    * among the corpus, then how often each corpus vector occurs —
+    * the top-[[HubTop]] occurrence counts ARE the hub report, and a
+    * max far above k·probes/corpus is the red flag that precedes
+    * bad retrieval diversity (the case for [[graft.ops.Rerank
+    * .mmrTopk]] rerank or [[graft.ops.Pca]] whitening).
+    *
+    * Scale shape: the probe slice broadcasts, ONE corpus scan scores
+    * all probes, per-probe top-k is a bounded rank window, the
+    * occurrence count is a tiny aggregation — the batch-kNN plan
+    * plus one groupBy. */
+  def hubnessReport(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.cosineDist
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.t(s, dir, "embeddings")
+    val qs = e.filter(col("vec_id") < HubProbes)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("vec_id"))
+    e.filter(col("vec_id") >= HubProbes)
+      .crossJoin(broadcast(qs))
+      .withColumn("dist", r6(cosineDist(col("embedding"), col("qe"))))
+      .filter(!isnan(col("dist")) && col("dist").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= HubK)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("vec_id"))
+      .limit(HubTop)
+  }
+
+  val hubnessReportSql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+       |           WHERE vec_id < $HubProbes),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id,
+       |    round(1.0 - list_sum(list_transform(range(1, len(e.embedding)+1),
+       |              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+       |          / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+       |             * sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) + 0 AS dist
+       |  FROM embeddings e, q
+       |  WHERE e.vec_id >= $HubProbes),
+       |topk AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, dist,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+       |    FROM scored
+       |    WHERE dist IS NOT NULL AND NOT isnan(dist))
+       |  WHERE rn <= $HubK)
+       |SELECT vec_id, COUNT(*) AS n_occ
+       |FROM topk GROUP BY vec_id
+       |ORDER BY n_occ DESC, vec_id
+       |LIMIT $HubTop""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hubness_report" -> (hubnessReport _),
     "ivf_probe_sweep" -> (ivfProbeSweep _),
     "ann_recall_report" -> (annRecallReport _),
     "ann_recall_batch" -> (annRecallBatch _),
@@ -466,6 +532,7 @@ object AnnEval {
     "retrieval_ndcg" -> (retrievalNdcg _))
 
   val oracles: Map[String, String] = Map(
+    "hubness_report" -> hubnessReportSql,
     "ivf_probe_sweep" -> ivfProbeSweepSql,
     "ann_recall_report" -> annRecallReportSql,
     "ann_recall_batch" -> annRecallBatchSql,
