@@ -469,6 +469,22 @@ class PlanSpec extends AnyFunSuite {
     assert(allSpecs > 0 && allSpecs == keyed, s"unkeyed window: $plan")
   }
 
+  test("best_passage: bounded top-k head; chunk stats ride a 1-row broadcast — no cartesian") {
+    val plan = graft.ops.Retrieval.bestPassage(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan: $plan")
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+  }
+
+  test("hubness_report: probes broadcast; every window keyed by query_id") {
+    val plan = graft.ops.AnnEval.hubnessReport(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+    val allSpecs = "windowspecdefinition\\(".r.findAllIn(plan).size
+    val keyed = "windowspecdefinition\\(query_id#".r.findAllIn(plan).size
+    assert(allSpecs > 0 && allSpecs == keyed, s"unkeyed window: $plan")
+  }
+
   test("media_dedup: postings shuffle carries fingerprints, pairs expand map-side — no cartesian/SMJ") {
     val plan = graft.ops.Multimodal.mediaDedup(spark, sf)
       .queryExecution.executedPlan.toString
