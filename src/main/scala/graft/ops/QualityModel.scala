@@ -35,8 +35,14 @@ object QualityModel {
   /** Per-doc design matrix + weak label. f2/f3 are r6-rounded (the
     * §8.5 bridge rule); y compares UNROUNDED doubles — identical
     * integer-derived ratios on both engines (gopher precedent). */
-  private[graft] def featureFrame(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
+  private[graft] def featureFrame(s: SparkSession, dir: String): DataFrame =
+    featuresOf(t(s, dir, "documents"))
+
+  /** The feature projection on ANY (doc_id, text) relation — ONE
+    * definition shared by the batch fit/score and the streaming
+    * scorer ([[graft.streaming.StreamingIndex.qualityScoreStream]]),
+    * the gopherScore batch/stream convention. */
+  private[graft] def featuresOf(d: DataFrame): DataFrame = {
     val w = split(col("text"), " ")
     val nw = size(w)
     val mwl = (length(col("text")) - nw + 1).cast("double") / nw
@@ -101,12 +107,20 @@ object QualityModel {
     * predicted quality — the map-only projection pass (weights ride
     * along as literals; at scale this is scan → project → bounded
     * top-k, no shuffle beyond TakeOrdered's). */
-  def qualityScored(s: SparkSession, dir: String): DataFrame = {
-    val (w1, w2, w3) = fitWeights(s, dir)
-    featureFrame(s, dir)
+  /** Map-only scoring of ANY (doc_id, text) relation under frozen
+    * weights — the projection both [[qualityScored]] and the
+    * streaming twin apply (shared definition, so batch and stream
+    * arithmetic cannot drift). */
+  private[graft] def scoreWith(
+      d: DataFrame, w1: Double, w2: Double, w3: Double): DataFrame =
+    featuresOf(d)
       .withColumn("quality",
         r6(lit(w1) + lit(w2) * col("f2") + lit(w3) * col("f3")))
       .select(col("doc_id"), col("quality"))
+
+  def qualityScored(s: SparkSession, dir: String): DataFrame = {
+    val (w1, w2, w3) = fitWeights(s, dir)
+    scoreWith(t(s, dir, "documents"), w1, w2, w3)
       .orderBy(col("quality").desc, col("doc_id"))
       .limit(ScoredK)
   }

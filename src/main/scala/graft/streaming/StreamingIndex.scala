@@ -206,6 +206,20 @@ object StreamingIndex {
       .select(col("doc_id"), col("lang"),
         col("sc._1").as("n_feats"), col("sc._2").as("logw"))
 
+  /** Streaming quality-model scorer — train-on-history /
+    * score-the-stream for the learned ridge model: the THREE frozen
+    * coefficients ([[graft.ops.QualityModel.fitWeights]] on the
+    * historical corpus) ride as literals, and scoring is the ONE
+    * shared map-only projection ([[graft.ops.QualityModel.scoreWith]])
+    * — no state store, no watermark, no shuffle; batch ≡ stream row
+    * equality asserted in StreamingSpec. A model refresh is a stream
+    * restart with refitted weights (model swap, not state
+    * migration — the dsirScoreStream convention). Ranking/top-k
+    * stays a batch/window concern downstream. */
+  def qualityScoreStream(
+      docs: DataFrame, w1: Double, w2: Double, w3: Double): DataFrame =
+    graft.ops.QualityModel.scoreWith(docs.filter(col("text").isNotNull), w1, w2, w3)
+
   /** Streaming Bloom decontamination — the same train-on-history /
     * score-the-stream split as [[dsirScoreStream]]: the 2 KB
     * benchmark bitset ([[graft.ops.Bloom.benchBitset]], frozen at

@@ -216,6 +216,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("quality stream ≡ batch scoring: frozen-weights map-only projection, row equality") {
+    val dir = "/root/testdata/sf0.001"
+    val (w1, w2, w3) = graft.ops.QualityModel.fitWeights(spark, dir)
+    val batch = graft.ops.QualityModel
+      .scoreWith(spark.read.parquet(s"$dir/documents.parquet"), w1, w2, w3)
+      .orderBy(col("doc_id")).collect().map(_.toString).toSeq
+    val src = Files.createTempDirectory("graft-qual-eq").resolve("docs").toString
+    spark.read.parquet(s"$dir/documents.parquet")
+      .write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .parquet(src)
+    val q = StreamingIndex.qualityScoreStream(stream, w1, w2, w3)
+      .writeStream.format("memory").queryName("qual_eq").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("SELECT * FROM qual_eq")
+      .orderBy(col("doc_id")).collect().map(_.toString).toSeq
+    // one shared projection (QualityModel.scoreWith) → bit equality;
+    // no state store, no watermark, no shuffle anywhere
+    assert(streamed == batch, s"stream ${streamed.size} vs batch ${batch.size}")
+    assert(batch.nonEmpty)
+  }
+
   test("bloom stream ≡ batch bloom_decontaminate: frozen-bitset map-only scoring") {
     val dir = "/root/testdata/sf0.001"
     val batch = graft.ops.Bloom.bloomDecontaminate(spark, dir)
