@@ -173,6 +173,29 @@ object Dedup {
     * mirrored verbatim in the oracle SQL so semantics match. */
   val MaxPosting = 1000
 
+  /** Hot-bucket pre-cap: count each bucket with a window over its
+    * keys and drop out-of-range buckets BEFORE any member list
+    * materializes. The window buffers each group in Spark's
+    * spillable row array, so a mega-bucket (10⁶ boilerplate mirrors
+    * landing in one band bucket at crawl scale) spills to disk and
+    * is then filtered away — where the old `collect_list →
+    * filter(size ≤ cap)` order built the full member list inside ONE
+    * in-memory aggregation buffer first (≈0.5 GB for 10⁶ members ⇒
+    * executor OOM). Keeping the group keys identical lets the
+    * downstream groupBy reuse the window's hash exchange, so the
+    * shuffle count is unchanged. Row-set semantics are exactly the
+    * post-agg size filter's — grouping the surviving rows yields
+    * precisely the in-range buckets — so the `HAVING COUNT(*)
+    * BETWEEN` oracles are untouched. The persisted band index's
+    * stored `bucket_n` column ([[writeBandIndex]]) is the same idea
+    * paid once at write time. */
+  private[graft] def capBuckets(df: DataFrame, keys: Seq[String],
+      lo: Int = 2, hi: Int = MaxPosting): DataFrame =
+    df.withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+      .filter(col("bucket_n").between(lo, hi))
+      .drop("bucket_n")
+
   /** Word-shingle Jaccard near-dup pairs via inverted-index posting
     * lists: group by shingle hash, emit each posting list's pair
     * combinations map-side, count pair co-occurrences = |A∩B|;
@@ -186,10 +209,9 @@ object Dedup {
     * bounds fan-out under shingle skew. */
   def dedupJaccard(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    val buckets = hashedPostings(d)
+    val buckets = capBuckets(hashedPostings(d), Seq("shingle"))
       .groupBy(col("shingle"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("docs"))
-      .filter(size(col("docs")).between(2, MaxPosting))
     buckets
       .select(explode(expr(
         "flatten(transform(docs, (x, i) -> " +
@@ -305,25 +327,26 @@ object Dedup {
         .as("bb"))
       .select(col("bb.band").as("band"), col("bb.bkey").as("bkey"),
         col("doc_id"), col("sig"))
-    val buckets = banded
+    val buckets = capBuckets(banded, Seq("band", "bkey"))
       .groupBy(col("band"), col("bkey"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("members"))
-      .filter(size(col("members")).between(2, MaxPosting))
-    val cand = buckets
+    // est is a pure function of the two signatures, so it is scored
+    // map-side inside the bucket expansion and only the narrow
+    // (doc_a, doc_b, est) triple rides the distinct shuffle — the
+    // 2×64-hash signature payload never leaves the bucket task.
+    // Filter-then-distinct ≡ distinct-then-filter because every copy
+    // of a pair carries the identical deterministic est.
+    buckets
       .select(explode(expr(
         "flatten(transform(members, (m, i) -> " +
           "transform(slice(members, i + 2, size(members)), n -> " +
           "struct(m.doc_id AS doc_a, n.doc_id AS doc_b, m.sig AS sig_a, n.sig AS sig_b))))"))
         .as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        col("p.sig_a").as("sig_a"), col("p.sig_b").as("sig_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    cand
-      .withColumn("est_jaccard",
-        r6(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
-          .cast("double") / NumHashes))
+        r6(size(filter(zip_with(col("p.sig_a"), col("p.sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / NumHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.35)
-      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .dropDuplicates("doc_a", "doc_b")
       .orderBy(col("est_jaccard").desc, col("doc_a"), col("doc_b"))
   }
 
@@ -483,10 +506,9 @@ object Dedup {
         col("doc_id"), col("fp"))
     // same bucket-collect shape as minhashLsh: one shuffle, pairs
     // expand map-side inside each (band, value) bucket
-    val buckets = banded
+    val buckets = capBuckets(banded, Seq("band", "bval"))
       .groupBy(col("band"), col("bval"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("fp")))).as("members"))
-      .filter(size(col("members")).between(2, MaxPosting))
     buckets
       .select(explode(expr(
         "flatten(transform(members, (m, i) -> " +
@@ -495,8 +517,8 @@ object Dedup {
         .as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         bit_count(col("p.fp_a").bitwiseXOR(col("p.fp_b"))).cast("long").as("hamming"))
-      .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= 3)
+      .dropDuplicates("doc_a", "doc_b")
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
   }
 
@@ -577,9 +599,9 @@ object Dedup {
     val wins = d
       .select(col("doc_id"), posexplode(spanHashUdf(col("text"))).as(Seq("ord", "h")))
       .select(col("doc_id"), (col("ord") * SpanStride).cast("long").as("pos"), col("h"))
-    val buckets = wins.groupBy(col("h"))
+    val buckets = capBuckets(wins, Seq("h"))
+      .groupBy(col("h"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("pos")))).as("docs"))
-      .filter(size(col("docs")).between(2, MaxPosting))
     buckets
       .select(explode(expr(
         "flatten(transform(docs, (x, i) -> " +
@@ -677,10 +699,9 @@ object Dedup {
         .as("bb"))
       .select(col("bb.band").as("band"), col("bb.bval").as("bval"),
         col("doc_id"), col("fp"))
-    val buckets = banded
+    val buckets = capBuckets(banded, Seq("band", "bval"))
       .groupBy(col("band"), col("bval"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("fp")))).as("members"))
-      .filter(size(col("members")).between(2, MaxPosting))
     buckets
       .select(explode(expr(
         "flatten(transform(members, (m, i) -> " +
@@ -689,8 +710,8 @@ object Dedup {
         .as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         bit_count(col("p.fp_a").bitwiseXOR(col("p.fp_b"))).cast("long").as("hamming"))
-      .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= 3)
+      .dropDuplicates("doc_a", "doc_b")
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
   }
 
@@ -786,9 +807,9 @@ object Dedup {
   def winnowPairs(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val fp = d.select(col("doc_id"), explode(winnowUdf(col("text"))).as("h"))
-    val buckets = fp.groupBy(col("h"))
+    val buckets = capBuckets(fp, Seq("h"))
+      .groupBy(col("h"))
       .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
-      .filter(size(col("docs")).between(2, MaxPosting))
     buckets
       .select(explode(expr(
         "flatten(transform(docs, (x, i) -> " +
@@ -1191,10 +1212,9 @@ object Dedup {
     * common/n_b plus their max as the ranking key. */
   def containmentDedup(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    val buckets = hashedPostings(d)
+    val buckets = capBuckets(hashedPostings(d), Seq("shingle"))
       .groupBy(col("shingle"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("docs"))
-      .filter(size(col("docs")).between(2, MaxPosting))
     buckets
       .select(explode(expr(
         "flatten(transform(docs, (x, i) -> " +
@@ -1492,11 +1512,22 @@ object Dedup {
   def maintainBandIndex(
       s: SparkSession, table: String, outTable: String,
       maxFilesPerBucket: Int = DefaultMaxFilesPerBucket): Boolean = {
-    val loc = new org.apache.hadoop.fs.Path(
-      s.sql(s"DESCRIBE EXTENDED $table").filter(col("col_name") === "Location")
-        .head().getString(1))
+    // resolve the table location through the catalog API — string-
+    // parsing DESCRIBE EXTENDED output breaks silently across
+    // metastore formats, and a silent mis-parse here would disable
+    // compaction forever rather than fail loudly
+    val meta = s.sessionState.catalog.getTableMetadata(
+      s.sessionState.sqlParser.parseTableIdentifier(table))
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
     val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val nFiles = fs.listStatus(loc).count(f => f.getPath.getName.endsWith(".parquet"))
+    var nFiles = 0L
+    val it = fs.listFiles(loc, /* recursive = */ true)
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) nFiles += 1
+    }
+    require(nFiles > 0,
+      s"band index $table at $loc lists no parquet data files — " +
+        "layout changed? refusing to silently skip compaction")
     if (nFiles > maxFilesPerBucket.toLong * BandIndexBuckets) {
       compactBandIndex(s, table, outTable)
       true
@@ -1540,10 +1571,14 @@ object Dedup {
           .stripMargin)).as("bb"))
       .select(col("bb.nb").as("nb"), col("bb.band").as("band"),
         col("bb.bkey").as("bkey"), col("doc_id"), col("sig"))
-    val buckets = banded
+    val buckets = capBuckets(banded, Seq("nb", "band", "bkey"))
       .groupBy(col("nb"), col("band"), col("bkey"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("members"))
-      .filter(size(col("members")).between(2, MaxPosting))
+    // est scored map-side inside the bucket expansion (it is a pure
+    // function of the two signatures) so only the narrow
+    // (nb, doc_a, doc_b) key rides the distinct shuffle — the
+    // 2×64-hash payload never leaves the bucket task (~8× fewer
+    // shuffle bytes on the heaviest query in the registry).
     val pred = buckets
       .select(col("nb"), explode(expr(
         "flatten(transform(members, (m, i) -> " +
@@ -1551,29 +1586,33 @@ object Dedup {
           "struct(m.doc_id AS doc_a, n.doc_id AS doc_b, m.sig AS sig_a, n.sig AS sig_b))))"))
         .as("p"))
       .select(col("nb"), col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        col("p.sig_a").as("sig_a"), col("p.sig_b").as("sig_b"))
-      .dropDuplicates("nb", "doc_a", "doc_b")
-      .withColumn("est",
-        r6(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
-          .cast("double") / NumHashes))
+        r6(size(filter(zip_with(col("p.sig_a"), col("p.sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / NumHashes).as("est"))
       .filter(col("est") >= PrefixTau)
+      .dropDuplicates("nb", "doc_a", "doc_b")
       .select(col("nb"), col("doc_a"), col("doc_b"), lit(1L).as("p"))
     val truth = dedupJaccardPrefix(s, dir)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
       .crossJoin(SweepBandings.toDF("nb"))
-    truth.join(pred, Seq("nb", "doc_a", "doc_b"), "full_outer")
+    // report totality: every banding in the grid emits a row even on
+    // a corpus where truth AND predictions are both empty (the
+    // ivf_probe_sweep / vocab_coverage explicit-grid convention).
+    val metrics = truth.join(pred, Seq("nb", "doc_a", "doc_b"), "full_outer")
       .groupBy(col("nb"))
       .agg(
         sum(coalesce(col("t"), lit(0L))).as("n_true"),
         sum(coalesce(col("p"), lit(0L))).as("n_pred"),
         sum(when(col("t").isNotNull && col("p").isNotNull, 1L).otherwise(0L)).as("tp"))
+    SweepBandings.toDF("nb").join(metrics, Seq("nb"), "left")
       .select(col("nb").cast("long").as("bands"),
         expr(s"CAST($NumHashes div nb AS BIGINT)").as("rows_per_band"),
-        col("n_true"), col("n_pred"), col("tp"),
-        r6(when(col("n_pred") === 0, 0.0)
-          .otherwise(col("tp").cast("double") / col("n_pred"))).as("prec"),
-        r6(when(col("n_true") === 0, 0.0)
-          .otherwise(col("tp").cast("double") / col("n_true"))).as("rec"))
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("prec", r6(when(col("n_pred") === 0, 0.0)
+        .otherwise(col("tp").cast("double") / col("n_pred"))))
+      .withColumn("rec", r6(when(col("n_true") === 0, 0.0)
+        .otherwise(col("tp").cast("double") / col("n_true"))))
       .orderBy(col("bands"))
   }
 
@@ -1637,20 +1676,21 @@ object Dedup {
        |    CASE WHEN g.doc_a IS NOT NULL THEN 1 ELSE 0 END AS t,
        |    CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END AS p
        |  FROM s_grid g FULL OUTER JOIN s_pred p
-       |    ON p.nb = g.nb AND p.doc_a = g.doc_a AND p.doc_b = g.doc_b)
-       |SELECT CAST(nb AS BIGINT) AS bands,
-       |  CAST($NumHashes // nb AS BIGINT) AS rows_per_band,
-       |  CAST(SUM(t) AS BIGINT) AS n_true,
-       |  CAST(SUM(p) AS BIGINT) AS n_pred,
-       |  CAST(SUM(CASE WHEN t = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-       |  round(CASE WHEN SUM(p) = 0 THEN 0.0
-       |             ELSE CAST(SUM(CASE WHEN t = 1 AND p = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-       |                  / SUM(p) END, 6) + 0 AS prec,
-       |  round(CASE WHEN SUM(t) = 0 THEN 0.0
-       |             ELSE CAST(SUM(CASE WHEN t = 1 AND p = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-       |                  / SUM(t) END, 6) + 0 AS rec
-       |FROM s_joined
-       |GROUP BY nb
+       |    ON p.nb = g.nb AND p.doc_a = g.doc_a AND p.doc_b = g.doc_b),
+       |s_metrics AS (
+       |  SELECT nb, SUM(t) AS n_true, SUM(p) AS n_pred,
+       |    SUM(CASE WHEN t = 1 AND p = 1 THEN 1 ELSE 0 END) AS tp
+       |  FROM s_joined GROUP BY nb)
+       |SELECT CAST(b.nb AS BIGINT) AS bands,
+       |  CAST($NumHashes // b.nb AS BIGINT) AS rows_per_band,
+       |  CAST(COALESCE(m.n_true, 0) AS BIGINT) AS n_true,
+       |  CAST(COALESCE(m.n_pred, 0) AS BIGINT) AS n_pred,
+       |  CAST(COALESCE(m.tp, 0) AS BIGINT) AS tp,
+       |  round(CASE WHEN COALESCE(m.n_pred, 0) = 0 THEN 0.0
+       |             ELSE CAST(m.tp AS DOUBLE) / m.n_pred END, 6) + 0 AS prec,
+       |  round(CASE WHEN COALESCE(m.n_true, 0) = 0 THEN 0.0
+       |             ELSE CAST(m.tp AS DOUBLE) / m.n_true END, 6) + 0 AS rec
+       |FROM s_bandings b LEFT JOIN s_metrics m ON m.nb = b.nb
        |ORDER BY bands""".stripMargin
   }
 

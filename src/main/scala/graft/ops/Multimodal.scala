@@ -228,9 +228,12 @@ object Multimodal {
           s"transform(sequence(0, greatest(int(ceil(octet_length(payload) / $FrameBytes.0)), 1) - 1), " +
             s"i -> substring(payload, i * $FrameBytes + 1, $FrameBytes))")).as("frame"))
       .select(col("doc_id"), CrossHash.md5Hash60Col(col("frame")).as("fp")).distinct()
-    val postings = frames.groupBy(col("fp"))
+    // hot-frame cap applied BEFORE any posting list materializes
+    // (the Dedup.capBuckets order — a watermark frame shared by 10⁶
+    // assets must never build a member list in one agg buffer)
+    val postings = Dedup.capBuckets(frames, Seq("fp"), hi = FrameBucketCap)
+      .groupBy(col("fp"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")).between(2, FrameBucketCap))
     postings
       .select(explode(expr(
         "flatten(transform(ds, (a, i) -> " +

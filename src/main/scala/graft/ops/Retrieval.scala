@@ -538,8 +538,13 @@ object Retrieval {
       .select(col("cid.doc_id").as("doc_id"),
         col("cid.chunk_idx").cast("long").as("chunk_idx"),
         col("score"))
+    // rank on the ROUNDED score (r6-before-compare, the bm25Topk /
+    // hubness_report bridge rule): ln() may differ from DuckDB's in
+    // the last ulps, so a near-tied chunk pair ranked on the raw
+    // double could pick different winners per engine; chunk_idx
+    // breaks exact ties deterministically
     val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("chunk_idx"))
+      .orderBy(r6(col("score")).desc, col("chunk_idx"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("chunk_idx"), r6(col("score")).as("score"))
@@ -594,7 +599,7 @@ object Retrieval {
        |best AS (
        |  SELECT doc_id, chunk_idx, score FROM (
        |    SELECT *, row_number() OVER (PARTITION BY doc_id
-       |      ORDER BY score DESC, chunk_idx) AS rn
+       |      ORDER BY round(score, 6) + 0 DESC, chunk_idx) AS rn
        |    FROM bm)
        |  WHERE rn = 1)
        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,

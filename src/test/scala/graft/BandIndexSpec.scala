@@ -81,6 +81,45 @@ class BandIndexSpec extends AnyFunSuite {
         s"stale bucket_n for key ${r.getLong(1)}"))
   }
 
+  test("planted hot bucket straddling segments: per-segment caps diverge from inline; compaction restores equality") {
+    import spark.implicits._
+    // one band bucket of 1300 identical docs, split 650/650 across two
+    // segments: each segment's bucket_n is under MaxPosting, so the
+    // per-segment cap ADMITS what the inline detector's global cap
+    // suppresses — the documented appendBandIndex divergence. The
+    // sibling equality tests hold only because no fixture bucket
+    // straddles the cap; this plants the straddle and pins both the
+    // divergence and that compaction (global recount) closes it.
+    val hotText = "alpha beta gamma delta epsilon"
+    val corpusIds = (1L to 1500L).filter(_ % 10 != 0).take(1300)
+    val (idsA, idsB) = corpusIds.splitAt(650)
+    val probeId = 10L
+    def docs(ids: Seq[Long]) =
+      ids.toDF("doc_id").select(col("doc_id"), lit(hotText).as("text"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-straddle").toString
+    docs(corpusIds :+ probeId).write.mode("overwrite")
+      .parquet(s"$tmp/full/documents.parquet")
+    docs(idsA).write.mode("overwrite").parquet(s"$tmp/segA/documents.parquet")
+    spark.sql("DROP TABLE IF EXISTS band_idx_straddle")
+    Dedup.writeBandIndex(spark, s"$tmp/segA", "band_idx_straddle")
+    Dedup.appendBandIndex(docs(idsB), "band_idx_straddle")
+    // inline: the 1300-member bucket exceeds MaxPosting → no matches
+    val inline = Dedup.dedupIncremental(spark, s"$tmp/full").collect()
+    assert(inline.isEmpty, s"inline cap must suppress the hot bucket: ${inline.toSeq}")
+    // indexed, pre-compaction: per-segment counts (650 ≤ cap) admit it
+    val indexed = Dedup.dedupIncrementalIndexed(spark, s"$tmp/full", "band_idx_straddle")
+      .collect()
+    assert(indexed.length == 1 && indexed.head.getAs[Long]("n_dups") == 1300L,
+      s"per-segment caps must admit the straddling bucket: ${indexed.toSeq}")
+    // compaction recomputes GLOBAL bucket_n → equality with inline
+    spark.sql("DROP TABLE IF EXISTS band_idx_straddle_c")
+    Dedup.compactBandIndex(spark, "band_idx_straddle", "band_idx_straddle_c")
+    val compacted = Dedup.dedupIncrementalIndexed(spark, s"$tmp/full", "band_idx_straddle_c")
+      .collect()
+    assert(compacted.isEmpty,
+      s"global recount must restore the inline cap: ${compacted.toSeq}")
+  }
+
   test("probe join: the bucketed corpus side reads in place — exactly one Exchange (the batch's)") {
     Dedup.writeBandIndex(spark, sf, "band_idx_plan")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

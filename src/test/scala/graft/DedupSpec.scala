@@ -209,4 +209,34 @@ class DedupSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("capBuckets: a planted mega-bucket is eliminated BEFORE any member list materializes") {
+    val hot = (1 to Dedup.MaxPosting + 7).map(i => ("hot", i.toLong))
+    val ok = Seq(("ok", 1L), ("ok", 2L), ("ok", 3L))
+    val solo = Seq(("solo", 9L))
+    val df = (hot ++ ok ++ solo).toDF("k", "v")
+    val agged = Dedup.capBuckets(df, Seq("k"))
+      .groupBy("k").agg(sort_array(collect_list(col("v"))).as("members"))
+    val got = agged.collect().map(r => (r.getString(0), r.getSeq[Long](1))).toSeq
+    assert(got == Seq(("ok", Seq(1L, 2L, 3L))),
+      s"mega-bucket and singleton must be dropped: $got")
+    // order pin (the 100 TB OOM guard this shape exists for): the cap
+    // filter is a DESCENDANT of the member aggregate in the plan tree
+    // — children print after parents, so the bucket_n cap must appear
+    // after collect_list — meaning no member list is ever built for a
+    // bucket the cap rejects
+    val full = agged.queryExecution.executedPlan.toString
+    val plan = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i => full.substring(0, i)
+    }
+    val aggIdx = plan.indexOf("collect_list")
+    val capIdx = plan.indexOf("bucket_n")
+    assert(aggIdx >= 0 && capIdx >= 0 && aggIdx < capIdx,
+      s"cap must sit below the member aggregate: $plan")
+    // the member aggregate reuses the cap window's hash exchange —
+    // the pre-cap costs zero extra shuffles
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"groupBy must reuse the window exchange: $plan")
+  }
 }

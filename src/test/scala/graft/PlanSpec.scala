@@ -503,6 +503,27 @@ class PlanSpec extends AnyFunSuite {
     assert(smj <= 2, s"pair generation must stay join-free: $plan")
   }
 
+  test("minhash_lsh: hot-bucket cap sits BELOW the member aggregate (pre-materialization)") {
+    val full = graft.ops.Dedup.minhashLsh(spark, sf)
+      .queryExecution.executedPlan.toString
+    val plan = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i => full.substring(0, i)
+    }
+    // children print after parents: the bucket_n cap filter must be a
+    // descendant of the collect_list aggregate, so no member list is
+    // ever materialized for a bucket the cap rejects
+    val aggIdx = plan.indexOf("collect_list")
+    val capIdx = plan.indexOf("bucket_n")
+    assert(aggIdx >= 0 && capIdx >= 0 && aggIdx < capIdx,
+      s"cap must be below the member aggregate: $plan")
+    // est is scored map-side in the bucket expansion — the 64-hash
+    // signatures never ride the pair-distinct shuffle
+    val distinctAgg = "HashAggregate\\(keys=\\[doc_a[^\\]]*\\]".r.findFirstIn(plan)
+    assert(distinctAgg.exists(!_.contains("sig")),
+      s"signatures must not ride the distinct shuffle: $distinctAgg")
+  }
+
   test("kmeans_par_init: weighting is one map-only argmin + tiny aggregation") {
     val plan = graft.ops.KMeansVec.kmeansParInit(spark, sf)
       .queryExecution.executedPlan.toString
