@@ -314,6 +314,49 @@ object KMeansVec {
       .partitionBy("cluster").parquet(s"$indexDir/vectors")
   }
 
+  /** Files per cell before [[maintainIvfIndex]] compacts: every
+    * append adds ≥1 file to each cell it touches, and probe cost
+    * grows with the per-cell file count (each probed cell's files
+    * are opened and merge-read). */
+  val DefaultMaxFilesPerCell = 16
+
+  /** Fold an appended-to IVF index's accumulated small files into a
+    * fresh generation at `outDir`: one pass re-bucketing the vector
+    * rows into one file per cell; the centroid sidecar is copied
+    * BYTE-VERBATIM (the quantizer stays frozen — compaction is file
+    * maintenance, never a retrain; drift is [[writeIvfIndex]] to a
+    * new generation). A NEW directory, never in place — the
+    * [[GraphAnn.compactGraphIndex]] generation-swap rule. */
+  def compactIvfIndex(s: SparkSession, indexDir: String, outDir: String): Unit = {
+    s.read.parquet(s"$indexDir/vectors")
+      .repartition(col("cluster"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cluster").parquet(s"$outDir/vectors")
+    Maintenance.copySidecar(s, s"$indexDir/centroids", s"$outDir/centroids")
+  }
+
+  /** The IVF merge policy — [[appendIvfIndex]] grows per-cell file
+    * segments without bound; THIS decides when to fold them (the
+    * [[GraphAnn.maintainGraphIndex]] / [[Dedup.maintainBandIndex]]
+    * analog): one metadata-cheap per-cell listing, and past
+    * `maxFilesPerCell` average files per cell the index rewrites into
+    * `outDir` via [[compactIvfIndex]]. Returns true when a compaction
+    * ran — the caller swaps its pointer and retires the old
+    * generation. */
+  def maintainIvfIndex(
+      s: SparkSession, indexDir: String, outDir: String,
+      maxFilesPerCell: Int = DefaultMaxFilesPerCell): Boolean = {
+    val (files, cells) =
+      Maintenance.partitionedFileStats(s, s"$indexDir/vectors", "cluster")
+    require(cells > 0,
+      s"IVF index $indexDir/vectors lists no cluster= cells — " +
+        "layout changed? refusing to silently skip compaction")
+    if (files > maxFilesPerCell.toLong * cells) {
+      compactIvfIndex(s, indexDir, outDir)
+      true
+    } else false
+  }
+
   /** Probe search over a materialized IVF index: rank the persisted
     * centroids against the query on the driver (k rows), then scan
     * ONLY the probed cell partitions — `cluster IN (...)` resolves

@@ -40,6 +40,56 @@ object Maintenance {
       s"compaction output dir must differ from input dir: $inDir")
   }
 
+  /** Recursive parquet data-file count of a directory tree —
+    * metadata-only listing, the merge-policy primitive shared by the
+    * index maintenance policies ([[graft.ops.GraphAnn.maintainGraphIndex]]
+    * pattern). Fails loudly on a missing dir rather than returning 0
+    * (a 0 would silently disable compaction forever). */
+  def parquetFileCount(spark: SparkSession, dir: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var n = 0L
+    val it = fs.listFiles(path, /* recursive = */ true)
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    }
+    n
+  }
+
+  /** (data files, partition dirs) of a Hive-partitioned dataset whose
+    * partition dirs start with `prefix=` — one listing per cell dir,
+    * no data read. The per-cell merge-policy primitive for the
+    * cell-partitioned indexes (IVF, IVF-PQ). */
+  def partitionedFileStats(
+      spark: SparkSession, dir: String, prefix: String): (Long, Long) = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var files = 0L
+    var cells = 0L
+    fs.listStatus(path).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.startsWith(s"$prefix=")) {
+        cells += 1
+        files += fs.listStatus(st.getPath)
+          .count(f => f.getPath.getName.endsWith(".parquet"))
+      }
+    }
+    (files, cells)
+  }
+
+  /** Byte-verbatim recursive copy of a sidecar directory (frozen
+    * quantizer state rides generations UNCHANGED — a parse/serialize
+    * round-trip could perturb float text representations; a file copy
+    * cannot). */
+  def copySidecar(spark: SparkSession, from: String, to: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(from)
+    val dst = new org.apache.hadoop.fs.Path(to)
+    val ok = org.apache.hadoop.fs.FileUtil.copy(
+      src.getFileSystem(conf), src, dst.getFileSystem(conf), dst,
+      /* deleteSource = */ false, /* overwrite = */ true, conf)
+    require(ok, s"sidecar copy $from -> $to failed")
+  }
+
   /** Compact a parquet dataset into ~targetBytes files: reads the
     * actual byte size, computes the output file count, and rewrites
     * with a round-robin repartition (even file sizes regardless of

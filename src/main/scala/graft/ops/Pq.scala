@@ -494,6 +494,39 @@ object Pq {
       .parquet(s"$indexDir/codes")
   }
 
+  /** Flat-table file count before [[maintainPqIndex]] compacts —
+    * the whole codes table is scanned by every ADC phase, so the tax
+    * of accumulated append files is per-query. */
+  val DefaultMaxIndexFiles = 64
+
+  /** Fold an appended-to PQ index's accumulated small files into a
+    * fresh generation at `outDir`: the codes table rewrites through
+    * [[Maintenance.compactParquet]] (size-derived file count); the
+    * codebook sidecar is copied BYTE-VERBATIM (frozen quantizer —
+    * compaction is file maintenance, never a retrain). Generation
+    * swap by pointer, never in place. */
+  def compactPqIndex(s: SparkSession, indexDir: String, outDir: String): Unit = {
+    Maintenance.compactParquet(s, s"$indexDir/codes", s"$outDir/codes")
+    Maintenance.copySidecar(s, s"$indexDir/codebooks", s"$outDir/codebooks")
+  }
+
+  /** The PQ merge policy ([[graft.ops.GraphAnn.maintainGraphIndex]]
+    * analog): one metadata-cheap file count of the flat codes table;
+    * past `maxFiles` the index rewrites into `outDir` via
+    * [[compactPqIndex]]. Returns true when a compaction ran. */
+  def maintainPqIndex(
+      s: SparkSession, indexDir: String, outDir: String,
+      maxFiles: Int = DefaultMaxIndexFiles): Boolean = {
+    val files = Maintenance.parquetFileCount(s, s"$indexDir/codes")
+    require(files > 0,
+      s"PQ index $indexDir/codes lists no parquet data files — " +
+        "layout changed? refusing to silently skip compaction")
+    if (files > maxFiles) {
+      compactPqIndex(s, indexDir, outDir)
+      true
+    } else false
+  }
+
   /** Codebooks back from the sidecar (SubSpaces·CodeK tiny rows). */
   private def readCodebooks(s: SparkSession, indexDir: String): Array[Array[Array[Double]]] = {
     val rows = s.read.parquet(s"$indexDir/codebooks").collect()
@@ -740,6 +773,36 @@ object Pq {
       } else rows
     out.write.mode(org.apache.spark.sql.SaveMode.Append)
       .partitionBy("cluster").parquet(s"$indexDir/codes")
+  }
+
+  /** Fold an appended-to IVF-PQ index into a fresh generation: code
+    * rows re-bucket to one file per cell (the [[KMeansVec
+    * .compactIvfIndex]] shape), BOTH frozen sidecars copy
+    * byte-verbatim. */
+  def compactIvfPqIndex(s: SparkSession, indexDir: String, outDir: String): Unit = {
+    s.read.parquet(s"$indexDir/codes")
+      .repartition(col("cluster"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cluster").parquet(s"$outDir/codes")
+    Maintenance.copySidecar(s, s"$indexDir/centroids", s"$outDir/centroids")
+    Maintenance.copySidecar(s, s"$indexDir/codebooks", s"$outDir/codebooks")
+  }
+
+  /** The IVF-PQ merge policy: per-cell file average past
+    * `maxFilesPerCell` triggers [[compactIvfPqIndex]] (the
+    * [[KMeansVec.maintainIvfIndex]] twin on the codes layout). */
+  def maintainIvfPqIndex(
+      s: SparkSession, indexDir: String, outDir: String,
+      maxFilesPerCell: Int = KMeansVec.DefaultMaxFilesPerCell): Boolean = {
+    val (files, cells) =
+      Maintenance.partitionedFileStats(s, s"$indexDir/codes", "cluster")
+    require(cells > 0,
+      s"IVF-PQ index $indexDir/codes lists no cluster= cells — " +
+        "layout changed? refusing to silently skip compaction")
+    if (files > maxFilesPerCell.toLong * cells) {
+      compactIvfPqIndex(s, indexDir, outDir)
+      true
+    } else false
   }
 
   /** Search a materialized IVF-PQ index: driver ranks the persisted

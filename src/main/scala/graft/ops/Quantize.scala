@@ -244,6 +244,31 @@ object Quantize {
       .parquet(s"$indexDir/codes")
   }
 
+  /** Fold an appended-to int8 index's accumulated files into a fresh
+    * generation — pure file maintenance through [[Maintenance
+    * .compactParquet]] (SQ has no sidecar: the scale is per-vector,
+    * nothing to copy or retrain). */
+  def compactSqIndex(s: SparkSession, indexDir: String, outDir: String): Unit = {
+    Maintenance.compactParquet(s, s"$indexDir/codes", s"$outDir/codes")
+    ()
+  }
+
+  /** The SQ merge policy ([[graft.ops.Pq.maintainPqIndex]] twin on
+    * the flat int8 codes table). Returns true when a compaction
+    * ran. */
+  def maintainSqIndex(
+      s: SparkSession, indexDir: String, outDir: String,
+      maxFiles: Int = Pq.DefaultMaxIndexFiles): Boolean = {
+    val files = Maintenance.parquetFileCount(s, s"$indexDir/codes")
+    require(files > 0,
+      s"SQ index $indexDir/codes lists no parquet data files — " +
+        "layout changed? refusing to silently skip compaction")
+    if (files > maxFiles) {
+      compactSqIndex(s, indexDir, outDir)
+      true
+    } else false
+  }
+
   /** Probe search over a materialized int8 index: phase 1 scans ONLY
     * the codes table (column pruning keeps the float embeddings out
     * of the plan entirely — asserted in QuantizeSpec), phase 2

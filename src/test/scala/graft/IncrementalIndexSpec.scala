@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{GraphAnn, KMeansVec, Pq, VectorQueries}
+import graft.ops.{GraphAnn, KMeansVec, Maintenance, Pq, Quantize, VectorQueries}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -104,6 +104,65 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(gen2Res == fullRes, "maintained generation must equal a bulk rebuild")
     val exact = VectorQueries.knnTopkK(spark, dir, 5).collect().map(_.getLong(0)).toSeq
     assert(gen2Res.map(_.getLong(0)) == exact, "maintained generation must answer exactly")
+  }
+
+  test("ivf/pq/ivf-pq/sq merge policies: no-op below threshold, auto-compact past it, answers stable") {
+    val tmp = Files.createTempDirectory("graft-inc-qmp")
+    val q = queryVec
+    def batches = Seq(
+      laterBatch.filter(col("vec_id") < 150),
+      laterBatch.filter(col("vec_id") >= 150 && col("vec_id") < 300),
+      laterBatch.filter(col("vec_id") >= 300))
+
+    // IVF: per-cell policy; compaction folds every cell to one file
+    val ivf = tmp.resolve("ivf").toString
+    KMeansVec.writeIvfIndex(spark, halfDir, ivf)
+    batches.foreach(b => KMeansVec.appendIvfIndex(spark, ivf, b))
+    val ivfBefore = KMeansVec.ivfSearchIndexed(spark, ivf, q).collect().toSeq
+    val ivf2 = tmp.resolve("ivf2").toString
+    assert(!KMeansVec.maintainIvfIndex(spark, ivf, ivf2, maxFilesPerCell = 100000))
+    assert(!new java.io.File(ivf2).exists(), "no-op must not write a generation")
+    assert(KMeansVec.maintainIvfIndex(spark, ivf, ivf2, maxFilesPerCell = 1))
+    val (f2, c2) = Maintenance.partitionedFileStats(spark, s"$ivf2/vectors", "cluster")
+    assert(f2 == c2, s"compaction must fold to one file per cell: $f2 files / $c2 cells")
+    assert(KMeansVec.ivfSearchIndexed(spark, ivf2, q).collect().toSeq == ivfBefore,
+      "IVF generation swap must be answer-stable")
+
+    // PQ: flat-table policy; sidecar rides byte-verbatim
+    val pq = tmp.resolve("pq").toString
+    Pq.writePqIndex(spark, halfDir, pq)
+    batches.foreach(b => Pq.appendPqIndex(spark, pq, b))
+    val pqBefore = Pq.pqSearchIndexed(spark, pq, dir, q).collect().toSeq
+    val pq2 = tmp.resolve("pq2").toString
+    assert(!Pq.maintainPqIndex(spark, pq, pq2, maxFiles = 100000))
+    assert(Pq.maintainPqIndex(spark, pq, pq2, maxFiles = 1))
+    assert(Maintenance.parquetFileCount(spark, s"$pq2/codes") <
+      Maintenance.parquetFileCount(spark, s"$pq/codes"),
+      "compaction must reduce the codes file count")
+    assert(Pq.pqSearchIndexed(spark, pq2, dir, q).collect().toSeq == pqBefore,
+      "PQ generation swap must be answer-stable")
+
+    // IVF-PQ: per-cell policy over the codes layout, both sidecars copied
+    val ipq = tmp.resolve("ipq").toString
+    Pq.writeIvfPqIndex(spark, halfDir, ipq)
+    batches.foreach(b => Pq.appendIvfPqIndex(spark, ipq, b))
+    val ipqBefore = Pq.ivfPqSearchIndexed(spark, ipq, dir, q).collect().toSeq
+    val ipq2 = tmp.resolve("ipq2").toString
+    assert(!Pq.maintainIvfPqIndex(spark, ipq, ipq2, maxFilesPerCell = 100000))
+    assert(Pq.maintainIvfPqIndex(spark, ipq, ipq2, maxFilesPerCell = 1))
+    assert(Pq.ivfPqSearchIndexed(spark, ipq2, dir, q).collect().toSeq == ipqBefore,
+      "IVF-PQ generation swap must be answer-stable")
+
+    // SQ: flat-table policy, no sidecar (nothing trained to copy)
+    val sq = tmp.resolve("sq").toString
+    Quantize.writeSqIndex(spark, halfDir, sq)
+    batches.foreach(b => Quantize.appendSqIndex(spark, sq, b))
+    val sqBefore = Quantize.sqSearchIndexed(spark, sq, dir, q).collect().toSeq
+    val sq2 = tmp.resolve("sq2").toString
+    assert(!Quantize.maintainSqIndex(spark, sq, sq2, maxFiles = 100000))
+    assert(Quantize.maintainSqIndex(spark, sq, sq2, maxFiles = 1))
+    assert(Quantize.sqSearchIndexed(spark, sq2, dir, q).collect().toSeq == sqBefore,
+      "SQ generation swap must be answer-stable")
   }
 
   test("pq index: frozen-codebook append is bit-identical to one-pass bulk encode") {
