@@ -70,6 +70,39 @@ object KMeansVec {
     }
   }
 
+  /** [[assignUdf]]'s distance twin: the fused squared distance to
+    * the NEAREST centroid (the k-means quantization error), same
+    * bit-exact arithmetic — sequential folds, float-truncated cross
+    * term, ((xx − 2·xc) + cc) association. */
+  private[ops] def minDistUdf(centroids: Array[Array[Double]]) = {
+    val cf = centroids.map(_.map(_.toFloat))
+    val cc = centroids.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      s
+    }
+    udf { (emb: Seq[Float]) =>
+      val x = new Array[Double](emb.length)
+      var i = 0
+      while (i < x.length) { x(i) = emb(i); i += 1 }
+      var xx = 0.0
+      i = 0
+      while (i < x.length) { xx += x(i) * x(i); i += 1 }
+      var bestD = Double.PositiveInfinity
+      var k = 0
+      while (k < cf.length) {
+        val c = cf(k)
+        var xc = 0.0
+        var d = 0
+        while (d < x.length) { xc += x(d) * c(d).toDouble; d += 1 }
+        val d2 = xx - 2.0 * xc + cc(k)
+        if (d2 < bestD) bestD = d2
+        k += 1
+      }
+      bestD
+    }
+  }
+
   /** Run Lloyd's iterations; returns the centroids that produced the
     * final assignment together with that assignment (a consistent
     * pair — the centroids are NOT the post-update ones, so an IVF
@@ -1009,7 +1042,102 @@ object KMeansVec {
        |LIMIT $K""".stripMargin
   }
 
+  /** Retrain trigger for [[indexDriftReport]]: a batch whose mean
+    * quantization error exceeds this multiple of the train-time error
+    * flags the frozen quantizer as stale. */
+  val DriftRetrainRatio = 1.5
+
+  /** Frozen-quantizer drift monitor — the follow-through every
+    * append path was missing: [[appendIvfIndex]] (and the PQ/RQ
+    * twins) freeze centroids/codebooks from the sidecar for
+    * bit-identity, but nothing measured when the data distribution
+    * outgrew them. The corpus splits into the train slice
+    * (vec_id % 4 < 3 — what a production index trained on) and two
+    * append batches (vec_id % 4 = 3, alternating by vec_id div 4);
+    * each vector's quantization error is its fused squared distance
+    * to the nearest FROZEN centroid (the first-[[K]] init of the
+    * train slice — the fit(iters=1) convention the IVF oracles
+    * replay); each batch reports its mean error, the ratio to the
+    * train-time error, and the retrain flag (ratio >
+    * [[DriftRetrainRatio]] ⇒ schedule [[writeIvfIndex]] to a fresh
+    * generation instead of more appends).
+    *
+    * Scale shape: the K·dim frozen quantizer rides the closure; ONE
+    * map-only corpus scan, a 3-group aggregation, a 1-row broadcast
+    * of the train baseline. At 100 TB the same report runs per
+    * append batch against the persisted sidecar. */
+  def indexDriftReport(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .filter(col("vec_id") =!= VectorQueries.QueryVecId)
+    val cents = e.filter(col("vec_id") % 4 < 3)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(K).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val batched = e.select(
+      when(col("vec_id") % 4 < 3, lit("train"))
+        .when(expr("(vec_id div 4) % 2") === 0, lit("batch_0"))
+        .otherwise(lit("batch_1")).as("batch"),
+      r6(minDistUdf(cents)(col("embedding"))).as("err"))
+    val agg = batched.groupBy(col("batch"))
+      .agg(count(lit(1)).as("n"),
+        r6(OracleMath.davg(col("err"))).as("avg_qerr"))
+    val trainRow = agg.filter(col("batch") === "train")
+      .select(col("avg_qerr").as("train_qerr"))
+    agg.crossJoin(broadcast(trainRow))
+      .select(col("batch"), col("n"), col("avg_qerr"),
+        // a zero train error (perfectly quantized train slice) makes
+        // the ratio degenerate: equal-zero batches report 1 (no
+        // drift), any nonzero batch reports +Inf (maximal drift) —
+        // total semantics, no ANSI divide-by-zero
+        when(col("train_qerr") === 0,
+          when(col("avg_qerr") === 0, lit(1.0))
+            .otherwise(lit(Double.PositiveInfinity)))
+          .otherwise(r6(col("avg_qerr") / col("train_qerr")))
+          .as("err_ratio"))
+      .withColumn("retrain",
+        (col("err_ratio") > DriftRetrainRatio).cast("int"))
+      .orderBy(col("batch"))
+  }
+
+  /** Oracle mirror: frozen centroids = first-K train-slice vectors,
+    * per-vector MIN of the fused distance over the K-row cross join,
+    * decimal-bridged batch means, ratio and flag off the rounded
+    * aggregates. */
+  val indexDriftReportSql: String =
+    s"""WITH d_base AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS xx
+       |  FROM embeddings WHERE vec_id <> ${VectorQueries.QueryVecId}),
+       |d_cent AS MATERIALIZED (
+       |  SELECT embedding AS c,
+       |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS cc
+       |  FROM (SELECT vec_id, embedding FROM d_base
+       |        WHERE vec_id % 4 < 3 ORDER BY vec_id LIMIT $K)),
+       |d_pv AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    round(MIN((xx - 2 * list_sum(list_transform(range(1, len(b.embedding) + 1),
+       |        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(c[i] AS DOUBLE)))) + cc), 6) + 0 AS err
+       |  FROM d_base b CROSS JOIN d_cent
+       |  GROUP BY vec_id, xx),
+       |d_agg AS MATERIALIZED (
+       |  SELECT CASE WHEN vec_id % 4 < 3 THEN 'train'
+       |              WHEN (vec_id // 4) % 2 = 0 THEN 'batch_0'
+       |              ELSE 'batch_1' END AS batch,
+       |    CAST(COUNT(*) AS BIGINT) AS n,
+       |    round(CAST(SUM(CAST(err AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) + 0 AS avg_qerr
+       |  FROM d_pv GROUP BY 1)
+       |SELECT batch, n, avg_qerr, err_ratio,
+       |  CAST(err_ratio > $DriftRetrainRatio AS INT) AS retrain
+       |FROM (
+       |  SELECT a.batch, a.n, a.avg_qerr,
+       |    CASE WHEN t.avg_qerr = 0 THEN
+       |           CASE WHEN a.avg_qerr = 0 THEN 1.0 ELSE 'infinity'::DOUBLE END
+       |         ELSE round(a.avg_qerr / t.avg_qerr, 6) + 0 END AS err_ratio
+       |  FROM d_agg a CROSS JOIN (SELECT avg_qerr FROM d_agg WHERE batch = 'train') t)
+       |ORDER BY batch""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "index_drift_report" -> (indexDriftReport _),
     "kmeans_par_init" -> (kmeansParInit _),
     "kmeans_clusters" -> (clusterProfile _),
     "cluster_silhouette" -> (clusterSilhouette _),
@@ -1021,6 +1149,7 @@ object KMeansVec {
     "ann_filtered_topk" -> ((s, d) => ivfFilteredTopK(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "index_drift_report" -> indexDriftReportSql,
     "kmeans_par_init" -> kmeansParInitSql,
     "kmeans_clusters" -> clusterProfileSql,
     "cluster_silhouette" -> clusterSilhouetteSql,

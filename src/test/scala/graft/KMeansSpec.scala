@@ -188,4 +188,33 @@ class KMeansSpec extends AnyFunSuite {
     info(s"kmeans|| cost $cPar vs naive prefix $cNaive")
     assert(cPar <= cNaive, s"oversampled+weighted seed should not lose: $cPar vs $cNaive")
   }
+
+  test("index_drift_report: a planted shifted batch is flagged for retrain; in-distribution is not") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // batch_1 (vec_id % 4 = 3, odd vec_id div 4) is shifted +10 in
+    // every dimension — far outside anything the frozen quantizer
+    // (trained on the train slice) covers; batch_0 stays in
+    // distribution. The report must flag EXACTLY the shifted batch.
+    val dim = 4
+    val rows = (1L to 200L).map { id =>
+      val shifted = id % 4 == 3 && (id / 4) % 2 == 1
+      val base = Array.tabulate(dim)(i => (((id * 7 + i) % 5).toFloat) * 0.1f)
+      val emb = if (shifted) base.map(_ + 10.0f) else base
+      (id, emb.toSeq, (id % 3).toInt)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = KMeansVec.indexDriftReport(spark, tmp).collect()
+      .map(r => r.getString(0) -> (r.getAs[Double]("err_ratio"), r.getAs[Int]("retrain"))).toMap
+    assert(got.keySet == Set("train", "batch_0", "batch_1"))
+    assert(got("train")._2 == 0 && got("train")._1 == 1.0)
+    assert(got("batch_0")._2 == 0,
+      s"in-distribution batch must not be flagged: ${got("batch_0")}")
+    assert(got("batch_1")._2 == 1 &&
+      got("batch_1")._1 > KMeansVec.DriftRetrainRatio,
+      s"shifted batch must be flagged: ${got("batch_1")}")
+  }
 }
