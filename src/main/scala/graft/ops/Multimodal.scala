@@ -263,13 +263,132 @@ object Multimodal {
        |GROUP BY a.doc_id, b.doc_id
        |ORDER BY n_shared_frames DESC, doc_a, doc_b""".stripMargin
 
+  /** Integer-exact luma (the BT.601 weights over per-mille integer
+    * arithmetic — no float rounding to drift across JVMs). */
+  private def gray(rgb: Int): Int = {
+    val r = (rgb >> 16) & 0xFF
+    val g = (rgb >> 8) & 0xFF
+    val b = rgb & 0xFF
+    (r * 299 + g * 587 + b * 114) / 1000
+  }
+
+  /** 60-bit dHash (difference hash) — the perceptual image
+    * fingerprint real multimodal pipelines dedup on (a re-encoded,
+    * resized, or slightly-recompressed copy keeps its hash; exact
+    * checksums see nothing): REAL ImageIO decode → 11×6 grayscale
+    * downsample → bit b set when the right neighbor is brighter
+    * (10 comparisons × 6 rows = 60 bits — the SimHash bit width, so
+    * the PROVEN 4×15-bit Hamming banding applies unchanged,
+    * complete to radius 3 by pigeonhole). None for payloads no
+    * installed codec recognizes. */
+  private[graft] def dHash60(payload: Array[Byte]): Option[Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = 11
+        val h = 6
+        val out = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try g.drawImage(img, 0, 0, w, h, null) finally g.dispose()
+        var fp = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w - 1) {
+            if (gray(out.getRGB(x + 1, y)) > gray(out.getRGB(x, y)))
+              fp |= 1L << (y * (w - 1) + x)
+            x += 1
+          }
+          y += 1
+        }
+        Some(fp)
+      }
+    } catch { case _: Exception => None }
+
+  /** Perceptual near-dup pairs over binary payloads: per-payload
+    * 60-bit dHash (CrossHash stub for undecodable payloads — the
+    * extractMeta real-or-stub contract, which also keeps the fixture
+    * path DuckDB-replayable), banded into 4×15 bits with the
+    * hot-bucket pre-cap, bucket-sharing pairs verified exactly with
+    * the xor+popcount Hamming kernel at radius ≤ 3 (banding is
+    * COMPLETE to that radius — the [[Dedup.simhashDedup]] proof).
+    * Scale shape: map-only hashing, ONE bucket shuffle, pairs expand
+    * map-side inside capped buckets, narrow (ids + two longs)
+    * shuffle rows. */
+  def phashPairs(payloads: DataFrame): DataFrame = {
+    val ph = udf { (p: Array[Byte]) => dHash60(p).getOrElse(checksum60(p)) }
+    val fp = payloads.select(col("doc_id"), ph(col("payload")).as("fp"))
+    val banded = fp.select(col("doc_id"), col("fp"),
+      explode(expr(
+        s"transform(sequence(0, ${Dedup.SimhashBands - 1}), " +
+          s"b -> struct(b AS band, CAST(shiftright(fp, b * ${Dedup.SimhashBandBits}) " +
+          s"& ${(1 << Dedup.SimhashBandBits) - 1} AS INT) AS bval))")).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bval").as("bval"),
+        col("doc_id"), col("fp"))
+    Dedup.capBuckets(banded, Seq("band", "bval"), hi = FrameBucketCap)
+      .groupBy(col("band"), col("bval"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("fp")))).as("members"))
+      .select(explode(expr(
+        "flatten(transform(members, (m, i) -> " +
+          "transform(slice(members, i + 2, size(members)), n -> " +
+          "struct(m.doc_id AS doc_a, n.doc_id AS doc_b, m.fp AS fp_a, n.fp AS fp_b))))"))
+        .as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        bit_count(col("p.fp_a").bitwiseXOR(col("p.fp_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .dropDuplicates("doc_a", "doc_b")
+      .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+  }
+
+  /** Fixture adapter (text bytes play the payload, every row takes
+    * the stub branch — same contract as [[mediaMeta]]). On the stub
+    * branch only byte-identical payloads land within the radius
+    * (avalanche hash), so the sf0.01 gate row-set is empty-but-equal
+    * and sf0.1 (8 duplicate groups) carries the nonzero case — both
+    * hash-matched; the perceptual behavior itself is pinned by the
+    * real-image spec (resized copy pairs, distinct images don't). */
+  def mediaPhashDedup(s: SparkSession, dir: String): DataFrame =
+    phashPairs(t(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")))
+
+  /** Oracle mirror on the all-stub fixture path: stub phash = the
+    * 60-bit payload md5 (ASCII text ⇒ DuckDB's string md5 ≡ the
+    * engine's byte md5 — the mediaMeta bridge), then the simhash
+    * banding/cap/Hamming-verify SQL shape. */
+  val mediaPhashDedupSql: String =
+    s"""WITH fp AS (
+       |  SELECT doc_id, ('0x' || substring(md5(text), 1, 15))::BIGINT AS fp
+       |  FROM documents),
+       |band AS (
+       |  SELECT doc_id, fp, b,
+       |    (fp >> (b * ${Dedup.SimhashBandBits})) & ${(1 << Dedup.SimhashBandBits) - 1} AS bval
+       |  FROM fp, UNNEST(range(0, ${Dedup.SimhashBands})) AS t(b)),
+       |bucketed AS (
+       |  SELECT band.* FROM band
+       |  JOIN (SELECT b, bval FROM band GROUP BY b, bval
+       |        HAVING COUNT(*) BETWEEN 2 AND $FrameBucketCap) g
+       |  USING (b, bval)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    x.fp AS fa, y.fp AS fb
+       |  FROM bucketed x JOIN bucketed y
+       |    ON x.b = y.b AND x.bval = y.bval AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(fa, fb)) <= 3
+       |ORDER BY hamming, doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_meta" -> (mediaMeta _),
     "media_frames" -> (mediaFrames _),
-    "media_dedup" -> (mediaDedup _))
+    "media_dedup" -> (mediaDedup _),
+    "media_phash_dedup" -> (mediaPhashDedup _))
 
   val oracles: Map[String, String] = Map(
     "media_meta" -> mediaMetaSql,
     "media_frames" -> mediaFramesSql,
-    "media_dedup" -> mediaDedupSql)
+    "media_dedup" -> mediaDedupSql,
+    "media_phash_dedup" -> mediaPhashDedupSql)
 }

@@ -90,6 +90,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert((back.getWidth, back.getHeight) === ((32, 20)))
   }
 
+  test("phash dedup: a resized copy pairs with its original; distinct images do not") {
+    // low-frequency patterns survive downsampling: a horizontal ramp
+    // (brighter to the right) keeps its dHash under resize, its
+    // inverse flips every bit
+    def rampBytes(w: Int, h: Int, invert: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v0 = (x * 255) / math.max(1, w - 1)
+        val v = if (invert) 255 - v0 else v0
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val original = rampBytes(64, 64, invert = false)
+    val resizedCopy = rampBytes(48, 48, invert = false) // same scene, new size
+    val distinct = rampBytes(64, 64, invert = true)
+    // hash-level: copy within the banding radius, distinct far outside
+    val Seq(hOrig, hCopy, hDist) = Seq(original, resizedCopy, distinct)
+      .map(p => Multimodal.dHash60(p).get)
+    assert(java.lang.Long.bitCount(hOrig ^ hCopy) <= 3,
+      s"resized copy drifted ${java.lang.Long.bitCount(hOrig ^ hCopy)} bits")
+    assert(java.lang.Long.bitCount(hOrig ^ hDist) > 3,
+      s"distinct image too close: ${java.lang.Long.bitCount(hOrig ^ hDist)} bits")
+    // pipeline-level over real binary payloads
+    val pays = Seq((1L, original), (2L, resizedCopy), (3L, distinct))
+      .toDF("doc_id", "payload")
+    val pairs = Multimodal.phashPairs(pays).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)),
+      s"exactly the original/resized pair must surface: $pairs")
+  }
+
   test("jsonl and csv log sources: schema-first read with pruning") {
     val root = Files.createTempDirectory("graft-logs")
     Files.createDirectories(root.resolve("node_modules"))
