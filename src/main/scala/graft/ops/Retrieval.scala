@@ -352,6 +352,136 @@ object Retrieval {
       |FROM terms GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Absolute discount for the Kneser–Ney family (the standard D). */
+  val KnDiscount = 0.75
+
+  /** Interpolated Kneser–Ney bigram scoring — the smoothing CCNet-
+    * class filters actually use (KenLM's default), one tier above
+    * [[jmLogprob]]: instead of interpolating with the raw UNIGRAM
+    * prior (which lets a frequent-but-context-bound word — the
+    * classic "Francisco" — soak up backoff mass in contexts it never
+    * follows), each position scores
+    * ln((c(w1w2) − D)/c(w1·) + D·N1+(w1·)/c(w1·) · p_cont(w2)) with
+    * p_cont(w2) = N1+(·w2)/N1+(··) — the CONTINUATION prior: how many
+    * distinct contexts w2 follows, not how often it occurs. All four
+    * count relations are exact integers over the bigram-type table,
+    * so the oracle replays them exactly; train-on-self means every
+    * scored bigram is observed (c ≥ 1 > D keeps the discounted term
+    * positive). Dataflow = [[jmLogprob]]'s: map-side bigrams, hash-
+    * aggregated model relations rejoined hint-free on their string
+    * keys, one 1-row broadcast. */
+  def knLogprob(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val bi = d.select(col("doc_id"),
+      explode(expr(
+        """zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+          |         slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+          |         (a, b) -> concat(a, ' ', b))""".stripMargin)).as("bg"))
+    val db = bi.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+    val corpus = db.groupBy(col("bg")).agg(sum(col("c")).as("cbg"))
+    val lefts = corpus
+      .groupBy(element_at(split(col("bg"), " "), 1).as("w1"))
+      .agg(sum(col("cbg")).as("cw1"), count(lit(1)).as("nfol"))
+    val conts = corpus
+      .groupBy(element_at(split(col("bg"), " "), 2).as("w2"))
+      .agg(count(lit(1)).as("ncont"))
+    val ntypes = corpus.agg(count(lit(1)).as("nt"))
+    db.join(corpus, "bg")
+      .join(lefts, element_at(split(col("bg"), " "), 1) === col("w1"))
+      .join(conts, element_at(split(col("bg"), " "), 2) === col("w2"))
+      .crossJoin(broadcast(ntypes))
+      .withColumn("term", r6(col("c") * log(
+        (col("cbg").cast("double") - lit(KnDiscount)) / col("cw1") +
+          (lit(KnDiscount) * col("nfol") / col("cw1")) *
+          (col("ncont").cast("double") / col("nt")))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), OracleMath.dsum(col("term")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        r6(-col("s") / col("n_bigrams")).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  val knLogprobSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |bi AS (SELECT doc_id,
+       |         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+       |       FROM toks),
+       |db AS (SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY doc_id, bg),
+       |corpus AS (SELECT bg, SUM(c) AS cbg FROM db GROUP BY bg),
+       |lefts AS (SELECT split_part(bg, ' ', 1) AS w1, SUM(cbg) AS cw1,
+       |            COUNT(*) AS nfol
+       |          FROM corpus GROUP BY 1),
+       |conts AS (SELECT split_part(bg, ' ', 2) AS w2, COUNT(*) AS ncont
+       |          FROM corpus GROUP BY 1),
+       |nt AS (SELECT COUNT(*) AS nt FROM corpus),
+       |terms AS (
+       |  SELECT doc_id, c,
+       |    round(c * ln((CAST(cbg AS DOUBLE) - $KnDiscount) / cw1
+       |               + (($KnDiscount * nfol) / cw1)
+       |                 * (CAST(ncont AS DOUBLE) / nt)), 6) + 0 AS term
+       |  FROM db JOIN corpus USING (bg)
+       |  JOIN lefts ON split_part(bg, ' ', 1) = lefts.w1
+       |  JOIN conts ON split_part(bg, ' ', 2) = conts.w2
+       |  CROSS JOIN nt)
+       |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       |  round(-CAST(SUM(CAST(term AS DECIMAL(38,6))) AS DOUBLE) / SUM(c), 6) + 0 AS avg_nll
+       |FROM terms GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  /** Held-out bigram NLL under either smoothing — the form the
+    * planted KN-vs-JM spec drives (train-on-self can never show the
+    * difference: no unseen mass). Model relations come from `train`
+    * only; eval bigrams LEFT-join them, and the unseen cases take
+    * each smoother's own backoff: JM falls to the add-1 UNIGRAM
+    * prior (0 conditional for an unseen context), KN to the add-1
+    * CONTINUATION prior — which is exactly where "Francisco" hurts
+    * JM and not KN. Total by construction (every p > 0). */
+  private[graft] def heldoutBigramNll(
+      train: DataFrame, eval: DataFrame, kn: Boolean): DataFrame = {
+    def biOf(d: DataFrame) = d.select(col("doc_id"),
+      explode(expr(
+        """zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+          |         slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+          |         (a, b) -> concat(a, ' ', b))""".stripMargin)).as("bg"))
+    val corpus = biOf(train).groupBy(col("bg")).agg(count(lit(1)).as("cbg"))
+    val lefts = corpus.groupBy(element_at(split(col("bg"), " "), 1).as("w1"))
+      .agg(sum(col("cbg")).as("cw1"), count(lit(1)).as("nfol"))
+    val conts = corpus.groupBy(element_at(split(col("bg"), " "), 2).as("w2"))
+      .agg(count(lit(1)).as("ncont"))
+    val uni = train.select(explode(split(col("text"), " ")).as("w2"))
+      .groupBy(col("w2")).agg(count(lit(1)).as("cw"))
+    val stats = uni.agg(sum(col("cw")).as("t"), count(lit(1)).as("v"))
+      .crossJoin(corpus.agg(count(lit(1)).as("nt")))
+    val ev = biOf(eval).groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .withColumn("w2", element_at(split(col("bg"), " "), 2))
+      .join(corpus, Seq("bg"), "left")
+      .join(lefts, Seq("w1"), "left")
+      .join(conts, Seq("w2"), "left")
+      .join(uni, Seq("w2"), "left")
+      .crossJoin(broadcast(stats))
+    val pCont = (coalesce(col("ncont"), lit(0L)) + 1).cast("double") /
+      (col("nt") + col("v") + 1)
+    val pUni = (coalesce(col("cw"), lit(0L)) + 1).cast("double") /
+      (col("t") + col("v") + 1)
+    val p =
+      if (kn)
+        when(col("cw1").isNotNull,
+          greatest(coalesce(col("cbg"), lit(0L)).cast("double") - KnDiscount, lit(0.0)) /
+            col("cw1") +
+            (lit(KnDiscount) * col("nfol") / col("cw1")) * pCont)
+          .otherwise(pCont)
+      else
+        lit(0.75) * when(col("cw1").isNotNull,
+          coalesce(col("cbg"), lit(0L)).cast("double") / col("cw1"))
+          .otherwise(lit(0.0)) +
+          lit(0.25) * pUni
+    ev.withColumn("term", col("c") * log(p))
+      .groupBy(col("doc_id"))
+      .agg((-sum(col("term")) / sum(col("c"))).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
   /** CCNet-style perplexity buckets (Wenzek et al. 2020): score every
     * doc with the corpus-self unigram LM ([[unigramLogprob]]), cut
     * the score distribution at its exact tertiles, and report the
@@ -663,6 +793,7 @@ object Retrieval {
     "unigram_logprob" -> (unigramLogprob _),
     "bigram_logprob" -> (bigramLogprob _),
     "jm_logprob" -> (jmLogprob _),
+    "kn_logprob" -> (knLogprob _),
     "ppl_buckets" -> (pplBuckets _),
     "doremi_weights" -> (doremiWeights _),
     "quality_calibrated" -> (qualityCalibrated _))
@@ -675,6 +806,7 @@ object Retrieval {
     "unigram_logprob" -> unigramLogprobSql,
     "bigram_logprob" -> bigramLogprobSql,
     "jm_logprob" -> jmLogprobSql,
+    "kn_logprob" -> knLogprobSql,
     "ppl_buckets" -> pplBucketsSql,
     "doremi_weights" -> doremiWeightsSql,
     "quality_calibrated" -> qualityCalibratedSql)

@@ -183,4 +183,37 @@ class RetrievalSpec extends AnyFunSuite {
     val d1 = got.find(_._1 == 1L)
     d1.foreach(x => assert(d0._3 > x._3, s"locality must win: ${got.toSeq}"))
   }
+
+  test("kneser-ney beats jelinek-mercer on held-out text with unseen-context mass") {
+    // the classic "Francisco" construction: 'francisco' is unigram-
+    // frequent but follows exactly ONE context in train; 'common'
+    // is modest-frequency but follows 20 distinct contexts. In a
+    // NEW context (held-out OOV word), JM backs off to the raw
+    // unigram prior and overpays for francisco; KN backs off to the
+    // continuation prior and prefers common.
+    val train = (
+      (1L to 50L).map(i => (i, "san francisco")) ++
+        (1 to 20).map(i => (100L + i, s"a$i common"))
+      ).toDF("doc_id", "text")
+    val evalCommon = Seq((1L, "b0 common")).toDF("doc_id", "text")
+    val evalFrancisco = Seq((1L, "b0 francisco")).toDF("doc_id", "text")
+    def nll(ev: org.apache.spark.sql.DataFrame, kn: Boolean): Double =
+      Retrieval.heldoutBigramNll(train, ev, kn).head().getDouble(1)
+    val (knCommon, jmCommon) = (nll(evalCommon, kn = true), nll(evalCommon, kn = false))
+    val (knFran, jmFran) = (nll(evalFrancisco, kn = true), nll(evalFrancisco, kn = false))
+    info(s"common: KN $knCommon vs JM $jmCommon; francisco: KN $knFran vs JM $jmFran")
+    // KN scores the continuation-diverse word far better than JM does
+    assert(knCommon < jmCommon,
+      s"KN must beat JM on unseen-context + diverse word: $knCommon vs $jmCommon")
+    // KN correctly prefers 'common' over 'francisco' in a new context;
+    // JM gets the preference BACKWARD (the failure KN exists to fix)
+    assert(knCommon < knFran, s"KN ordering: $knCommon vs $knFran")
+    assert(jmFran < jmCommon, s"JM must exhibit the Francisco failure: $jmFran vs $jmCommon")
+    // and on the train-on-self registered pair over a real corpus dir,
+    // both are finite and KN stays a proper smoother (sanity)
+    val dir = Files.createTempDirectory("graft-kn").toString
+    train.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val knSelf = Retrieval.knLogprob(spark, dir).collect()
+    assert(knSelf.nonEmpty && knSelf.forall(r => !r.getDouble(2).isNaN))
+  }
 }
