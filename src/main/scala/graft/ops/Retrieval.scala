@@ -535,6 +535,40 @@ object Retrieval {
        |FROM b GROUP BY bucket
        |ORDER BY bucket""".stripMargin
 
+  /** Sketch accuracy for [[pplBucketsApprox]] (Greenwald–Khanna rank
+    * error ≤ 1/accuracy). */
+  val PplApproxAccuracy = 10000
+
+  /** The at-scale twin of [[pplBuckets]], registered rather than just
+    * documented: identical bucket semantics with the tertile cutoffs
+    * from `approx_percentile` (a mergeable per-partition sketch — no
+    * single-reducer per-value buffer, the swap-in a 100 TB corpus
+    * requires). Rows-gated by declared design (the HLL/KLL sketch
+    * precedent: sketch internals are engine-specific, so no DuckDB
+    * hash oracle); the error-bound spec pins the bucket counts to the
+    * exact twin within the sketch's rank-error guarantee. */
+  def pplBucketsApprox(s: SparkSession, dir: String): DataFrame = {
+    val nll = unigramLogprob(s, dir)
+    val pcts = percentile_approx(col("avg_nll"),
+      array(lit(1.0 / 3), lit(2.0 / 3)), lit(PplApproxAccuracy))
+    val cuts = nll.agg(pcts.as("cs"))
+      .select(r6(element_at(col("cs"), 1)).as("c1"),
+        r6(element_at(col("cs"), 2)).as("c2"))
+    nll.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col("avg_nll") <= col("c1"), lit("head"))
+          .when(col("avg_nll") <= col("c2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        r6(OracleMath.davg(col("avg_nll"))).as("mean_nll"),
+        min(col("avg_nll")).as("min_nll"),
+        max(col("avg_nll")).as("max_nll"))
+      .orderBy(col("bucket"))
+  }
+
   /** DoReMi-style domain reweighting (Xie et al., NeurIPS 2023) with
     * the engine's two n-gram LMs standing in for proxy/reference:
     * per-source EXCESS LOSS = mean over the source's docs of
@@ -795,6 +829,9 @@ object Retrieval {
     "jm_logprob" -> (jmLogprob _),
     "kn_logprob" -> (knLogprob _),
     "ppl_buckets" -> (pplBuckets _),
+    // rows-gated by declared design (sketch cutoffs; see Scaladoc) —
+    // deliberately ABSENT from `oracles`
+    "ppl_buckets_approx" -> (pplBucketsApprox _),
     "doremi_weights" -> (doremiWeights _),
     "quality_calibrated" -> (qualityCalibrated _))
 

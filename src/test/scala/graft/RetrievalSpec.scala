@@ -216,4 +216,23 @@ class RetrievalSpec extends AnyFunSuite {
     val knSelf = Retrieval.knLogprob(spark, dir).collect()
     assert(knSelf.nonEmpty && knSelf.forall(r => !r.getDouble(2).isNaN))
   }
+
+  test("ppl_buckets_approx: bucket counts within the sketch's rank-error bound of the exact twin") {
+    val sf = "/root/testdata/sf0.001"
+    def byBucket(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = byBucket(Retrieval.pplBuckets(spark, sf))
+    val approx = byBucket(Retrieval.pplBucketsApprox(spark, sf))
+    assert(approx.keySet == exact.keySet, s"$approx vs $exact")
+    val n = exact.values.sum
+    assert(approx.values.sum == n, "bucketing must partition the corpus")
+    // Greenwald–Khanna rank error ≤ 1/accuracy per cutoff; each
+    // bucket is bounded by two cutoffs (+1 for interpolation vs
+    // nearest-rank cutoff semantics at tiny N)
+    val tol = math.max(1L, math.ceil(2.0 * n / Retrieval.PplApproxAccuracy).toLong)
+    exact.foreach { case (b, ne) =>
+      assert(math.abs(approx(b) - ne) <= tol,
+        s"bucket $b: approx ${approx(b)} vs exact $ne (tol $tol)")
+    }
+  }
 }
