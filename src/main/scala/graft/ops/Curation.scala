@@ -1175,7 +1175,89 @@ object Curation {
        |GROUP BY source, seq
        |ORDER BY source, seq""".stripMargin
 
+  /** Block width (words) and same-source doc-frequency threshold for
+    * [[boilerplateReport]]: a block carried by at least
+    * [[BoilerMinDf]] distinct docs of ITS OWN source is template
+    * scaffolding, not content. */
+  val BoilerBlockWords = 10
+  val BoilerMinDf = 3
+
+  /** Per-doc boilerplate fraction — the jusText/CCNet-class template
+    * signal the quality suite was missing: navigation, license and
+    * footer blocks repeat across a SITE's pages (so the frequency is
+    * counted within the doc's source, never globally — a common
+    * English sentence is not boilerplate), and a doc dominated by
+    * such blocks is scaffolding, not content. Each doc splits into
+    * non-overlapping [[BoilerBlockWords]]-word blocks (deterministic
+    * alignment, tail partial dropped); a block is boilerplate when ≥
+    * [[BoilerMinDf]] distinct same-source docs carry its hash.
+    * Report row per document — total even for docs too short to form
+    * one block (0 blocks, fraction 0).
+    *
+    * Scale shape: blocks explode map-side (O(words) per doc); the
+    * per-(source, hash) doc-frequency is one aggregation; the rejoin
+    * keys on the same (source, hash) pair hint-free (vocab-sized —
+    * the tfidf rule); per-doc fold + a doc-keyed left join back to
+    * the corpus for totality. No self-join, no window. */
+  def boilerplateReport(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val blocks = d.select(col("doc_id"), col("source"),
+        explode(when(size(ws) >= BoilerBlockWords,
+          expr(s"""transform(sequence(1, int(size(split(text, ' ')) / $BoilerBlockWords)),
+                  |  b -> concat_ws(' ', slice(split(text, ' '),
+                  |    (b - 1) * $BoilerBlockWords + 1, $BoilerBlockWords)))""".stripMargin))
+          .otherwise(array().cast("array<string>"))).as("block"))
+      .select(col("doc_id"), col("source"),
+        graft.functions.CrossHash.md5Hash60Col(col("block")).as("h"))
+    val dfreq = blocks.select(col("source"), col("h"), col("doc_id")).distinct()
+      .groupBy(col("source"), col("h")).agg(count(lit(1)).as("df"))
+    val perDoc = blocks.join(dfreq, Seq("source", "h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("df") >= BoilerMinDf, 1L).otherwise(0L)).as("n_boiler"))
+    d.select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+      .withColumn("boiler_frac",
+        when(col("n_blocks") === 0, lit(0.0))
+          .otherwise(r6(col("n_boiler").cast("double") / col("n_blocks"))))
+      .orderBy(col("doc_id"))
+  }
+
+  val boilerplateReportSql: String = {
+    val h = graft.functions.CrossHash.sqlHash60("blk")
+    s"""WITH w AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+       |blocks AS (
+       |  SELECT doc_id, source,
+       |    $h AS h
+       |  FROM (
+       |    SELECT doc_id, source,
+       |      array_to_string(w[(b - 1) * $BoilerBlockWords + 1 :
+       |                       (b - 1) * $BoilerBlockWords + $BoilerBlockWords], ' ') AS blk
+       |    FROM w, UNNEST(range(1, len(w) // $BoilerBlockWords + 1)) AS t(b)
+       |    WHERE len(w) >= $BoilerBlockWords)),
+       |dfreq AS (
+       |  SELECT source, h, COUNT(DISTINCT doc_id) AS df
+       |  FROM blocks GROUP BY source, h),
+       |per_doc AS (
+       |  SELECT doc_id, COUNT(*) AS n_blocks,
+       |    SUM(CASE WHEN df >= $BoilerMinDf THEN 1 ELSE 0 END) AS n_boiler
+       |  FROM blocks JOIN dfreq USING (source, h)
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id, d.source,
+       |  CAST(COALESCE(p.n_blocks, 0) AS BIGINT) AS n_blocks,
+       |  CAST(COALESCE(p.n_boiler, 0) AS BIGINT) AS n_boiler,
+       |  CASE WHEN COALESCE(p.n_blocks, 0) = 0 THEN 0.0
+       |       ELSE round(CAST(p.n_boiler AS DOUBLE) / p.n_blocks, 6) + 0 END AS boiler_frac
+       |FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "boilerplate_report" -> (boilerplateReport _),
     "bpe_pack" -> (bpePack _),
     "token_budget_sample" -> (tokenBudgetSample _),
     "funnel_report" -> (funnelReport _),
@@ -1200,6 +1282,7 @@ object Curation {
     "shard_pack" -> (shardPack _))
 
   val oracles: Map[String, String] = Map(
+    "boilerplate_report" -> boilerplateReportSql,
     "bpe_pack" -> bpePackSql,
     "token_budget_sample" -> tokenBudgetSampleSql,
     "funnel_report" -> funnelReportSql,

@@ -266,4 +266,32 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(rows.values.map(_._4).sum - 1.0) < 1e-4)
     assert(rows("train")._1 > rows("val")._1 && rows("train")._1 > rows("test")._1)
   }
+
+  test("boilerplate_report: same-source template blocks flag; cross-source and rare blocks do not") {
+    val intro = (1 to Curation.BoilerBlockWords).map(i => s"nav$i").mkString(" ")
+    def tail(seed: String) = (1 to Curation.BoilerBlockWords).map(i => s"$seed$i").mkString(" ")
+    val docs = Seq(
+      // site_a: 3 docs share the intro block (df = 3 = threshold) +
+      // a unique tail block each → frac 0.5
+      (1L, s"$intro ${tail("a")}", "site_a"),
+      (2L, s"$intro ${tail("b")}", "site_a"),
+      (3L, s"$intro ${tail("c")}", "site_a"),
+      // site_b carries the SAME intro — but df is per-source, so its
+      // single occurrence there is content, not boilerplate
+      (4L, s"$intro ${tail("d")}", "site_b"),
+      (5L, tail("e"), "site_b"),
+      // too short for one block → total row with 0 blocks
+      (6L, "tiny doc", "site_b"))
+    val dir = Files.createTempDirectory("graft-boiler").toString
+    docs.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Curation.boilerplateReport(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L), "report must be doc-total")
+    Seq(1L, 2L, 3L).foreach(id =>
+      assert(got(id) == ((2L, 1L, 0.5)), s"doc $id: ${got(id)}"))
+    assert(got(4L) == ((2L, 0L, 0.0)), s"cross-source intro must not flag: ${got(4L)}")
+    assert(got(5L) == ((1L, 0L, 0.0)), s"unique content must not flag: ${got(5L)}")
+    assert(got(6L) == ((0L, 0L, 0.0)), s"short doc must still report: ${got(6L)}")
+  }
 }
