@@ -307,8 +307,29 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  /** Stub perceptual hash for payloads no installed codec decodes:
+    * a frame-LOCALITY fingerprint — band b of the 60-bit hash is the
+    * 15-bit md5 of the payload's b-th [[FrameBytes]] window, so
+    * payloads sharing leading content regions share Hamming bands
+    * (locality a whole-payload checksum cannot give), and the
+    * fixture path stays DuckDB-replayable byte-for-byte. */
+  private[ops] def frameStub60(payload: Array[Byte]): Long = {
+    var fp = 0L
+    var b = 0
+    while (b < Dedup.SimhashBands) {
+      val from = b * FrameBytes
+      val frame =
+        if (payload == null || from >= payload.length) Array.empty[Byte]
+        else payload.slice(from, math.min(payload.length, from + FrameBytes))
+      fp |= (CrossHash.md5Hash60(frame) & ((1L << Dedup.SimhashBandBits) - 1)) <<
+        (b * Dedup.SimhashBandBits)
+      b += 1
+    }
+    fp
+  }
+
   /** Perceptual near-dup pairs over binary payloads: per-payload
-    * 60-bit dHash (CrossHash stub for undecodable payloads — the
+    * 60-bit dHash ([[frameStub60]] for undecodable payloads — the
     * extractMeta real-or-stub contract, which also keeps the fixture
     * path DuckDB-replayable), banded into 4×15 bits with the
     * hot-bucket pre-cap, bucket-sharing pairs verified exactly with
@@ -318,7 +339,7 @@ object Multimodal {
     * map-side inside capped buckets, narrow (ids + two longs)
     * shuffle rows. */
   def phashPairs(payloads: DataFrame): DataFrame = {
-    val ph = udf { (p: Array[Byte]) => dHash60(p).getOrElse(checksum60(p)) }
+    val ph = udf { (p: Array[Byte]) => dHash60(p).getOrElse(frameStub60(p)) }
     val fp = payloads.select(col("doc_id"), ph(col("payload")).as("fp"))
     val banded = fp.select(col("doc_id"), col("fp"),
       explode(expr(
@@ -343,23 +364,25 @@ object Multimodal {
   }
 
   /** Fixture adapter (text bytes play the payload, every row takes
-    * the stub branch — same contract as [[mediaMeta]]). On the stub
-    * branch only byte-identical payloads land within the radius
-    * (avalanche hash), so the sf0.01 gate row-set is empty-but-equal
-    * and sf0.1 (8 duplicate groups) carries the nonzero case — both
-    * hash-matched; the perceptual behavior itself is pinned by the
-    * real-image spec (resized copy pairs, distinct images don't). */
+    * the stub branch — same contract as [[mediaMeta]]); the real
+    * perceptual behavior is pinned by the image spec (a resized
+    * copy pairs with its original, distinct images don't). */
   def mediaPhashDedup(s: SparkSession, dir: String): DataFrame =
     phashPairs(t(s, dir, "documents")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")))
 
-  /** Oracle mirror on the all-stub fixture path: stub phash = the
-    * 60-bit payload md5 (ASCII text ⇒ DuckDB's string md5 ≡ the
-    * engine's byte md5 — the mediaMeta bridge), then the simhash
-    * banding/cap/Hamming-verify SQL shape. */
-  val mediaPhashDedupSql: String =
+  /** Oracle mirror on the all-stub fixture path: per-band 15-bit
+    * frame md5s OR-ed into the 60-bit fingerprint (ASCII text ⇒
+    * DuckDB's string md5 ≡ the engine's byte md5 — the mediaMeta
+    * bridge), then the simhash banding/cap/Hamming-verify shape. */
+  val mediaPhashDedupSql: String = {
+    val stub = (0 until Dedup.SimhashBands).map { b =>
+      val frame = s"substring(text, ${b * FrameBytes} + 1, $FrameBytes)"
+      s"((${CrossHash.sqlHash60(frame)} & ${(1 << Dedup.SimhashBandBits) - 1}) " +
+        s"<< ${b * Dedup.SimhashBandBits})"
+    }.mkString(" | ")
     s"""WITH fp AS (
-       |  SELECT doc_id, ('0x' || substring(md5(text), 1, 15))::BIGINT AS fp
+       |  SELECT doc_id, $stub AS fp
        |  FROM documents),
        |band AS (
        |  SELECT doc_id, fp, b,
@@ -379,6 +402,7 @@ object Multimodal {
        |FROM cand
        |WHERE bit_count(xor(fa, fb)) <= 3
        |ORDER BY hamming, doc_a, doc_b""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_meta" -> (mediaMeta _),

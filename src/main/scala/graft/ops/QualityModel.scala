@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.functions.OracleMath.dsum
 import graft.functions.VectorFunctions.r6
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Model-based quality scoring — the "train a cheap classifier on a
@@ -187,11 +187,182 @@ object QualityModel {
        |ORDER BY quality DESC, doc_id
        |LIMIT $ScoredK""".stripMargin
 
+  /** Newton/IRLS steps for [[logisticFit]] — two steps from w = 0
+    * are the classic "almost-converged" point for a 3-parameter
+    * model, and the oracle unrolls exactly this many. */
+  val IrlsIters = 2
+
+  /** Distributed LOGISTIC regression by IRLS — the actual functional
+    * form of the fastText-class quality filters ([[fitWeights]]'s
+    * ridge is the linear-probe stand-in; this is the real sigmoid
+    * link): per Newton step, ONE aggregation pass produces the
+    * μ(1−μ)-weighted Gram matrix and the gradient Xᵀ(y−μ) as nine
+    * decimal-bridged sums, and the 3×3 solve happens on the driver
+    * (the [[fitWeights]] Cramer text, verbatim). Per-row μ is the
+    * sigmoid of the CURRENT driver weights riding the closure —
+    * map-only, no shuffle beyond the aggregation's.
+    *
+    * Bridge: z and μ are r6-rounded images (the doremi exp()
+    * precedent), every summand is r6-rounded before the
+    * DECIMAL(38,6) sum, and the driver update formulas mirror the
+    * oracle CTEs character-for-character — the fitted weights are
+    * bit-identical across engines after two unrolled steps. */
+  def logisticFitWeights(s: SparkSession, dir: String): (Double, Double, Double) = {
+    val f = featureFrame(s, dir)
+      .select(col("f2"), col("f3"), col("y").cast("double").as("y"))
+    var w = (0.0, 0.0, 0.0)
+    (1 to IrlsIters).foreach { _ =>
+      val (w1, w2, w3) = w
+      val z = r6(lit(w1) + lit(w2) * col("f2") + lit(w3) * col("f3"))
+      val mu = r6(lit(1.0) / (lit(1.0) + exp(-z)))
+      // all weighted summands are EXACT DECIMAL products of r6
+      // images — rounding a double product here is forbidden: with
+      // μ = 0.5 (iteration 1) every product is 0.25·f, which lands
+      // exactly on the 1e-6 half boundary where Spark's string-
+      // based HALF_UP and DuckDB's float round disagree (observed:
+      // 5e-6 weight drift). DECIMAL(8,6) factors keep the 4-factor
+      // product at precision 37 — never truncated.
+      def d8(c: Column) = c.cast("decimal(8,6)")
+      val muD = d8(mu)
+      val omD = d8(lit(1.0) - mu)
+      val ymD = d8(col("y") - mu)
+      val f2D = d8(col("f2"))
+      val f3D = d8(col("f3"))
+      val row = f.agg(
+        sum(muD * omD).cast("double").as("sa11"),
+        sum(muD * omD * f2D).cast("double").as("sa12"),
+        sum(muD * omD * f3D).cast("double").as("sa13"),
+        sum(muD * omD * f2D * f2D).cast("double").as("sa22"),
+        sum(muD * omD * f2D * f3D).cast("double").as("sa23"),
+        sum(muD * omD * f3D * f3D).cast("double").as("sa33"),
+        sum(ymD).cast("double").as("g1"),
+        sum(ymD * f2D).cast("double").as("g2"),
+        sum(ymD * f3D).cast("double").as("g3")).collect()(0)
+      val a11 = row.getDouble(0) + Ridge
+      val a12 = row.getDouble(1); val a13 = row.getDouble(2)
+      val a22 = row.getDouble(3) + Ridge
+      val a23 = row.getDouble(4)
+      val a33 = row.getDouble(5) + Ridge
+      val b1 = row.getDouble(6) - Ridge * w1
+      val b2 = row.getDouble(7) - Ridge * w2
+      val b3 = row.getDouble(8) - Ridge * w3
+      val det =
+        a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a23 * a13) +
+          a13 * (a12 * a23 - a22 * a13)
+      val d1 =
+        (b1 * (a22 * a33 - a23 * a23) - a12 * (b2 * a33 - a23 * b3) +
+          a13 * (b2 * a23 - a22 * b3)) / det
+      val d2 =
+        (a11 * (b2 * a33 - a23 * b3) - b1 * (a12 * a33 - a23 * a13) +
+          a13 * (a12 * b3 - b2 * a13)) / det
+      val d3 =
+        (a11 * (a22 * b3 - a23 * b2) - a12 * (a12 * b3 - b2 * a13) +
+          b1 * (a12 * a23 - a22 * a13)) / det
+      w = (w1 + d1, w2 + d2, w3 + d3)
+    }
+    w
+  }
+
+  /** Fitted logistic coefficients + training 0/1 accuracy (one more
+    * map-only pass under the frozen weights — decision z > 0). */
+  def logisticFit(s: SparkSession, dir: String): DataFrame = {
+    val (w1, w2, w3) = logisticFitWeights(s, dir)
+    val f = featureFrame(s, dir)
+    val z = r6(lit(w1) + lit(w2) * col("f2") + lit(w3) * col("f3"))
+    val acc = f.agg(r6(
+        sum(when((z > 0).cast("int") === col("y"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1))).as("acc"))
+      .head().getDouble(0)
+    import s.implicits._
+    Seq(("intercept", r6d(w1)), ("log_words", r6d(w2)),
+      ("stop_ratio", r6d(w3)), ("train_acc", acc))
+      .toDF("feature", "weight")
+      .orderBy(col("feature"))
+  }
+
+  private def r6d(x: Double): Double = graft.functions.OracleMath.r6d(x)
+
+  /** One IRLS step as oracle CTEs: per-row μ under the incoming
+    * weights (`$win` = a 1-row CTE with w1/w2/w3), nine bridged
+    * sums, the Cramer solve — emitted per unrolled iteration. */
+  private def irlsStepSql(win: String, out: String): String =
+    s"""l_mu_$out AS MATERIALIZED (
+       |  SELECT
+       |    CAST(f2 AS DECIMAL(8,6)) AS f2d,
+       |    CAST(f3 AS DECIMAL(8,6)) AS f3d,
+       |    CAST(mu AS DECIMAL(8,6)) AS mud,
+       |    CAST(1.0 - mu AS DECIMAL(8,6)) AS omd,
+       |    CAST(y - mu AS DECIMAL(8,6)) AS ymd
+       |  FROM (
+       |    SELECT f2, f3, CAST(y AS DOUBLE) AS y,
+       |      round(1.0 / (1.0 + exp(-(round(w1 + w2 * f2 + w3 * f3, 6) + 0))), 6) + 0 AS mu
+       |    FROM f CROSS JOIN $win)),
+       |l_sums_$out AS (
+       |  SELECT
+       |    CAST(SUM(mud * omd) AS DOUBLE) AS sa11,
+       |    CAST(SUM(mud * omd * f2d) AS DOUBLE) AS sa12,
+       |    CAST(SUM(mud * omd * f3d) AS DOUBLE) AS sa13,
+       |    CAST(SUM(mud * omd * f2d * f2d) AS DOUBLE) AS sa22,
+       |    CAST(SUM(mud * omd * f2d * f3d) AS DOUBLE) AS sa23,
+       |    CAST(SUM(mud * omd * f3d * f3d) AS DOUBLE) AS sa33,
+       |    CAST(SUM(ymd) AS DOUBLE) AS g1,
+       |    CAST(SUM(ymd * f2d) AS DOUBLE) AS g2,
+       |    CAST(SUM(ymd * f3d) AS DOUBLE) AS g3
+       |  FROM l_mu_$out),
+       |l_h_$out AS (
+       |  SELECT s.sa11 + $Ridge AS a11, s.sa12 AS a12, s.sa13 AS a13,
+       |    s.sa22 + $Ridge AS a22, s.sa23 AS a23, s.sa33 + $Ridge AS a33,
+       |    s.g1 - $Ridge * w.w1 AS b1, s.g2 - $Ridge * w.w2 AS b2,
+       |    s.g3 - $Ridge * w.w3 AS b3,
+       |    w.w1 AS pw1, w.w2 AS pw2, w.w3 AS pw3
+       |  FROM l_sums_$out s CROSS JOIN $win w),
+       |l_d_$out AS (
+       |  SELECT *,
+       |    a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a23 * a13)
+       |      + a13 * (a12 * a23 - a22 * a13) AS det
+       |  FROM l_h_$out),
+       |$out AS MATERIALIZED (
+       |  SELECT
+       |    pw1 + (b1 * (a22 * a33 - a23 * a23) - a12 * (b2 * a33 - a23 * b3)
+       |      + a13 * (b2 * a23 - a22 * b3)) / det AS w1,
+       |    pw2 + (a11 * (b2 * a33 - a23 * b3) - b1 * (a12 * a33 - a23 * a13)
+       |      + a13 * (a12 * b3 - b2 * a13)) / det AS w2,
+       |    pw3 + (a11 * (a22 * b3 - a23 * b2) - a12 * (a12 * b3 - b2 * a13)
+       |      + b1 * (a12 * a23 - a22 * a13)) / det AS w3
+       |  FROM l_d_$out)""".stripMargin
+
+  val logisticFitSql: String =
+    s"""WITH b AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+       |f AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    round(ln(len(w) + 1), 6) + 0 AS f2,
+       |    round(CAST(len(list_filter(w, x -> x IN ($stopList))) AS DOUBLE) / len(w), 6) + 0 AS f3,
+       |    CASE WHEN CAST(length(text) - len(w) + 1 AS DOUBLE) / len(w) >= 3.0
+       |          AND CAST(length(text) - len(w) + 1 AS DOUBLE) / len(w) <= 10.0
+       |         THEN 1 ELSE 0 END AS y
+       |  FROM b),
+       |l_w0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+       |${irlsStepSql("l_w0", "l_w1")},
+       |${irlsStepSql("l_w1", "l_w2")},
+       |l_acc AS (
+       |  SELECT round(CAST(SUM(CASE WHEN
+       |      CASE WHEN round(w1 + w2 * f2 + w3 * f3, 6) + 0 > 0 THEN 1 ELSE 0 END = y
+       |      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) + 0 AS acc
+       |  FROM f CROSS JOIN l_w2)
+       |SELECT feature, weight FROM (
+       |  SELECT 'intercept' AS feature, round(w1, 6) + 0 AS weight FROM l_w2
+       |  UNION ALL SELECT 'log_words', round(w2, 6) + 0 FROM l_w2
+       |  UNION ALL SELECT 'stop_ratio', round(w3, 6) + 0 FROM l_w2
+       |  UNION ALL SELECT 'train_acc', acc FROM l_acc)
+       |ORDER BY feature""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_fit" -> (qualityFit _),
-    "quality_scored" -> (qualityScored _))
+    "quality_scored" -> (qualityScored _),
+    "quality_logistic" -> (logisticFit _))
 
   val oracles: Map[String, String] = Map(
     "quality_fit" -> qualityFitSql,
-    "quality_scored" -> qualityScoredSql)
+    "quality_scored" -> qualityScoredSql,
+    "quality_logistic" -> logisticFitSql)
 }

@@ -88,4 +88,40 @@ class QualityModelSpec extends AnyFunSuite {
     val expect = w1 + w2 * f.getDouble(1) + w3 * f.getDouble(2)
     assert(math.abs(top.getDouble(1) - expect) < 1e-6)
   }
+
+  test("logistic IRLS separates a linearly separable planted corpus; fit is run-stable") {
+    import spark.implicits._
+    // y = 1 docs (mwl in band) are stopword-rich; y = 0 docs (very
+    // long words push mwl out of band) carry no stopwords — the
+    // label is linearly separable in the stop-ratio feature
+    val good = (1L to 30L).map(i =>
+      (i, "the quick brown fox of the woods and the fields runs home"))
+    val bad = (31L to 60L).map(i =>
+      (i, "supercalifragilistic expialidocious incomprehensibilities " +
+        "antidisestablishmentarianism floccinaucinihilipilification"))
+    val dir = Files.createTempDirectory("graft-logit").toString
+    (good ++ bad).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = QualityModel.logisticFit(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows.keySet ==
+      Set("intercept", "log_words", "stop_ratio", "train_acc"))
+    assert(rows("train_acc") == 1.0,
+      s"separable corpus must classify perfectly: $rows")
+    assert(rows("stop_ratio") > 0,
+      s"stopword ratio must carry positive weight: $rows")
+    // bit-stable across runs (the decimal-bridge guarantee)
+    val again = QualityModel.logisticFit(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(again == rows)
+    // the sigmoid link separates where the linear probe's 0/1
+    // ordering agrees: logistic decision must match labels on both
+    // classes, not just on average
+    val (w1, w2, w3) = QualityModel.logisticFitWeights(spark, dir)
+    def z(f2: Double, f3: Double) = w1 + w2 * f2 + w3 * f3
+    val goodWords = good.head._2.split(" ").length
+    val badWords = bad.head._2.split(" ").length
+    assert(z(math.log(goodWords + 1.0), 4.0 / goodWords) > 0)
+    assert(z(math.log(badWords + 1.0), 0.0) <= 0)
+  }
 }
