@@ -1066,18 +1066,37 @@ object KMeansVec {
     * map-only corpus scan, a 3-group aggregation, a 1-row broadcast
     * of the train baseline. At 100 TB the same report runs per
     * append batch against the persisted sidecar. */
-  def indexDriftReport(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings")
+  /** The frozen coarse quantizer the drift family scores against:
+    * first-[[K]] vectors of the train slice (the fit(iters=1) init
+    * convention the IVF oracles replay). At 100 TB this is the
+    * persisted sidecar ([[readCentroids]]); here it derives from the
+    * fixture so the registered query is self-contained. */
+  def driftCentroids(s: SparkSession, dir: String): Array[Array[Double]] =
+    t(s, dir, "embeddings")
       .filter(col("vec_id") =!= VectorQueries.QueryVecId)
-    val cents = e.filter(col("vec_id") % 4 < 3)
+      .filter(col("vec_id") % 4 < 3)
       .select(col("vec_id"), col("embedding"))
       .orderBy(col("vec_id")).limit(K).collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
-    val batched = e.select(
+
+  /** Per-row quantization error of ANY (vec_id, embedding) relation
+    * under FROZEN centroids — ONE definition shared by the batch
+    * report and the streaming twin
+    * ([[graft.streaming.StreamingIndex.driftScoreStream]]), the
+    * scoreWith convention: batch and stream arithmetic cannot
+    * drift. Map-only; the K·dim model rides the closure. */
+  def driftErrors(e: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    e.select(col("vec_id"), r6(minDistUdf(cents)(col("embedding"))).as("err"))
+
+  def indexDriftReport(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .filter(col("vec_id") =!= VectorQueries.QueryVecId)
+    val cents = driftCentroids(s, dir)
+    val batched = driftErrors(e, cents).select(
       when(col("vec_id") % 4 < 3, lit("train"))
         .when(expr("(vec_id div 4) % 2") === 0, lit("batch_0"))
         .otherwise(lit("batch_1")).as("batch"),
-      r6(minDistUdf(cents)(col("embedding"))).as("err"))
+      col("err"))
     val agg = batched.groupBy(col("batch"))
       .agg(count(lit(1)).as("n"),
         r6(OracleMath.davg(col("err"))).as("avg_qerr"))

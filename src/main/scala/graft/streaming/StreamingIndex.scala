@@ -231,6 +231,21 @@ object StreamingIndex {
   def bloomScoreStream(docs: DataFrame, bits: java.util.BitSet): DataFrame =
     graft.ops.Bloom.scoreDocs(docs, bits)
 
+  /** Streaming quantizer-drift scorer — the continuous-ingest half
+    * of [[graft.ops.KMeansVec.indexDriftReport]]'s contract: the
+    * frozen K·dim quantizer (the index sidecar in production) rides
+    * the closure, every arriving vector scores its quantization
+    * error through the ONE shared definition
+    * ([[graft.ops.KMeansVec.driftErrors]] — batch ≡ stream
+    * bit-for-bit), map-only with no state store; a foreachBatch
+    * consumer aggregates each micro-batch's mean error against the
+    * train-time baseline and triggers the retrain-rewrite once the
+    * ratio crosses [[graft.ops.KMeansVec.DriftRetrainRatio]]. */
+  def driftScoreStream(
+      vecs: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    graft.ops.KMeansVec.driftErrors(
+      vecs.filter(col("embedding").isNotNull), cents)
+
   /** Streaming anomaly scorer — train-on-history, score-the-stream:
     * watermarked hourly tumbling counts per event type, stream-static
     * joined to a batch-trained stats table (`Events.hourlyStats`),

@@ -239,6 +239,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("drift stream ≡ batch driftErrors: frozen-quantizer map-only scoring, row equality") {
+    val dir = "/root/testdata/sf0.001"
+    val cents = graft.ops.KMeansVec.driftCentroids(spark, dir)
+    val batch = graft.ops.KMeansVec
+      .driftErrors(spark.read.parquet(s"$dir/embeddings.parquet"), cents)
+      .orderBy(col("vec_id")).collect().map(_.toString).toSeq
+    val src = Files.createTempDirectory("graft-drift-eq").resolve("vecs").toString
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+      .parquet(src)
+    val q = StreamingIndex.driftScoreStream(stream, cents)
+      .writeStream.format("memory").queryName("drift_eq").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("SELECT * FROM drift_eq")
+      .orderBy(col("vec_id")).collect().map(_.toString).toSeq
+    assert(streamed == batch, s"stream ${streamed.size} vs batch ${batch.size}")
+    assert(batch.nonEmpty)
+  }
+
   test("bloom stream ≡ batch bloom_decontaminate: frozen-bitset map-only scoring") {
     val dir = "/root/testdata/sf0.001"
     val batch = graft.ops.Bloom.bloomDecontaminate(spark, dir)
