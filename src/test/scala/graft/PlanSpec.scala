@@ -524,6 +524,56 @@ class PlanSpec extends AnyFunSuite {
       s"signatures must not ride the distinct shuffle: $distinctAgg")
   }
 
+  test("kn_logprob: hint-free model joins, no cartesian beyond the 1-row ntypes broadcast") {
+    val df = graft.ops.Retrieval.knLogprob(spark, sf)
+    assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    val hinted = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.hint.leftHint.exists(_.strategy.isDefined) ||
+           j.hint.rightHint.exists(_.strategy.isDefined) => j
+    }
+    assert(hinted.size <= 1, s"only the 1-row ntypes side may be hinted: $hinted")
+  }
+
+  test("index_drift_report: map-only scoring — no sort-merge join, no cartesian") {
+    val plan = graft.ops.KMeansVec.indexDriftReport(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the baseline is a 1-row broadcast, never a shuffle join: $plan")
+  }
+
+  test("media_phash_dedup: cap below the member aggregate; pairs expand map-side") {
+    val full = graft.ops.Multimodal.mediaPhashDedup(spark, sf)
+      .queryExecution.executedPlan.toString
+    val plan = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i => full.substring(0, i)
+    }
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+    assert(!plan.contains("SortMergeJoin"), s"pairs must expand from buckets: $plan")
+    val aggIdx = plan.indexOf("collect_list")
+    val capIdx = plan.indexOf("bucket_n")
+    assert(aggIdx >= 0 && capIdx >= 0 && aggIdx < capIdx,
+      s"cap must sit below the member aggregate: $plan")
+  }
+
+  test("ppl_buckets_approx: sketch cutoffs broadcast back — no global sort, no window") {
+    val plan = graft.ops.Retrieval.pplBucketsApprox(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("approx_percentile") || plan.contains("percentile_approx"),
+      s"cutoffs must come from the sketch aggregate: $plan")
+    assert(!plan.contains("windowspecdefinition"), s"bucketing must be map-only: $plan")
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+  }
+
+  test("boilerplate_report: block df joins hint-free on (source, hash); no cartesian") {
+    val plan = graft.ops.Curation.boilerplateReport(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+    assert(!plan.contains("windowspecdefinition"), s"no window needed: $plan")
+  }
+
   test("kmeans_par_init: weighting is one map-only argmin + tiny aggregation") {
     val plan = graft.ops.KMeansVec.kmeansParInit(spark, sf)
       .queryExecution.executedPlan.toString
