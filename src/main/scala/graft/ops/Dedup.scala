@@ -1136,14 +1136,16 @@ object Dedup {
       .select(col("band"), col("bkey"),
         col("doc_id").as("doc_old"), col("sig").as("sig_old"))
     incoming.join(existing, Seq("band", "bkey"))
-      .select(col("doc_new"), col("doc_old"), col("sig_new"), col("sig_old"))
-      .dropDuplicates("doc_new", "doc_old")
-      // exact integer ratio (#agreeing hashes / 64): bit-identical in
-      // both engines, so the unrounded threshold compare is safe
-      .withColumn("est",
-        size(filter(zip_with(col("sig_new"), col("sig_old"), (x, y) => x === y), b => b))
-          .cast("double") / NumHashes)
+      // est scored right at the join output (exact integer ratio
+      // #agreeing/64 — bit-identical in both engines, so the
+      // unrounded threshold compare is safe) and thresholded BEFORE
+      // the distinct, so only narrow sub-threshold-free (id, id,
+      // est) rows ride the dedup shuffle — the signatures never do
+      .select(col("doc_new"), col("doc_old"),
+        (size(filter(zip_with(col("sig_new"), col("sig_old"), (x, y) => x === y), b => b))
+          .cast("double") / NumHashes).as("est"))
       .filter(col("est") >= 0.35)
+      .dropDuplicates("doc_new", "doc_old")
       .groupBy(col("doc_new"))
       .agg(min(col("doc_old")).as("dup_of"),
         count(lit(1)).as("n_dups"),
@@ -1469,11 +1471,13 @@ object Dedup {
     val idx = s.table(table).filter(col("bucket_n") <= MaxPosting)
       .select(col("bkey60"), col("doc_id").as("doc_old"), col("sig").as("sig_old"))
     inc.join(idx, "bkey60")
-      .dropDuplicates("doc_new", "doc_old")
-      .withColumn("est",
-        size(filter(zip_with(col("sig_new"), col("sig_old"), (x, y) => x === y), b => b))
-          .cast("double") / NumHashes)
+      // same est-at-the-join + threshold-before-distinct shape as
+      // the inline detector — signatures never ride the dedup shuffle
+      .select(col("doc_new"), col("doc_old"),
+        (size(filter(zip_with(col("sig_new"), col("sig_old"), (x, y) => x === y), b => b))
+          .cast("double") / NumHashes).as("est"))
       .filter(col("est") >= 0.35)
+      .dropDuplicates("doc_new", "doc_old")
       .groupBy(col("doc_new"))
       .agg(min(col("doc_old")).as("dup_of"),
         count(lit(1)).as("n_dups"),
