@@ -340,11 +340,232 @@ object Quantize {
     sqPhase1(s, indexDir, codesDistUdf(qq, nb), excludeId)
   }
 
+  // ------------------------------------------------ 4-bit SQ (SQ4)
+
+  /** SQ4 code range: codes in [−7, 7], two per stored byte — the 8×
+    * storage tier between binary ([[graft.ops.Bq]]) and int8. */
+  val Sq4Max = 7
+
+  /** Wider shortlist than SQ8's: 4-bit distances are coarser, so
+    * recall is bought back with candidates (the knob is a bounded
+    * top-k heap — widening it never re-scans). */
+  val Sq4Shortlist = 40
+
+  /** Driver-side SQ4 quantization of one vector. */
+  private def quantOne4(v: Array[Float]): (Array[Int], Long) = {
+    var maxabs = 0.0
+    v.foreach(x => maxabs = math.max(maxabs, math.abs(x.toDouble)))
+    require(maxabs > 0, "zero query vector")
+    val scale = Sq4Max / maxabs
+    val codes = v.map(x => math.floor(x.toDouble * scale + 0.5).toInt)
+    var n = 0L
+    codes.foreach(c => n += c.toLong * c)
+    (codes, n)
+  }
+
+  /** Pack SQ4 codes two-per-byte as offset-binary nibbles
+    * ((c+8) << 4 | (c'+8) — the offset keeps the sign bit out of the
+    * byte, the [[graft.ops.Bq]] convention); odd dims pad a zero
+    * code. THE physical point of SQ4: ceil(dim/2) bytes per vector,
+    * 8× under float32, half of int8. */
+  private[graft] def packNibbles(codes: Array[Int]): Array[Byte] = {
+    val out = new Array[Byte]((codes.length + 1) / 2)
+    var i = 0
+    while (i < codes.length) {
+      val hi = codes(i) + 8
+      val lo = if (i + 1 < codes.length) codes(i + 1) + 8 else 8
+      out(i / 2) = ((hi << 4) | lo).toByte
+      i += 2
+    }
+    out
+  }
+
+  /** Exact inverse of [[packNibbles]] (dim supplied to drop the odd
+    * pad). */
+  private[graft] def unpackNibbles(packed: Array[Byte], dim: Int): Array[Int] = {
+    val out = new Array[Int](dim)
+    var i = 0
+    while (i < dim) {
+      val b = packed(i / 2) & 0xFF
+      out(i) = (if (i % 2 == 0) (b >> 4) else (b & 0xF)) - 8
+      i += 1
+    }
+    out
+  }
+
+  /** Top-k via 4-bit quantized scan + exact rescore — [[sqTopK]]'s
+    * two-phase shape one compression tier down: phase 1 ranks by the
+    * exact integer SQ4 cosine (codes in [−7,7]: products ≤ 49, sums
+    * exact at any dim), keeps [[Sq4Shortlist]] candidates, phase 2
+    * rescores in full precision. Same empty-query and zero-vector
+    * semantics as SQ8; oracle replays the integer arithmetic
+    * bit-for-bit. */
+  def sq4TopK(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val qOpt = e.filter(col("vec_id") === VectorQueries.QueryVecId)
+      .select(col("embedding")).head(1).headOption
+      .map(_.getSeq[Float](0).toArray)
+      .filter(_.exists(_ != 0f))
+    if (qOpt.isEmpty)
+      return e.select(col("vec_id"), col("label"), lit(0d).as("dist")).filter(lit(false))
+    val qVec = qOpt.get
+    val (qq, nb) = quantOne4(qVec)
+    val sqrtNb = math.sqrt(nb.toDouble)
+    val distQUdf = udf { (emb: Seq[Float]) =>
+      val a = new Array[Double](emb.length)
+      var i = 0
+      while (i < a.length) { a(i) = emb(i); i += 1 }
+      var maxabs = 0.0
+      i = 0
+      while (i < a.length) { val ab = math.abs(a(i)); if (ab > maxabs) maxabs = ab; i += 1 }
+      if (maxabs == 0.0) Option.empty[Double]
+      else {
+        val scale = Sq4Max / maxabs
+        var dq = 0L
+        var na = 0L
+        i = 0
+        while (i < a.length) {
+          val c = math.floor(a(i) * scale + 0.5).toInt
+          dq += c.toLong * qq(i)
+          na += c.toLong * c
+          i += 1
+        }
+        if (na == 0L) Option.empty[Double] // all dims rounded to 0
+        else Some(1.0 - dq.toDouble / (math.sqrt(na.toDouble) * sqrtNb))
+      }
+    }
+    val shortlist = e.filter(col("vec_id") =!= VectorQueries.QueryVecId)
+      .withColumn("dist_q", distQUdf(col("embedding")))
+      .filter(col("dist_q").isNotNull)
+      .select(col("vec_id"), col("label"), col("embedding"), col("dist_q"))
+      .orderBy(col("dist_q"), col("vec_id"))
+      .limit(Sq4Shortlist)
+    shortlist
+      .withColumn("dist",
+        r6(graft.functions.VectorFunctions.cosineDist(col("embedding"), typedLit(qVec))))
+      .filter(!isnan(col("dist")) && col("dist").isNotNull)
+      .select(col("vec_id"), col("label"), col("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** Oracle mirror of [[sq4TopK]]: the [[sqTopKSql]] chain with the
+    * 4-bit scale, the zero-code-vector drop, and the wider
+    * shortlist. */
+  val sq4TopKSql: String =
+    s"""WITH qz AS (
+       |  SELECT vec_id, label, embedding,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * ($Sq4Max / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))) + 0.5) AS INT)) AS qcodes
+       |  FROM embeddings
+       |  WHERE list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0),
+       |q AS (SELECT embedding AS qe, qcodes AS qq FROM qz
+       |      WHERE vec_id = ${VectorQueries.QueryVecId}),
+       |scored AS (
+       |  SELECT z.vec_id, z.label, z.embedding, q.qe,
+       |    1.0 - CAST(list_sum(list_transform(range(1, len(z.qcodes) + 1),
+       |              i -> CAST(z.qcodes[i] AS BIGINT) * q.qq[i])) AS DOUBLE)
+       |      / (sqrt(CAST(list_sum(list_transform(z.qcodes, a -> CAST(a AS BIGINT) * a)) AS DOUBLE))
+       |         * sqrt(CAST(list_sum(list_transform(q.qq, b -> CAST(b AS BIGINT) * b)) AS DOUBLE))) AS dist_q
+       |  FROM qz z, q
+       |  WHERE z.vec_id <> ${VectorQueries.QueryVecId}
+       |    AND list_sum(list_transform(z.qcodes, a -> CAST(a AS BIGINT) * a)) > 0),
+       |shortlist AS (
+       |  SELECT vec_id, label, embedding, qe FROM (
+       |    SELECT *, row_number() OVER (ORDER BY dist_q, vec_id) AS rn FROM scored)
+       |  WHERE rn <= $Sq4Shortlist),
+       |rescored AS (
+       |  SELECT vec_id, label,
+       |    round(1.0 - list_sum(list_transform(range(1, len(embedding) + 1),
+       |              i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)))
+       |          / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+       |             * sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) + 0 AS dist
+       |  FROM shortlist)
+       |SELECT vec_id, label, dist FROM rescored
+       |WHERE dist IS NOT NULL AND NOT isnan(dist)
+       |ORDER BY dist, vec_id LIMIT 5""".stripMargin
+
+  /** Materialize the SQ4 index with PHYSICALLY PACKED nibble codes —
+    * ceil(dim/2) bytes per vector on disk ([[packNibbles]]); phase 1
+    * unpacks in the scan kernel. Same layout contract as
+    * [[writeSqIndex]] (a `codes` table + per-vector scale), so
+    * [[maintainSqIndex]] applies unchanged. */
+  def writeSq4Index(s: SparkSession, dir: String, outDir: String): Unit = {
+    val packUdf = udf { (emb: Seq[Float]) =>
+      var maxabs = 0.0
+      emb.foreach(x => maxabs = math.max(maxabs, math.abs(x.toDouble)))
+      if (maxabs == 0.0) Option.empty[(Array[Byte], Double, Int)]
+      else {
+        val scale = Sq4Max / maxabs
+        val codes = emb.map(x => math.floor(x.toDouble * scale + 0.5).toInt).toArray
+        Some((packNibbles(codes), scale, emb.length))
+      }
+    }
+    t(s, dir, "embeddings")
+      .filter(col("vec_id") =!= VectorQueries.QueryVecId)
+      .withColumn("p", packUdf(col("embedding")))
+      .filter(col("p").isNotNull)
+      .select(col("vec_id"), col("label"),
+        col("p._1").as("packed"), col("p._2").as("scale"), col("p._3").as("dim"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$outDir/codes")
+  }
+
+  /** Search the packed SQ4 index: phase 1 scans ONLY the packed
+    * bytes (the float column provably absent), unpacking nibbles in
+    * the distance kernel; phase 2 rescores the shortlist against the
+    * float table — identical output to the inline [[sq4TopK]] for
+    * the same query. */
+  def sq4SearchIndexed(
+      s: SparkSession,
+      indexDir: String,
+      floatsDir: String,
+      q: Array[Float],
+      k: Int = 5,
+      excludeId: Option[Long] = None): DataFrame = {
+    val (qq, nb) = quantOne4(q)
+    val sqrtNb = math.sqrt(nb.toDouble)
+    val distUdf = udf { (packed: Array[Byte], dim: Int) =>
+      var dq = 0L
+      var na = 0L
+      var i = 0
+      while (i < dim) {
+        val b = packed(i / 2) & 0xFF
+        val c = (if (i % 2 == 0) (b >> 4) else (b & 0xF)) - 8
+        dq += c.toLong * qq(i)
+        na += c.toLong * c
+        i += 1
+      }
+      if (na == 0L) Option.empty[Double]
+      else Some(1.0 - dq.toDouble / (math.sqrt(na.toDouble) * sqrtNb))
+    }
+    val base = excludeId.foldLeft(s.read.parquet(s"$indexDir/codes")) {
+      (df, id) => df.filter(col("vec_id") =!= id)
+    }
+    val shortIds = base
+      .withColumn("dist_q", distUdf(col("packed"), col("dim")))
+      .filter(col("dist_q").isNotNull)
+      .select(col("vec_id"), col("dist_q"))
+      .orderBy(col("dist_q"), col("vec_id"))
+      .limit(Sq4Shortlist)
+      .collect().map(_.getLong(0))
+    t(s, floatsDir, "embeddings")
+      .filter(col("vec_id").isInCollection(shortIds))
+      .withColumn("dist",
+        r6(graft.functions.VectorFunctions.cosineDist(col("embedding"), typedLit(q))))
+      .filter(!isnan(col("dist")) && col("dist").isNotNull)
+      .select(col("vec_id"), col("label"), col("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sq_error" -> (sqError _),
-    "ann_sq_topk" -> ((s, d) => sqTopK(s, d)))
+    "ann_sq_topk" -> ((s, d) => sqTopK(s, d)),
+    "ann_sq4_topk" -> ((s, d) => sq4TopK(s, d)))
 
   val oracles: Map[String, String] = Map(
     "sq_error" -> sqErrorSql,
-    "ann_sq_topk" -> sqTopKSql)
+    "ann_sq_topk" -> sqTopKSql,
+    "ann_sq4_topk" -> sq4TopKSql)
 }

@@ -319,6 +319,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"plan: $plan")
   }
 
+  test("ann_sq4_topk: both phases bounded top-k, query quantized driver-side — no join at all") {
+    val plan = graft.ops.Quantize.sq4TopK(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan: $plan")
+    assert(!plan.contains("Join"), s"plan: $plan")
+  }
+
   test("quality_calibrated: exactly the source-keyed window — no global-sort window partition") {
     val plan = graft.ops.Retrieval.qualityCalibrated(spark, sf)
       .queryExecution.executedPlan.toString
