@@ -27,16 +27,20 @@ object AnnEval {
 
   private val K = 5
 
-  private[graft] val BackendNames = Seq("graph", "ivf", "ivfpq", "lsh", "pq", "sq")
+  private[graft] val BackendNames =
+    Seq("bq", "graph", "ivf", "ivfpq", "lsh", "pq", "rq", "sq", "sq4")
 
   private def backends(s: SparkSession, dir: String): Seq[(String, DataFrame)] =
     BackendNames.zip(Seq(
+      Bq.bqTopK(s, dir),
       GraphAnn.annGraphTopk(s, dir),
       KMeansVec.ivfTopK(s, dir),
       Pq.annIvfPqTopk(s, dir),
       VectorQueries.annLshTopk(s, dir),
       Pq.annPqTopk(s, dir),
-      Quantize.sqTopK(s, dir)))
+      Rq.annRqTopk(s, dir),
+      Quantize.sqTopK(s, dir),
+      Quantize.sq4TopK(s, dir)))
 
   /** backend, returned, hits, recall@5 — ordered by backend name.
     * EVERY backend always has a row: the aggregation left-joins
@@ -71,12 +75,15 @@ object AnnEval {
     def sub(name: String, sql: String) =
       s"SELECT '$name' AS backend, vec_id FROM (\n$sql\n)"
     val union = Seq(
+      sub("bq", Bq.bqTopKSql),
       sub("graph", VectorQueries.knnTopkSql),
       sub("ivf", KMeansVec.ivfTopKSql),
       sub("ivfpq", Pq.annIvfPqTopkSql),
       sub("lsh", VectorQueries.annLshTopkSql),
       sub("pq", Pq.annPqTopkSql),
-      sub("sq", Quantize.sqTopKSql)).mkString("\nUNION ALL\n")
+      sub("rq", Rq.annRqTopkSql),
+      sub("sq", Quantize.sqTopKSql),
+      sub("sq4", Quantize.sq4TopKSql)).mkString("\nUNION ALL\n")
     val nameList = BackendNames.map(n => s"'$n'").mkString(", ")
     s"""WITH exact AS (SELECT vec_id AS evid FROM (
        |${VectorQueries.knnTopkSql}

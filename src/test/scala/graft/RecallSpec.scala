@@ -111,17 +111,20 @@ class RecallSpec extends AnyFunSuite {
     assert(hiRecall >= 0.95, s"high-sim recall $hiRecall")
   }
 
-  test("ann_recall_report: all six backends perfect at registered settings (sf0.01)") {
+  test("ann_recall_report: every backend at its registered bar (sf0.01)") {
     // the report is the audit tool; at the REGISTERED knobs on the
-    // fixture density every backend must agree with exact kNN — the
-    // same bar each backend's own oracle gate holds it to
+    // fixture density the full-precision-rescore backends must agree
+    // with exact kNN, while the coarse-code tiers (rq: 2×4-bit
+    // additive, sq4: 4-bit scalar) hold their HONEST measured floors
+    // — the same bars their own specs pin
     val rep = graft.ops.AnnEval.annRecallReport(spark, "/root/testdata/sf0.01")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-    assert(rep.map(_._1).toSeq ==
-      Seq("graph", "ivf", "ivfpq", "lsh", "pq", "sq"), s"backends: ${rep.toSeq}")
-    rep.foreach { case (b, returned, hits, rec) =>
+    assert(rep.map(_._1).toSeq == graft.ops.AnnEval.BackendNames,
+      s"backends: ${rep.toSeq}")
+    val floors = Map("rq" -> 0.8, "sq4" -> 0.8).withDefaultValue(1.0)
+    rep.foreach { case (b, returned, _, rec) =>
       assert(returned == 5L, s"$b returned $returned")
-      assert(hits == 5L && rec == 1.0, s"$b recall $rec ($hits/5)")
+      assert(rec >= floors(b), s"$b recall $rec below floor ${floors(b)}")
     }
   }
 
