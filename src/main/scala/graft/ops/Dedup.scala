@@ -851,6 +851,170 @@ object Dedup {
        |ORDER BY n_shared DESC, doc_a, doc_b
        |LIMIT 50""".stripMargin
 
+  /** Cap observability — the "no silent caps" audit: every inline
+    * detector bounds hot buckets with [[MaxPosting]], and THIS
+    * reports what those caps actually dropped on the corpus: per
+    * detector family, total buckets, buckets over the cap, and the
+    * rows living inside them. A 100 TB run reads this BEFORE
+    * trusting near-dup output — a nonzero capped share means
+    * boilerplate mega-buckets were skipped by design, and the
+    * remedy is the indexed path's global counts + compaction or a
+    * raised cap, not silence. One COUNT-ONLY aggregation per family
+    * — no member list is ever built (this query IS the pre-cap's
+    * size pass, promoted to a report). Global aggregates make every
+    * family row total even on an empty corpus. */
+  def dedupCapReport(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    def bucketStats(family: String, keyed: DataFrame, keys: Seq[String]): DataFrame =
+      keyed.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+        .agg(
+          count(lit(1)).as("n_buckets"),
+          coalesce(sum(when(col("n") > MaxPosting, 1L).otherwise(0L)), lit(0L))
+            .as("n_capped"),
+          coalesce(sum(when(col("n") > MaxPosting, col("n")).otherwise(0L)), lit(0L))
+            .as("rows_in_capped"))
+        .select(lit(family).as("family"), col("n_buckets"), col("n_capped"),
+          col("rows_in_capped"))
+    val sig = d.select(col("doc_id"), md5ShingleUdf(col("text")).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), minhashUdf(col("hs")).as("sig"))
+    val mhBanded = sig.select(
+      explode(expr(
+        s"transform(sequence(0, ${Bands - 1}), " +
+          s"b -> struct(b AS band, slice(sig, b * $RowsPerBand + 1, $RowsPerBand) AS bkey))"))
+        .as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val shBanded = d
+      .select(simhashUdf(split(col("text"), " ")).as("fp"))
+      .select(explode(expr(
+        s"transform(sequence(0, ${SimhashBands - 1}), " +
+          s"b -> struct(b AS band, CAST(shiftright(fp, b * $SimhashBandBits) & ${(1 << SimhashBandBits) - 1} AS INT) AS bval))"))
+        .as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bval").as("bval"))
+    val wins = d.select(posexplode(spanHashUdf(col("text"))).as(Seq("ord", "h")))
+    val winnowed = d.select(explode(winnowUdf(col("text"))).as("h"))
+    Seq(
+      bucketStats("minhash_band", mhBanded, Seq("band", "bkey")),
+      bucketStats("shingle", hashedPostings(d), Seq("shingle")),
+      bucketStats("simhash_band", shBanded, Seq("band", "bval")),
+      bucketStats("span", wins, Seq("h")),
+      bucketStats("winnow", winnowed, Seq("h")))
+      .reduce(_ union _)
+      .withColumn("capped_frac",
+        when(col("n_buckets") === 0, lit(0.0))
+          .otherwise(r6(col("n_capped").cast("double") / col("n_buckets"))))
+      .orderBy(col("family"))
+  }
+
+  /** Oracle: five independent nested-WITH branches, each reusing its
+    * detector's proven bucket CTE chain with a count-only tail. */
+  lazy val dedupCapReportSql: String = {
+    def tail(grouped: String): String =
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |  CAST(COALESCE(SUM(CASE WHEN n > $MaxPosting THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_capped,
+         |  CAST(COALESCE(SUM(CASE WHEN n > $MaxPosting THEN n ELSE 0 END), 0) AS BIGINT) AS rows_in_capped
+         |FROM ($grouped)""".stripMargin
+    val shingleBranch =
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |  WHERE len(string_split(text, ' ')) >= $ShingleK),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, $shingleSql AS shingle
+         |  FROM tok, UNNEST(range(0, len(w) - ${ShingleK - 1})) AS u(i))
+         |${tail("SELECT COUNT(*) AS n FROM sh GROUP BY shingle")}""".stripMargin
+    val minhashBranch =
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |  WHERE len(string_split(text, ' ')) >= $ShingleK),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, $shingleSql AS shingle
+         |  FROM tok, UNNEST(range(0, len(w) - ${ShingleK - 1})) AS u(i)),
+         |coef AS (
+         |  SELECT j,
+         |    ('0x' || substring(md5('a' || j), 1, 15))::BIGINT % ${MinhashP - 1} + 1 AS a,
+         |    ('0x' || substring(md5('b' || j), 1, 15))::BIGINT % $MinhashP AS b
+         |  FROM UNNEST(range(0, $NumHashes)) AS t(j)),
+         |hh AS (
+         |  SELECT doc_id,
+         |    ('0x' || substring(md5(shingle), 1, 15))::BIGINT % $MinhashP AS h
+         |  FROM sh),
+         |sig AS (
+         |  SELECT doc_id, j, MIN((a * h + b) % $MinhashP) AS v
+         |  FROM hh CROSS JOIN coef GROUP BY doc_id, j),
+         |sigl AS (
+         |  SELECT doc_id, list(v ORDER BY j) AS sig FROM sig GROUP BY doc_id),
+         |band AS (
+         |  SELECT doc_id, b, sig[b*$RowsPerBand+1 : b*$RowsPerBand+$RowsPerBand] AS bkey
+         |  FROM sigl, UNNEST(range(0, $Bands)) AS t(b))
+         |${tail("SELECT COUNT(*) AS n FROM band GROUP BY b, bkey")}""".stripMargin
+    val simhashBranch =
+      s"""WITH cnt AS (
+         |  SELECT doc_id, tk, COUNT(*) AS c
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents)
+         |  GROUP BY doc_id, tk),
+         |th AS (
+         |  SELECT doc_id, ('0x' || substring(md5(tk), 1, 15))::BIGINT AS h, c
+         |  FROM cnt),
+         |bits AS (
+         |  SELECT doc_id, b,
+         |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN c ELSE -c END) AS acc
+         |  FROM th, UNNEST(range(0, $SimhashBits)) AS t(b)
+         |  GROUP BY doc_id, b),
+         |fp AS (
+         |  SELECT doc_id,
+         |    SUM(CASE WHEN acc > 0 THEN 1::BIGINT << b ELSE 0 END) AS fp
+         |  FROM bits GROUP BY doc_id),
+         |band AS (
+         |  SELECT doc_id, b,
+         |    (fp >> (b * $SimhashBandBits)) & ${(1 << SimhashBandBits) - 1} AS bval
+         |  FROM fp, UNNEST(range(0, $SimhashBands)) AS t(b))
+         |${tail("SELECT COUNT(*) AS n FROM band GROUP BY b, bval")}""".stripMargin
+    val spanBranch =
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |  WHERE len(string_split(text, ' ')) >= $SpanWords),
+         |win AS (
+         |  SELECT doc_id,
+         |    ${graft.functions.CrossHash.sqlHash60(
+              s"array_to_string(w[i * $SpanStride + 1 : i * $SpanStride + $SpanWords], ' ')")} AS h
+         |  FROM tok, UNNEST(range(0, (len(w) - $SpanWords) // $SpanStride + 1)) AS t(i))
+         |${tail("SELECT COUNT(*) AS n FROM win GROUP BY h")}""".stripMargin
+    val winnowBranch =
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |  WHERE len(string_split(text, ' ')) >= ${ShingleK + WinnowWindow - 1}),
+         |ph AS MATERIALIZED (
+         |  SELECT doc_id, i, ${graft.functions.CrossHash.sqlHash60(shingleSql)} AS h
+         |  FROM tok, UNNEST(range(0, len(w) - ${ShingleK - 1})) AS t(i)),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM ph GROUP BY doc_id),
+         |wins AS (
+         |  SELECT p.doc_id, j.j, p.h,
+         |    row_number() OVER (PARTITION BY p.doc_id, j.j ORDER BY p.h, p.i DESC) AS rn
+         |  FROM ph p
+         |  JOIN (SELECT doc_id, unnest(range(0, n - $WinnowWindow + 1)) AS j
+         |        FROM cnt WHERE n >= $WinnowWindow) j
+         |    ON j.doc_id = p.doc_id AND p.i BETWEEN j.j AND j.j + ${WinnowWindow - 1}),
+         |fp AS (SELECT DISTINCT doc_id, h FROM wins WHERE rn = 1)
+         |${tail("SELECT COUNT(*) AS n FROM fp GROUP BY h")}""".stripMargin
+    def branch(name: String, body: String): String =
+      s"SELECT '$name' AS family, n_buckets, n_capped, rows_in_capped FROM (\n$body\n)"
+    s"""SELECT family, n_buckets, n_capped, rows_in_capped,
+       |  CASE WHEN n_buckets = 0 THEN 0.0
+       |       ELSE round(CAST(n_capped AS DOUBLE) / n_buckets, 6) + 0 END AS capped_frac
+       |FROM (
+       |${branch("minhash_band", minhashBranch)}
+       |UNION ALL
+       |${branch("shingle", shingleBranch)}
+       |UNION ALL
+       |${branch("simhash_band", simhashBranch)}
+       |UNION ALL
+       |${branch("span", spanBranch)}
+       |UNION ALL
+       |${branch("winnow", winnowBranch)}
+       |)
+       |ORDER BY family""".stripMargin
+  }
+
   /** Near-dup CLUSTERING — the step after pair generation that an
     * actual dedup pipeline needs: the Jaccard pair list is an
     * undirected graph, connected components collapse transitive
@@ -1722,6 +1886,7 @@ object Dedup {
        |ORDER BY jaccard DESC, doc_a, doc_b""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cap_report" -> (dedupCapReport _),
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_jaccard_prefix" -> (dedupJaccardPrefix _),
@@ -1739,6 +1904,7 @@ object Dedup {
     "dedup_incremental" -> (dedupIncremental _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_cap_report" -> dedupCapReportSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_jaccard_prefix" -> dedupJaccardPrefixSql,

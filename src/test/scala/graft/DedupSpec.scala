@@ -210,6 +210,33 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_cap_report: quiet corpus reports zero capping; a planted mega-bucket counts in every family") {
+    val quiet = Dedup.dedupCapReport(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(quiet.keySet ==
+      Set("minhash_band", "shingle", "simhash_band", "span", "winnow"))
+    quiet.foreach { case (f, (nb, nc, ric, frac)) =>
+      // span/winnow need ≥20-word docs; their 0-bucket rows are the
+      // totality guarantee at work, not an error
+      if (Set("minhash_band", "shingle", "simhash_band")(f))
+        assert(nb > 0, s"$f has buckets on the planted corpus")
+      assert(nc == 0 && ric == 0 && frac == 0.0, s"$f spuriously capped: $nc/$ric")
+    }
+    // MaxPosting + 2 identical 20-word docs: one mega-bucket in every
+    // family — the report must COUNT what the detectors silently drop
+    val text = (1 to 20).map(i => s"w$i").mkString(" ")
+    val hotDir = Files.createTempDirectory("graft-capreport").toString
+    (1L to (Dedup.MaxPosting + 2).toLong).map(i => (i, text)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$hotDir/documents.parquet")
+    val hot = Dedup.dedupCapReport(spark, hotDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    hot.foreach { case (f, (nc, ric)) =>
+      assert(nc >= 1, s"$f must count its capped bucket")
+      assert(ric >= Dedup.MaxPosting + 2L, s"$f rows_in_capped = $ric")
+    }
+  }
+
   test("capBuckets: a planted mega-bucket is eliminated BEFORE any member list materializes") {
     val hot = (1 to Dedup.MaxPosting + 7).map(i => ("hot", i.toLong))
     val ok = Seq(("ok", 1L), ("ok", 2L), ("ok", 3L))
