@@ -394,10 +394,17 @@ object Retrieval {
         (col("cbg").cast("double") - lit(KnDiscount)) / col("cw1") +
           (lit(KnDiscount) * col("nfol") / col("cw1")) *
           (col("ncont").cast("double") / col("nt")))))
+      // exact micro-unit fold (the §8.5 integer remedy, the
+      // weightedFpUdf precedent): each r6 term becomes its exact
+      // ×1e6 BIGINT, the per-doc mean is an exact half-up integer
+      // division — a double r6(-s/n) flaked at sf0.1 when the true
+      // rational terminated at the 7th-digit half (observed, 1 row)
       .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_bigrams"), OracleMath.dsum(col("term")).as("s"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(round(-col("term") * 1e6).cast("long")).as("q"))
       .select(col("doc_id"), col("n_bigrams"),
-        r6(-col("s") / col("n_bigrams")).as("avg_nll"))
+        (expr("(2 * q + n_bigrams) div (2 * n_bigrams)").cast("double") / 1e6)
+          .as("avg_nll"))
       .orderBy(col("doc_id"))
   }
 
@@ -422,10 +429,14 @@ object Retrieval {
        |  FROM db JOIN corpus USING (bg)
        |  JOIN lefts ON split_part(bg, ' ', 1) = lefts.w1
        |  JOIN conts ON split_part(bg, ' ', 2) = conts.w2
-       |  CROSS JOIN nt)
-       |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
-       |  round(-CAST(SUM(CAST(term AS DECIMAL(38,6))) AS DOUBLE) / SUM(c), 6) + 0 AS avg_nll
-       |FROM terms GROUP BY doc_id
+       |  CROSS JOIN nt),
+       |agg AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(CAST(round(-term * 1000000) AS BIGINT)) AS BIGINT) AS q
+       |  FROM terms GROUP BY doc_id)
+       |SELECT doc_id, n_bigrams,
+       |  CAST((2 * q + n_bigrams) // (2 * n_bigrams) AS DOUBLE) / 1000000.0 AS avg_nll
+       |FROM agg
        |ORDER BY doc_id""".stripMargin
 
   /** Held-out bigram NLL under either smoothing — the form the
