@@ -319,10 +319,14 @@ object Retrieval {
       .withColumn("term", r6(col("c") * log(
         lit(0.75) * (col("cbg").cast("double") / col("cw1")) +
           lit(0.25) * (col("cw").cast("double") / col("t")))))
+      // exact micro-unit mean (the knLogprob remedy — this query hit
+      // the same 7th-digit-half boundary at sf0.1, 1 row)
       .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_bigrams"), OracleMath.dsum(col("term")).as("s"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(round(-col("term") * 1e6).cast("long")).as("q"))
       .select(col("doc_id"), col("n_bigrams"),
-        r6(-col("s") / col("n_bigrams")).as("avg_nll"))
+        (expr("(2 * q + n_bigrams) div (2 * n_bigrams)").cast("double") / 1e6)
+          .as("avg_nll"))
       .orderBy(col("doc_id"))
   }
 
@@ -346,10 +350,14 @@ object Retrieval {
       |  FROM db JOIN corpus USING (bg)
       |  JOIN lefts ON split_part(bg, ' ', 1) = lefts.w1
       |  JOIN uni ON split_part(bg, ' ', 2) = uni.tok
-      |  CROSS JOIN tot)
-      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
-      |  round(-CAST(SUM(CAST(term AS DECIMAL(38,6))) AS DOUBLE) / SUM(c), 6) + 0 AS avg_nll
-      |FROM terms GROUP BY doc_id
+      |  CROSS JOIN tot),
+      |agg AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+      |    CAST(SUM(CAST(round(-term * 1000000) AS BIGINT)) AS BIGINT) AS q
+      |  FROM terms GROUP BY doc_id)
+      |SELECT doc_id, n_bigrams,
+      |  CAST((2 * q + n_bigrams) // (2 * n_bigrams) AS DOUBLE) / 1000000.0 AS avg_nll
+      |FROM agg
       |ORDER BY doc_id""".stripMargin
 
   /** Absolute discount for the Kneser–Ney family (the standard D). */

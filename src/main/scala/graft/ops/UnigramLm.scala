@@ -190,13 +190,21 @@ object UnigramLm {
     val toks = t(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "" && length(col("w")) <= MaxWordLen)
+    // exact micro-unit means (the knLogprob remedy): r6 of a double
+    // division flaked at sf0.1 when the true rational terminated at
+    // the 7th-digit half (observed on avg_score, 1 row); both ratios
+    // fold as exact integers with a half-up integer division
     toks.join(wstats, "w")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_words"),
         sum(col("n_pieces")).cast("long").as("n_pieces"),
-        r6(sum(col("n_pieces")).cast("double") / count(lit(1))).as("fertility"),
-        r6(OracleMath.davg(col("score"))).as("avg_score"))
+        sum(round(col("score") * 1e6).cast("long")).as("qs"))
+      .select(col("doc_id"), col("n_words"), col("n_pieces"),
+        (expr("(2 * n_pieces * 1000000 + n_words) div (2 * n_words)")
+          .cast("double") / 1e6).as("fertility"),
+        (expr("(2 * qs + n_words) div (2 * n_words)")
+          .cast("double") / 1e6).as("avg_score"))
       .orderBy(col("doc_id"))
   }
 
@@ -245,14 +253,18 @@ object UnigramLm {
        |toks AS (
        |  SELECT doc_id, w FROM (
        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
-       |  WHERE w <> '' AND len(w) <= $MaxWordLen)
-       |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
-       |  CAST(SUM(s.n_pieces) AS BIGINT) AS n_pieces,
-       |  round(CAST(CAST(SUM(s.n_pieces) AS BIGINT) AS DOUBLE) / COUNT(*), 6) + 0 AS fertility,
-       |  round(CAST(SUM(CAST(s.score AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) + 0 AS avg_score
-       |FROM toks t JOIN wstats s ON s.w = t.w
-       |GROUP BY t.doc_id
-       |ORDER BY t.doc_id""".stripMargin
+       |  WHERE w <> '' AND len(w) <= $MaxWordLen),
+       |agg AS (
+       |  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |    CAST(SUM(s.n_pieces) AS BIGINT) AS n_pieces,
+       |    CAST(SUM(CAST(round(s.score * 1000000) AS BIGINT)) AS BIGINT) AS qs
+       |  FROM toks t JOIN wstats s ON s.w = t.w
+       |  GROUP BY t.doc_id)
+       |SELECT doc_id, n_words, n_pieces,
+       |  CAST((2 * n_pieces * 1000000 + n_words) // (2 * n_words) AS DOUBLE) / 1000000.0 AS fertility,
+       |  CAST((2 * qs + n_words) // (2 * n_words) AS DOUBLE) / 1000000.0 AS avg_score
+       |FROM agg
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** Viterbi path pieces (not just counts) — backtracks the same
