@@ -274,13 +274,12 @@ object QualityModel {
           .cast("double") / count(lit(1))).as("acc"))
       .head().getDouble(0)
     import s.implicits._
+    import graft.functions.OracleMath.r6d
     Seq(("intercept", r6d(w1)), ("log_words", r6d(w2)),
       ("stop_ratio", r6d(w3)), ("train_acc", acc))
       .toDF("feature", "weight")
       .orderBy(col("feature"))
   }
-
-  private def r6d(x: Double): Double = graft.functions.OracleMath.r6d(x)
 
   /** One IRLS step as oracle CTEs: per-row μ under the incoming
     * weights (`$win` = a 1-row CTE with w1/w2/w3), nine bridged
