@@ -73,6 +73,14 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE's coalesce floor defaults to 1 MB/partition, which folds the
+      // pair-explosion / array-verify stages (huge compute per shuffled
+      // byte, e.g. dedup_jaccard_prefix's candidate verify) into 2 tasks
+      // on fixture-sized shuffles — measured 2.2× on that query. A 64 KB
+      // floor restores the parallelism AQE's parallelismFirst intends;
+      // at production shuffle sizes the floor never binds, so the knob
+      // only affects the small-shuffle regime.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
