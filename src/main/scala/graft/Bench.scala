@@ -73,14 +73,14 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      // AQE's coalesce floor defaults to 1 MB/partition, which folds the
-      // pair-explosion / array-verify stages (huge compute per shuffled
-      // byte, e.g. dedup_jaccard_prefix's candidate verify) into 2 tasks
-      // on fixture-sized shuffles — measured 2.2× on that query. A 64 KB
-      // floor restores the parallelism AQE's parallelismFirst intends;
-      // at production shuffle sizes the floor never binds, so the knob
-      // only affects the small-shuffle regime.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // AQE coalesce floor: keep the 1 MB default. A 64 KB floor was
+      // A/B-tested (tools/bench_one.scala, sf0.1): it buys ~25% on the
+      // compute-dense pair-verify stages (dedup_jaccard_prefix) but
+      // costs the LM-chain queries 40-100% (bigram/jm/kn_logprob,
+      // doremi, dsir, excess_select — many cheap small shuffles where
+      // 32 tasks of scheduling overhead dominate 2 tasks of work),
+      // a clear net loss. At production shuffle sizes neither floor
+      // binds, so the default is also the honest at-scale setting.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -872,6 +872,110 @@ object KMeansVec {
        |ORDER BY cluster""".stripMargin
   }
 
+  // --------------------------------------------- prototype pruning
+
+  /** Prune fraction for [[protoPrune]] as an exact rational: the
+    * [[ProtoDropNum]]/[[ProtoDropDen]] most prototypical examples of
+    * every cluster are dropped (floor semantics; keep = 10·rank >
+    * 3·n is pure integer arithmetic, so both engines agree on the
+    * cut row even when 0.3·n is whole). */
+  val ProtoDropNum = 3L
+  val ProtoDropDen = 10L
+
+  /** Cosine of each vector to its ASSIGNED centroid — the
+    * prototypicality score of SSL-prototype pruning (Sorscher et
+    * al., NeurIPS 2022: with abundant data, dropping the EASIEST —
+    * most prototypical — examples beats random pruning; the hard
+    * shell of each cluster carries the information). Same arithmetic
+    * conventions as [[assignUdf]] so the score is exactly replayable:
+    * centroid dims float-truncated for the cross term, Σc² in full
+    * doubles, sequential folds, zero-norm guard (ANSI divide) → 0. */
+  private[ops] def protoUdf(centroids: Array[Array[Double]]) = {
+    val cf = centroids.map(_.map(_.toFloat))
+    val cc = centroids.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      s
+    }
+    udf { (emb: Seq[Float], cluster: Int) =>
+      val x = new Array[Double](emb.length)
+      var i = 0
+      while (i < x.length) { x(i) = emb(i); i += 1 }
+      var xx = 0.0
+      i = 0
+      while (i < x.length) { xx += x(i) * x(i); i += 1 }
+      val c = cf(cluster)
+      var xc = 0.0
+      var d = 0
+      while (d < x.length) { xc += x(d) * c(d).toDouble; d += 1 }
+      if (xx == 0.0 || cc(cluster) == 0.0) 0.0
+      else xc / (math.sqrt(xx) * math.sqrt(cc(cluster)))
+    }
+  }
+
+  /** SSL-prototype pruning: rank every vector within its k-means
+    * cell by cosine to the cell centroid and drop the most
+    * prototypical [[ProtoDropNum]]/[[ProtoDropDen]] of each cell —
+    * the "keep the hard examples" data-pruning recipe (Sorscher et
+    * al. 2022), the selection-side complement of [[semanticDedup]]
+    * (which removes near-identical PAIRS; this thins the easy CORE
+    * of every region wholesale).
+    *
+    * Scale shape: scoring is map-only (K·dim centroids ride the UDF
+    * closure, exactly like assignment), then ONE exchange keyed on
+    * the cluster id serves both the rank and the cell size (window
+    * functions over the same partition key share the sort). The
+    * fixture's K=10 makes 10 reducers; at corpus scale K grows with
+    * the data (an IVF-grade quantizer is thousands of cells), so
+    * per-cell partitions stay bounded — same argument as the IVF
+    * cell layout this fit already feeds. Ordering ties (equal r6
+    * score) break on vec_id, so the cut is deterministic. */
+  def protoPrune(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (used, assigned) = fit(s, dir, K, Iters)
+    val w = Window.partitionBy(col("cluster"))
+    val scored = assigned
+      .withColumn("proto", r6(protoUdf(used)(col("embedding"), col("cluster"))))
+    scored
+      .withColumn("rn", row_number().over(w.orderBy(col("proto").desc, col("vec_id"))))
+      .withColumn("n", count(lit(1)).over(w))
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        col("proto"),
+        (col("rn") * ProtoDropDen > col("n") * ProtoDropNum).cast("int").as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Oracle mirror of [[protoPrune]]: the full Lloyd chain (the
+    * final assignment a3 is ranked against the centroids c2 that
+    * produced it — [[fit]]'s consistent pair), cosine with the same
+    * float-truncated cross term, r6 BEFORE the window rank. */
+  val protoPruneSql: String = {
+    val iters = (1 to Iters).map { t =>
+      if (t < Iters) assignCte(t) + ",\n" + updateCte(t) else assignCte(t)
+    }.mkString(",\n")
+    s"""WITH $initCte,
+       |$iters,
+       |sc AS (
+       |  SELECT a.vec_id, a.cluster,
+       |    CASE WHEN ${xx("a.embedding")} = 0
+       |           OR list_sum(list_transform(c.emb, v -> v * v)) = 0 THEN 0.0
+       |    ELSE round(
+       |      list_sum(list_transform(range(1, len(a.embedding) + 1),
+       |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(CAST(c.emb[i] AS FLOAT) AS DOUBLE)))
+       |      / (sqrt(${xx("a.embedding")})
+       |         * sqrt(list_sum(list_transform(c.emb, v -> v * v)))), 6) + 0 END AS proto
+       |  FROM a$Iters a JOIN c${Iters - 1} c ON c.cluster = a.cluster),
+       |r AS (
+       |  SELECT vec_id, cluster, proto,
+       |    row_number() OVER (PARTITION BY cluster ORDER BY proto DESC, vec_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY cluster) AS n
+       |  FROM sc)
+       |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, proto,
+       |  CAST(CASE WHEN rn * $ProtoDropDen > n * $ProtoDropNum THEN 1 ELSE 0 END AS INT) AS keep
+       |FROM r
+       |ORDER BY vec_id""".stripMargin
+  }
+
   // --------------------------------------------- k-means|| init
 
   /** Oversampling factor per k-means|| round (Bahmani et al., VLDB
@@ -1163,6 +1267,7 @@ object KMeansVec {
     "cluster_topics" -> (clusterTopics _),
     "semantic_dedup" -> (semanticDedup _),
     "cluster_sample" -> (clusterSample _),
+    "proto_prune" -> (protoPrune _),
     "ann_ivf_topk" -> ((s, d) => ivfTopK(s, d)),
     "ann_ivf_batch" -> ((s, d) => ivfBatchTopK(s, d)),
     "ann_filtered_topk" -> ((s, d) => ivfFilteredTopK(s, d)))
@@ -1175,6 +1280,7 @@ object KMeansVec {
     "cluster_topics" -> clusterTopicsSql,
     "semantic_dedup" -> semanticDedupSql,
     "cluster_sample" -> clusterSampleSql,
+    "proto_prune" -> protoPruneSql,
     "ann_ivf_topk" -> ivfTopKSql,
     "ann_ivf_batch" -> ivfBatchTopKSql,
     "ann_filtered_topk" -> ivfFilteredTopKSql)

@@ -554,6 +554,78 @@ object Retrieval {
        |FROM b GROUP BY bucket
        |ORDER BY bucket""".stripMargin
 
+  /** Per-bucket keep rates for [[ccnetSample]] — CCNet's released
+    * corpora keep the fluent head fully, sample the middle, and
+    * mostly drop the tail (Wenzek et al. 2020 publish head+middle as
+    * the default training cut; the tail survives only for
+    * robustness studies). */
+  val CcnetRates: Seq[(String, Double)] =
+    Seq("head" -> 1.0, "middle" -> 0.5, "tail" -> 0.1)
+
+  /** CCNet differential bucket sampling — the SELECTION stage that
+    * follows [[pplBuckets]]'s tertile split: each doc's bucket gets
+    * its own keep rate, and the keep decision is the deterministic
+    * md5 hash-threshold (the `sample_hash`/`cluster_sample` uniform:
+    * u = (h mod 2⁵⁰ + ½)/2⁵⁰, identical in both engines), so once
+    * the two cutoff scalars broadcast, selection is MAP-ONLY — no
+    * global sort, no per-doc coordination, the shape that holds at
+    * 100 TB (swap the exact tertiles for the registered
+    * approx_percentile twin's cutoffs at real scale). Report = per
+    * bucket: rate, docs, kept docs, kept token mass. */
+  def ccnetSample(s: SparkSession, dir: String): DataFrame = {
+    val nll = unigramLogprob(s, dir)
+    val cuts = nll.agg(
+      r6(percentile(col("avg_nll"), lit(1.0 / 3))).as("c1"),
+      r6(percentile(col("avg_nll"), lit(2.0 / 3))).as("c2"))
+    val u = ((graft.functions.CrossHash.md5Hash60Col(
+      concat(lit("cc:"), col("doc_id").cast("string")))
+      % Dsir.TwoPow50).cast("double") + lit(0.5)) / lit(Dsir.TwoPow50).cast("double")
+    val rate = CcnetRates.tail.foldLeft(
+      when(col("bucket") === CcnetRates.head._1, CcnetRates.head._2)) {
+      case (acc, (b, r)) => acc.when(col("bucket") === b, r)
+    }
+    nll.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col("avg_nll") <= col("c1"), lit("head"))
+          .when(col("avg_nll") <= col("c2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .withColumn("rate", rate)
+      .withColumn("keep", (u < col("rate")).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(
+        min(col("rate")).as("rate"),
+        count(lit(1)).as("n_docs"),
+        sum(col("keep")).as("n_kept"),
+        sum(when(col("keep") === 1L, col("n_tokens")).otherwise(0L)).as("tokens_kept"))
+      .orderBy(col("bucket"))
+  }
+
+  val ccnetSampleSql: String = {
+    val h = graft.functions.CrossHash.sqlHash60("'cc:' || CAST(doc_id AS VARCHAR)")
+    val rateCase = CcnetRates
+      .map { case (b, r) => s"WHEN bucket = '$b' THEN $r" }
+      .mkString("CASE ", " ", " END")
+    s"""WITH nll AS (${unigramLogprobSql.replace("ORDER BY doc_id", "")}),
+       |cuts AS (
+       |  SELECT round(quantile_cont(avg_nll, CAST(1 AS DOUBLE) / 3), 6) + 0 AS c1,
+       |         round(quantile_cont(avg_nll, CAST(2 AS DOUBLE) / 3), 6) + 0 AS c2
+       |  FROM nll),
+       |b AS (
+       |  SELECT doc_id, n_tokens,
+       |    CASE WHEN avg_nll <= c1 THEN 'head'
+       |         WHEN avg_nll <= c2 THEN 'middle'
+       |         ELSE 'tail' END AS bucket,
+       |    (CAST($h % ${Dsir.TwoPow50} AS DOUBLE) + 0.5)
+       |      / CAST(${Dsir.TwoPow50} AS DOUBLE) AS u
+       |  FROM nll CROSS JOIN cuts),
+       |r AS (SELECT *, $rateCase AS rate FROM b)
+       |SELECT bucket, MIN(rate) AS rate, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN u < rate THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+       |FROM r GROUP BY bucket
+       |ORDER BY bucket""".stripMargin
+  }
+
   /** Sketch accuracy for [[pplBucketsApprox]] (Greenwald–Khanna rank
     * error ≤ 1/accuracy). */
   val PplApproxAccuracy = 10000
@@ -848,6 +920,7 @@ object Retrieval {
     "jm_logprob" -> (jmLogprob _),
     "kn_logprob" -> (knLogprob _),
     "ppl_buckets" -> (pplBuckets _),
+    "ccnet_sample" -> (ccnetSample _),
     // rows-gated by declared design (sketch cutoffs; see Scaladoc) —
     // deliberately ABSENT from `oracles`
     "ppl_buckets_approx" -> (pplBucketsApprox _),
@@ -864,6 +937,7 @@ object Retrieval {
     "jm_logprob" -> jmLogprobSql,
     "kn_logprob" -> knLogprobSql,
     "ppl_buckets" -> pplBucketsSql,
+    "ccnet_sample" -> ccnetSampleSql,
     "doremi_weights" -> doremiWeightsSql,
     "quality_calibrated" -> qualityCalibratedSql)
 }

@@ -41,9 +41,6 @@ class BenchBudgetSpec extends AnyFunSuite {
       .appName("graft-bench-budget")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
-      // must mirror Bench's session exactly — the budget gate times the
-      // same protocol the recorded numbers came from (see Bench.scala)
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

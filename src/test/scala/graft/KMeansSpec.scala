@@ -217,4 +217,26 @@ class KMeansSpec extends AnyFunSuite {
       got("batch_1")._1 > KMeansVec.DriftRetrainRatio,
       s"shifted batch must be flagged: ${got("batch_1")}")
   }
+
+  test("proto_prune drops exactly the most-prototypical 3/10 of every cell, deterministically") {
+    def run() = KMeansVec.protoPrune(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val got = run()
+    assert(got.length == 500, "totality: one row per embedding")
+    assert(got.toSeq == run().toSeq, "deterministic across invocations")
+    got.groupBy(_._2).foreach { case (cl, rows) =>
+      val n = rows.length
+      val dropN = (KMeansVec.ProtoDropNum * n / KMeansVec.ProtoDropDen).toInt
+      assert(rows.count(_._4 == 0) == dropN,
+        s"cluster $cl: ${rows.count(_._4 == 0)} dropped, want floor(3·$n/10) = $dropN")
+      // the cut follows the (proto desc, vec_id) order exactly: sort
+      // and check the first dropN are the dropped ones
+      val ordered = rows.sortBy(r => (-r._3, r._1))
+      assert(ordered.take(dropN).forall(_._4 == 0) && ordered.drop(dropN).forall(_._4 == 1),
+        s"cluster $cl: keep flags out of prototypicality order")
+      // every survivor is at most as prototypical as every dropped row
+      if (dropN > 0 && dropN < n)
+        assert(ordered(dropN - 1)._3 >= ordered(dropN)._3)
+    }
+  }
 }

@@ -339,6 +339,19 @@ class PlanSpec extends AnyFunSuite {
     assert(allSpecs == srcSpecs, s"unpartitioned window present: $plan")
   }
 
+  test("proto_prune: map-only scoring, every window keyed by cluster, no join") {
+    val plan = graft.ops.KMeansVec.protoPrune(spark, sf)
+      .queryExecution.executedPlan.toString
+    // centroids ride the UDF closure (like assignment), so the plan
+    // must contain no join at all; the rank and the cell size must
+    // share the cluster-keyed window partition — a global (orderless-
+    // partition) window would serialize the corpus through 1 reducer
+    assert(!plan.contains("Join"), s"plan: $plan")
+    val allSpecs = "windowspecdefinition\\(".r.findAllIn(plan).size
+    val clSpecs = "windowspecdefinition\\(cluster#".r.findAllIn(plan).size
+    assert(allSpecs > 0 && allSpecs == clSpecs, s"unkeyed window present: $plan")
+  }
+
   test("bloom_decontaminate: corpus probe is join-free — the bitset rides the closure") {
     val plan = graft.ops.Bloom.bloomDecontaminate(spark, sf)
       .queryExecution.executedPlan.toString
@@ -440,6 +453,26 @@ class PlanSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"plan: $plan")
     assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+  }
+
+  test("ccnet_sample: cutoffs ride a 1-row broadcast; selection is window-free and sort-free") {
+    val df = graft.ops.Retrieval.ccnetSample(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+    // CCNet's literal recipe sorts the corpus by score; this form must
+    // bucket via two broadcast scalars instead — no window, and no
+    // sort other than the 3-row final ORDER BY (never one keyed on the
+    // per-doc score column)
+    assert(!plan.contains("windowspecdefinition"), s"plan: $plan")
+    assert(!plan.contains("Sort [avg_nll"), s"corpus-wide score sort present: $plan")
+    val hinted = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.hint.leftHint.exists(_.strategy.isDefined) ||
+           j.hint.rightHint.exists(_.strategy.isDefined) => j
+    }
+    assert(hinted.forall(
+        _.joinType == org.apache.spark.sql.catalyst.plans.Cross),
+      s"a keyed join carries a hint: $hinted")
   }
 
   test("excess_select: only 1-row sides carry hints (corpus total + percentile cut)") {

@@ -235,4 +235,31 @@ class RetrievalSpec extends AnyFunSuite {
         s"bucket $b: approx ${approx(b)} vs exact $ne (tol $tol)")
     }
   }
+
+  test("ccnet_sample: head kept whole, rates honored within hash-uniform tolerance, deterministic") {
+    val sf = "/root/testdata/sf0.01"
+    def run() = Retrieval.ccnetSample(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val got = run()
+    assert(got.toSeq.sorted == run().toSeq.sorted, "deterministic across invocations")
+    assert(got.keySet == Retrieval.CcnetRates.map(_._1).toSet)
+    val buckets = Retrieval.pplBuckets(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Retrieval.CcnetRates.foreach { case (b, rate) =>
+      val (gotRate, n, kept, tokKept) = got(b)
+      assert(gotRate == rate)
+      assert(n == buckets(b), s"$b: sampler sees ${n} docs, bucketing says ${buckets(b)}")
+      if (rate == 1.0) {
+        assert(kept == n, s"head must be kept whole: $kept of $n")
+      } else {
+        // md5-uniform keeps concentrate near rate·n (±5σ binomial)
+        val sd = math.sqrt(n * rate * (1 - rate))
+        assert(math.abs(kept - rate * n) <= 5 * sd + 1,
+          s"$b: kept $kept of $n at rate $rate")
+        assert(kept > 0 && kept < n)
+      }
+      assert(tokKept >= 0 && (kept > 0) == (tokKept > 0))
+    }
+  }
 }
