@@ -48,22 +48,28 @@ object PageRank {
 
   private val ShingleK = Dedup.ShingleK
 
-  /** (source, shingle-string) distinct pairs, pure builtins. */
+  /** (source, shingle-string) pairs, distinct within each doc, pure
+    * builtins. NOT globally distinct — the caller's `collect_set`
+    * dedups inside the one aggregation, so the stream shuffles once,
+    * not twice. */
   private def srcShingles(d: DataFrame): DataFrame =
     d.select(col("source"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= ShingleK)
       .select(col("source"), explode(array_distinct(expr(
         s"transform(sequence(0, size(w) - $ShingleK), " +
           s"i -> concat_ws(' ', slice(w, i + 1, $ShingleK)))"))).as("shingle"))
-      .distinct()
 
   /** Undirected source-pair edges (a < b, shared-shingle weight) via
     * the capped inverted index — the graph both [[sourcePagerank]]
-    * and [[sourceTriangles]] walk. */
+    * and [[sourceTriangles]] walk. `collect_set` replaces the old
+    * distinct-then-collect_list pair: identical sorted source sets,
+    * ONE shingle shuffle instead of two, and the map-side partial
+    * already folds each shingle's sources to the tiny per-source
+    * set, so the exchange carries sets, not the raw stream. */
   private[ops] def srcPairs(docs: DataFrame): DataFrame =
     srcShingles(docs)
       .groupBy(col("shingle"))
-      .agg(sort_array(collect_list(col("source"))).as("srcs"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
       .filter(size(col("srcs")).between(2, MaxSrcPosting))
       .select(explode(expr(
         "flatten(transform(srcs, (x, i) -> " +
