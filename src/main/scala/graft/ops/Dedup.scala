@@ -1912,6 +1912,119 @@ object Dedup {
        |WHERE CAST(common AS DOUBLE) / (ca.n_sh + cb.n_sh - common) >= $PrefixTau
        |ORDER BY jaccard DESC, doc_a, doc_b""".stripMargin
 
+  /** Signature-size grid for [[minhashPermSweep]] — each entry is a
+    * PREFIX of the committed [[NumHashes]]-hash signature (the first
+    * k min-hashes of a longer signature ARE a valid k-permutation
+    * MinHash, so one signature pass serves every grid point). All
+    * grid values divide 10⁶ evenly (1/64 = 0.015625), so every
+    * estimate is an EXACT 6-decimal — no r6 half-boundary exists. */
+  val PermGrid: Seq[Int] = Seq(16, 32, 64)
+
+  /** MinHash estimation-accuracy sweep — the OTHER tuning knob next
+    * to [[lshBandSweep]]'s banding grid: how many permutations must a
+    * 100 TB run pay for? For each k in [[PermGrid]], estimate Jaccard
+    * from the first k signature positions on the exact-truth pairs
+    * ([[dedupJaccardPrefix]], provably complete at τ) and report the
+    * mean/max absolute estimation error. E[est] = J with variance
+    * J(1−J)/k, so the report should show MAE shrinking ~1/√k — a
+    * corpus whose MAE at k=64 still exceeds the banding margin needs
+    * a longer signature, one that converges by k=16 can halve its
+    * signature storage.
+    *
+    * Scale shape: ONE signature pass; the truth relation is
+    * near-dup-sized and joins the corpus-sized signature relation on
+    * doc_id twice, hint-free (AQE broadcasts the small side); the
+    * grid expands map-side per pair; per-pair errors are exact
+    * 6-decimals folded with the micro-unit integer mean (the
+    * kn_logprob remedy), so no float bridge risk anywhere. */
+  def minhashPermSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = t(s, dir, "documents")
+    val sig = d.select(col("doc_id"), md5ShingleUdf(col("text")).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), minhashUdf(col("hs")).as("sig"))
+    val gridList = PermGrid.mkString(", ")
+    val errs = dedupJaccardPrefix(s, dir)
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .select(col("jaccard"), explode(expr(
+        s"""transform(array($gridList), k ->
+           |  struct(k AS k,
+           |    size(filter(zip_with(slice(sig_a, 1, k), slice(sig_b, 1, k),
+           |      (x, y) -> x = y), b -> b)) AS m))""".stripMargin)).as("e"))
+      .select(col("e.k").as("k"),
+        r6(col("e.m").cast("double") / col("e.k")).as("est"), col("jaccard"))
+      .withColumn("err", r6(abs(col("est") - col("jaccard"))))
+    val metrics = errs.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(round(col("err") * 1e6).cast("long")).as("q"),
+        max(col("err")).as("mx"))
+    PermGrid.toDF("k").join(metrics, Seq("k"), "left")
+      .select(col("k").cast("long").as("perms"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        col("q"), col("mx"))
+      .withColumn("mae", when(col("n_pairs") === 0, lit(0.0))
+        .otherwise(expr("CAST((2 * q + n_pairs) div (2 * n_pairs) AS DOUBLE) / 1e6")))
+      .select(col("perms"), col("n_pairs"), col("mae"),
+        coalesce(col("mx"), lit(0.0)).as("max_err"))
+      .orderBy(col("perms"))
+  }
+
+  /** Oracle mirror of [[minhashPermSweep]]: the coefficient-replay
+    * signature chain (the lsh_band_sweep CTEs, p_-prefixed against
+    * nested-WITH shadowing), truth nested verbatim, per-(pair, k)
+    * estimates from positions j < k, micro-unit integer mean. */
+  lazy val minhashPermSweepSql: String = {
+    val gridList = PermGrid.mkString(", ")
+    s"""WITH p_tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE len(string_split(text, ' ')) >= $ShingleK),
+       |p_sh AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id,
+       |    $shingleSql AS shingle
+       |  FROM p_tok, UNNEST(range(0, len(w) - ${ShingleK - 1})) AS u(i)),
+       |p_coef AS (
+       |  SELECT j,
+       |    ('0x' || substring(md5('a' || j), 1, 15))::BIGINT % ${MinhashP - 1} + 1 AS a,
+       |    ('0x' || substring(md5('b' || j), 1, 15))::BIGINT % $MinhashP AS b
+       |  FROM UNNEST(range(0, $NumHashes)) AS t(j)),
+       |p_hh AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    ('0x' || substring(md5(shingle), 1, 15))::BIGINT % $MinhashP AS h
+       |  FROM p_sh),
+       |p_sig AS MATERIALIZED (
+       |  SELECT doc_id, j, MIN((a * h + b) % $MinhashP) AS v
+       |  FROM p_hh CROSS JOIN p_coef
+       |  GROUP BY doc_id, j),
+       |p_truth AS MATERIALIZED (
+       |  SELECT doc_a, doc_b, jaccard FROM ($dedupJaccardPrefixSql)),
+       |p_grid AS (SELECT unnest([$gridList]) AS k),
+       |p_err AS MATERIALIZED (
+       |  SELECT g.k, t.doc_a, t.doc_b,
+       |    round(abs(
+       |      round(SUM(CASE WHEN sa.j < g.k AND sa.v = sb.v THEN 1 ELSE 0 END)
+       |            / CAST(g.k AS DOUBLE), 6) + 0
+       |      - t.jaccard), 6) + 0 AS err
+       |  FROM p_truth t
+       |  JOIN p_sig sa ON sa.doc_id = t.doc_a
+       |  JOIN p_sig sb ON sb.doc_id = t.doc_b AND sb.j = sa.j
+       |  CROSS JOIN p_grid g
+       |  GROUP BY g.k, t.doc_a, t.doc_b, t.jaccard),
+       |p_metrics AS (
+       |  SELECT k, COUNT(*) AS n_pairs,
+       |    SUM(CAST(round(err * 1e6) AS BIGINT)) AS q,
+       |    MAX(err) AS mx
+       |  FROM p_err GROUP BY k)
+       |SELECT CAST(g.k AS BIGINT) AS perms,
+       |  CAST(COALESCE(m.n_pairs, 0) AS BIGINT) AS n_pairs,
+       |  CASE WHEN COALESCE(m.n_pairs, 0) = 0 THEN 0.0
+       |       ELSE CAST((2 * m.q + m.n_pairs) // (2 * m.n_pairs) AS DOUBLE) / 1000000.0
+       |  END AS mae,
+       |  COALESCE(m.mx, 0.0) AS max_err
+       |FROM p_grid g LEFT JOIN p_metrics m ON m.k = g.k
+       |ORDER BY perms""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cap_report" -> (dedupCapReport _),
     "dedup_exact" -> (dedupExact _),
@@ -1928,6 +2041,7 @@ object Dedup {
     "winnow_pairs" -> (winnowPairs _),
     "norm_dedup" -> (normDedup _),
     "lsh_band_sweep" -> (lshBandSweep _),
+    "minhash_perm_sweep" -> (minhashPermSweep _),
     "dedup_incremental" -> (dedupIncremental _))
 
   val oracles: Map[String, String] = Map(
@@ -1946,5 +2060,6 @@ object Dedup {
     "winnow_pairs" -> winnowPairsSql,
     "norm_dedup" -> normDedupSql,
     "lsh_band_sweep" -> lshBandSweepSql,
+    "minhash_perm_sweep" -> minhashPermSweepSql,
     "dedup_incremental" -> dedupIncrementalSql)
 }

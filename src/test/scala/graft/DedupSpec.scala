@@ -191,6 +191,42 @@ class DedupSpec extends AnyFunSuite {
     assert(TextOps.rollingHash64("abc") != TextOps.rollingHash64("acb"))
   }
 
+  test("minhash_perm_sweep: grid total, error shrinks with k, exact duplicates at zero error") {
+    val got = Dedup.minhashPermSweep(spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq == Dedup.PermGrid.map(_.toLong), "grid totality, ordered")
+    assert(got.map(_._2).distinct.length == 1 && got.head._2 > 0,
+      "every grid point scores the same truth pairs")
+    got.foreach { case (_, _, mae, mx) =>
+      assert(mae >= 0 && mae <= 1 && mx >= mae, s"bounds: mae=$mae max=$mx")
+    }
+    // E[|est−J|] ~ sqrt(J(1−J)/k): quadrupling k should halve MAE —
+    // assert the weak form (non-increasing with slack) so a small
+    // truth set can't flake the statistical claim
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3 + 0.005, s"MAE must not grow with k: $a -> $b")
+    }
+
+    // planted exact duplicates: J = 1 and every signature prefix
+    // matches fully, so the error is EXACTLY zero at every k
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-perm").toString
+    val txt = (1 to 30).map(i => s"w$i").mkString(" ")
+    val rows = java.util.Arrays.asList(
+      Row(1L, txt, "en", "s", 0L), Row(2L, txt, "en", "s", 0L))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.createDataFrame(new java.util.ArrayList[Row](rows), schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = Dedup.minhashPermSweep(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(planted.forall(r => r._2 == 1 && r._3 == 0.0 && r._4 == 0.0),
+      s"identical docs must estimate at zero error: ${planted.toSeq}")
+  }
+
   test("lsh_band_sweep: grid total, bounds hold, candidates grow with band count") {
     val rows = Dedup.lshBandSweep(spark, "/root/testdata/sf0.001").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),

@@ -339,6 +339,22 @@ class PlanSpec extends AnyFunSuite {
     assert(allSpecs == srcSpecs, s"unpartitioned window present: $plan")
   }
 
+  test("minhash_perm_sweep: no cartesian, signature joins hint-free, grid rides map-side") {
+    val df = graft.ops.Dedup.minhashPermSweep(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+    assert(!plan.contains("windowspecdefinition"), s"plan: $plan")
+    // the corpus-sized signature relation joins the truth pairs on
+    // doc_id without a static broadcast hint (AQE decides); only the
+    // 3-row grid may carry one
+    val hinted = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.hint.leftHint.exists(_.strategy.isDefined) ||
+           j.hint.rightHint.exists(_.strategy.isDefined) => j
+    }
+    assert(hinted.isEmpty, s"a static hint crept onto a sweep join: $hinted")
+  }
+
   test("proto_prune: map-only scoring, every window keyed by cluster, no join") {
     val plan = graft.ops.KMeansVec.protoPrune(spark, sf)
       .queryExecution.executedPlan.toString
