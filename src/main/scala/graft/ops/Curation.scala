@@ -1270,8 +1270,127 @@ object Curation {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Boilerplate REMOVAL — the transform twin of
+    * [[boilerplateReport]]: the CCNet/jusText pipelines don't just
+    * measure template blocks, they STRIP them before training. Every
+    * block flagged by the same same-source df ≥ [[BoilerMinDf]] rule
+    * is cut from the word stream; the tail words and clean blocks
+    * keep their original order; and the rebuilt text is
+    * fingerprinted with the cross-engine 60-bit hash, so the oracle
+    * verifies the EXACT reconstruction of every document, not just
+    * the removal counts.
+    *
+    * Scale shape: identical to the report up to the flag (map-side
+    * blocking, one (source, hash) df aggregation, hint-free rejoin),
+    * then only (doc_id, block-index) pairs aggregate per doc —
+    * bounded by words/10 — and ONE doc-keyed join carries the text
+    * once (the unavoidable enrichment shuffle; AQE picks the
+    * strategy, no static hint). The rebuild itself is a map-only
+    * array filter. */
+  /** Single-pass rebuild: keep tail words (index ≥ nblocks·width)
+    * and words of unflagged blocks, joined by single spaces — the
+    * exact semantics of the oracle's list comprehension +
+    * array_to_string. `split(" ", -1)` matches Spark's split
+    * (trailing empties preserved). */
+  private[ops] val scrubUdf = udf { (text: String, bad: Seq[Int]) =>
+    val w = text.split(" ", -1)
+    val nb = w.length / BoilerBlockWords
+    val badSet = bad.toSet
+    val sb = new StringBuilder
+    var i = 0
+    var first = true
+    while (i < w.length) {
+      if (i >= nb * BoilerBlockWords || !badSet.contains(i / BoilerBlockWords + 1)) {
+        if (!first) sb.append(' ')
+        sb.append(w(i))
+        first = false
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  def boilerplateScrub(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val blocks = d.select(col("doc_id"), col("source"),
+        posexplode(when(size(ws) >= BoilerBlockWords,
+          expr(s"""transform(sequence(1, int(size(split(text, ' ')) / $BoilerBlockWords)),
+                  |  b -> concat_ws(' ', slice(split(text, ' '),
+                  |    (b - 1) * $BoilerBlockWords + 1, $BoilerBlockWords)))""".stripMargin))
+          .otherwise(array().cast("array<string>"))).as(Seq("b0", "block")))
+      .select(col("doc_id"), col("source"), (col("b0") + 1).as("b"),
+        graft.functions.CrossHash.md5Hash60Col(col("block")).as("h"))
+    val dfreq = blocks.select(col("source"), col("h"), col("doc_id")).distinct()
+      .groupBy(col("source"), col("h")).agg(count(lit(1)).as("df"))
+    val bad = blocks.join(dfreq, Seq("source", "h"))
+      .filter(col("df") >= BoilerMinDf)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("b"))).as("bad"))
+    d.select(col("doc_id"), col("text"))
+      .join(bad, Seq("doc_id"), "left")
+      .withColumn("bad", coalesce(col("bad"), array().cast("array<int>")))
+      // closure UDF, not an index-lambda HOF: CollapseProject inlines
+      // split(text) into every lambda element access (the
+      // decontaminate lesson), turning the rebuild O(words²) per doc
+      // — measured 4× the whole query's cost. The UDF is one pass
+      // and joins with single spaces exactly like the oracle's
+      // array_to_string (no raw-text early-out, so a doc with no
+      // flagged blocks still round-trips through the identical
+      // split-and-rejoin in both engines).
+      .withColumn("clean", scrubUdf(col("text"), col("bad")))
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        (size(col("bad")) * BoilerBlockWords).cast("long").as("n_removed"),
+        length(col("clean")).cast("long").as("len_clean"),
+        graft.functions.CrossHash.md5Hash60Col(col("clean")).as("clean_h"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle mirror of [[boilerplateScrub]]: same block/df chain as
+    * the report, per-doc flagged-index lists, and the rebuild as a
+    * 1-based list comprehension keeping tail words and clean blocks
+    * — the 60-bit hash of the rebuilt string must match the
+    * engine's byte-for-byte. */
+  val boilerplateScrubSql: String = {
+    val hBlk = graft.functions.CrossHash.sqlHash60("blk")
+    val hCt = graft.functions.CrossHash.sqlHash60("ct")
+    s"""WITH w AS (
+       |  SELECT doc_id, source, text, string_split(text, ' ') AS w FROM documents),
+       |blocks AS (
+       |  SELECT doc_id, source, b, $hBlk AS h
+       |  FROM (
+       |    SELECT doc_id, source, b,
+       |      array_to_string(w[(b - 1) * $BoilerBlockWords + 1 :
+       |                       (b - 1) * $BoilerBlockWords + $BoilerBlockWords], ' ') AS blk
+       |    FROM w, UNNEST(range(1, len(w) // $BoilerBlockWords + 1)) AS t(b)
+       |    WHERE len(w) >= $BoilerBlockWords)),
+       |dfreq AS (
+       |  SELECT source, h, COUNT(DISTINCT doc_id) AS df
+       |  FROM blocks GROUP BY source, h),
+       |bad AS (
+       |  SELECT doc_id, list(b ORDER BY b) AS bad
+       |  FROM blocks JOIN dfreq USING (source, h)
+       |  WHERE df >= $BoilerMinDf
+       |  GROUP BY doc_id),
+       |clean AS (
+       |  SELECT d.doc_id, len(d.w) AS n_words,
+       |    len(COALESCE(b.bad, CAST([] AS BIGINT[]))) AS n_bad,
+       |    array_to_string([d.w[i] FOR i IN generate_series(1, len(d.w))
+       |      IF i > (len(d.w) // $BoilerBlockWords) * $BoilerBlockWords
+       |         OR NOT list_contains(COALESCE(b.bad, CAST([] AS BIGINT[])),
+       |                              (i - 1) // $BoilerBlockWords + 1)], ' ') AS ct
+       |  FROM w d LEFT JOIN bad b USING (doc_id))
+       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       |  CAST(n_bad * $BoilerBlockWords AS BIGINT) AS n_removed,
+       |  CAST(length(ct) AS BIGINT) AS len_clean,
+       |  $hCt AS clean_h
+       |FROM clean
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "boilerplate_report" -> (boilerplateReport _),
+    "boilerplate_scrub" -> (boilerplateScrub _),
     "bpe_pack" -> (bpePack _),
     "token_budget_sample" -> (tokenBudgetSample _),
     "funnel_report" -> (funnelReport _),
@@ -1297,6 +1416,7 @@ object Curation {
 
   val oracles: Map[String, String] = Map(
     "boilerplate_report" -> boilerplateReportSql,
+    "boilerplate_scrub" -> boilerplateScrubSql,
     "bpe_pack" -> bpePackSql,
     "token_budget_sample" -> tokenBudgetSampleSql,
     "funnel_report" -> funnelReportSql,

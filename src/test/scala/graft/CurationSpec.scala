@@ -294,4 +294,35 @@ class CurationSpec extends AnyFunSuite {
     assert(got(5L) == ((1L, 0L, 0.0)), s"unique content must not flag: ${got(5L)}")
     assert(got(6L) == ((0L, 0L, 0.0)), s"short doc must still report: ${got(6L)}")
   }
+
+  test("boilerplate_scrub: flagged blocks are cut exactly, everything else rebuilds verbatim") {
+    val intro = (1 to Curation.BoilerBlockWords).map(i => s"nav$i").mkString(" ")
+    def tl(seed: String) = (1 to Curation.BoilerBlockWords).map(i => s"$seed$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$intro ${tl("a")}", "site_a"),
+      (2L, s"$intro ${tl("b")}", "site_a"),
+      // intro appears MID-doc here: removal must excise the middle
+      // block and stitch the outer blocks back together
+      (3L, s"${tl("c")} $intro ${tl("d")} plus tail", "site_a"),
+      (4L, s"$intro ${tl("e")}", "site_b"), // per-source df: kept
+      (5L, "tiny doc", "site_b"))
+    val dir = Files.createTempDirectory("graft-scrub").toString
+    docs.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Curation.boilerplateScrub(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L), "scrub must be doc-total")
+    def h(s: String) = // expected fingerprint via the same cross-engine hash
+      graft.functions.CrossHash.md5Hash60(s)
+    // docs 1-2: intro cut, tail survives verbatim
+    assert(got(1L) == ((20L, 10L, tl("a").length.toLong, h(tl("a")))), s"${got(1L)}")
+    assert(got(2L) == ((20L, 10L, tl("b").length.toLong, h(tl("b")))), s"${got(2L)}")
+    // doc 3: the MIDDLE block goes, outer blocks + tail words stitch
+    val doc3Clean = s"${tl("c")} ${tl("d")} plus tail"
+    assert(got(3L) == ((32L, 10L, doc3Clean.length.toLong, h(doc3Clean))), s"${got(3L)}")
+    // doc 4 (other source) and doc 5 (no blocks) rebuild unchanged
+    assert(got(4L) == ((20L, 0L, s"$intro ${tl("e")}".length.toLong, h(s"$intro ${tl("e")}"))))
+    assert(got(5L) == ((2L, 0L, 8L, h("tiny doc"))))
+  }
 }

@@ -339,6 +339,22 @@ class PlanSpec extends AnyFunSuite {
     assert(allSpecs == srcSpecs, s"unpartitioned window present: $plan")
   }
 
+  test("boilerplate_scrub: no cartesian/window; df and rebuild joins hint-free") {
+    val df = graft.ops.Curation.boilerplateScrub(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+    assert(!plan.contains("windowspecdefinition"), s"plan: $plan")
+    // (source, hash) df join and the doc-keyed text rejoin both scale
+    // with the corpus — no static broadcast hints anywhere (AQE
+    // decides); the rebuild itself is a map-only array filter
+    val hinted = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.hint.leftHint.exists(_.strategy.isDefined) ||
+           j.hint.rightHint.exists(_.strategy.isDefined) => j
+    }
+    assert(hinted.isEmpty, s"a static hint crept onto a corpus-sized join: $hinted")
+  }
+
   test("minhash_perm_sweep: no cartesian, signature joins hint-free, grid rides map-side") {
     val df = graft.ops.Dedup.minhashPermSweep(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
