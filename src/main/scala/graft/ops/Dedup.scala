@@ -2025,8 +2025,59 @@ object Dedup {
        |ORDER BY perms""".stripMargin
   }
 
+  /** Cross-source duplication matrix — the "which dumps copy each
+    * other" audit a multi-crawl corpus runs before mixing sources
+    * (two mirrors of one site should be dropped at the SOURCE level,
+    * not pair-by-pair): near-duplicate pairs from the exact
+    * prefix-join truth, attributed to their (unordered) source pair,
+    * with the pair count and the mean/max similarity per cell.
+    * Within-source cells (s1 = s2) expose self-duplication. Sparse
+    * by design — a cell with zero pairs carries no information, and
+    * the full S² grid of a many-source corpus would dwarf the data.
+    *
+    * Scale shape: the pair relation is near-dup-sized and joins the
+    * (doc_id, source) projection twice on doc_id, hint-free; the
+    * matrix aggregation is at most S² rows. Means fold with the
+    * micro-unit integer form (jaccard is an exact 6-decimal). */
+  def sourceOverlapReport(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    dedupJaccardPrefix(s, dir)
+      .join(d.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+      .join(d.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_1"),
+        greatest(col("sa"), col("sb")).as("source_2"), col("jaccard"))
+      .groupBy(col("source_1"), col("source_2"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(round(col("jaccard") * 1e6).cast("long")).as("q"),
+        max(col("jaccard")).as("max_j"))
+      .withColumn("mean_j",
+        expr("CAST((2 * q + n_pairs) div (2 * n_pairs) AS DOUBLE) / 1e6"))
+      .select(col("source_1"), col("source_2"), col("n_pairs"),
+        col("mean_j"), col("max_j"))
+      .orderBy(col("source_1"), col("source_2"))
+  }
+
+  /** Oracle mirror of [[sourceOverlapReport]] — nested exact truth,
+    * unordered source attribution, micro-unit mean. */
+  lazy val sourceOverlapReportSql: String =
+    s"""WITH o_truth AS MATERIALIZED (
+       |  SELECT doc_a, doc_b, jaccard FROM ($dedupJaccardPrefixSql)),
+       |o_cells AS (
+       |  SELECT least(da.source, db.source) AS source_1,
+       |    greatest(da.source, db.source) AS source_2, t.jaccard
+       |  FROM o_truth t
+       |  JOIN documents da ON da.doc_id = t.doc_a
+       |  JOIN documents db ON db.doc_id = t.doc_b)
+       |SELECT source_1, source_2, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST((2 * SUM(CAST(round(jaccard * 1e6) AS BIGINT)) + COUNT(*))
+       |       // (2 * COUNT(*)) AS DOUBLE) / 1000000.0 AS mean_j,
+       |  MAX(jaccard) AS max_j
+       |FROM o_cells GROUP BY source_1, source_2
+       |ORDER BY source_1, source_2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cap_report" -> (dedupCapReport _),
+    "source_overlap_report" -> (sourceOverlapReport _),
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_jaccard_prefix" -> (dedupJaccardPrefix _),
@@ -2061,5 +2112,6 @@ object Dedup {
     "norm_dedup" -> normDedupSql,
     "lsh_band_sweep" -> lshBandSweepSql,
     "minhash_perm_sweep" -> minhashPermSweepSql,
+    "source_overlap_report" -> sourceOverlapReportSql,
     "dedup_incremental" -> dedupIncrementalSql)
 }

@@ -191,6 +191,40 @@ class DedupSpec extends AnyFunSuite {
     assert(TextOps.rollingHash64("abc") != TextOps.rollingHash64("acb"))
   }
 
+  test("source_overlap_report: cells account for every truth pair; planted cross/self dup attribute correctly") {
+    val sf = "/root/testdata/sf0.01"
+    val cells = Dedup.sourceOverlapReport(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val truthN = Dedup.dedupJaccardPrefix(spark, sf).count()
+    assert(cells.map(_._3).sum == truthN, "matrix must account for every truth pair")
+    cells.foreach { case (s1, s2, n, mj, mx) =>
+      assert(s1 <= s2, "unordered attribution: source_1 <= source_2")
+      assert(n > 0 && mj >= Dedup.PrefixTau && mx >= mj && mx <= 1.0, s"($s1,$s2,$n,$mj,$mx)")
+    }
+
+    // planted: one cross-source mirror pair + one within-source dup
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val txtA = (1 to 30).map(i => s"a$i").mkString(" ")
+    val txtB = (1 to 30).map(i => s"b$i").mkString(" ")
+    val rows = java.util.Arrays.asList(
+      Row(1L, txtA, "en", "dump_x", 0L), Row(2L, txtA, "en", "dump_y", 0L),
+      Row(3L, txtB, "en", "dump_x", 0L), Row(4L, txtB, "en", "dump_x", 0L))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-overlap").toString
+    spark.createDataFrame(new java.util.ArrayList[Row](rows), schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = Dedup.sourceOverlapReport(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(planted.keySet == Set(("dump_x", "dump_y"), ("dump_x", "dump_x")),
+      s"got ${planted.keySet}")
+    assert(planted(("dump_x", "dump_y")) == ((1L, 1.0)), "cross-source mirror cell")
+    assert(planted(("dump_x", "dump_x")) == ((1L, 1.0)), "self-duplication cell")
+  }
+
   test("minhash_perm_sweep: grid total, error shrinks with k, exact duplicates at zero error") {
     val got = Dedup.minhashPermSweep(spark, "/root/testdata/sf0.01").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))

@@ -339,6 +339,19 @@ class PlanSpec extends AnyFunSuite {
     assert(allSpecs == srcSpecs, s"unpartitioned window present: $plan")
   }
 
+  test("source_overlap_report: attribution joins hint-free, no cartesian/window") {
+    val df = graft.ops.Dedup.sourceOverlapReport(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+    assert(!plan.contains("windowspecdefinition"), s"plan: $plan")
+    val hinted = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.hint.leftHint.exists(_.strategy.isDefined) ||
+           j.hint.rightHint.exists(_.strategy.isDefined) => j
+    }
+    assert(hinted.isEmpty, s"a static hint crept onto an attribution join: $hinted")
+  }
+
   test("boilerplate_scrub: no cartesian/window; df and rebuild joins hint-free") {
     val df = graft.ops.Curation.boilerplateScrub(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
