@@ -43,6 +43,50 @@ class JaccardPrefixSpec extends AnyFunSuite {
       s"missing=${(brute -- got).take(3)} extra=${(got -- brute).take(3)}")
   }
 
+  test("seeded fuzz: prefix+positional filtering equals brute force on random corpora") {
+    // the positional filter's losslessness proof is subtle (rank
+    // bookkeeping across the prefix slice); guard it against any
+    // future edit with deterministic random corpora engineered to be
+    // shingle-heavy with overlapping blocks around the threshold
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 7919)
+      // small vocab => many shared shingles => dense candidate space
+      def word() = "w" + rnd.nextInt(12)
+      val rows = (1L to 24L).map { id =>
+        val n = 6 + rnd.nextInt(18)
+        Row(id, (1 to n).map(_ => word()).mkString(" "), "en", "s", 0L)
+      }
+      val dir = Files.createTempDirectory(s"graft-ppj-fuzz$seed").toString
+      spark.createDataFrame(
+          new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)), schema)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+      val got = Dedup.dedupJaccardPrefix(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      val sh = d.select(col("doc_id"),
+          expr("array_distinct(transform(sequence(1, greatest(size(split(text,' ')) - 2, 0)), " +
+            "i -> concat_ws(' ', element_at(split(text,' '), i), " +
+            "element_at(split(text,' '), i+1), element_at(split(text,' '), i+2))))").as("hs"))
+        .filter(size(col("hs")) > 0)
+      val a = sh.select(col("doc_id").as("da"), col("hs").as("ha"))
+      val b = sh.select(col("doc_id").as("db"), col("hs").as("hb"))
+      val brute = a.crossJoin(b).filter(col("da") < col("db"))
+        .withColumn("common", size(array_intersect(col("ha"), col("hb"))).cast("double"))
+        .withColumn("j", col("common") / (size(col("ha")) + size(col("hb")) - col("common")))
+        .filter(col("j") >= Dedup.PrefixTau)
+        .select(col("da"), col("db"), round(col("j"), 6).as("j"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == brute,
+        s"seed $seed: prefix=${got.size} brute=${brute.size}; " +
+          s"missing=${(brute -- got).take(3)} extra=${(got -- brute).take(3)}")
+    }
+  }
+
   test("boundary: a pair at exactly tau survives, just below is cut") {
     val dir = Files.createTempDirectory("graft-ppj").toString
     def words(p: String, n: Int) = (1 to n).map(p + _).mkString(" ")
