@@ -818,6 +818,71 @@ object KMeansVec {
        |WHERE sim >= $SemDedupThreshold
        |ORDER BY cluster, vec_a, vec_b""".stripMargin
 
+  /** Threshold grid for [[semdedupEpsSweep]] — spans conservative to
+    * aggressive; the grid MIN equals [[SemDedupThreshold]] so the
+    * one materialized pair relation serves every grid point. */
+  val SemDedupEpsGrid: Seq[Double] = Seq(0.4, 0.6, 0.8)
+
+  /** SemDeDup ε tuning curve — the knob study Abbas et al. 2023 run
+    * before committing a threshold: for each ε in
+    * [[SemDedupEpsGrid]], how many within-cell pairs exceed it, how
+    * many documents the keep-the-lower-id survivorship would drop,
+    * and what fraction of the corpus survives. Retention falls as ε
+    * loosens; the deployed ε is the loosest value whose retention
+    * still meets the data budget.
+    *
+    * Scale shape: [[semanticDedup]]'s ONE cluster-scoped pair pass
+    * (its threshold = the grid min) serves the whole grid; the grid
+    * expands against the near-dup-sized pair relation, never the
+    * corpus; the denominator is a 1-row broadcast count. */
+  def semdedupEpsSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFunctions.l2norm
+    val pairs = semanticDedup(s, dir).select(col("vec_b"), col("sim"))
+    val nTotal = t(s, dir, "embeddings")
+      .filter(l2norm(col("embedding")) > 0)
+      .agg(count(lit(1)).as("n"))
+    val grid = SemDedupEpsGrid.toDF("eps")
+    val cells = grid.crossJoin(pairs)
+      .filter(col("sim") >= col("eps"))
+      .groupBy(col("eps"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("vec_b")).as("n_dropped"))
+    grid.join(cells, Seq("eps"), "left")
+      .crossJoin(broadcast(nTotal))
+      .select(col("eps"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        r6(lit(1.0) - coalesce(col("n_dropped"), lit(0L)).cast("double") / col("n"))
+          .as("retention"))
+      .orderBy(col("eps"))
+  }
+
+  /** Oracle mirror of [[semdedupEpsSweep]]: the semantic-dedup pair
+    * SQL nested verbatim (its own WITH is scoped inside the
+    * subquery), grid totality via left join, zero-norm rows excluded
+    * from the denominator exactly like the engine. */
+  lazy val semdedupEpsSweepSql: String = {
+    val gridList = SemDedupEpsGrid.mkString(", ")
+    s"""WITH e_pairs AS MATERIALIZED (
+       |  SELECT vec_b, sim FROM ($semanticDedupSql)),
+       |e_n AS (
+       |  SELECT COUNT(*) AS n FROM embeddings
+       |  WHERE ${xx("embedding")} > 0),
+       |e_grid AS (SELECT unnest([$gridList]) AS eps),
+       |e_cells AS (
+       |  SELECT g.eps, COUNT(*) AS n_pairs,
+       |    COUNT(DISTINCT p.vec_b) AS n_dropped
+       |  FROM e_grid g JOIN e_pairs p ON p.sim >= g.eps
+       |  GROUP BY g.eps)
+       |SELECT g.eps AS eps,
+       |  CAST(COALESCE(c.n_pairs, 0) AS BIGINT) AS n_pairs,
+       |  CAST(COALESCE(c.n_dropped, 0) AS BIGINT) AS n_dropped,
+       |  round(1.0 - CAST(COALESCE(c.n_dropped, 0) AS DOUBLE) / n.n, 6) + 0 AS retention
+       |FROM e_grid g CROSS JOIN e_n n LEFT JOIN e_cells c ON c.eps = g.eps
+       |ORDER BY g.eps""".stripMargin
+  }
+
   /** Cluster-balanced (density-equalizing) sampling — the geometric
     * form of stratified balancing where the strata are LEARNED
     * k-means cells instead of labels (the DataComp/SSL-curation
@@ -1266,6 +1331,7 @@ object KMeansVec {
     "cluster_silhouette" -> (clusterSilhouette _),
     "cluster_topics" -> (clusterTopics _),
     "semantic_dedup" -> (semanticDedup _),
+    "semdedup_eps_sweep" -> (semdedupEpsSweep _),
     "cluster_sample" -> (clusterSample _),
     "proto_prune" -> (protoPrune _),
     "ann_ivf_topk" -> ((s, d) => ivfTopK(s, d)),
@@ -1279,6 +1345,7 @@ object KMeansVec {
     "cluster_silhouette" -> clusterSilhouetteSql,
     "cluster_topics" -> clusterTopicsSql,
     "semantic_dedup" -> semanticDedupSql,
+    "semdedup_eps_sweep" -> semdedupEpsSweepSql,
     "cluster_sample" -> clusterSampleSql,
     "proto_prune" -> protoPruneSql,
     "ann_ivf_topk" -> ivfTopKSql,

@@ -218,6 +218,42 @@ class KMeansSpec extends AnyFunSuite {
       s"shifted batch must be flagged: ${got("batch_1")}")
   }
 
+  test("semdedup_eps_sweep: grid total, monotone with eps, planted trio drops two of twelve") {
+    import graft.ops.KMeansVec
+    val got = KMeansVec.semdedupEpsSweep(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq == KMeansVec.SemDedupEpsGrid, "grid totality, ordered")
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2 && b._3 <= a._3 && b._4 >= a._4,
+        s"loosening eps must shrink pairs/drops and raise retention: $a -> $b")
+    }
+    got.foreach { case (_, np, nd, ret) =>
+      assert(nd <= np && ret >= 0 && ret <= 1)
+    }
+
+    // planted: ids 1-3 share one one-hot vector (sim 1.0, same cell by
+    // the lowest-cluster tiebreak), 9 orthogonal fillers -> exactly 3
+    // pairs at every eps, survivorship drops ids 2 and 3, retention
+    // 1 - 2/12
+    import org.apache.spark.sql.functions.col
+    val dim = 12
+    val rows = (1 to 12).map { id =>
+      val hot = if (id <= 3) 0 else id - 1 // ids 1-3 collapse onto dim 0
+      (id.toLong, Array.tabulate(dim)(d => if (d == hot) 1.0f else 0.0f).toSeq, 0)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-eps").toString
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val planted = KMeansVec.semdedupEpsSweep(spark, dir).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    planted.foreach { case (eps, np, nd, ret) =>
+      assert(np == 3 && nd == 2 && ret == 0.833333,
+        s"eps=$eps: expected (3 pairs, 2 dropped, 0.833333), got ($np, $nd, $ret)")
+    }
+  }
+
   test("proto_prune drops exactly the most-prototypical 3/10 of every cell, deterministically") {
     def run() = KMeansVec.protoPrune(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))

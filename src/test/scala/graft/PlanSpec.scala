@@ -339,6 +339,18 @@ class PlanSpec extends AnyFunSuite {
     assert(allSpecs == srcSpecs, s"unpartitioned window present: $plan")
   }
 
+  test("semdedup_eps_sweep: cluster-keyed pair join, grid never meets the corpus") {
+    val df = graft.ops.KMeansVec.semdedupEpsSweep(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the within-cell pair join must stay the cluster-keyed equi-join
+    // (semantic_dedup's shape); the only cross joins are the 3-row
+    // grid against the near-dup-sized pairs and the 1-row denominator
+    assert(!plan.contains("windowspecdefinition"), s"plan: $plan")
+    val cartesians = "CartesianProduct|BroadcastNestedLoopJoin".r.findAllIn(
+      plan.split("== Initial Plan ==")(0)).size
+    assert(cartesians <= 2, s"corpus-sized cross join present ($cartesians): $plan")
+  }
+
   test("source_overlap_report: attribution joins hint-free, no cartesian/window") {
     val df = graft.ops.Dedup.sourceOverlapReport(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
