@@ -1388,9 +1388,104 @@ object Curation {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Keep-decision agreement between two INDEPENDENT quality
+    * filters — the audit run before swapping or ensembling
+    * classifiers: the Gopher-style rule filter ([[gopherQuality]])
+    * against the per-source-calibrated LM filter
+    * ([[Retrieval.qualityCalibrated]]), as the full 2×2 decision
+    * matrix (grid-total, empty cells at 0) plus Cohen's κ —
+    * chance-corrected agreement, the standard inter-rater statistic
+    * (κ near 0 means the filters keep DIFFERENT corpora even when
+    * raw agreement looks high, because marginal keep rates alone
+    * predict most of it).
+    *
+    * Scale shape: two map-only scoring passes (each filter's own
+    * shape), ONE doc_id equi-join, a 4-cell aggregation, and the κ
+    * scalars riding a 1-row broadcast. po/pe are ratios of exact
+    * Long counts, so both engines compute bit-identical doubles;
+    * the degenerate pe = 1 case (both filters constant and equal)
+    * is defined as κ = 1 and guarded before the ANSI division. */
+  def filterAgreement(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // the sort-free internals: each filter's public query ends in a
+    // presentation ORDER BY that a 4-cell aggregation never needs
+    val g = gopherScore(t(s, dir, "documents"))
+      .select(col("doc_id"), col("keep").as("keep_gopher"))
+    val c = Retrieval.calibratedScores(s, dir)
+      .select(col("doc_id"), col("keep").as("keep_lm"))
+    val grid = Seq(0, 1).toDF("keep_gopher").crossJoin(Seq(0, 1).toDF("keep_lm"))
+    // grid totality via UNION + re-aggregate, not an outer join: the
+    // grid-LEFT-JOIN form planned an AQE SMJ whose stage chain ran
+    // 4.5 s on a 4-row problem (measured; union form 1.9 s total) —
+    // zero-count grid rows folded into the same aggregation give the
+    // identical cells with one trivial stage.
+    val cells = g.join(c, Seq("doc_id"))
+      .groupBy(col("keep_gopher"), col("keep_lm"))
+      .agg(count(lit(1)).as("n0"))
+      .unionByName(grid.withColumn("n0", lit(0L)))
+      .groupBy(col("keep_gopher"), col("keep_lm"))
+      .agg(sum(col("n0")).as("n"))
+      // the κ aggregate AND the final report both consume `cells`;
+      // one eager 4-row checkpoint serves both instead of re-running
+      // the filter chains per consumer
+      .localCheckpoint(true)
+    val k = cells.agg(
+        sum(col("n")).as("nn"),
+        sum(when(col("keep_gopher") === col("keep_lm"), col("n")).otherwise(0L)).as("agree"),
+        sum(when(col("keep_gopher") === 1, col("n")).otherwise(0L)).as("ga"),
+        sum(when(col("keep_lm") === 1, col("n")).otherwise(0L)).as("ca"))
+      .select(col("nn"),
+        (col("agree").cast("double") / col("nn")).as("po"),
+        ((col("ga") * col("ca") + (col("nn") - col("ga")) * (col("nn") - col("ca")))
+          .cast("double") / (col("nn") * col("nn"))).as("pe"))
+    cells.crossJoin(broadcast(k))
+      .select(col("keep_gopher"), col("keep_lm"), col("n"),
+        r6(col("n").cast("double") / col("nn")).as("frac"),
+        r6(when(col("pe") === 1.0, lit(1.0))
+          .otherwise((col("po") - col("pe")) / (lit(1.0) - col("pe")))).as("kappa"))
+      .orderBy(col("keep_gopher"), col("keep_lm"))
+  }
+
+  /** Oracle mirror of [[filterAgreement]]: both filter SQLs nested
+    * verbatim, explicit 2×2 grid, κ from the same exact-integer
+    * marginals with the pe = 1 guard. */
+  lazy val filterAgreementSql: String =
+    s"""WITH fa_g AS MATERIALIZED (
+       |  SELECT doc_id, keep AS keep_gopher FROM ($gopherQualitySql)),
+       |fa_c AS MATERIALIZED (
+       |  SELECT doc_id, keep AS keep_lm FROM (${Retrieval.qualityCalibratedSql})),
+       |fa_cells0 AS (
+       |  SELECT keep_gopher, keep_lm, COUNT(*) AS n
+       |  FROM fa_g JOIN fa_c USING (doc_id)
+       |  GROUP BY keep_gopher, keep_lm),
+       |fa_grid AS (
+       |  SELECT a.x AS keep_gopher, b.x AS keep_lm
+       |  FROM (SELECT unnest([0, 1]) AS x) a, (SELECT unnest([0, 1]) AS x) b),
+       |fa_cells AS (
+       |  SELECT g.keep_gopher, g.keep_lm,
+       |    CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+       |  FROM fa_grid g LEFT JOIN fa_cells0 c USING (keep_gopher, keep_lm)),
+       |fa_k AS (
+       |  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+       |    CAST(SUM(CASE WHEN keep_gopher = keep_lm THEN n ELSE 0 END) AS BIGINT) AS agree,
+       |    CAST(SUM(CASE WHEN keep_gopher = 1 THEN n ELSE 0 END) AS BIGINT) AS ga,
+       |    CAST(SUM(CASE WHEN keep_lm = 1 THEN n ELSE 0 END) AS BIGINT) AS ca
+       |  FROM fa_cells),
+       |fa_k2 AS (
+       |  SELECT nn, CAST(agree AS DOUBLE) / nn AS po,
+       |    CAST(ga * ca + (nn - ga) * (nn - ca) AS DOUBLE) / (nn * nn) AS pe
+       |  FROM fa_k)
+       |SELECT c.keep_gopher, c.keep_lm, c.n,
+       |  round(CAST(c.n AS DOUBLE) / k.nn, 6) + 0 AS frac,
+       |  round(CASE WHEN k.pe = 1.0 THEN 1.0
+       |             ELSE (k.po - k.pe) / (1.0 - k.pe) END, 6) + 0 AS kappa
+       |FROM fa_cells c CROSS JOIN fa_k2 k
+       |ORDER BY c.keep_gopher, c.keep_lm""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "boilerplate_report" -> (boilerplateReport _),
     "boilerplate_scrub" -> (boilerplateScrub _),
+    "filter_agreement" -> (filterAgreement _),
     "bpe_pack" -> (bpePack _),
     "token_budget_sample" -> (tokenBudgetSample _),
     "funnel_report" -> (funnelReport _),
@@ -1417,6 +1512,7 @@ object Curation {
   val oracles: Map[String, String] = Map(
     "boilerplate_report" -> boilerplateReportSql,
     "boilerplate_scrub" -> boilerplateScrubSql,
+    "filter_agreement" -> filterAgreementSql,
     "bpe_pack" -> bpePackSql,
     "token_budget_sample" -> tokenBudgetSampleSql,
     "funnel_report" -> funnelReportSql,

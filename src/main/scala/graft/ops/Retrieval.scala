@@ -736,15 +736,21 @@ object Retrieval {
     * window orders by (avg_nll, doc_id) — a unique key. */
   val CalibKeepFrac = 0.7
 
-  def qualityCalibrated(s: SparkSession, dir: String): DataFrame = {
+  /** The calibrated scoring WITHOUT the presentation sort — for
+    * composition (e.g. [[Curation.filterAgreement]] consumes only
+    * the keep flag; a trailing global sort below its join would be
+    * pure waste). */
+  private[ops] def calibratedScores(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
     val w = Window.partitionBy(col("source")).orderBy(col("avg_nll"), col("doc_id"))
     unigramLogprob(s, dir).join(d, "doc_id")
       .withColumn("src_pr", r6(percent_rank().over(w)))
       .select(col("doc_id"), col("source"), col("avg_nll"), col("src_pr"),
         (col("src_pr") <= CalibKeepFrac).cast("int").as("keep"))
-      .orderBy(col("doc_id"))
   }
+
+  def qualityCalibrated(s: SparkSession, dir: String): DataFrame =
+    calibratedScores(s, dir).orderBy(col("doc_id"))
 
   val qualityCalibratedSql: String =
     s"""WITH nll AS (${unigramLogprobSql.replace("ORDER BY doc_id", "")})

@@ -295,6 +295,41 @@ class CurationSpec extends AnyFunSuite {
     assert(got(6L) == ((0L, 0L, 0.0)), s"short doc must still report: ${got(6L)}")
   }
 
+  test("filter_agreement: grid-total cells, kappa re-derivable, degenerate full-agreement pins 1.0") {
+    val got = Curation.filterAgreement(spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.map(r => (r._1, r._2)).toSeq == Seq((0, 0), (0, 1), (1, 0), (1, 1)),
+      "2x2 grid totality, ordered")
+    val nn = got.map(_._3).sum
+    assert(nn == 500, "every doc lands in exactly one cell")
+    assert(got.map(_._5).distinct.length == 1, "kappa is one corpus-level statistic")
+    // independent re-derivation from the cells
+    val agree = got.filter(r => r._1 == r._2).map(_._3).sum.toDouble
+    val ga = got.filter(_._1 == 1).map(_._3).sum.toDouble
+    val ca = got.filter(_._2 == 1).map(_._3).sum.toDouble
+    val po = agree / nn
+    val pe = (ga * ca + (nn - ga) * (nn - ca)) / (nn.toDouble * nn)
+    val kappa = (po - pe) / (1.0 - pe)
+    assert(math.abs(got.head._5 - kappa) < 1e-6, s"kappa ${got.head._5} vs rederived $kappa")
+    assert(kappa >= -1 && kappa <= 1)
+
+    // degenerate: singleton sources make the calibrated filter keep
+    // everything (percent_rank 0), and clean varied text passes the
+    // gopher rules -> all mass in (1,1), pe = 1, kappa pinned 1.0
+    val docs = (1L to 4L).map { id =>
+      val words = (1 to 25).map(i => f"w$id%02d$i%02d").mkString(" ")
+      (id, words, s"solo_$id")
+    }
+    val dir = Files.createTempDirectory("graft-fagree").toString
+    docs.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = Curation.filterAgreement(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(4))).toMap
+    assert(planted((1, 1)) == ((4L, 1.0)), s"full agreement cell: ${planted((1, 1))}")
+    assert(Seq((0, 0), (0, 1), (1, 0)).forall(c => planted(c)._1 == 0L),
+      s"all other cells empty: $planted")
+  }
+
   test("boilerplate_scrub: flagged blocks are cut exactly, everything else rebuilds verbatim") {
     val intro = (1 to Curation.BoilerBlockWords).map(i => s"nav$i").mkString(" ")
     def tl(seed: String) = (1 to Curation.BoilerBlockWords).map(i => s"$seed$i").mkString(" ")

@@ -339,6 +339,16 @@ class PlanSpec extends AnyFunSuite {
     assert(allSpecs == srcSpecs, s"unpartitioned window present: $plan")
   }
 
+  test("filter_agreement: one doc-keyed equi-join, windows only source-keyed, kappa on a 1-row broadcast") {
+    val df = graft.ops.Curation.filterAgreement(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+    // the only window is qualityCalibrated's source-keyed percent_rank
+    val allSpecs = "windowspecdefinition\\(".r.findAllIn(plan).size
+    val srcSpecs = "windowspecdefinition\\(source#".r.findAllIn(plan).size
+    assert(allSpecs == srcSpecs, s"unkeyed window present: $plan")
+  }
+
   test("semdedup_eps_sweep: cluster-keyed pair join, grid never meets the corpus") {
     val df = graft.ops.KMeansVec.semdedupEpsSweep(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
