@@ -1482,10 +1482,108 @@ object Curation {
        |FROM fa_cells c CROSS JOIN fa_k2 k
        |ORDER BY c.keep_gopher, c.keep_lm""".stripMargin
 
+  /** Keep-rate per document-length decile for BOTH quality filters —
+    * the length-bias audit every filter ablation runs (rule filters
+    * and LM-perplexity filters both correlate with length; a filter
+    * that silently drops the short or the long tail skews the token
+    * distribution of the kept corpus). Deciles come from the exact
+    * n_chars percentile cutoffs broadcast back (the ppl_buckets
+    * pattern — no global sort), keep flags from the two sort-free
+    * scoring passes, rates as micro-unit exact HALF_UP ratios (a
+    * decile of exactly 128 or 640 docs would otherwise land k/n on
+    * the 7th-digit half where the engines' roundings disagree).
+    *
+    * Scale shape: one cutoff aggregation (at 100 TB: the registered
+    * approx_percentile sketch swap), two map-only scorings, one
+    * doc-keyed join, a ≤10-group aggregation; decile totality via
+    * the union+re-aggregate shape ([[filterAgreement]]'s lesson —
+    * the grid outer join cost 4.5 s of AQE stages on a tiny
+    * problem). */
+  def lengthBiasReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = t(s, dir, "documents")
+    val cutCols = (1 to 9).map(i =>
+      r6(percentile(col("n_chars").cast("double"), lit(i / 10.0))).as(s"c$i"))
+    val cuts = d.agg(cutCols.head, cutCols.tail: _*)
+    val g = gopherScore(d).select(col("doc_id"), col("keep").as("kg"))
+    val c = Retrieval.calibratedScores(s, dir).select(col("doc_id"), col("keep").as("kl"))
+    val decile = (1 to 9).foldLeft(lit(1)) { (acc, i) =>
+      acc + (col("n_chars") > col(s"c$i")).cast("int")
+    }
+    val cells = d.select(col("doc_id"), col("n_chars"))
+      .join(g, Seq("doc_id")).join(c, Seq("doc_id"))
+      .crossJoin(broadcast(cuts))
+      .withColumn("decile", decile)
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n0"), sum(col("n_chars")).as("chars0"),
+        sum(col("kg").cast("long")).as("kg0"), sum(col("kl").cast("long")).as("kl0"))
+      .unionByName(Seq.range(1, 11).toDF("decile")
+        .select(col("decile"), lit(0L).as("n0"), lit(0L).as("chars0"),
+          lit(0L).as("kg0"), lit(0L).as("kl0")))
+      .groupBy(col("decile"))
+      .agg(sum(col("n0")).as("n"), sum(col("chars0")).as("chars"),
+        sum(col("kg0")).as("kg"), sum(col("kl0")).as("kl"))
+    // micro-unit exact HALF_UP ratio q/n at 6 decimals
+    def rate(q: String): Column =
+      when(col("n") === 0, lit(0.0)).otherwise(
+        expr(s"CAST((2 * $q * 1000000 + n) div (2 * n) AS DOUBLE)") / 1e6)
+    cells.select(col("decile"), col("n").as("n_docs"),
+        when(col("n") === 0, lit(0L))
+          .otherwise(expr("(2 * chars + n) div (2 * n)")).as("mean_chars"),
+        rate("kg").as("keep_rate_gopher"),
+        rate("kl").as("keep_rate_lm"))
+      .orderBy(col("decile"))
+  }
+
+  /** Oracle mirror of [[lengthBiasReport]]: quantile_cont cutoffs,
+    * the same 9-comparison decile, micro-unit HALF_UP rates. */
+  lazy val lengthBiasReportSql: String = {
+    val cutsSel = (1 to 9).map(i =>
+      s"round(quantile_cont(CAST(n_chars AS DOUBLE), ${i / 10.0}), 6) + 0 AS c$i").mkString(",\n|    ")
+    val decileExpr = (1 to 9).map(i =>
+      s"CASE WHEN d.n_chars > q.c$i THEN 1 ELSE 0 END").mkString("1 + ", " + ", "")
+    s"""WITH lb_g AS MATERIALIZED (
+       |  SELECT doc_id, keep AS kg FROM ($gopherQualitySql)),
+       |lb_c AS MATERIALIZED (
+       |  SELECT doc_id, keep AS kl FROM (${Retrieval.qualityCalibratedSql})),
+       |lb_q AS (
+       |  SELECT
+       |    $cutsSel
+       |  FROM documents),
+       |lb_cells0 AS (
+       |  SELECT $decileExpr AS decile,
+       |    COUNT(*) AS n0, CAST(SUM(d.n_chars) AS BIGINT) AS chars0,
+       |    CAST(SUM(g.kg) AS BIGINT) AS kg0, CAST(SUM(c.kl) AS BIGINT) AS kl0
+       |  FROM documents d
+       |  JOIN lb_g g USING (doc_id) JOIN lb_c c USING (doc_id)
+       |  CROSS JOIN lb_q q
+       |  GROUP BY 1),
+       |lb_cells AS (
+       |  SELECT decile, CAST(SUM(n0) AS BIGINT) AS n,
+       |    CAST(SUM(chars0) AS BIGINT) AS chars,
+       |    CAST(SUM(kg0) AS BIGINT) AS kg, CAST(SUM(kl0) AS BIGINT) AS kl
+       |  FROM (SELECT * FROM lb_cells0
+       |        UNION ALL
+       |        SELECT t.x, 0, 0, 0, 0 FROM (SELECT unnest(range(1, 11)) AS x) t)
+       |  GROUP BY decile)
+       |SELECT CAST(decile AS INT) AS decile, n AS n_docs,
+       |  CASE WHEN n = 0 THEN 0
+       |       ELSE CAST((2 * chars + n) // (2 * n) AS BIGINT) END AS mean_chars,
+       |  CASE WHEN n = 0 THEN 0.0
+       |       ELSE CAST((2 * kg * 1000000 + n) // (2 * n) AS DOUBLE) / 1000000.0 END
+       |    AS keep_rate_gopher,
+       |  CASE WHEN n = 0 THEN 0.0
+       |       ELSE CAST((2 * kl * 1000000 + n) // (2 * n) AS DOUBLE) / 1000000.0 END
+       |    AS keep_rate_lm
+       |FROM lb_cells
+       |ORDER BY decile""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "boilerplate_report" -> (boilerplateReport _),
     "boilerplate_scrub" -> (boilerplateScrub _),
     "filter_agreement" -> (filterAgreement _),
+    "length_bias_report" -> (lengthBiasReport _),
     "bpe_pack" -> (bpePack _),
     "token_budget_sample" -> (tokenBudgetSample _),
     "funnel_report" -> (funnelReport _),
@@ -1513,6 +1611,7 @@ object Curation {
     "boilerplate_report" -> boilerplateReportSql,
     "boilerplate_scrub" -> boilerplateScrubSql,
     "filter_agreement" -> filterAgreementSql,
+    "length_bias_report" -> lengthBiasReportSql,
     "bpe_pack" -> bpePackSql,
     "token_budget_sample" -> tokenBudgetSampleSql,
     "funnel_report" -> funnelReportSql,

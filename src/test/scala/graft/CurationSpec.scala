@@ -330,6 +330,32 @@ class CurationSpec extends AnyFunSuite {
       s"all other cells empty: $planted")
   }
 
+  test("length_bias_report: decile totality, lengths monotone, rates recover the filters' keeps") {
+    val sf = "/root/testdata/sf0.01"
+    val got = Curation.lengthBiasReport(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.map(_._1).toSeq == (1 to 10), "all ten deciles, ordered")
+    assert(got.map(_._2).sum == 500, "every doc lands in exactly one decile")
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 >= a._3, s"mean_chars must not decrease across deciles: $a -> $b")
+    }
+    got.foreach { case (_, n, _, rg, rl) =>
+      assert(rg >= 0 && rg <= 1 && rl >= 0 && rl <= 1 && n > 0)
+    }
+    // the micro-unit rates are lossless at these cell sizes: rate·n
+    // rounds back to the exact kept count, so the report's total
+    // keeps must equal the filters' own totals
+    val gKept = Curation.gopherQuality(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("keep")).collect()(0).getLong(0)
+    val reportKept = got.map { case (_, n, _, rg, _) => math.round(rg * n) }.sum
+    assert(reportKept == gKept, s"report recovers $reportKept gopher keeps, filter says $gKept")
+    // the fixture's known shape: the rule filter is length-biased
+    // (short soup docs fail the mean-word-length band), the
+    // calibrated filter is per-source flat — the report must show it
+    assert(got.head._4 < got.last._4,
+      s"gopher keep rate should rise with length: ${got.head._4} vs ${got.last._4}")
+  }
+
   test("boilerplate_scrub: flagged blocks are cut exactly, everything else rebuilds verbatim") {
     val intro = (1 to Curation.BoilerBlockWords).map(i => s"nav$i").mkString(" ")
     def tl(seed: String) = (1 to Curation.BoilerBlockWords).map(i => s"$seed$i").mkString(" ")

@@ -339,6 +339,19 @@ class PlanSpec extends AnyFunSuite {
     assert(allSpecs == srcSpecs, s"unpartitioned window present: $plan")
   }
 
+  test("length_bias_report: cutoffs broadcast back, no corpus sort, windows source-keyed only") {
+    val df = graft.ops.Curation.lengthBiasReport(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+    // bucketing must ride the broadcast cutoff scalars (ppl_buckets
+    // pattern) — no window keyed on anything but source, and no
+    // global sort of n_chars
+    val allSpecs = "windowspecdefinition\\(".r.findAllIn(plan).size
+    val srcSpecs = "windowspecdefinition\\(source#".r.findAllIn(plan).size
+    assert(allSpecs == srcSpecs, s"unkeyed window present: $plan")
+    assert(!plan.contains("Sort [n_chars"), s"corpus length sort present: $plan")
+  }
+
   test("filter_agreement: one doc-keyed equi-join, windows only source-keyed, kappa on a 1-row broadcast") {
     val df = graft.ops.Curation.filterAgreement(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
