@@ -1629,26 +1629,46 @@ object Dedup {
     * at write time so the hot-bucket cap is a stored-column filter at
     * query time, not a window over the corpus. The ANN analog is
     * [[graft.ops.GraphAnn.writeGraphIndex]]; continuous ingest
-    * appends via [[appendBandIndex]] with per-segment cap semantics
-    * (a compaction rewrite restores global counts, the
-    * maintainGraphIndex pattern). */
+    * appends via [[appendBandIndex]], and the `_counts` sidecar
+    * gives probes GLOBAL cap semantics across segments (the
+    * maintainGraphIndex generation pattern handles file growth). */
+  /** Per-(TRUE band key) row counts of one segment — the sidecar
+    * unit every writer persists to `<table>_counts` so a probe can
+    * reconstruct GLOBAL bucket sizes across segments with one cheap
+    * aggregation of the counts relation (bucket-level, orders of
+    * magnitude smaller than the posting rows) instead of re-counting
+    * the index. Keyed by the true (band, signature-slice) pair, not
+    * bkey60 — the same collision-safety contract as [[withBucketN]]. */
+  private def bandBucketCounts(rows: DataFrame): DataFrame =
+    rows.select(col("band"),
+        expr(s"slice(sig, band * $RowsPerBand + 1, $RowsPerBand)").as("key"))
+      .groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("n"))
+
   def writeBandIndex(s: SparkSession, dir: String, table: String): Unit = {
     val corpus = t(s, dir, "documents").filter(col("doc_id") % 10 =!= 0)
     withBucketN(bandRows(corpus))
       .write.mode("overwrite")
       .bucketBy(BandIndexBuckets, "bkey60").sortBy("bkey60")
       .saveAsTable(table)
+    bandBucketCounts(bandRows(corpus))
+      .write.mode("overwrite").saveAsTable(table + "_counts")
   }
 
   /** Append a new segment of corpus band rows into the existing
-    * index (bucketed insertInto preserves the layout). Cap counts
-    * are per-segment — exact for the segment, an undercount across
-    * segments; the cap exists to bound skew fan-out, so a
-    * per-segment bound is the same protection (and a periodic
-    * compaction rewrite recomputes global counts). */
-  def appendBandIndex(batch: DataFrame, table: String): Unit =
+    * index (bucketed insertInto preserves the layout) plus the
+    * segment's bucket counts into the `_counts` sidecar. The stored
+    * per-row `bucket_n` stays per-segment (exact for the segment),
+    * but probes no longer read it for the cap — they aggregate the
+    * sidecar to GLOBAL counts, so a hot bucket straddling segments
+    * is suppressed exactly like the inline detector's global window
+    * (the formerly-documented cross-segment undercount is gone). */
+  def appendBandIndex(batch: DataFrame, table: String): Unit = {
     withBucketN(bandRows(batch))
       .write.mode("append").insertInto(table)
+    bandBucketCounts(bandRows(batch))
+      .write.mode("append").insertInto(table + "_counts")
+  }
 
   /** [[dedupIncremental]] against the PERSISTED band index: the
     * incoming batch computes its own band rows and equi-joins the
@@ -1659,7 +1679,27 @@ object Dedup {
   def dedupIncrementalIndexed(s: SparkSession, dir: String, table: String): DataFrame = {
     val inc = bandRows(t(s, dir, "documents").filter(col("doc_id") % 10 === 0))
       .select(col("bkey60"), col("doc_id").as("doc_new"), col("sig").as("sig_new"))
-    val idx = s.table(table).filter(col("bucket_n") <= MaxPosting)
+    // GLOBAL hot-bucket cap from the `_counts` sidecar: per-segment
+    // counts aggregate to the true cross-segment bucket size, so a
+    // bucket straddling appends is suppressed exactly like the
+    // inline detector's global window — no per-row bucket_n read,
+    // no re-count of the posting rows. The oversized set is hot
+    // buckets only (each stands for > MaxPosting rows), so it
+    // broadcasts below the gate; above it (a pathologically
+    // boilerplate-heavy corpus) the anti join runs un-hinted and
+    // AQE picks the strategy — correct either way.
+    val oversized = s.table(table + "_counts")
+      .groupBy(col("band"), col("key")).agg(sum(col("n")).as("gn"))
+      .filter(col("gn") > MaxPosting)
+      .select(col("band").as("ob"), col("key").as("okey"))
+      .localCheckpoint(true)
+    val overSide =
+      if (oversized.count() <= OversizedBroadcastCap) broadcast(oversized) else oversized
+    val idx = s.table(table)
+      .join(overSide,
+        col("band") === col("ob") &&
+          expr(s"slice(sig, band * $RowsPerBand + 1, $RowsPerBand)") === col("okey"),
+        "left_anti")
       .select(col("bkey60"), col("doc_id").as("doc_old"), col("sig").as("sig_old"))
     inc.join(idx, "bkey60")
       // same est-at-the-join + threshold-before-distinct shape as
@@ -1684,12 +1724,24 @@ object Dedup {
     * rule: the old generation stays queryable until the caller flips
     * its pointer. No text is re-hashed — the band rows already carry
     * everything. */
-  def compactBandIndex(s: SparkSession, table: String, outTable: String): Unit =
+  def compactBandIndex(s: SparkSession, table: String, outTable: String): Unit = {
     withBucketN(s.table(table)
         .select(col("doc_id"), col("sig"), col("band"), col("bkey60")))
       .write.mode("overwrite")
       .bucketBy(BandIndexBuckets, "bkey60").sortBy("bkey60")
       .saveAsTable(outTable)
+    // fold the per-segment counts sidecar into one row per bucket
+    bandBucketCounts(s.table(outTable)
+        .select(col("doc_id"), col("sig"), col("band"), col("bkey60")))
+      .write.mode("overwrite").saveAsTable(outTable + "_counts")
+  }
+
+  /** Broadcast gate for the oversized-bucket anti join in
+    * [[dedupIncrementalIndexed]] — hot buckets are few by definition
+    * (each represents > [[MaxPosting]] posting rows), but the set is
+    * data-dependent, so it only carries a hint when counted small
+    * (the batch-ANN BatchBroadcastCap rule). */
+  val OversizedBroadcastCap = 65536L
 
   /** Files per bucket before compaction triggers: every append adds
     * one file per bucket it touches, and probe cost grows with the

@@ -81,15 +81,16 @@ class BandIndexSpec extends AnyFunSuite {
         s"stale bucket_n for key ${r.getLong(1)}"))
   }
 
-  test("planted hot bucket straddling segments: per-segment caps diverge from inline; compaction restores equality") {
+  test("planted hot bucket straddling segments: the counts sidecar enforces the GLOBAL cap pre-compaction") {
     import spark.implicits._
     // one band bucket of 1300 identical docs, split 650/650 across two
-    // segments: each segment's bucket_n is under MaxPosting, so the
-    // per-segment cap ADMITS what the inline detector's global cap
-    // suppresses — the documented appendBandIndex divergence. The
-    // sibling equality tests hold only because no fixture bucket
-    // straddles the cap; this plants the straddle and pins both the
-    // divergence and that compaction (global recount) closes it.
+    // segments: each segment alone sits under MaxPosting, so a
+    // per-segment cap would ADMIT what the inline detector's global
+    // cap suppresses (the historical appendBandIndex divergence).
+    // The `_counts` sidecar aggregates per-segment counts to the true
+    // cross-segment size at probe time, so indexed ≡ inline holds
+    // even for a straddling bucket, before any compaction — and
+    // compaction (which folds the sidecar too) keeps it that way.
     val hotText = "alpha beta gamma delta epsilon"
     val corpusIds = (1L to 1500L).filter(_ % 10 != 0).take(1300)
     val (idsA, idsB) = corpusIds.splitAt(650)
@@ -103,21 +104,30 @@ class BandIndexSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS band_idx_straddle")
     Dedup.writeBandIndex(spark, s"$tmp/segA", "band_idx_straddle")
     Dedup.appendBandIndex(docs(idsB), "band_idx_straddle")
+    // the precondition is real: each SEGMENT'S sidecar rows are under
+    // the cap, only their SUM crosses it
+    val segMax = spark.table("band_idx_straddle_counts")
+      .agg(max(col("n"))).collect()(0).getLong(0)
+    val globalMax = spark.table("band_idx_straddle_counts")
+      .groupBy(col("band"), col("key")).agg(sum(col("n")).as("gn"))
+      .agg(max(col("gn"))).collect()(0).getLong(0)
+    assert(segMax <= Dedup.MaxPosting && globalMax > Dedup.MaxPosting,
+      s"straddle must be planted: per-segment max $segMax, global max $globalMax")
     // inline: the 1300-member bucket exceeds MaxPosting → no matches
     val inline = Dedup.dedupIncremental(spark, s"$tmp/full").collect()
     assert(inline.isEmpty, s"inline cap must suppress the hot bucket: ${inline.toSeq}")
-    // indexed, pre-compaction: per-segment counts (650 ≤ cap) admit it
+    // indexed, PRE-compaction: the sidecar's global count suppresses it
     val indexed = Dedup.dedupIncrementalIndexed(spark, s"$tmp/full", "band_idx_straddle")
       .collect()
-    assert(indexed.length == 1 && indexed.head.getAs[Long]("n_dups") == 1300L,
-      s"per-segment caps must admit the straddling bucket: ${indexed.toSeq}")
-    // compaction recomputes GLOBAL bucket_n → equality with inline
+    assert(indexed.isEmpty,
+      s"the global sidecar cap must match the inline detector: ${indexed.toSeq}")
+    // compaction folds the sidecar and preserves the answer
     spark.sql("DROP TABLE IF EXISTS band_idx_straddle_c")
     Dedup.compactBandIndex(spark, "band_idx_straddle", "band_idx_straddle_c")
     val compacted = Dedup.dedupIncrementalIndexed(spark, s"$tmp/full", "band_idx_straddle_c")
       .collect()
     assert(compacted.isEmpty,
-      s"global recount must restore the inline cap: ${compacted.toSeq}")
+      s"compaction must preserve the global cap: ${compacted.toSeq}")
   }
 
   test("probe join: the bucketed corpus side reads in place — exactly one Exchange (the batch's)") {
