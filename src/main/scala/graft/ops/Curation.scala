@@ -1435,12 +1435,20 @@ object Curation {
         sum(when(col("keep_gopher") === 1, col("n")).otherwise(0L)).as("ga"),
         sum(when(col("keep_lm") === 1, col("n")).otherwise(0L)).as("ca"))
       .select(col("nn"),
-        (col("agree").cast("double") / col("nn")).as("po"),
-        ((col("ga") * col("ca") + (col("nn") - col("ga")) * (col("nn") - col("ca")))
-          .cast("double") / (col("nn") * col("nn"))).as("pe"))
+        // empty corpus: nn = 0 would divide 0/0 — define po = pe = 1
+        // (two filters vacuously agree on nothing), so κ lands on the
+        // existing pe = 1 → 1.0 guard; frac guards to 0 below. Both
+        // CASEs mirrored in the oracle SQL so the row set stays total
+        // and engine-identical (the dedupCapReport n_buckets=0 rule).
+        when(col("nn") === 0, lit(1.0))
+          .otherwise(col("agree").cast("double") / col("nn")).as("po"),
+        when(col("nn") === 0, lit(1.0))
+          .otherwise((col("ga") * col("ca") + (col("nn") - col("ga")) * (col("nn") - col("ca")))
+            .cast("double") / (col("nn") * col("nn"))).as("pe"))
     cells.crossJoin(broadcast(k))
       .select(col("keep_gopher"), col("keep_lm"), col("n"),
-        r6(col("n").cast("double") / col("nn")).as("frac"),
+        r6(when(col("nn") === 0, lit(0.0))
+          .otherwise(col("n").cast("double") / col("nn"))).as("frac"),
         r6(when(col("pe") === 1.0, lit(1.0))
           .otherwise((col("po") - col("pe")) / (lit(1.0) - col("pe")))).as("kappa"))
       .orderBy(col("keep_gopher"), col("keep_lm"))
@@ -1472,11 +1480,14 @@ object Curation {
        |    CAST(SUM(CASE WHEN keep_lm = 1 THEN n ELSE 0 END) AS BIGINT) AS ca
        |  FROM fa_cells),
        |fa_k2 AS (
-       |  SELECT nn, CAST(agree AS DOUBLE) / nn AS po,
-       |    CAST(ga * ca + (nn - ga) * (nn - ca) AS DOUBLE) / (nn * nn) AS pe
+       |  SELECT nn,
+       |    CASE WHEN nn = 0 THEN 1.0 ELSE CAST(agree AS DOUBLE) / nn END AS po,
+       |    CASE WHEN nn = 0 THEN 1.0
+       |         ELSE CAST(ga * ca + (nn - ga) * (nn - ca) AS DOUBLE) / (nn * nn) END AS pe
        |  FROM fa_k)
        |SELECT c.keep_gopher, c.keep_lm, c.n,
-       |  round(CAST(c.n AS DOUBLE) / k.nn, 6) + 0 AS frac,
+       |  round(CASE WHEN k.nn = 0 THEN 0.0
+       |             ELSE CAST(c.n AS DOUBLE) / k.nn END, 6) + 0 AS frac,
        |  round(CASE WHEN k.pe = 1.0 THEN 1.0
        |             ELSE (k.po - k.pe) / (1.0 - k.pe) END, 6) + 0 AS kappa
        |FROM fa_cells c CROSS JOIN fa_k2 k

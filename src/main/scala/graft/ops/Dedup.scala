@@ -1688,18 +1688,31 @@ object Dedup {
     // broadcasts below the gate; above it (a pathologically
     // boilerplate-heavy corpus) the anti join runs un-hinted and
     // AQE picks the strategy — correct either way.
-    val oversized = s.table(table + "_counts")
-      .groupBy(col("band"), col("key")).agg(sum(col("n")).as("gn"))
-      .filter(col("gn") > MaxPosting)
-      .select(col("band").as("ob"), col("key").as("okey"))
-      .localCheckpoint(true)
-    val overSide =
-      if (oversized.count() <= OversizedBroadcastCap) broadcast(oversized) else oversized
-    val idx = s.table(table)
-      .join(overSide,
-        col("band") === col("ob") &&
-          expr(s"slice(sig, band * $RowsPerBand + 1, $RowsPerBand)") === col("okey"),
-        "left_anti")
+    //
+    // An index written BEFORE the sidecar contract has no `_counts`
+    // table; probing falls back to the stored per-row `bucket_n`
+    // filter (the previous contract — exact per segment, with the
+    // documented cross-segment undercount) instead of failing with
+    // table-not-found. A compaction ([[compactBandIndex]]) upgrades
+    // such an index to the sidecar contract.
+    val capped =
+      if (!s.catalog.tableExists(table + "_counts")) {
+        s.table(table).filter(col("bucket_n") <= MaxPosting)
+      } else {
+        val oversized = s.table(table + "_counts")
+          .groupBy(col("band"), col("key")).agg(sum(col("n")).as("gn"))
+          .filter(col("gn") > MaxPosting)
+          .select(col("band").as("ob"), col("key").as("okey"))
+          .localCheckpoint(true)
+        val overSide =
+          if (oversized.count() <= OversizedBroadcastCap) broadcast(oversized) else oversized
+        s.table(table)
+          .join(overSide,
+            col("band") === col("ob") &&
+              expr(s"slice(sig, band * $RowsPerBand + 1, $RowsPerBand)") === col("okey"),
+            "left_anti")
+      }
+    val idx = capped
       .select(col("bkey60"), col("doc_id").as("doc_old"), col("sig").as("sig_old"))
     inc.join(idx, "bkey60")
       // same est-at-the-join + threshold-before-distinct shape as
@@ -1772,9 +1785,15 @@ object Dedup {
     while (it.hasNext) {
       if (it.next().getPath.getName.endsWith(".parquet")) nFiles += 1
     }
-    require(nFiles > 0,
-      s"band index $table at $loc lists no parquet data files — " +
-        "layout changed? refusing to silently skip compaction")
+    if (nFiles == 0) {
+      // a zero-row bucketed saveAsTable commits _SUCCESS at the table
+      // location with no data files — a VALID empty index → no-op;
+      // anything else (missing dir, relocated layout) fails loudly
+      require(Maintenance.isCommittedEmptyDir(s, loc.toString),
+        s"band index $table at $loc lists no parquet data files and no " +
+          "_SUCCESS marker — layout changed? refusing to silently skip compaction")
+      return false
+    }
     if (nFiles > maxFilesPerBucket.toLong * BandIndexBuckets) {
       compactBandIndex(s, table, outTable)
       true

@@ -381,9 +381,14 @@ object KMeansVec {
       maxFilesPerCell: Int = DefaultMaxFilesPerCell): Boolean = {
     val (files, cells) =
       Maintenance.partitionedFileStats(s, s"$indexDir/vectors", "cluster")
-    require(cells > 0,
-      s"IVF index $indexDir/vectors lists no cluster= cells — " +
-        "layout changed? refusing to silently skip compaction")
+    if (cells == 0) {
+      // a zero-row partitioned write commits _SUCCESS but no cluster=
+      // dirs — a VALID empty index → no-op; otherwise fail loudly
+      require(Maintenance.isCommittedEmptyDir(s, s"$indexDir/vectors"),
+        s"IVF index $indexDir/vectors lists no cluster= cells and no " +
+          "_SUCCESS marker — layout changed? refusing to silently skip compaction")
+      return false
+    }
     if (files > maxFilesPerCell.toLong * cells) {
       compactIvfIndex(s, indexDir, outDir)
       true

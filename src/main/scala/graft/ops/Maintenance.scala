@@ -56,6 +56,21 @@ object Maintenance {
     n
   }
 
+  /** True when `dir` exists and carries a committed Spark write's
+    * `_SUCCESS` marker — the layout is real, so ZERO data files means
+    * a legitimately EMPTY dataset (zero-row write: bucketed and
+    * partitioned writers emit no data files for no rows, only the
+    * marker). The merge policies use this to distinguish "valid index
+    * with nothing in it" (maintenance is a no-op, return false) from
+    * "directory missing / layout changed" (require-fail loudly — a
+    * silent 0 would disable compaction forever). */
+  def isCommittedEmptyDir(spark: SparkSession, dir: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(path) &&
+      fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))
+  }
+
   /** (data files, partition dirs) of a Hive-partitioned dataset whose
     * partition dirs start with `prefix=` — one listing per cell dir,
     * no data read. The per-cell merge-policy primitive for the

@@ -366,10 +366,22 @@ object Multimodal {
   /** Fixture adapter (text bytes play the payload, every row takes
     * the stub branch — same contract as [[mediaMeta]]); the real
     * perceptual behavior is pinned by the image spec (a resized
-    * copy pairs with its original, distinct images don't). */
+    * copy pairs with its original, distinct images don't).
+    *
+    * Bridge precondition, enforced: the oracle stub slices TEXT by
+    * CHARACTERS while [[frameStub60]] slices the payload by BYTES —
+    * equivalent only for ASCII. A non-ASCII fixture doc fails loudly
+    * here (char length ≠ byte length) instead of silently diverging
+    * engine vs oracle. */
   def mediaPhashDedup(s: SparkSession, dir: String): DataFrame =
     phashPairs(t(s, dir, "documents")
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")))
+      .select(col("doc_id"),
+        when(length(col("text")) === octet_length(col("text")),
+            encode(col("text"), "UTF-8"))
+          .otherwise(raise_error(concat(
+            lit("media_phash_dedup fixture bridge requires ASCII text " +
+              "(byte-slice ≡ char-slice); non-ASCII doc_id="),
+            col("doc_id").cast("string")))).as("payload")))
 
   /** Oracle mirror on the all-stub fixture path: per-band 15-bit
     * frame md5s OR-ed into the 60-bit fingerprint (ASCII text ⇒

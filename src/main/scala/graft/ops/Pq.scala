@@ -518,9 +518,14 @@ object Pq {
       s: SparkSession, indexDir: String, outDir: String,
       maxFiles: Int = DefaultMaxIndexFiles): Boolean = {
     val files = Maintenance.parquetFileCount(s, s"$indexDir/codes")
-    require(files > 0,
-      s"PQ index $indexDir/codes lists no parquet data files — " +
-        "layout changed? refusing to silently skip compaction")
+    if (files == 0) {
+      // a zero-row committed write is a VALID empty index → no-op;
+      // anything else (missing dir, relocated layout) fails loudly
+      require(Maintenance.isCommittedEmptyDir(s, s"$indexDir/codes"),
+        s"PQ index $indexDir/codes lists no parquet data files and no " +
+          "_SUCCESS marker — layout changed? refusing to silently skip compaction")
+      return false
+    }
     if (files > maxFiles) {
       compactPqIndex(s, indexDir, outDir)
       true
@@ -796,9 +801,14 @@ object Pq {
       maxFilesPerCell: Int = KMeansVec.DefaultMaxFilesPerCell): Boolean = {
     val (files, cells) =
       Maintenance.partitionedFileStats(s, s"$indexDir/codes", "cluster")
-    require(cells > 0,
-      s"IVF-PQ index $indexDir/codes lists no cluster= cells — " +
-        "layout changed? refusing to silently skip compaction")
+    if (cells == 0) {
+      // a zero-row partitioned write commits _SUCCESS but no cluster=
+      // dirs — a VALID empty index → no-op; otherwise fail loudly
+      require(Maintenance.isCommittedEmptyDir(s, s"$indexDir/codes"),
+        s"IVF-PQ index $indexDir/codes lists no cluster= cells and no " +
+          "_SUCCESS marker — layout changed? refusing to silently skip compaction")
+      return false
+    }
     if (files > maxFilesPerCell.toLong * cells) {
       compactIvfPqIndex(s, indexDir, outDir)
       true

@@ -260,9 +260,14 @@ object Quantize {
       s: SparkSession, indexDir: String, outDir: String,
       maxFiles: Int = Pq.DefaultMaxIndexFiles): Boolean = {
     val files = Maintenance.parquetFileCount(s, s"$indexDir/codes")
-    require(files > 0,
-      s"SQ index $indexDir/codes lists no parquet data files — " +
-        "layout changed? refusing to silently skip compaction")
+    if (files == 0) {
+      // a zero-row committed write is a VALID empty index → no-op;
+      // anything else (missing dir, relocated layout) fails loudly
+      require(Maintenance.isCommittedEmptyDir(s, s"$indexDir/codes"),
+        s"SQ index $indexDir/codes lists no parquet data files and no " +
+          "_SUCCESS marker — layout changed? refusing to silently skip compaction")
+      return false
+    }
     if (files > maxFiles) {
       compactSqIndex(s, indexDir, outDir)
       true

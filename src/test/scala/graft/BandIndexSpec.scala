@@ -23,6 +23,17 @@ class BandIndexSpec extends AnyFunSuite {
     assert(indexed == inline)
   }
 
+  test("pre-sidecar index (no _counts table): probe falls back to the stored bucket_n cap") {
+    Dedup.writeBandIndex(spark, sf, "band_idx_legacy")
+    // simulate an index written before the sidecar contract
+    spark.sql("DROP TABLE band_idx_legacy_counts")
+    val inline = Dedup.dedupIncremental(spark, sf).collect().toSeq
+    val indexed = Dedup.dedupIncrementalIndexed(spark, sf, "band_idx_legacy").collect().toSeq
+    assert(inline.nonEmpty, "fixture must produce incremental dups")
+    // single segment ⇒ the per-row bucket_n cap IS the global cap
+    assert(indexed == inline)
+  }
+
   test("two-segment write+append ≡ one-shot write") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
       .filter(col("doc_id") % 10 =!= 0)

@@ -328,6 +328,18 @@ class CurationSpec extends AnyFunSuite {
     assert(planted((1, 1)) == ((4L, 1.0)), s"full agreement cell: ${planted((1, 1))}")
     assert(Seq((0, 0), (0, 1), (1, 0)).forall(c => planted(c)._1 == 0L),
       s"all other cells empty: $planted")
+
+    // empty corpus: nn = 0 must stay total and defined — the grid's
+    // four zero cells with frac = 0 and kappa pinned 1.0 (vacuous
+    // agreement), never a 0/0 NaN/null (the dedupCapReport rule)
+    val emptyDir = Files.createTempDirectory("graft-fagree-empty").toString
+    Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$emptyDir/documents.parquet")
+    val empty = Curation.filterAgreement(spark, emptyDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(empty.map(r => (r._1, r._2)).toSeq == Seq((0, 0), (0, 1), (1, 0), (1, 1)))
+    assert(empty.forall(r => r._3 == 0L && r._4 == 0.0 && r._5 == 1.0),
+      s"empty corpus must pin n=0, frac=0, kappa=1: ${empty.toSeq}")
   }
 
   test("length_bias_report: decile totality, lengths monotone, rates recover the filters' keeps") {

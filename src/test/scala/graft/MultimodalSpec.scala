@@ -125,6 +125,20 @@ class MultimodalSpec extends AnyFunSuite {
       s"exactly the original/resized pair must surface: $pairs")
   }
 
+  test("media_phash_dedup: non-ASCII fixture text fails loudly (byte/char bridge precondition)") {
+    val dir = Files.createTempDirectory("graft-phash-ascii").toString
+    Seq((1L, "plain ascii body " * 10, "a"), (2L, "naïve café body " * 10, "a"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val ex = intercept[Throwable] {
+      Multimodal.mediaPhashDedup(spark, dir).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("ASCII")),
+      s"expected the bridge-precondition error, got: ${messages(ex)}")
+  }
+
   test("jsonl and csv log sources: schema-first read with pruning") {
     val root = Files.createTempDirectory("graft-logs")
     Files.createDirectories(root.resolve("node_modules"))

@@ -8,6 +8,14 @@ from concurrent.futures import ThreadPoolExecutor
 out_dir, sf_dir, timeout_s = sys.argv[1], sys.argv[2], int(sys.argv[3])
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
+# Explicit allowlist of oracles DuckDB is known to evaluate slowly at
+# sf0.1 (recursive-CTE tokenizer chains). ONLY these may time out and
+# be reported SKIP; a timeout on any other query is a regression and
+# reports FAIL (a newly hung or quadratic oracle must surface, not be
+# silently classified as known-expensive). Extend via argv[4] as a
+# comma-separated list when diagnosing a new slow oracle on purpose.
+KNOWN_EXPENSIVE = set(filter(None, (sys.argv[4].split(",") if len(sys.argv) > 4 else [])))
+
 WORKER = r'''
 import json, sys, math
 import duckdb
@@ -51,7 +59,9 @@ def run(name):
         out = (r.stdout + r.stderr).strip().splitlines()
         return out[-1] if out else f"FAIL {name}: no output"
     except subprocess.TimeoutExpired:
-        return f"SKIP {name}: oracle exceeded {timeout_s}s (known-expensive class)"
+        if name in KNOWN_EXPENSIVE:
+            return f"SKIP {name}: oracle exceeded {timeout_s}s (allowlisted known-expensive)"
+        return f"FAIL {name}: oracle exceeded {timeout_s}s (NOT allowlisted — regression)"
 
 names = sorted(oracle.keys())
 with ThreadPoolExecutor(max_workers=6) as ex:
