@@ -93,6 +93,162 @@ object Curation {
       |GROUP BY g.doc_id
       |ORDER BY g.doc_id""".stripMargin
 
+  // ------------------------------------------ semantic decontamination
+
+  /** Cosine threshold above which a corpus document counts as a
+    * semantic (paraphrase-level) leak of a benchmark document.
+    * Measured on the fixture: unrelated corpus→benchmark best-match
+    * cosine sits at p50 0.57 / p90 0.68; word-ROTATED benchmark
+    * copies (every 3-gram destroyed) score ≥ 0.98 and full word
+    * REVERSALS 0.61–0.81 — 0.7 clears the unrelated p90 while
+    * catching rotations, near-copies, and most reversals. */
+  val SemDecontamEps = 0.7
+
+  /** Per-doc hash-ngram embedding of the documents table — the
+    * registered [[graft.embed.HashEmbedder]] over the whole text
+    * (zero-norm rows excluded: whitespace-only docs embed to the
+    * zero vector, quirk Q4's degenerate case). */
+  private def docEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.l2norm
+    t(s, dir, "documents")
+      .select(col("doc_id"), graft.embed.EmbedOps.embedUdf()(col("text")).as("ve"))
+      .withColumn("nrm", l2norm(col("ve")))
+      .filter(col("nrm") > 0)
+  }
+
+  /** Embedding-similarity benchmark decontamination — the PARAPHRASE
+    * complement of [[decontaminate]]'s exact 3-gram overlap: a
+    * benchmark item that was reworded or reordered shares no word
+    * 3-gram with its leak, but its hash-ngram embedding (unigram mass
+    * unchanged, bigram mass partly) keeps cosine high. Benchmark
+    * convention identical to [[decontaminate]]: every 50th document.
+    * Output: each flagged corpus doc with its best-matching benchmark
+    * doc (max sim, min bench_id tiebreak) and the r6 cosine.
+    *
+    * Scale shape: the benchmark set is tiny relative to the corpus
+    * (the [[decontaminate]] rule), so it embeds once and BROADCASTS;
+    * the corpus side is ONE map-only embed + score pass — no corpus
+    * shuffle at all; the per-doc argmax window runs over the flagged
+    * rows only. When the benchmark itself is too large to broadcast,
+    * the cell-assigned variant ([[KMeansVec.semanticDecontaminateCells]])
+    * scopes the pair pass to k-means cells instead. */
+  def semanticDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    val emb = docEmbeddings(s, dir)
+    val bench = emb.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("bench_id"), col("ve").as("be"), col("nrm").as("nb"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("sim").desc, col("bench_id"))
+    emb.filter(col("doc_id") % 50 =!= 0)
+      .crossJoin(broadcast(bench))
+      .withColumn("sim", r6(try_divide(dot(col("ve"), col("be")), col("nrm") * col("nb"))))
+      .filter(col("sim") >= SemDecontamEps)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("bench_id"), col("sim"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The hash-ngram embed chain as DuckDB CTEs over `documents` —
+    * the [[graft.ops.TextOps.indexPipelineSql]] replay without the
+    * chunker (whole doc = one vector): lowercased nonempty words,
+    * unigram+bigram `"42|{token}"` md5 keys, signed 64-bucket sums
+    * (exact integers), integer norm, IEEE float truncation, vectors
+    * DENSIFIED to 64-length lists so the cosine folds over the same
+    * 64 elements in the same order as the engine. */
+  private val docEmbedCte: String = {
+    val h = graft.functions.CrossHash.sqlHash60("key")
+    s"""sd_w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+       |sd_toks AS (
+       |  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS p,
+       |    ws[i] AS tok
+       |  FROM sd_w, UNNEST(range(1, len(ws) + 1)) AS t(i)
+       |  WHERE length(ws[i]) > 0),
+       |sd_keys AS (
+       |  SELECT doc_id, '42|' || tok AS key FROM sd_toks
+       |  UNION ALL
+       |  SELECT a.doc_id, '42|' || a.tok || ' ' || b.tok
+       |  FROM sd_toks a JOIN sd_toks b ON b.doc_id = a.doc_id AND b.p = a.p + 1),
+       |sd_vdim AS (
+       |  SELECT doc_id, bucket, SUM(sgn) AS v FROM (
+       |    SELECT doc_id, h % 64 AS bucket,
+       |      CASE WHEN (h >> 32) & 1 = 0 THEN 1.0 ELSE -1.0 END AS sgn
+       |    FROM (SELECT doc_id, $h AS key_h FROM sd_keys) k(doc_id, h))
+       |  GROUP BY doc_id, bucket),
+       |sd_norm AS (SELECT doc_id, sqrt(SUM(v * v)) AS nrm FROM sd_vdim GROUP BY doc_id),
+       |sd_vec AS MATERIALIZED (
+       |  SELECT n.doc_id,
+       |    list(CAST(coalesce(v.v, 0.0) * (1.0 / n.nrm) AS FLOAT) ORDER BY g.j) AS ve
+       |  FROM sd_norm n
+       |  CROSS JOIN (SELECT unnest(range(0, 64)) AS j) g
+       |  LEFT JOIN sd_vdim v ON v.doc_id = n.doc_id AND v.bucket = g.j
+       |  WHERE n.nrm > 0
+       |  GROUP BY n.doc_id)""".stripMargin
+  }
+
+  /** Cosine of two densified 64-float lists — the engine's sequential
+    * double fold, verbatim. Unit-norm floats, so no re-division. */
+  private def sdCos(a: String, b: String): String =
+    s"""round(list_sum(list_transform(range(1, 65),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |       * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) + 0""".stripMargin
+
+  /** Oracle mirror of [[semanticDecontaminate]]: the embed-chain CTEs,
+    * bench/corpus split on the same % 50 rule, full pairwise cosine
+    * (the broadcast join replay), threshold, per-doc argmax. */
+  lazy val semanticDecontaminateSql: String =
+    s"""WITH $docEmbedCte,
+       |sd_b AS (SELECT doc_id AS bench_id, ve AS be FROM sd_vec WHERE doc_id % 50 = 0),
+       |sd_c AS (SELECT doc_id, ve FROM sd_vec WHERE doc_id % 50 <> 0),
+       |sd_sims AS (
+       |  SELECT c.doc_id, b.bench_id, ${sdCos("c.ve", "b.be")} AS sim
+       |  FROM sd_c c CROSS JOIN sd_b b)
+       |SELECT doc_id, bench_id, sim FROM (
+       |  SELECT doc_id, bench_id, sim,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY sim DESC, bench_id) AS rn
+       |  FROM sd_sims WHERE sim >= $SemDecontamEps)
+       |WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+
+  /** Flagged-doc counts per BENCHMARK source — the per-benchmark
+    * leak report run alongside [[semanticDecontaminate]]: for every
+    * source that contributes benchmark documents, how many benchmark
+    * docs it holds and how many corpus docs best-match into it.
+    * Totality over the benchmark sources via union + re-aggregate
+    * (the [[filterAgreement]] grid lesson — no outer join onto the
+    * scored chain). */
+  def semanticDecontamReport(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val benchSrc = d.filter(col("doc_id") % 50 === 0)
+      .groupBy(col("source")).agg(count(lit(1)).as("nb0"))
+      .select(col("source"), col("nb0"), lit(0L).as("nf0"))
+    val flagged = semanticDecontaminate(s, dir)
+      .join(d.select(col("doc_id").as("bench_id"), col("source")), "bench_id")
+      .groupBy(col("source")).agg(count(lit(1)).as("nf0"))
+      .select(col("source"), lit(0L).as("nb0"), col("nf0"))
+    benchSrc.unionByName(flagged)
+      .groupBy(col("source"))
+      .agg(sum(col("nb0")).as("n_bench"), sum(col("nf0")).as("n_flagged"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle mirror of [[semanticDecontamReport]] — the flagged SQL
+    * nested, counts re-aggregated over the benchmark-source rows. */
+  lazy val semanticDecontamReportSql: String =
+    s"""WITH sr_flagged AS MATERIALIZED (
+       |  SELECT bench_id FROM ($semanticDecontaminateSql)),
+       |sr_bench AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bench
+       |  FROM documents WHERE doc_id % 50 = 0 GROUP BY source),
+       |sr_counts AS (
+       |  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_flagged
+       |  FROM sr_flagged f JOIN documents d ON d.doc_id = f.bench_id
+       |  GROUP BY d.source)
+       |SELECT b.source, b.n_bench,
+       |  CAST(coalesce(c.n_flagged, 0) AS BIGINT) AS n_flagged
+       |FROM sr_bench b LEFT JOIN sr_counts c USING (source)
+       |ORDER BY b.source""".stripMargin
+
   /** Gopher-style repetition/quality signals, computed map-only with
     * array HOFs (no token-stream shuffle): most-frequent-word
     * fraction, duplicate word-2-gram fraction, mean word length, and
@@ -1612,6 +1768,8 @@ object Curation {
     "curation_pipeline" -> (curationPipeline _),
     "sample_hash" -> (sampleHash _),
     "decontaminate" -> (decontaminate _),
+    "semantic_decontaminate" -> (semanticDecontaminate _),
+    "semantic_decontam_report" -> (semanticDecontamReport _),
     "gopher_quality" -> (gopherQuality _),
     "redact_mask" -> (redactMask _),
     "stratified_sample" -> (stratifiedSample _),
@@ -1640,6 +1798,8 @@ object Curation {
     "curation_pipeline" -> curationPipelineSql,
     "sample_hash" -> sampleHashSql,
     "decontaminate" -> decontaminateSql,
+    "semantic_decontaminate" -> semanticDecontaminateSql,
+    "semantic_decontam_report" -> semanticDecontamReportSql,
     "gopher_quality" -> gopherQualitySql,
     "redact_mask" -> redactMaskSql,
     "stratified_sample" -> stratifiedSampleSql,

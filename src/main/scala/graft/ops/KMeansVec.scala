@@ -823,6 +823,72 @@ object KMeansVec {
        |WHERE sim >= $SemDedupThreshold
        |ORDER BY cluster, vec_a, vec_b""".stripMargin
 
+  /** Cosine threshold for the cell-scoped decontamination variant —
+    * the [[SemDedupThreshold]] operating point: a flagged vector is a
+    * near-duplicate-grade match of a benchmark vector. */
+  val SemDecontamCellEps = 0.4
+
+  /** Cell-scoped semantic decontamination — the LARGE-benchmark
+    * regime of [[graft.ops.Curation.semanticDecontaminate]]: when the
+    * benchmark set is too big to broadcast (the full eval-suite union
+    * at 100 TB), both sides take one Lloyd's assignment and the
+    * benchmark comparison runs ONLY within each k-means cell — the
+    * [[semanticDedup]] sub-quadratic shape with the pair predicate
+    * swapped from `vec_a < vec_b` to corpus-vs-benchmark. Benchmark
+    * convention: every 50th vector (the decontaminate % 50 rule).
+    * Output: flagged corpus vectors with their cell, best-matching
+    * benchmark vector (max sim, min bench_id tiebreak) and r6 cosine.
+    *
+    * Scale shape: ONE assignment pass (localCheckpointed — both sides
+    * read it), one cluster-keyed equi-join (never a cross join), the
+    * argmax window over flagged rows only. Semantically-near leaks
+    * land in the same cell by construction (assignment is
+    * distance-based) — the SemDeDup recall argument. */
+  def semanticDecontaminateCells(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.{dot, l2norm, r6}
+    val assigned = fit(s, dir, K, iters = 1)._2
+      .withColumn("nrm", l2norm(col("embedding")))
+      .filter(col("nrm") > 0)
+      .localCheckpoint(true)
+    val bench = assigned.filter(col("vec_id") % 50 === 0)
+      .select(col("cluster").as("cb"), col("vec_id").as("bench_id"),
+        col("embedding").as("be"), col("nrm").as("nb"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("bench_id"))
+    assigned.filter(col("vec_id") % 50 =!= 0)
+      .join(bench, col("cluster") === col("cb"))
+      .withColumn("sim", r6(try_divide(dot(col("embedding"), col("be")), col("nrm") * col("nb"))))
+      .filter(col("sim") >= SemDecontamCellEps)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        col("bench_id"), col("sim"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Oracle mirror of [[semanticDecontaminateCells]]: the assignment
+    * CTE, within-cell corpus×benchmark cosine, threshold, argmax. */
+  val semanticDecontaminateCellsSql: String =
+    s"""WITH $initCte,
+       |${assignCte(1)},
+       |n AS (
+       |  SELECT cluster, vec_id, embedding, sqrt(${xx("embedding")}) AS nrm
+       |  FROM a1
+       |  WHERE ${xx("embedding")} > 0),
+       |sims AS (
+       |  SELECT x.vec_id, CAST(x.cluster AS BIGINT) AS cluster, y.vec_id AS bench_id,
+       |    round(list_sum(list_transform(range(1, len(x.embedding)+1),
+       |            i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+       |          / (x.nrm * y.nrm), 6) + 0 AS sim
+       |  FROM n x JOIN n y ON x.cluster = y.cluster
+       |  WHERE x.vec_id % 50 <> 0 AND y.vec_id % 50 = 0)
+       |SELECT vec_id, cluster, bench_id, sim FROM (
+       |  SELECT vec_id, cluster, bench_id, sim,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, bench_id) AS rn
+       |  FROM sims WHERE sim >= $SemDecontamCellEps)
+       |WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+
   /** Threshold grid for [[semdedupEpsSweep]] — spans conservative to
     * aggressive; the grid MIN equals [[SemDedupThreshold]] so the
     * one materialized pair relation serves every grid point. */
@@ -1336,6 +1402,7 @@ object KMeansVec {
     "cluster_silhouette" -> (clusterSilhouette _),
     "cluster_topics" -> (clusterTopics _),
     "semantic_dedup" -> (semanticDedup _),
+    "semantic_decontam_cells" -> (semanticDecontaminateCells _),
     "semdedup_eps_sweep" -> (semdedupEpsSweep _),
     "cluster_sample" -> (clusterSample _),
     "proto_prune" -> (protoPrune _),
@@ -1350,6 +1417,7 @@ object KMeansVec {
     "cluster_silhouette" -> clusterSilhouetteSql,
     "cluster_topics" -> clusterTopicsSql,
     "semantic_dedup" -> semanticDedupSql,
+    "semantic_decontam_cells" -> semanticDecontaminateCellsSql,
     "semdedup_eps_sweep" -> semdedupEpsSweepSql,
     "cluster_sample" -> clusterSampleSql,
     "proto_prune" -> protoPruneSql,

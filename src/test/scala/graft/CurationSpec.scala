@@ -42,6 +42,44 @@ class CurationSpec extends AnyFunSuite {
     assert(!flagged.contains(0L), "benchmark docs are not self-flagged")
   }
 
+  test("semantic_decontaminate: catches a reordered benchmark leak that 3-gram decontamination misses") {
+    // benchmark doc and its "paraphrase": the SAME 20-word vocabulary,
+    // each doc five independent permutations — unigram hash mass is
+    // identical (coherent, count 5 per word) while bigrams are
+    // essentially disjoint, so the hash-ngram cosine sits near
+    // 500/(500+99) ~ 0.83 with NOT ONE shared word 3-gram
+    val words = (0 until 20).map(i => f"tok$i%02d")
+    def grams(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    // first seed whose two five-permutation docs share NO word 3-gram
+    // (random perms collide ~1.4 grams in expectation, so search)
+    val (benchText, leakText) = LazyList.from(1).map { seed =>
+      val rnd = new scala.util.Random(seed)
+      def doc() = (1 to 5).map(_ => rnd.shuffle(words).mkString(" ")).mkString(" ")
+      (doc(), doc())
+    }.find { case (b, l) => (grams(b) & grams(l)).isEmpty }.get
+    val otherVocab = (0 until 20).map(i => f"zzz$i%02d")
+    val rnd2 = new scala.util.Random(999)
+    val unrelated = (1 to 5).map(_ => rnd2.shuffle(otherVocab).mkString(" ")).mkString(" ")
+    val dir = Files.createTempDirectory("graft-semdecon").toString
+    Seq((50L, benchText, "bench_src"), (1L, leakText, "web"), (2L, unrelated, "web"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // the exact n-gram decontaminator misses the reorder
+    val ngram = Curation.decontaminate(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(!ngram.contains(1L),
+      "planted leak shares a word 3-gram by accident — regenerate the permutations")
+    // the semantic decontaminator catches exactly it
+    val sem = Curation.semanticDecontaminate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(sem.map(_._1).toSet == Set(1L), s"exactly the planted leak: ${sem.toSeq}")
+    assert(sem.head._2 == 50L && sem.head._3 >= Curation.SemDecontamEps,
+      s"must best-match the benchmark doc above eps: ${sem.head}")
+    // the per-benchmark-source report counts it
+    val rep = Curation.semanticDecontamReport(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rep.toSeq == Seq(("bench_src", 1L, 1L)), s"report: ${rep.toSeq}")
+  }
+
   test("gopher_quality: repetition fails, diverse text passes") {
     val out = Curation.gopherQuality(spark, dir).collect()
       .map(r => r.getLong(0) -> r).toMap

@@ -254,6 +254,33 @@ class KMeansSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic_decontam_cells: a planted benchmark copy flags within its cell; orthogonal vectors do not") {
+    import graft.ops.KMeansVec
+    // fixture invariants: corpus-side ids only, benchmark ids only as
+    // matches, sims at or above the operating point
+    val real = KMeansVec.semanticDecontaminateCells(spark, sf).collect()
+    real.foreach { r =>
+      assert(r.getLong(0) % 50 != 0 && r.getLong(2) % 50 == 0 &&
+        r.getDouble(3) >= KMeansVec.SemDecontamCellEps, s"invariant broke: $r")
+    }
+    // planted: benchmark vec 50 = e0, benchmark vec 100 = e1, corpus
+    // vec 1 = an exact copy of e0 (same cell by construction: identical
+    // vectors assign identically); fillers orthogonal -> only (1, 50)
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dim = 12
+    val rows = (Seq((50L, 0), (100L, 1), (1L, 0)) ++ (2 to 11).map(i => (i.toLong, i)))
+      .map { case (id, hot) =>
+        (id, Array.tabulate(dim)(d => if (d == hot) 1.0f else 0f).toSeq, 0) }
+    val dir = java.nio.file.Files.createTempDirectory("graft-semdc-cells").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = KMeansVec.semanticDecontaminateCells(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 50L, 1.0)), s"exactly the planted copy: ${got.toSeq}")
+  }
+
   test("proto_prune drops exactly the most-prototypical 3/10 of every cell, deterministically") {
     def run() = KMeansVec.protoPrune(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
