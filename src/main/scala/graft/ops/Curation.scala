@@ -1531,10 +1531,12 @@ object Curation {
        |clean AS (
        |  SELECT d.doc_id, len(d.w) AS n_words,
        |    len(COALESCE(b.bad, CAST([] AS BIGINT[]))) AS n_bad,
-       |    array_to_string([d.w[i] FOR i IN generate_series(1, len(d.w))
+       |    -- COALESCE: an all-removed comprehension yields NULL, not
+       |    -- [], in DuckDB (the line_dedup all-duplicate-doc lesson)
+       |    COALESCE(array_to_string([d.w[i] FOR i IN generate_series(1, len(d.w))
        |      IF i > (len(d.w) // $BoilerBlockWords) * $BoilerBlockWords
        |         OR NOT list_contains(COALESCE(b.bad, CAST([] AS BIGINT[])),
-       |                              (i - 1) // $BoilerBlockWords + 1)], ' ') AS ct
+       |                              (i - 1) // $BoilerBlockWords + 1)], ' '), '') AS ct
        |  FROM w d LEFT JOIN bad b USING (doc_id))
        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
        |  CAST(n_bad * $BoilerBlockWords AS BIGINT) AS n_removed,
@@ -1543,6 +1545,123 @@ object Curation {
        |FROM clean
        |ORDER BY doc_id""".stripMargin
   }
+
+  // ------------------------------------------ paragraph-level dedup
+
+  /** Corpus-wide paragraph dedup + rebuild — the literal CCNet
+    * stage-1 (Wenzek et al. 2020 dedup paragraphs BEFORE any
+    * doc-level op), distinct from [[boilerplateScrub]] in BOTH rules:
+    * GLOBAL scope (a paragraph repeated across sources dedups;
+    * boilerplate is same-source only) and FIRST-OCCURRENCE
+    * survivorship (the earliest (doc_id, block) keeps its copy where
+    * the scrub removes every instance of a df ≥ 3 block). Documents
+    * split into the same non-overlapping [[BoilerBlockWords]]-word
+    * blocks (the fixture corpus has no newlines — block = the
+    * deterministic paragraph stand-in, same rationale as the scrub);
+    * every occurrence of a block hash EXCEPT the global minimum
+    * (doc_id, block-index) is cut, and the doc rebuilds byte-exactly
+    * ([[scrubUdf]] — tail words always survive).
+    *
+    * Scale shape: map-side blocking, ONE aggregation per block hash
+    * (min-struct first occurrence — no window over the corpus), a
+    * hint-free rejoin on the hash (paragraph-vocab-sized relation,
+    * the tfidf rule), bounded per-doc removed-index lists, ONE
+    * doc-keyed rebuild join. */
+  def lineDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val blocks = d.select(col("doc_id"),
+        posexplode(when(size(ws) >= BoilerBlockWords,
+          expr(s"""transform(sequence(1, int(size(split(text, ' ')) / $BoilerBlockWords)),
+                  |  b -> concat_ws(' ', slice(split(text, ' '),
+                  |    (b - 1) * $BoilerBlockWords + 1, $BoilerBlockWords)))""".stripMargin))
+          .otherwise(array().cast("array<string>"))).as(Seq("b0", "block")))
+      .select(col("doc_id"), (col("b0") + 1).as("b"),
+        graft.functions.CrossHash.md5Hash60Col(col("block")).as("h"))
+    val first = blocks.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("b"))).as("f"))
+    val bad = blocks.join(first, Seq("h"))
+      .filter(!(col("doc_id") === col("f.doc_id") && col("b") === col("f.b")))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("b"))).as("bad"))
+    d.select(col("doc_id"), col("text"))
+      .join(bad, Seq("doc_id"), "left")
+      .withColumn("bad", coalesce(col("bad"), array().cast("array<int>")))
+      .withColumn("clean", scrubUdf(col("text"), col("bad")))
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        (size(col("bad")) * BoilerBlockWords).cast("long").as("n_removed"),
+        length(col("clean")).cast("long").as("len_clean"),
+        graft.functions.CrossHash.md5Hash60Col(col("clean")).as("clean_h"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle mirror of [[lineDedup]]: same block chain, first
+    * occurrence as `row_number() OVER (PARTITION BY h ORDER BY
+    * doc_id, b) = 1` (≡ the engine's min-struct), rebuild as the
+    * boilerplate-scrub list comprehension — the 60-bit hash of the
+    * rebuilt string must match byte-for-byte. */
+  val lineDedupSql: String = {
+    val hBlk = graft.functions.CrossHash.sqlHash60("blk")
+    val hCt = graft.functions.CrossHash.sqlHash60("ct")
+    s"""WITH ld_w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |ld_blocks AS (
+       |  SELECT doc_id, b, $hBlk AS h
+       |  FROM (
+       |    SELECT doc_id, b,
+       |      array_to_string(w[(b - 1) * $BoilerBlockWords + 1 :
+       |                       (b - 1) * $BoilerBlockWords + $BoilerBlockWords], ' ') AS blk
+       |    FROM ld_w, UNNEST(range(1, len(w) // $BoilerBlockWords + 1)) AS t(b)
+       |    WHERE len(w) >= $BoilerBlockWords)),
+       |ld_rk AS (
+       |  SELECT doc_id, b,
+       |    row_number() OVER (PARTITION BY h ORDER BY doc_id, b) AS rk
+       |  FROM ld_blocks),
+       |ld_bad AS (
+       |  SELECT doc_id, list(b ORDER BY b) AS bad
+       |  FROM ld_rk WHERE rk > 1
+       |  GROUP BY doc_id),
+       |ld_clean AS (
+       |  SELECT d.doc_id, len(d.w) AS n_words,
+       |    len(COALESCE(bb.bad, CAST([] AS BIGINT[]))) AS n_bad,
+       |    -- a comprehension whose filter drops EVERY element yields
+       |    -- NULL, not [], in DuckDB — an all-duplicate doc (every
+       |    -- block cut, no tail) must rebuild to '' like the engine
+       |    COALESCE(array_to_string([d.w[i] FOR i IN generate_series(1, len(d.w))
+       |      IF i > (len(d.w) // $BoilerBlockWords) * $BoilerBlockWords
+       |         OR NOT list_contains(COALESCE(bb.bad, CAST([] AS BIGINT[])),
+       |                              (i - 1) // $BoilerBlockWords + 1)], ' '), '') AS ct
+       |  FROM ld_w d LEFT JOIN ld_bad bb USING (doc_id))
+       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       |  CAST(n_bad * $BoilerBlockWords AS BIGINT) AS n_removed,
+       |  CAST(length(ct) AS BIGINT) AS len_clean,
+       |  $hCt AS clean_h
+       |FROM ld_clean
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Corpus totals for [[lineDedup]] — the (kept, removed,
+    * bytes-saved) one-row audit a paragraph-dedup run reports:
+    * paragraph counts in blocks, bytes saved from the byte-exact
+    * rebuilt lengths. Total on an empty corpus (zero row counts,
+    * never null sums). */
+  def lineDedupReport(s: SparkSession, dir: String): DataFrame = {
+    val lens = t(s, dir, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("len0"))
+    lineDedup(s, dir).join(lens, Seq("doc_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(expr(s"n_words div $BoilerBlockWords")), lit(0L)).as("n_paragraphs"),
+        coalesce(expr(s"sum(n_removed) div $BoilerBlockWords"), lit(0L)).as("n_removed_paragraphs"),
+        coalesce(sum(col("len0") - col("len_clean")), lit(0L)).as("bytes_saved"))
+  }
+
+  lazy val lineDedupReportSql: String =
+    s"""WITH lr AS MATERIALIZED (SELECT * FROM ($lineDedupSql))
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COALESCE(SUM(l.n_words // $BoilerBlockWords), 0) AS BIGINT) AS n_paragraphs,
+       |  CAST(COALESCE(SUM(l.n_removed) // $BoilerBlockWords, 0) AS BIGINT) AS n_removed_paragraphs,
+       |  CAST(COALESCE(SUM(length(d.text) - l.len_clean), 0) AS BIGINT) AS bytes_saved
+       |FROM lr l JOIN documents d USING (doc_id)""".stripMargin
 
   /** Keep-decision agreement between two INDEPENDENT quality
     * filters — the audit run before swapping or ensembling
@@ -1770,6 +1889,8 @@ object Curation {
     "decontaminate" -> (decontaminate _),
     "semantic_decontaminate" -> (semanticDecontaminate _),
     "semantic_decontam_report" -> (semanticDecontamReport _),
+    "line_dedup" -> (lineDedup _),
+    "line_dedup_report" -> (lineDedupReport _),
     "gopher_quality" -> (gopherQuality _),
     "redact_mask" -> (redactMask _),
     "stratified_sample" -> (stratifiedSample _),
@@ -1800,6 +1921,8 @@ object Curation {
     "decontaminate" -> decontaminateSql,
     "semantic_decontaminate" -> semanticDecontaminateSql,
     "semantic_decontam_report" -> semanticDecontamReportSql,
+    "line_dedup" -> lineDedupSql,
+    "line_dedup_report" -> lineDedupReportSql,
     "gopher_quality" -> gopherQualitySql,
     "redact_mask" -> redactMaskSql,
     "stratified_sample" -> stratifiedSampleSql,

@@ -436,4 +436,45 @@ class CurationSpec extends AnyFunSuite {
     assert(got(4L) == ((20L, 0L, s"$intro ${tl("e")}".length.toLong, h(s"$intro ${tl("e")}"))))
     assert(got(5L) == ((2L, 0L, 8L, h("tiny doc"))))
   }
+
+  test("line_dedup: cross-source duplicate paragraphs dedup globally, first occurrence survives") {
+    val para = (1 to Curation.BoilerBlockWords).map(i => s"dup$i").mkString(" ")
+    def tl(seed: String) = (1 to Curation.BoilerBlockWords).map(i => s"$seed$i").mkString(" ")
+    // the duplicate paragraph appears in TWO sources (df = 1 per
+    // source, so boilerplateScrub leaves both) and twice inside doc 3
+    val docs = Seq(
+      (1L, s"$para ${tl("a")}", "site_a"),          // FIRST occurrence: kept
+      (2L, s"${tl("b")} $para", "site_b"),          // cross-source dup: cut
+      (3L, s"$para ${tl("c")} $para plus tail", "site_b"), // both dup: cut twice
+      (4L, "tiny doc", "site_b"),
+      (5L, para, "site_c")) // ENTIRELY duplicate: rebuilds to ""
+    val dir = Files.createTempDirectory("graft-linededup").toString
+    docs.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // boilerplate (same-source df >= 3) provably misses this
+    val scrub = Curation.boilerplateScrub(spark, dir).collect()
+    assert(scrub.forall(_.getLong(2) == 0L), "boilerplate scrub must leave cross-source dups")
+    def h(s: String) = graft.functions.CrossHash.md5Hash60(s)
+    val got = Curation.lineDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L), "dedup must be doc-total")
+    // doc 1 holds the global first occurrence: untouched
+    assert(got(1L) == ((20L, 0L, s"$para ${tl("a")}".length.toLong, h(s"$para ${tl("a")}"))))
+    // doc 2's copy cut, its own block kept
+    assert(got(2L) == ((20L, 10L, tl("b").length.toLong, h(tl("b")))), s"${got(2L)}")
+    // doc 3: BOTH copies cut, middle block + tail words stitch back
+    val doc3Clean = s"${tl("c")} plus tail"
+    assert(got(3L) == ((32L, 20L, doc3Clean.length.toLong, h(doc3Clean))), s"${got(3L)}")
+    assert(got(4L) == ((2L, 0L, 8L, h("tiny doc"))))
+    // doc 5 is nothing but the duplicate: rebuilds to the empty string
+    // (the DuckDB NULL-comprehension edge, pinned)
+    assert(got(5L) == ((10L, 10L, 0L, h(""))), s"${got(5L)}")
+    // corpus report: 8 paragraphs, 4 removed, bytes = the cut copies
+    val rep = Curation.lineDedupReport(spark, dir).collect().head
+    assert((rep.getLong(0), rep.getLong(1), rep.getLong(2)) == ((5L, 8L, 4L)), s"$rep")
+    val bytesSaved = docs.map(_._2.length).sum -
+      Seq(s"$para ${tl("a")}", tl("b"), doc3Clean, "tiny doc", "").map(_.length).sum
+    assert(rep.getLong(3) == bytesSaved.toLong, s"bytes_saved ${rep.getLong(3)} vs $bytesSaved")
+  }
 }
