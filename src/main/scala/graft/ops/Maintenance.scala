@@ -105,6 +105,80 @@ object Maintenance {
     require(ok, s"sidecar copy $from -> $to failed")
   }
 
+  // ---- generation retention ----
+  //
+  // Every compact*/maintain* policy swaps to a FRESH generation by
+  // pointer (the old one stays queryable until the swap — illegal to
+  // overwrite an input mid-read), but nothing ever deleted superseded
+  // generations: a continuous-ingest deployment leaks one full index
+  // copy per compaction without a retention primitive.
+
+  /** Delete superseded index-generation DIRECTORIES, keeping the
+    * newest `keep` (≥ 1). `generations` is the caller's pointer
+    * history ordered oldest → newest; its LAST entry must be the
+    * live pointer `live` (both checks fail loudly — deleting the
+    * generation queries are reading is the one unrecoverable
+    * mistake, so it is structurally unreachable here: live is always
+    * inside the kept suffix). Missing directories fail loudly too
+    * (a wrong history silently "succeeding" would hide a pointer
+    * bug). Returns the deleted directories. Works for every
+    * directory-backed index family (graph, IVF, PQ, IVF-PQ, SQ/SQ4 —
+    * all generations are plain dir trees); the band index lives in
+    * the catalog, see [[vacuumGenerationTables]]. */
+  def vacuumGenerations(
+      spark: SparkSession,
+      generations: Seq[String],
+      live: String,
+      keep: Int = 1): Seq[String] = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val conf = spark.sparkContext.hadoopConfiguration
+    def qual(d: String) = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(conf).makeQualified(p)
+    }
+    require(generations.nonEmpty, "generation history is empty")
+    require(qual(generations.last) == qual(live),
+      s"live pointer $live must be the NEWEST generation " +
+        s"(history ends at ${generations.last}) — refusing to vacuum")
+    val victims = generations.dropRight(keep)
+    require(!victims.map(qual).contains(qual(live)),
+      s"refusing to delete the live generation $live")
+    victims.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(conf)
+      require(fs.exists(p),
+        s"generation $d not found — stale or wrong history, refusing to vacuum")
+      require(fs.delete(p, /* recursive = */ true), s"failed to delete generation $d")
+    }
+    victims
+  }
+
+  /** [[vacuumGenerations]] for CATALOG-TABLE generations (the band
+    * index family): drops each superseded table AND its `_counts`
+    * sidecar table when present. Same live-pointer and existence
+    * guards. Returns the dropped table names. */
+  def vacuumGenerationTables(
+      spark: SparkSession,
+      generations: Seq[String],
+      live: String,
+      keep: Int = 1): Seq[String] = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    require(generations.nonEmpty, "generation history is empty")
+    require(generations.last == live,
+      s"live pointer $live must be the NEWEST generation " +
+        s"(history ends at ${generations.last}) — refusing to vacuum")
+    val victims = generations.dropRight(keep)
+    require(!victims.contains(live), s"refusing to drop the live generation $live")
+    victims.foreach { tbl =>
+      require(spark.catalog.tableExists(tbl),
+        s"generation table $tbl not found — stale or wrong history, refusing to vacuum")
+      spark.sql(s"DROP TABLE $tbl")
+      if (spark.catalog.tableExists(tbl + "_counts"))
+        spark.sql(s"DROP TABLE ${tbl}_counts")
+    }
+    victims
+  }
+
   /** Compact a parquet dataset into ~targetBytes files: reads the
     * actual byte size, computes the output file count, and rewrites
     * with a round-robin repartition (even file sizes regardless of

@@ -372,4 +372,60 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(coderows(ipinc) == coderows(ipdirect),
       "streamed IVF-PQ appends must equal direct batch append")
   }
+
+  test("vacuum: superseded generations delete, live generation survives bit-stable, misuse fails loudly") {
+    val tmp = Files.createTempDirectory("graft-vacuum")
+    val q = queryVec
+    // three generations by pointer swap: g0 (build) -> g1 -> g2
+    val g0 = tmp.resolve("g0").toString
+    KMeansVec.writeIvfIndex(spark, halfDir, g0)
+    val g1 = tmp.resolve("g1").toString
+    assert(KMeansVec.maintainIvfIndex(spark, g0, g1, maxFilesPerCell = 0))
+    val g2 = tmp.resolve("g2").toString
+    assert(KMeansVec.maintainIvfIndex(spark, g1, g2, maxFilesPerCell = 0))
+    val before = KMeansVec.ivfSearchIndexed(spark, g2, q).collect().toSeq
+    def exists(d: String) = new java.io.File(d).exists()
+
+    // guards: live must be newest; live never deletable; all no-ops
+    intercept[IllegalArgumentException] {
+      Maintenance.vacuumGenerations(spark, Seq(g0, g2, g1), live = g2)
+    }
+    intercept[IllegalArgumentException] {
+      Maintenance.vacuumGenerations(spark, Seq(g0, g1, g2), live = g1)
+    }
+    assert(exists(g0) && exists(g1) && exists(g2), "failed guards must delete nothing")
+
+    // keep 2: only g0 goes; keep 1 next: g1 goes; answers bit-stable
+    assert(Maintenance.vacuumGenerations(spark, Seq(g0, g1, g2), g2, keep = 2) == Seq(g0))
+    assert(!exists(g0) && exists(g1) && exists(g2))
+    assert(Maintenance.vacuumGenerations(spark, Seq(g1, g2), g2) == Seq(g1))
+    assert(!exists(g1) && exists(g2))
+    assert(KMeansVec.ivfSearchIndexed(spark, g2, q).collect().toSeq == before,
+      "vacuum must never touch the live generation's answers")
+
+    // stale history (g0 already deleted) fails loudly, deletes nothing
+    intercept[IllegalArgumentException] {
+      Maintenance.vacuumGenerations(spark, Seq(g0, g2), g2)
+    }
+    assert(exists(g2))
+
+    // catalog-table generations (band index family): sidecar rides along
+    val sfFix = "/root/testdata/sf0.001"
+    graft.ops.Dedup.writeBandIndex(spark, sfFix, "band_vac_g0")
+    graft.ops.Dedup.compactBandIndex(spark, "band_vac_g0", "band_vac_g1")
+    val probeBefore =
+      graft.ops.Dedup.dedupIncrementalIndexed(spark, sfFix, "band_vac_g1").collect().toSeq
+    intercept[IllegalArgumentException] {
+      Maintenance.vacuumGenerationTables(spark, Seq("band_vac_g1", "band_vac_g0"), "band_vac_g1")
+    }
+    assert(Maintenance.vacuumGenerationTables(
+      spark, Seq("band_vac_g0", "band_vac_g1"), "band_vac_g1") == Seq("band_vac_g0"))
+    assert(!spark.catalog.tableExists("band_vac_g0") &&
+      !spark.catalog.tableExists("band_vac_g0_counts"),
+      "superseded table AND its _counts sidecar must drop")
+    assert(spark.catalog.tableExists("band_vac_g1") &&
+      spark.catalog.tableExists("band_vac_g1_counts"))
+    assert(graft.ops.Dedup.dedupIncrementalIndexed(spark, sfFix, "band_vac_g1")
+      .collect().toSeq == probeBefore)
+  }
 }
