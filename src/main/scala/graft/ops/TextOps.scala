@@ -208,6 +208,206 @@ object TextOps {
     * scalar columns, `greatest` for the max, and a descending-lang
     * CASE chain replicating `array_max`'s (hits, lang) struct
     * ordering — max hits, ties broken by max lang code. */
+  // ------------------------------------------ hashed char-n-gram language ID
+
+  /** Feature-space size of the n-gram language classifier — the
+    * [[graft.ops.Dsir.Buckets]] fixed-capacity rule: the model is
+    * (langs × 512) rows whatever the corpus size, which is what
+    * justifies broadcasting it. */
+  val LangIdBuckets = 512
+
+  /** fastText-style language classifier: multinomial Naive Bayes
+    * over hashed char-3-grams, trained on the even-doc_id half of
+    * the corpus (labels = the `lang` column) and scoring EVERY doc.
+    * The upgrade over [[langId]]'s five-marker-word vote: n-grams
+    * see sub-word charset signal, so a document using none of the
+    * 25 marker words still classifies (the marker vote degenerates
+    * to its tie-break there).
+    *
+    * Arithmetic bridge (the dsir_weights pattern): per-bucket terms
+    * c·ln((c_{l,b}+1)/(c_l+512)) are r6-rounded then DECIMAL-summed
+    * (partition-order-free), the smoothed log-prior is r6-rounded
+    * and added in double, and argmax breaks 6-decimal ties by max
+    * lang — every step replays bit-exactly in DuckDB.
+    *
+    * Scale shape: ONE corpus explode (chars per doc) into ONE
+    * map-side-combined (doc, bucket) count; the model and its
+    * DENSIFIED (lang × bucket) grid are parameter-bounded and
+    * broadcast; scoring is a map-side join + one (doc, lang)
+    * aggregation; argmax is a max-struct GROUP BY, no window over
+    * the corpus. Docs too short for one 3-gram predict the sentinel
+    * '' (kept total via left join). */
+  def langidNgram(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CrossHash
+    val d = t(s, dir, "documents")
+    // Parallelize the gram pass when the scan has fewer splits than
+    // cores: a small single-row-group parquet file reads as ONE
+    // partition, serializing ~300 substring+md5 ops per doc onto one
+    // core (measured 4 s at sf0.1). The guard keeps the repartition
+    // out of at-scale plans, where the scan already has thousands of
+    // splits and a forced shuffle of the text would be pure waste.
+    val dPar =
+      if (d.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
+        d.repartition(s.sparkContext.defaultParallelism)
+      else d
+    // (doc, b) counts, map-side-combined; lang rides along
+    // (functional of doc_id) so the model fit reduces from this same
+    // frame. The lineage is evaluated once per consumer (model fit +
+    // scoring) — an eager checkpoint of the corpus-sized frame was
+    // measured SLOWER than the recompute (8.1 s vs 4.8 s at sf0.1:
+    // the synchronous materialization defeats the map-side-combine
+    // pipeline into the scoring join), the dsir_weights trade.
+    val docB = dPar.select(col("doc_id"), col("lang"),
+        explode(when(length(col("text")) >= 3,
+          expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+          .otherwise(array().cast("array<string>"))).as("g"))
+      .select(col("doc_id"), col("lang"),
+        (CrossHash.md5Hash60Col(col("g")) % LangIdBuckets).as("b"))
+      .groupBy(col("doc_id"), col("lang"), col("b")).agg(count(lit(1)).as("c"))
+    // The fitted model COLLECTS to the driver — ≤ (langs × 512) + langs
+    // rows, parameter-bounded by construction (the centroid rule: a
+    // fixed-capacity table, never corpus-sized), exactly like
+    // Dsir.fittedModel. Shipping the per-(lang, bucket) smoothed
+    // log-likelihoods back as bucket-keyed ARRAY COLUMNS lets scoring
+    // run as ONE map-side broadcast join + ONE map-side-combined
+    // groupBy(doc_id) over the (doc, bucket) counts — no langs-fold
+    // row blowup and no second corpus shuffle (the per-(doc, lang)
+    // row form measured 7.6 s warm at sf0.1; this shape 2-3 s).
+    val langRows = d.filter(col("doc_id") % 2 === 0)
+      .groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val base = d.select(col("doc_id"), col("lang").as("lang_true"))
+    if (langRows.isEmpty) {
+      // no training docs: every prediction is the sentinel
+      base.select(col("doc_id"), col("lang_true"),
+          lit("").as("lang_pred"), lit(0).as("agree"))
+        .orderBy(col("doc_id"))
+    } else {
+      val modelMap = docB.filter(col("doc_id") % 2 === 0)
+        .groupBy(col("lang"), col("b")).agg(sum(col("c")).as("clb"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val clMap = modelMap.groupBy(_._1._1).map { case (l, m) => l -> m.values.sum }
+      val ntr = langRows.map(_._2).sum
+      val nlang = langRows.length
+      // identical double math to the row form: (clb+1)/(cl+512) as
+      // doubles, java Math.log ≡ Spark log ≡ DuckDB ln
+      val denseWide = s.createDataFrame(
+        (0 until LangIdBuckets).map { b =>
+          (b.toLong, langRows.map { case (l, _) =>
+            math.log((modelMap.getOrElse((l, b.toLong), 0L) + 1).toDouble /
+              (clMap.getOrElse(l, 0L) + LangIdBuckets).toDouble) })
+        })
+        .toDF("b", "lnv")
+      val priors = langRows.map { case (_, nl) =>
+        graft.functions.OracleMath.r6d(
+          math.log((nl + 1).toDouble / (ntr + nlang).toDouble)) }
+      val termCols = langRows.indices.map(i =>
+        graft.functions.OracleMath.dsum(
+          r6(col("c") * element_at(col("lnv"), i + 1))).as(s"sf$i"))
+      val perDoc = docB.select(col("doc_id"), col("b"), col("c"))
+        .join(broadcast(denseWide), "b")
+        .groupBy(col("doc_id"))
+        .agg(termCols.head, termCols.tail: _*)
+      val scored = langRows.indices.map { i =>
+        struct(r6(col(s"sf$i").cast("double") + lit(priors(i))).as("s"),
+          lit(langRows(i)._1).as("lang")) }
+      val best = if (scored.size == 1) scored.head else greatest(scored: _*)
+      val pred = perDoc.select(col("doc_id"),
+        best.getField("lang").as("lang_pred"))
+      base.join(pred, Seq("doc_id"), "left")
+        .withColumn("lang_pred", coalesce(col("lang_pred"), lit("")))
+        .withColumn("agree", (col("lang_true") === col("lang_pred")).cast("int"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** Oracle mirror of [[langidNgram]] — the full NB chain in CTEs:
+    * char-3-gram hash buckets, even-doc training counts, densified
+    * (lang × bucket) grid, r6 terms + DECIMAL sum + r6 prior, argmax
+    * via `row_number ORDER BY s DESC, lang DESC` (≡ max-struct). */
+  val langidNgramSql: String = {
+    val h = graft.functions.CrossHash.sqlHash60("g")
+    s"""WITH lg_b AS (
+       |  SELECT doc_id, lang, $h % $LangIdBuckets AS b
+       |  FROM (
+       |    SELECT doc_id, lang, substring(text, i, 3) AS g
+       |    FROM documents, UNNEST(range(1, length(text) - 1)) AS t(i)
+       |    WHERE length(text) >= 3)),
+       |lg_docb AS (SELECT doc_id, b, COUNT(*) AS c FROM lg_b GROUP BY doc_id, b),
+       |lg_model AS (
+       |  SELECT lang, b, COUNT(*) AS clb FROM lg_b WHERE doc_id % 2 = 0 GROUP BY lang, b),
+       |lg_langs AS (
+       |  SELECT lang, COUNT(*) AS nl FROM documents WHERE doc_id % 2 = 0 GROUP BY lang),
+       |lg_cl AS (SELECT lang, SUM(clb) AS cl FROM lg_model GROUP BY lang),
+       |lg_tot AS (SELECT SUM(nl) AS ntr, COUNT(*) AS nlang FROM lg_langs),
+       |lg_dense AS (
+       |  SELECT l.lang, gb.b, COALESCE(m.clb, 0) AS clb
+       |  FROM lg_langs l
+       |  CROSS JOIN (SELECT unnest(range(0, $LangIdBuckets)) AS b) gb
+       |  LEFT JOIN lg_model m ON m.lang = l.lang AND m.b = gb.b),
+       |lg_terms AS (
+       |  SELECT d.doc_id, de.lang,
+       |    round(d.c * ln(CAST(de.clb + 1 AS DOUBLE)
+       |                   / CAST(cl.cl + $LangIdBuckets AS DOUBLE)), 6) + 0 AS term
+       |  FROM lg_docb d
+       |  JOIN lg_dense de ON de.b = d.b
+       |  JOIN lg_cl cl ON cl.lang = de.lang),
+       |lg_scores AS (
+       |  SELECT t.doc_id, t.lang,
+       |    round(CAST(SUM(CAST(t.term AS DECIMAL(38,6))) AS DOUBLE)
+       |      + round(ln(CAST(l.nl + 1 AS DOUBLE)
+       |                 / CAST(tt.ntr + tt.nlang AS DOUBLE)), 6), 6) + 0 AS s
+       |  FROM lg_terms t
+       |  JOIN lg_langs l ON l.lang = t.lang
+       |  CROSS JOIN lg_tot tt
+       |  GROUP BY t.doc_id, t.lang, l.nl, tt.ntr, tt.nlang),
+       |lg_pred AS (
+       |  SELECT doc_id, lang AS lang_pred FROM (
+       |    SELECT doc_id, lang,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang DESC) AS rn
+       |    FROM lg_scores)
+       |  WHERE rn = 1)
+       |SELECT d.doc_id, d.lang AS lang_true,
+       |  COALESCE(p.lang_pred, '') AS lang_pred,
+       |  CASE WHEN d.lang = COALESCE(p.lang_pred, '') THEN 1 ELSE 0 END AS agree
+       |FROM documents d LEFT JOIN lg_pred p ON p.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Per-true-lang agreement between the two language classifiers —
+    * the audit run before swapping the marker vote for the n-gram
+    * model: exact integer counts only (docs, marker-correct,
+    * ngram-correct, both-predict-the-same), no ratio rounding to
+    * bridge. One doc-keyed join of two total relations; group keys
+    * are the langs present in the corpus. */
+  def langidAgreement(s: SparkSession, dir: String): DataFrame = {
+    val marker = langId(s, dir)
+      .select(col("doc_id"), col("lang_true"), col("lang_pred").as("pm"))
+    val ngram = langidNgram(s, dir)
+      .select(col("doc_id"), col("lang_pred").as("pn"))
+    marker.join(ngram, "doc_id")
+      .groupBy(col("lang_true"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("pm") === col("lang_true")).cast("long")).as("n_marker_correct"),
+        sum((col("pn") === col("lang_true")).cast("long")).as("n_ngram_correct"),
+        sum((col("pm") === col("pn")).cast("long")).as("n_same_pred"))
+      .orderBy(col("lang_true"))
+  }
+
+  lazy val langidAgreementSql: String =
+    s"""WITH la_m AS MATERIALIZED (
+       |  SELECT doc_id, lang_true, lang_pred AS pm FROM ($langIdSql)),
+       |la_n AS MATERIALIZED (
+       |  SELECT doc_id, lang_pred AS pn FROM ($langidNgramSql))
+       |SELECT lang_true,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN pm = lang_true THEN 1 ELSE 0 END) AS BIGINT) AS n_marker_correct,
+       |  CAST(SUM(CASE WHEN pn = lang_true THEN 1 ELSE 0 END) AS BIGINT) AS n_ngram_correct,
+       |  CAST(SUM(CASE WHEN pm = pn THEN 1 ELSE 0 END) AS BIGINT) AS n_same_pred
+       |FROM la_m JOIN la_n USING (doc_id)
+       |GROUP BY lang_true
+       |ORDER BY lang_true""".stripMargin
+
   val langIdSql: String =
     """WITH h AS (
       |  SELECT doc_id, lang AS lang_true,
@@ -873,6 +1073,8 @@ object TextOps {
     "rep_ngrams" -> (repNgrams _),
     "doc_fingerprint" -> (docFingerprint _),
     "lang_id" -> (langId _),
+    "langid_ngram" -> (langidNgram _),
+    "langid_agreement" -> (langidAgreement _),
     "chunk_stats" -> (chunkStats _),
     "cdc_chunks" -> (cdcChunks _))
 
@@ -891,6 +1093,8 @@ object TextOps {
     "rep_ngrams" -> repNgramsSql,
     "doc_fingerprint" -> docFingerprintSql,
     "lang_id" -> langIdSql,
+    "langid_ngram" -> langidNgramSql,
+    "langid_agreement" -> langidAgreementSql,
     "chunk_stats" -> chunkStatsSql,
     "index_pipeline" -> indexPipelineSql,
     "cdc_chunks" -> cdcChunksSql)

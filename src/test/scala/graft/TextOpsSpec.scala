@@ -119,4 +119,40 @@ class TextOpsSpec extends AnyFunSuite {
     assert(math.abs(got(5L) - math.log(n)) < 1e-5, s"unique doc ${got(5L)}")
     got.values.foreach(v => assert(v >= 0.0 && v <= math.log(n) + 1e-9))
   }
+
+  test("langid_ngram: charset signal classifies where the marker vote degenerates to its tie-break") {
+    import java.nio.file.Files
+    import spark.implicits._
+    // training (even doc_ids): two languages with distinctive char
+    // trigrams but NOT ONE of the 25 marker words; held-out test docs
+    // (odd ids) share the charset, so the n-gram NB classifies them
+    // while the marker vote sees zero hits everywhere and falls back
+    // to its tie-break lang
+    val docs = Seq(
+      (2L, "esto espada estrella escala esfera espuma", "es"),
+      (4L, "espejo estanque espiga esmalte estufa", "es"),
+      (6L, "frais froid fruit frise frein franc", "fr"),
+      (8L, "fraise frites frange fresque frisson", "fr"),
+      (1L, "especial estatua espina estilo", "es"),
+      (3L, "frio frontera frontal fresa", "fr"))
+    val dir = Files.createTempDirectory("graft-langid").toString
+    docs.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val marker = TextOps.langId(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(marker(1L) != "es" && marker(3L) != "fr",
+      s"marker vote must degenerate on marker-free text: $marker")
+    val ngram = TextOps.langidNgram(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getInt(3)))
+      .toMap
+    assert(ngram(1L) == (("es", "es", 1)), s"held-out es doc: ${ngram(1L)}")
+    assert(ngram(3L) == (("fr", "fr", 1)), s"held-out fr doc: ${ngram(3L)}")
+    // training docs classify themselves too (sanity, not the claim)
+    Seq(2L, 4L, 6L, 8L).foreach(id => assert(ngram(id)._3 == 1, s"train doc $id: ${ngram(id)}"))
+    // the agreement report shows the n-gram model strictly ahead
+    val rep = TextOps.langidAgreement(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rep("es") == ((3L, 0L, 3L)) && rep("fr") == ((3L, 0L, 3L)),
+      s"ngram must win every doc the marker vote misses: $rep")
+  }
 }
