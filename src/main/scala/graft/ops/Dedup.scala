@@ -181,7 +181,12 @@ object Dedup {
     * is then filtered away — where the old `collect_list →
     * filter(size ≤ cap)` order built the full member list inside ONE
     * in-memory aggregation buffer first (≈0.5 GB for 10⁶ members ⇒
-    * executor OOM). Keeping the group keys identical lets the
+    * executor OOM). Measured, not assumed: DedupSpec plants a
+    * 10⁶-row bucket with the window buffer thresholds forced to
+    * 1024/4096 rows — it routes through the disk-spill path (task
+    * metrics report the spills) and completes in ~7.5 s on
+    * local[32]; a pathological bucket is a straggler task, never an
+    * OOM. Keeping the group keys identical lets the
     * downstream groupBy reuse the window's hash exchange, so the
     * shuffle count is unchanged. Row-set semantics are exactly the
     * post-agg size filter's — grouping the surviving rows yields
