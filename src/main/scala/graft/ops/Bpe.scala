@@ -187,7 +187,13 @@ object Bpe {
   // ([], 1); each step either merges syms[i],syms[i+1] (advance 2)
   // or emits syms[i] (advance 1); a word is done when i walks past
   // its symbol list. bx$r coalesces an exhausted round's argmax to a
-  // sentinel pair of empty strings, which matches no symbol. ----
+  // sentinel pair of empty strings, which matches no symbol.
+  // w0/s0/bx$r/s$r MUST be AS MATERIALIZED: each m$r recursion
+  // references bx$r (and transitively the whole prior chain) on
+  // EVERY iteration step, so the plain-CTE form re-derives the
+  // full train prefix per step — measured 476 s for bpe_encode at
+  // sf0.1 vs 0.6 s materialized (and it compounds into every
+  // downstream composition: bpe_pack, tokenizer_fertility). ----
 
   private def roundCte(r: Int): String = {
     val prev = s"s${r - 1}"
@@ -196,7 +202,8 @@ object Bpe {
        |  FROM $prev, UNNEST(range(1, len(syms))) AS u$r(i)
        |  GROUP BY 1, 2),
        |b$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
-       |bx$r AS (SELECT coalesce(max(a), '') AS a, coalesce(max(b), '') AS b FROM b$r),
+       |bx$r AS MATERIALIZED (
+       |  SELECT coalesce(max(a), '') AS a, coalesce(max(b), '') AS b FROM b$r),
        |m$r AS (
        |  SELECT word, wcnt, syms, CAST([] AS VARCHAR[]) AS out, 1 AS i FROM $prev
        |  UNION ALL
@@ -207,17 +214,19 @@ object Bpe {
        |    CASE WHEN m.i < len(m.syms) AND m.syms[m.i] = x.a AND m.syms[m.i + 1] = x.b
        |         THEN m.i + 2 ELSE m.i + 1 END
        |  FROM m$r m, bx$r x WHERE m.i <= len(m.syms)),
-       |s$r AS (SELECT word, wcnt, out AS syms FROM m$r WHERE i = len(syms) + 1)""".stripMargin
+       |s$r AS MATERIALIZED (
+       |  SELECT word, wcnt, out AS syms FROM m$r WHERE i = len(syms) + 1)""".stripMargin
   }
 
   private val trainCtes: String =
-    s"""WITH RECURSIVE w0 AS (
+    s"""WITH RECURSIVE w0 AS MATERIALIZED (
        |  SELECT tok AS word, COUNT(*) AS wcnt
        |  FROM (SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS tok FROM documents)
        |  GROUP BY tok),
-       |s0 AS (SELECT word, wcnt,
-       |         list_transform(range(1, length(word) + 1), i -> word[i:i]) AS syms
-       |       FROM w0),
+       |s0 AS MATERIALIZED (
+       |  SELECT word, wcnt,
+       |    list_transform(range(1, length(word) + 1), i -> word[i:i]) AS syms
+       |  FROM w0),
        |${(1 to Rounds).map(roundCte).mkString(",\n")}""".stripMargin
 
   val bpeMergesSql: String = {
