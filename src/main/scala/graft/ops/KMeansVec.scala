@@ -836,14 +836,19 @@ object KMeansVec {
     * [[semanticDedup]] sub-quadratic shape with the pair predicate
     * swapped from `vec_a < vec_b` to corpus-vs-benchmark. Benchmark
     * convention: every 50th vector (the decontaminate % 50 rule).
-    * Output: flagged corpus vectors with their cell, best-matching
-    * benchmark vector (max sim, min bench_id tiebreak) and r6 cosine.
+    * Output: EVERY corpus vector with its cell, best in-cell
+    * benchmark match (max sim, min bench_id tiebreak; NULL when its
+    * cell holds no benchmark vector) and a 0/1 `flagged` indicator —
+    * the keep-list a decontamination run actually applies, and total
+    * at any scale (a quiet corpus reports all-zeros rather than an
+    * empty relation — the EntrySpec rows>0 rule).
     *
     * Scale shape: ONE assignment pass (localCheckpointed — both sides
     * read it), one cluster-keyed equi-join (never a cross join), the
-    * argmax window over flagged rows only. Semantically-near leaks
-    * land in the same cell by construction (assignment is
-    * distance-based) — the SemDeDup recall argument. */
+    * argmax window partitioned per corpus vector over its in-cell
+    * benchmark candidates, one corpus-keyed totality left join.
+    * Semantically-near leaks land in the same cell by construction
+    * (assignment is distance-based) — the SemDeDup recall argument. */
   def semanticDecontaminateCells(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.VectorFunctions.{dot, l2norm, r6}
@@ -854,20 +859,24 @@ object KMeansVec {
     val bench = assigned.filter(col("vec_id") % 50 === 0)
       .select(col("cluster").as("cb"), col("vec_id").as("bench_id"),
         col("embedding").as("be"), col("nrm").as("nb"))
+    val base = assigned.filter(col("vec_id") % 50 =!= 0)
     val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("bench_id"))
-    assigned.filter(col("vec_id") % 50 =!= 0)
+    val best = base
       .join(bench, col("cluster") === col("cb"))
       .withColumn("sim", r6(try_divide(dot(col("embedding"), col("be")), col("nrm") * col("nb"))))
-      .filter(col("sim") >= SemDecontamCellEps)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
-        col("bench_id"), col("sim"))
+      .select(col("vec_id"), col("bench_id"), col("sim"))
+    base.select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+      .join(best, Seq("vec_id"), "left")
+      .withColumn("flagged",
+        when(col("sim") >= SemDecontamCellEps, 1).otherwise(0))
       .orderBy(col("vec_id"))
   }
 
   /** Oracle mirror of [[semanticDecontaminateCells]]: the assignment
-    * CTE, within-cell corpus×benchmark cosine, threshold, argmax. */
+    * CTE, within-cell corpus×benchmark cosine, per-corpus-vector
+    * argmax, totality left join, threshold as the flagged CASE. */
   val semanticDecontaminateCellsSql: String =
     s"""WITH $initCte,
        |${assignCte(1)},
@@ -876,18 +885,23 @@ object KMeansVec {
        |  FROM a1
        |  WHERE ${xx("embedding")} > 0),
        |sims AS (
-       |  SELECT x.vec_id, CAST(x.cluster AS BIGINT) AS cluster, y.vec_id AS bench_id,
+       |  SELECT x.vec_id, y.vec_id AS bench_id,
        |    round(list_sum(list_transform(range(1, len(x.embedding)+1),
        |            i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
        |          / (x.nrm * y.nrm), 6) + 0 AS sim
        |  FROM n x JOIN n y ON x.cluster = y.cluster
-       |  WHERE x.vec_id % 50 <> 0 AND y.vec_id % 50 = 0)
-       |SELECT vec_id, cluster, bench_id, sim FROM (
-       |  SELECT vec_id, cluster, bench_id, sim,
-       |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, bench_id) AS rn
-       |  FROM sims WHERE sim >= $SemDecontamCellEps)
-       |WHERE rn = 1
-       |ORDER BY vec_id""".stripMargin
+       |  WHERE x.vec_id % 50 <> 0 AND y.vec_id % 50 = 0),
+       |best AS (
+       |  SELECT vec_id, bench_id, sim FROM (
+       |    SELECT vec_id, bench_id, sim,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, bench_id) AS rn
+       |    FROM sims)
+       |  WHERE rn = 1)
+       |SELECT c.vec_id, CAST(c.cluster AS BIGINT) AS cluster, b.bench_id, b.sim,
+       |  CASE WHEN b.sim >= $SemDecontamCellEps THEN 1 ELSE 0 END AS flagged
+       |FROM n c LEFT JOIN best b USING (vec_id)
+       |WHERE c.vec_id % 50 <> 0
+       |ORDER BY c.vec_id""".stripMargin
 
   /** Threshold grid for [[semdedupEpsSweep]] — spans conservative to
     * aggressive; the grid MIN equals [[SemDedupThreshold]] so the

@@ -256,12 +256,19 @@ class KMeansSpec extends AnyFunSuite {
 
   test("semantic_decontam_cells: a planted benchmark copy flags within its cell; orthogonal vectors do not") {
     import graft.ops.KMeansVec
-    // fixture invariants: corpus-side ids only, benchmark ids only as
-    // matches, sims at or above the operating point
+    // fixture invariants: the relation is TOTAL (one row per corpus
+    // vector, so an all-quiet corpus still returns rows), corpus-side
+    // ids only, matches reference benchmark ids only, and flagged ⇔
+    // best sim at or above the operating point
     val real = KMeansVec.semanticDecontaminateCells(spark, sf).collect()
+    assert(real.nonEmpty, "totality: every corpus vector reports a row")
     real.foreach { r =>
-      assert(r.getLong(0) % 50 != 0 && r.getLong(2) % 50 == 0 &&
-        r.getDouble(3) >= KMeansVec.SemDecontamCellEps, s"invariant broke: $r")
+      assert(r.getLong(0) % 50 != 0, s"corpus ids only: $r")
+      if (!r.isNullAt(2))
+        assert(r.getLong(2) % 50 == 0, s"benchmark ids only as matches: $r")
+      val flaggedExpected =
+        !r.isNullAt(3) && r.getDouble(3) >= KMeansVec.SemDecontamCellEps
+      assert((r.getInt(4) == 1) == flaggedExpected, s"flag/sim mismatch: $r")
     }
     // planted: benchmark vec 50 = e0, benchmark vec 100 = e1, corpus
     // vec 1 = an exact copy of e0 (same cell by construction: identical
@@ -276,7 +283,9 @@ class KMeansSpec extends AnyFunSuite {
     rows.toDF("vec_id", "embedding", "label")
       .withColumn("embedding", col("embedding").cast("array<float>"))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    val got = KMeansVec.semanticDecontaminateCells(spark, dir).collect()
+    val all = KMeansVec.semanticDecontaminateCells(spark, dir).collect()
+    assert(all.length == 11, s"one total row per corpus vector: ${all.length}")
+    val got = all.filter(_.getInt(4) == 1)
       .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
     assert(got.toSeq == Seq((1L, 50L, 1.0)), s"exactly the planted copy: ${got.toSeq}")
   }
