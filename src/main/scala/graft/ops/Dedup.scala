@@ -856,6 +856,148 @@ object Dedup {
        |ORDER BY n_shared DESC, doc_a, doc_b
        |LIMIT 50""".stripMargin
 
+  // ---- Exact-substring removal (sliding-window span cut + rebuild) ----
+
+  /** Minimum duplicated run, in words, for [[substrDedup]] — the
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better", ExactSubstr) threshold idea scaled to the
+    * fixture's ~100-word docs (the paper uses 50 BPE tokens against
+    * multi-KB web pages). */
+  val ExactSubstrWords = 15
+
+  /** One hash per WORD POSITION: the [[ExactSubstrWords]]-word
+    * window starting at every offset, hashed in a single pass per
+    * doc (the [[spanHashUdf]] shape at stride 1 — an HOF lambda
+    * over `split(text)` would re-split per element once
+    * CollapseProject inlines the alias, the boilerplate-rebuild
+    * lesson, so the closure form IS the fast form). */
+  private val substrWinUdf = udf { (text: String) =>
+    val w = if (text == null) Array.empty[String] else text.split(" ")
+    if (w.length < ExactSubstrWords) Array.empty[Long]
+    else Array.tabulate(w.length - ExactSubstrWords + 1) { i =>
+      val sb = new StringBuilder
+      var j = i
+      val end = i + ExactSubstrWords
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(w(j))
+        j += 1
+      }
+      md5Hash60(sb.toString)
+    }
+  }
+
+  /** Interval scrub: given the sorted 0-based start offsets of
+    * removed [[ExactSubstrWords]]-word windows, drop every word
+    * covered by any [start, start+L-1] interval (overlaps merge by
+    * construction of the single left-to-right sweep) and re-join the
+    * survivors byte-exactly. */
+  private val substrScrubUdf = udf { (text: String, starts: Seq[Int]) =>
+    val w = if (text == null) Array.empty[String] else text.split(" ")
+    val sb = new StringBuilder
+    var si = 0
+    var coverEnd = -1
+    var i = 0
+    while (i < w.length) {
+      while (si < starts.length && starts(si) <= i) {
+        val e = starts(si) + ExactSubstrWords - 1
+        if (e > coverEnd) coverEnd = e
+        si += 1
+      }
+      if (i > coverEnd) {
+        if (sb.nonEmpty) sb.append(' ')
+        sb.append(w(i))
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Exact duplicated-substring REMOVAL with byte-exact rebuild —
+    * the ExactSubstr complement of `line_dedup`: stride-1 sliding
+    * windows catch a copied passage at ANY word alignment, where the
+    * block dedup only sees copies that land on its fixed 10-word
+    * grid (and [[spanDedup]] only REPORTS pairs, removing nothing).
+    * Every occurrence of a duplicated [[ExactSubstrWords]]-word
+    * window except the global first — min (doc_id, pos), the
+    * line_dedup survivorship rule — has its span cut; overlapping
+    * cuts merge, so a long copied passage (many overlapping
+    * duplicated windows) is removed as one run while its canonical
+    * copy survives untouched.
+    *
+    * Scale shape: ONE scan+UDF pass hashes all windows (single
+    * split per doc), ONE min-struct aggregation per window hash (no
+    * corpus window, no member lists — a 10⁶-occurrence boilerplate
+    * window reduces to min+identity), one hint-free hash rejoin,
+    * bounded per-doc start lists (≤ n_words), ONE doc-keyed rebuild
+    * join. Same two-shuffle budget as line_dedup. */
+  def substrDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val wins = d.select(col("doc_id"),
+      posexplode(substrWinUdf(col("text"))).as(Seq("pos", "h")))
+    val first = wins.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+    // rows ≠ their hash's min are EXACTLY the occurrences of
+    // duplicated windows (a count-1 hash's only row is its min)
+    val bad = wins.join(first, Seq("h"))
+      .filter(!(col("doc_id") === col("f.doc_id") && col("pos") === col("f.pos")))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    d.select(col("doc_id"), col("text"))
+      .join(bad, Seq("doc_id"), "left")
+      .withColumn("starts", coalesce(col("starts"), array().cast("array<int>")))
+      .withColumn("clean", substrScrubUdf(col("text"), col("starts")))
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        (size(split(col("text"), " ")) -
+          when(col("clean") === "", 0)
+            .otherwise(size(split(col("clean"), " ")))).cast("long").as("n_removed"),
+        length(col("clean")).cast("long").as("len_clean"),
+        graft.functions.CrossHash.md5Hash60Col(col("clean")).as("clean_h"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle mirror of [[substrDedup]]: stride-1 window hashes via
+    * UNNEST-range + list slice, first occurrence as `row_number()
+    * OVER (PARTITION BY h ORDER BY doc_id, pos) = 1` (≡ min-struct),
+    * rebuild as a list comprehension keeping words no removed
+    * interval covers — the 60-bit hash of the rebuilt string must
+    * match byte-for-byte. */
+  val substrDedupSql: String = {
+    val L = ExactSubstrWords
+    val hWin = graft.functions.CrossHash.sqlHash60(s"array_to_string(w[i + 1 : i + $L], ' ')")
+    val hCt = graft.functions.CrossHash.sqlHash60("ct")
+    s"""WITH es_w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |es_win AS MATERIALIZED (
+       |  SELECT doc_id, i AS pos, $hWin AS h
+       |  FROM es_w, UNNEST(range(0, len(w) - ${L - 1})) AS t(i)
+       |  WHERE len(w) >= $L),
+       |es_rk AS (
+       |  SELECT doc_id, pos,
+       |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
+       |  FROM es_win),
+       |es_bad AS (
+       |  SELECT doc_id, list(pos ORDER BY pos) AS starts
+       |  FROM es_rk WHERE rk > 1
+       |  GROUP BY doc_id),
+       |es_clean AS (
+       |  SELECT d.doc_id, len(d.w) AS n_words,
+       |    -- COALESCE: an all-removed comprehension yields NULL, not
+       |    -- '', in DuckDB (the line_dedup all-duplicate-doc lesson)
+       |    COALESCE(array_to_string([d.w[i] FOR i IN generate_series(1, len(d.w))
+       |      IF len(list_filter(COALESCE(b.starts, CAST([] AS BIGINT[])),
+       |             s -> s + 1 <= i AND i <= s + $L)) = 0], ' '), '') AS ct
+       |  FROM es_w d LEFT JOIN es_bad b USING (doc_id))
+       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       |  CAST(n_words - CASE WHEN ct = '' THEN 0
+       |                      ELSE len(string_split(ct, ' ')) END AS BIGINT) AS n_removed,
+       |  CAST(length(ct) AS BIGINT) AS len_clean,
+       |  $hCt AS clean_h
+       |FROM es_clean
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Cap observability — the "no silent caps" audit: every inline
     * detector bounds hot buckets with [[MaxPosting]], and THIS
     * reports what those caps actually dropped on the corpus: per
@@ -2165,6 +2307,7 @@ object Dedup {
     "simhash_dedup" -> (simhashDedup _),
     "simhash_weighted" -> (simhashWeighted _),
     "span_dedup" -> (spanDedup _),
+    "substr_dedup" -> (substrDedup _),
     "winnow_pairs" -> (winnowPairs _),
     "norm_dedup" -> (normDedup _),
     "lsh_band_sweep" -> (lshBandSweep _),
@@ -2184,6 +2327,7 @@ object Dedup {
     "simhash_dedup" -> simhashDedupSql,
     "simhash_weighted" -> simhashWeightedSql,
     "span_dedup" -> spanDedupSql,
+    "substr_dedup" -> substrDedupSql,
     "winnow_pairs" -> winnowPairsSql,
     "norm_dedup" -> normDedupSql,
     "lsh_band_sweep" -> lshBandSweepSql,

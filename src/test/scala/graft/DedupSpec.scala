@@ -337,6 +337,42 @@ class DedupSpec extends AnyFunSuite {
     assert(exchanges == 1, s"groupBy must reuse the window exchange: $plan")
   }
 
+  test("substr_dedup: an off-grid copied passage is cut where block dedup is blind; canonical copy survives") {
+    // a 16-word passage at word offset 7 in doc 10 and offset 3 in
+    // doc 11: the alignments differ and neither is a multiple of the
+    // 10-word block grid, so line_dedup's fixed blocks all hash
+    // uniquely — only the stride-1 sliding windows see the copy
+    val passage = (1 to 16).map(i => s"p$i")
+    val d10 = (1 to 7).map(i => s"a$i") ++ passage ++ (1 to 7).map(i => s"b$i")
+    val d11 = (1 to 3).map(i => s"c$i") ++ passage ++ (1 to 11).map(i => s"d$i")
+    val d12 = (1 to 30).map(i => s"e$i")
+    // self-repetition: the same 15 words twice back-to-back — the
+    // second copy must cut, the first must survive
+    val rep = (1 to 15).map(i => s"r$i")
+    val d13 = rep ++ rep
+    val sdir = Files.createTempDirectory("graft-substr").toString
+    Seq((10L, d10.mkString(" ")), (11L, d11.mkString(" ")),
+        (12L, d12.mkString(" ")), (13L, d13.mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$sdir/documents.parquet")
+    val got = Dedup.substrDedup(spark, sdir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    assert(got(10L)._2 == 0L, s"canonical doc must survive untouched: ${got(10L)}")
+    assert(got(12L)._2 == 0L, s"unrelated doc untouched: ${got(12L)}")
+    assert(got(11L)._2 == 16L, s"the whole copied passage must cut as one merged run: ${got(11L)}")
+    assert(got(13L)._2 == 15L, s"the second self-repeat must cut: ${got(13L)}")
+    // byte-exact rebuilds
+    val expect11 = ((1 to 3).map(i => s"c$i") ++ (1 to 11).map(i => s"d$i")).mkString(" ")
+    val expect13 = rep.mkString(" ")
+    assert(got(11L)._3 == graft.functions.CrossHash.md5Hash60(expect11), "doc 11 rebuild")
+    assert(got(13L)._3 == graft.functions.CrossHash.md5Hash60(expect13), "doc 13 rebuild")
+    // the blindness claim, asserted not assumed: block-grid dedup
+    // removes NOTHING from this corpus
+    val ld = graft.ops.Curation.lineDedup(spark, sdir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ld.values.forall(_ == 0L), s"line_dedup must be blind to off-grid copies: $ld")
+  }
+
   test("capBuckets: a 10^6-row mega-bucket SPILLS through the window buffer and completes") {
     // Converts the "spillable row buffer" claim from comment to test:
     // with the window buffer thresholds forced down to a few thousand
