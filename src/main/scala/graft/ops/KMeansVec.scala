@@ -903,6 +903,135 @@ object KMeansVec {
        |WHERE c.vec_id % 50 <> 0
        |ORDER BY c.vec_id""".stripMargin
 
+  /** Neighbors averaged per side for the [[bitextMine]] margin
+    * denominator — Artetxe & Schwenk use k=4 in the CCMatrix
+    * pipeline. */
+  val MarginK = 4
+
+  /** Mining threshold for [[bitextMine]] — ratio-margin ≥ this flags
+    * a candidate pair (the published pipelines operate at 1.04–1.06;
+    * the exact value is a knob, the MACHINERY is what's pinned). */
+  val BitextMarginThreshold = 1.05
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019; the
+    * CCMatrix shape): candidate translation pairs between two corpus
+    * sides scored by RATIO margin — cos(x,y) divided by the mean of
+    * each side's top-[[MarginK]] neighbor cosines — which cancels
+    * hubness (a vector that is close to EVERYTHING scores high raw
+    * cosine everywhere; dividing by its average top-k similarity
+    * deflates exactly those hubs). Sides here are embedding labels 0
+    * and 1 (the fixture's stand-in for two languages); at deployment
+    * the sides are the language-split halves of an aligned corpus.
+    * Cell-scoped like [[semanticDecontaminateCells]]: one Lloyd
+    * assignment on the union, candidates and the top-k averages both
+    * computed within each k-means cell (the SemDeDup recall
+    * argument), so no all-pairs join ever forms. Output is TOTAL
+    * over side-X vectors: best in-cell match (max margin, min y
+    * tiebreak) with r6 cosine, r6 margin, and a 0/1 `mined` flag.
+    *
+    * Arithmetic bridge: cosines are r6 then lifted to exact
+    * micro-units; the per-side top-k means use the exact-integer
+    * half-up mean on (sim6 + 1e6) SHIFTED values (cosines can be
+    * negative; the established (2q+n) div (2n) identity needs
+    * nonnegative operands for div ≡ // across engines) and unshift
+    * after; the margin is one double division of exact integers,
+    * r6-rounded, NULL-guarded when the denominator is ≤ 0.
+    *
+    * Scale shape: ONE assignment pass (localCheckpointed), ONE
+    * cell-keyed pair pass (localCheckpointed — three consumers: the
+    * two top-k means and the argmax), windows partitioned per vector
+    * over in-cell candidates only, one totality left join. */
+  def bitextMine(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.{dot, l2norm, r6}
+    val assigned = fit(s, dir, K, iters = 1)._2
+      .withColumn("nrm", l2norm(col("embedding")))
+      .filter(col("nrm") > 0)
+      .localCheckpoint(true)
+    def sideOf(lbl: Int, v: String) = assigned.filter(col("label") === lbl)
+      .select(col("cluster").as(s"c$v"), col("vec_id").as(v),
+        col("embedding").as(s"e$v"), col("nrm").as(s"n$v"))
+    val xs = sideOf(0, "x")
+    val ys = sideOf(1, "y")
+    val sims = xs.join(ys, col("cx") === col("cy"))
+      .withColumn("sim6", round(
+        r6(try_divide(dot(col("ex"), col("ey")), col("nx") * col("ny"))) * 1e6)
+        .cast("long"))
+      .select(col("x"), col("y"), col("sim6"))
+      .localCheckpoint(true)
+    def topkMean(key: String, other: String, out: String) = {
+      val w = Window.partitionBy(col(key)).orderBy(col("sim6").desc, col(other))
+      sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= MarginK)
+        .groupBy(col(key))
+        .agg(sum(col("sim6") + 1000000L).as("q"), count(lit(1)).as("n"))
+        .select(col(key), (expr("(2 * q + n) div (2 * n)") - 1000000L).as(out))
+    }
+    val scored = sims
+      .join(topkMean("x", "y", "ax6"), "x")
+      .join(topkMean("y", "x", "ay6"), "y")
+      .withColumn("margin",
+        when(col("ax6") + col("ay6") <= 0, lit(null).cast("double"))
+          .otherwise(r6(lit(2.0) * col("sim6") / (col("ax6") + col("ay6")))))
+      .filter(col("margin").isNotNull)
+    val wb = Window.partitionBy(col("x")).orderBy(col("margin").desc, col("y"))
+    val best = scored.withColumn("rn", row_number().over(wb)).filter(col("rn") === 1)
+      .select(col("x").as("vec_id"), col("y").as("match_id"),
+        (col("sim6").cast("double") / 1e6).as("sim"), col("margin"))
+    xs.select(col("x").as("vec_id"), col("cx").cast("long").as("cluster"))
+      .join(best, Seq("vec_id"), "left")
+      .withColumn("mined",
+        when(col("margin") >= BitextMarginThreshold, 1).otherwise(0))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Oracle mirror of [[bitextMine]]: the assignment CTE, one
+    * in-cell cross-side pair pass lifted to micro-units, shifted
+    * exact-integer top-k means per side, the double-division margin
+    * with its ≤0 guard, per-x argmax, totality left join. */
+  val bitextMineSql: String =
+    s"""WITH $initCte,
+       |${assignCte(1)},
+       |bt_n AS (
+       |  SELECT cluster, vec_id, label, embedding, sqrt(${xx("embedding")}) AS nrm
+       |  FROM a1
+       |  WHERE ${xx("embedding")} > 0),
+       |bt_p AS MATERIALIZED (
+       |  SELECT x.vec_id AS x, y.vec_id AS y,
+       |    CAST(round(1000000 * (round(list_sum(list_transform(range(1, len(x.embedding)+1),
+       |            i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+       |          / (x.nrm * y.nrm), 6) + 0)) AS BIGINT) AS sim6
+       |  FROM bt_n x JOIN bt_n y ON x.cluster = y.cluster
+       |  WHERE x.label = 0 AND y.label = 1),
+       |bt_ax AS (
+       |  SELECT x, (2 * SUM(sim6 + 1000000) + COUNT(*)) // (2 * COUNT(*)) - 1000000 AS ax6
+       |  FROM (SELECT x, y, sim6,
+       |          row_number() OVER (PARTITION BY x ORDER BY sim6 DESC, y) AS rn
+       |        FROM bt_p)
+       |  WHERE rn <= $MarginK GROUP BY x),
+       |bt_ay AS (
+       |  SELECT y, (2 * SUM(sim6 + 1000000) + COUNT(*)) // (2 * COUNT(*)) - 1000000 AS ay6
+       |  FROM (SELECT x, y, sim6,
+       |          row_number() OVER (PARTITION BY y ORDER BY sim6 DESC, x) AS rn
+       |        FROM bt_p)
+       |  WHERE rn <= $MarginK GROUP BY y),
+       |bt_sc AS (
+       |  SELECT p.x, p.y, p.sim6,
+       |    CASE WHEN ax.ax6 + ay.ay6 <= 0 THEN NULL
+       |         ELSE round(2.0 * p.sim6 / (ax.ax6 + ay.ay6), 6) + 0 END AS margin
+       |  FROM bt_p p JOIN bt_ax ax USING (x) JOIN bt_ay ay USING (y)),
+       |bt_best AS (
+       |  SELECT x, y, sim6, margin FROM (
+       |    SELECT x, y, sim6, margin,
+       |      row_number() OVER (PARTITION BY x ORDER BY margin DESC, y) AS rn
+       |    FROM bt_sc WHERE margin IS NOT NULL)
+       |  WHERE rn = 1)
+       |SELECT c.vec_id, CAST(c.cluster AS BIGINT) AS cluster, b.y AS match_id,
+       |  CAST(b.sim6 AS DOUBLE) / 1000000.0 AS sim, b.margin,
+       |  CASE WHEN b.margin >= $BitextMarginThreshold THEN 1 ELSE 0 END AS mined
+       |FROM bt_n c LEFT JOIN bt_best b ON b.x = c.vec_id
+       |WHERE c.label = 0
+       |ORDER BY c.vec_id""".stripMargin
+
   /** Threshold grid for [[semdedupEpsSweep]] — spans conservative to
     * aggressive; the grid MIN equals [[SemDedupThreshold]] so the
     * one materialized pair relation serves every grid point. */
@@ -1417,6 +1546,7 @@ object KMeansVec {
     "cluster_topics" -> (clusterTopics _),
     "semantic_dedup" -> (semanticDedup _),
     "semantic_decontam_cells" -> (semanticDecontaminateCells _),
+    "bitext_mine" -> (bitextMine _),
     "semdedup_eps_sweep" -> (semdedupEpsSweep _),
     "cluster_sample" -> (clusterSample _),
     "proto_prune" -> (protoPrune _),
@@ -1432,6 +1562,7 @@ object KMeansVec {
     "cluster_topics" -> clusterTopicsSql,
     "semantic_dedup" -> semanticDedupSql,
     "semantic_decontam_cells" -> semanticDecontaminateCellsSql,
+    "bitext_mine" -> bitextMineSql,
     "semdedup_eps_sweep" -> semdedupEpsSweepSql,
     "cluster_sample" -> clusterSampleSql,
     "proto_prune" -> protoPruneSql,

@@ -290,6 +290,53 @@ class KMeansSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 50L, 1.0)), s"exactly the planted copy: ${got.toSeq}")
   }
 
+  test("bitext_mine: margin deflates a hub — the true pair wins despite a LOWER raw cosine") {
+    import graft.ops.KMeansVec
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // fixture invariants: total over side-X, matches are side-Y only,
+    // mined ⇔ margin at or above the threshold
+    val real = KMeansVec.bitextMine(spark, sf).collect()
+    assert(real.nonEmpty, "totality over the label-0 side")
+    real.foreach { r =>
+      val minedExpected =
+        !r.isNullAt(4) && r.getDouble(4) >= KMeansVec.BitextMarginThreshold
+      assert((r.getInt(5) == 1) == minedExpected, s"mined/margin mismatch: $r")
+    }
+    // planted: ids 0..9 are orthogonal centroid seeds (label 2 — on
+    // neither side); all actors carry 0.3*d0 so they co-locate in
+    // cell 0. y_h is a HUB (close to x AND the three fillers);
+    // y_t is x's true pair (close to x only). Raw cosine prefers
+    // y_h; the ratio margin divides by y_h's high average top-k
+    // similarity and flips the ranking to y_t.
+    val dim = 16
+    def v(pairs: (Int, Double)*) =
+      Array.tabulate(dim)(d => pairs.collectFirst { case (`d`, x) => x.toFloat }.getOrElse(0f)).toSeq
+    val seeds = (0 until 10).map(i => (i.toLong, v(i -> 1.0), 2))
+    val x  = (10L, v(0 -> 0.3, 10 -> 1.0), 0)
+    val fs = Seq(11L, 12L, 13L).zipWithIndex.map { case (id, i) =>
+      (id, v(0 -> 0.3, 12 -> 1.0, (13 + i) -> 0.05), 0) }
+    val yt = (14L, v(0 -> 0.3, 10 -> 0.6, 11 -> 0.8), 1)
+    val yh = (15L, v(0 -> 0.3, 10 -> 0.7, 12 -> 0.72), 1)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (p, q) => p.toDouble * q }.sum
+      d / (math.sqrt(a.map(p => p.toDouble * p).sum) * math.sqrt(b.map(p => p.toDouble * p).sum))
+    }
+    assert(cos(x._2, yh._2) > cos(x._2, yt._2) + 0.05,
+      "premise: the hub must beat the true pair on RAW cosine")
+    val dir = java.nio.file.Files.createTempDirectory("graft-bitext").toString
+    (seeds ++ Seq(x) ++ fs ++ Seq(yt, yh)).toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = KMeansVec.bitextMine(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(4), r.getInt(5))).toMap
+    assert(got.contains(10L), s"x must report a row: $got")
+    val (matchId, margin, mined) = got(10L)
+    assert(matchId == 14L, s"margin must pick the true pair over the hub: $got")
+    assert(margin >= KMeansVec.BitextMarginThreshold && mined == 1,
+      s"true pair clears the mining threshold: $got")
+  }
+
   test("proto_prune drops exactly the most-prototypical 3/10 of every cell, deterministically") {
     def run() = KMeansVec.protoPrune(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
