@@ -1663,6 +1663,94 @@ object Curation {
        |  CAST(COALESCE(SUM(length(d.text) - l.len_clean), 0) AS BIGINT) AS bytes_saved
        |FROM lr l JOIN documents d USING (doc_id)""".stripMargin
 
+  // ------------------------------------------ quality signal fusion
+
+  /** Ensemble quality score — the fusion step a production filter
+    * stack runs AFTER the individual signals are trusted: three
+    * independent per-doc signals (lexical diversity = doc_quality's
+    * type-token ratio, fluency = the unigram-LM avg NLL, repetition
+    * = gopher's duplicate-2-gram fraction) are min-max normalized
+    * over the corpus, orientation-aligned (higher = better), and
+    * fused by exact-integer mean; keep = fused ≥ 0.5. Min-max (not
+    * rank) normalization on purpose: global RANKS need a total order
+    * over the corpus (a single-partition window at 100 TB), while
+    * min/max are two mergeable 1-row aggregates broadcast back — the
+    * same signal, scale-safe.
+    *
+    * Arithmetic bridge: each normalized signal is r6 then lifted to
+    * micro-units (exact — degenerate max=min pins 0.5); inversion is
+    * integer subtraction; the 3-way mean is the (2q+n) div (2n)
+    * identity on nonnegative integers; the keep threshold compares
+    * integers.
+    *
+    * Scale shape: the three signal chains are each one corpus pass
+    * (already individually oracle-gated); the narrow (doc_id, 3
+    * doubles) join is localCheckpointed for its two consumers; the
+    * extrema are ONE 6-scalar aggregation broadcast back; fusion is
+    * map-only. */
+  def qualityEnsemble(s: SparkSession, dir: String): DataFrame = {
+    val sig = TextOps.docQuality(s, dir).select(col("doc_id"), col("ttr"))
+      .join(Retrieval.unigramLogprob(s, dir)
+        .select(col("doc_id"), col("avg_nll").as("nll")), "doc_id")
+      .join(gopherQuality(s, dir)
+        .select(col("doc_id"), col("dup_2gram_frac").as("rep")), "doc_id")
+      .localCheckpoint(true)
+    val m = sig.agg(min("ttr").as("t0"), max("ttr").as("t1"),
+      min("nll").as("n0"), max("nll").as("n1"),
+      min("rep").as("r0"), max("rep").as("r1"))
+    def norm6(x: String, lo: String, hi: String) =
+      when(col(hi) === col(lo), lit(500000L))
+        .otherwise(round(r6((col(x) - col(lo)) / (col(hi) - col(lo))) * 1e6)
+          .cast("long"))
+    sig.crossJoin(broadcast(m))
+      .withColumn("t6", norm6("ttr", "t0", "t1"))
+      .withColumn("n6", lit(1000000L) - norm6("nll", "n0", "n1"))
+      .withColumn("rp6", lit(1000000L) - norm6("rep", "r0", "r1"))
+      .withColumn("fused6", expr("(2 * (t6 + n6 + rp6) + 3) div 6"))
+      .select(col("doc_id"),
+        (col("t6").cast("double") / 1e6).as("ttr_n"),
+        (col("n6").cast("double") / 1e6).as("nll_n"),
+        (col("rp6").cast("double") / 1e6).as("rep_n"),
+        (col("fused6").cast("double") / 1e6).as("fused"),
+        when(col("fused6") >= 500000L, 1).otherwise(0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle mirror of [[qualityEnsemble]] — the three proven signal
+    * SQLs nested MATERIALIZED, the same min-max micro-unit chain. */
+  lazy val qualityEnsembleSql: String = {
+    def bare(sql: String) = sql.replace("ORDER BY doc_id", "")
+    s"""WITH qe_s AS MATERIALIZED (
+       |  SELECT d.doc_id, d.ttr, u.avg_nll AS nll, g.dup_2gram_frac AS rep
+       |  FROM (${bare(TextOps.docQualitySql)}) d
+       |  JOIN (${bare(Retrieval.unigramLogprobSql)}) u USING (doc_id)
+       |  JOIN (${bare(gopherQualitySql)}) g USING (doc_id)),
+       |qe_m AS MATERIALIZED (
+       |  SELECT MIN(ttr) AS t0, MAX(ttr) AS t1, MIN(nll) AS n0, MAX(nll) AS n1,
+       |         MIN(rep) AS r0, MAX(rep) AS r1
+       |  FROM qe_s),
+       |qe_n AS (
+       |  SELECT s.doc_id,
+       |    CASE WHEN m.t1 = m.t0 THEN 500000
+       |         ELSE CAST(round(1000000 * (round((s.ttr - m.t0) / (m.t1 - m.t0), 6) + 0)) AS BIGINT)
+       |    END AS t6,
+       |    1000000 - CASE WHEN m.n1 = m.n0 THEN 500000
+       |         ELSE CAST(round(1000000 * (round((s.nll - m.n0) / (m.n1 - m.n0), 6) + 0)) AS BIGINT)
+       |    END AS n6,
+       |    1000000 - CASE WHEN m.r1 = m.r0 THEN 500000
+       |         ELSE CAST(round(1000000 * (round((s.rep - m.r0) / (m.r1 - m.r0), 6) + 0)) AS BIGINT)
+       |    END AS rp6
+       |  FROM qe_s s CROSS JOIN qe_m m)
+       |SELECT doc_id,
+       |  CAST(t6 AS DOUBLE) / 1000000.0 AS ttr_n,
+       |  CAST(n6 AS DOUBLE) / 1000000.0 AS nll_n,
+       |  CAST(rp6 AS DOUBLE) / 1000000.0 AS rep_n,
+       |  CAST((2 * (t6 + n6 + rp6) + 3) // 6 AS DOUBLE) / 1000000.0 AS fused,
+       |  CASE WHEN (2 * (t6 + n6 + rp6) + 3) // 6 >= 500000 THEN 1 ELSE 0 END AS keep
+       |FROM qe_n
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Keep-decision agreement between two INDEPENDENT quality
     * filters — the audit run before swapping or ensembling
     * classifiers: the Gopher-style rule filter ([[gopherQuality]])
@@ -1890,6 +1978,7 @@ object Curation {
     "semantic_decontaminate" -> (semanticDecontaminate _),
     "semantic_decontam_report" -> (semanticDecontamReport _),
     "line_dedup" -> (lineDedup _),
+    "quality_ensemble" -> (qualityEnsemble _),
     "line_dedup_report" -> (lineDedupReport _),
     "gopher_quality" -> (gopherQuality _),
     "redact_mask" -> (redactMask _),
@@ -1922,6 +2011,7 @@ object Curation {
     "semantic_decontaminate" -> semanticDecontaminateSql,
     "semantic_decontam_report" -> semanticDecontamReportSql,
     "line_dedup" -> lineDedupSql,
+    "quality_ensemble" -> qualityEnsembleSql,
     "line_dedup_report" -> lineDedupReportSql,
     "gopher_quality" -> gopherQualitySql,
     "redact_mask" -> redactMaskSql,

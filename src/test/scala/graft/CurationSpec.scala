@@ -437,6 +437,35 @@ class CurationSpec extends AnyFunSuite {
     assert(got(5L) == ((2L, 0L, 8L, h("tiny doc"))))
   }
 
+  test("quality_ensemble: fusion overrules the LM signal a spam doc games; bounds and keep hold") {
+    // The spam doc's own tokens dominate the corpus unigram counts,
+    // so the LM signal alone scores it FLUENT (low NLL) — exactly the
+    // failure mode ensembling exists for: diversity and repetition
+    // vote it down and fusion must rank it below the diverse doc.
+    val docs = Seq(
+      (0L, (1 to 30).map(i => s"uniq$i").mkString(" ")),           // diverse
+      (1L, Seq.fill(30)("spam").mkString(" ")),                    // spam
+      (2L, ((1 to 15).map(i => s"mid$i") ++ (1 to 15).map(_ => "mid1")).mkString(" ")))
+    val dir = Files.createTempDirectory("graft-qens").toString
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Curation.qualityEnsemble(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getInt(5)))
+      .toMap
+    // premise: the LM signal ALONE prefers spam (its tokens dominate)
+    assert(got(1L)._2 > got(0L)._2, s"spam must win the lone LM signal: $got")
+    // fusion overrules: diverse doc ranks strictly above spam
+    assert(got(0L)._4 > got(1L)._4, s"fusion must overrule the gamed signal: $got")
+    // orientation + extrema: diverse doc is the corpus ttr max (1.0),
+    // spam is the repetition max (inverts to 0.0)
+    assert(got(0L)._1 == 1.0 && got(1L)._3 == 0.0, s"min-max orientation: $got")
+    got.values.foreach { case (t, n, r, f, k) =>
+      Seq(t, n, r, f).foreach(v => assert(v >= 0.0 && v <= 1.0, s"normalized range: $got"))
+      assert((k == 1) == (f >= 0.5), s"keep threshold: $got")
+    }
+  }
+
   test("line_dedup: cross-source duplicate paragraphs dedup globally, first occurrence survives") {
     val para = (1 to Curation.BoilerBlockWords).map(i => s"dup$i").mkString(" ")
     def tl(seed: String) = (1 to Curation.BoilerBlockWords).map(i => s"$seed$i").mkString(" ")
