@@ -998,6 +998,28 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Corpus totals for [[substrDedup]] — the one-row audit a
+    * substring-dedup run reports (the line_dedup_report twin): docs,
+    * words, removed words, and bytes saved from the byte-exact
+    * rebuilt lengths. Total on an empty corpus. */
+  def substrDedupReport(s: SparkSession, dir: String): DataFrame = {
+    val lens = t(s, dir, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("len0"))
+    substrDedup(s, dir).join(lens, Seq("doc_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_words")), lit(0L)).as("n_words"),
+        coalesce(sum(col("n_removed")), lit(0L)).as("n_removed_words"),
+        coalesce(sum(col("len0") - col("len_clean")), lit(0L)).as("bytes_saved"))
+  }
+
+  lazy val substrDedupReportSql: String =
+    s"""WITH sr AS MATERIALIZED (SELECT * FROM ($substrDedupSql))
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COALESCE(SUM(r.n_words), 0) AS BIGINT) AS n_words,
+       |  CAST(COALESCE(SUM(r.n_removed), 0) AS BIGINT) AS n_removed_words,
+       |  CAST(COALESCE(SUM(length(d.text) - r.len_clean), 0) AS BIGINT) AS bytes_saved
+       |FROM sr r JOIN documents d USING (doc_id)""".stripMargin
+
   /** Cap observability — the "no silent caps" audit: every inline
     * detector bounds hot buckets with [[MaxPosting]], and THIS
     * reports what those caps actually dropped on the corpus: per
@@ -2308,6 +2330,7 @@ object Dedup {
     "simhash_weighted" -> (simhashWeighted _),
     "span_dedup" -> (spanDedup _),
     "substr_dedup" -> (substrDedup _),
+    "substr_dedup_report" -> (substrDedupReport _),
     "winnow_pairs" -> (winnowPairs _),
     "norm_dedup" -> (normDedup _),
     "lsh_band_sweep" -> (lshBandSweep _),
@@ -2328,6 +2351,7 @@ object Dedup {
     "simhash_weighted" -> simhashWeightedSql,
     "span_dedup" -> spanDedupSql,
     "substr_dedup" -> substrDedupSql,
+    "substr_dedup_report" -> substrDedupReportSql,
     "winnow_pairs" -> winnowPairsSql,
     "norm_dedup" -> normDedupSql,
     "lsh_band_sweep" -> lshBandSweepSql,

@@ -304,9 +304,89 @@ object Maintenance {
        |ORDER BY zkey, doc_id""".stripMargin
   }
 
+  /** Hilbert xy→d (the classic per-level reflect-and-swap walk, high
+    * bit down): better neighbor locality than the Morton curve —
+    * Z-order takes long diagonal jumps between quadrant boundaries
+    * where Hilbert moves one cell at a time, so range scans over a
+    * Hilbert-clustered layout touch fewer files for the same 2-D
+    * predicate box. Two's-complement `&` semantics are identical in
+    * the JVM and DuckDB (reflection can briefly drive a coordinate
+    * negative; the masks only ever test a positive power-of-two bit),
+    * so the unrolled oracle is bit-exact. Bijection + unit-adjacency
+    * pinned by MaintenanceSpec over the full order-3 grid THROUGH the
+    * engine. */
+  private[graft] def hilbertD(order: Int)(x0: Long, y0: Long): Long = {
+    var x = x0; var y = y0; var d = 0L
+    var k = order - 1
+    while (k >= 0) {
+      val s = 1L << k
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0L) {
+        if (rx == 1L) {
+          x = s - 1L - x
+          y = s - 1L - y
+        }
+        val t = x; x = y; y = t
+      }
+      k -= 1
+    }
+    d
+  }
+
+  private val hilbertUdf = org.apache.spark.sql.functions.udf(hilbertD(ZBits) _)
+
+  /** The Hilbert keys over the same two fixture dimensions as
+    * [[zorderKey]] — curve-ordered, so the two layouts compare
+    * directly. Engine = one integer UDF per row (the per-level
+    * column-expression form triples each coordinate reference per
+    * level — a 3^8 logical tree once CollapseProject inlines the
+    * chain); oracle = the same walk unrolled one subquery per level,
+    * which DuckDB evaluates linearly. */
+  def hilbertKey(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val d = Tables.t(s, dir, "documents")
+    d.select(col("doc_id"),
+        hilbertUdf(
+          zBucket(col("n_chars"), ZWidthChars),
+          zBucket(col("doc_id"), ZWidthId)).as("hkey"))
+      .orderBy(col("hkey"), col("doc_id"))
+  }
+
+  val hilbertKeySql: String = {
+    val max = (1 << ZBits) - 1
+    def bucket(c: String, w: Int) =
+      s"least($max, CAST(floor(CAST($c AS DOUBLE) / $w) AS BIGINT))"
+    // one subquery per level, high bit down: (x, y, d) -> (x', y', d')
+    val levels = (ZBits - 1 to 0 by -1).map { k =>
+      val s = 1L << k
+      s"""SELECT doc_id,
+         |  CASE WHEN (y & $s) = 0 THEN
+         |    CASE WHEN (x & $s) > 0 THEN ${s - 1} - y ELSE y END
+         |  ELSE x END AS x,
+         |  CASE WHEN (y & $s) = 0 THEN
+         |    CASE WHEN (x & $s) > 0 THEN ${s - 1} - x ELSE x END
+         |  ELSE y END AS y,
+         |  d + ${s * s} * xor(3 * (CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END),
+         |        CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END) AS d""".stripMargin
+    }
+    val base =
+      s"""SELECT doc_id, ${bucket("n_chars", ZWidthChars)} AS x,
+         |  ${bucket("doc_id", ZWidthId)} AS y, CAST(0 AS BIGINT) AS d
+         |FROM documents""".stripMargin
+    val chain = levels.foldLeft(base)((inner, lvl) => s"$lvl\nFROM (\n$inner\n)")
+    s"""SELECT doc_id, CAST(d AS BIGINT) AS hkey
+       |FROM (
+       |$chain
+       |)
+       |ORDER BY hkey, doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
-    "zorder_key" -> (zorderKey _))
+    "zorder_key" -> (zorderKey _),
+    "hilbert_key" -> (hilbertKey _))
 
   val oracles: Map[String, String] = Map(
-    "zorder_key" -> zorderKeySql)
+    "zorder_key" -> zorderKeySql,
+    "hilbert_key" -> hilbertKeySql)
 }

@@ -554,6 +554,51 @@ object Retrieval {
        |FROM b GROUP BY bucket
        |ORDER BY bucket""".stripMargin
 
+  /** Deterministic curriculum ordering — the data-ORDER op a staged
+    * training run consumes: every doc gets a difficulty phase (0 =
+    * fluent head, 1 = middle, 2 = tail, by the same exact NLL
+    * tertiles as [[pplBuckets]]) and a content-independent 60-bit
+    * shuffle key (salted doc_id hash), so ORDER BY (phase,
+    * shuffle_key) replays the easy-to-hard curriculum with a stable
+    * within-phase shuffle — re-runnable bit-identically, which is
+    * what makes training order auditable. n_tokens rides along for
+    * budget slicing. At 100 TB the output order is a
+    * range-partitioned sort on (phase, shuffle_key) — the zorder
+    * write shape, not a single-partition window; no global ordinal
+    * is materialized for exactly that reason. */
+  def curriculumOrder(s: SparkSession, dir: String): DataFrame = {
+    val nll = unigramLogprob(s, dir)
+    val cuts = nll.agg(
+      r6(percentile(col("avg_nll"), lit(1.0 / 3))).as("c1"),
+      r6(percentile(col("avg_nll"), lit(2.0 / 3))).as("c2"))
+    nll.crossJoin(broadcast(cuts))
+      .select(col("doc_id"),
+        when(col("avg_nll") <= col("c1"), 0)
+          .when(col("avg_nll") <= col("c2"), 1)
+          .otherwise(2).as("phase"),
+        graft.functions.CrossHash.md5Hash60Col(
+          concat(lit("curriculum:"), col("doc_id").cast("string"))).as("shuffle_key"),
+        col("n_tokens"))
+      .orderBy(col("phase"), col("shuffle_key"), col("doc_id"))
+  }
+
+  lazy val curriculumOrderSql: String = {
+    val h = graft.functions.CrossHash.sqlHash60("'curriculum:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH co_nll AS (${unigramLogprobSql.replace("ORDER BY doc_id", "")}),
+       |co_cuts AS (
+       |  SELECT round(quantile_cont(avg_nll, CAST(1 AS DOUBLE) / 3), 6) + 0 AS c1,
+       |         round(quantile_cont(avg_nll, CAST(2 AS DOUBLE) / 3), 6) + 0 AS c2
+       |  FROM co_nll)
+       |SELECT doc_id,
+       |  CASE WHEN avg_nll <= c1 THEN 0
+       |       WHEN avg_nll <= c2 THEN 1
+       |       ELSE 2 END AS phase,
+       |  $h AS shuffle_key,
+       |  n_tokens
+       |FROM co_nll CROSS JOIN co_cuts
+       |ORDER BY phase, shuffle_key, doc_id""".stripMargin
+  }
+
   /** Per-bucket keep rates for [[ccnetSample]] — CCNet's released
     * corpora keep the fluent head fully, sample the middle, and
     * mostly drop the tail (Wenzek et al. 2020 publish head+middle as
@@ -926,6 +971,7 @@ object Retrieval {
     "jm_logprob" -> (jmLogprob _),
     "kn_logprob" -> (knLogprob _),
     "ppl_buckets" -> (pplBuckets _),
+    "curriculum_order" -> (curriculumOrder _),
     "ccnet_sample" -> (ccnetSample _),
     // rows-gated by declared design (sketch cutoffs; see Scaladoc) —
     // deliberately ABSENT from `oracles`
@@ -943,6 +989,7 @@ object Retrieval {
     "jm_logprob" -> jmLogprobSql,
     "kn_logprob" -> knLogprobSql,
     "ppl_buckets" -> pplBucketsSql,
+    "curriculum_order" -> curriculumOrderSql,
     "ccnet_sample" -> ccnetSampleSql,
     "doremi_weights" -> doremiWeightsSql,
     "quality_calibrated" -> qualityCalibratedSql)

@@ -132,4 +132,26 @@ class MaintenanceSpec extends AnyFunSuite {
       graft.ops.Quantize.maintainSqIndex(spark, s"$root/bare", s"$root/bare2")
     }
   }
+
+  test("hilbert walk: order-3 bijection with unit steps; the Morton curve jumps, Hilbert never does") {
+    val order = 3
+    val n = 1 << order
+    val grid = for { x <- 0 until n; y <- 0 until n } yield (x, y)
+    val cells = grid.map { case (x, y) =>
+      Maintenance.hilbertD(order)(x.toLong, y.toLong) -> (x, y) }.toMap
+    assert(cells.keySet == (0 until n * n).map(_.toLong).toSet,
+      "every Hilbert key in [0, n^2) exactly once")
+    val path = (0 until n * n).map(i => cells(i.toLong))
+    val hSteps = path.sliding(2).map { case Seq((x1, y1), (x2, y2)) =>
+      (x1 - x2).abs + (y1 - y2).abs }.toSeq
+    assert(hSteps.forall(_ == 1), s"every Hilbert step is one cell: ${hSteps.max}")
+    // Morton over the same grid: interleave bits, sort, measure steps
+    def morton(x: Int, y: Int): Long =
+      (0 until order).map(i => (((x.toLong >> i) & 1) << (2 * i + 1)) |
+        (((y.toLong >> i) & 1) << (2 * i))).sum
+    val mPath = grid.sortBy { case (x, y) => morton(x, y) }
+    val mSteps = mPath.sliding(2).map { case Seq((x1, y1), (x2, y2)) =>
+      (x1 - x2).abs + (y1 - y2).abs }.toSeq
+    assert(mSteps.max > 1, "Morton takes multi-cell jumps — the locality gap hilbert_key closes")
+  }
 }

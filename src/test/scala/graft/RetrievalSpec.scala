@@ -262,4 +262,28 @@ class RetrievalSpec extends AnyFunSuite {
       assert(tokKept >= 0 && (kept > 0) == (tokKept > 0))
     }
   }
+  test("curriculum_order: phases agree with the exact NLL tertiles; shuffle keys are salted and stable") {
+    val sf = "/root/testdata/sf0.01"
+    val co = graft.ops.Retrieval.curriculumOrder(spark, sf).collect()
+    // phase sizes must reproduce ppl_buckets' head/middle/tail split
+    // (same cuts, same <= comparisons)
+    val phases = co.groupBy(_.getInt(1)).map { case (p, rs) => p -> rs.length.toLong }
+    val buckets = graft.ops.Retrieval.pplBuckets(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(phases(0) == buckets("head") && phases(1) == buckets("middle") &&
+      phases(2) == buckets("tail"), s"$phases vs $buckets")
+    // shuffle key: salted hash of doc_id alone — content-independent,
+    // replayable
+    co.foreach { r =>
+      assert(r.getLong(2) ==
+        graft.functions.CrossHash.md5Hash60("curriculum:" + r.getLong(0)), s"key: $r")
+    }
+    // the emitted order IS (phase, shuffle_key, doc_id)
+    val keys = co.map(r => (r.getInt(1), r.getLong(2), r.getLong(0))).toSeq
+    assert(keys == keys.sorted, "curriculum order is the sort order")
+    // re-run is bit-identical (auditable training order)
+    val again = graft.ops.Retrieval.curriculumOrder(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(again == co.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq)
+  }
 }
