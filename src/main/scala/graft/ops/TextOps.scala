@@ -273,84 +273,151 @@ object TextOps {
     * aggregation; argmax is a max-struct GROUP BY, no window over
     * the corpus. Docs too short for one 3-gram predict the sentinel
     * '' (kept total via left join). */
-  def langidNgram(s: SparkSession, dir: String): DataFrame = {
+  /** Fitted language model: sorted lang codes, r6 log-priors, and
+    * the densified per-bucket log-likelihood rows `ll(b)(i)` for
+    * lang i — ≤ (512 × langs) doubles, parameter-bounded by
+    * construction (the centroid rule), so it broadcasts to a
+    * streaming closure as freely as to a batch join. */
+  private[graft] case class LangidModel(
+      langs: Seq[String], priors: Array[Double], ll: Array[Array[Double]])
+
+  /** Fit the NB model on the even-doc_id half — two parameter-bounded
+    * collects ((langs × 512) + langs rows, the Dsir.fittedModel
+    * rule); None when the corpus has no training docs. */
+  private[graft] def fitLangidModel(s: SparkSession, dir: String): Option[LangidModel] = {
     val d = t(s, dir, "documents")
-    // Parallelize the gram pass when the scan has fewer splits than
-    // cores: a small single-row-group parquet file reads as ONE
-    // partition, serializing ~300 substring+md5 ops per doc onto one
-    // core (measured 4 s at sf0.1). The guard keeps the repartition
-    // out of at-scale plans, where the scan already has thousands of
-    // splits and a forced shuffle of the text would be pure waste.
-    val dPar =
-      if (d.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
-        d.repartition(s.sparkContext.defaultParallelism)
-      else d
-    // (doc, b) counts combined INSIDE the gram UDF (one local map
-    // per doc — no aggregation exchange at all); lang rides along
-    // (functional of doc_id) so the model fit reduces from this same
-    // frame. The lineage is evaluated once per consumer (model fit +
-    // scoring) — an eager checkpoint of the corpus-sized frame was
-    // measured SLOWER than the recompute (8.1 s vs 4.8 s at sf0.1:
-    // the synchronous materialization defeats the pipelined pass
-    // into the scoring join), the dsir_weights trade.
-    val docB = dPar.select(col("doc_id"), col("lang"),
-        explode(langGramUdf(col("text"))).as("e"))
-      .select(col("doc_id"), col("lang"),
-        col("e._1").as("b"), col("e._2").as("c"))
-    // The fitted model COLLECTS to the driver — ≤ (langs × 512) + langs
-    // rows, parameter-bounded by construction (the centroid rule: a
-    // fixed-capacity table, never corpus-sized), exactly like
-    // Dsir.fittedModel. Shipping the per-(lang, bucket) smoothed
-    // log-likelihoods back as bucket-keyed ARRAY COLUMNS lets scoring
-    // run as ONE map-side broadcast join + ONE map-side-combined
-    // groupBy(doc_id) over the (doc, bucket) counts — no langs-fold
-    // row blowup and no second corpus shuffle (the per-(doc, lang)
-    // row form measured 7.6 s warm at sf0.1; this shape 2-3 s).
     val langRows = d.filter(col("doc_id") % 2 === 0)
       .groupBy(col("lang")).agg(count(lit(1)).as("nl"))
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
-    val base = d.select(col("doc_id"), col("lang").as("lang_true"))
-    if (langRows.isEmpty) {
-      // no training docs: every prediction is the sentinel
-      base.select(col("doc_id"), col("lang_true"),
-          lit("").as("lang_pred"), lit(0).as("agree"))
-        .orderBy(col("doc_id"))
-    } else {
-      val modelMap = docB.filter(col("doc_id") % 2 === 0)
-        .groupBy(col("lang"), col("b")).agg(sum(col("c")).as("clb"))
+    if (langRows.isEmpty) None
+    else {
+      val modelMap = d.filter(col("doc_id") % 2 === 0)
+        .select(col("lang"), explode(langGramUdf(col("text"))).as("e"))
+        .groupBy(col("lang"), col("e._1").as("b")).agg(sum(col("e._2")).as("clb"))
         .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
       val clMap = modelMap.groupBy(_._1._1).map { case (l, m) => l -> m.values.sum }
       val ntr = langRows.map(_._2).sum
       val nlang = langRows.length
-      // identical double math to the row form: (clb+1)/(cl+512) as
+      // identical double math everywhere: (clb+1)/(cl+512) as
       // doubles, java Math.log ≡ Spark log ≡ DuckDB ln
-      val denseWide = s.createDataFrame(
-        (0 until LangIdBuckets).map { b =>
-          (b.toLong, langRows.map { case (l, _) =>
-            math.log((modelMap.getOrElse((l, b.toLong), 0L) + 1).toDouble /
-              (clMap.getOrElse(l, 0L) + LangIdBuckets).toDouble) })
-        })
-        .toDF("b", "lnv")
+      val ll = Array.tabulate(LangIdBuckets) { b =>
+        langRows.map { case (l, _) =>
+          math.log((modelMap.getOrElse((l, b.toLong), 0L) + 1).toDouble /
+            (clMap.getOrElse(l, 0L) + LangIdBuckets).toDouble) }.toArray
+      }
       val priors = langRows.map { case (_, nl) =>
         graft.functions.OracleMath.r6d(
-          math.log((nl + 1).toDouble / (ntr + nlang).toDouble)) }
-      val termCols = langRows.indices.map(i =>
-        graft.functions.OracleMath.dsum(
-          r6(col("c") * element_at(col("lnv"), i + 1))).as(s"sf$i"))
-      val perDoc = docB.select(col("doc_id"), col("b"), col("c"))
-        .join(broadcast(denseWide), "b")
-        .groupBy(col("doc_id"))
-        .agg(termCols.head, termCols.tail: _*)
-      val scored = langRows.indices.map { i =>
-        struct(r6(col(s"sf$i").cast("double") + lit(priors(i))).as("s"),
-          lit(langRows(i)._1).as("lang")) }
-      val best = if (scored.size == 1) scored.head else greatest(scored: _*)
-      val pred = perDoc.select(col("doc_id"),
-        best.getField("lang").as("lang_pred"))
-      base.join(pred, Seq("doc_id"), "left")
-        .withColumn("lang_pred", coalesce(col("lang_pred"), lit("")))
-        .withColumn("agree", (col("lang_true") === col("lang_pred")).cast("int"))
-        .orderBy(col("doc_id"))
+          math.log((nl + 1).toDouble / (ntr + nlang).toDouble)) }.toArray
+      Some(LangidModel(langRows.map(_._1), priors, ll))
+    }
+  }
+
+  /** Batch scoring under a frozen model: (doc, bucket) counts from
+    * the one-pass gram UDF, ONE map-side broadcast join against the
+    * bucket-keyed log-likelihood arrays, ONE map-side-combined
+    * groupBy(doc_id), max-struct argmax — no langs-fold row blowup
+    * and no second corpus shuffle (the per-(doc, lang) row form
+    * measured 7.6 s warm at sf0.1; this shape 2-3 s). Docs with no
+    * gram are absent (the caller's totality left join restores
+    * them). */
+  private[graft] def scoreLangid(s: SparkSession, docs: DataFrame, m: LangidModel): DataFrame = {
+    val denseWide = s.createDataFrame(
+      (0 until LangIdBuckets).map(b => (b.toLong, m.ll(b).toSeq)))
+      .toDF("b", "lnv")
+    val termCols = m.langs.indices.map(i =>
+      graft.functions.OracleMath.dsum(
+        r6(col("c") * element_at(col("lnv"), i + 1))).as(s"sf$i"))
+    val perDoc = docs.select(col("doc_id"),
+        explode(langGramUdf(col("text"))).as("e"))
+      .select(col("doc_id"), col("e._1").as("b"), col("e._2").as("c"))
+      .join(broadcast(denseWide), "b")
+      .groupBy(col("doc_id"))
+      .agg(termCols.head, termCols.tail: _*)
+    val scored = m.langs.indices.map { i =>
+      struct(r6(col(s"sf$i").cast("double") + lit(m.priors(i))).as("s"),
+        lit(m.langs(i)).as("lang")) }
+    val best = if (scored.size == 1) scored.head else greatest(scored: _*)
+    perDoc.select(col("doc_id"), best.getField("lang").as("lang_pred"))
+  }
+
+  /** Map-only closure twin of [[scoreLangid]] — the STREAMING shape:
+    * the whole per-doc chain (gram counts → micro-unit exact term
+    * sums → r6 scores → max-struct argmax) runs inside one UDF with
+    * the frozen model in the closure, so scoring a stream needs no
+    * state store, no watermark, and no shuffle (the driftScoreStream
+    * rule). Bit-equal to the join form by construction: terms
+    * accumulate as exact micro-unit longs (≡ the DECIMAL sum),
+    * micros/1e6 is the same correctly-rounded double as the DECIMAL
+    * cast, and ties break (s, lang)-max with ASCII lang codes where
+    * UTF8 and UTF-16 orders agree — pinned by the batch ≡ stream
+    * equality spec. */
+  private[graft] def langidPredictUdf(m: LangidModel) = udf { (text: String) =>
+    if (text == null || text.length < 3) ""
+    else {
+      val counts = new Array[Long](LangIdBuckets)
+      var i = 0
+      val n = text.length - 2
+      while (i < n) {
+        val b = (Dedup.cachedHash60(text.substring(i, i + 3)) % LangIdBuckets).toInt
+        counts(b) += 1L
+        i += 1
+      }
+      val micros = new Array[Long](m.langs.length)
+      var b = 0
+      while (b < LangIdBuckets) {
+        val c = counts(b)
+        if (c != 0L) {
+          var j = 0
+          while (j < m.langs.length) {
+            micros(j) += math.round(
+              graft.functions.OracleMath.r6d(c * m.ll(b)(j)) * 1e6)
+            j += 1
+          }
+        }
+        b += 1
+      }
+      var bestS = Double.NegativeInfinity
+      var bestLang = ""
+      var j = 0
+      while (j < m.langs.length) {
+        val sj = graft.functions.OracleMath.r6d(
+          micros(j).toDouble / 1e6 + m.priors(j))
+        if (sj > bestS || (sj == bestS && m.langs(j) > bestLang)) {
+          bestS = sj
+          bestLang = m.langs(j)
+        }
+        j += 1
+      }
+      bestLang
+    }
+  }
+
+  def langidNgram(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val base = d.select(col("doc_id"), col("lang").as("lang_true"))
+    fitLangidModel(s, dir) match {
+      case None =>
+        // no training docs: every prediction is the sentinel
+        base.select(col("doc_id"), col("lang_true"),
+            lit("").as("lang_pred"), lit(0).as("agree"))
+          .orderBy(col("doc_id"))
+      case Some(m) =>
+        // Parallelize the gram pass when the scan has fewer splits
+        // than cores: a small single-row-group parquet file reads as
+        // ONE partition, serializing the per-doc gram work onto one
+        // core (measured 4 s at sf0.1). The guard keeps the
+        // repartition out of at-scale plans, where the scan already
+        // has thousands of splits and a forced shuffle of the text
+        // would be pure waste.
+        val dPar =
+          if (d.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
+            d.repartition(s.sparkContext.defaultParallelism)
+          else d
+        val pred = scoreLangid(s, dPar.select(col("doc_id"), col("text")), m)
+        base.join(pred, Seq("doc_id"), "left")
+          .withColumn("lang_pred", coalesce(col("lang_pred"), lit("")))
+          .withColumn("agree", (col("lang_true") === col("lang_pred")).cast("int"))
+          .orderBy(col("doc_id"))
     }
   }
 

@@ -246,6 +246,19 @@ object StreamingIndex {
     graft.ops.KMeansVec.driftErrors(
       vecs.filter(col("embedding").isNotNull), cents)
 
+  /** Streaming language ID — train-on-history, score-the-stream:
+    * the frozen NB model (`TextOps.fitLangidModel`, batch-fit on the
+    * historical corpus) rides the closure of one map-only UDF, so
+    * classifying a document stream needs no state store, no
+    * watermark, and no shuffle; a nightly-refit model takes effect
+    * by restarting with the new closure. Predictions are bit-equal
+    * to the batch `langid_ngram` scorer (StreamingSpec pins the
+    * equality per doc). */
+  def langidStream(
+      docs: DataFrame, m: graft.ops.TextOps.LangidModel): DataFrame =
+    docs.select(col("doc_id"),
+      graft.ops.TextOps.langidPredictUdf(m)(col("text")).as("lang_pred"))
+
   /** Streaming anomaly scorer — train-on-history, score-the-stream:
     * watermarked hourly tumbling counts per event type, stream-static
     * joined to a batch-trained stats table (`Events.hourlyStats`),

@@ -566,4 +566,25 @@ class StreamingSpec extends AnyFunSuite {
         "CAST(array(0.0, 1.0) AS ARRAY<FLOAT>)) AS d").head.getDouble(0)
     assert(cos == 1.0, "orthogonal vectors: cosine distance 1")
   }
+
+  test("langid stream ≡ batch langid_ngram: frozen-model map-only scoring, per-doc equality") {
+    val dir = "/root/testdata/sf0.001"
+    val m = graft.ops.TextOps.fitLangidModel(spark, dir).get
+    val batch = graft.ops.TextOps.langidNgram(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val src = Files.createTempDirectory("graft-langid-eq").resolve("docs").toString
+    spark.read.parquet(s"$dir/documents.parquet")
+      .write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .parquet(src)
+    val q = StreamingIndex.langidStream(stream, m)
+      .writeStream.format("memory").queryName("langid_eq").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("SELECT * FROM langid_eq").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed.size == batch.size, s"${streamed.size} vs ${batch.size}")
+    assert(streamed == batch, "closure scorer must be bit-equal to the batch join form")
+    assert(batch.values.exists(_.nonEmpty))
+  }
 }
