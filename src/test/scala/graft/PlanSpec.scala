@@ -710,4 +710,61 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"plan: $plan")
     assert(!plan.contains("SortMergeJoin"), s"corpus must never shuffle for 3 anchors: $plan")
   }
+
+  test("substr_dedup: min-struct survivorship — no corpus window, no cartesian") {
+    val plan = graft.ops.Dedup.substrDedup(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+    // first-occurrence selection is ONE aggregation per window hash,
+    // never a rank window over the posting stream
+    assert(!plan.contains("WindowExec") && !plan.contains("windowspecdefinition"),
+      s"survivorship must be the min-struct aggregate, not a window: $plan")
+  }
+
+  test("bitext_mine: cell-keyed candidates only; every window keyed per vector") {
+    val plan = graft.ops.KMeansVec.bitextMine(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+    val allSpecs = "windowspecdefinition\\(".r.findAllIn(plan).size
+    val keyed = "windowspecdefinition\\([xy]#".r.findAllIn(plan).size
+    assert(allSpecs > 0 && allSpecs == keyed,
+      s"every window must partition per vector ($keyed/$allSpecs): $plan")
+  }
+
+  test("quality_ensemble: extrema ride a 1-row broadcast; fusion is window-free") {
+    val plan = graft.ops.Curation.qualityEnsemble(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+    assert(plan.contains("Broadcast"), s"min/max must broadcast back: $plan")
+    assert(!plan.contains("windowspecdefinition"),
+      s"min-max normalization needs no rank window: $plan")
+  }
+
+  test("curriculum_order: tertile cutoffs broadcast; no rank window materializes an ordinal") {
+    val plan = graft.ops.Retrieval.curriculumOrder(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+    assert(plan.contains("Broadcast"), s"cutoffs must broadcast: $plan")
+    assert(!plan.contains("windowspecdefinition"),
+      s"the order is a sort, never a global ordinal window: $plan")
+  }
+
+  test("hilbert_key: map-only keying — no join anywhere") {
+    val plan = graft.ops.Maintenance.hilbertKey(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"plan: $plan")
+  }
+
+  test("langid_ngram: model join broadcasts on bucket; only the doc-keyed totality join shuffles") {
+    val plan = graft.ops.TextOps.langidNgram(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+    assert("BroadcastHashJoin \\[b#".r.findAllIn(plan).nonEmpty,
+      s"the 512-row model side must broadcast on b: $plan")
+    // the one permitted shuffle join is the corpus-keyed totality
+    // left join (base ⋈ pred on doc_id)
+    val smj = "SortMergeJoin \\[doc_id#".r.findAllIn(plan).size
+    val smjAll = "SortMergeJoin".r.findAllIn(plan).size
+    assert(smjAll == smj && smj <= 1, s"unexpected shuffle join: $plan")
+  }
 }
