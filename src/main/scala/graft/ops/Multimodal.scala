@@ -340,7 +340,15 @@ object Multimodal {
     * shuffle rows. */
   def phashPairs(payloads: DataFrame): DataFrame = {
     val ph = udf { (p: Array[Byte]) => dHash60(p).getOrElse(frameStub60(p)) }
-    val fp = payloads.select(col("doc_id"), ph(col("payload")).as("fp"))
+    fpPairs(payloads.select(col("doc_id"), ph(col("payload")).as("fp")))
+  }
+
+  /** Banded-Hamming pair search over ANY (doc_id, 60-bit fp)
+    * relation — the one shape shared by the image dHash and the
+    * audio energy-signature detectors: 4×15-bit LSH bands,
+    * hot-bucket pre-cap, map-side pair expansion, xor+popcount
+    * verify at Hamming ≤ 3. */
+  private def fpPairs(fp: DataFrame): DataFrame = {
     val banded = fp.select(col("doc_id"), col("fp"),
       explode(expr(
         s"transform(sequence(0, ${Dedup.SimhashBands - 1}), " +
@@ -416,15 +424,117 @@ object Multimodal {
        |ORDER BY hamming, doc_a, doc_b""".stripMargin
   }
 
+  // ---- audio near-dup: band-energy signature + banded Hamming ----
+
+  /** Bands in the audio energy signature: 61 energies → 60
+    * adjacent-band comparisons → one 60-bit fingerprint. */
+  val AudioBands = 61
+
+  /** Bytes summed per energy band (stub PCM: the payload bytes play
+    * the samples). */
+  val AudioBandBytes = 4
+
+  /** Chromaprint-style audio signature, stub-decoded: treat the
+    * payload bytes as PCM samples, sum [[AudioBandBytes]]-byte band
+    * energies, and set bit b when band b+1 is strictly louder than
+    * band b — the adjacent-band-comparison trick that makes the
+    * fingerprint invariant to small per-sample perturbations
+    * (re-encode jitter moves every energy by a little; the
+    * COMPARISONS survive), where [[mediaDedup]]'s exact frame md5s
+    * flip on a single byte. A real deployment swaps the byte-sum
+    * stub for an FFT band energy behind the same signature; the
+    * Spark side — fingerprint UDF, banding, cap, verify — is the
+    * production path unchanged. */
+  private[graft] def audioFp60(payload: Array[Byte]): Long = {
+    val energies = new Array[Long](AudioBands)
+    var b = 0
+    while (b < AudioBands) {
+      var j = 0
+      var e = 0L
+      while (j < AudioBandBytes) {
+        val idx = b * AudioBandBytes + j
+        if (idx < payload.length) e += (payload(idx) & 0xFF)
+        j += 1
+      }
+      energies(b) = e
+      b += 1
+    }
+    var fp = 0L
+    var i = 0
+    while (i < AudioBands - 1) {
+      if (energies(i + 1) > energies(i)) fp |= (1L << i)
+      i += 1
+    }
+    fp
+  }
+
+  private val audioFpUdf = udf { (p: Array[Byte]) => audioFp60(p) }
+
+  /** Audio near-dup pairs over any (doc_id, payload) relation —
+    * [[audioFp60]] through the shared banded-Hamming search. */
+  def audioPairs(payloads: DataFrame): DataFrame =
+    fpPairs(payloads.select(col("doc_id"), audioFpUdf(col("payload")).as("fp")))
+
+  /** Fixture adapter with the same enforced ASCII byte/char bridge
+    * as [[mediaPhashDedup]]. */
+  def mediaAudioDedup(s: SparkSession, dir: String): DataFrame =
+    audioPairs(t(s, dir, "documents")
+      .select(col("doc_id"),
+        when(length(col("text")) === octet_length(col("text")),
+            encode(col("text"), "UTF-8"))
+          .otherwise(raise_error(concat(
+            lit("media_audio_dedup fixture bridge requires ASCII text " +
+              "(byte ≡ char code); non-ASCII doc_id="),
+            col("doc_id").cast("string")))).as("payload")))
+
+  /** Oracle mirror: band energies as ord() sums over char positions
+    * (ASCII ⇒ char code ≡ byte value), adjacent comparison via a
+    * doc-keyed lead window, then the shared banding/cap/verify
+    * shape. */
+  val mediaAudioDedupSql: String =
+    s"""WITH ae AS (
+       |  SELECT doc_id, band,
+       |    list_sum(list_transform(range(band * $AudioBandBytes + 1, band * $AudioBandBytes + ${AudioBandBytes + 1}),
+       |      p -> CASE WHEN p <= length(text) THEN ord(substring(text, p, 1)) ELSE 0 END)) AS e
+       |  FROM documents, UNNEST(range(0, $AudioBands)) AS t(band)),
+       |af AS (
+       |  SELECT doc_id,
+       |    CAST(COALESCE(SUM(CASE WHEN ne > e THEN CAST(1 AS BIGINT) << band ELSE 0 END), 0) AS BIGINT) AS fp
+       |  FROM (SELECT doc_id, band, e,
+       |          lead(e) OVER (PARTITION BY doc_id ORDER BY band) AS ne
+       |        FROM ae)
+       |  WHERE band < ${AudioBands - 1}
+       |  GROUP BY doc_id),
+       |aband AS (
+       |  SELECT doc_id, fp, b,
+       |    (fp >> (b * ${Dedup.SimhashBandBits})) & ${(1 << Dedup.SimhashBandBits) - 1} AS bval
+       |  FROM af, UNNEST(range(0, ${Dedup.SimhashBands})) AS t(b)),
+       |abucketed AS (
+       |  SELECT aband.* FROM aband
+       |  JOIN (SELECT b, bval FROM aband GROUP BY b, bval
+       |        HAVING COUNT(*) BETWEEN 2 AND $FrameBucketCap) g
+       |  USING (b, bval)),
+       |acand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    x.fp AS fa, y.fp AS fb
+       |  FROM abucketed x JOIN abucketed y
+       |    ON x.b = y.b AND x.bval = y.bval AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+       |FROM acand
+       |WHERE bit_count(xor(fa, fb)) <= 3
+       |ORDER BY hamming, doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_meta" -> (mediaMeta _),
     "media_frames" -> (mediaFrames _),
     "media_dedup" -> (mediaDedup _),
-    "media_phash_dedup" -> (mediaPhashDedup _))
+    "media_phash_dedup" -> (mediaPhashDedup _),
+    "media_audio_dedup" -> (mediaAudioDedup _))
 
   val oracles: Map[String, String] = Map(
     "media_meta" -> mediaMetaSql,
     "media_frames" -> mediaFramesSql,
     "media_dedup" -> mediaDedupSql,
-    "media_phash_dedup" -> mediaPhashDedupSql)
+    "media_phash_dedup" -> mediaPhashDedupSql,
+    "media_audio_dedup" -> mediaAudioDedupSql)
 }

@@ -201,4 +201,29 @@ class MultimodalSpec extends AnyFunSuite {
     // both share the two full 'x' frames; doc 2's 'z' frames pair with nobody
     assert(got((0L, 1L)) == 2L, s"shared frame count: $got")
   }
+
+  test("media_audio_dedup: per-frame jitter defeats exact frame dedup but not the energy signature") {
+    import spark.implicits._
+    // A: strong alternating band energies (4x'z' then 4x'a', gap >= 100
+    // per band) over 300 bytes. B: A with ONE byte nudged by one code
+    // point in EVERY 64-byte frame (positions 10, 74, 138, 202, 266)
+    // — every exact frame fingerprint differs, but each band energy
+    // moves by 1 against a 100-point gap, so the comparison bits are
+    // untouched. C: the inverse pattern (far Hamming).
+    val a = (0 until 300).map(i => if ((i / 4) % 2 == 0) 'z' else 'a').toArray
+    val b = a.clone()
+    Seq(10, 74, 138, 202, 266).foreach(i => b(i) = (b(i) - 1).toChar)
+    val c = (0 until 300).map(i => if ((i / 4) % 2 == 0) 'a' else 'z').toArray
+    val dir = Files.createTempDirectory("graft-audio").toString
+    Seq((0L, new String(a)), (1L, new String(b)), (2L, new String(c)))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val audio = Multimodal.mediaAudioDedup(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(audio.keySet == Set((0L, 1L)), s"only the jittered copy pairs: $audio")
+    assert(audio((0L, 1L)) == 0L, s"comparison bits must survive the jitter: $audio")
+    // the exact-frame detector sees nothing: every frame of B differs
+    val exact = Multimodal.mediaDedup(spark, dir).collect()
+    assert(exact.isEmpty, s"exact frame dedup must be blind to per-frame jitter: ${exact.toSeq}")
+  }
 }
