@@ -931,19 +931,17 @@ object Dedup {
     * window reduces to min+identity), one hint-free hash rejoin,
     * bounded per-doc start lists (≤ n_words), ONE doc-keyed rebuild
     * join. Same two-shuffle budget as line_dedup. */
-  def substrDedup(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
-    val wins = d.select(col("doc_id"),
+  /** (doc_id, pos, h) window-hash rows of any (doc_id, text)
+    * relation — the posting stream every substring-dedup variant
+    * shares. */
+  private def substrWindowRows(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
       posexplode(substrWinUdf(col("text"))).as(Seq("pos", "h")))
-    val first = wins.groupBy(col("h"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
-    // rows ≠ their hash's min are EXACTLY the occurrences of
-    // duplicated windows (a count-1 hash's only row is its min)
-    val bad = wins.join(first, Seq("h"))
-      .filter(!(col("doc_id") === col("f.doc_id") && col("pos") === col("f.pos")))
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("pos"))).as("starts"))
-    d.select(col("doc_id"), col("text"))
+
+  /** Shared tail of the substring-dedup family: per-doc removal
+    * starts → interval scrub → byte-exact rebuild row. */
+  private def rebuildScrubbed(docs: DataFrame, bad: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
       .join(bad, Seq("doc_id"), "left")
       .withColumn("starts", coalesce(col("starts"), array().cast("array<int>")))
       .withColumn("clean", substrScrubUdf(col("text"), col("starts")))
@@ -955,6 +953,19 @@ object Dedup {
         length(col("clean")).cast("long").as("len_clean"),
         graft.functions.CrossHash.md5Hash60Col(col("clean")).as("clean_h"))
       .orderBy(col("doc_id"))
+
+  def substrDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val wins = substrWindowRows(d)
+    val first = wins.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+    // rows ≠ their hash's min are EXACTLY the occurrences of
+    // duplicated windows (a count-1 hash's only row is its min)
+    val bad = wins.join(first, Seq("h"))
+      .filter(!(col("doc_id") === col("f.doc_id") && col("pos") === col("f.pos")))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    rebuildScrubbed(d, bad)
   }
 
   /** Oracle mirror of [[substrDedup]]: stride-1 window hashes via
@@ -1019,6 +1030,144 @@ object Dedup {
        |  CAST(COALESCE(SUM(r.n_removed), 0) AS BIGINT) AS n_removed_words,
        |  CAST(COALESCE(SUM(length(d.text) - r.len_clean), 0) AS BIGINT) AS bytes_saved
        |FROM sr r JOIN documents d USING (doc_id)""".stripMargin
+
+  // ---- Incremental substring scrub against a persisted window index ----
+
+  /** Scrub `batch` docs of every [[ExactSubstrWords]]-word window
+    * PRESENT in `corpusHashes` (a relation with an `h` column) —
+    * corpus occurrences are canonical by definition (they were there
+    * first), so the probe is one LEFT SEMI join of the batch's
+    * window stream against the hash set, never a pair expansion; a
+    * boilerplate window shared by 10⁶ corpus docs is ONE index row
+    * and needs no cap. */
+  private def substrScrubAgainst(batch: DataFrame, corpusHashes: DataFrame): DataFrame = {
+    val bad = substrWindowRows(batch)
+      .join(corpusHashes.select(col("h")), Seq("h"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    rebuildScrubbed(batch, bad)
+  }
+
+  /** Inline incremental substring scrub — the ExactSubstr twin of
+    * [[dedupIncremental]]'s arrival regime: docs with doc_id % 10 = 0
+    * play the arriving batch and are scrubbed of every window that
+    * occurs ANYWHERE in the standing corpus (% 10 ≠ 0) — a copied
+    * corpus passage is cut from the new doc at any alignment while
+    * the corpus keeps its copy. Same byte-exact rebuild contract as
+    * [[substrDedup]]. The at-scale story is [[substrScrubIndexed]]:
+    * the corpus side becomes a persisted DISTINCT-hash table bucketed
+    * on `h`, so only the batch shuffles. */
+  def substrScrubIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val corpus = substrWindowRows(d.filter(col("doc_id") % 10 =!= 0))
+      .select(col("h")).distinct()
+    substrScrubAgainst(d.filter(col("doc_id") % 10 === 0), corpus)
+  }
+
+  /** Oracle mirror of [[substrScrubIncremental]]: corpus-half
+    * distinct window hashes, batch windows filtered by membership,
+    * the shared comprehension rebuild. */
+  val substrScrubIncrementalSql: String = {
+    val L = ExactSubstrWords
+    val hWin = graft.functions.CrossHash.sqlHash60(s"array_to_string(w[i + 1 : i + $L], ' ')")
+    val hCt = graft.functions.CrossHash.sqlHash60("ct")
+    s"""WITH si_w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |si_win AS MATERIALIZED (
+       |  SELECT doc_id, i AS pos, $hWin AS h
+       |  FROM si_w, UNNEST(range(0, len(w) - ${L - 1})) AS t(i)
+       |  WHERE len(w) >= $L),
+       |si_corpus AS MATERIALIZED (
+       |  SELECT DISTINCT h FROM si_win WHERE doc_id % 10 <> 0),
+       |si_bad AS (
+       |  SELECT doc_id, list(pos ORDER BY pos) AS starts
+       |  FROM si_win
+       |  WHERE doc_id % 10 = 0 AND h IN (SELECT h FROM si_corpus)
+       |  GROUP BY doc_id),
+       |si_clean AS (
+       |  SELECT d.doc_id, len(d.w) AS n_words,
+       |    COALESCE(array_to_string([d.w[i] FOR i IN generate_series(1, len(d.w))
+       |      IF len(list_filter(COALESCE(b.starts, CAST([] AS BIGINT[])),
+       |             s -> s + 1 <= i AND i <= s + $L)) = 0], ' '), '') AS ct
+       |  FROM si_w d LEFT JOIN si_bad b USING (doc_id)
+       |  WHERE d.doc_id % 10 = 0)
+       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       |  CAST(n_words - CASE WHEN ct = '' THEN 0
+       |                      ELSE len(string_split(ct, ' ')) END AS BIGINT) AS n_removed,
+       |  CAST(length(ct) AS BIGINT) AS len_clean,
+       |  $hCt AS clean_h
+       |FROM si_clean
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Materialize the corpus's DISTINCT window hashes as a bucketed
+    * table — the substring analog of [[writeBandIndex]], and smaller
+    * by construction: the scrub probe only needs set membership, so
+    * the index stores one row per distinct hash (no postings, no
+    * counts sidecar, no cap — a boilerplate window repeated 10⁶
+    * times is one row). Bucketed on `h` so a probing batch shuffles
+    * only itself (SubstrIndexSpec pins the single Exchange). */
+  def writeSubstrIndex(s: SparkSession, dir: String, table: String): Unit =
+    substrWindowRows(t(s, dir, "documents").filter(col("doc_id") % 10 =!= 0))
+      .select(col("h")).distinct()
+      .write.mode("overwrite")
+      .bucketBy(BandIndexBuckets, "h").sortBy("h")
+      .saveAsTable(table)
+
+  /** Append a new corpus segment's distinct window hashes. Appends
+    * may re-insert hashes already present — membership semantics are
+    * unaffected (the probe is a semi join) and
+    * [[compactSubstrIndex]] folds duplicates away. */
+  def appendSubstrIndex(batch: DataFrame, table: String): Unit =
+    substrWindowRows(batch)
+      .select(col("h")).distinct()
+      .write.mode("append").insertInto(table)
+
+  /** [[substrScrubIncremental]] against the PERSISTED index: the
+    * arriving batch computes its own window stream and semi-joins
+    * the bucketed hash table — the corpus side never shuffles.
+    * Bit-equal to the inline form (SubstrIndexSpec asserts it). */
+  def substrScrubIndexed(s: SparkSession, dir: String, table: String): DataFrame =
+    substrScrubAgainst(
+      t(s, dir, "documents").filter(col("doc_id") % 10 === 0),
+      s.table(table))
+
+  /** Rewrite an appended-to substring index into a fresh generation:
+    * distinct-fold the hash rows into clean bucketed files. A NEW
+    * table, never in place — the generation-swap rule. */
+  def compactSubstrIndex(s: SparkSession, table: String, outTable: String): Unit =
+    s.table(table).select(col("h")).distinct()
+      .write.mode("overwrite")
+      .bucketBy(BandIndexBuckets, "h").sortBy("h")
+      .saveAsTable(outTable)
+
+  /** File-growth merge policy for the substring index — the
+    * [[maintainBandIndex]] twin: one metadata-cheap listing; past
+    * `maxFilesPerBucket` average files per bucket the index rewrites
+    * into `outTable`. Returns true when a compaction ran. */
+  def maintainSubstrIndex(
+      s: SparkSession, table: String, outTable: String,
+      maxFilesPerBucket: Int = DefaultMaxFilesPerBucket): Boolean = {
+    val meta = s.sessionState.catalog.getTableMetadata(
+      s.sessionState.sqlParser.parseTableIdentifier(table))
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    var nFiles = 0L
+    val it = fs.listFiles(loc, /* recursive = */ true)
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) nFiles += 1
+    }
+    if (nFiles == 0) {
+      require(Maintenance.isCommittedEmptyDir(s, loc.toString),
+        s"substring index $table at $loc lists no parquet data files and no " +
+          "_SUCCESS marker — layout changed? refusing to silently skip compaction")
+      return false
+    }
+    if (nFiles > maxFilesPerBucket.toLong * BandIndexBuckets) {
+      compactSubstrIndex(s, table, outTable)
+      true
+    } else false
+  }
 
   /** Cap observability — the "no silent caps" audit: every inline
     * detector bounds hot buckets with [[MaxPosting]], and THIS
@@ -2331,6 +2480,7 @@ object Dedup {
     "span_dedup" -> (spanDedup _),
     "substr_dedup" -> (substrDedup _),
     "substr_dedup_report" -> (substrDedupReport _),
+    "substr_scrub_incremental" -> (substrScrubIncremental _),
     "winnow_pairs" -> (winnowPairs _),
     "norm_dedup" -> (normDedup _),
     "lsh_band_sweep" -> (lshBandSweep _),
@@ -2352,6 +2502,7 @@ object Dedup {
     "span_dedup" -> spanDedupSql,
     "substr_dedup" -> substrDedupSql,
     "substr_dedup_report" -> substrDedupReportSql,
+    "substr_scrub_incremental" -> substrScrubIncrementalSql,
     "winnow_pairs" -> winnowPairsSql,
     "norm_dedup" -> normDedupSql,
     "lsh_band_sweep" -> lshBandSweepSql,
