@@ -1031,6 +1031,48 @@ object Dedup {
        |  CAST(COALESCE(SUM(length(d.text) - r.len_clean), 0) AS BIGINT) AS bytes_saved
        |FROM sr r JOIN documents d USING (doc_id)""".stripMargin
 
+  /** Per-doc memorization risk — the Carlini-style signal a
+    * regurgitation audit ranks on: the fraction of a doc's
+    * [[ExactSubstrWords]]-word windows that occur more than once
+    * corpus-wide (verbatim-duplicated text is what models emit
+    * verbatim; Lee et al. 2022 §6, Carlini et al. 2022). Top-50 by
+    * duplicated fraction, ties to the lower doc.
+    *
+    * Scale shape: the substring posting stream, ONE count per window
+    * hash (no member lists), one hash rejoin, one per-doc
+    * aggregation of two integers. */
+  def memorizationReport(s: SparkSession, dir: String): DataFrame = {
+    val wins = substrWindowRows(t(s, dir, "documents"))
+    val counts = wins.groupBy(col("h")).agg(count(lit(1)).as("n"))
+    wins.join(counts, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("n") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+      .withColumn("dup_frac",
+        r6(col("n_dup_windows").cast("double") / col("n_windows")))
+      .orderBy(col("dup_frac").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  val memorizationReportSql: String = {
+    val L = ExactSubstrWords
+    val hWin = graft.functions.CrossHash.sqlHash60(s"array_to_string(w[i + 1 : i + $L], ' ')")
+    s"""WITH mr_w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |mr_win AS MATERIALIZED (
+       |  SELECT doc_id, $hWin AS h
+       |  FROM mr_w, UNNEST(range(0, len(w) - ${L - 1})) AS t(i)
+       |  WHERE len(w) >= $L),
+       |mr_cnt AS (SELECT h, COUNT(*) AS n FROM mr_win GROUP BY h)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+       |  CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+       |  round(CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) + 0 AS dup_frac
+       |FROM mr_win JOIN mr_cnt USING (h)
+       |GROUP BY doc_id
+       |ORDER BY dup_frac DESC, doc_id
+       |LIMIT 50""".stripMargin
+  }
+
   // ---- Incremental substring scrub against a persisted window index ----
 
   /** Scrub `batch` docs of every [[ExactSubstrWords]]-word window
@@ -2481,6 +2523,7 @@ object Dedup {
     "substr_dedup" -> (substrDedup _),
     "substr_dedup_report" -> (substrDedupReport _),
     "substr_scrub_incremental" -> (substrScrubIncremental _),
+    "memorization_report" -> (memorizationReport _),
     "winnow_pairs" -> (winnowPairs _),
     "norm_dedup" -> (normDedup _),
     "lsh_band_sweep" -> (lshBandSweep _),
@@ -2503,6 +2546,7 @@ object Dedup {
     "substr_dedup" -> substrDedupSql,
     "substr_dedup_report" -> substrDedupReportSql,
     "substr_scrub_incremental" -> substrScrubIncrementalSql,
+    "memorization_report" -> memorizationReportSql,
     "winnow_pairs" -> winnowPairsSql,
     "norm_dedup" -> normDedupSql,
     "lsh_band_sweep" -> lshBandSweepSql,

@@ -373,6 +373,22 @@ class DedupSpec extends AnyFunSuite {
     assert(ld.values.forall(_ == 0L), s"line_dedup must be blind to off-grid copies: $ld")
   }
 
+  test("memorization_report: verbatim-duplicated docs top the ranking at dup_frac 1; unique docs at 0") {
+    val twin = (1 to 20).map(i => s"m$i").mkString(" ")
+    val uniq = (1 to 20).map(i => s"u$i").mkString(" ")
+    val mdir = Files.createTempDirectory("graft-memorization").toString
+    Seq((0L, twin), (1L, twin), (2L, uniq)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$mdir/documents.parquet")
+    val got = Dedup.memorizationReport(spark, mdir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // 20 words → 6 fifteen-word windows each; the twins' all dup
+    assert(got.take(2).map(_._1).toSet == Set(0L, 1L), s"twins must rank first: ${got.toSeq}")
+    got.take(2).foreach { case (_, nw, nd, f) =>
+      assert(nw == 6L && nd == 6L && f == 1.0, s"full duplication: ${got.toSeq}")
+    }
+    assert(got(2) == ((2L, 6L, 0L, 0.0)), s"unique doc reports zero: ${got.toSeq}")
+  }
+
   test("capBuckets: a 10^6-row mega-bucket SPILLS through the window buffer and completes") {
     // Converts the "spillable row buffer" claim from comment to test:
     // with the window buffer thresholds forced down to a few thousand
