@@ -871,7 +871,7 @@ object Dedup {
     * over `split(text)` would re-split per element once
     * CollapseProject inlines the alias, the boilerplate-rebuild
     * lesson, so the closure form IS the fast form). */
-  private val substrWinUdf = udf { (text: String) =>
+  private[graft] val substrWinUdf = udf { (text: String) =>
     val w = if (text == null) Array.empty[String] else text.split(" ")
     if (w.length < ExactSubstrWords) Array.empty[Long]
     else Array.tabulate(w.length - ExactSubstrWords + 1) { i =>
@@ -892,7 +892,7 @@ object Dedup {
     * covered by any [start, start+L-1] interval (overlaps merge by
     * construction of the single left-to-right sweep) and re-join the
     * survivors byte-exactly. */
-  private val substrScrubUdf = udf { (text: String, starts: Seq[Int]) =>
+  private[graft] val substrScrubUdf = udf { (text: String, starts: Seq[Int]) =>
     val w = if (text == null) Array.empty[String] else text.split(" ")
     val sb = new StringBuilder
     var si = 0

@@ -259,6 +259,38 @@ object StreamingIndex {
     docs.select(col("doc_id"),
       graft.ops.TextOps.langidPredictUdf(m)(col("text")).as("lang_pred"))
 
+  /** Streaming substring scrub — arriving documents are cut of every
+    * 15-word window present in the PERSISTED corpus index
+    * (`Dedup.writeSubstrIndex`), continuously: the window stream
+    * LEFT-joins the static bucketed hash table (stream-static joins
+    * are STATELESS — the index is re-read per micro-batch, so a
+    * compaction/append takes effect without restarting), and the
+    * per-doc reassembly is one watermarked aggregation whose state
+    * is bounded by horizon × arrival rate (each doc's group closes
+    * when the watermark passes its window). `posexplode_outer` keeps
+    * short docs total; same byte-exact rebuild row as the batch
+    * `substr_scrub_incremental` (the spec pins per-doc equality). */
+  def substrScrubStream(
+      docs: DataFrame, s: SparkSession, table: String): DataFrame = {
+    import graft.ops.Dedup
+    val idx = s.table(table).withColumn("hit", lit(1))
+    docs
+      .select(col("ts"), col("doc_id"), col("text"),
+        posexplode_outer(Dedup.substrWinUdf(col("text"))).as(Seq("pos", "h")))
+      .join(idx, Seq("h"), "left_outer")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("doc_id"), col("text"))
+      .agg(sort_array(collect_list(when(col("hit") === 1, col("pos")))).as("starts"))
+      .withColumn("clean", Dedup.substrScrubUdf(col("text"), col("starts")))
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        (size(split(col("text"), " ")) -
+          when(col("clean") === "", 0)
+            .otherwise(size(split(col("clean"), " ")))).cast("long").as("n_removed"),
+        length(col("clean")).cast("long").as("len_clean"),
+        graft.functions.CrossHash.md5Hash60Col(col("clean")).as("clean_h"))
+  }
+
   /** Streaming anomaly scorer — train-on-history, score-the-stream:
     * watermarked hourly tumbling counts per event type, stream-static
     * joined to a batch-trained stats table (`Events.hourlyStats`),

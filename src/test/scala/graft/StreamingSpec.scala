@@ -587,4 +587,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, "closure scorer must be bit-equal to the batch join form")
     assert(batch.values.exists(_.nonEmpty))
   }
+
+  test("substring scrub stream ≡ batch indexed scrub: stream-static probe, per-doc equality") {
+    val dir = "/root/testdata/sf0.001"
+    graft.ops.Dedup.writeSubstrIndex(spark, dir, "substr_idx_stream")
+    val batch = graft.ops.Dedup.substrScrubIndexed(spark, dir, "substr_idx_stream")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val src = Files.createTempDirectory("graft-substr-eq").resolve("docs").toString
+    spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 10 === 0)
+      .withColumn("ts", lit("2026-01-01 00:00:00").cast("timestamp"))
+      .select("ts", "doc_id", "text")
+      .write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema("ts TIMESTAMP, doc_id LONG, text STRING")
+      .parquet(src)
+    val q = StreamingIndex.substrScrubStream(stream, spark, "substr_idx_stream")
+      .writeStream.format("memory").queryName("substr_eq").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("SELECT * FROM substr_eq").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(streamed.size == batch.size, s"${streamed.size} vs ${batch.size}")
+    assert(streamed == batch, "streaming scrub must rebuild byte-identically to batch")
+    assert(batch.nonEmpty)
+  }
 }
