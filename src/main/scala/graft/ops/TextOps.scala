@@ -413,9 +413,14 @@ object TextOps {
           if (d.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
             d.repartition(s.sparkContext.defaultParallelism)
           else d
-        val pred = scoreLangid(s, dPar.select(col("doc_id"), col("text")), m)
-        base.join(pred, Seq("doc_id"), "left")
-          .withColumn("lang_pred", coalesce(col("lang_pred"), lit("")))
+        // scoring is the map-only closure predictor — ONE pass, zero
+        // shuffles before the output sort; bit-equal to the
+        // broadcast-join [[scoreLangid]] form by construction
+        // (TextOpsSpec pins the equality on the fixture corpus, the
+        // streaming spec per doc), and the '' sentinel for sub-gram
+        // docs falls out of the same closure
+        dPar.select(col("doc_id"), col("lang").as("lang_true"),
+            langidPredictUdf(m)(col("text")).as("lang_pred"))
           .withColumn("agree", (col("lang_true") === col("lang_pred")).cast("int"))
           .orderBy(col("doc_id"))
     }

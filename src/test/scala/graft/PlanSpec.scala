@@ -755,16 +755,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"plan: $plan")
   }
 
-  test("langid_ngram: model join broadcasts on bucket; only the doc-keyed totality join shuffles") {
+  test("langid_ngram: map-only closure scoring — no join, no aggregation before the output sort") {
     val plan = graft.ops.TextOps.langidNgram(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
-    assert("BroadcastHashJoin \\[b#".r.findAllIn(plan).nonEmpty,
-      s"the 512-row model side must broadcast on b: $plan")
-    // the one permitted shuffle join is the corpus-keyed totality
-    // left join (base ⋈ pred on doc_id)
-    val smj = "SortMergeJoin \\[doc_id#".r.findAllIn(plan).size
-    val smjAll = "SortMergeJoin".r.findAllIn(plan).size
-    assert(smjAll == smj && smj <= 1, s"unexpected shuffle join: $plan")
+    assert(!plan.contains("Join"), s"scoring must be one closure pass: $plan")
+    assert(!plan.contains("HashAggregate"),
+      s"per-doc terms fold inside the UDF, never in an exchange: $plan")
   }
 }

@@ -120,6 +120,22 @@ class TextOpsSpec extends AnyFunSuite {
     got.values.foreach(v => assert(v >= 0.0 && v <= math.log(n) + 1e-9))
   }
 
+  test("langid scorers: the map-only closure ≡ the broadcast-join form, per doc") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val m = TextOps.fitLangidModel(spark, dir).get
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val joinForm = TextOps.scoreLangid(spark, d.select(col("doc_id"), col("text")), m)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val closure = d.select(col("doc_id"),
+        TextOps.langidPredictUdf(m)(col("text")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the join form omits sub-gram docs; the closure predicts '' there
+    val joined = closure.map { case (id, p) => id -> joinForm.getOrElse(id, "") }
+    assert(closure == joined, "micro-unit closure sums must equal the DECIMAL join sums")
+    assert(closure.values.exists(_.nonEmpty))
+  }
+
   test("langid_ngram: charset signal classifies where the marker vote degenerates to its tie-break") {
     import java.nio.file.Files
     import spark.implicits._
