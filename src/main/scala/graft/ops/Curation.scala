@@ -1953,7 +1953,172 @@ object Curation {
        |ORDER BY decile""".stripMargin
   }
 
+  // ------------------------------------- quality threshold sweep
+
+  /** Keep thresholds the sweep evaluates, in exact micro-units of the
+    * fused [[qualityEnsemble]] score. */
+  val QualitySweepTaus: Seq[Int] = Seq(300000, 400000, 500000, 600000, 700000)
+
+  /** Keep-rate curve over the fused quality score — the tuning table
+    * a filter threshold is actually chosen from (the semdedup_eps /
+    * ivf_probe sweep discipline applied to quality filtering): for
+    * each candidate τ, how many documents and words survive. The τ a
+    * release picks is a token-budget decision; this is the table that
+    * decision reads.
+    *
+    * Scale shape: the ensemble chain runs ONCE; thresholds are
+    * conditional sums inside ONE 1-row aggregation (never a per-τ
+    * re-scan, never a grid×corpus expansion), stacked to grid rows.
+    * Thresholds compare in exact micro-units (round(fused·1e6) is a
+    * lossless round-trip of the ensemble's integer micro score). */
+  def qualityThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    val qe = qualityEnsemble(s, dir)
+      .select(col("doc_id"), round(col("fused") * 1e6).cast("long").as("f6"))
+    val words = t(s, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nw"))
+    val j = qe.join(words, "doc_id")
+    val aggs = Seq(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(col("nw")), lit(0L)).as("t_words")) ++
+      QualitySweepTaus.flatMap(tau => Seq(
+        coalesce(sum(when(col("f6") >= tau, 1L).otherwise(0L)), lit(0L)).as(s"k$tau"),
+        coalesce(sum(when(col("f6") >= tau, col("nw")).otherwise(0L)), lit(0L)).as(s"w$tau")))
+    val one = j.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = QualitySweepTaus
+      .map(tau => s"CAST(${tau / 1e6} AS DOUBLE), k$tau, w$tau").mkString(", ")
+    one.selectExpr("n_docs", "t_words",
+        s"stack(${QualitySweepTaus.size}, $stackExpr) AS (tau, n_kept, kept_words)")
+      .select(col("tau"), col("n_kept"),
+        when(col("n_docs") === 0, lit(0.0))
+          .otherwise(r6(col("n_kept").cast("double") / col("n_docs"))).as("keep_frac"),
+        col("kept_words"),
+        when(col("t_words") === 0, lit(0.0))
+          .otherwise(r6(col("kept_words").cast("double") / col("t_words")))
+          .as("kept_words_frac"))
+      .orderBy(col("tau"))
+  }
+
+  /** Composes the proven ensemble oracle; per-τ cells as conditional
+    * sums over ONE pass, stacked by UNION ALL. */
+  lazy val qualityThresholdSweepSql: String = {
+    val cells = QualitySweepTaus.map(tau =>
+      s"""COALESCE(SUM(CASE WHEN f6 >= $tau THEN 1 ELSE 0 END), 0) AS k$tau,
+         |    COALESCE(SUM(CASE WHEN f6 >= $tau THEN nw ELSE 0 END), 0) AS w$tau""".stripMargin)
+      .mkString(",\n    ")
+    val rows = QualitySweepTaus.map(tau =>
+      s"""SELECT CAST(${tau / 1e6} AS DOUBLE) AS tau, CAST(k$tau AS BIGINT) AS n_kept,
+         |  CASE WHEN n_docs = 0 THEN 0.0
+         |       ELSE round(CAST(k$tau AS DOUBLE) / n_docs, 6) + 0 END AS keep_frac,
+         |  CAST(w$tau AS BIGINT) AS kept_words,
+         |  CASE WHEN t_words = 0 THEN 0.0
+         |       ELSE round(CAST(w$tau AS DOUBLE) / t_words, 6) + 0 END AS kept_words_frac
+         |FROM qt_a""".stripMargin)
+      .mkString("\nUNION ALL ")
+    s"""WITH qt_s AS MATERIALIZED (
+       |  SELECT doc_id, CAST(round(fused * 1e6) AS BIGINT) AS f6
+       |  FROM ($qualityEnsembleSql)),
+       |qt_w AS (
+       |  SELECT q.f6, len(string_split(d.text, ' ')) AS nw
+       |  FROM qt_s q JOIN documents d USING (doc_id)),
+       |qt_a AS (
+       |  SELECT COUNT(*) AS n_docs, COALESCE(SUM(nw), 0) AS t_words,
+       |    $cells
+       |  FROM qt_w)
+       |$rows
+       |ORDER BY tau""".stripMargin
+  }
+
+  // ------------------------------------- epoch shuffle decorrelation
+
+  /** Key space for the epoch-shuffle audit: 20-bit hashed keys keep
+    * every moment (k², k·k') inside exact integer range at any corpus
+    * size once the sums ride DECIMAL(38,0) — the mergeable exact path. */
+  val EpochKeyMod = 1048576L
+
+  /** Epoch-reshuffle decorrelation audit — verifies the property the
+    * salted training order ([[Retrieval.curriculumOrder]]'s shuffle
+    * key) is trusted for: re-keying by a different epoch salt
+    * produces an ORDER with no linear relationship to the previous
+    * epoch's (Pearson r of the per-doc order keys ≈ 0). A broken salt
+    * (constant, or concatenated so epochs share prefixes the hash
+    * ignores) shows up as |r| → 1 here long before a training run
+    * notices its batches repeating.
+    *
+    * Scale shape: keying is map-only (three hash columns per doc);
+    * the whole audit is ONE 1-row aggregation whose moment sums are
+    * exact DECIMAL(38,0) (20-bit keys ⇒ products ≤ 2^40 per row —
+    * exact at 10¹² docs, and mergeable map-side like any sum);
+    * Pearson arithmetic runs on those exact values cast to double,
+    * identically in both engines. */
+  def epochShuffleReport(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CrossHash
+    def key(e: Int): Column =
+      CrossHash.md5Hash60Col(
+        concat(lit(s"epoch$e:"), col("doc_id").cast("string"))) % EpochKeyMod
+    val keyed = t(s, dir, "documents")
+      .select(key(1).as("k1"), key(2).as("k2"), key(3).as("k3"))
+    def dsum0(c: Column) = sum(c.cast("decimal(38,0)"))
+    val a = keyed.agg(
+      count(lit(1)).as("n"),
+      dsum0(col("k1")).cast("double").as("s1"),
+      dsum0(col("k2")).cast("double").as("s2"),
+      dsum0(col("k3")).cast("double").as("s3"),
+      dsum0(col("k1") * col("k1")).cast("double").as("q1"),
+      dsum0(col("k2") * col("k2")).cast("double").as("q2"),
+      dsum0(col("k3") * col("k3")).cast("double").as("q3"),
+      dsum0(col("k1") * col("k2")).cast("double").as("p12"),
+      dsum0(col("k2") * col("k3")).cast("double").as("p23"))
+    val n = col("n").cast("double")
+    def pearson(p: Column, sa: Column, sb: Column, qa: Column, qb: Column): Column = {
+      val den = (n * qa - sa * sa) * (n * qb - sb * sb)
+      when(col("n") < 2 || den <= 0.0, lit(0.0))
+        .otherwise(r6((n * p - sa * sb) / sqrt(den)))
+    }
+    a.select(col("n").as("n_docs"),
+        pearson(col("p12"), col("s1"), col("s2"), col("q1"), col("q2")).as("r12"),
+        pearson(col("p23"), col("s2"), col("s3"), col("q2"), col("q3")).as("r23"))
+      .selectExpr("stack(2, '1-2', n_docs, r12, '2-3', n_docs, r23)" +
+        " AS (pair, n_docs, pearson_r)")
+      .orderBy(col("pair"))
+  }
+
+  /** Oracle mirror: the same hashed keys, exact DECIMAL moments, and
+    * guarded Pearson arithmetic. */
+  lazy val epochShuffleReportSql: String = {
+    def keySql(e: Int) =
+      s"(${graft.functions.CrossHash.sqlHash60(s"'epoch$e:' || CAST(doc_id AS VARCHAR)")}) % $EpochKeyMod"
+    def r(p: String, sa: String, sb: String, qa: String, qb: String) =
+      s"""CASE WHEN n < 2 OR (CAST(n AS DOUBLE) * $qa - $sa * $sa)
+         |            * (CAST(n AS DOUBLE) * $qb - $sb * $sb) <= 0 THEN 0.0
+         |     ELSE round((CAST(n AS DOUBLE) * $p - $sa * $sb)
+         |       / sqrt((CAST(n AS DOUBLE) * $qa - $sa * $sa)
+         |              * (CAST(n AS DOUBLE) * $qb - $sb * $sb)), 6) + 0
+         |END""".stripMargin
+    s"""WITH es_k AS (
+       |  SELECT ${keySql(1)} AS k1, ${keySql(2)} AS k2, ${keySql(3)} AS k3
+       |  FROM documents),
+       |es_a AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CAST(k1 AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+       |    CAST(SUM(CAST(k2 AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+       |    CAST(SUM(CAST(k3 AS DECIMAL(38,0))) AS DOUBLE) AS s3,
+       |    CAST(SUM(CAST(k1 * k1 AS DECIMAL(38,0))) AS DOUBLE) AS q1,
+       |    CAST(SUM(CAST(k2 * k2 AS DECIMAL(38,0))) AS DOUBLE) AS q2,
+       |    CAST(SUM(CAST(k3 * k3 AS DECIMAL(38,0))) AS DOUBLE) AS q3,
+       |    CAST(SUM(CAST(k1 * k2 AS DECIMAL(38,0))) AS DOUBLE) AS p12,
+       |    CAST(SUM(CAST(k2 * k3 AS DECIMAL(38,0))) AS DOUBLE) AS p23
+       |  FROM es_k)
+       |SELECT '1-2' AS pair, n AS n_docs, ${r("p12", "s1", "s2", "q1", "q2")} AS pearson_r
+       |FROM es_a
+       |UNION ALL
+       |SELECT '2-3', n, ${r("p23", "s2", "s3", "q2", "q3")}
+       |FROM es_a
+       |ORDER BY pair""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_threshold_sweep" -> (qualityThresholdSweep _),
+    "epoch_shuffle_report" -> (epochShuffleReport _),
     "boilerplate_report" -> (boilerplateReport _),
     "boilerplate_scrub" -> (boilerplateScrub _),
     "filter_agreement" -> (filterAgreement _),
@@ -1987,6 +2152,8 @@ object Curation {
     "shard_pack" -> (shardPack _))
 
   val oracles: Map[String, String] = Map(
+    "quality_threshold_sweep" -> qualityThresholdSweepSql,
+    "epoch_shuffle_report" -> epochShuffleReportSql,
     "boilerplate_report" -> boilerplateReportSql,
     "boilerplate_scrub" -> boilerplateScrubSql,
     "filter_agreement" -> filterAgreementSql,

@@ -2506,8 +2506,301 @@ object Dedup {
        |FROM o_cells GROUP BY source_1, source_2
        |ORDER BY source_1, source_2""".stripMargin
 
+  // ------------------------------------------------ confusable dedup
+
+  /** Zero-width characters an adversarial duplicate hides behind —
+    * ZWSP, ZWNJ, ZWJ, and the BOM/ZWNBSP (literal code points; they
+    * are not regex metacharacters, so the class reads identically to
+    * Java regex and RE2). */
+  private val ZeroWidthClass = "[​‌‍﻿]"
+
+  /** Whitespace-run class, EXPLICIT on purpose: Java's `\s` includes
+    * `\x0B` (vertical tab) where RE2's does not — the one hidden
+    * divergence an implicit `\s+` would smuggle into the bridge. NBSP
+    * added because confusable text routinely swaps it for space. */
+  private val WsRunClass = "[ \\t\\n\\r\\f ]+"
+
+  /** High-frequency Latin-lookalike confusables (lowercase only —
+    * the skeleton casefolds first): Cyrillic а е о р с х у і ј ѕ and
+    * Greek ο α ν mapped to the Latin letters they render as. Unicode
+    * TR39's confusable-skeleton idea cut down to the spam alphabet;
+    * extend the two strings in lockstep to widen coverage. */
+  private val ConfusablesFrom =
+    "аеорсхуіјѕοαν"
+  private val ConfusablesTo = "aeopcxyijsoav"
+
+  /** Confusable-skeleton dedup — the adversarial tier ABOVE
+    * [[normDedup]]: a spam duplicate that swaps Latin letters for
+    * Cyrillic/Greek lookalikes or hides zero-width characters inside
+    * words defeats both byte-exact and punctuation-normalized
+    * hashing (norm's `[^a-z0-9]` rule turns a Cyrillic 'а' into a
+    * SPACE, so the normal forms differ). The skeleton — casefold,
+    * strip zero-width, map confusables to their Latin base, collapse
+    * whitespace runs — is invariant to exactly those edits, and
+    * grouping on its md5 costs the same one map pass + one 16-byte
+    * key shuffle as norm_dedup (documents never shuffle).
+    *
+    * Same output contract as [[normDedup]]: per doc, its skeleton
+    * key, the cluster's canonical min doc, cluster size, dup flag. */
+  def homoglyphDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val skel = trim(regexp_replace(
+      translate(regexp_replace(lower(col("text")), ZeroWidthClass, ""),
+        ConfusablesFrom, ConfusablesTo),
+      WsRunClass, " "))
+    val w = Window.partitionBy(col("skel_key"))
+    d.select(col("doc_id"), md5(skel.cast("binary")).as("skel_key"))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .select(
+        col("doc_id"), col("skel_key"), col("canonical_id"),
+        count(lit(1)).over(w).as("n_copies"),
+        (col("doc_id") =!= col("canonical_id")).cast("int").as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle mirror of [[homoglyphDedup]] — the identical skeleton
+    * chain (lower → strip zero-width → translate confusables →
+    * collapse whitespace); the regex classes carry literal code
+    * points and escaped ASCII controls, which Java regex and RE2
+    * read identically. */
+  val homoglyphDedupSql: String =
+    s"""WITH hg AS (
+       |  SELECT doc_id,
+       |    md5(trim(regexp_replace(
+       |      translate(regexp_replace(lower(text), '$ZeroWidthClass', '', 'g'),
+       |        '$ConfusablesFrom', '$ConfusablesTo'),
+       |      '$WsRunClass', ' ', 'g'))) AS skel_key
+       |  FROM documents)
+       |SELECT doc_id, skel_key,
+       |  MIN(doc_id) OVER (PARTITION BY skel_key) AS canonical_id,
+       |  COUNT(*) OVER (PARTITION BY skel_key) AS n_copies,
+       |  CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY skel_key)
+       |       THEN 1 ELSE 0 END AS is_dup
+       |FROM hg ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------ soft dedup weights
+
+  /** Duplicate-aware soft weights — the "keep everything, count it
+    * once" alternative to hard removal (data-constrained scaling:
+    * repeated data has sharply diminishing returns, so n near-copies
+    * should contribute ~one copy's worth of gradient, not n). Each
+    * near-dup component (the [[dedupComponents]] clusters) spreads
+    * unit weight across its members — weight = 1/n_copies — and docs
+    * in no component keep weight 1. TOTAL (one row per doc) with the
+    * effective word count the weighted corpus contributes.
+    *
+    * Scale shape: the component relation is ≪ corpus (only docs that
+    * appear in near-dup pairs); its sizes are one tiny aggregation,
+    * and the corpus pays ONE left join against that narrow relation
+    * — the weights themselves are map-only arithmetic. 1/n and
+    * n_words/n are IEEE-identical ratios of exact integers in both
+    * engines, r6-rounded (the established bridge). */
+  def softDedupWeights(s: SparkSession, dir: String): DataFrame = {
+    val comp = dedupComponents(s, dir).select(col("doc_id"), col("component"))
+    val sizes = comp.groupBy(col("component")).agg(count(lit(1)).as("nc"))
+    val mult = comp.join(sizes, "component").select(col("doc_id"), col("nc"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_words"))
+      .join(mult, Seq("doc_id"), "left")
+      .withColumn("n_copies", coalesce(col("nc"), lit(1L)))
+      .select(col("doc_id"), col("n_words"), col("n_copies"),
+        r6(lit(1.0) / col("n_copies")).as("weight"),
+        r6(col("n_words").cast("double") / col("n_copies")).as("eff_words"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Composes the proven component oracle; CAST-to-DOUBLE before
+    * dividing (DuckDB's bare `1.0` is DECIMAL and would divide in
+    * decimal, not IEEE). */
+  lazy val softDedupWeightsSql: String =
+    s"""WITH sw_c AS MATERIALIZED (
+       |  SELECT doc_id, component FROM ($dedupComponentsSql)),
+       |sw_sz AS (SELECT component, COUNT(*) AS nc FROM sw_c GROUP BY component),
+       |sw_m AS (SELECT c.doc_id, s.nc FROM sw_c c JOIN sw_sz s USING (component))
+       |SELECT d.doc_id,
+       |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+       |  CAST(COALESCE(m.nc, 1) AS BIGINT) AS n_copies,
+       |  round(CAST(1 AS DOUBLE) / COALESCE(m.nc, 1), 6) + 0 AS weight,
+       |  round(CAST(len(string_split(d.text, ' ')) AS DOUBLE)
+       |        / COALESCE(m.nc, 1), 6) + 0 AS eff_words
+       |FROM documents d LEFT JOIN sw_m m USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------ memorization spans
+
+  /** Longest verbatim-duplicated span per document — the companion
+    * to [[memorizationReport]]'s dup-window FRACTION: consecutive
+    * duplicated windows merge into spans (a run of r overlapping
+    * duplicated [[ExactSubstrWords]]-word windows is ONE duplicated
+    * passage of r + L − 1 words), and the per-doc max is the
+    * worst-case regurgitation length — extraction attacks emit the
+    * longest memorized run, not an average (Carlini et al. 2021's
+    * extractable-length framing). Top-50 by span, ties to the lower
+    * doc.
+    *
+    * Scale shape: the shared posting stream + ONE count per window
+    * hash + one rejoin (exactly memorization_report's cost), then
+    * gaps-and-islands per doc: pos − row_number() over the DOC-KEYED
+    * window (bounded by doc length, never corpus-wide), one
+    * (doc, island) aggregation, one per-doc max. */
+  def memorizationSpans(s: SparkSession, dir: String): DataFrame = {
+    val wins = substrWindowRows(t(s, dir, "documents"))
+    val counts = wins.groupBy(col("h")).agg(count(lit(1)).as("n"))
+    val dup = wins.join(counts, "h").filter(col("n") >= 2)
+      .select(col("doc_id"), col("pos"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dup.withColumn("island", col("pos") - row_number().over(wDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), max(col("run")).as("longest_run"))
+      .withColumn("span_words", col("longest_run") + lit(ExactSubstrWords - 1))
+      .select(col("doc_id"), col("n_spans"), col("longest_run"), col("span_words"))
+      .orderBy(col("span_words").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  val memorizationSpansSql: String = {
+    val L = ExactSubstrWords
+    val hWin = graft.functions.CrossHash.sqlHash60(
+      s"array_to_string(w[i + 1 : i + $L], ' ')")
+    s"""WITH ms_w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |ms_win AS MATERIALIZED (
+       |  SELECT doc_id, i AS pos, $hWin AS h
+       |  FROM ms_w, UNNEST(range(0, len(w) - ${L - 1})) AS t(i)
+       |  WHERE len(w) >= $L),
+       |ms_cnt AS (SELECT h, COUNT(*) AS n FROM ms_win GROUP BY h),
+       |ms_dup AS (
+       |  SELECT doc_id, pos FROM ms_win JOIN ms_cnt USING (h) WHERE n >= 2),
+       |ms_isl AS (
+       |  SELECT doc_id,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM ms_dup),
+       |ms_run AS (
+       |  SELECT doc_id, island, COUNT(*) AS run FROM ms_isl
+       |  GROUP BY doc_id, island)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       |  CAST(MAX(run) AS BIGINT) AS longest_run,
+       |  CAST(MAX(run) + ${L - 1} AS BIGINT) AS span_words
+       |FROM ms_run GROUP BY doc_id
+       |ORDER BY span_words DESC, doc_id
+       |LIMIT 50""".stripMargin
+  }
+
+  // ------------------------------------------------ dedup funnel
+
+  /** The dedup FUNNEL — the tier-by-tier survivorship table a corpus
+    * release publishes: documents and words surviving each
+    * successively fuzzier tier applied IN SEQUENCE — byte-exact →
+    * normalized ([[normDedup]]'s casefold/punctuation skeleton) →
+    * near-dup ([[dedupComponents]] clusters). Sequencing composes
+    * exactly without re-running anything: a norm-cluster min is
+    * always an exact-cluster min (every exact cluster is a subset of
+    * its norm cluster and shares its min), so the norm keep set is a
+    * subset of the exact keep set by construction; the near-dup tier
+    * then re-elects min(doc_id) among each component's STILL-ALIVE
+    * members (a component whose global min was already removed by a
+    * finer tier must not lose its surviving copy too).
+    *
+    * Scale shape: two key-partitioned windows (text, norm key) tag
+    * exact/norm survivors; the component relation is ≪ corpus and
+    * its still-alive minima are one tiny aggregation joined back;
+    * the funnel itself is ONE 1-row aggregation stacked to 4 tier
+    * rows. Total on an empty corpus (zero counts, never null). */
+  def dedupFunnel(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val wT = Window.partitionBy(col("text"))
+    val wN = Window.partitionBy(col("nkey"))
+    val norm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    val flags = d
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nw"),
+        col("text"), md5(norm.cast("binary")).as("nkey"))
+      .withColumn("keep_exact",
+        (col("doc_id") === min(col("doc_id")).over(wT)).cast("int"))
+      .withColumn("keep_norm",
+        (col("doc_id") === min(col("doc_id")).over(wN)).cast("int"))
+      .select(col("doc_id"), col("nw"), col("keep_exact"), col("keep_norm"))
+    val comp = dedupComponents(s, dir).select(col("doc_id"), col("component"))
+    val alive = comp
+      .join(flags.filter(col("keep_norm") === 1).select(col("doc_id")), "doc_id")
+      .groupBy(col("component")).agg(min(col("doc_id")).as("min_alive"))
+    val tagged = flags.join(comp, Seq("doc_id"), "left")
+      .join(alive, Seq("component"), "left")
+      .withColumn("keep_nd",
+        (col("keep_norm") === 1 &&
+          (col("component").isNull || col("doc_id") === col("min_alive"))).cast("int"))
+    tagged.agg(
+        count(lit(1)).as("d0"),
+        coalesce(sum(col("nw")), lit(0L)).as("w0"),
+        coalesce(sum(col("keep_exact").cast("long")), lit(0L)).as("d1"),
+        coalesce(sum(when(col("keep_exact") === 1, col("nw")).otherwise(0L)), lit(0L)).as("w1"),
+        coalesce(sum(col("keep_norm").cast("long")), lit(0L)).as("d2"),
+        coalesce(sum(when(col("keep_norm") === 1, col("nw")).otherwise(0L)), lit(0L)).as("w2"),
+        coalesce(sum(col("keep_nd").cast("long")), lit(0L)).as("d3"),
+        coalesce(sum(when(col("keep_nd") === 1, col("nw")).otherwise(0L)), lit(0L)).as("w3"))
+      .selectExpr(
+        """stack(4,
+          |  0, 'raw',        d0, w0, CAST(0 AS BIGINT),
+          |  1, 'exact',      d1, w1, d0 - d1,
+          |  2, 'normalized', d2, w2, d1 - d2,
+          |  3, 'neardup',    d3, w3, d2 - d3
+          |) AS (stage, tier, n_docs, n_words, docs_removed)""".stripMargin)
+      .orderBy(col("stage"))
+  }
+
+  /** Composes the proven component oracle; the two survivor windows
+    * mirror dedup_exact/norm_dedup's keys verbatim. */
+  lazy val dedupFunnelSql: String =
+    s"""WITH df_f AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS nw,
+       |    CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY text)
+       |         THEN 1 ELSE 0 END AS keep_exact,
+       |    CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY
+       |           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))))
+       |         THEN 1 ELSE 0 END AS keep_norm
+       |  FROM documents),
+       |df_c AS MATERIALIZED (
+       |  SELECT doc_id, component FROM ($dedupComponentsSql)),
+       |df_a AS (
+       |  SELECT c.component, MIN(c.doc_id) AS min_alive
+       |  FROM df_c c JOIN df_f f USING (doc_id)
+       |  WHERE f.keep_norm = 1
+       |  GROUP BY c.component),
+       |df_t AS (
+       |  SELECT f.*,
+       |    CASE WHEN f.keep_norm = 1
+       |          AND (c.component IS NULL OR f.doc_id = a.min_alive)
+       |         THEN 1 ELSE 0 END AS keep_nd
+       |  FROM df_f f
+       |  LEFT JOIN df_c c USING (doc_id)
+       |  LEFT JOIN df_a a USING (component)),
+       |df_s AS (
+       |  SELECT COUNT(*) AS d0, COALESCE(SUM(nw), 0) AS w0,
+       |    COALESCE(SUM(keep_exact), 0) AS d1,
+       |    COALESCE(SUM(CASE WHEN keep_exact = 1 THEN nw ELSE 0 END), 0) AS w1,
+       |    COALESCE(SUM(keep_norm), 0) AS d2,
+       |    COALESCE(SUM(CASE WHEN keep_norm = 1 THEN nw ELSE 0 END), 0) AS w2,
+       |    COALESCE(SUM(keep_nd), 0) AS d3,
+       |    COALESCE(SUM(CASE WHEN keep_nd = 1 THEN nw ELSE 0 END), 0) AS w3
+       |  FROM df_t)
+       |SELECT 0 AS stage, 'raw' AS tier, CAST(d0 AS BIGINT) AS n_docs,
+       |  CAST(w0 AS BIGINT) AS n_words, CAST(0 AS BIGINT) AS docs_removed
+       |FROM df_s
+       |UNION ALL SELECT 1, 'exact', CAST(d1 AS BIGINT), CAST(w1 AS BIGINT),
+       |  CAST(d0 - d1 AS BIGINT) FROM df_s
+       |UNION ALL SELECT 2, 'normalized', CAST(d2 AS BIGINT), CAST(w2 AS BIGINT),
+       |  CAST(d1 - d2 AS BIGINT) FROM df_s
+       |UNION ALL SELECT 3, 'neardup', CAST(d3 AS BIGINT), CAST(w3 AS BIGINT),
+       |  CAST(d2 - d3 AS BIGINT) FROM df_s
+       |ORDER BY stage""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cap_report" -> (dedupCapReport _),
+    "homoglyph_dedup" -> (homoglyphDedup _),
+    "soft_dedup_weights" -> (softDedupWeights _),
+    "memorization_spans" -> (memorizationSpans _),
+    "dedup_funnel" -> (dedupFunnel _),
     "source_overlap_report" -> (sourceOverlapReport _),
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard" -> (dedupJaccard _),
@@ -2532,6 +2825,10 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dedup_cap_report" -> dedupCapReportSql,
+    "homoglyph_dedup" -> homoglyphDedupSql,
+    "soft_dedup_weights" -> softDedupWeightsSql,
+    "memorization_spans" -> memorizationSpansSql,
+    "dedup_funnel" -> dedupFunnelSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_jaccard_prefix" -> dedupJaccardPrefixSql,

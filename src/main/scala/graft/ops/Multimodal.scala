@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.functions.CrossHash
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media payloads ride as opaque
@@ -524,17 +525,117 @@ object Multimodal {
        |WHERE bit_count(xor(fa, fb)) <= 3
        |ORDER BY hamming, doc_a, doc_b""".stripMargin
 
+  /** Scene-change threshold for [[mediaKeyframes]]: adjacent frames
+    * whose 60-bit signatures differ in more than this many bits open
+    * a new scene. Re-encode jitter moves a handful of bits (the
+    * adjacent-byte comparisons mostly survive small perturbations);
+    * a content cut randomizes ~half of the 60. */
+  val KeyframeTau = 30
+
+  /** 60-bit per-frame signature for scene-change detection: bit i is
+    * set when frame byte i+1 is strictly greater than byte i (the
+    * dHash gradient trick applied along the frame's byte stream) —
+    * invariant to small per-byte jitter, where the exact frame md5
+    * ([[mediaDedup]]) flips on any single byte. Stub-decoded like
+    * every media op here: a real deployment computes the same
+    * signature over decoded luma rows behind the identical Spark
+    * plumbing. */
+  private[graft] def frameSig60(frame: Array[Byte]): Long = {
+    val n = math.min(61, frame.length)
+    var fp = 0L
+    var i = 0
+    while (i < n - 1) {
+      if ((frame(i + 1) & 0xFF) > (frame(i) & 0xFF)) fp |= (1L << i)
+      i += 1
+    }
+    fp
+  }
+
+  private val frameSigUdf = udf { (f: Array[Byte]) => frameSig60(f) }
+
+  /** Keyframe selection — the first video step of a vision-language
+    * data pipeline (sample ONE representative frame per scene instead
+    * of every near-identical frame): frames whose signature sits more
+    * than [[KeyframeTau]] Hamming bits from their predecessor start a
+    * scene; a first frame starts one by definition (its distance is
+    * pinned at the 60-bit maximum so the rule stays uniform). TOTAL:
+    * one row per frame with its distance and flag — the keep-list a
+    * frame sampler applies.
+    *
+    * Scale shape: one map pass explodes frames and signs them (the
+    * mediaFrames slicing, full stream); the predecessor comparison is
+    * a lag over the MEDIA-keyed window (bounded by frames-per-asset,
+    * never corpus-wide); the flag is arithmetic. */
+  def mediaKeyframes(s: SparkSession, dir: String): DataFrame = {
+    val payloads = t(s, dir, "documents")
+      .select(col("doc_id"),
+        when(length(col("text")) === octet_length(col("text")),
+            encode(col("text"), "UTF-8"))
+          .otherwise(raise_error(concat(
+            lit("media_keyframes fixture bridge requires ASCII text " +
+              "(byte ≡ char code); non-ASCII doc_id="),
+            col("doc_id").cast("string")))).as("payload"))
+    val frames = payloads.select(col("doc_id"),
+      posexplode(expr(
+        s"transform(sequence(0, greatest(int(ceil(octet_length(payload) / $FrameBytes.0)), 1) - 1), " +
+          s"i -> substring(payload, i * $FrameBytes + 1, $FrameBytes))"))
+        .as(Seq("frame_idx", "frame")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frames
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        frameSigUdf(col("frame")).as("sig"))
+      .withColumn("prev", lag(col("sig"), 1).over(w))
+      .withColumn("hamming_prev",
+        when(col("prev").isNull, lit(60L))
+          .otherwise(bit_count(col("sig").bitwiseXOR(col("prev"))).cast("long")))
+      .select(col("doc_id"), col("frame_idx"), col("hamming_prev"),
+        (col("hamming_prev") > KeyframeTau).cast("int").as("is_keyframe"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  /** Oracle mirror: the mediaFrames char≡byte slicing, the signature
+    * as an ord()-comparison bit sum (p = 1-based byte position; bit
+    * p−1 set when byte p+1 > byte p, positions capped at 61 to match
+    * the engine's min(61, len) walk), a doc-keyed lag, xor+popcount. */
+  val mediaKeyframesSql: String =
+    s"""WITH kf_f AS (
+       |  SELECT doc_id, i AS frame_idx,
+       |    substring(text, i * $FrameBytes + 1, $FrameBytes) AS frame
+       |  FROM documents,
+       |    UNNEST(range(0, greatest(CAST(ceil(length(text) / $FrameBytes.0) AS INT), 1))) AS t(i)),
+       |kf_s AS (
+       |  SELECT doc_id, frame_idx,
+       |    CAST(COALESCE(SUM(CASE WHEN p + 1 <= length(frame)
+       |            AND ord(substring(frame, p + 1, 1)) > ord(substring(frame, p, 1))
+       |          THEN CAST(1 AS BIGINT) << (p - 1) ELSE 0 END), 0) AS BIGINT) AS sig
+       |  FROM kf_f, UNNEST(range(1, 61)) AS t(p)
+       |  GROUP BY doc_id, frame_idx),
+       |kf_l AS (
+       |  SELECT doc_id, frame_idx, sig,
+       |    lag(sig) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+       |  FROM kf_s)
+       |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       |  CAST(CASE WHEN prev IS NULL THEN 60
+       |            ELSE bit_count(xor(sig, prev)) END AS BIGINT) AS hamming_prev,
+       |  CASE WHEN (CASE WHEN prev IS NULL THEN 60
+       |             ELSE bit_count(xor(sig, prev)) END) > $KeyframeTau
+       |       THEN 1 ELSE 0 END AS is_keyframe
+       |FROM kf_l
+       |ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_meta" -> (mediaMeta _),
     "media_frames" -> (mediaFrames _),
     "media_dedup" -> (mediaDedup _),
     "media_phash_dedup" -> (mediaPhashDedup _),
-    "media_audio_dedup" -> (mediaAudioDedup _))
+    "media_audio_dedup" -> (mediaAudioDedup _),
+    "media_keyframes" -> (mediaKeyframes _))
 
   val oracles: Map[String, String] = Map(
     "media_meta" -> mediaMetaSql,
     "media_frames" -> mediaFramesSql,
     "media_dedup" -> mediaDedupSql,
     "media_phash_dedup" -> mediaPhashDedupSql,
-    "media_audio_dedup" -> mediaAudioDedupSql)
+    "media_audio_dedup" -> mediaAudioDedupSql,
+    "media_keyframes" -> mediaKeyframesSql)
 }

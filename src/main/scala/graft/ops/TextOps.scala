@@ -1161,8 +1161,241 @@ object TextOps {
        |ORDER BY g.k""".stripMargin
   }
 
+  /** Train→heldout n-gram coverage — the generalization-side
+    * diversity read a data mix is tuned on: for n ∈ {1,2,3}, the
+    * fraction of HELDOUT n-gram occurrences (odd doc_ids) whose type
+    * was seen in TRAIN (even doc_ids — the langid_ngram split
+    * convention). Low unigram coverage means vocabulary mismatch;
+    * high trigram coverage means the heldout text is near-verbatim
+    * in train (the memorization-adjacent signal, from the LM side).
+    * Grid-total: always one row per n.
+    *
+    * Scale shape: ONE corpus scan builds all three gram streams
+    * (explode of a 3-element n-sequence, then one slice-transform
+    * per doc — no per-n rescan); the train types are one DISTINCT
+    * and the coverage probe one left join, both keyed (n, gram) so
+    * the exchange is reused; the per-n rollups are 3-row
+    * aggregations. */
+  def ngramCoverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"), explode(sequence(lit(1), lit(3))).as("n"))
+      .filter(size(col("w")) >= col("n"))
+      .select((col("doc_id") % 2 === 0).as("is_train"), col("n"),
+        explode(expr(
+          "transform(sequence(0, size(w) - n), i -> array_join(slice(w, i + 1, n), ' '))"))
+          .as("g"))
+    val train = grams.filter(col("is_train")).select(col("n"), col("g")).distinct()
+    val trainTypes = train.groupBy(col("n")).agg(count(lit(1)).as("train_types"))
+    val cov = grams.filter(!col("is_train"))
+      .join(train.withColumn("hit", lit(1L)), Seq("n", "g"), "left")
+      .groupBy(col("n"))
+      .agg(count(lit(1)).as("held_tokens"),
+        coalesce(sum(col("hit")), lit(0L)).as("held_covered"))
+    Seq(1, 2, 3).toDF("n")
+      .join(trainTypes, Seq("n"), "left")
+      .join(cov, Seq("n"), "left")
+      .select(col("n"),
+        coalesce(col("train_types"), lit(0L)).as("train_types"),
+        coalesce(col("held_tokens"), lit(0L)).as("held_tokens"),
+        coalesce(col("held_covered"), lit(0L)).as("held_covered"))
+      .withColumn("coverage",
+        when(col("held_tokens") === 0, lit(0.0))
+          .otherwise(r6(col("held_covered").cast("double") / col("held_tokens"))))
+      .orderBy(col("n"))
+  }
+
+  val ngramCoverageSql: String =
+    """WITH nc_w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |nc_g AS MATERIALIZED (
+      |  SELECT doc_id % 2 = 0 AS is_train, n,
+      |    array_to_string(w[i + 1 : i + n], ' ') AS g
+      |  FROM nc_w, UNNEST([1, 2, 3]) AS tn(n),
+      |       UNNEST(range(0, len(w) - n + 1)) AS ti(i)
+      |  WHERE len(w) >= n),
+      |nc_tr AS (SELECT DISTINCT n, g FROM nc_g WHERE is_train),
+      |nc_tt AS (SELECT n, COUNT(*) AS train_types FROM nc_tr GROUP BY n),
+      |nc_cov AS (
+      |  SELECT h.n, COUNT(*) AS held_tokens,
+      |    SUM(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END) AS held_covered
+      |  FROM (SELECT n, g FROM nc_g WHERE NOT is_train) h
+      |  LEFT JOIN nc_tr t USING (n, g)
+      |  GROUP BY h.n),
+      |nc_grid AS (SELECT UNNEST([1, 2, 3]) AS n)
+      |SELECT g.n,
+      |  CAST(COALESCE(tt.train_types, 0) AS BIGINT) AS train_types,
+      |  CAST(COALESCE(c.held_tokens, 0) AS BIGINT) AS held_tokens,
+      |  CAST(COALESCE(c.held_covered, 0) AS BIGINT) AS held_covered,
+      |  CASE WHEN COALESCE(c.held_tokens, 0) = 0 THEN 0.0
+      |       ELSE round(CAST(c.held_covered AS DOUBLE) / c.held_tokens, 6) + 0
+      |  END AS coverage
+      |FROM nc_grid g
+      |LEFT JOIN nc_tt tt USING (n)
+      |LEFT JOIN nc_cov c USING (n)
+      |ORDER BY n""".stripMargin
+
+  /** Heaps'-law fit — the vocabulary-GROWTH audit beside
+    * [[zipfFit]]'s frequency audit: natural text grows types as
+    * V(N) ≈ K·N^β with β ≈ 0.4–0.6; β near 1 means the stream keeps
+    * minting new types (OCR noise, random ids), β near 0 means a
+    * closed template vocabulary. Fit is OLS on (ln N, ln V) over 8
+    * cumulative corpus prefixes (doc_id-order octiles of the id
+    * space), reporting β, ln K, and R².
+    *
+    * Scale shape: per-doc token counts are a map pass into ≤8 bucket
+    * rows; type first-occurrences are the ONE vocabulary groupBy
+    * (min doc_id per word) also reduced to ≤8 rows; the cumulative
+    * curve is a window over those 8 rows (boundedRankKey — never a
+    * corpus-wide ordinal), and the fit is the zipf_fit moment
+    * machinery (r6 per-term moments, decimal sums, closed form). The
+    * degenerate single-populated-bucket corpus (zero x-variance) and
+    * the <2-point corpus pin all three fit outputs to 0.0 — guarded
+    * identically in both engines. */
+  def heapsFit(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.OracleMath
+    val d = t(s, dir, "documents")
+    val mx = d.agg(max(col("doc_id")).as("mx"))
+    val docTok = d
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nw"))
+      .crossJoin(broadcast(mx))
+      .select(expr("(doc_id * 8) div (mx + 1)").as("b"), col("nw"))
+      .groupBy(col("b")).agg(sum(col("nw")).as("toks"))
+    val firstDoc = d
+      .select(explode(split(col("text"), " ")).as("word"), col("doc_id"))
+      .groupBy(col("word")).agg(min(col("doc_id")).as("fd"))
+      .crossJoin(broadcast(mx))
+      .select(expr("(fd * 8) div (mx + 1)").as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("types"))
+    // the window input is the LITERAL 8-row grid, so one partition is
+    // the design, not an accident; `b div 8` is constant over 0..7 but
+    // not statically foldable (boundedRankKey's `* 0` form folds on
+    // this non-nullable column and would drop the partitioner)
+    val wCum = Window
+      .partitionBy(expr("b div 8"))
+      .orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = s.range(0, 8).select(col("id").as("b"))
+      .join(docTok, Seq("b"), "left")
+      .join(firstDoc, Seq("b"), "left")
+      .select(col("b"),
+        coalesce(col("toks"), lit(0L)).as("toks"),
+        coalesce(col("types"), lit(0L)).as("types"))
+      // both cumulative frames in ONE projection so they share one
+      // Window exec (chained withColumn would alias the partition key
+      // twice and stack two execs)
+      .select(col("b"),
+        sum(col("toks")).over(wCum).as("n_cum"),
+        sum(col("types")).over(wCum).as("v_cum"))
+      .filter(col("n_cum") > 0 && col("v_cum") > 0)
+      .select(r6(log(col("n_cum").cast("double"))).as("x"),
+        r6(log(col("v_cum").cast("double"))).as("y"))
+    val terms = pts.select(col("x"), col("y"),
+      r6(col("x") * col("y")).as("xy"),
+      r6(col("x") * col("x")).as("xx"),
+      r6(col("y") * col("y")).as("yy"))
+    val agg = terms.agg(
+      count(lit(1)).as("n_points"),
+      OracleMath.dsum(col("x")).as("sx"),
+      OracleMath.dsum(col("y")).as("sy"),
+      OracleMath.dsum(col("xy")).as("sxy"),
+      OracleMath.dsum(col("xx")).as("sxx"),
+      OracleMath.dsum(col("yy")).as("syy"),
+      min(col("x")).as("mnx"), max(col("x")).as("mxx"),
+      min(col("y")).as("mny"), max(col("y")).as("mxy"))
+    val n = col("n_points").cast("double")
+    val den = n * col("sxx") - col("sx") * col("sx")
+    val denY = n * col("syy") - col("sy") * col("sy")
+    // zero x-variance must be judged on the POINTS (min = max), not on
+    // the moment-form denominator: the r6-rounded moments leave a
+    // rounding residue that makes `den` nonzero — and the residue
+    // ratio lands on a plausible-looking ±1 slope — exactly when the
+    // curve is flat and no fit exists
+    val degenerate = col("n_points") < 2 || col("mnx") === col("mxx")
+    agg
+      .withColumn("beta",
+        when(degenerate, lit(0.0))
+          .otherwise(r6((n * col("sxy") - col("sx") * col("sy")) / den)))
+      .select(
+        col("n_points"),
+        col("beta"),
+        when(degenerate, lit(0.0))
+          .otherwise(r6((col("sy") - col("beta") * col("sx")) / n)).as("log_k"),
+        when(degenerate || col("mny") === col("mxy"), lit(0.0))
+          .otherwise(r6(((n * col("sxy") - col("sx") * col("sy")) *
+              (n * col("sxy") - col("sx") * col("sy"))) / (den * denY))).as("r2"))
+  }
+
+  val heapsFitSql: String =
+    """WITH hf_mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+      |hf_dt AS (
+      |  SELECT (doc_id * 8) // (mx + 1) AS b,
+      |    len(string_split(text, ' ')) AS nw
+      |  FROM documents, hf_mx),
+      |hf_tok AS (SELECT b, SUM(nw) AS toks FROM hf_dt GROUP BY b),
+      |hf_fd AS (
+      |  SELECT w AS word, MIN(doc_id) AS fd
+      |  FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+      |  GROUP BY w),
+      |hf_vb AS (SELECT (fd * 8) // (mx + 1) AS b FROM hf_fd, hf_mx),
+      |hf_typ AS (SELECT b, COUNT(*) AS types FROM hf_vb GROUP BY b),
+      |hf_grid AS (SELECT UNNEST(range(0, 8)) AS b),
+      |hf_cum AS (
+      |  SELECT g.b,
+      |    SUM(COALESCE(t.toks, 0)) OVER (ORDER BY g.b
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_cum,
+      |    SUM(COALESCE(v.types, 0)) OVER (ORDER BY g.b
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_cum
+      |  FROM hf_grid g
+      |  LEFT JOIN hf_tok t ON t.b = g.b
+      |  LEFT JOIN hf_typ v ON v.b = g.b),
+      |hf_xy AS (
+      |  SELECT round(ln(CAST(n_cum AS DOUBLE)), 6) + 0 AS x,
+      |         round(ln(CAST(v_cum AS DOUBLE)), 6) + 0 AS y
+      |  FROM hf_cum WHERE n_cum > 0 AND v_cum > 0),
+      |hf_m AS (
+      |  SELECT x, y,
+      |    round(x * y, 6) + 0 AS xy,
+      |    round(x * x, 6) + 0 AS xx,
+      |    round(y * y, 6) + 0 AS yy
+      |  FROM hf_xy),
+      |hf_a AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+      |    CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(xy AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(xx AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(yy AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+      |    MIN(x) AS mnx, MAX(x) AS mxx, MIN(y) AS mny, MAX(y) AS mxy
+      |  FROM hf_m),
+      |hf_f AS (
+      |  SELECT *,
+      |    CAST(n_points AS DOUBLE) * sxx - sx * sx AS den,
+      |    CAST(n_points AS DOUBLE) * syy - sy * sy AS den_y,
+      |    -- zero x-variance judged on the POINTS (min = max): the
+      |    -- r6-rounded moments leave `den` nonzero by residue exactly
+      |    -- when the curve is flat (mirrors the engine guard)
+      |    CASE WHEN n_points < 2 OR mnx = mxx THEN 0.0
+      |         ELSE round((CAST(n_points AS DOUBLE) * sxy - sx * sy)
+      |           / (CAST(n_points AS DOUBLE) * sxx - sx * sx), 6) + 0
+      |    END AS beta
+      |  FROM hf_a)
+      |SELECT n_points, beta,
+      |  CASE WHEN n_points < 2 OR mnx = mxx THEN 0.0
+      |       ELSE round((sy - beta * sx) / CAST(n_points AS DOUBLE), 6) + 0
+      |  END AS log_k,
+      |  CASE WHEN n_points < 2 OR mnx = mxx OR mny = mxy THEN 0.0
+      |       ELSE round(((CAST(n_points AS DOUBLE) * sxy - sx * sy)
+      |              * (CAST(n_points AS DOUBLE) * sxy - sx * sy))
+      |           / (den * den_y), 6) + 0
+      |  END AS r2
+      |FROM hf_f""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "zipf_fit" -> (zipfFit _),
+    "heaps_fit" -> (heapsFit _),
+    "ngram_coverage" -> (ngramCoverage _),
     "vocab_coverage" -> (vocabCoverage _),
     "doc_novelty" -> (docNovelty _),
     "doc_entropy" -> (docEntropy _),
@@ -1185,6 +1418,8 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "zipf_fit" -> zipfFitSql,
+    "heaps_fit" -> heapsFitSql,
+    "ngram_coverage" -> ngramCoverageSql,
     "vocab_coverage" -> vocabCoverageSql,
     "doc_novelty" -> docNoveltySql,
     "doc_entropy" -> docEntropySql,

@@ -436,4 +436,96 @@ class DedupSpec extends AnyFunSuite {
       saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
     }
   }
+
+  test("homoglyph_dedup: catches a Cyrillic/zero-width spoof that norm_dedup provably misses") {
+    // doc 1 spoofs doc 0 with Cyrillic а/е/о lookalikes and a
+    // zero-width space hidden inside 'data'; doc 2 is unrelated.
+    // norm_dedup's [^a-z0-9] rule turns each Cyrillic letter into a
+    // SPACE, so the normal forms differ and it cannot group them.
+    val plain = "clean data table scan merge order"
+    val spoof = "cleаn da​tа tablе scan mеrge оrder"
+    val hdir = Files.createTempDirectory("graft-homoglyph").toString
+    Seq((0L, plain), (1L, spoof), (2L, "other words entirely here"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$hdir/documents.parquet")
+    val hg = Dedup.homoglyphDedup(spark, hdir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    assert(hg(0L) == ((0L, 2L, 0)), s"canonical copy: $hg")
+    assert(hg(1L) == ((0L, 2L, 1)), s"spoof must collapse onto doc 0: $hg")
+    assert(hg(2L) == ((2L, 1L, 0)), s"unrelated doc untouched: $hg")
+    val nd = Dedup.normDedup(spark, hdir).collect()
+      .map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(nd.values.forall(_ == 0), s"norm_dedup must be blind to the spoof: $nd")
+  }
+
+  test("soft_dedup_weights: near-dup components split unit weight; singletons keep 1.0") {
+    // fixture components: {0,1} (exact pair) and {2,3} (near pair);
+    // doc 4 is in no component
+    val got = Dedup.softDedupWeights(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L, 4L), "total: one row per doc")
+    Seq(0L, 1L, 2L, 3L).foreach { id =>
+      val (_, nc, w, _) = got(id)
+      assert(nc == 2L && w == 0.5, s"pair members weigh 1/2: $got")
+    }
+    val (nw4, nc4, w4, eff4) = got(4L)
+    assert(nc4 == 1L && w4 == 1.0 && eff4 == nw4.toDouble, s"singleton keeps full weight: $got")
+    // doc 0 has 10 words → contributes 5 effective words
+    assert(got(0L)._1 == 10L && got(0L)._4 == 5.0, s"effective words halve: $got")
+  }
+
+  test("memorization_spans: consecutive duplicated windows merge to the passage length") {
+    // pA (25 words) shared by docs 0, 1, 2; pB (15 words) shared by
+    // docs 2, 3. Doc 2 carries BOTH → two islands, longest = pA's.
+    val pA = (1 to 25).map(i => s"a$i").mkString(" ")
+    val pB = (1 to 15).map(i => s"b$i").mkString(" ")
+    def fill(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val mdir = Files.createTempDirectory("graft-memspan").toString
+    Seq(
+      (0L, s"${fill("f", 30)} $pA"),
+      (1L, s"${fill("g", 7)} $pA"),
+      (2L, s"$pA ${fill("h", 20)} $pB"),
+      (3L, s"$pB ${fill("k", 16)}"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$mdir/documents.parquet")
+    val got = Dedup.memorizationSpans(spark, mdir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // a 25-word passage = 11 consecutive duplicated 15-word windows
+    assert(got(0L) == ((1L, 11L, 25L)), s"doc 0: one 25-word span: $got")
+    assert(got(1L) == ((1L, 11L, 25L)), s"doc 1: same span at a different offset: $got")
+    assert(got(2L) == ((2L, 11L, 25L)), s"doc 2: two islands, longest 25: $got")
+    assert(got(3L) == ((1L, 1L, 15L)), s"doc 3: the 15-word passage alone: $got")
+  }
+
+  test("dedup_funnel: tiers apply in sequence and components re-elect still-alive survivors") {
+    val base = "one two three four five six seven eight nine ten eleven twelve"
+    val fdir = Files.createTempDirectory("graft-funnel").toString
+    Seq(
+      (0L, base),                       // exact pair with 1
+      (1L, base),                       //   removed at the exact tier
+      (2L, "Hello, World Friends"),     // case/punct variant of 3
+      (3L, "hello world friends"),      //   removed at the norm tier
+      (4L, base.replace("twelve", "thirteen")), // near-dup of 0/1 → component
+      (5L, "completely different words about cats dogs birds fish mice"),
+      (6L, "another unrelated document with its own content words here"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$fdir/documents.parquet")
+    val got = Dedup.dedupFunnel(spark, fdir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.map(t => (t._1, t._2)).toSeq ==
+      Seq((0, "raw"), (1, "exact"), (2, "normalized"), (3, "neardup")), s"$got")
+    val byTier = got.map(t => t._2 -> ((t._3, t._5))).toMap
+    assert(byTier("raw") == ((7L, 0L)), s"raw counts all docs: $got")
+    assert(byTier("exact") == ((6L, 1L)), s"exact removes doc 1: $got")
+    assert(byTier("normalized") == ((5L, 1L)), s"norm removes doc 3: $got")
+    // the near-dup component is {0,1,4}; its global min 0 is still
+    // alive, so only doc 4 falls at the near-dup tier — doc 0 must
+    // NOT be double-removed
+    assert(byTier("neardup") == ((4L, 1L)), s"neardup removes doc 4 only: $got")
+    // word accounting: every kept doc's words are counted
+    val words = got.map(t => t._2 -> t._4).toMap
+    assert(words("raw") > words("exact") && words("exact") > words("normalized")
+      && words("normalized") > words("neardup"), s"word funnel monotone: $got")
+  }
 }

@@ -762,4 +762,61 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("HashAggregate"),
       s"per-doc terms fold inside the UDF, never in an exchange: $plan")
   }
+
+  test("homoglyph_dedup: one map pass + one 16-byte-key window — no join anywhere") {
+    val plan = graft.ops.Dedup.homoglyphDedup(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"skeleton hashing is map-only: $plan")
+    val specs = "windowspecdefinition\\(skel_key".r.findAllIn(plan).size
+    val all = "windowspecdefinition\\(".r.findAllIn(plan).size
+    assert(all > 0 && specs == all,
+      s"every window must partition on the skeleton key ($specs/$all): $plan")
+  }
+
+  test("soft_dedup_weights: corpus pays one join against the narrow component relation") {
+    val plan = graft.ops.Dedup.softDedupWeights(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+    assert(!plan.contains("windowspecdefinition"),
+      s"weights are arithmetic, never a window: $plan")
+  }
+
+  test("memorization_spans: islands window is DOC-keyed; survivorship never windows the posting stream") {
+    val plan = graft.ops.Dedup.memorizationSpans(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+    val all = "windowspecdefinition\\(".r.findAllIn(plan).size
+    val docKeyed = "windowspecdefinition\\(doc_id".r.findAllIn(plan).size
+    assert(all > 0 && docKeyed == all,
+      s"every window must partition per doc ($docKeyed/$all): $plan")
+  }
+
+  test("dedup_funnel: survivor windows key on text/norm hashes; no cartesian") {
+    val plan = graft.ops.Dedup.dedupFunnel(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+  }
+
+  test("ngram_coverage: one gram stream, (n, gram)-keyed distinct + probe, no window") {
+    val plan = graft.ops.TextOps.ngramCoverage(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+    assert(!plan.contains("windowspecdefinition"),
+      s"coverage is joins + aggregates, never a window: $plan")
+  }
+
+  test("heaps_fit: octile scalars broadcast; windows only over the bounded 8-row curve") {
+    val df = graft.ops.TextOps.heapsFit(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+    assert(plan.contains("Broadcast"), s"the max-id scalar must broadcast: $plan")
+    // ONE Window exec hosts both cumulative frames, and its input is
+    // the literal 8-row grid (grid-constant partition key) — never a
+    // corpus-wide ordinal
+    val execs = "Window \\[".r.findAllIn(plan).size
+    assert(execs == 1, s"one bounded window exec: $plan")
+    // the key is pre-projected (`_wN = b div 8`) before the exec
+    assert("div 8\\) AS _w\\d".r.findAllIn(plan).nonEmpty,
+      s"window must key on the grid-constant (b div 8): $plan")
+  }
 }

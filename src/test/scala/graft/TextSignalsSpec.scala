@@ -70,4 +70,61 @@ class TextSignalsSpec extends AnyFunSuite {
         s"doc $id: jm=$nll uni=${uni(id)} exceeds unigram-prior bound")
     }
   }
+
+  test("ngram_coverage matches hand-computed train→heldout coverage per n") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-ngcov").toString
+    Seq(
+      (0L, "a b c d"), // even → train
+      (2L, "c d e"),   // even → train
+      (1L, "a b x"),   // odd → heldout
+      (3L, "d e"))     // odd → heldout
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = TextOps.ngramCoverage(spark, d).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // unigrams: train types {a,b,c,d,e}; heldout a,b,x,d,e → 4/5 covered
+    assert(got(1) == ((5L, 5L, 4L, 0.8)), s"$got")
+    // bigrams: train {a b, b c, c d, d e}; heldout [a b, b x, d e] → 2/3
+    assert(got(2) == ((4L, 3L, 2L, 0.666667)), s"$got")
+    // trigrams: train {a b c, b c d, c d e}; heldout [a b x] → 0/1
+    assert(got(3) == ((3L, 1L, 0L, 0.0)), s"$got")
+  }
+
+  test("heaps_fit recovers sublinear vocabulary growth and pins the degenerate cases to zero") {
+    import spark.implicits._
+    // 16 docs, two per octile bucket; each doc mints a shrinking
+    // number of NEW types on top of a repeated closed set, so V(N)
+    // grows sublinearly and the log-log fit should land in (0, 1)
+    // with a tight R².
+    val docs = (0 until 16).map { i =>
+      val newTypes = (0 until math.max(1, 8 - i / 2)).map(j => s"n${i}_$j")
+      val repeats = (0 until 12).map(j => s"base${j % 6}")
+      (i.toLong, (newTypes ++ repeats).mkString(" "))
+    }
+    val d = Files.createTempDirectory("graft-heaps").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val Array(row) = TextOps.heapsFit(spark, d).collect()
+    val (n, beta, r2) = (row.getLong(0), row.getDouble(1), row.getDouble(3))
+    assert(n == 8L, s"eight octile points: $row")
+    assert(beta > 0.0 && beta < 1.0, s"sublinear growth: beta=$beta")
+    assert(r2 > 0.8, s"log-log fit should be tight on a Heaps-like corpus: r2=$r2")
+    // degenerate 1: constant vocabulary after the first bucket →
+    // y-variance 0 → r2 pinned to 0, beta ~ 0 (flat line)
+    val dc = Files.createTempDirectory("graft-heaps-const").toString
+    (0 until 16).map(i => (i.toLong, "same words every time"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dc/documents.parquet")
+    val Array(rc) = TextOps.heapsFit(spark, dc).collect()
+    assert(math.abs(rc.getDouble(1)) < 1e-5 && rc.getDouble(3) == 0.0,
+      s"flat vocabulary → zero slope, r2 pinned 0: $rc")
+    // degenerate 2: a single doc puts ALL mass in bucket 0 → every
+    // cumulative point identical → x-variance 0 → whole fit pinned 0
+    val d1 = Files.createTempDirectory("graft-heaps-one").toString
+    Seq((0L, "only one document here"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$d1/documents.parquet")
+    val Array(r1) = TextOps.heapsFit(spark, d1).collect()
+    assert(r1.getDouble(1) == 0.0 && r1.getDouble(2) == 0.0 && r1.getDouble(3) == 0.0,
+      s"zero x-variance pins the whole fit: $r1")
+  }
 }
