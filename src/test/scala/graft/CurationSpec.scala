@@ -506,4 +506,39 @@ class CurationSpec extends AnyFunSuite {
       Seq(s"$para ${tl("a")}", tl("b"), doc3Clean, "tiny doc", "").map(_.length).sum
     assert(rep.getLong(3) == bytesSaved.toLong, s"bytes_saved ${rep.getLong(3)} vs $bytesSaved")
   }
+
+  test("quality_threshold_sweep: grid-total, monotone, and consistent with the ensemble's own keeps") {
+    val sf = "/root/testdata/sf0.001"
+    val sweep = Curation.qualityThresholdSweep(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(sweep.map(_._1).toSeq == Seq(0.3, 0.4, 0.5, 0.6, 0.7), s"${sweep.toSeq}")
+    // tightening the threshold can only shrink the kept set
+    assert(sweep.sliding(2).forall { case Array(a, b) => a._2 >= b._2 && a._4 >= b._4 },
+      s"monotone: ${sweep.toSeq}")
+    // the τ = 0.5 row must agree with quality_ensemble's keep column
+    val kept05 = Curation.qualityEnsemble(spark, sf).collect()
+      .count(_.getInt(5) == 1).toLong
+    val row05 = sweep.find(_._1 == 0.5).get
+    assert(row05._2 == kept05, s"τ=0.5 must recover the ensemble keeps: $row05 vs $kept05")
+    assert(sweep.forall(r => r._3 >= 0.0 && r._3 <= 1.0), s"fractions bounded: ${sweep.toSeq}")
+  }
+
+  test("epoch_shuffle_report: salted epochs decorrelate; a degenerate corpus pins r to 0") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Curation.epochShuffleReport(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == Seq("1-2", "2-3"), s"${got.toSeq}")
+    // n = 500 ⇒ the null σ of Pearson r is ~1/√n ≈ 0.045; a working
+    // salt keeps |r| well inside a few σ, a broken one sends it to ±1
+    got.foreach { case (pair, n, r) =>
+      assert(n == 500L, s"$pair: ${got.toSeq}")
+      assert(math.abs(r) < 0.15, s"epoch keys must decorrelate ($pair r=$r)")
+    }
+    // guard: a single-doc corpus has no variance to correlate
+    val d1 = Files.createTempDirectory("graft-epoch-one").toString
+    Seq((0L, "only doc")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$d1/documents.parquet")
+    val one = Curation.epochShuffleReport(spark, d1).collect()
+    assert(one.forall(_.getDouble(2) == 0.0), s"n<2 pins r=0: ${one.toSeq}")
+  }
 }

@@ -226,4 +226,28 @@ class MultimodalSpec extends AnyFunSuite {
     val exact = Multimodal.mediaDedup(spark, dir).collect()
     assert(exact.isEmpty, s"exact frame dedup must be blind to per-frame jitter: ${exact.toSeq}")
   }
+
+  test("media_keyframes: jittered repeats stay in-scene; a content cut opens a keyframe") {
+    import spark.implicits._
+    // four 64-byte frames: ascending gradient, two jittered copies of
+    // it (one byte bumped — ≤ 2 signature bits move), then a full
+    // reversal (every comparison flips — Hamming 59 > τ)
+    val up = (0 until 64).map(i => (48 + i).toChar).mkString
+    def jitter(at: Int) = up.updated(at, (up(at) + 1).toChar)
+    val down = up.reverse
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-keyframe").toString
+    Seq((0L, up + jitter(20) + jitter(45) + down))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val got = Multimodal.mediaKeyframes(spark, dir2).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.length == 4, s"four frames: ${got.toSeq}")
+    assert(got(0) == ((0L, 60L, 1)), s"a first frame always opens a scene: ${got.toSeq}")
+    Seq(got(1), got(2)).foreach { case (_, ham, kf) =>
+      assert(ham <= 2L && kf == 0,
+        s"one-byte jitter must stay inside the scene: ${got.toSeq}")
+    }
+    assert(got(3)._2 > Multimodal.KeyframeTau && got(3)._3 == 1,
+      s"the reversal is a content cut: ${got.toSeq}")
+  }
 }

@@ -819,4 +819,29 @@ class PlanSpec extends AnyFunSuite {
     assert("div 8\\) AS _w\\d".r.findAllIn(plan).nonEmpty,
       s"window must key on the grid-constant (b div 8): $plan")
   }
+
+  test("media_keyframes: one map pass, predecessor lag MEDIA-keyed, no join") {
+    val plan = graft.ops.Multimodal.mediaKeyframes(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"framing + signing is map-only: $plan")
+    val all = "windowspecdefinition\\(".r.findAllIn(plan).size
+    val docKeyed = "windowspecdefinition\\(doc_id".r.findAllIn(plan).size
+    assert(all > 0 && docKeyed == all,
+      s"every window must partition per media asset ($docKeyed/$all): $plan")
+  }
+
+  test("quality_threshold_sweep: one pass over the ensemble, grid as conditional sums, no window") {
+    val plan = graft.ops.Curation.qualityThresholdSweep(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+    assert(!plan.contains("windowspecdefinition"),
+      s"the grid is conditional sums in ONE aggregation, never a window: $plan")
+  }
+
+  test("epoch_shuffle_report: map-only keying + one 1-row aggregation — no join, no window") {
+    val plan = graft.ops.Curation.epochShuffleReport(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"keying is map-only: $plan")
+    assert(!plan.contains("windowspecdefinition"), s"plan: $plan")
+  }
 }
