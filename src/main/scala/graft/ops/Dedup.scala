@@ -871,13 +871,20 @@ object Dedup {
     * over `split(text)` would re-split per element once
     * CollapseProject inlines the alias, the boilerplate-rebuild
     * lesson, so the closure form IS the fast form). */
-  private[graft] val substrWinUdf = udf { (text: String) =>
-    val w = if (text == null) Array.empty[String] else text.split(" ")
-    if (w.length < ExactSubstrWords) Array.empty[Long]
-    else Array.tabulate(w.length - ExactSubstrWords + 1) { i =>
+  /** Word array with DuckDB `string_split` semantics: split with
+    * limit -1 KEEPS leading/trailing empty tokens (Java's default
+    * limit 0 drops trailing empties, so a doc ending in a space
+    * would stream one fewer window engine-side than oracle-side). */
+  private[graft] def splitWords(text: String): Array[String] =
+    if (text == null) Array.empty[String] else text.split(" ", -1)
+
+  private[graft] def windowHashes(text: String, winLen: Int): Array[Long] = {
+    val w = splitWords(text)
+    if (w.length < winLen) Array.empty[Long]
+    else Array.tabulate(w.length - winLen + 1) { i =>
       val sb = new StringBuilder
       var j = i
-      val end = i + ExactSubstrWords
+      val end = i + winLen
       while (j < end) {
         if (j > i) sb.append(' ')
         sb.append(w(j))
@@ -887,30 +894,43 @@ object Dedup {
     }
   }
 
+  private[graft] val substrWinUdf = udf { (text: String) =>
+    windowHashes(text, ExactSubstrWords)
+  }
+
   /** Interval scrub: given the sorted 0-based start offsets of
     * removed [[ExactSubstrWords]]-word windows, drop every word
     * covered by any [start, start+L-1] interval (overlaps merge by
     * construction of the single left-to-right sweep) and re-join the
     * survivors byte-exactly. */
-  private[graft] val substrScrubUdf = udf { (text: String, starts: Seq[Int]) =>
-    val w = if (text == null) Array.empty[String] else text.split(" ")
+  private[graft] def scrubWords(text: String, starts: Seq[Int], winLen: Int): String = {
+    val w = splitWords(text)
     val sb = new StringBuilder
     var si = 0
     var coverEnd = -1
     var i = 0
+    // count of EMITTED words, not sb.nonEmpty: a kept leading empty
+    // token leaves sb empty, and the next word must still get its
+    // separator or a leading-space doc rebuilds off by one byte
+    var emitted = 0
     while (i < w.length) {
       while (si < starts.length && starts(si) <= i) {
-        val e = starts(si) + ExactSubstrWords - 1
+        val e = starts(si) + winLen - 1
         if (e > coverEnd) coverEnd = e
         si += 1
       }
       if (i > coverEnd) {
-        if (sb.nonEmpty) sb.append(' ')
+        if (emitted > 0) sb.append(' ')
         sb.append(w(i))
+        emitted += 1
       }
       i += 1
     }
     sb.toString
+  }
+
+  private[graft] val substrScrubUdf = udf { (text: String, starts: Seq[Int]) =>
+    scrubWords(text, starts, ExactSubstrWords)
   }
 
   /** Exact duplicated-substring REMOVAL with byte-exact rebuild —
@@ -1030,6 +1050,160 @@ object Dedup {
        |  CAST(COALESCE(SUM(r.n_removed), 0) AS BIGINT) AS n_removed_words,
        |  CAST(COALESCE(SUM(length(d.text) - r.len_clean), 0) AS BIGINT) AS bytes_saved
        |FROM sr r JOIN documents d USING (doc_id)""".stripMargin
+
+  // ---- Variable-length exact-substring removal (maximal runs) ----
+
+  /** Atomic window length for [[substrDedupMaximal]] — FINER than the
+    * removable-span threshold, which is the whole point: with
+    * [[ExactSubstrWords]]-word windows a 14-word verbatim copy is
+    * invisible (no window fits inside it), so the window length is a
+    * silent recall knob. Detection runs at this grain and the
+    * REMOVAL decision at [[MaximalMinSpanWords]]. */
+  val MaximalAtomWords = 8
+
+  /** Minimum duplicated-run length, in words, that
+    * [[substrDedupMaximal]] removes. Any duplicated span of s ≥ this
+    * contains s − [[MaximalAtomWords]] + 1 consecutive duplicated
+    * atomic windows, so its island measures exactly s words. */
+  val MaximalMinSpanWords = 12
+
+  private[graft] val maximalWinUdf = udf { (text: String) =>
+    windowHashes(text, MaximalAtomWords)
+  }
+
+  /** [[scrubWords]] for explicit inclusive word intervals
+    * [starts(k), ends(k)], sorted by start. Same emitted-count
+    * separator rule (byte-exact on leading/trailing-space docs). */
+  private[graft] def scrubIntervals(text: String, starts: Seq[Int], ends: Seq[Int]): String = {
+    val w = splitWords(text)
+    val sb = new StringBuilder
+    var si = 0
+    var coverEnd = -1
+    var i = 0
+    var emitted = 0
+    while (i < w.length) {
+      while (si < starts.length && starts(si) <= i) {
+        if (ends(si) > coverEnd) coverEnd = ends(si)
+        si += 1
+      }
+      if (i > coverEnd) {
+        if (emitted > 0) sb.append(' ')
+        sb.append(w(i))
+        emitted += 1
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  private[graft] val intervalScrubUdf = udf { (text: String, ss: Seq[Int], ee: Seq[Int]) =>
+    scrubIntervals(text, ss, ee)
+  }
+
+  /** VARIABLE-LENGTH exact-substring removal — the actual Lee et
+    * al. 2022 ExactSubstr semantics, suffix-array-free: duplicated
+    * runs are cut at ANY length ≥ [[MaximalMinSpanWords]], not only
+    * when a fixed [[ExactSubstrWords]]-word window fits. Detection
+    * uses FINE [[MaximalAtomWords]]-word atomic windows; consecutive
+    * duplicated window positions merge into maximal islands (the
+    * [[memorizationSpans]] gaps-and-islands machinery composed into
+    * the scrub path); an island of run r covers exactly r + atom − 1
+    * words, and only islands of span ≥ the threshold are removed —
+    * an isolated atomic-window coincidence (span 8 < 12) survives.
+    * Survivorship stays first-occurrence at the window grain: a
+    * window whose global min (doc_id, pos) lands in this doc is not
+    * "bad" here, so the canonical copy of a passage keeps it.
+    *
+    * Over-approximation note (shared with every windowed ExactSubstr):
+    * consecutive windows duplicated against DIFFERENT sources still
+    * merge into one island — the removed run is a union of verbatim
+    * duplications, not necessarily one contiguous copy of a single
+    * source.
+    *
+    * Scale shape: same two-shuffle budget as [[substrDedup]] (ONE
+    * min-struct per window hash, one hash rejoin), plus the DOC-keyed
+    * islands window (bounded by doc length, never corpus-wide) and
+    * one doc-keyed rebuild join. */
+  def substrDedupMaximal(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val wins = d.select(col("doc_id"),
+      posexplode(maximalWinUdf(col("text"))).as(Seq("pos", "h")))
+    val first = wins.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+    val bad = wins.join(first, Seq("h"))
+      .filter(!(col("doc_id") === col("f.doc_id") && col("pos") === col("f.pos")))
+      .select(col("doc_id"), col("pos"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val iv = bad
+      .withColumn("island", col("pos") - row_number().over(wDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"),
+        (max(col("pos")) + lit(MaximalAtomWords - 1)).as("e"))
+      .filter(col("e") - col("s") + 1 >= MaximalMinSpanWords)
+    val ivl = iv.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("iv"))
+      .select(col("doc_id"),
+        expr("transform(iv, x -> x.s)").as("ss"),
+        expr("transform(iv, x -> x.e)").as("ee"))
+    d.select(col("doc_id"), col("text"))
+      .join(ivl, Seq("doc_id"), "left")
+      .withColumn("ss", coalesce(col("ss"), array().cast("array<int>")))
+      .withColumn("ee", coalesce(col("ee"), array().cast("array<int>")))
+      .withColumn("clean", intervalScrubUdf(col("text"), col("ss"), col("ee")))
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        (size(split(col("text"), " ")) -
+          when(col("clean") === "", 0)
+            .otherwise(size(split(col("clean"), " ")))).cast("long").as("n_removed"),
+        length(col("clean")).cast("long").as("len_clean"),
+        graft.functions.CrossHash.md5Hash60Col(col("clean")).as("clean_h"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle mirror of [[substrDedupMaximal]]: atomic window hashes,
+    * rank-1 first occurrence, gaps-and-islands intervals with the
+    * span HAVING filter, rebuild keeping words no interval covers
+    * (list_zip pairs the parallel start/end lists). */
+  val substrDedupMaximalSql: String = {
+    val A = MaximalAtomWords
+    val hWin = graft.functions.CrossHash.sqlHash60(s"array_to_string(w[i + 1 : i + $A], ' ')")
+    val hCt = graft.functions.CrossHash.sqlHash60("ct")
+    s"""WITH mx_w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |mx_win AS MATERIALIZED (
+       |  SELECT doc_id, i AS pos, $hWin AS h
+       |  FROM mx_w, UNNEST(range(0, len(w) - ${A - 1})) AS t(i)
+       |  WHERE len(w) >= $A),
+       |mx_rk AS (
+       |  SELECT doc_id, pos,
+       |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
+       |  FROM mx_win),
+       |mx_isl AS (
+       |  SELECT doc_id, pos,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM mx_rk WHERE rk > 1),
+       |mx_iv AS (
+       |  SELECT doc_id, MIN(pos) AS s, MAX(pos) + ${A - 1} AS e
+       |  FROM mx_isl GROUP BY doc_id, island
+       |  HAVING MAX(pos) + $A - MIN(pos) >= $MaximalMinSpanWords),
+       |mx_ivl AS (
+       |  SELECT doc_id, list(s ORDER BY s) AS ss, list(e ORDER BY s) AS ee
+       |  FROM mx_iv GROUP BY doc_id),
+       |mx_clean AS (
+       |  SELECT d.doc_id, len(d.w) AS n_words,
+       |    COALESCE(array_to_string([d.w[i] FOR i IN generate_series(1, len(d.w))
+       |      IF len(list_filter(list_zip(COALESCE(b.ss, CAST([] AS BIGINT[])),
+       |                                  COALESCE(b.ee, CAST([] AS BIGINT[]))),
+       |             v -> v[1] + 1 <= i AND i <= v[2] + 1)) = 0], ' '), '') AS ct
+       |  FROM mx_w d LEFT JOIN mx_ivl b USING (doc_id))
+       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       |  CAST(n_words - CASE WHEN ct = '' THEN 0
+       |                      ELSE len(string_split(ct, ' ')) END AS BIGINT) AS n_removed,
+       |  CAST(length(ct) AS BIGINT) AS len_clean,
+       |  $hCt AS clean_h
+       |FROM mx_clean
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** Per-doc memorization risk — the Carlini-style signal a
     * regurgitation audit ranks on: the fraction of a doc's
@@ -2703,19 +2877,23 @@ object Dedup {
     * members (a component whose global min was already removed by a
     * finer tier must not lose its surviving copy too).
     *
-    * Scale shape: two key-partitioned windows (text, norm key) tag
-    * exact/norm survivors; the component relation is ≪ corpus and
-    * its still-alive minima are one tiny aggregation joined back;
-    * the funnel itself is ONE 1-row aggregation stacked to 4 tier
-    * rows. Total on an empty corpus (zero counts, never null). */
+    * Scale shape: two key-partitioned windows, BOTH on 16-byte md5
+    * keys (raw text as a partition key would ship the full document
+    * through the exchange and land a 10⁶-copy mega-duplicate class
+    * on one task — the skewed-hot-key shape capBuckets exists to
+    * prevent), tag exact/norm survivors; the component relation is
+    * ≪ corpus and its still-alive minima are one tiny aggregation
+    * joined back; the funnel itself is ONE 1-row aggregation stacked
+    * to 4 tier rows. Total on an empty corpus (zero counts, never
+    * null). */
   def dedupFunnel(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    val wT = Window.partitionBy(col("text"))
+    val wT = Window.partitionBy(col("tkey"))
     val wN = Window.partitionBy(col("nkey"))
     val norm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
     val flags = d
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nw"),
-        col("text"), md5(norm.cast("binary")).as("nkey"))
+        md5(col("text").cast("binary")).as("tkey"), md5(norm.cast("binary")).as("nkey"))
       .withColumn("keep_exact",
         (col("doc_id") === min(col("doc_id")).over(wT)).cast("int"))
       .withColumn("keep_norm",
@@ -2754,7 +2932,7 @@ object Dedup {
   lazy val dedupFunnelSql: String =
     s"""WITH df_f AS (
        |  SELECT doc_id, len(string_split(text, ' ')) AS nw,
-       |    CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY text)
+       |    CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
        |         THEN 1 ELSE 0 END AS keep_exact,
        |    CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY
        |           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))))
@@ -2814,6 +2992,7 @@ object Dedup {
     "simhash_weighted" -> (simhashWeighted _),
     "span_dedup" -> (spanDedup _),
     "substr_dedup" -> (substrDedup _),
+    "substr_dedup_maximal" -> (substrDedupMaximal _),
     "substr_dedup_report" -> (substrDedupReport _),
     "substr_scrub_incremental" -> (substrScrubIncremental _),
     "memorization_report" -> (memorizationReport _),
@@ -2841,6 +3020,7 @@ object Dedup {
     "simhash_weighted" -> simhashWeightedSql,
     "span_dedup" -> spanDedupSql,
     "substr_dedup" -> substrDedupSql,
+    "substr_dedup_maximal" -> substrDedupMaximalSql,
     "substr_dedup_report" -> substrDedupReportSql,
     "substr_scrub_incremental" -> substrScrubIncrementalSql,
     "memorization_report" -> memorizationReportSql,

@@ -140,14 +140,28 @@ object Maintenance {
     require(qual(generations.last) == qual(live),
       s"live pointer $live must be the NEWEST generation " +
         s"(history ends at ${generations.last}) — refusing to vacuum")
+    // exclude the ENTIRE kept suffix (qualified), not just the live
+    // pointer: a history with a duplicate entry of a kept generation
+    // earlier in the list must not delete the directory the kept
+    // suffix still references
+    val keptQ = generations.takeRight(keep).map(qual).toSet
     val victims = generations.dropRight(keep)
+      .filter(d => !keptQ.contains(qual(d)))
+      .distinct
     require(!victims.map(qual).contains(qual(live)),
       s"refusing to delete the live generation $live")
+    // validate EVERY victim exists before deleting ANY: a missing
+    // victim discovered mid-loop would leave earlier victims already
+    // deleted, and every re-run with the same history would then fail
+    // permanently on them
+    victims.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      require(p.getFileSystem(conf).exists(p),
+        s"generation $d not found — stale or wrong history, refusing to vacuum")
+    }
     victims.foreach { d =>
       val p = new org.apache.hadoop.fs.Path(d)
       val fs = p.getFileSystem(conf)
-      require(fs.exists(p),
-        s"generation $d not found — stale or wrong history, refusing to vacuum")
       require(fs.delete(p, /* recursive = */ true), s"failed to delete generation $d")
     }
     victims
@@ -167,11 +181,17 @@ object Maintenance {
     require(generations.last == live,
       s"live pointer $live must be the NEWEST generation " +
         s"(history ends at ${generations.last}) — refusing to vacuum")
-    val victims = generations.dropRight(keep)
+    // same two guards as the directory form: exclude the whole kept
+    // suffix (duplicate history entries), validate all victims exist
+    // BEFORE dropping any (no partial-drop wedge on re-run)
+    val kept = generations.takeRight(keep).toSet
+    val victims = generations.dropRight(keep).filterNot(kept.contains).distinct
     require(!victims.contains(live), s"refusing to drop the live generation $live")
     victims.foreach { tbl =>
       require(spark.catalog.tableExists(tbl),
         s"generation table $tbl not found — stale or wrong history, refusing to vacuum")
+    }
+    victims.foreach { tbl =>
       spark.sql(s"DROP TABLE $tbl")
       if (spark.catalog.tableExists(tbl + "_counts"))
         spark.sql(s"DROP TABLE ${tbl}_counts")

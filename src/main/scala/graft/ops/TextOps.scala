@@ -226,17 +226,37 @@ object TextOps {
     * (counts are combined in-doc before they ever leave the map
     * side). Bucket ids and counts are bit-identical to the HOF form
     * — same md5Hash60, same % — so the DuckDB oracle is untouched. */
+  /** Code-point array of a doc — gram windows must count CODE
+    * POINTS, not UTF-16 units: DuckDB's substring/length are
+    * code-point based, so a supplementary-plane char (emoji, rare
+    * CJK) indexed by char would stream different grams engine vs
+    * oracle. For BMP-only text this is byte-identical to char
+    * indexing. */
+  private[graft] def codePoints(text: String): Array[Int] = {
+    val out = new Array[Int](text.codePointCount(0, text.length))
+    var i = 0
+    var j = 0
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      out(j) = cp
+      j += 1
+      i += Character.charCount(cp)
+    }
+    out
+  }
+
   private val langGramUdf = udf { (text: String) =>
-    if (text == null || text.length < 3) Array.empty[(Long, Long)]
+    val cps = if (text == null) Array.empty[Int] else codePoints(text)
+    if (cps.length < 3) Array.empty[(Long, Long)]
     else {
       // bucket domain is exactly [0, 512) — a flat primitive array
       // beats any map (no boxing, no probing)
       val counts = new Array[Long](LangIdBuckets)
       var i = 0
       var nz = 0
-      val n = text.length - 2
+      val n = cps.length - 2
       while (i < n) {
-        val b = (Dedup.cachedHash60(text.substring(i, i + 3)) % LangIdBuckets).toInt
+        val b = (Dedup.cachedHash60(new String(cps, i, 3)) % LangIdBuckets).toInt
         if (counts(b) == 0L) nz += 1
         counts(b) += 1L
         i += 1
@@ -352,13 +372,14 @@ object TextOps {
     * UTF8 and UTF-16 orders agree — pinned by the batch ≡ stream
     * equality spec. */
   private[graft] def langidPredictUdf(m: LangidModel) = udf { (text: String) =>
-    if (text == null || text.length < 3) ""
+    val cps = if (text == null) Array.empty[Int] else codePoints(text)
+    if (cps.length < 3) ""
     else {
       val counts = new Array[Long](LangIdBuckets)
       var i = 0
-      val n = text.length - 2
+      val n = cps.length - 2
       while (i < n) {
-        val b = (Dedup.cachedHash60(text.substring(i, i + 3)) % LangIdBuckets).toInt
+        val b = (Dedup.cachedHash60(new String(cps, i, 3)) % LangIdBuckets).toInt
         counts(b) += 1L
         i += 1
       }
@@ -443,7 +464,14 @@ object TextOps {
        |  SELECT lang, b, COUNT(*) AS clb FROM lg_b WHERE doc_id % 2 = 0 GROUP BY lang, b),
        |lg_langs AS (
        |  SELECT lang, COUNT(*) AS nl FROM documents WHERE doc_id % 2 = 0 GROUP BY lang),
-       |lg_cl AS (SELECT lang, SUM(clb) AS cl FROM lg_model GROUP BY lang),
+       |-- derive from lg_langs, not lg_model: a training language
+       |-- whose docs are all shorter than 3 chars has NO gram rows,
+       |-- and an inner derivation would drop it from scoring while
+       |-- the engine keeps its smoothed +1/512 likelihoods
+       |lg_cl AS (
+       |  SELECT l.lang, COALESCE(SUM(m.clb), 0) AS cl
+       |  FROM lg_langs l LEFT JOIN lg_model m USING (lang)
+       |  GROUP BY l.lang),
        |lg_tot AS (SELECT SUM(nl) AS ntr, COUNT(*) AS nlang FROM lg_langs),
        |lg_dense AS (
        |  SELECT l.lang, gb.b, COALESCE(m.clb, 0) AS clb
@@ -1172,10 +1200,13 @@ object TextOps {
     *
     * Scale shape: ONE corpus scan builds all three gram streams
     * (explode of a 3-element n-sequence, then one slice-transform
-    * per doc — no per-n rescan); the train types are one DISTINCT
-    * and the coverage probe one left join, both keyed (n, gram) so
-    * the exchange is reused; the per-n rollups are 3-row
-    * aggregations. */
+    * per doc — no per-n rescan); grams are hashed to 60 bits BEFORE
+    * any exchange (the substrWinUdf rule — shuffling raw gram
+    * strings would carry ~5-10× the bytes of the 8-byte key, and
+    * coverage only needs gram identity); the train types are one
+    * DISTINCT and the coverage probe one left join, both keyed
+    * (n, gram-hash) so the exchange is reused; the per-n rollups are
+    * 3-row aggregations. */
   def ngramCoverage(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val grams = t(s, dir, "documents")
@@ -1186,10 +1217,12 @@ object TextOps {
         explode(expr(
           "transform(sequence(0, size(w) - n), i -> array_join(slice(w, i + 1, n), ' '))"))
           .as("g"))
-    val train = grams.filter(col("is_train")).select(col("n"), col("g")).distinct()
+      .select(col("is_train"), col("n"),
+        graft.functions.CrossHash.md5Hash60Col(col("g")).as("gh"))
+    val train = grams.filter(col("is_train")).select(col("n"), col("gh")).distinct()
     val trainTypes = train.groupBy(col("n")).agg(count(lit(1)).as("train_types"))
     val cov = grams.filter(!col("is_train"))
-      .join(train.withColumn("hit", lit(1L)), Seq("n", "g"), "left")
+      .join(train.withColumn("hit", lit(1L)), Seq("n", "gh"), "left")
       .groupBy(col("n"))
       .agg(count(lit(1)).as("held_tokens"),
         coalesce(sum(col("hit")), lit(0L)).as("held_covered"))
@@ -1206,22 +1239,23 @@ object TextOps {
       .orderBy(col("n"))
   }
 
-  val ngramCoverageSql: String =
-    """WITH nc_w AS (
+  val ngramCoverageSql: String = {
+    val gh = graft.functions.CrossHash.sqlHash60(
+      "array_to_string(w[i + 1 : i + n], ' ')")
+    s"""WITH nc_w AS (
       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |nc_g AS MATERIALIZED (
-      |  SELECT doc_id % 2 = 0 AS is_train, n,
-      |    array_to_string(w[i + 1 : i + n], ' ') AS g
+      |  SELECT doc_id % 2 = 0 AS is_train, n, $gh AS gh
       |  FROM nc_w, UNNEST([1, 2, 3]) AS tn(n),
       |       UNNEST(range(0, len(w) - n + 1)) AS ti(i)
       |  WHERE len(w) >= n),
-      |nc_tr AS (SELECT DISTINCT n, g FROM nc_g WHERE is_train),
+      |nc_tr AS (SELECT DISTINCT n, gh FROM nc_g WHERE is_train),
       |nc_tt AS (SELECT n, COUNT(*) AS train_types FROM nc_tr GROUP BY n),
       |nc_cov AS (
       |  SELECT h.n, COUNT(*) AS held_tokens,
-      |    SUM(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END) AS held_covered
-      |  FROM (SELECT n, g FROM nc_g WHERE NOT is_train) h
-      |  LEFT JOIN nc_tr t USING (n, g)
+      |    SUM(CASE WHEN t.gh IS NOT NULL THEN 1 ELSE 0 END) AS held_covered
+      |  FROM (SELECT n, gh FROM nc_g WHERE NOT is_train) h
+      |  LEFT JOIN nc_tr t USING (n, gh)
       |  GROUP BY h.n),
       |nc_grid AS (SELECT UNNEST([1, 2, 3]) AS n)
       |SELECT g.n,
@@ -1235,6 +1269,7 @@ object TextOps {
       |LEFT JOIN nc_tt tt USING (n)
       |LEFT JOIN nc_cov c USING (n)
       |ORDER BY n""".stripMargin
+  }
 
   /** Heaps'-law fit — the vocabulary-GROWTH audit beside
     * [[zipfFit]]'s frequency audit: natural text grows types as

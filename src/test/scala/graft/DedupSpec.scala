@@ -373,6 +373,60 @@ class DedupSpec extends AnyFunSuite {
     assert(ld.values.forall(_ == 0L), s"line_dedup must be blind to off-grid copies: $ld")
   }
 
+  test("substr_dedup_maximal: a 14-word copy invisible to the fixed 15-word grid is cut exactly; sub-threshold runs survive") {
+    // P is 14 words: no 15-word window fits inside it, so substr_dedup
+    // is PROVABLY blind; the maximal variant detects with 8-word atoms
+    // and removes the merged island (span 14 >= 12)
+    val p = (1 to 14).map(i => s"p$i")
+    val d20 = (1 to 5).map(i => s"a$i") ++ p ++ (1 to 5).map(i => s"b$i")
+    val d21 = (1 to 4).map(i => s"c$i") ++ p ++ (1 to 8).map(i => s"d$i")
+    // Q is 11 words (>= atom 8, < threshold 12): detected but NOT removed
+    val q = (1 to 11).map(i => s"q$i")
+    val d22 = (1 to 6).map(i => s"e$i") ++ q ++ (1 to 6).map(i => s"f$i")
+    val d23 = (1 to 9).map(i => s"g$i") ++ q ++ (1 to 3).map(i => s"h$i")
+    val sdir = Files.createTempDirectory("graft-substr-max").toString
+    Seq((20L, d20.mkString(" ")), (21L, d21.mkString(" ")),
+        (22L, d22.mkString(" ")), (23L, d23.mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$sdir/documents.parquet")
+    // the blindness claim, asserted not assumed
+    val fixed = Dedup.substrDedup(spark, sdir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(fixed.values.forall(_ == 0L),
+      s"the 15-word grid must be blind to a 14-word copy: $fixed")
+    val got = Dedup.substrDedupMaximal(spark, sdir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(4))).toMap
+    assert(got(20L)._1 == 0L, s"canonical copy survives untouched: ${got(20L)}")
+    assert(got(21L)._1 == 14L, s"the whole 14-word copy cuts as one island: ${got(21L)}")
+    assert(got(22L)._1 == 0L && got(23L)._1 == 0L,
+      s"an 11-word run is below the 12-word removal threshold: $got")
+    val expect21 = ((1 to 4).map(i => s"c$i") ++ (1 to 8).map(i => s"d$i")).mkString(" ")
+    assert(got(21L)._2 == graft.functions.CrossHash.md5Hash60(expect21),
+      "byte-exact rebuild of the scrubbed doc")
+  }
+
+  test("substr scrub kernel: string_split parity on leading/trailing whitespace, byte-exact") {
+    // splitWords must mirror DuckDB string_split exactly: Java's
+    // default split drops trailing empties and the old sb.nonEmpty
+    // separator rule swallowed a kept leading empty token
+    assert(Dedup.splitWords(" a b").toSeq == Seq("", "a", "b"))
+    assert(Dedup.splitWords("a b ").toSeq == Seq("a", "b", ""))
+    assert(Dedup.splitWords("a  b").toSeq == Seq("a", "", "b"))
+    assert(Dedup.splitWords("").toSeq == Seq(""))
+    // no removals → the rebuild is the identity, byte for byte
+    for (t <- Seq(" a b c", "a b c ", "  ", "a  b", " ")) {
+      assert(Dedup.scrubWords(t, Nil, 2) == t, s"identity rebuild of '$t'")
+    }
+    // removing interior words of a leading-space doc keeps the
+    // leading empty token AND its separator byte
+    assert(Dedup.scrubWords(" a b c", Seq(1), 2) == " c",
+      "kept leading empty token must still separate from the next survivor")
+    // window streams must count string_split words: a trailing space
+    // adds one (empty) word and so one more window
+    assert(Dedup.windowHashes("a b ", 3).length == 1)
+    assert(Dedup.windowHashes("a b", 3).length == 0)
+  }
+
   test("memorization_report: verbatim-duplicated docs top the ranking at dup_frac 1; unique docs at 0") {
     val twin = (1 to 20).map(i => s"m$i").mkString(" ")
     val uniq = (1 to 20).map(i => s"u$i").mkString(" ")

@@ -428,4 +428,50 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(graft.ops.Dedup.dedupIncrementalIndexed(spark, sfFix, "band_vac_g1")
       .collect().toSeq == probeBefore)
   }
+
+  test("vacuum: duplicate kept entries survive; a missing victim aborts BEFORE any delete") {
+    val tmp = Files.createTempDirectory("graft-vacuum2")
+    def mk(name: String): String = {
+      val d = tmp.resolve(name)
+      Files.createDirectories(d)
+      Files.writeString(d.resolve("marker"), name)
+      d.toString
+    }
+    def exists(d: String) = new java.io.File(d).exists()
+
+    // (1) a history that lists a KEPT generation again earlier in the
+    // list must not delete the directory the kept suffix references
+    val a0 = mk("a0"); val a1 = mk("a1"); val a2 = mk("a2")
+    val deleted = Maintenance.vacuumGenerations(
+      spark, Seq(a1, a0, a1, a2), live = a2, keep = 2)
+    assert(deleted == Seq(a0), s"only the non-kept victim goes: $deleted")
+    assert(exists(a1) && exists(a2) && !exists(a0),
+      "the duplicate entry of kept a1 must not delete it")
+
+    // (2) validation is two-pass: a missing victim anywhere in the
+    // list aborts before ANY deletion, so a re-run with the same
+    // history never wedges on already-deleted earlier victims
+    val b0 = mk("b0"); val b2 = mk("b2")
+    val bMissing = tmp.resolve("b-missing").toString
+    intercept[IllegalArgumentException] {
+      Maintenance.vacuumGenerations(spark, Seq(b0, bMissing, b2), live = b2)
+    }
+    assert(exists(b0), "victims listed before the missing one must survive the abort")
+
+    // (3) same two guards on the catalog-table form
+    val sfFix = "/root/testdata/sf0.001"
+    graft.ops.Dedup.writeBandIndex(spark, sfFix, "band_vac2_g0")
+    graft.ops.Dedup.compactBandIndex(spark, "band_vac2_g0", "band_vac2_g1")
+    intercept[IllegalArgumentException] {
+      Maintenance.vacuumGenerationTables(
+        spark, Seq("band_vac2_g0", "band_vac2_nope", "band_vac2_g1"), "band_vac2_g1")
+    }
+    assert(spark.catalog.tableExists("band_vac2_g0"),
+      "table victims before the missing one must survive the abort")
+    assert(Maintenance.vacuumGenerationTables(
+      spark, Seq("band_vac2_g1", "band_vac2_g0", "band_vac2_g1"),
+      "band_vac2_g1") == Seq("band_vac2_g0"))
+    assert(spark.catalog.tableExists("band_vac2_g1"),
+      "the duplicate entry of the kept table must not drop it")
+  }
 }

@@ -791,18 +791,47 @@ class PlanSpec extends AnyFunSuite {
       s"every window must partition per doc ($docKeyed/$all): $plan")
   }
 
+  test("substr_dedup_maximal: islands window DOC-keyed; survivorship is min-struct, never a posting-stream window") {
+    val plan = graft.ops.Dedup.substrDedupMaximal(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+    // the only windows are the per-doc islands ordinal — the
+    // first-occurrence election must stay a min-struct aggregation
+    // (a corpus-wide window over the posting stream would put a
+    // 10^6-occurrence boilerplate window on one task)
+    val all = "windowspecdefinition\\(".r.findAllIn(plan).size
+    val docKeyed = "windowspecdefinition\\(doc_id".r.findAllIn(plan).size
+    assert(all > 0 && docKeyed == all,
+      s"every window must partition per doc ($docKeyed/$all): $plan")
+  }
+
   test("dedup_funnel: survivor windows key on text/norm hashes; no cartesian") {
     val plan = graft.ops.Dedup.dedupFunnel(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+    // every window partition key must be one of the pre-projected
+    // 16-byte md5 keys — raw text as a key would ship full documents
+    // through the exchange and serialize a mega-duplicate class onto
+    // one task
+    val all = "windowspecdefinition\\(".r.findAllIn(plan).size
+    val hashKeyed = "windowspecdefinition\\([tn]key".r.findAllIn(plan).size
+    assert(all > 0 && hashKeyed == all,
+      s"every survivor window must key on tkey/nkey md5 hashes ($hashKeyed/$all): $plan")
+    assert(!plan.contains("windowspecdefinition(text"),
+      s"no window may partition on raw text: $plan")
   }
 
-  test("ngram_coverage: one gram stream, (n, gram)-keyed distinct + probe, no window") {
+  test("ngram_coverage: one gram stream, (n, gram-hash)-keyed distinct + probe, no window") {
     val plan = graft.ops.TextOps.ngramCoverage(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"plan: $plan")
     assert(!plan.contains("windowspecdefinition"),
       s"coverage is joins + aggregates, never a window: $plan")
+    // every exchange must key on the 60-bit gram hash, never the raw
+    // gram string — the string would carry ~5-10× the shuffle bytes
+    val parts = "hashpartitioning\\([^)]*\\)".r.findAllIn(plan).toList
+    assert(parts.nonEmpty && parts.forall(p => !p.matches(".*\\bg#.*")),
+      s"no exchange may carry the raw gram column: $parts")
   }
 
   test("heaps_fit: octile scalars broadcast; windows only over the bounded 8-row curve") {

@@ -171,4 +171,43 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rep("es") == ((3L, 0L, 3L)) && rep("fr") == ((3L, 0L, 3L)),
       s"ngram must win every doc the marker vote misses: $rep")
   }
+
+  test("langid grams count CODE POINTS: supplementary-plane text streams oracle-identical grams") {
+    import java.nio.file.Files
+    import spark.implicits._
+    // "🙂" is U+1F642 — two UTF-16 units, ONE code point. DuckDB's
+    // substring/length count code points, so char-indexed grams would
+    // split the surrogate pair and diverge
+    assert(TextOps.codePoints("a🙂b").length == 3)
+    assert(TextOps.codePoints("").length == 0)
+    // a 2-code-point doc (3 UTF-16 units) has NO gram: the closure
+    // must return the '' sentinel, not a surrogate-split gram
+    val docs = Seq(
+      (2L, "🙂😀🙂😀 emoji run here", "xa"),
+      (4L, "😀🙂😀🙂 more emoji text", "xa"),
+      (6L, "plain ascii words only here", "xb"),
+      (1L, "🙂😀🙂 held out", "xa"),
+      (3L, "a🙂", "xa"))
+    val dir = Files.createTempDirectory("graft-langid-cp").toString
+    docs.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = TextOps.fitLangidModel(spark, dir).get
+    // doc 3: 2 code points → sub-gram sentinel even though
+    // text.length (UTF-16) is 3
+    val preds = spark.read.parquet(s"$dir/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        TextOps.langidPredictUdf(m)(org.apache.spark.sql.functions.col("text")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds(3L) == "", s"2-code-point doc must hit the sub-gram sentinel: $preds")
+    // the closure and join forms stay bit-equal on surrogate text
+    val joinForm = TextOps.scoreLangid(spark,
+        spark.read.parquet(s"$dir/documents.parquet")
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("text")), m)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    preds.foreach { case (id, p) =>
+      assert(p == joinForm.getOrElse(id, ""), s"doc $id: closure '$p' vs join form")
+    }
+    assert(preds(1L) == "xa", s"held-out emoji doc classifies by charset: $preds")
+  }
 }
