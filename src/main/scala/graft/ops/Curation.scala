@@ -148,6 +148,59 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Frozen benchmark side of [[semanticDecontaminate]] for the
+    * STREAMING twin: (bench_id, embedding, norm) collected once at
+    * stream start. Bounded by the decontaminate size rule — the
+    * benchmark is tiny relative to the corpus (the same fact that
+    * lets the batch join broadcast), so the collect is
+    * parameter-bounded, not corpus-bounded. */
+  private[graft] def benchEmbedFrozen(
+      s: SparkSession, dir: String): Array[(Long, Array[Float], Double)] =
+    docEmbeddings(s, dir).filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), col("ve"), col("nrm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+
+  /** Map-only closure twin of the [[semanticDecontaminate]] scoring
+    * chain — the `langidPredictUdf` shape for decontamination: the
+    * frozen benchmark rides the closure, each doc embeds + scores
+    * against every benchmark vector in one pass (sequential double
+    * folds ≡ the native FloatDotProduct order, r6d ≡ the column r6),
+    * argmax by (sim desc, bench_id asc) over the sims clearing
+    * [[SemDecontamEps]]; None for clean or zero-norm docs. Bit-equal
+    * to the batch broadcast join by construction — StreamingSpec pins
+    * the per-doc equality. */
+  private[graft] def semanticDecontamPredictUdf(
+      bench: Array[(Long, Array[Float], Double)]) = udf { (text: String) =>
+    val v = graft.embed.HashEmbedder.default.embedOne(text)
+    var nv2 = 0.0
+    var i = 0
+    while (i < v.length) { nv2 += v(i).toDouble * v(i).toDouble; i += 1 }
+    val nv = math.sqrt(nv2)
+    if (nv == 0.0) None
+    else {
+      var bestId = Long.MaxValue
+      var bestSim = Double.NegativeInfinity
+      var found = false
+      var b = 0
+      while (b < bench.length) {
+        val (id, be, nb) = bench(b)
+        var d = 0.0
+        var j = 0
+        while (j < v.length) { d += v(j).toDouble * be(j).toDouble; j += 1 }
+        val sim = graft.functions.OracleMath.r6d(d / (nv * nb))
+        if (sim >= SemDecontamEps &&
+            (sim > bestSim || (sim == bestSim && id < bestId))) {
+          bestSim = sim
+          bestId = id
+          found = true
+        }
+        b += 1
+      }
+      if (found) Some((bestId, bestSim)) else None
+    }
+  }
+
   /** The hash-ngram embed chain as DuckDB CTEs over `documents` —
     * the [[graft.ops.TextOps.indexPipelineSql]] replay without the
     * chunker (whole doc = one vector): lowercased nonempty words,
@@ -155,39 +208,46 @@ object Curation {
     * (exact integers), integer norm, IEEE float truncation, vectors
     * DENSIFIED to 64-length lists so the cosine folds over the same
     * 64 elements in the same order as the engine. */
-  private val docEmbedCte: String = {
+  /** Parameterized form of the embed chain — CTE names carry the
+    * caller's prefix (the lsh_band_sweep shadowing rule) and the
+    * source can be any relation exposing (doc_id, text), so the
+    * media–text alignment oracle reuses the exact chain over caption
+    * prefixes. Exposes `${p}_vec AS (doc_id, ve)`. */
+  private[ops] def embedChainCte(p: String, srcRel: String): String = {
     val h = graft.functions.CrossHash.sqlHash60("key")
-    s"""sd_w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
-       |sd_toks AS (
+    s"""${p}_w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM $srcRel),
+       |${p}_toks AS (
        |  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS p,
        |    ws[i] AS tok
-       |  FROM sd_w, UNNEST(range(1, len(ws) + 1)) AS t(i)
+       |  FROM ${p}_w, UNNEST(range(1, len(ws) + 1)) AS t(i)
        |  WHERE length(ws[i]) > 0),
-       |sd_keys AS (
-       |  SELECT doc_id, '42|' || tok AS key FROM sd_toks
+       |${p}_keys AS (
+       |  SELECT doc_id, '42|' || tok AS key FROM ${p}_toks
        |  UNION ALL
        |  SELECT a.doc_id, '42|' || a.tok || ' ' || b.tok
-       |  FROM sd_toks a JOIN sd_toks b ON b.doc_id = a.doc_id AND b.p = a.p + 1),
-       |sd_vdim AS (
+       |  FROM ${p}_toks a JOIN ${p}_toks b ON b.doc_id = a.doc_id AND b.p = a.p + 1),
+       |${p}_vdim AS (
        |  SELECT doc_id, bucket, SUM(sgn) AS v FROM (
        |    SELECT doc_id, h % 64 AS bucket,
        |      CASE WHEN (h >> 32) & 1 = 0 THEN 1.0 ELSE -1.0 END AS sgn
-       |    FROM (SELECT doc_id, $h AS key_h FROM sd_keys) k(doc_id, h))
+       |    FROM (SELECT doc_id, $h AS key_h FROM ${p}_keys) k(doc_id, h))
        |  GROUP BY doc_id, bucket),
-       |sd_norm AS (SELECT doc_id, sqrt(SUM(v * v)) AS nrm FROM sd_vdim GROUP BY doc_id),
-       |sd_vec AS MATERIALIZED (
+       |${p}_norm AS (SELECT doc_id, sqrt(SUM(v * v)) AS nrm FROM ${p}_vdim GROUP BY doc_id),
+       |${p}_vec AS MATERIALIZED (
        |  SELECT n.doc_id,
        |    list(CAST(coalesce(v.v, 0.0) * (1.0 / n.nrm) AS FLOAT) ORDER BY g.j) AS ve
-       |  FROM sd_norm n
+       |  FROM ${p}_norm n
        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS j) g
-       |  LEFT JOIN sd_vdim v ON v.doc_id = n.doc_id AND v.bucket = g.j
+       |  LEFT JOIN ${p}_vdim v ON v.doc_id = n.doc_id AND v.bucket = g.j
        |  WHERE n.nrm > 0
        |  GROUP BY n.doc_id)""".stripMargin
   }
 
+  private val docEmbedCte: String = embedChainCte("sd", "documents")
+
   /** Cosine of two densified 64-float lists — the engine's sequential
     * double fold, verbatim. Unit-norm floats, so no re-division. */
-  private def sdCos(a: String, b: String): String =
+  private[ops] def sdCos(a: String, b: String): String =
     s"""round(list_sum(list_transform(range(1, 65),
        |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
        |    / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))

@@ -623,13 +623,108 @@ object Multimodal {
        |FROM kf_l
        |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ------------------------------------------ media–text alignment
+
+  /** Caption length, in words, of the fixture's (media, caption)
+    * pairs: the first words of the paired doc play the alt-text a
+    * crawler harvests next to an asset. */
+  val CaptionWords = 12
+
+  /** Keep threshold for [[mediaTextAlign]]. Measured on the fixture
+    * (sf0.01): aligned prefix-captions score p10 = 0.454 / p50 =
+    * 0.622 against their own media; SWAPPED captions (the % 11 = 3
+    * planted misalignments) sit at p90 = 0.383 / p50 = 0.246 —
+    * 0.42 splits the populations at their 10th/90th percentiles.
+    * The residual tail overlap (aligned min 0.21, swapped max 0.52)
+    * is the filter's real operating regime — CLIP-score filters trade
+    * exactly this recall/precision tail, which is why the threshold
+    * is a named constant, not a magic number. */
+  val MediaAlignTau = 0.42
+
+  /** CLIP-style media–text ALIGNMENT filter — the pair-scoring step
+    * every LAION-style multimodal curation pipeline runs between
+    * ingest and training, and the one check per-modality dedup cannot
+    * make: a pristine image with a wrong caption passes image dedup
+    * AND text dedup but must not train. Media embeds through decode →
+    * the registered hash embedder (the stand-in for the image tower —
+    * the fixture bridge decodes payload bytes back to caption space);
+    * captions are [[CaptionWords]]-word prefixes of the paired doc;
+    * alignment is the shared cosine kernel; `keep` thresholds at
+    * [[MediaAlignTau]]. Pairing follows the fixture convention of
+    * decontaminate's % 50 rule: every doc_id % 11 = 3 media is
+    * PAIRED WITH THE NEXT DOC's caption — a deterministic population
+    * of misaligned pairs so the filter's discrimination is exercised
+    * (and oracle-checked) on the natural fixture, not only in specs.
+    *
+    * Scale shape: both towers are map-only embed passes (no corpus
+    * shuffle before the join); the pair relation joins caption_id
+    * equi-keyed — ONE shuffle each side of ids + 64-float vectors;
+    * the threshold is a map-side comparison. Zero-norm rows (empty
+    * captions/payloads) drop on both sides before pairing, mirroring
+    * the semantic-decontaminate convention. */
+  def mediaTextAlign(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.{dot, l2norm, r6}
+    val d = t(s, dir, "documents")
+    val media = d
+      .select(col("doc_id").as("media_id"),
+        when(length(col("text")) === octet_length(col("text")),
+            encode(col("text"), "UTF-8"))
+          .otherwise(raise_error(concat(
+            lit("media_text_align fixture bridge requires ASCII text; non-ASCII doc_id="),
+            col("doc_id").cast("string")))).as("payload"))
+      .select(col("media_id"),
+        graft.embed.EmbedOps.embedUdf()(decode(col("payload"), "UTF-8")).as("mv"))
+      .withColumn("mn", l2norm(col("mv")))
+      .filter(col("mn") > 0)
+    val caps = d
+      .select(col("doc_id").as("caption_id"),
+        array_join(slice(split(col("text"), " "), 1, CaptionWords), " ").as("caption"))
+      .select(col("caption_id"),
+        graft.embed.EmbedOps.embedUdf()(col("caption")).as("cv"))
+      .withColumn("cn", l2norm(col("cv")))
+      .filter(col("cn") > 0)
+    media
+      .withColumn("caption_id",
+        when(col("media_id") % 11 === 3, col("media_id") + 1)
+          .otherwise(col("media_id")))
+      .join(caps, Seq("caption_id"))
+      .withColumn("align",
+        r6(try_divide(dot(col("mv"), col("cv")), col("mn") * col("cn"))))
+      .select(col("media_id"), col("caption_id"), col("align"),
+        (col("align") >= MediaAlignTau).cast("int").as("keep"))
+      .orderBy(col("media_id"))
+  }
+
+  /** Oracle mirror: the Curation embed chain twice (full docs play
+    * the decoded media tower, caption prefixes the text tower —
+    * distinct CTE prefixes per the shadowing rule), the % 11 = 3
+    * next-doc pairing, the shared densified-list cosine. */
+  val mediaTextAlignSql: String = {
+    val capRel = s"(SELECT doc_id, array_to_string(string_split(text, ' ')[1 : $CaptionWords], ' ') AS text FROM documents)"
+    s"""WITH ${Curation.embedChainCte("mm", "documents")},
+       |${Curation.embedChainCte("mc", capRel)},
+       |mt_scored AS (
+       |  SELECT m.doc_id AS media_id, p.caption_id,
+       |    ${Curation.sdCos("m.ve", "c.ve")} AS align
+       |  FROM mm_vec m
+       |  JOIN (SELECT doc_id,
+       |          CASE WHEN doc_id % 11 = 3 THEN doc_id + 1 ELSE doc_id END AS caption_id
+       |        FROM documents) p ON p.doc_id = m.doc_id
+       |  JOIN mc_vec c ON c.doc_id = p.caption_id)
+       |SELECT media_id, caption_id, align,
+       |  CASE WHEN align >= $MediaAlignTau THEN 1 ELSE 0 END AS keep
+       |FROM mt_scored
+       |ORDER BY media_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_meta" -> (mediaMeta _),
     "media_frames" -> (mediaFrames _),
     "media_dedup" -> (mediaDedup _),
     "media_phash_dedup" -> (mediaPhashDedup _),
     "media_audio_dedup" -> (mediaAudioDedup _),
-    "media_keyframes" -> (mediaKeyframes _))
+    "media_keyframes" -> (mediaKeyframes _),
+    "media_text_align" -> (mediaTextAlign _))
 
   val oracles: Map[String, String] = Map(
     "media_meta" -> mediaMetaSql,
@@ -637,5 +732,6 @@ object Multimodal {
     "media_dedup" -> mediaDedupSql,
     "media_phash_dedup" -> mediaPhashDedupSql,
     "media_audio_dedup" -> mediaAudioDedupSql,
-    "media_keyframes" -> mediaKeyframesSql)
+    "media_keyframes" -> mediaKeyframesSql,
+    "media_text_align" -> mediaTextAlignSql)
 }

@@ -259,6 +259,28 @@ object StreamingIndex {
     docs.select(col("doc_id"),
       graft.ops.TextOps.langidPredictUdf(m)(col("text")).as("lang_pred"))
 
+  /** Streaming semantic decontamination — continuous-ingest
+    * deployments decontaminate ON ARRIVAL, not in nightly batches:
+    * the frozen benchmark embeddings
+    * ([[graft.ops.Curation.benchEmbedFrozen]], tiny by the
+    * decontaminate size rule — the same fact that lets the batch
+    * join broadcast) ride the closure of ONE map-only UDF, so each
+    * arriving document embeds, scores against every benchmark
+    * vector, and emits its best match above the threshold — no state
+    * store, no watermark, no shuffle (the langidStream shape). A
+    * benchmark refresh is a stream restart with re-collected
+    * embeddings (model swap, not state migration). Flagged rows are
+    * bit-equal to the batch [[graft.ops.Curation.semanticDecontaminate]]
+    * (StreamingSpec pins the per-doc equality). */
+  def semanticDecontamStream(
+      docs: DataFrame, bench: Array[(Long, Array[Float], Double)]): DataFrame =
+    docs
+      .filter(col("text").isNotNull)
+      .withColumn("m",
+        graft.ops.Curation.semanticDecontamPredictUdf(bench)(col("text")))
+      .filter(col("m").isNotNull)
+      .select(col("doc_id"), col("m._1").as("bench_id"), col("m._2").as("sim"))
+
   /** Streaming substring scrub — arriving documents are cut of every
     * 15-word window present in the PERSISTED corpus index
     * (`Dedup.writeSubstrIndex`), continuously: the window stream

@@ -250,4 +250,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(3)._2 > Multimodal.KeyframeTau && got(3)._3 == 1,
       s"the reversal is a content cut: ${got.toSeq}")
   }
+
+  test("media_text_align: a swapped caption flags where BOTH per-modality dedups are blind") {
+    import spark.implicits._
+    // four docs with disjoint vocabularies; doc 3 (the % 11 = 3
+    // pairing rule) gets doc 4's caption — a wrong-caption pair whose
+    // image is pristine and whose caption is pristine, so neither
+    // image dedup nor text dedup can catch it
+    val physics = ("quark boson lepton hadron gluon photon meson " +
+      "quark boson lepton hadron gluon photon meson quark boson lepton")
+    val baking = ("butter flour sugar yeast dough oven whisk " +
+      "butter flour sugar yeast dough oven whisk butter flour sugar")
+    val garden = ("tulip orchid fern moss petal stem root " +
+      "tulip orchid fern moss petal stem root tulip orchid fern")
+    val sailing = ("mast rudder keel jib anchor bow stern " +
+      "mast rudder keel jib anchor bow stern mast rudder keel")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mta").toString
+    Seq((1L, physics), (2L, baking), (3L, garden), (4L, sailing))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Multimodal.mediaTextAlign(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getInt(3))).toMap
+    // aligned pairs keep (caption is a prefix of the doc itself)
+    Seq(1L, 2L, 4L).foreach { id =>
+      val (cid, a, keep) = got(id)
+      assert(cid == id && keep == 1 && a >= Multimodal.MediaAlignTau,
+        s"aligned pair $id must keep: ${got(id)}")
+    }
+    // the swapped pair (garden media, sailing caption) must drop
+    val (cid3, a3, keep3) = got(3L)
+    assert(cid3 == 4L && keep3 == 0 && a3 < Multimodal.MediaAlignTau,
+      s"swapped-caption pair must flag: ${got(3L)}")
+    // the blindness claim, asserted not assumed: per-modality dedup
+    // sees NOTHING here — all payloads distinct, all texts distinct
+    assert(Multimodal.mediaPhashDedup(spark, dir).collect().isEmpty,
+      "image-side dedup must be blind to a caption swap")
+    assert(graft.ops.Dedup.dedupExact(spark, dir).count() == 4L,
+      "text-side exact dedup must be blind to a caption swap")
+  }
 }

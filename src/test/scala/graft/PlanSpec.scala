@@ -849,6 +849,14 @@ class PlanSpec extends AnyFunSuite {
       s"window must key on the grid-constant (b div 8): $plan")
   }
 
+  test("media_text_align: map-only embed towers, one equi-join, no cartesian, no window") {
+    val plan = graft.ops.Multimodal.mediaTextAlign(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+    assert(!plan.contains("windowspecdefinition"),
+      s"pair scoring is a join + map, never a window: $plan")
+  }
+
   test("media_keyframes: one map pass, predecessor lag MEDIA-keyed, no join") {
     val plan = graft.ops.Multimodal.mediaKeyframes(spark, sf)
       .queryExecution.executedPlan.toString

@@ -588,6 +588,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.values.exists(_.nonEmpty))
   }
 
+  test("semantic decontamination stream ≡ batch: frozen benchmark closure, per-doc equality") {
+    val dir = "/root/testdata/sf0.001"
+    val bench = graft.ops.Curation.benchEmbedFrozen(spark, dir)
+    assert(bench.nonEmpty, "fixture must have benchmark docs (% 50 = 0)")
+    val batch = graft.ops.Curation.semanticDecontaminate(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val src = Files.createTempDirectory("graft-semdecon-eq").resolve("docs").toString
+    // the arriving stream is the corpus side (benchmark docs are the
+    // frozen model, not arrivals)
+    spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 50 =!= 0)
+      .select("doc_id", "text")
+      .write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .parquet(src)
+    val q = StreamingIndex.semanticDecontamStream(stream, bench)
+      .writeStream.format("memory").queryName("semdecon_eq").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("SELECT * FROM semdecon_eq").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(streamed.size == batch.size, s"${streamed.size} vs ${batch.size}")
+    assert(streamed == batch,
+      "closure scorer must flag the same docs with bit-equal sims as the batch broadcast join")
+    assert(batch.nonEmpty, "the fixture corpus must contain at least one flagged leak")
+  }
+
   test("substring scrub stream ≡ batch indexed scrub: stream-static probe, per-doc equality") {
     val dir = "/root/testdata/sf0.001"
     graft.ops.Dedup.writeSubstrIndex(spark, dir, "substr_idx_stream")
