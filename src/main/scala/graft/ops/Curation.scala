@@ -93,6 +93,78 @@ object Curation {
       |GROUP BY g.doc_id
       |ORDER BY g.doc_id""".stripMargin
 
+  // ------------------------------------------ contamination spans
+
+  /** WHERE a benchmark leak sits inside each contaminated doc — the
+    * localization audit run after [[decontaminate]] flags a doc: a
+    * count of shared 3-grams says "contaminated", but remediation
+    * (scrub the span vs drop the doc) needs the leak's SHAPE — one
+    * long verbatim benchmark passage reads very differently from the
+    * same count of scattered idiom collisions. Consecutive
+    * benchmark-matching 3-gram windows merge gaps-and-islands style
+    * (the [[graft.ops.Dedup.memorizationSpans]] machinery pointed at
+    * the benchmark set instead of the corpus itself): per corpus doc,
+    * the span count and the longest contiguous leaked run. Top-50 by
+    * span, ties to the lower doc.
+    *
+    * Scale shape: the benchmark window-hash set is tiny (the
+    * decontaminate size rule) and the probe is one LEFT SEMI join of
+    * the corpus's positional 3-gram stream against it; islands run
+    * per doc (bounded by doc length, never corpus-wide). */
+  def decontamSpans(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(s, dir, "documents")
+    val wins = d.select(col("doc_id"),
+      posexplode(gram3WinUdf(col("text"))).as(Seq("pos", "h")))
+    val bench = wins.filter(col("doc_id") % 50 === 0).select(col("h")).distinct()
+    val bad = wins.filter(col("doc_id") % 50 =!= 0)
+      .join(bench, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    bad.withColumn("island", col("pos") - row_number().over(wDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), max(col("run")).as("longest_run"))
+      .withColumn("span_words", col("longest_run") + lit(2))
+      .select(col("doc_id"), col("n_spans"), col("longest_run"), col("span_words"))
+      .orderBy(col("span_words").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  private val gram3WinUdf = udf { (text: String) =>
+    graft.ops.Dedup.windowHashes(text, 3)
+  }
+
+  /** Oracle mirror of [[decontamSpans]]: positional 3-word window
+    * hashes, benchmark membership, the memorization_spans islands
+    * SQL against the benchmark set. */
+  val decontamSpansSql: String = {
+    val hWin = graft.functions.CrossHash.sqlHash60(
+      "array_to_string(w[i + 1 : i + 3], ' ')")
+    s"""WITH dsp_w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |dsp_win AS MATERIALIZED (
+       |  SELECT doc_id, i AS pos, $hWin AS h
+       |  FROM dsp_w, UNNEST(range(0, len(w) - 2)) AS t(i)
+       |  WHERE len(w) >= 3),
+       |dsp_b AS MATERIALIZED (
+       |  SELECT DISTINCT h FROM dsp_win WHERE doc_id % 50 = 0),
+       |dsp_isl AS (
+       |  SELECT doc_id,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM dsp_win
+       |  WHERE doc_id % 50 <> 0 AND h IN (SELECT h FROM dsp_b)),
+       |dsp_run AS (
+       |  SELECT doc_id, island, COUNT(*) AS run FROM dsp_isl
+       |  GROUP BY doc_id, island)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       |  CAST(MAX(run) AS BIGINT) AS longest_run,
+       |  CAST(MAX(run) + 2 AS BIGINT) AS span_words
+       |FROM dsp_run GROUP BY doc_id
+       |ORDER BY span_words DESC, doc_id
+       |LIMIT 50""".stripMargin
+  }
+
   // ------------------------------------------ semantic decontamination
 
   /** Cosine threshold above which a corpus document counts as a
@@ -2200,6 +2272,7 @@ object Curation {
     "curation_pipeline" -> (curationPipeline _),
     "sample_hash" -> (sampleHash _),
     "decontaminate" -> (decontaminate _),
+    "decontam_spans" -> (decontamSpans _),
     "semantic_decontaminate" -> (semanticDecontaminate _),
     "semantic_decontam_report" -> (semanticDecontamReport _),
     "line_dedup" -> (lineDedup _),
@@ -2235,6 +2308,7 @@ object Curation {
     "curation_pipeline" -> curationPipelineSql,
     "sample_hash" -> sampleHashSql,
     "decontaminate" -> decontaminateSql,
+    "decontam_spans" -> decontamSpansSql,
     "semantic_decontaminate" -> semanticDecontaminateSql,
     "semantic_decontam_report" -> semanticDecontamReportSql,
     "line_dedup" -> lineDedupSql,

@@ -1205,6 +1205,28 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Corpus totals for [[substrDedupMaximal]] — the
+    * [[substrDedupReport]] twin for the variable-length scrub, and
+    * the number a threshold review compares against the fixed-grid
+    * report: the words the 15-word grid was leaving in. */
+  def substrMaximalReport(s: SparkSession, dir: String): DataFrame = {
+    val lens = t(s, dir, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("len0"))
+    substrDedupMaximal(s, dir).join(lens, Seq("doc_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_words")), lit(0L)).as("n_words"),
+        coalesce(sum(col("n_removed")), lit(0L)).as("n_removed_words"),
+        coalesce(sum(col("len0") - col("len_clean")), lit(0L)).as("bytes_saved"))
+  }
+
+  lazy val substrMaximalReportSql: String =
+    s"""WITH smr AS MATERIALIZED (SELECT * FROM ($substrDedupMaximalSql))
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COALESCE(SUM(r.n_words), 0) AS BIGINT) AS n_words,
+       |  CAST(COALESCE(SUM(r.n_removed), 0) AS BIGINT) AS n_removed_words,
+       |  CAST(COALESCE(SUM(length(d.text) - r.len_clean), 0) AS BIGINT) AS bytes_saved
+       |FROM smr r JOIN documents d USING (doc_id)""".stripMargin
+
   /** Per-doc memorization risk — the Carlini-style signal a
     * regurgitation audit ranks on: the fraction of a doc's
     * [[ExactSubstrWords]]-word windows that occur more than once
@@ -2993,6 +3015,7 @@ object Dedup {
     "span_dedup" -> (spanDedup _),
     "substr_dedup" -> (substrDedup _),
     "substr_dedup_maximal" -> (substrDedupMaximal _),
+    "substr_maximal_report" -> (substrMaximalReport _),
     "substr_dedup_report" -> (substrDedupReport _),
     "substr_scrub_incremental" -> (substrScrubIncremental _),
     "memorization_report" -> (memorizationReport _),
@@ -3021,6 +3044,7 @@ object Dedup {
     "span_dedup" -> spanDedupSql,
     "substr_dedup" -> substrDedupSql,
     "substr_dedup_maximal" -> substrDedupMaximalSql,
+    "substr_maximal_report" -> substrMaximalReportSql,
     "substr_dedup_report" -> substrDedupReportSql,
     "substr_scrub_incremental" -> substrScrubIncrementalSql,
     "memorization_report" -> memorizationReportSql,

@@ -717,6 +717,54 @@ object Multimodal {
        |ORDER BY media_id""".stripMargin
   }
 
+  /** Per-source alignment report — the audit a multimodal curation
+    * run publishes beside [[mediaTextAlign]]'s per-pair decisions:
+    * pairs, keeps, keep-rate and mean alignment per document source
+    * (a source whose keep-rate craters is a mis-scraped
+    * caption field, not a content problem). Mean alignment bridges
+    * through SHIFTED exact micro-units (the bitext_mine idiom —
+    * cosines can be negative, and the (2q+n) div (2n) half-up
+    * identity needs nonnegative operands to match DuckDB's //).
+    *
+    * Scale shape: one media_id-keyed join to the source column, ONE
+    * per-source aggregation of exact integers; group keys are the
+    * handful of sources. */
+  def mediaAlignReport(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "documents").select(col("doc_id").as("media_id"), col("source"))
+    mediaTextAlign(s, dir)
+      .withColumn("a6", round(col("align") * 1e6).cast("long") + 1000000L)
+      .join(src, Seq("media_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(col("keep").cast("long")), lit(0L)).as("n_keep"),
+        sum(col("a6")).as("q"), count(lit(1)).as("n"))
+      .select(col("source"), col("n_pairs"), col("n_keep"),
+        graft.functions.VectorFunctions.r6(
+          col("n_keep").cast("double") / col("n_pairs")).as("keep_rate"),
+        ((expr("(2 * q + n) div (2 * n)") - 1000000L).cast("double") / 1e6)
+          .as("mean_align"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle mirror: the pair SQL nested, shifted micro-unit mean. */
+  val mediaAlignReportSql: String =
+    s"""WITH mar_p AS MATERIALIZED (
+       |  SELECT media_id, align, keep FROM ($mediaTextAlignSql)),
+       |mar_s AS (
+       |  SELECT d.source,
+       |    COUNT(*) AS n_pairs,
+       |    SUM(p.keep) AS n_keep,
+       |    SUM(CAST(round(p.align * 1e6) AS BIGINT) + 1000000) AS q,
+       |    COUNT(*) AS n
+       |  FROM mar_p p JOIN documents d ON d.doc_id = p.media_id
+       |  GROUP BY d.source)
+       |SELECT source, CAST(n_pairs AS BIGINT) AS n_pairs,
+       |  CAST(n_keep AS BIGINT) AS n_keep,
+       |  round(CAST(n_keep AS DOUBLE) / n_pairs, 6) + 0 AS keep_rate,
+       |  CAST((2 * q + n) // (2 * n) - 1000000 AS DOUBLE) / 1e6 AS mean_align
+       |FROM mar_s
+       |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_meta" -> (mediaMeta _),
     "media_frames" -> (mediaFrames _),
@@ -724,7 +772,8 @@ object Multimodal {
     "media_phash_dedup" -> (mediaPhashDedup _),
     "media_audio_dedup" -> (mediaAudioDedup _),
     "media_keyframes" -> (mediaKeyframes _),
-    "media_text_align" -> (mediaTextAlign _))
+    "media_text_align" -> (mediaTextAlign _),
+    "media_align_report" -> (mediaAlignReport _))
 
   val oracles: Map[String, String] = Map(
     "media_meta" -> mediaMetaSql,
@@ -733,5 +782,6 @@ object Multimodal {
     "media_phash_dedup" -> mediaPhashDedupSql,
     "media_audio_dedup" -> mediaAudioDedupSql,
     "media_keyframes" -> mediaKeyframesSql,
-    "media_text_align" -> mediaTextAlignSql)
+    "media_text_align" -> mediaTextAlignSql,
+    "media_align_report" -> mediaAlignReportSql)
 }

@@ -541,4 +541,28 @@ class CurationSpec extends AnyFunSuite {
     val one = Curation.epochShuffleReport(spark, d1).collect()
     assert(one.forall(_.getDouble(2) == 0.0), s"n<2 pins r=0: ${one.toSeq}")
   }
+
+  test("decontam_spans: a verbatim benchmark passage localizes as ONE long span; an idiom collision as a 3-word one") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // doc 0 is benchmark (% 50 = 0); doc 1 leaks a 10-word verbatim
+    // passage AND one isolated 3-gram; doc 2 is clean
+    val bench = (1 to 20).map(i => s"b$i")
+    val d1 = (1 to 5).map(i => s"x$i") ++ bench.slice(2, 12) ++
+      (6 to 10).map(i => s"x$i") ++ bench.slice(14, 17) ++ Seq("x11", "x12")
+    val d2 = (1 to 25).map(i => s"u$i")
+    val dir = Files.createTempDirectory("graft-dspan").toString
+    Seq((0L, bench.mkString(" ")), (1L, d1.mkString(" ")), (2L, d2.mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Curation.decontamSpans(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // the count-based flag sees 9 shared grams but NOT their shape;
+    // the spans report separates one 10-word passage (8 windows
+    // merged) from one 3-word collision
+    assert(got(1L) == ((2L, 8L, 10L)),
+      s"two spans, longest = the verbatim 10-word passage: $got")
+    assert(!got.contains(2L), s"clean docs emit no span row: $got")
+    assert(!got.contains(0L), s"benchmark docs are never scored against themselves: $got")
+  }
 }

@@ -288,4 +288,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(graft.ops.Dedup.dedupExact(spark, dir).count() == 4L,
       "text-side exact dedup must be blind to a caption swap")
   }
+
+  test("media_align_report: the source whose captions are swapped craters its keep-rate") {
+    import spark.implicits._
+    val tech = "circuit diode resistor anode cathode wafer " * 4
+    val food = "noodle broth garlic ginger scallion sesame " * 4
+    val dir = java.nio.file.Files.createTempDirectory("graft-mar").toString
+    // src_b's media (doc 3) carries doc 4's caption via the % 11 = 3
+    // rule; src_a's pairs are all aligned
+    Seq((1L, tech.trim, "src_a"), (2L, food.trim, "src_a"),
+        (3L, tech.trim + " extra word tail", "src_b"),
+        (4L, food.trim + " other tail words", "src_b"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Multimodal.mediaAlignReport(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got("src_a") == ((2L, 2L, 1.0)), s"aligned source keeps everything: $got")
+    val (nb, kb, rb) = got("src_b")
+    assert(nb == 2L && kb == 1L && rb == 0.5,
+      s"the swapped pair must halve src_b's keep-rate: $got")
+  }
 }

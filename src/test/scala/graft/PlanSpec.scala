@@ -849,6 +849,17 @@ class PlanSpec extends AnyFunSuite {
       s"window must key on the grid-constant (b div 8): $plan")
   }
 
+  test("decontam_spans: islands window DOC-keyed; benchmark probe is a semi-join, no cartesian") {
+    val plan = graft.ops.Curation.decontamSpans(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+    assert(plan.contains("LeftSemi"), s"benchmark membership must probe as a semi-join: $plan")
+    val all = "windowspecdefinition\\(".r.findAllIn(plan).size
+    val docKeyed = "windowspecdefinition\\(doc_id".r.findAllIn(plan).size
+    assert(all > 0 && docKeyed == all,
+      s"every window must partition per doc ($docKeyed/$all): $plan")
+  }
+
   test("media_text_align: map-only embed towers, one equi-join, no cartesian, no window") {
     val plan = graft.ops.Multimodal.mediaTextAlign(spark, sf)
       .queryExecution.executedPlan.toString

@@ -615,6 +615,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty, "the fixture corpus must contain at least one flagged leak")
   }
 
+  test("media alignment stream ≡ batch: row-local pair scoring, per-pair equality") {
+    import graft.ops.Multimodal
+    val dir = "/root/testdata/sf0.001"
+    val batch = Multimodal.mediaTextAlign(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getInt(3))).toMap
+    // the arriving stream carries (payload, caption) pairs — the
+    // crawler's output shape — built by the same fixture convention
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val caps = d.select(col("doc_id").as("caption_id"),
+      array_join(slice(split(col("text"), " "), 1, Multimodal.CaptionWords), " ").as("caption"))
+    val src = Files.createTempDirectory("graft-mta-eq").resolve("pairs").toString
+    d.select(col("doc_id").as("media_id"), encode(col("text"), "UTF-8").as("payload"))
+      .withColumn("caption_id",
+        when(col("media_id") % 11 === 3, col("media_id") + 1).otherwise(col("media_id")))
+      .join(caps, Seq("caption_id"))
+      .select("media_id", "caption_id", "payload", "caption")
+      .write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema("media_id LONG, caption_id LONG, payload BINARY, caption STRING")
+      .parquet(src)
+    val q = StreamingIndex.mediaAlignStream(stream)
+      .writeStream.format("memory").queryName("mta_eq").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("SELECT * FROM mta_eq").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getInt(3))).toMap
+    assert(streamed.size == batch.size, s"${streamed.size} vs ${batch.size}")
+    assert(streamed == batch,
+      "row-local pair scoring must equal the batch two-tower join per pair")
+    assert(batch.values.exists(_._3 == 0) && batch.values.exists(_._3 == 1),
+      "the fixture must exercise both keep outcomes")
+  }
+
   test("substring scrub stream ≡ batch indexed scrub: stream-static probe, per-doc equality") {
     val dir = "/root/testdata/sf0.001"
     graft.ops.Dedup.writeSubstrIndex(spark, dir, "substr_idx_stream")
