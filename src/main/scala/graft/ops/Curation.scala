@@ -93,6 +93,68 @@ object Curation {
       |GROUP BY g.doc_id
       |ORDER BY g.doc_id""".stripMargin
 
+  // ------------------------------------ exact vs semantic agreement
+
+  /** 2×2 agreement between the two decontamination regimes — the
+    * [[filterAgreement]] shape pointed at contamination: corpus docs
+    * flagged by BOTH the exact 3-gram overlap and the embedding
+    * cosine, by each alone, and by neither. The off-diagonals are
+    * the decision cells — exact-only is boilerplate-level overlap a
+    * paraphrase detector rightly ignores, semantic-only is the
+    * reworded leak the n-gram filter is structurally blind to, and a
+    * release picks its regime (or the union) from their sizes.
+    *
+    * Scale shape: both flag relations are the proven chains; the
+    * union report is two doc-keyed left joins onto the corpus ids
+    * and ONE 1-row aggregation stacked to 4 category rows —
+    * grid-total on an empty corpus by derivation (neither =
+    * n − exact − semantic + both). */
+  def decontamUnionReport(s: SparkSession, dir: String): DataFrame = {
+    val corpus = t(s, dir, "documents")
+      .filter(col("doc_id") % 50 =!= 0).select(col("doc_id"))
+    val ex = decontaminate(s, dir).select(col("doc_id")).withColumn("e", lit(1L))
+    val se = semanticDecontaminate(s, dir).select(col("doc_id")).withColumn("m", lit(1L))
+    corpus
+      .join(ex, Seq("doc_id"), "left")
+      .join(se, Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("e")), lit(0L)).as("ne"),
+        coalesce(sum(col("m")), lit(0L)).as("ns"),
+        coalesce(sum(when(col("e") === 1L && col("m") === 1L, 1L).otherwise(0L)),
+          lit(0L)).as("nb"))
+      .selectExpr(
+        """stack(4,
+          |  'both',          nb,
+          |  'exact_only',    ne - nb,
+          |  'semantic_only', ns - nb,
+          |  'neither',       n - ne - ns + nb
+          |) AS (category, n_docs)""".stripMargin)
+      .orderBy(col("category"))
+  }
+
+  /** Composes the two proven decontamination oracles (du_-prefixed
+    * outer CTEs per the shadowing rule). */
+  lazy val decontamUnionReportSql: String =
+    s"""WITH du_e AS MATERIALIZED (
+       |  SELECT doc_id FROM ($decontaminateSql)),
+       |du_s AS MATERIALIZED (
+       |  SELECT doc_id FROM ($semanticDecontaminateSql)),
+       |du_a AS (
+       |  SELECT COUNT(*) AS n,
+       |    COALESCE(SUM(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS ne,
+       |    COALESCE(SUM(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS ns,
+       |    COALESCE(SUM(CASE WHEN e.doc_id IS NOT NULL AND s.doc_id IS NOT NULL
+       |                 THEN 1 ELSE 0 END), 0) AS nb
+       |  FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) c
+       |  LEFT JOIN du_e e USING (doc_id)
+       |  LEFT JOIN du_s s USING (doc_id))
+       |SELECT category, CAST(n_docs AS BIGINT) AS n_docs FROM (
+       |  SELECT 'both' AS category, nb AS n_docs FROM du_a
+       |  UNION ALL SELECT 'exact_only', ne - nb FROM du_a
+       |  UNION ALL SELECT 'semantic_only', ns - nb FROM du_a
+       |  UNION ALL SELECT 'neither', n - ne - ns + nb FROM du_a)
+       |ORDER BY category""".stripMargin
+
   // ------------------------------------------ contamination spans
 
   /** WHERE a benchmark leak sits inside each contaminated doc — the
@@ -2273,6 +2335,7 @@ object Curation {
     "sample_hash" -> (sampleHash _),
     "decontaminate" -> (decontaminate _),
     "decontam_spans" -> (decontamSpans _),
+    "decontam_union_report" -> (decontamUnionReport _),
     "semantic_decontaminate" -> (semanticDecontaminate _),
     "semantic_decontam_report" -> (semanticDecontamReport _),
     "line_dedup" -> (lineDedup _),
@@ -2309,6 +2372,7 @@ object Curation {
     "sample_hash" -> sampleHashSql,
     "decontaminate" -> decontaminateSql,
     "decontam_spans" -> decontamSpansSql,
+    "decontam_union_report" -> decontamUnionReportSql,
     "semantic_decontaminate" -> semanticDecontaminateSql,
     "semantic_decontam_report" -> semanticDecontamReportSql,
     "line_dedup" -> lineDedupSql,

@@ -1124,8 +1124,12 @@ object Dedup {
     * min-struct per window hash, one hash rejoin), plus the DOC-keyed
     * islands window (bounded by doc length, never corpus-wide) and
     * one doc-keyed rebuild join. */
-  def substrDedupMaximal(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
+  /** Maximal duplicated-run intervals (doc_id, s, e) over the
+    * atomic-window posting stream, UNFILTERED by span — shared by
+    * [[substrDedupMaximal]] (which cuts spans ≥ the threshold) and
+    * [[substrThresholdSweep]] (which audits the threshold knob over
+    * the span distribution). */
+  private def maximalIslands(d: DataFrame): DataFrame = {
     val wins = d.select(col("doc_id"),
       posexplode(maximalWinUdf(col("text"))).as(Seq("pos", "h")))
     val first = wins.groupBy(col("h"))
@@ -1134,11 +1138,16 @@ object Dedup {
       .filter(!(col("doc_id") === col("f.doc_id") && col("pos") === col("f.pos")))
       .select(col("doc_id"), col("pos"))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val iv = bad
+    bad
       .withColumn("island", col("pos") - row_number().over(wDoc))
       .groupBy(col("doc_id"), col("island"))
       .agg(min(col("pos")).as("s"),
         (max(col("pos")) + lit(MaximalAtomWords - 1)).as("e"))
+  }
+
+  def substrDedupMaximal(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val iv = maximalIslands(d)
       .filter(col("e") - col("s") + 1 >= MaximalMinSpanWords)
     val ivl = iv.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("iv"))
@@ -1203,6 +1212,77 @@ object Dedup {
        |  $hCt AS clean_h
        |FROM mx_clean
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Span thresholds audited by [[substrThresholdSweep]] — all ≥
+    * [[MaximalAtomWords]] (a run shorter than the atom is
+    * structurally undetectable, the sweep's floor). */
+  val SubstrSweepThresholds: Seq[Int] = Seq(8, 10, 12, 15, 20)
+
+  /** Removal-threshold SWEEP for the variable-length scrub — the
+    * knob audit that makes the window length's recall cost VISIBLE
+    * instead of silent: for each candidate threshold, how many
+    * maximal duplicated runs clear it and how many words they would
+    * remove. Reading the curve tells a release where the duplicated
+    * mass lives (a cliff between 12 and 15 means the fixed 15-word
+    * grid was leaving most of it in).
+    *
+    * Scale shape: ONE posting-stream + islands pass (shared with
+    * [[substrDedupMaximal]]) reduced to per-island spans; the whole
+    * grid is conditional sums in ONE 1-row aggregation stacked to
+    * grid rows (the quality_threshold_sweep shape) — never
+    * grid × corpus. Grid-total on an empty corpus. */
+  def substrThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    val spans = maximalIslands(t(s, dir, "documents"))
+      .select((col("e") - col("s") + 1).as("span"))
+    val aggs = SubstrSweepThresholds.flatMap(th => Seq(
+      coalesce(sum(when(col("span") >= th, 1L).otherwise(0L)), lit(0L)).as(s"n$th"),
+      coalesce(sum(when(col("span") >= th, col("span").cast("long")).otherwise(0L)),
+        lit(0L)).as(s"w$th")))
+    val stackExpr = SubstrSweepThresholds
+      .map(th => s"$th, n$th, w$th").mkString(", ")
+    spans.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${SubstrSweepThresholds.size}, $stackExpr) " +
+        "AS (threshold, n_spans, removable_words)")
+      .orderBy(col("threshold"))
+  }
+
+  /** Composes the maximal-islands SQL without the HAVING cut; per-
+    * threshold cells as conditional sums over ONE pass, UNION ALL
+    * rows. */
+  val substrThresholdSweepSql: String = {
+    val A = MaximalAtomWords
+    val hWin = graft.functions.CrossHash.sqlHash60(s"array_to_string(w[i + 1 : i + $A], ' ')")
+    val cells = SubstrSweepThresholds.map(th =>
+      s"""COALESCE(SUM(CASE WHEN span >= $th THEN 1 ELSE 0 END), 0) AS n$th,
+         |    COALESCE(SUM(CASE WHEN span >= $th THEN span ELSE 0 END), 0) AS w$th""".stripMargin)
+      .mkString(",\n    ")
+    val rows = SubstrSweepThresholds.map(th =>
+      s"""SELECT $th AS threshold, CAST(n$th AS BIGINT) AS n_spans,
+         |  CAST(w$th AS BIGINT) AS removable_words FROM ts_a""".stripMargin)
+      .mkString("\nUNION ALL ")
+    s"""WITH ts_w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |ts_win AS MATERIALIZED (
+       |  SELECT doc_id, i AS pos, $hWin AS h
+       |  FROM ts_w, UNNEST(range(0, len(w) - ${A - 1})) AS t(i)
+       |  WHERE len(w) >= $A),
+       |ts_rk AS (
+       |  SELECT doc_id, pos,
+       |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
+       |  FROM ts_win),
+       |ts_isl AS (
+       |  SELECT doc_id, pos,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM ts_rk WHERE rk > 1),
+       |ts_sp AS (
+       |  SELECT MAX(pos) + $A - MIN(pos) AS span
+       |  FROM ts_isl GROUP BY doc_id, island),
+       |ts_a AS (
+       |  SELECT $cells
+       |  FROM ts_sp)
+       |$rows
+       |ORDER BY threshold""".stripMargin
   }
 
   /** Corpus totals for [[substrDedupMaximal]] — the
@@ -3016,6 +3096,7 @@ object Dedup {
     "substr_dedup" -> (substrDedup _),
     "substr_dedup_maximal" -> (substrDedupMaximal _),
     "substr_maximal_report" -> (substrMaximalReport _),
+    "substr_threshold_sweep" -> (substrThresholdSweep _),
     "substr_dedup_report" -> (substrDedupReport _),
     "substr_scrub_incremental" -> (substrScrubIncremental _),
     "memorization_report" -> (memorizationReport _),
@@ -3045,6 +3126,7 @@ object Dedup {
     "substr_dedup" -> substrDedupSql,
     "substr_dedup_maximal" -> substrDedupMaximalSql,
     "substr_maximal_report" -> substrMaximalReportSql,
+    "substr_threshold_sweep" -> substrThresholdSweepSql,
     "substr_dedup_report" -> substrDedupReportSql,
     "substr_scrub_incremental" -> substrScrubIncrementalSql,
     "memorization_report" -> memorizationReportSql,

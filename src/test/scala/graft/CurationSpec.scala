@@ -542,6 +542,21 @@ class CurationSpec extends AnyFunSuite {
     assert(one.forall(_.getDouble(2) == 0.0), s"n<2 pins r=0: ${one.toSeq}")
   }
 
+  test("decontam_union_report: cells recover both parent flag sets and sum to the corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Curation.decontamUnionReport(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set("both", "exact_only", "semantic_only", "neither"))
+    val exact = Curation.decontaminate(spark, dir).collect().map(_.getLong(0)).toSet
+    val sem = Curation.semanticDecontaminate(spark, dir).collect().map(_.getLong(0)).toSet
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 50 =!= 0).count()
+    assert(got("both") == (exact intersect sem).size.toLong, s"$got")
+    assert(got("exact_only") == (exact diff sem).size.toLong, s"$got")
+    assert(got("semantic_only") == (sem diff exact).size.toLong, s"$got")
+    assert(got.values.sum == corpus, s"cells must sum to the corpus: $got vs $corpus")
+  }
+
   test("decontam_spans: a verbatim benchmark passage localizes as ONE long span; an idiom collision as a 3-word one") {
     import spark.implicits._
     import java.nio.file.Files

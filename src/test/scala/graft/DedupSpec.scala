@@ -405,6 +405,36 @@ class DedupSpec extends AnyFunSuite {
       "byte-exact rebuild of the scrubbed doc")
   }
 
+  test("substr_threshold_sweep: the span distribution makes the recall knob visible; grid-total when empty") {
+    // one 14-word copy and one disjoint 8-word copy: thresholds at or
+    // under each span count it, above it lose it — the cliff between
+    // 12 and 15 is exactly what the fixed 15-word grid hides
+    val p = (1 to 14).map(i => s"p$i")
+    val q = (1 to 8).map(i => s"q$i")
+    val d30 = (1 to 5).map(i => s"a$i") ++ p ++ (1 to 4).map(i => s"b$i") ++ q
+    val d31 = (1 to 3).map(i => s"c$i") ++ p ++ (1 to 6).map(i => s"d$i")
+    val d32 = (1 to 9).map(i => s"e$i") ++ q ++ (1 to 8).map(i => s"f$i")
+    val sdir = Files.createTempDirectory("graft-substr-sweep").toString
+    Seq((30L, d30.mkString(" ")), (31L, d31.mkString(" ")), (32L, d32.mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$sdir/documents.parquet")
+    val got = Dedup.substrThresholdSweep(spark, sdir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(8) == ((2L, 22L)), s"both copies clear 8: $got")
+    assert(got(10) == ((1L, 14L)) && got(12) == ((1L, 14L)),
+      s"only the 14-word copy clears 10/12: $got")
+    assert(got(15) == ((0L, 0L)) && got(20) == ((0L, 0L)),
+      s"nothing clears the 15-word grid — the silent recall loss, measured: $got")
+    // grid totality on a duplicate-free corpus
+    val clean = Files.createTempDirectory("graft-substr-sweep0").toString
+    Seq((0L, (1 to 30).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$clean/documents.parquet")
+    val zero = Dedup.substrThresholdSweep(spark, clean).collect()
+    assert(zero.length == 5 && zero.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L),
+      s"grid-total zeros: ${zero.toSeq}")
+  }
+
   test("substr scrub kernel: string_split parity on leading/trailing whitespace, byte-exact") {
     // splitWords must mirror DuckDB string_split exactly: Java's
     // default split drops trailing empties and the old sb.nonEmpty

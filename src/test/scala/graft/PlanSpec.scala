@@ -860,6 +860,26 @@ class PlanSpec extends AnyFunSuite {
       s"every window must partition per doc ($docKeyed/$all): $plan")
   }
 
+  test("substr_threshold_sweep: ONE islands pass, grid as a 1-row stacked aggregation, never grid×corpus") {
+    val plan = graft.ops.Dedup.substrThresholdSweep(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+    val all = "windowspecdefinition\\(".r.findAllIn(plan).size
+    val docKeyed = "windowspecdefinition\\(doc_id".r.findAllIn(plan).size
+    assert(all > 0 && docKeyed == all,
+      s"islands window must partition per doc ($docKeyed/$all): $plan")
+    // the grid rides ONE Generate (stack) over a 1-row aggregate —
+    // the posting stream is scanned once, not once per threshold
+    assert("Generate stack".r.findAllIn(plan).size == 1, s"one stack: $plan")
+  }
+
+  test("decontam_union_report: flag chains join doc-keyed; 4-row stack over one aggregate; no cartesian") {
+    val plan = graft.ops.Curation.decontamUnionReport(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+    assert("Generate stack".r.findAllIn(plan).size == 1, s"one stack: $plan")
+  }
+
   test("media_text_align: map-only embed towers, one equi-join, no cartesian, no window") {
     val plan = graft.ops.Multimodal.mediaTextAlign(spark, sf)
       .queryExecution.executedPlan.toString
