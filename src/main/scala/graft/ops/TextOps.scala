@@ -1207,6 +1207,16 @@ object TextOps {
     * DISTINCT and the coverage probe one left join, both keyed
     * (n, gram-hash) so the exchange is reused; the per-n rollups are
     * 3-row aggregations. */
+  /** JVM-direct 60-bit gram hash — same value as
+    * `CrossHash.md5Hash60Col` (the conv-substring-md5 column chain)
+    * but straight from the digest bytes: the builtin chain allocates
+    * a 32-char hex string and re-parses 15 chars per row, measured
+    * ~1.9× the whole query's cost at sf0.1 (3.1 s vs 1.6 s) on the
+    * ~3×-token gram stream. */
+  private val gramHashUdf = udf { (g: String) =>
+    graft.functions.CrossHash.md5Hash60(g)
+  }
+
   def ngramCoverage(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val grams = t(s, dir, "documents")
@@ -1217,8 +1227,7 @@ object TextOps {
         explode(expr(
           "transform(sequence(0, size(w) - n), i -> array_join(slice(w, i + 1, n), ' '))"))
           .as("g"))
-      .select(col("is_train"), col("n"),
-        graft.functions.CrossHash.md5Hash60Col(col("g")).as("gh"))
+      .select(col("is_train"), col("n"), gramHashUdf(col("g")).as("gh"))
     val train = grams.filter(col("is_train")).select(col("n"), col("gh")).distinct()
     val trainTypes = train.groupBy(col("n")).agg(count(lit(1)).as("train_types"))
     val cov = grams.filter(!col("is_train"))
