@@ -62,6 +62,87 @@ object TextOps {
       |ORDER BY cnt DESC, word
       |LIMIT 20""".stripMargin
 
+  /** Minimum bigram count for [[collocationPmi]] — PMI is notoriously
+    * unstable on rare pairs (a hapax bigram of two hapax words maxes
+    * the score), so the standard practice is a hard count floor. */
+  val PmiMinCount = 5
+
+  /** Collocation mining by pointwise mutual information — the
+    * phrase-discovery pass a tokenizer-vocabulary or stopword-list
+    * review runs: bigrams whose joint probability beats the product
+    * of their unigram probabilities, PMI = ln(c_xy·N²/(B·c_x·c_y)),
+    * computed in log-sum form so no product overflows double's exact
+    * integer range. Count floor [[PmiMinCount]]; top-50 by PMI, ties
+    * (x, y).
+    *
+    * Scale shape: ONE token scan serves both streams (unigrams by
+    * explode, bigrams by index-pair transform over the same split);
+    * the bigram count floor applies BEFORE the two unigram-count
+    * joins, so the joined relation is the surviving collocations,
+    * not the corpus; N and B are 1-row broadcast scalars. */
+  def collocationPmi(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(split(col("text"), " ").as("ws"))
+    val uni = d.select(explode(col("ws")).as("x"))
+      .filter(length(col("x")) > 0)
+      .groupBy(col("x")).agg(count(lit(1)).as("cx"))
+    // size >= 2 guard BEFORE the pair transform: Spark's
+    // sequence(0, -1) DESCENDS (the mediaFrames lesson), so a
+    // single-word doc would fabricate an out-of-range pair
+    val bi = d.filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS x, ws[i + 1] AS y))"))
+        .as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+      .filter(length(col("x")) > 0 && length(col("y")) > 0)
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= PmiMinCount)
+    val nTotal = uni.agg(coalesce(sum(col("cx")), lit(0L)).as("nn"))
+    val bTotal = d.select(
+        greatest(size(col("ws")) - lit(1), lit(0)).cast("long").as("nb"))
+      .agg(coalesce(sum(col("nb")), lit(0L)).as("bb"))
+    bi.join(uni, Seq("x"))
+      .join(uni.select(col("x").as("y"), col("cx").as("cy")), Seq("y"))
+      .crossJoin(broadcast(nTotal))
+      .crossJoin(broadcast(bTotal))
+      .select(col("x"), col("y"), col("cxy").as("n_xy"),
+        r6(log(col("cxy").cast("double")) + lit(2.0) * log(col("nn").cast("double"))
+          - log(col("bb").cast("double")) - log(col("cx").cast("double"))
+          - log(col("cy").cast("double"))).as("pmi"))
+      .orderBy(col("pmi").desc, col("x"), col("y"))
+      .limit(50)
+  }
+
+  /** Oracle mirror of [[collocationPmi]] — same tokenization (raw
+    * space split, empties dropped), same log-sum PMI term order. */
+  val collocationPmiSql: String =
+    s"""WITH cp_w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+       |cp_u AS MATERIALIZED (
+       |  SELECT w AS x, COUNT(*) AS cx
+       |  FROM cp_w, UNNEST(ws) AS t(w)
+       |  WHERE length(w) > 0
+       |  GROUP BY w),
+       |cp_b AS (
+       |  SELECT ws[i] AS x, ws[i + 1] AS y, COUNT(*) AS cxy
+       |  FROM cp_w, UNNEST(range(1, len(ws))) AS t(i)
+       |  WHERE length(ws[i]) > 0 AND length(ws[i + 1]) > 0
+       |  GROUP BY ws[i], ws[i + 1]
+       |  HAVING COUNT(*) >= $PmiMinCount),
+       |cp_n AS (SELECT COALESCE(SUM(cx), 0) AS nn FROM cp_u),
+       |cp_t AS (
+       |  SELECT COALESCE(SUM(greatest(len(ws) - 1, 0)), 0) AS bb FROM cp_w)
+       |SELECT b.x, b.y, CAST(b.cxy AS BIGINT) AS n_xy,
+       |  round(ln(CAST(b.cxy AS DOUBLE)) + 2.0 * ln(CAST(n.nn AS DOUBLE))
+       |    - ln(CAST(t.bb AS DOUBLE)) - ln(CAST(u.cx AS DOUBLE))
+       |    - ln(CAST(v.cx AS DOUBLE)), 6) + 0 AS pmi
+       |FROM cp_b b
+       |JOIN cp_u u ON u.x = b.x
+       |JOIN cp_u v ON v.x = b.y
+       |CROSS JOIN cp_n n
+       |CROSS JOIN cp_t t
+       |ORDER BY pmi DESC, b.x, b.y
+       |LIMIT 50""".stripMargin
+
   /** Per-document quality signals: token count, distinct tokens,
     * type-token ratio, stopword ratio — the length/stopword slice of
     * an LLM-data quality score, all in codegen'd array functions. */
@@ -540,6 +621,30 @@ object TextOps {
        |FROM la_m JOIN la_n USING (doc_id)
        |GROUP BY lang_true
        |ORDER BY lang_true""".stripMargin
+
+  /** Confusion matrix of the n-gram classifier — the per-PAIR
+    * breakdown [[langidAgreement]]'s per-true-lang totals cannot
+    * show: WHICH languages absorb the errors (es→pt-style confusions
+    * cluster; a uniform error row means charset noise, a
+    * concentrated one means two close charsets need more buckets).
+    * Observed (true, pred) pairs with exact counts; sub-gram docs
+    * surface under the '' sentinel prediction.
+    *
+    * Scale shape: the langid scoring pass plus ONE (true, pred)
+    * aggregation — group keys bounded by langs². */
+  def langidConfusion(s: SparkSession, dir: String): DataFrame =
+    langidNgram(s, dir)
+      .groupBy(col("lang_true"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang_true"), col("lang_pred"))
+
+  lazy val langidConfusionSql: String =
+    s"""WITH lc AS MATERIALIZED (
+       |  SELECT lang_true, lang_pred FROM ($langidNgramSql))
+       |SELECT lang_true, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |FROM lc
+       |GROUP BY lang_true, lang_pred
+       |ORDER BY lang_true, lang_pred""".stripMargin
 
   val langIdSql: String =
     """WITH h AS (
@@ -1451,6 +1556,8 @@ object TextOps {
     "bpe_pairs" -> (bpePairs _),
     "text_stats" -> (textStats _),
     "top_words" -> (topWords _),
+    "collocation_pmi" -> (collocationPmi _),
+    "langid_confusion" -> (langidConfusion _),
     "doc_quality" -> (docQuality _),
     "rep_ngrams" -> (repNgrams _),
     "doc_fingerprint" -> (docFingerprint _),
@@ -1473,6 +1580,8 @@ object TextOps {
     "bpe_pairs" -> bpePairsSql,
     "text_stats" -> textStatsSql,
     "top_words" -> topWordsSql,
+    "collocation_pmi" -> collocationPmiSql,
+    "langid_confusion" -> langidConfusionSql,
     "doc_quality" -> docQualitySql,
     "rep_ngrams" -> repNgramsSql,
     "doc_fingerprint" -> docFingerprintSql,

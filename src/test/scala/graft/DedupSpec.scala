@@ -405,6 +405,66 @@ class DedupSpec extends AnyFunSuite {
       "byte-exact rebuild of the scrubbed doc")
   }
 
+  test("substr_dedup_maximal: seeded fuzz vs a naive reference (independent survivorship + islands + scrub)") {
+    // corpora built from a small pool of shared passages interleaved
+    // with doc-unique noise — duplicated runs of many lengths, at all
+    // alignments, overlapping — checked against a from-scratch
+    // reference that never touches the engine's window/hash/scrub code
+    val rnd = new scala.util.Random(42)
+    val passages = (1 to 8).map { p =>
+      (1 to (5 + rnd.nextInt(20))).map(j => s"p${p}x$j")
+    }
+    val docs = (0L until 24L).map { id =>
+      val parts = (1 to 4).map { k =>
+        if (rnd.nextBoolean()) passages(rnd.nextInt(passages.length))
+        else (1 to (3 + rnd.nextInt(6))).map(j => s"n${id}u${k}v$j")
+      }
+      (id, parts.flatten.mkString(" "))
+    }
+    val L0 = Dedup.MaximalAtomWords
+    val T = Dedup.MaximalMinSpanWords
+    // naive reference
+    val words = docs.map { case (id, t) => id -> t.split(" ", -1) }.toMap
+    val byWin = scala.collection.mutable.LinkedHashMap[String,
+      scala.collection.mutable.ArrayBuffer[(Long, Int)]]()
+    for ((id, w) <- docs.map(d => d._1 -> words(d._1)); i <- 0 to w.length - L0)
+      byWin.getOrElseUpdate(w.slice(i, i + L0).mkString(" "),
+        scala.collection.mutable.ArrayBuffer()) += ((id, i))
+    val bad = scala.collection.mutable.Map[Long, scala.collection.mutable.Set[Int]]()
+    for ((_, occs) <- byWin if occs.length > 1) {
+      val mn = occs.minBy(identity)
+      for (o <- occs if o != mn)
+        bad.getOrElseUpdate(o._1, scala.collection.mutable.Set()) += o._2
+    }
+    val expect = docs.map { case (id, _) =>
+      val w = words(id)
+      val ps = bad.getOrElse(id, Set.empty[Int]).toSeq.sorted
+      // group consecutive positions into islands
+      val islands = ps.foldLeft(List.empty[List[Int]]) {
+        case (acc @ (cur :: rest), p) if p == cur.head + 1 => (p :: cur) :: rest
+        case (acc, p) => List(p) :: acc
+      }.map(_.reverse).reverse
+      val ivs = islands.map(isl => (isl.head, isl.last + L0 - 1))
+        .filter { case (s, e) => e - s + 1 >= T }
+      val covered = Array.fill(w.length)(false)
+      for ((s, e) <- ivs; i <- s to math.min(e, w.length - 1)) covered(i) = true
+      val clean = w.indices.filterNot(covered).map(w).mkString(" ")
+      val cleanWords = if (clean == "") 0 else clean.split(" ", -1).length
+      id -> ((w.length.toLong, (w.length - cleanWords).toLong,
+        graft.functions.CrossHash.md5Hash60(clean)))
+    }.toMap
+    val fdir = Files.createTempDirectory("graft-substr-fuzz").toString
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$fdir/documents.parquet")
+    val got = Dedup.substrDedupMaximal(spark, fdir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    assert(got.keySet == expect.keySet)
+    for (id <- expect.keys.toSeq.sorted)
+      assert(got(id) == expect(id), s"doc $id: engine ${got(id)} vs reference ${expect(id)}")
+    assert(expect.values.exists(_._2 > 0), "fuzz corpus must exercise removals")
+    assert(expect.values.exists(_._2 == 0), "fuzz corpus must keep some docs untouched")
+  }
+
   test("substr_threshold_sweep: the span distribution makes the recall knob visible; grid-total when empty") {
     // one 14-word copy and one disjoint 8-word copy: thresholds at or
     // under each span count it, above it lose it — the cliff between

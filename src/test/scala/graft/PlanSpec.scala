@@ -860,6 +860,25 @@ class PlanSpec extends AnyFunSuite {
       s"every window must partition per doc ($docKeyed/$all): $plan")
   }
 
+  test("collocation_pmi: count floor below the unigram joins; scalars broadcast; no window") {
+    val df = graft.ops.TextOps.collocationPmi(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+    assert(!plan.contains("windowspecdefinition"), s"joins + aggregates only: $plan")
+    assert(plan.contains("BroadcastExchange"), s"the N/B scalars must broadcast: $plan")
+    // the cxy >= floor filter must sit BELOW the unigram joins in the
+    // tree (children print after parents), so only surviving
+    // collocations ever join the vocabulary counts
+    val full = plan.indexOf("== Initial Plan ==") match {
+      case -1 => plan
+      case i => plan.substring(0, i)
+    }
+    val joinIdx = full.indexOf("Join")
+    val floorIdx = full.indexOf("Filter (cxy#")
+    assert(joinIdx >= 0 && floorIdx > joinIdx,
+      s"count floor must apply before the unigram joins: $full")
+  }
+
   test("substr_threshold_sweep: ONE islands pass, grid as a 1-row stacked aggregation, never grid×corpus") {
     val plan = graft.ops.Dedup.substrThresholdSweep(spark, sf)
       .queryExecution.executedPlan.toString

@@ -172,6 +172,61 @@ class TextOpsSpec extends AnyFunSuite {
       s"ngram must win every doc the marker vote misses: $rep")
   }
 
+  test("collocation_pmi: a true collocation outranks a frequent-but-independent pair; the count floor holds") {
+    import java.nio.file.Files
+    import spark.implicits._
+    // "nova lima" always co-occur (6 times, never apart) — a true
+    // collocation. "the cat" meet 6 times but each word also roams
+    // freely (24 occurrences each) — high count, low PMI. "rare gem"
+    // co-occur 4 times: under the floor, absent.
+    val docs = Seq(
+      (1L, "nova lima a b the cat c the d cat e rare gem f"),
+      (2L, "nova lima g the cat h the i cat j rare gem k"),
+      (3L, "nova lima l the cat m the n cat o rare gem p"),
+      (4L, "nova lima q the cat r the s cat t rare gem u"),
+      (5L, "nova lima v the cat w the x cat y"),
+      (6L, "nova lima z the cat a2 the b2 cat c2"))
+    val dir = Files.createTempDirectory("graft-pmi").toString
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.collocationPmi(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.contains(("nova", "lima")) && got(("nova", "lima"))._1 == 6L)
+    assert(got.contains(("the", "cat")) && got(("the", "cat"))._1 == 6L)
+    assert(got(("nova", "lima"))._2 > got(("the", "cat"))._2,
+      s"exclusive co-occurrence must outrank independent frequency: $got")
+    assert(!got.contains(("rare", "gem")),
+      s"a 4-count pair sits under the ${TextOps.PmiMinCount} floor: $got")
+  }
+
+  test("langid_confusion: error mass lands in the matrix cell, diagonals carry the agreements") {
+    import java.nio.file.Files
+    import spark.implicits._
+    // training makes 'xa' and 'xb' separable; 'xc' has NO training
+    // docs (odd ids only), so its held-out docs must land in some
+    // OTHER language's column — the confusion cell the per-true-lang
+    // totals cannot show
+    val docs = Seq(
+      (2L, "zapato zorro zumo zanahoria zumbido", "xa"),
+      (4L, "zona zebra zinc zapallo zodiaco", "xa"),
+      (6L, "kettle kipper kernel kindle keeper", "xb"),
+      (8L, "kayak kazoo kelp kiosk knack", "xb"),
+      (1L, "zumo zorro zapato", "xa"),
+      (3L, "kernel kipper kettle", "xb"),
+      (5L, "zzz kkk mixed", "xc"))
+    val dir = Files.createTempDirectory("graft-confusion").toString
+    docs.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.langidConfusion(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got(("xa", "xa")) == 3L && got(("xb", "xb")) == 3L,
+      s"diagonals carry the agreements: $got")
+    val xcRow = got.collect { case ((t, p), n) if t == "xc" => p -> n }
+    assert(xcRow.map(_._2).sum == 1L && xcRow.forall(_._1 != "xc"),
+      s"an untrained language's docs must land in another column: $got")
+    assert(got.values.sum == docs.size, s"cells sum to the corpus: $got")
+  }
+
   test("langid grams count CODE POINTS: supplementary-plane text streams oracle-identical grams") {
     import java.nio.file.Files
     import spark.implicits._
