@@ -542,6 +542,39 @@ object Curation {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Per-source PII exposure report — the release-checklist view of
+    * [[redactMask]]'s per-doc counts: which ingestion source leaks
+    * (docs carrying maskable runs, total matches, exposure rate). A
+    * source at 0.9 exposure needs a scrape fix, not per-doc masking.
+    * One scan + ONE per-source aggregation; group keys are the
+    * handful of sources. */
+  def piiReport(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val n = size(regexp_extract_all(col("text"), lit("[a-z]{7,}"), lit(0))).cast("long")
+    d.select(col("source"), n.as("n_masked"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(when(col("n_masked") > 0, 1L).otherwise(0L)), lit(0L))
+          .as("n_docs_with_pii"),
+        coalesce(sum(col("n_masked")), lit(0L)).as("n_matches"))
+      .withColumn("exposure_rate",
+        r6(col("n_docs_with_pii").cast("double") / col("n_docs")))
+      .orderBy(col("source"))
+  }
+
+  val piiReportSql: String =
+    """SELECT source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COALESCE(SUM(CASE WHEN len(regexp_extract_all(text, '[a-z]{7,}')) > 0
+      |               THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_docs_with_pii,
+      |  CAST(COALESCE(SUM(len(regexp_extract_all(text, '[a-z]{7,}'))), 0) AS BIGINT)
+      |    AS n_matches,
+      |  round(CAST(SUM(CASE WHEN len(regexp_extract_all(text, '[a-z]{7,}')) > 0
+      |             THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) + 0 AS exposure_rate
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   /** Stratified balancing: downsample every language to the smallest
     * language's count, picking survivors in md5 order (deterministic,
     * engine-independent). NOTE the rank-based exact variant here has
@@ -2343,6 +2376,7 @@ object Curation {
     "line_dedup_report" -> (lineDedupReport _),
     "gopher_quality" -> (gopherQuality _),
     "redact_mask" -> (redactMask _),
+    "pii_report" -> (piiReport _),
     "stratified_sample" -> (stratifiedSample _),
     "mixture_sample" -> (mixtureSample _),
     "shard_pack" -> (shardPack _))
@@ -2380,6 +2414,7 @@ object Curation {
     "line_dedup_report" -> lineDedupReportSql,
     "gopher_quality" -> gopherQualitySql,
     "redact_mask" -> redactMaskSql,
+    "pii_report" -> piiReportSql,
     "stratified_sample" -> stratifiedSampleSql,
     "mixture_sample" -> mixtureSampleSql,
     "shard_pack" -> shardPackSql)

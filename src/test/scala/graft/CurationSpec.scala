@@ -542,6 +542,28 @@ class CurationSpec extends AnyFunSuite {
     assert(one.forall(_.getDouble(2) == 0.0), s"n<2 pins r=0: ${one.toSeq}")
   }
 
+  test("pii_report: the leaking source surfaces with its exposure rate; clean sources read zero") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // src_leak: 2 of 3 docs carry maskable runs (>=7-letter words);
+    // src_clean: short words only
+    val docs = Seq(
+      (1L, "alpha beta gamma", "src_clean"),
+      (2L, "one two six", "src_clean"),
+      (3L, "username fingerprint xy", "src_leak"),
+      (4L, "ab cd ef", "src_leak"),
+      (5L, "residential address here", "src_leak"))
+    val dir = Files.createTempDirectory("graft-pii").toString
+    docs.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Curation.piiReport(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(got("src_clean") == ((2L, 0L, 0L, 0.0)), s"$got")
+    // doc 3: username+fingerprint, doc 5: residential+address = 4 runs
+    assert(got("src_leak") == ((3L, 2L, 4L, 0.666667)), s"$got")
+  }
+
   test("decontam_union_report: cells recover both parent flag sets and sum to the corpus") {
     val dir = "/root/testdata/sf0.001"
     val got = Curation.decontamUnionReport(spark, dir).collect()
