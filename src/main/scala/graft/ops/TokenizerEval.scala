@@ -56,9 +56,82 @@ object TokenizerEval {
        |ORDER BY tokenizer""".stripMargin
   }
 
+  /** Pairwise vocabulary SURFACE overlap between the three trained
+    * tokenizer families — the migration audit run before swapping
+    * tokenizers: a high-Jaccard pair means most learned units carry
+    * over (embeddings for those pieces transfer meaningfully); a low
+    * one means retraining from scratch. Comparison is on surface
+    * strings: BPE's units are its merge products (lhs||rhs),
+    * WordPiece's continuation marker `##` is stripped (the marker
+    * encodes position, not surface), unigram pieces compare as-is.
+    *
+    * All three vocabularies are PARAMETER-BOUNDED driver values
+    * (each trainer already fits on the driver and ships ≤ VocabOut
+    * rows — the fittedVocab/trainedMerges rule), so the overlap is
+    * exact set arithmetic on the driver, not a corpus pass: the
+    * corpus cost is the three fits the parent queries already pay. */
+  def tokenizerVocabOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def pieces(df: DataFrame): Set[String] =
+      df.collect().map(_.getString(0)).toSet
+    val fams = Seq(
+      "bpe" -> pieces(Bpe.bpeMerges(s, dir)
+        .select(concat(col("lhs"), col("rhs")).as("piece"))),
+      "unigram" -> pieces(UnigramLm.unigramVocab(s, dir).select(col("piece"))),
+      "wordpiece" -> pieces(WordPiece.wordpieceVocab(s, dir)
+        .select(regexp_replace(col("piece"), "^##", "").as("piece"))))
+    val rows = for {
+      i <- fams.indices
+      j <- i + 1 until fams.size
+    } yield {
+      val (na, a) = fams(i)
+      val (nb, b) = fams(j)
+      val shared = (a intersect b).size
+      val union = a.size + b.size - shared
+      val jac = if (union == 0) 0.0
+        else graft.functions.OracleMath.r6d(shared.toDouble / union)
+      (na, nb, a.size.toLong, b.size.toLong, shared.toLong, jac)
+    }
+    rows.toDF("family_a", "family_b", "n_a", "n_b", "n_shared", "jaccard")
+      .orderBy(col("family_a"), col("family_b"))
+  }
+
+  /** Oracle mirror: the three proven vocab SQLs as MATERIALIZED
+    * distinct surface sets, pairwise counted. */
+  lazy val tokenizerVocabOverlapSql: String = {
+    def pair(a: String, b: String) =
+      s"""SELECT '$a' AS family_a, '$b' AS family_b,
+         |  (SELECT COUNT(*) FROM tv_$a) AS n_a,
+         |  (SELECT COUNT(*) FROM tv_$b) AS n_b,
+         |  (SELECT COUNT(*) FROM tv_$a x JOIN tv_$b y USING (piece)) AS n_shared""".stripMargin
+    s"""WITH tv_bpe AS MATERIALIZED (
+       |  SELECT DISTINCT lhs || rhs AS piece FROM (${Bpe.bpeMergesSql}) bm),
+       |tv_unigram AS MATERIALIZED (
+       |  SELECT DISTINCT piece FROM (${UnigramLm.unigramVocabSql}) uv),
+       |tv_wordpiece AS MATERIALIZED (
+       |  SELECT DISTINCT regexp_replace(piece, '^##', '') AS piece
+       |  FROM (${WordPiece.wordpieceVocabSql}) wv),
+       |tv_pairs AS (
+       |${pair("bpe", "unigram")}
+       |UNION ALL
+       |${pair("bpe", "wordpiece")}
+       |UNION ALL
+       |${pair("unigram", "wordpiece")})
+       |SELECT family_a, family_b,
+       |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       |  CAST(n_shared AS BIGINT) AS n_shared,
+       |  CASE WHEN n_a + n_b - n_shared = 0 THEN 0.0
+       |       ELSE round(CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared), 6) + 0
+       |  END AS jaccard
+       |FROM tv_pairs
+       |ORDER BY family_a, family_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "tokenizer_fertility" -> (tokenizerFertility _))
+    "tokenizer_fertility" -> (tokenizerFertility _),
+    "tokenizer_vocab_overlap" -> (tokenizerVocabOverlap _))
 
   val oracles: Map[String, String] = Map(
-    "tokenizer_fertility" -> tokenizerFertilitySql)
+    "tokenizer_fertility" -> tokenizerFertilitySql,
+    "tokenizer_vocab_overlap" -> tokenizerVocabOverlapSql)
 }

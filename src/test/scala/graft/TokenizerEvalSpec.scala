@@ -26,4 +26,31 @@ class TokenizerEvalSpec extends AnyFunSuite {
     assert((rows("unigram")._1, rows("unigram")._2) == tot(UnigramLm.unigramEncode(spark, dir), 1))
     assert((rows("wordpiece")._1, rows("wordpiece")._2) == tot(WordPiece.wordpieceEncode(spark, dir), 1))
   }
+
+  test("tokenizer_vocab_overlap: counts recover the parent vocabularies; jaccard re-derives from the cells") {
+    val dir = "/root/testdata/sf0.001"
+    val got = TokenizerEval.tokenizerVocabOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(got.keySet == Set(("bpe", "unigram"), ("bpe", "wordpiece"),
+      ("unigram", "wordpiece")), s"all unordered pairs once: ${got.keySet}")
+    // sizes recover the parents' distinct SURFACE sets
+    val nb = Bpe.bpeMerges(spark, dir).collect()
+      .map(r => r.getString(1) + r.getString(2)).toSet.size.toLong
+    val nu = UnigramLm.unigramVocab(spark, dir).collect()
+      .map(_.getString(0)).toSet.size.toLong
+    val nw = WordPiece.wordpieceVocab(spark, dir).collect()
+      .map(_.getString(0).stripPrefix("##")).toSet.size.toLong
+    assert(got(("bpe", "unigram"))._1 == nb && got(("bpe", "unigram"))._2 == nu)
+    assert(got(("unigram", "wordpiece"))._1 == nu && got(("unigram", "wordpiece"))._2 == nw)
+    got.foreach { case ((a, b), (na2, nb2, sh, jac)) =>
+      assert(sh <= math.min(na2, nb2), s"$a/$b: shared $sh > min($na2, $nb2)")
+      val expect = graft.functions.OracleMath.r6d(sh.toDouble / (na2 + nb2 - sh))
+      assert(jac == expect, s"$a/$b: jaccard $jac must re-derive from cells ($expect)")
+    }
+    // the two whitespace-word tokenizers must share substantially
+    // more surface units than either shares with BPE's merge regime
+    assert(got(("unigram", "wordpiece"))._4 > got(("bpe", "unigram"))._4,
+      s"same-regime families must overlap more: $got")
+  }
 }
