@@ -67,7 +67,7 @@ object Dedup {
   }
 
   private val shingleUdf = udf { (text: String) =>
-    val w = if (text == null) Array.empty[String] else text.split(" ")
+    val w = splitWords(text)
     if (w.length < ShingleK) Array.empty[String]
     else {
       val seen = new java.util.LinkedHashSet[String]()
@@ -109,7 +109,7 @@ object Dedup {
     * oracle must recompute the values (MinHash signatures, SimHash,
     * span hashes). */
   private val hashedShingleUdf = udf { (text: String) =>
-    val w = if (text == null) Array.empty[String] else text.split(" ")
+    val w = splitWords(text)
     if (w.length < ShingleK) Array.empty[Long]
     else {
       val seen = new java.util.LinkedHashSet[java.lang.Long]()
@@ -139,7 +139,7 @@ object Dedup {
     * recomputes the hash values themselves (the MinHash signature
     * family hashes `md5(shingle)`, Dedup.minhashLshSql). */
   private val md5ShingleUdf = udf { (text: String) =>
-    val w = if (text == null) Array.empty[String] else text.split(" ")
+    val w = splitWords(text)
     if (w.length < ShingleK) Array.empty[Long]
     else {
       val seen = new java.util.LinkedHashSet[java.lang.Long]()
@@ -451,7 +451,7 @@ object Dedup {
     * band b's rows — identical collision semantics to the batch
     * bucket join. */
   private[graft] def bandKeysOf(text: String): Array[Long] = {
-    val w = if (text == null) Array.empty[String] else text.split(" ")
+    val w = splitWords(text)
     if (w.length < ShingleK) return Array.empty[Long]
     val seen = new java.util.HashSet[java.lang.Long]()
     val sigs = Array.fill(NumHashes)(Long.MaxValue)
@@ -576,7 +576,7 @@ object Dedup {
     * docs, the classic "dedup training data" signal). Ordinal i ↔
     * word offset i·stride. */
   private val spanHashUdf = udf { (text: String) =>
-    val w = if (text == null) Array.empty[String] else text.split(" ")
+    val w = splitWords(text)
     if (w.length < SpanWords) Array.empty[Long]
     else {
       val n = (w.length - SpanWords) / SpanStride + 1
@@ -778,7 +778,7 @@ object Dedup {
     * which plain stride sampling ([[spanHashUdf]]) does not give
     * (spans only match when aligned to the stride). */
   private val winnowUdf = udf { (text: String) =>
-    val w = if (text == null) Array.empty[String] else text.split(" ")
+    val w = splitWords(text)
     val n = w.length - ShingleK + 1
     if (n < WinnowWindow) Array.empty[Long]
     else {
@@ -959,7 +959,13 @@ object Dedup {
       posexplode(substrWinUdf(col("text"))).as(Seq("pos", "h")))
 
   /** Shared tail of the substring-dedup family: per-doc removal
-    * starts → interval scrub → byte-exact rebuild row. */
+    * starts → interval scrub → byte-exact rebuild row.
+    *
+    * Counting convention (family-wide, oracle-mirrored): a rebuilt
+    * `clean = ""` counts 0 surviving words, even when what survived
+    * is a lone empty token of a leading/trailing-space doc — ""
+    * contains no words. The byte-exact artifact is `clean_h`;
+    * `n_removed` is a word-count under this convention. */
   private def rebuildScrubbed(docs: DataFrame, bad: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text"))
       .join(bad, Seq("doc_id"), "left")

@@ -145,9 +145,17 @@ object Maintenance {
     // earlier in the list must not delete the directory the kept
     // suffix still references
     val keptQ = generations.takeRight(keep).map(qual).toSet
+    // dedup by QUALIFIED path, not raw string: two spellings of one
+    // directory ("file:/data/g0" vs "/data/g0") would both pass the
+    // existence pre-check and then wedge on the second delete —
+    // exactly the partial-delete failure the two-pass guard prevents
     val victims = generations.dropRight(keep)
       .filter(d => !keptQ.contains(qual(d)))
-      .distinct
+      .foldLeft((Vector.empty[String], Set.empty[org.apache.hadoop.fs.Path])) {
+        case ((out, seen), d) =>
+          val q = qual(d)
+          if (seen.contains(q)) (out, seen) else (out :+ d, seen + q)
+      }._1
     require(!victims.map(qual).contains(qual(live)),
       s"refusing to delete the live generation $live")
     // validate EVERY victim exists before deleting ANY: a missing
@@ -184,8 +192,17 @@ object Maintenance {
     // same two guards as the directory form: exclude the whole kept
     // suffix (duplicate history entries), validate all victims exist
     // BEFORE dropping any (no partial-drop wedge on re-run)
-    val kept = generations.takeRight(keep).toSet
-    val victims = generations.dropRight(keep).filterNot(kept.contains).distinct
+    // Spark's catalog is case-insensitive — compare case-folded so a
+    // case-variant duplicate neither survives as a second victim nor
+    // dodges the kept-suffix shield
+    val kept = generations.takeRight(keep).map(_.toLowerCase).toSet
+    val victims = generations.dropRight(keep)
+      .filterNot(t => kept.contains(t.toLowerCase))
+      .foldLeft((Vector.empty[String], Set.empty[String])) {
+        case ((out, seen), t) =>
+          val k = t.toLowerCase
+          if (seen.contains(k)) (out, seen) else (out :+ t, seen + k)
+      }._1
     require(!victims.contains(live), s"refusing to drop the live generation $live")
     victims.foreach { tbl =>
       require(spark.catalog.tableExists(tbl),

@@ -683,15 +683,19 @@ object Multimodal {
         graft.embed.EmbedOps.embedUdf()(col("caption")).as("cv"))
       .withColumn("cn", l2norm(col("cv")))
       .filter(col("cn") > 0)
+    // LEFT join: a media whose paired caption doc doesn't exist (the
+    // % 11 = 3 rule can map past the id space) must surface as
+    // keep = 0 with a NULL score, not silently vanish — an alignment
+    // filter that skips auditing a pair defeats its own purpose
     media
       .withColumn("caption_id",
         when(col("media_id") % 11 === 3, col("media_id") + 1)
           .otherwise(col("media_id")))
-      .join(caps, Seq("caption_id"))
+      .join(caps, Seq("caption_id"), "left")
       .withColumn("align",
         r6(try_divide(dot(col("mv"), col("cv")), col("mn") * col("cn"))))
       .select(col("media_id"), col("caption_id"), col("align"),
-        (col("align") >= MediaAlignTau).cast("int").as("keep"))
+        coalesce((col("align") >= MediaAlignTau).cast("int"), lit(0)).as("keep"))
       .orderBy(col("media_id"))
   }
 
@@ -705,12 +709,13 @@ object Multimodal {
        |${Curation.embedChainCte("mc", capRel)},
        |mt_scored AS (
        |  SELECT m.doc_id AS media_id, p.caption_id,
-       |    ${Curation.sdCos("m.ve", "c.ve")} AS align
+       |    CASE WHEN c.doc_id IS NULL THEN NULL
+       |         ELSE ${Curation.sdCos("m.ve", "c.ve")} END AS align
        |  FROM mm_vec m
        |  JOIN (SELECT doc_id,
        |          CASE WHEN doc_id % 11 = 3 THEN doc_id + 1 ELSE doc_id END AS caption_id
        |        FROM documents) p ON p.doc_id = m.doc_id
-       |  JOIN mc_vec c ON c.doc_id = p.caption_id)
+       |  LEFT JOIN mc_vec c ON c.doc_id = p.caption_id)
        |SELECT media_id, caption_id, align,
        |  CASE WHEN align >= $MediaAlignTau THEN 1 ELSE 0 END AS keep
        |FROM mt_scored
@@ -737,16 +742,22 @@ object Multimodal {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_pairs"),
         coalesce(sum(col("keep").cast("long")), lit(0L)).as("n_keep"),
-        sum(col("a6")).as("q"), count(lit(1)).as("n"))
+        // NULL-align pairs (missing caption doc) count in n_pairs and
+        // as keep = 0, but not in the mean: sum/count over a6 skip
+        // nulls in both engines
+        sum(col("a6")).as("q"), count(col("a6")).as("n"))
       .select(col("source"), col("n_pairs"), col("n_keep"),
         graft.functions.VectorFunctions.r6(
           col("n_keep").cast("double") / col("n_pairs")).as("keep_rate"),
-        ((expr("(2 * q + n) div (2 * n)") - 1000000L).cast("double") / 1e6)
+        when(col("n") === 0, lit(null).cast("double"))
+          .otherwise(((expr("(2 * q + n) div (2 * n)") - 1000000L).cast("double") / 1e6))
           .as("mean_align"))
       .orderBy(col("source"))
   }
 
-  /** Oracle mirror: the pair SQL nested, shifted micro-unit mean. */
+  /** Oracle mirror: the pair SQL nested, shifted micro-unit mean
+    * over the SCORED pairs (COUNT/SUM of the shifted micro column
+    * skip the null-align rows in both engines). */
   val mediaAlignReportSql: String =
     s"""WITH mar_p AS MATERIALIZED (
        |  SELECT media_id, align, keep FROM ($mediaTextAlignSql)),
@@ -755,13 +766,15 @@ object Multimodal {
        |    COUNT(*) AS n_pairs,
        |    SUM(p.keep) AS n_keep,
        |    SUM(CAST(round(p.align * 1e6) AS BIGINT) + 1000000) AS q,
-       |    COUNT(*) AS n
+       |    COUNT(p.align) AS n
        |  FROM mar_p p JOIN documents d ON d.doc_id = p.media_id
        |  GROUP BY d.source)
        |SELECT source, CAST(n_pairs AS BIGINT) AS n_pairs,
        |  CAST(n_keep AS BIGINT) AS n_keep,
        |  round(CAST(n_keep AS DOUBLE) / n_pairs, 6) + 0 AS keep_rate,
-       |  CAST((2 * q + n) // (2 * n) - 1000000 AS DOUBLE) / 1e6 AS mean_align
+       |  CASE WHEN n = 0 THEN NULL
+       |       ELSE CAST((2 * q + n) // (2 * n) - 1000000 AS DOUBLE) / 1e6
+       |  END AS mean_align
        |FROM mar_s
        |ORDER BY source""".stripMargin
 

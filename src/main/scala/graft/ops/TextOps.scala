@@ -89,18 +89,21 @@ object TextOps {
     // size >= 2 guard BEFORE the pair transform: Spark's
     // sequence(0, -1) DESCENDS (the mediaFrames lesson), so a
     // single-word doc would fabricate an out-of-range pair
-    val bi = d.filter(size(col("ws")) >= 2)
+    val biRaw = d.filter(size(col("ws")) >= 2)
       .select(explode(expr(
         "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS x, ws[i + 1] AS y))"))
         .as("p"))
       .select(col("p.x").as("x"), col("p.y").as("y"))
       .filter(length(col("x")) > 0 && length(col("y")) > 0)
+    val bi = biRaw
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
       .filter(col("cxy") >= PmiMinCount)
     val nTotal = uni.agg(coalesce(sum(col("cx")), lit(0L)).as("nn"))
-    val bTotal = d.select(
-        greatest(size(col("ws")) - lit(1), lit(0)).cast("long").as("nb"))
-      .agg(coalesce(sum(col("nb")), lit(0L)).as("bb"))
+    // B = the bigram EVENT count — the same nonempty-pair stream the
+    // c_xy counts come from, so the PMI event spaces are consistent
+    // (a raw adjacency count would include empty-token pairs the
+    // numerator excludes and uniformly understate every PMI)
+    val bTotal = biRaw.agg(count(lit(1)).as("bb"))
     bi.join(uni, Seq("x"))
       .join(uni.select(col("x").as("y"), col("cx").as("cy")), Seq("y"))
       .crossJoin(broadcast(nTotal))
@@ -122,15 +125,17 @@ object TextOps {
        |  FROM cp_w, UNNEST(ws) AS t(w)
        |  WHERE length(w) > 0
        |  GROUP BY w),
-       |cp_b AS (
-       |  SELECT ws[i] AS x, ws[i + 1] AS y, COUNT(*) AS cxy
+       |cp_braw AS MATERIALIZED (
+       |  SELECT ws[i] AS x, ws[i + 1] AS y
        |  FROM cp_w, UNNEST(range(1, len(ws))) AS t(i)
-       |  WHERE length(ws[i]) > 0 AND length(ws[i + 1]) > 0
-       |  GROUP BY ws[i], ws[i + 1]
+       |  WHERE length(ws[i]) > 0 AND length(ws[i + 1]) > 0),
+       |cp_b AS (
+       |  SELECT x, y, COUNT(*) AS cxy
+       |  FROM cp_braw
+       |  GROUP BY x, y
        |  HAVING COUNT(*) >= $PmiMinCount),
        |cp_n AS (SELECT COALESCE(SUM(cx), 0) AS nn FROM cp_u),
-       |cp_t AS (
-       |  SELECT COALESCE(SUM(greatest(len(ws) - 1, 0)), 0) AS bb FROM cp_w)
+       |cp_t AS (SELECT COUNT(*) AS bb FROM cp_braw)
        |SELECT b.x, b.y, CAST(b.cxy AS BIGINT) AS n_xy,
        |  round(ln(CAST(b.cxy AS DOUBLE)) + 2.0 * ln(CAST(n.nn AS DOUBLE))
        |    - ln(CAST(t.bb AS DOUBLE)) - ln(CAST(u.cx AS DOUBLE))
@@ -847,7 +852,7 @@ object TextOps {
     * and clamping would make the cut decision sequential (a scan
     * dependency where this form is embarrassingly parallel). */
   private val cdcUdf = udf { (text: String) =>
-    val w = if (text == null) Array.empty[String] else text.split(" ")
+    val w = graft.ops.Dedup.splitWords(text)
     val n = w.length
     val cuts = scala.collection.mutable.ArrayBuffer[Int]()
     var p = CdcWindow

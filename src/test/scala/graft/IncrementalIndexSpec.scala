@@ -448,6 +448,16 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(exists(a1) && exists(a2) && !exists(a0),
       "the duplicate entry of kept a1 must not delete it")
 
+    // (1b) two SPELLINGS of one directory (qualified vs bare) must
+    // collapse to one victim — the second delete of an already-gone
+    // path would otherwise throw after the first succeeded
+    val c0 = mk("c0"); val c1 = mk("c1")
+    val c0Qualified = "file:" + c0
+    val deleted2 = Maintenance.vacuumGenerations(
+      spark, Seq(c0Qualified, c0, c1), live = c1)
+    assert(deleted2.size == 1 && !exists(c0) && exists(c1),
+      s"spelling variants of one dir are ONE victim: $deleted2")
+
     // (2) validation is two-pass: a missing victim anywhere in the
     // list aborts before ANY deletion, so a re-run with the same
     // history never wedges on already-deleted earlier victims

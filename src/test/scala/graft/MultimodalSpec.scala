@@ -289,6 +289,25 @@ class MultimodalSpec extends AnyFunSuite {
       "text-side exact dedup must be blind to a caption swap")
   }
 
+  test("media_text_align: a media whose paired caption doc is missing flags keep=0, never vanishes") {
+    import spark.implicits._
+    // largest doc_id ≡ 3 (mod 11): the pairing rule maps it past the
+    // id space — the audit must still emit the row
+    val dir = java.nio.file.Files.createTempDirectory("graft-mta-total").toString
+    Seq((1L, ("alpha beta gamma delta " * 4).trim),
+        (3L, ("omega sigma theta kappa " * 4).trim))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Multimodal.mediaTextAlign(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getInt(3)))
+      .toMap
+    assert(got.keySet == Set(1L, 3L), s"every media must surface: $got")
+    assert(got(3L) == ((4L, None, 0)),
+      s"missing caption doc => unscored keep=0 row, not a silent drop: $got")
+    assert(got(1L)._3 == 1, s"the aligned pair still keeps: $got")
+  }
+
   test("media_align_report: the source whose captions are swapped craters its keep-rate") {
     import spark.implicits._
     val tech = "circuit diode resistor anode cathode wafer " * 4

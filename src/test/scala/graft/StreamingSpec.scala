@@ -618,7 +618,10 @@ class StreamingSpec extends AnyFunSuite {
   test("media alignment stream ≡ batch: row-local pair scoring, per-pair equality") {
     import graft.ops.Multimodal
     val dir = "/root/testdata/sf0.001"
+    // null-align rows (missing caption doc — batch totality) have no
+    // arriving pair, so they're outside the stream's contract
     val batch = Multimodal.mediaTextAlign(spark, dir).collect()
+      .filter(!_.isNullAt(2))
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getInt(3))).toMap
     // the arriving stream carries (payload, caption) pairs — the
     // crawler's output shape — built by the same fixture convention
