@@ -485,6 +485,13 @@ class DedupSpec extends AnyFunSuite {
       s"only the 14-word copy clears 10/12: $got")
     assert(got(15) == ((0L, 0L)) && got(20) == ((0L, 0L)),
       s"nothing clears the 15-word grid — the silent recall loss, measured: $got")
+    // cross-op consistency: the sweep's removable words at the
+    // maximal op's own threshold ARE the words that op removes
+    val removed = Dedup.substrDedupMaximal(spark, sdir).collect()
+      .map(_.getLong(2)).sum
+    assert(got(Dedup.MaximalMinSpanWords)._2 == removed,
+      s"sweep@${Dedup.MaximalMinSpanWords} (${got(Dedup.MaximalMinSpanWords)._2}) " +
+        s"must equal the maximal scrub's removals ($removed)")
     // grid totality on a duplicate-free corpus
     val clean = Files.createTempDirectory("graft-substr-sweep0").toString
     Seq((0L, (1 to 30).map(i => s"z$i").mkString(" ")))
