@@ -192,15 +192,21 @@ object Maintenance {
     // same two guards as the directory form: exclude the whole kept
     // suffix (duplicate history entries), validate all victims exist
     // BEFORE dropping any (no partial-drop wedge on re-run)
-    // Spark's catalog is case-insensitive — compare case-folded so a
-    // case-variant duplicate neither survives as a second victim nor
-    // dodges the kept-suffix shield
-    val kept = generations.takeRight(keep).map(_.toLowerCase).toSet
+    // Case folding follows the SESSION's identifier semantics: with
+    // the default case-insensitive analysis, `Idx_G2` and `idx_g2`
+    // are one table, so compare folded (a case-variant duplicate
+    // neither survives as a second victim nor dodges the kept-suffix
+    // shield); under spark.sql.caseSensitive=true they are two
+    // genuinely distinct tables and folding would silently collapse
+    // a real victim into its case-twin — compare verbatim instead
+    val fold: String => String =
+      if (spark.sessionState.conf.caseSensitiveAnalysis) identity else _.toLowerCase
+    val kept = generations.takeRight(keep).map(fold).toSet
     val victims = generations.dropRight(keep)
-      .filterNot(t => kept.contains(t.toLowerCase))
+      .filterNot(t => kept.contains(fold(t)))
       .foldLeft((Vector.empty[String], Set.empty[String])) {
         case ((out, seen), t) =>
-          val k = t.toLowerCase
+          val k = fold(t)
           if (seen.contains(k)) (out, seen) else (out :+ t, seen + k)
       }._1
     require(!victims.contains(live), s"refusing to drop the live generation $live")

@@ -271,11 +271,16 @@ object StreamingIndex {
     * benchmark refresh is a stream restart with re-collected
     * embeddings (model swap, not state migration). Flagged rows are
     * bit-equal to the batch [[graft.ops.Curation.semanticDecontaminate]]
-    * (StreamingSpec pins the per-doc equality). */
+    * (StreamingSpec pins the per-doc equality) — INCLUDING the
+    * batch's benchmark exclusion: a benchmark doc (the fixture's
+    * `doc_id % 50 = 0` convention) that leaks into the arriving
+    * stream would score ~1.0 against itself and flag spuriously, so
+    * the stream drops it exactly as the batch corpus side does. */
   def semanticDecontamStream(
       docs: DataFrame, bench: Array[(Long, Array[Float], Double)]): DataFrame =
     docs
       .filter(col("text").isNotNull)
+      .filter(col("doc_id") % 50 =!= 0)
       .withColumn("m",
         graft.ops.Curation.semanticDecontamPredictUdf(bench)(col("text")))
       .filter(col("m").isNotNull)

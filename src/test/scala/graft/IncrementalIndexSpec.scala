@@ -484,4 +484,46 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(spark.catalog.tableExists("band_vac2_g1"),
       "the duplicate entry of the kept table must not drop it")
   }
+
+  test("table vacuum folds identifiers per the session's case semantics, not unconditionally") {
+    // default (case-insensitive analysis): two spellings of one table
+    // are ONE victim — the second DROP of an already-dropped name
+    // would otherwise throw after the first succeeded
+    spark.sql("DROP TABLE IF EXISTS vac_case_g0")
+    spark.sql("DROP TABLE IF EXISTS vac_case_g1")
+    spark.sql("CREATE TABLE vac_case_g0 AS SELECT 1 AS a")
+    spark.sql("CREATE TABLE vac_case_g1 AS SELECT 1 AS a")
+    val folded = Maintenance.vacuumGenerationTables(
+      spark, Seq("VAC_CASE_G0", "vac_case_g0", "vac_case_g1"), "vac_case_g1")
+    assert(folded == Seq("VAC_CASE_G0"),
+      s"case-variant spellings of one table must collapse to one victim: $folded")
+    assert(!spark.catalog.tableExists("vac_case_g0") &&
+      spark.catalog.tableExists("vac_case_g1"))
+
+    // spark.sql.caseSensitive=true: case-variant names are genuinely
+    // DISTINCT tables — folding would silently shield the second one
+    // from ever being dropped
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try {
+      spark.sql("DROP TABLE IF EXISTS vac_cs_g0")
+      spark.sql("DROP TABLE IF EXISTS VAC_CS_G0")
+      spark.sql("DROP TABLE IF EXISTS vac_cs_live")
+      spark.sql("CREATE TABLE vac_cs_g0 AS SELECT 1 AS a")
+      spark.sql("CREATE TABLE VAC_CS_G0 AS SELECT 2 AS a")
+      spark.sql("CREATE TABLE vac_cs_live AS SELECT 3 AS a")
+      assert(spark.catalog.tableExists("vac_cs_g0") &&
+        spark.catalog.tableExists("VAC_CS_G0"),
+        "under case-sensitive analysis the catalog holds BOTH spellings")
+      val dropped = Maintenance.vacuumGenerationTables(
+        spark, Seq("vac_cs_g0", "VAC_CS_G0", "vac_cs_live"), "vac_cs_live")
+      assert(dropped == Seq("vac_cs_g0", "VAC_CS_G0"),
+        s"distinct case-variant tables are TWO victims, neither shielded: $dropped")
+      assert(!spark.catalog.tableExists("vac_cs_g0") &&
+        !spark.catalog.tableExists("VAC_CS_G0") &&
+        spark.catalog.tableExists("vac_cs_live"))
+    } finally {
+      spark.conf.set("spark.sql.caseSensitive", "false")
+      spark.sql("DROP TABLE IF EXISTS vac_cs_live")
+    }
+  }
 }

@@ -595,10 +595,11 @@ class StreamingSpec extends AnyFunSuite {
     val batch = graft.ops.Curation.semanticDecontaminate(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     val src = Files.createTempDirectory("graft-semdecon-eq").resolve("docs").toString
-    // the arriving stream is the corpus side (benchmark docs are the
-    // frozen model, not arrivals)
+    // the arriving stream is UNFILTERED — benchmark docs (% 50 = 0)
+    // included, so the operator's own in-stream exclusion is what
+    // keeps them from flagging ~1.0 against themselves (the batch
+    // corpus-side contract, enforced inside semanticDecontamStream)
     spark.read.parquet(s"$dir/documents.parquet")
-      .filter(col("doc_id") % 50 =!= 0)
       .select("doc_id", "text")
       .write.mode("overwrite").parquet(src)
     val stream = spark.readStream
