@@ -641,80 +641,98 @@ object Multimodal {
     * is a named constant, not a magic number. */
   val MediaAlignTau = 0.42
 
-  /** CLIP-style media–text ALIGNMENT filter — the pair-scoring step
-    * every LAION-style multimodal curation pipeline runs between
+  /** CLIP-style alignment scoring over an EXPLICIT pairs relation —
+    * the operator proper, decoupled from any pairing convention: one
+    * row per (media_id, payload, caption_id, caption) candidate pair
+    * (the crawler's output shape — an asset with its harvested
+    * alt-text). Media embeds through decode → the registered hash
+    * embedder (the stand-in for the image tower); the caption embeds
+    * through the text tower; alignment is the shared cosine kernel;
+    * `keep` thresholds at [[MediaAlignTau]].
+    *
+    * TOTAL by contract — an alignment filter that skips auditing a
+    * pair defeats its own purpose, so every input pair emits exactly
+    * one output row: a missing caption, a missing payload, or a
+    * zero-norm tower on EITHER side (whitespace-only payload, empty
+    * caption) surfaces as `keep = 0` with a NULL score, never a
+    * silent drop.
+    *
+    * Scale shape: scoring is row-local (both towers embed in the
+    * row) — map-only, no shuffle, no state; the same kernel serves
+    * the batch query and [[graft.streaming.StreamingIndex
+    * .mediaAlignStream]] unchanged, so batch ≡ stream cannot drift. */
+  def alignPairs(pairs: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.{dot, l2norm, r6}
+    pairs
+      .withColumn("mv", when(col("payload").isNotNull,
+        graft.embed.EmbedOps.embedUdf()(decode(col("payload"), "UTF-8"))))
+      .withColumn("cv", when(col("caption").isNotNull,
+        graft.embed.EmbedOps.embedUdf()(col("caption"))))
+      .withColumn("mn", l2norm(col("mv")))
+      .withColumn("cn", l2norm(col("cv")))
+      .withColumn("align",
+        when(col("mn") > 0 && col("cn") > 0,
+          r6(try_divide(dot(col("mv"), col("cv")), col("mn") * col("cn")))))
+      .select(col("media_id"), col("caption_id"), col("align"),
+        coalesce((col("align") >= MediaAlignTau).cast("int"), lit(0)).as("keep"))
+  }
+
+  /** The registered media–text alignment filter — the pair-scoring
+    * step every LAION-style multimodal curation pipeline runs between
     * ingest and training, and the one check per-modality dedup cannot
     * make: a pristine image with a wrong caption passes image dedup
-    * AND text dedup but must not train. Media embeds through decode →
-    * the registered hash embedder (the stand-in for the image tower —
-    * the fixture bridge decodes payload bytes back to caption space);
-    * captions are [[CaptionWords]]-word prefixes of the paired doc;
-    * alignment is the shared cosine kernel; `keep` thresholds at
-    * [[MediaAlignTau]]. Pairing follows the fixture convention of
-    * decontaminate's % 50 rule: every doc_id % 11 = 3 media is
-    * PAIRED WITH THE NEXT DOC's caption — a deterministic population
-    * of misaligned pairs so the filter's discrimination is exercised
-    * (and oracle-checked) on the natural fixture, not only in specs.
+    * AND text dedup but must not train. THIS function only BUILDS the
+    * fixture's pair relation and delegates scoring to [[alignPairs]]:
+    * captions are [[CaptionWords]]-word prefixes of the paired doc,
+    * and pairing follows the fixture convention of decontaminate's
+    * % 50 rule — every doc_id % 11 = 3 media is PAIRED WITH THE NEXT
+    * DOC's caption, a deterministic population of misaligned pairs so
+    * the filter's discrimination is exercised (and oracle-checked) on
+    * the natural fixture, not only in specs. The pairing LEFT-joins
+    * caption text (a % 11 = 3 rule mapping past the id space still
+    * audits as keep = 0), then scoring is the shared map-only kernel.
     *
-    * Scale shape: both towers are map-only embed passes (no corpus
-    * shuffle before the join); the pair relation joins caption_id
-    * equi-keyed — ONE shuffle each side of ids + 64-float vectors;
-    * the threshold is a map-side comparison. Zero-norm rows (empty
-    * captions/payloads) drop on both sides before pairing, mirroring
-    * the semantic-decontaminate convention. */
+    * Scale shape: ONE equi-join of ids + short caption strings to
+    * build pairs, then row-local scoring — no vector ever shuffles. */
   def mediaTextAlign(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorFunctions.{dot, l2norm, r6}
     val d = t(s, dir, "documents")
-    val media = d
+    val caps = d.select(col("doc_id").as("caption_id"),
+      array_join(slice(split(col("text"), " "), 1, CaptionWords), " ").as("caption"))
+    val pairs = d
       .select(col("doc_id").as("media_id"),
         when(length(col("text")) === octet_length(col("text")),
             encode(col("text"), "UTF-8"))
           .otherwise(raise_error(concat(
             lit("media_text_align fixture bridge requires ASCII text; non-ASCII doc_id="),
             col("doc_id").cast("string")))).as("payload"))
-      .select(col("media_id"),
-        graft.embed.EmbedOps.embedUdf()(decode(col("payload"), "UTF-8")).as("mv"))
-      .withColumn("mn", l2norm(col("mv")))
-      .filter(col("mn") > 0)
-    val caps = d
-      .select(col("doc_id").as("caption_id"),
-        array_join(slice(split(col("text"), " "), 1, CaptionWords), " ").as("caption"))
-      .select(col("caption_id"),
-        graft.embed.EmbedOps.embedUdf()(col("caption")).as("cv"))
-      .withColumn("cn", l2norm(col("cv")))
-      .filter(col("cn") > 0)
-    // LEFT join: a media whose paired caption doc doesn't exist (the
-    // % 11 = 3 rule can map past the id space) must surface as
-    // keep = 0 with a NULL score, not silently vanish — an alignment
-    // filter that skips auditing a pair defeats its own purpose
-    media
       .withColumn("caption_id",
         when(col("media_id") % 11 === 3, col("media_id") + 1)
           .otherwise(col("media_id")))
       .join(caps, Seq("caption_id"), "left")
-      .withColumn("align",
-        r6(try_divide(dot(col("mv"), col("cv")), col("mn") * col("cn"))))
-      .select(col("media_id"), col("caption_id"), col("align"),
-        coalesce((col("align") >= MediaAlignTau).cast("int"), lit(0)).as("keep"))
-      .orderBy(col("media_id"))
+    alignPairs(pairs).orderBy(col("media_id"))
   }
 
   /** Oracle mirror: the Curation embed chain twice (full docs play
     * the decoded media tower, caption prefixes the text tower —
     * distinct CTE prefixes per the shadowing rule), the % 11 = 3
-    * next-doc pairing, the shared densified-list cosine. */
+    * next-doc pairing, the shared densified-list cosine. The pair
+    * spine is the DOCUMENTS table with BOTH towers left-joined —
+    * the embed chain drops zero-norm docs, and a pair whose media
+    * tower is unscorable must still audit as keep = 0/NULL (the
+    * [[alignPairs]] totality contract), exactly like a missing
+    * caption. */
   val mediaTextAlignSql: String = {
     val capRel = s"(SELECT doc_id, array_to_string(string_split(text, ' ')[1 : $CaptionWords], ' ') AS text FROM documents)"
     s"""WITH ${Curation.embedChainCte("mm", "documents")},
        |${Curation.embedChainCte("mc", capRel)},
        |mt_scored AS (
-       |  SELECT m.doc_id AS media_id, p.caption_id,
-       |    CASE WHEN c.doc_id IS NULL THEN NULL
+       |  SELECT p.doc_id AS media_id, p.caption_id,
+       |    CASE WHEN m.doc_id IS NULL OR c.doc_id IS NULL THEN NULL
        |         ELSE ${Curation.sdCos("m.ve", "c.ve")} END AS align
-       |  FROM mm_vec m
-       |  JOIN (SELECT doc_id,
+       |  FROM (SELECT doc_id,
        |          CASE WHEN doc_id % 11 = 3 THEN doc_id + 1 ELSE doc_id END AS caption_id
-       |        FROM documents) p ON p.doc_id = m.doc_id
+       |        FROM documents) p
+       |  LEFT JOIN mm_vec m ON m.doc_id = p.doc_id
        |  LEFT JOIN mc_vec c ON c.doc_id = p.caption_id)
        |SELECT media_id, caption_id, align,
        |  CASE WHEN align >= $MediaAlignTau THEN 1 ELSE 0 END AS keep

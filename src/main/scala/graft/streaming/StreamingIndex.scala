@@ -290,25 +290,14 @@ object StreamingIndex {
     * arrive TOGETHER (the crawler emits an asset with its harvested
     * alt-text), so alignment scoring is intrinsically map-only: both
     * towers embed in the row, the cosine and threshold are row-local
-    * — no state store, no watermark, no shuffle. Reuses the batch
-    * [[graft.ops.Multimodal.mediaTextAlign]]'s kernels: the hash
-    * embedder on the decoded payload and the caption, the pre-norm
-    * cosine, the [[graft.ops.Multimodal.MediaAlignTau]] keep cut.
-    * Batch ≡ stream per-pair equality pinned in StreamingSpec. */
-  def mediaAlignStream(pairs: DataFrame): DataFrame = {
-    import graft.functions.VectorFunctions.{dot, l2norm, r6}
-    pairs
-      .filter(col("caption").isNotNull && col("payload").isNotNull)
-      .withColumn("mv", graft.embed.EmbedOps.embedUdf()(decode(col("payload"), "UTF-8")))
-      .withColumn("cv", graft.embed.EmbedOps.embedUdf()(col("caption")))
-      .withColumn("mn", l2norm(col("mv")))
-      .withColumn("cn", l2norm(col("cv")))
-      .filter(col("mn") > 0 && col("cn") > 0)
-      .withColumn("align",
-        r6(try_divide(dot(col("mv"), col("cv")), col("mn") * col("cn"))))
-      .select(col("media_id"), col("caption_id"), col("align"),
-        (col("align") >= graft.ops.Multimodal.MediaAlignTau).cast("int").as("keep"))
-  }
+    * — no state store, no watermark, no shuffle. IS the batch kernel
+    * ([[graft.ops.Multimodal.alignPairs]] — one definition, batch ≡
+    * stream cannot drift; StreamingSpec pins per-pair equality),
+    * totality included: a null caption/payload or zero-norm tower
+    * emits `keep = 0` with a NULL score rather than vanishing from
+    * the audit. */
+  def mediaAlignStream(pairs: DataFrame): DataFrame =
+    graft.ops.Multimodal.alignPairs(pairs)
 
   /** Streaming substring scrub — arriving documents are cut of every
     * 15-word window present in the PERSISTED corpus index

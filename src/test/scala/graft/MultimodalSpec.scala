@@ -308,6 +308,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(1L)._3 == 1, s"the aligned pair still keeps: $got")
   }
 
+  test("alignPairs: scores an ARBITRARY pairs relation, total over every degenerate shape") {
+    import spark.implicits._
+    // the operator proper takes any (media_id, payload, caption_id,
+    // caption) relation — no fixture pairing rule involved
+    val story = "falcon talon feather wing glide soar nest prey hover dive"
+    val other = "piston valve crank shaft torque bore stroke cam rod gear"
+    val pairs = Seq[(Long, Option[Array[Byte]], Option[Long], Option[String])](
+      // aligned: caption IS the decoded payload's prefix
+      (10L, Some(story.getBytes("UTF-8")), Some(20L),
+        Some("falcon talon feather wing")),
+      // misaligned: unrelated caption
+      (11L, Some(story.getBytes("UTF-8")), Some(21L), Some(other)),
+      // missing caption (harvest failed): audits keep=0, NULL score
+      (12L, Some(story.getBytes("UTF-8")), Some(22L), None),
+      // missing payload (asset fetch failed): same contract
+      (13L, None, Some(23L), Some(story)),
+      // zero-norm media (whitespace-only payload): keep=0 NULL align,
+      // mirroring the missing-caption convention — never vanishes
+      (14L, Some("   ".getBytes("UTF-8")), Some(24L), Some(story)),
+      // zero-norm caption
+      (15L, Some(story.getBytes("UTF-8")), Some(25L), Some(" ")))
+      .toDF("media_id", "payload", "caption_id", "caption")
+    val got = Multimodal.alignPairs(pairs).collect()
+      .map(r => r.getLong(0) -> (
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getInt(3))).toMap
+    assert(got.keySet == Set(10L, 11L, 12L, 13L, 14L, 15L),
+      s"every input pair must emit exactly one audited row: $got")
+    assert(got(10L)._2 == 1 && got(10L)._1.exists(_ >= Multimodal.MediaAlignTau),
+      s"aligned pair keeps: ${got(10L)}")
+    assert(got(11L)._2 == 0 && got(11L)._1.exists(_ < Multimodal.MediaAlignTau),
+      s"misaligned pair drops WITH a score: ${got(11L)}")
+    Seq(12L, 13L, 14L, 15L).foreach { id =>
+      assert(got(id) == ((None, 0)),
+        s"unscorable pair $id must audit as keep=0/NULL, not vanish: ${got(id)}")
+    }
+  }
+
   test("media_align_report: the source whose captions are swapped craters its keep-rate") {
     import spark.implicits._
     val tech = "circuit diode resistor anode cathode wafer " * 4

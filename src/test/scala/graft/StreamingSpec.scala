@@ -619,13 +619,15 @@ class StreamingSpec extends AnyFunSuite {
   test("media alignment stream ≡ batch: row-local pair scoring, per-pair equality") {
     import graft.ops.Multimodal
     val dir = "/root/testdata/sf0.001"
-    // null-align rows (missing caption doc — batch totality) have no
-    // arriving pair, so they're outside the stream's contract
+    // the shared kernel is TOTAL: null-align rows (missing caption —
+    // the batch LEFT join's unmatched side) compare too
     val batch = Multimodal.mediaTextAlign(spark, dir).collect()
-      .filter(!_.isNullAt(2))
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getInt(3))).toMap
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getInt(3))).toMap
     // the arriving stream carries (payload, caption) pairs — the
     // crawler's output shape — built by the same fixture convention
+    // (LEFT join: a pair whose caption doc is missing still arrives,
+    // with a NULL caption)
     val d = spark.read.parquet(s"$dir/documents.parquet")
     val caps = d.select(col("doc_id").as("caption_id"),
       array_join(slice(split(col("text"), " "), 1, Multimodal.CaptionWords), " ").as("caption"))
@@ -633,7 +635,7 @@ class StreamingSpec extends AnyFunSuite {
     d.select(col("doc_id").as("media_id"), encode(col("text"), "UTF-8").as("payload"))
       .withColumn("caption_id",
         when(col("media_id") % 11 === 3, col("media_id") + 1).otherwise(col("media_id")))
-      .join(caps, Seq("caption_id"))
+      .join(caps, Seq("caption_id"), "left")
       .select("media_id", "caption_id", "payload", "caption")
       .write.mode("overwrite").parquet(src)
     val stream = spark.readStream
@@ -643,7 +645,8 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("mta_eq").outputMode("append").start()
     q.processAllAvailable(); q.stop()
     val streamed = spark.sql("SELECT * FROM mta_eq").collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getInt(3))).toMap
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getInt(3))).toMap
     assert(streamed.size == batch.size, s"${streamed.size} vs ${batch.size}")
     assert(streamed == batch,
       "row-local pair scoring must equal the batch two-tower join per pair")
