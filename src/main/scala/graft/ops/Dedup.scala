@@ -1424,6 +1424,34 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Format version stamped onto every persisted dedup-index table
+    * (substring window index, band index, maximal atom-window
+    * index) as the `graft.index.format` table property, and REQUIRED
+    * by every probe/compaction that consumes one. Bump whenever a
+    * key derivation changes the stored hash space — v2 records the
+    * split-parity change (`split(text, " ", -1)`: leading/trailing/
+    * double-space docs hash differently than v1 builds), which would
+    * otherwise make a pre-change index MISS new duplicates silently.
+    * A stale or unstamped generation now fails loudly at probe time;
+    * the remedy is a rebuild (writeSubstrIndex / writeBandIndex /
+    * writeMaximalIndex), not a quiet partial match. */
+  val IndexFormatVersion = 2
+
+  private def stampIndexFormat(s: SparkSession, table: String): Unit =
+    s.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+      s"('graft.index.format' = '$IndexFormatVersion')")
+
+  private[graft] def requireIndexFormat(s: SparkSession, table: String): Unit = {
+    val props = s.sessionState.catalog.getTableMetadata(
+      s.sessionState.sqlParser.parseTableIdentifier(table)).properties
+    val got = props.get("graft.index.format")
+    require(got.contains(IndexFormatVersion.toString),
+      s"index table $table is format ${got.getOrElse("<unstamped>")} but this engine " +
+        s"writes/probes format $IndexFormatVersion — the hash derivation changed " +
+        "(e.g. the split-parity fix), so probing it would mismatch quietly; " +
+        "rebuild the index instead of probing a stale generation")
+  }
+
   /** Materialize the corpus's DISTINCT window hashes as a bucketed
     * table — the substring analog of [[writeBandIndex]], and smaller
     * by construction: the scrub probe only needs set membership, so
@@ -1431,39 +1459,50 @@ object Dedup {
     * counts sidecar, no cap — a boilerplate window repeated 10⁶
     * times is one row). Bucketed on `h` so a probing batch shuffles
     * only itself (SubstrIndexSpec pins the single Exchange). */
-  def writeSubstrIndex(s: SparkSession, dir: String, table: String): Unit =
+  def writeSubstrIndex(s: SparkSession, dir: String, table: String): Unit = {
     substrWindowRows(t(s, dir, "documents").filter(col("doc_id") % 10 =!= 0))
       .select(col("h")).distinct()
       .write.mode("overwrite")
       .bucketBy(BandIndexBuckets, "h").sortBy("h")
       .saveAsTable(table)
+    stampIndexFormat(s, table)
+  }
 
   /** Append a new corpus segment's distinct window hashes. Appends
     * may re-insert hashes already present — membership semantics are
     * unaffected (the probe is a semi join) and
-    * [[compactSubstrIndex]] folds duplicates away. */
-  def appendSubstrIndex(batch: DataFrame, table: String): Unit =
+    * [[compactSubstrIndex]] folds duplicates away. Format-checked:
+    * appending v2 hashes into a v1 generation would mix hash spaces
+    * inside one table, the quietest corruption of all. */
+  def appendSubstrIndex(batch: DataFrame, table: String): Unit = {
+    requireIndexFormat(batch.sparkSession, table)
     substrWindowRows(batch)
       .select(col("h")).distinct()
       .write.mode("append").insertInto(table)
+  }
 
   /** [[substrScrubIncremental]] against the PERSISTED index: the
     * arriving batch computes its own window stream and semi-joins
     * the bucketed hash table — the corpus side never shuffles.
     * Bit-equal to the inline form (SubstrIndexSpec asserts it). */
-  def substrScrubIndexed(s: SparkSession, dir: String, table: String): DataFrame =
+  def substrScrubIndexed(s: SparkSession, dir: String, table: String): DataFrame = {
+    requireIndexFormat(s, table)
     substrScrubAgainst(
       t(s, dir, "documents").filter(col("doc_id") % 10 === 0),
       s.table(table))
+  }
 
   /** Rewrite an appended-to substring index into a fresh generation:
     * distinct-fold the hash rows into clean bucketed files. A NEW
     * table, never in place — the generation-swap rule. */
-  def compactSubstrIndex(s: SparkSession, table: String, outTable: String): Unit =
+  def compactSubstrIndex(s: SparkSession, table: String, outTable: String): Unit = {
+    requireIndexFormat(s, table)
     s.table(table).select(col("h")).distinct()
       .write.mode("overwrite")
       .bucketBy(BandIndexBuckets, "h").sortBy("h")
       .saveAsTable(outTable)
+    stampIndexFormat(s, outTable)
+  }
 
   /** File-growth merge policy for the substring index — the
     * [[maintainBandIndex]] twin: one metadata-cheap listing; past
@@ -2295,6 +2334,7 @@ object Dedup {
       .saveAsTable(table)
     bandBucketCounts(bandRows(corpus))
       .write.mode("overwrite").saveAsTable(table + "_counts")
+    stampIndexFormat(s, table)
   }
 
   /** Append a new segment of corpus band rows into the existing
@@ -2306,6 +2346,7 @@ object Dedup {
     * is suppressed exactly like the inline detector's global window
     * (the formerly-documented cross-segment undercount is gone). */
   def appendBandIndex(batch: DataFrame, table: String): Unit = {
+    requireIndexFormat(batch.sparkSession, table)
     withBucketN(bandRows(batch))
       .write.mode("append").insertInto(table)
     bandBucketCounts(bandRows(batch))
@@ -2319,6 +2360,7 @@ object Dedup {
     * batch's). Same verification and output as the inline op;
     * results bit-equal on the fixtures (asserted). */
   def dedupIncrementalIndexed(s: SparkSession, dir: String, table: String): DataFrame = {
+    requireIndexFormat(s, table)
     val inc = bandRows(t(s, dir, "documents").filter(col("doc_id") % 10 === 0))
       .select(col("bkey60"), col("doc_id").as("doc_new"), col("sig").as("sig_new"))
     // GLOBAL hot-bucket cap from the `_counts` sidecar: per-segment
@@ -2380,6 +2422,7 @@ object Dedup {
     * its pointer. No text is re-hashed — the band rows already carry
     * everything. */
   def compactBandIndex(s: SparkSession, table: String, outTable: String): Unit = {
+    requireIndexFormat(s, table)
     withBucketN(s.table(table)
         .select(col("doc_id"), col("sig"), col("band"), col("bkey60")))
       .write.mode("overwrite")
@@ -2389,6 +2432,7 @@ object Dedup {
     bandBucketCounts(s.table(outTable)
         .select(col("doc_id"), col("sig"), col("band"), col("bkey60")))
       .write.mode("overwrite").saveAsTable(outTable + "_counts")
+    stampIndexFormat(s, outTable)
   }
 
   /** Broadcast gate for the oversized-bucket anti join in

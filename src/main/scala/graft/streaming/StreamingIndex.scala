@@ -313,6 +313,10 @@ object StreamingIndex {
   def substrScrubStream(
       docs: DataFrame, s: SparkSession, table: String): DataFrame = {
     import graft.ops.Dedup
+    // fail at stream CONSTRUCTION if the persisted index predates the
+    // current hash derivation — a stale generation would quietly miss
+    // every split-parity-affected window for the stream's lifetime
+    Dedup.requireIndexFormat(s, table)
     val idx = s.table(table).withColumn("hit", lit(1))
     docs
       .select(col("ts"), col("doc_id"), col("text"),

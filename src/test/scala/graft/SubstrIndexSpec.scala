@@ -43,6 +43,46 @@ class SubstrIndexSpec extends AnyFunSuite {
     assert(segmented == oneShot)
   }
 
+  test("a stale-format index generation fails loudly at probe/append/compact, never quietly mismatches") {
+    import spark.implicits._
+    // a pre-versioning build: same schema, no graft.index.format stamp
+    // (the shape every index written before the split-parity change
+    // has on disk)
+    spark.sql("DROP TABLE IF EXISTS substr_idx_stale")
+    Seq(1L, 2L, 3L).toDF("h")
+      .write.mode("overwrite")
+      .bucketBy(4, "h").sortBy("h")
+      .saveAsTable("substr_idx_stale")
+    def mustRefuse(body: => Any): Unit = {
+      val e = intercept[IllegalArgumentException](body)
+      assert(e.getMessage.contains("format") && e.getMessage.contains("rebuild"),
+        s"stale-index refusal must say what to do: ${e.getMessage}")
+    }
+    mustRefuse(Dedup.substrScrubIndexed(spark, sf, "substr_idx_stale").collect())
+    mustRefuse(Dedup.appendSubstrIndex(
+      spark.read.parquet(s"$sf/documents.parquet"), "substr_idx_stale"))
+    mustRefuse(Dedup.compactSubstrIndex(spark, "substr_idx_stale", "substr_idx_stale_g2"))
+    mustRefuse(graft.streaming.StreamingIndex.substrScrubStream(
+      spark.readStream.schema("ts TIMESTAMP, doc_id LONG, text STRING")
+        .parquet(java.nio.file.Files.createTempDirectory("graft-stale").toString),
+      spark, "substr_idx_stale"))
+    // an EXPLICITLY different version (a future v3 build probed by
+    // this v2 engine) refuses identically
+    spark.sql("ALTER TABLE substr_idx_stale SET TBLPROPERTIES " +
+      "('graft.index.format' = '999')")
+    mustRefuse(Dedup.substrScrubIndexed(spark, sf, "substr_idx_stale").collect())
+    // the band family enforces the same contract
+    spark.sql("DROP TABLE IF EXISTS band_idx_stale")
+    spark.sql("DROP TABLE IF EXISTS band_idx_stale_counts")
+    Dedup.writeBandIndex(spark, sf, "band_idx_stale")
+    spark.sql("ALTER TABLE band_idx_stale UNSET TBLPROPERTIES ('graft.index.format')")
+    mustRefuse(Dedup.dedupIncrementalIndexed(spark, sf, "band_idx_stale").collect())
+    mustRefuse(Dedup.compactBandIndex(spark, "band_idx_stale", "band_idx_stale_g2"))
+    // current-format builds still probe (the stamp rides the write)
+    Dedup.writeSubstrIndex(spark, sf, "substr_idx_fmt_ok")
+    assert(Dedup.substrScrubIndexed(spark, sf, "substr_idx_fmt_ok").collect().nonEmpty)
+  }
+
   test("a planted corpus passage is cut from an arriving doc at a shifted alignment") {
     import spark.implicits._
     val passage = (1 to 16).map(i => s"q$i")
