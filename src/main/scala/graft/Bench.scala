@@ -25,6 +25,10 @@ object Bench {
     "unigram_vocab" -> ((_, _) => graft.ops.UnigramLm.clearVocabCache()),
     // wordpiece_vocab is the WordPiece fitter (positional piece stats)
     "wordpiece_vocab" -> ((_, _) => graft.ops.WordPiece.clearVocabCache()),
+    // substr_dedup_maximal is the maximal-index fitter: its cold cost
+    // is the full-corpus first-occurrence build (ensureMaximalIndex);
+    // the sweep/report consumers probe the built table warm
+    "substr_dedup_maximal" -> ((_, _) => graft.ops.Dedup.clearMaximalIdxCache()),
     // pca_top2's own cold cost is the second Gram pass + deflation;
     // the pc1 it deflates by is CONSUMED warm (embed_pca_power's fit)
     "pca_top2" -> ((s, d) => {
@@ -55,6 +59,10 @@ object Bench {
     "wordpiece_encode" -> ((s, d) => { graft.ops.WordPiece.fittedVocab(s, d); () }),
     // whitening consumes the shared rank-m fit (the pca_topm cold cost)
     "embed_whiten" -> ((s, d) => { graft.ops.Pca.fitTopM(s, d, graft.ops.Pca.PcaM); () }),
+    // the maximal sweep/report consume the persisted maximal index
+    // (substr_dedup_maximal's cold build)
+    "substr_threshold_sweep" -> ((s, d) => { graft.ops.Dedup.ensureMaximalIndex(s, d); () }),
+    "substr_maximal_report" -> ((s, d) => { graft.ops.Dedup.ensureMaximalIndex(s, d); () }),
     // the fertility table consumes all three frozen tokenizers
     "tokenizer_fertility" -> ((s, d) => {
       graft.ops.Bpe.trainedMerges(s, d)

@@ -1126,23 +1126,30 @@ object Dedup {
     * duplications, not necessarily one contiguous copy of a single
     * source.
     *
-    * Scale shape: same two-shuffle budget as [[substrDedup]] (ONE
-    * min-struct per window hash, one hash rejoin), plus the DOC-keyed
-    * islands window (bounded by doc length, never corpus-wide) and
-    * one doc-keyed rebuild join. */
+    * Scale shape: the first-occurrence election is PERSISTED — the
+    * bucketed [[ensureMaximalIndex]] table, built once and probed by
+    * all three maximal queries — so each query is one map-only
+    * posting pass + one probe-side shuffle into the index's buckets
+    * (the corpus side never re-shuffles), plus the DOC-keyed islands
+    * window (bounded by doc length, never corpus-wide) and one
+    * doc-keyed rebuild join. */
   /** Maximal duplicated-run intervals (doc_id, s, e) over the
     * atomic-window posting stream, UNFILTERED by span — shared by
     * [[substrDedupMaximal]] (which cuts spans ≥ the threshold) and
     * [[substrThresholdSweep]] (which audits the threshold knob over
     * the span distribution). */
-  private def maximalIslands(d: DataFrame): DataFrame = {
-    val wins = d.select(col("doc_id"),
+  /** The atom-window posting stream: one (doc_id, pos, h) row per
+    * [[MaximalAtomWords]]-word window position. */
+  private def maximalWindowRows(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
       posexplode(maximalWinUdf(col("text"))).as(Seq("pos", "h")))
-    val first = wins.groupBy(col("h"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
-    val bad = wins.join(first, Seq("h"))
-      .filter(!(col("doc_id") === col("f.doc_id") && col("pos") === col("f.pos")))
-      .select(col("doc_id"), col("pos"))
+
+  /** Gaps-and-islands over a (doc_id, pos) bad-position relation:
+    * consecutive duplicated window positions merge into maximal
+    * intervals [s, e] (inclusive word indices; an island of run r
+    * covers r + atom − 1 words). DOC-keyed window — bounded by doc
+    * length, never corpus-wide. */
+  private def islandsFromBad(bad: DataFrame): DataFrame = {
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     bad
       .withColumn("island", col("pos") - row_number().over(wDoc))
@@ -1151,10 +1158,33 @@ object Dedup {
         (max(col("pos")) + lit(MaximalAtomWords - 1)).as("e"))
   }
 
-  def substrDedupMaximal(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
-    val iv = maximalIslands(d)
-      .filter(col("e") - col("s") + 1 >= MaximalMinSpanWords)
+  /** INLINE maximal-islands build (no persisted index): per-hash
+    * min-struct first occurrence over the posting stream, then
+    * islands. Kept as the drift oracle for the INDEXED path —
+    * MaximalIndexSpec asserts probe ≡ inline bit-for-bit. */
+  private[graft] def maximalIslandsInline(d: DataFrame): DataFrame = {
+    val wins = maximalWindowRows(d)
+    val first = wins.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+    islandsFromBad(wins.join(first, Seq("h"))
+      .filter(!(col("doc_id") === col("f.doc_id") && col("pos") === col("f.pos")))
+      .select(col("doc_id"), col("pos")))
+  }
+
+  /** Maximal islands against a PERSISTED first-occurrence relation
+    * (h, f_doc, f_pos): the posting stream joins the bucketed index
+    * — only the probe side shuffles — and a row is bad iff it is not
+    * its hash's recorded global first. Bit-equal to
+    * [[maximalIslandsInline]] when the index covers the same corpus. */
+  private def maximalIslandsIndexed(d: DataFrame, firsts: DataFrame): DataFrame =
+    islandsFromBad(maximalWindowRows(d).join(firsts, Seq("h"))
+      .filter(!(col("doc_id") === col("f_doc") && col("pos") === col("f_pos")))
+      .select(col("doc_id"), col("pos")))
+
+  /** Byte-exact interval rebuild: drop every word covered by an
+    * interval, keep everything else, single-space separators — the
+    * shared tail of [[substrDedupMaximal]] and [[maximalScrubIndexed]]. */
+  private def rebuildFromIslands(d: DataFrame, iv: DataFrame): DataFrame = {
     val ivl = iv.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("iv"))
       .select(col("doc_id"),
@@ -1173,6 +1203,13 @@ object Dedup {
         length(col("clean")).cast("long").as("len_clean"),
         graft.functions.CrossHash.md5Hash60Col(col("clean")).as("clean_h"))
       .orderBy(col("doc_id"))
+  }
+
+  def substrDedupMaximal(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val iv = maximalIslandsIndexed(d, maximalIndexFirsts(s, ensureMaximalIndex(s, dir)))
+      .filter(col("e") - col("s") + 1 >= MaximalMinSpanWords)
+    rebuildFromIslands(d, iv)
   }
 
   /** Oracle mirror of [[substrDedupMaximal]]: atomic window hashes,
@@ -1239,7 +1276,8 @@ object Dedup {
     * grid rows (the quality_threshold_sweep shape) — never
     * grid × corpus. Grid-total on an empty corpus. */
   def substrThresholdSweep(s: SparkSession, dir: String): DataFrame = {
-    val spans = maximalIslands(t(s, dir, "documents"))
+    val spans = maximalIslandsIndexed(t(s, dir, "documents"),
+        maximalIndexFirsts(s, ensureMaximalIndex(s, dir)))
       .select((col("e") - col("s") + 1).as("span"))
     val aggs = SubstrSweepThresholds.flatMap(th => Seq(
       coalesce(sum(when(col("span") >= th, 1L).otherwise(0L)), lit(0L)).as(s"n$th"),
@@ -1530,6 +1568,181 @@ object Dedup {
       compactSubstrIndex(s, table, outTable)
       true
     } else false
+  }
+
+  // ---- Persisted maximal atom-window index ----
+
+  /** Per-hash GLOBAL first occurrence of every [[MaximalAtomWords]]-
+    * word window in `docs` — the maximal-substr family's persisted
+    * form. One row per distinct hash (h, f_doc, f_pos): survivorship
+    * needs the min-struct, not postings, so a boilerplate window
+    * repeated 10⁶ times is still ONE row. */
+  private def maximalFirstRows(docs: DataFrame): DataFrame =
+    maximalWindowRows(docs).groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+      .select(col("h"), col("f.doc_id").as("f_doc"), col("f.pos").as("f_pos"))
+
+  /** Materialize the atom-window first-occurrence index for an
+    * arbitrary corpus relation, bucketed on `h` so probes shuffle
+    * only themselves — [[writeSubstrIndex]]'s pattern extended to
+    * the [[MaximalAtomWords]] grid (the 15-word index stores bare
+    * membership; the maximal family also needs WHO was first, so
+    * the canonical copy of a passage keeps it). */
+  def writeMaximalIndexOf(docs: DataFrame, table: String): Unit = {
+    maximalFirstRows(docs)
+      .write.mode("overwrite")
+      .bucketBy(BandIndexBuckets, "h").sortBy("h")
+      .saveAsTable(table)
+    stampIndexFormat(docs.sparkSession, table)
+  }
+
+  /** Corpus-half (doc_id % 10 ≠ 0) maximal index — the incremental/
+    * streaming arrival convention shared with [[writeSubstrIndex]]. */
+  def writeMaximalIndex(s: SparkSession, dir: String, table: String): Unit =
+    writeMaximalIndexOf(t(s, dir, "documents").filter(col("doc_id") % 10 =!= 0), table)
+
+  /** Append a new corpus segment's per-hash firsts. A hash already
+    * present gains a second row; probes min-fold across segments
+    * ([[maximalIndexFirsts]]), so the GLOBAL first is the min of
+    * per-segment firsts — append order cannot change an answer.
+    * [[compactMaximalIndex]] folds the duplicates away. */
+  def appendMaximalIndex(batch: DataFrame, table: String): Unit = {
+    requireIndexFormat(batch.sparkSession, table)
+    maximalFirstRows(batch).write.mode("append").insertInto(table)
+  }
+
+  /** Probe-side view of a maximal index: per-hash min across
+    * appended segments. GroupBy on the bucketing key — the fold
+    * never shuffles the index (MaximalIndexSpec pins the single
+    * Exchange, the probe's own). */
+  private[graft] def maximalIndexFirsts(s: SparkSession, table: String): DataFrame = {
+    requireIndexFormat(s, table)
+    s.table(table)
+      .groupBy(col("h"))
+      .agg(min(struct(col("f_doc").as("doc_id"), col("f_pos").as("pos"))).as("f"))
+      .select(col("h"), col("f.doc_id").as("f_doc"), col("f.pos").as("f_pos"))
+  }
+
+  /** Rewrite an appended-to maximal index into a fresh generation:
+    * min-fold the per-segment firsts into clean bucketed files. A
+    * NEW table, never in place — the generation-swap rule. */
+  def compactMaximalIndex(s: SparkSession, table: String, outTable: String): Unit = {
+    maximalIndexFirsts(s, table)
+      .write.mode("overwrite")
+      .bucketBy(BandIndexBuckets, "h").sortBy("h")
+      .saveAsTable(outTable)
+    stampIndexFormat(s, outTable)
+  }
+
+  /** File-growth merge policy — the [[maintainSubstrIndex]] twin on
+    * the maximal table. */
+  def maintainMaximalIndex(
+      s: SparkSession, table: String, outTable: String,
+      maxFilesPerBucket: Int = DefaultMaxFilesPerBucket): Boolean = {
+    val meta = s.sessionState.catalog.getTableMetadata(
+      s.sessionState.sqlParser.parseTableIdentifier(table))
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    var nFiles = 0L
+    val it = fs.listFiles(loc, /* recursive = */ true)
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) nFiles += 1
+    }
+    if (nFiles == 0) {
+      require(Maintenance.isCommittedEmptyDir(s, loc.toString),
+        s"maximal index $table at $loc lists no parquet data files and no " +
+          "_SUCCESS marker — layout changed? refusing to silently skip compaction")
+      return false
+    }
+    if (nFiles > maxFilesPerBucket.toLong * BandIndexBuckets) {
+      compactMaximalIndex(s, table, outTable)
+      true
+    } else false
+  }
+
+  /** Session memo of FULL-corpus maximal indexes built by
+    * [[ensureMaximalIndex]], keyed by fixture fingerprint. */
+  private val maximalIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def clearMaximalIdxCache(): Unit = maximalIdxCache.clear()
+
+  /** Build-once-probe-many for the registered maximal queries: the
+    * FULL-corpus first-occurrence index materializes lazily (once
+    * per session + fixture fingerprint — an overwritten fixture dir
+    * rebuilds) and `substr_dedup_maximal`, `substr_threshold_sweep`,
+    * and `substr_maximal_report` all PROBE it instead of each
+    * re-electing firsts over the posting stream twice. In a
+    * production pipeline this table is the standing artifact the
+    * nightly scrub maintains (append + compact + vacuum, above); the
+    * bench protocol times the build as `substr_dedup_maximal`'s cold
+    * cost and the other two as consumers (the PCA fitter/consumer
+    * convention). Returns the table name. */
+  private[graft] def ensureMaximalIndex(s: SparkSession, dir: String): String = {
+    val key = OpsShared.dirKey(dir, "documents")
+    maximalIdxCache.computeIfAbsent(key, _ => {
+      val table = "graft_mx_idx_" +
+        java.lang.Long.toHexString(java.lang.Integer.toUnsignedLong(key.hashCode))
+      writeMaximalIndexOf(t(s, dir, "documents"), table)
+      table
+    })
+  }
+
+  /** The indexed islands relation over the FULL corpus — what the
+    * three registered maximal queries share; exposed for the spec
+    * that pins probe ≡ inline election. */
+  private[graft] def maximalIslandsProbed(s: SparkSession, dir: String): DataFrame =
+    maximalIslandsIndexed(t(s, dir, "documents"),
+      maximalIndexFirsts(s, ensureMaximalIndex(s, dir)))
+
+  /** Variable-length scrub of an ARRIVING batch (doc_id % 10 = 0)
+    * against the persisted corpus-half index — the maximal twin of
+    * [[substrScrubIndexed]]: batch windows probe the bucketed hash
+    * set (membership suffices — an arriving doc is never the corpus
+    * first, so every index hit is a duplicated position), islands
+    * merge per doc, and only runs ≥ [[MaximalMinSpanWords]] are cut
+    * (the sub-threshold-coincidence survival rule, preserved from
+    * the batch op). The corpus side never shuffles. */
+  def maximalScrubIndexed(s: SparkSession, dir: String, table: String): DataFrame = {
+    requireIndexFormat(s, table)
+    val d = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+    val idx = s.table(table).select(col("h"))
+    val iv = islandsFromBad(
+        maximalWindowRows(d).join(idx, Seq("h"), "left_semi"))
+      .filter(col("e") - col("s") + 1 >= MaximalMinSpanWords)
+    rebuildFromIslands(d, iv)
+  }
+
+  /** Per-doc island assembly from a sorted duplicated-position list
+    * — the STREAMING rebuild kernel: consecutive positions merge to
+    * runs, a run [p₀, pₖ] covers words [p₀, pₖ + atom − 1], and only
+    * spans ≥ [[MaximalMinSpanWords]] scrub. Exactly
+    * [[islandsFromBad]] + the HAVING cut collapsed to one doc (the
+    * watermarked stream groups positions per doc, so islands need no
+    * second shuffle); StreamingSpec pins stream ≡ batch equality. */
+  private[graft] def maximalCleanOf(text: String, badPos: Seq[Int]): String = {
+    if (badPos.isEmpty) return scrubIntervals(text, Nil, Nil)
+    val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var runStart = badPos.head
+    var prev = badPos.head
+    def close(last: Int): Unit = {
+      val e = last + MaximalAtomWords - 1
+      if (e - runStart + 1 >= MaximalMinSpanWords) {
+        starts += runStart; ends += e
+      }
+    }
+    badPos.tail.foreach { p =>
+      // tolerate a duplicated position (defense in depth — the
+      // stream already distinct-folds its index side)
+      if (p != prev && p != prev + 1) { close(prev); runStart = p }
+      if (p != prev) prev = p
+    }
+    close(prev)
+    scrubIntervals(text, starts.toSeq, ends.toSeq)
+  }
+
+  private[graft] val maximalCleanUdf = udf { (text: String, badPos: Seq[Int]) =>
+    maximalCleanOf(text, badPos)
   }
 
   /** Cap observability — the "no silent caps" audit: every inline

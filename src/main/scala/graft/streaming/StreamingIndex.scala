@@ -335,6 +335,46 @@ object StreamingIndex {
         graft.functions.CrossHash.md5Hash60Col(col("clean")).as("clean_h"))
   }
 
+  /** Streaming VARIABLE-LENGTH (maximal) scrub — the
+    * [[substrScrubStream]] twin at the [[graft.ops.Dedup
+    * .MaximalAtomWords]] grain: arriving documents probe the
+    * persisted corpus index (`Dedup.writeMaximalIndex` — membership
+    * suffices, an arrival is never the corpus first), the
+    * watermarked per-doc aggregation collects each doc's duplicated
+    * window positions (state bounded by horizon × arrival rate), and
+    * island reassembly + the ≥ [[graft.ops.Dedup
+    * .MaximalMinSpanWords]] cut + the byte-exact rebuild run in ONE
+    * per-doc kernel ([[graft.ops.Dedup.maximalCleanOf]]) — the
+    * islands need no second shuffle because the positions are
+    * already grouped. Stream-static join: the index re-reads per
+    * micro-batch, so append/compact generations take effect without
+    * a restart. Bit-equal to the batch [[graft.ops.Dedup
+    * .maximalScrubIndexed]] (StreamingSpec pins per-doc equality). */
+  def maximalScrubStream(
+      docs: DataFrame, s: SparkSession, table: String): DataFrame = {
+    import graft.ops.Dedup
+    Dedup.requireIndexFormat(s, table)
+    // DISTINCT membership: appended segments may re-insert a hash,
+    // and a duplicated index row would double the joined position —
+    // the fold is on the bucketing key, so it never shuffles
+    val idx = s.table(table).select(col("h")).distinct().withColumn("hit", lit(1))
+    docs
+      .select(col("ts"), col("doc_id"), col("text"),
+        posexplode_outer(Dedup.maximalWinUdf(col("text"))).as(Seq("pos", "h")))
+      .join(idx, Seq("h"), "left_outer")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("doc_id"), col("text"))
+      .agg(sort_array(collect_list(when(col("hit") === 1, col("pos")))).as("badpos"))
+      .withColumn("clean", Dedup.maximalCleanUdf(col("text"), col("badpos")))
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        (size(split(col("text"), " ")) -
+          when(col("clean") === "", 0)
+            .otherwise(size(split(col("clean"), " ")))).cast("long").as("n_removed"),
+        length(col("clean")).cast("long").as("len_clean"),
+        graft.functions.CrossHash.md5Hash60Col(col("clean")).as("clean_h"))
+  }
+
   /** Streaming anomaly scorer — train-on-history, score-the-stream:
     * watermarked hourly tumbling counts per event type, stream-static
     * joined to a batch-trained stats table (`Events.hourlyStats`),

@@ -654,6 +654,33 @@ class StreamingSpec extends AnyFunSuite {
       "the fixture must exercise both keep outcomes")
   }
 
+  test("maximal scrub stream ≡ batch indexed scrub: variable-length islands at stream arrival") {
+    val dir = "/root/testdata/sf0.001"
+    graft.ops.Dedup.writeMaximalIndex(spark, dir, "mx_idx_stream")
+    val batch = graft.ops.Dedup.maximalScrubIndexed(spark, dir, "mx_idx_stream")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val src = Files.createTempDirectory("graft-mx-eq").resolve("docs").toString
+    spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 10 === 0)
+      .withColumn("ts", lit("2026-01-01 00:00:00").cast("timestamp"))
+      .select("ts", "doc_id", "text")
+      .write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema("ts TIMESTAMP, doc_id LONG, text STRING")
+      .parquet(src)
+    val q = StreamingIndex.maximalScrubStream(stream, spark, "mx_idx_stream")
+      .writeStream.format("memory").queryName("mx_eq").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("SELECT * FROM mx_eq").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(streamed.size == batch.size, s"${streamed.size} vs ${batch.size}")
+    assert(streamed == batch,
+      "streaming island reassembly must rebuild byte-identically to the batch probe")
+    assert(batch.nonEmpty)
+  }
+
   test("substring scrub stream ≡ batch indexed scrub: stream-static probe, per-doc equality") {
     val dir = "/root/testdata/sf0.001"
     graft.ops.Dedup.writeSubstrIndex(spark, dir, "substr_idx_stream")
