@@ -1719,15 +1719,16 @@ object Dedup {
     * [[islandsFromBad]] + the HAVING cut collapsed to one doc (the
     * watermarked stream groups positions per doc, so islands need no
     * second shuffle); StreamingSpec pins stream ≡ batch equality. */
-  private[graft] def maximalCleanOf(text: String, badPos: Seq[Int]): String = {
+  private[graft] def cleanFromPositions(
+      text: String, badPos: Seq[Int], atom: Int, minSpan: Int): String = {
     if (badPos.isEmpty) return scrubIntervals(text, Nil, Nil)
     val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
     val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
     var runStart = badPos.head
     var prev = badPos.head
     def close(last: Int): Unit = {
-      val e = last + MaximalAtomWords - 1
-      if (e - runStart + 1 >= MaximalMinSpanWords) {
+      val e = last + atom - 1
+      if (e - runStart + 1 >= minSpan) {
         starts += runStart; ends += e
       }
     }
@@ -1741,9 +1742,151 @@ object Dedup {
     scrubIntervals(text, starts.toSeq, ends.toSeq)
   }
 
+  private[graft] def maximalCleanOf(text: String, badPos: Seq[Int]): String =
+    cleanFromPositions(text, badPos, MaximalAtomWords, MaximalMinSpanWords)
+
   private[graft] val maximalCleanUdf = udf { (text: String, badPos: Seq[Int]) =>
     maximalCleanOf(text, badPos)
   }
+
+  // ---- Intra-doc repetition scrub ----
+
+  /** Atom grain of [[repetitionScrub]] — FINER than the cross-doc
+    * [[MaximalAtomWords]] on purpose: intra-document repetition is
+    * short-period by nature (repeated lines, chorus-style boiler-
+    * plate), which is why the Gopher/RefinedWeb repetition SIGNALS
+    * live in the 2–4-gram band while cross-doc dedup uses long
+    * windows. 3-word atoms detect at that band. */
+  val RepetitionAtomWords = 3
+
+  /** Minimum repeated-run length, in words, that [[repetitionScrub]]
+    * removes: one atom longer than the atom itself, so an isolated
+    * trigram coincidence (span 3) is COUNTED as repetition signal
+    * but never cut — only runs the atom grain confirms twice over
+    * are removed. */
+  val RepetitionMinSpanWords = 4
+
+  /** One-doc repetition scan: (repeated-window count, rebuilt text).
+    * First-seen survivorship at the window grain INSIDE the doc —
+    * the head copy of a repeated block stays, every later copy's
+    * window positions mark, islands merge, and runs ≥
+    * [[RepetitionMinSpanWords]] cut. */
+  private[graft] def repetitionScan(text: String): (Int, String) = {
+    val hs = windowHashes(text, RepetitionAtomWords)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val bad = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i < hs.length) {
+      if (!seen.add(hs(i))) bad += i
+      i += 1
+    }
+    (bad.length,
+      cleanFromPositions(text, bad.toSeq, RepetitionAtomWords, RepetitionMinSpanWords))
+  }
+
+  private val repetitionUdf = udf { (text: String) => repetitionScan(text) }
+
+  /** WITHIN-document repeated-block removal, keep-first — the
+    * RefinedWeb repetition-removal STEP where [[Curation.gopherScore]]
+    * only flags: a doc whose tail repeats its head trains the repeat
+    * twice even after perfect cross-doc dedup (no other doc is
+    * involved, so [[substrDedupMaximal]] is structurally blind to
+    * it). Detection, islands, the span cut, and the byte-exact
+    * rebuild all run INSIDE one row — the operator is corpus-
+    * independent by construction.
+    *
+    * `n_rep_windows` (repeated atom-windows before the span cut) is
+    * the Gopher-style duplicate-n-gram signal preserved alongside
+    * the removal: a doc can carry repetition signal yet lose nothing
+    * (isolated coincidences below [[RepetitionMinSpanWords]]).
+    *
+    * Scale shape: ONE map-only pass — no shuffle, no join, no index;
+    * the cheapest scrub in the suite and embarrassingly parallel at
+    * 100 TB. Per-doc state is bounded by doc length. */
+  def repetitionScrub(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), repetitionUdf(col("text")).as("r"))
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        col("r._1").cast("long").as("n_rep_windows"),
+        (size(split(col("text"), " ")) -
+          when(col("r._2") === "", 0)
+            .otherwise(size(split(col("r._2"), " ")))).cast("long").as("n_removed"),
+        length(col("r._2")).cast("long").as("len_clean"),
+        graft.functions.CrossHash.md5Hash60Col(col("r._2")).as("clean_h"))
+      .orderBy(col("doc_id"))
+
+  /** Oracle mirror: per-(doc, hash) rank for first-seen, per-doc
+    * gaps-and-islands, the span HAVING cut, the shared comprehension
+    * rebuild — the [[substrDedupMaximalSql]] template with the rank
+    * partitioned INSIDE the doc. */
+  val repetitionScrubSql: String = {
+    val A = RepetitionAtomWords
+    val hWin = graft.functions.CrossHash.sqlHash60(s"array_to_string(w[i + 1 : i + $A], ' ')")
+    val hCt = graft.functions.CrossHash.sqlHash60("ct")
+    s"""WITH rp_w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |rp_win AS MATERIALIZED (
+       |  SELECT doc_id, i AS pos, $hWin AS h
+       |  FROM rp_w, UNNEST(range(0, len(w) - ${A - 1})) AS t(i)
+       |  WHERE len(w) >= $A),
+       |rp_rk AS MATERIALIZED (
+       |  SELECT doc_id, pos,
+       |    row_number() OVER (PARTITION BY doc_id, h ORDER BY pos) AS rk
+       |  FROM rp_win),
+       |rp_cnt AS (
+       |  SELECT doc_id, COUNT(*) AS n_rep FROM rp_rk WHERE rk > 1 GROUP BY doc_id),
+       |rp_isl AS (
+       |  SELECT doc_id, pos,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM rp_rk WHERE rk > 1),
+       |rp_iv AS (
+       |  SELECT doc_id, MIN(pos) AS s, MAX(pos) + ${A - 1} AS e
+       |  FROM rp_isl GROUP BY doc_id, island
+       |  HAVING MAX(pos) + $A - MIN(pos) >= $RepetitionMinSpanWords),
+       |rp_ivl AS (
+       |  SELECT doc_id, list(s ORDER BY s) AS ss, list(e ORDER BY s) AS ee
+       |  FROM rp_iv GROUP BY doc_id),
+       |rp_clean AS (
+       |  SELECT d.doc_id, len(d.w) AS n_words,
+       |    COALESCE(array_to_string([d.w[i] FOR i IN generate_series(1, len(d.w))
+       |      IF len(list_filter(list_zip(COALESCE(b.ss, CAST([] AS BIGINT[])),
+       |                                  COALESCE(b.ee, CAST([] AS BIGINT[]))),
+       |             v -> v[1] + 1 <= i AND i <= v[2] + 1)) = 0], ' '), '') AS ct
+       |  FROM rp_w d LEFT JOIN rp_ivl b USING (doc_id))
+       |SELECT c.doc_id, CAST(c.n_words AS BIGINT) AS n_words,
+       |  CAST(COALESCE(k.n_rep, 0) AS BIGINT) AS n_rep_windows,
+       |  CAST(c.n_words - CASE WHEN ct = '' THEN 0
+       |                        ELSE len(string_split(ct, ' ')) END AS BIGINT) AS n_removed,
+       |  CAST(length(ct) AS BIGINT) AS len_clean,
+       |  $hCt AS clean_h
+       |FROM rp_clean c LEFT JOIN rp_cnt k USING (doc_id)
+       |ORDER BY c.doc_id""".stripMargin
+  }
+
+  /** Corpus totals for [[repetitionScrub]] — the release-review twin
+    * of [[substrMaximalReport]] for the intra-doc step: how much
+    * repetition SIGNAL the corpus carries and how much text the
+    * keep-first cut actually reclaims. */
+  def repetitionReport(s: SparkSession, dir: String): DataFrame = {
+    val lens = t(s, dir, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("len0"))
+    repetitionScrub(s, dir).join(lens, Seq("doc_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_words")), lit(0L)).as("n_words"),
+        coalesce(sum(col("n_rep_windows")), lit(0L)).as("n_rep_windows"),
+        coalesce(sum(col("n_removed")), lit(0L)).as("n_removed_words"),
+        coalesce(sum(col("len0") - col("len_clean")), lit(0L)).as("bytes_saved"))
+  }
+
+  lazy val repetitionReportSql: String =
+    s"""WITH rr AS MATERIALIZED (SELECT * FROM ($repetitionScrubSql))
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COALESCE(SUM(r.n_words), 0) AS BIGINT) AS n_words,
+       |  CAST(COALESCE(SUM(r.n_rep_windows), 0) AS BIGINT) AS n_rep_windows,
+       |  CAST(COALESCE(SUM(r.n_removed), 0) AS BIGINT) AS n_removed_words,
+       |  CAST(COALESCE(SUM(length(d.text) - r.len_clean), 0) AS BIGINT) AS bytes_saved
+       |FROM rr r JOIN documents d USING (doc_id)""".stripMargin
 
   /** Cap observability — the "no silent caps" audit: every inline
     * detector bounds hot buckets with [[MaxPosting]], and THIS
@@ -3357,6 +3500,8 @@ object Dedup {
     "simhash_weighted" -> (simhashWeighted _),
     "span_dedup" -> (spanDedup _),
     "substr_dedup" -> (substrDedup _),
+    "repetition_scrub" -> (repetitionScrub _),
+    "repetition_report" -> (repetitionReport _),
     "substr_dedup_maximal" -> (substrDedupMaximal _),
     "substr_maximal_report" -> (substrMaximalReport _),
     "substr_threshold_sweep" -> (substrThresholdSweep _),
@@ -3387,6 +3532,8 @@ object Dedup {
     "simhash_weighted" -> simhashWeightedSql,
     "span_dedup" -> spanDedupSql,
     "substr_dedup" -> substrDedupSql,
+    "repetition_scrub" -> repetitionScrubSql,
+    "repetition_report" -> repetitionReportSql,
     "substr_dedup_maximal" -> substrDedupMaximalSql,
     "substr_maximal_report" -> substrMaximalReportSql,
     "substr_threshold_sweep" -> substrThresholdSweepSql,

@@ -373,6 +373,55 @@ class DedupSpec extends AnyFunSuite {
     assert(ld.values.forall(_ == 0L), s"line_dedup must be blind to off-grid copies: $ld")
   }
 
+  test("repetition_scrub: a tail repeating the head is cut (tail only); cross-doc copies untouched; lone coincidence counted not cut") {
+    import spark.implicits._
+    val head = (1 to 10).map(i => s"h$i")
+    // doc 1: tail repeats the head verbatim — the intra-doc case
+    // cross-doc dedup is structurally blind to
+    val d1 = head ++ (1 to 3).map(i => s"m$i") ++ head
+    // docs 2 and 3: EXACT copies of each other, no internal repeats —
+    // the intra-doc scrub must not touch either (that's the cross-doc
+    // family's job)
+    val d2 = (1 to 12).map(i => s"c$i")
+    // doc 4: one isolated repeated trigram (span 3 < 4): repetition
+    // SIGNAL without removal
+    val d4 = Seq("q1", "q2", "q3") ++ (1 to 5).map(i => s"z$i") ++
+      Seq("q1", "q2", "q3") ++ Seq("tail1", "tail2")
+    val dir = java.nio.file.Files.createTempDirectory("graft-rep").toString
+    Seq((1L, d1.mkString(" ")), (2L, d2.mkString(" ")),
+        (3L, d2.mkString(" ")), (4L, d4.mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.repetitionScrub(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // doc 1: 23 words; the repeated head's windows are positions
+    // 13..20 (8 repeated trigram windows), island spans 10 ≥ 4 →
+    // exactly the 10-word tail copy is cut; the HEAD copy survives
+    assert(got(1L)._1 == 23L && got(1L)._2 == 8L && got(1L)._3 == 10L,
+      s"tail copy (only) must be cut keep-first: ${got(1L)}")
+    // rebuilt text = head ++ m1..m3, byte-exact
+    val expect1 = (head ++ (1 to 3).map(i => s"m$i")).mkString(" ")
+    assert(got(1L)._4 == expect1.length.toLong, s"byte-exact rebuild: ${got(1L)}")
+    // cross-doc duplicates: zero signal, zero removal, in BOTH copies
+    Seq(2L, 3L).foreach { id =>
+      assert(got(id) == ((12L, 0L, 0L, d2.mkString(" ").length.toLong)),
+        s"cross-doc copies are out of scope for the intra-doc scrub: ${got(id)}")
+    }
+    // doc 4: 13 words, exactly one repeated trigram window, nothing cut
+    assert(got(4L)._2 == 1L && got(4L)._3 == 0L,
+      s"an isolated coincidence is signal, not removal: ${got(4L)}")
+    // and the cross-doc maximal scrub is the complement: it pairs
+    // docs 2/3 but cannot see doc 1's internal repeat (atom 8 > the
+    // repeated run? no — it CAN see long internal repeats; what it
+    // cannot do is fire when no other doc shares the text and the
+    // run is under ITS atom grain: doc 4's trigram)
+    val mx = Dedup.substrDedupMaximal(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(mx(4L) == 0L,
+      s"the 8-word cross-doc grain is blind to a trigram repeat: $mx")
+  }
+
   test("substr_dedup_maximal: a 14-word copy invisible to the fixed 15-word grid is cut exactly; sub-threshold runs survive") {
     // P is 14 words: no 15-word window fits inside it, so substr_dedup
     // is PROVABLY blind; the maximal variant detects with 8-word atoms
