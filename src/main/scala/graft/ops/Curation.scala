@@ -575,6 +575,128 @@ object Curation {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** Source blocklist — the CCNet/RefinedWeb URL-filter gate between
+    * ingest and quality scoring, expressed as a CONFIG RELATION (the
+    * production shape: a curated domain blocklist joins the corpus,
+    * it is not code). Two rule kinds, both exercised: exact source
+    * entries and a regex pattern (the "subdomain family" rule).
+    * Fixture instantiation follows the % 11 / % 50 convention of
+    * planting a deterministic blocked population in the synthetic
+    * sources so the gate's discrimination is oracle-checked. */
+  val BlockedSourcesExact: Seq[String] = Seq("src3", "src7", "src12")
+
+  /** Pattern rule: blocks the src18/src19 "family". */
+  val BlockedSourcePattern: String = "^src1[89]$"
+
+  /** Per-source keep decisions against the broadcast blocklist —
+    * `rule` names which blocklist arm fired (NULL = kept), so the
+    * audit shows WHY a source dropped, not only that it did. The
+    * doc-level gate a curation run applies is the same broadcast
+    * join minus the per-source rollup.
+    *
+    * Scale shape: the blocklist is a config relation (KBs) —
+    * broadcast; the corpus side is one per-source count aggregation.
+    * Group keys are the handful of sources. */
+  def urlFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bl = BlockedSourcesExact.map(e => (e, "exact")).toDF("entry", "rule0")
+    t(s, dir, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(broadcast(bl), col("source") === col("entry"), "left")
+      .withColumn("rule",
+        when(col("rule0").isNotNull, col("rule0"))
+          .when(col("source").rlike(BlockedSourcePattern), lit("pattern")))
+      .select(col("source"), col("n_docs"), col("rule"),
+        when(col("rule").isNull, 1).otherwise(0).as("keep"))
+      .orderBy(col("source"))
+  }
+
+  val urlFilterSql: String = {
+    val entries = BlockedSourcesExact.map(e => s"('$e', 'exact')").mkString(", ")
+    s"""WITH uf_bl AS (SELECT * FROM (VALUES $entries) b(entry, rule0)),
+       |uf_c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+       |SELECT c.source, CAST(c.n_docs AS BIGINT) AS n_docs,
+       |  CASE WHEN b.rule0 IS NOT NULL THEN b.rule0
+       |       WHEN regexp_matches(c.source, '$BlockedSourcePattern') THEN 'pattern'
+       |  END AS rule,
+       |  CASE WHEN b.rule0 IS NULL
+       |        AND NOT regexp_matches(c.source, '$BlockedSourcePattern')
+       |       THEN 1 ELSE 0 END AS keep
+       |FROM uf_c c LEFT JOIN uf_bl b ON b.entry = c.source
+       |ORDER BY c.source""".stripMargin
+  }
+
+  /** License/robots marker table for [[licenseReport]] — a CONFIG
+    * relation of (marker, pattern, class) rows, the license-signal
+    * scan a compliance review runs between ingest and training
+    * (creative-commons markers, all-rights-reserved phrases,
+    * robots/noai opt-outs). The fixture patterns are word-soup
+    * stand-ins, the [[piiReport]] `[a-z]{7,}` convention: `vector`
+    * plays the permissive CC phrase, `value` the restrictive
+    * rights phrase, `dup` the robots/noai opt-out — chosen so every
+    * class fires on the synthetic corpus and the per-class
+    * accounting is oracle-checked, not vacuously zero. */
+  val LicenseMarkers: Seq[(String, String, String)] = Seq(
+    ("cc_marker", "\\bvector\\b", "permissive"),
+    ("rights_marker", "\\bvalue\\b", "restrictive"),
+    ("noai_marker", "\\bdup\\b", "robots"))
+
+  /** Per-(source, marker) license-signal audit: docs scanned, docs
+    * flagged, total marker hits, flag rate. A source whose
+    * restrictive-rate spikes is a takedown conversation, a robots
+    * spike is a crawl-compliance bug — per-source attribution is the
+    * actionable grain, the [[piiReport]] convention.
+    *
+    * Scale shape: ONE corpus pass — every marker counts in the same
+    * map-side projection (no per-marker rescan), one per-source
+    * aggregation of 2·markers integers, stacked to long format (the
+    * threshold-sweep shape: grid × sources rows out of one pass). */
+  def licenseReport(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val cnts = LicenseMarkers.zipWithIndex.map { case ((_, pat, _), i) =>
+      regexp_count(col("text"), lit(pat)).as(s"c$i")
+    }
+    val aggs = LicenseMarkers.zipWithIndex.flatMap { case (_, i) => Seq(
+      coalesce(sum(when(col(s"c$i") > 0, 1L).otherwise(0L)), lit(0L)).as(s"f$i"),
+      coalesce(sum(col(s"c$i").cast("long")), lit(0L)).as(s"m$i"))
+    }
+    val stackExpr = LicenseMarkers.zipWithIndex
+      .map { case ((m, _, cls), i) => s"'$m', '$cls', f$i, m$i" }
+      .mkString(", ")
+    d.select(col("source") +: cnts: _*)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), aggs: _*)
+      .selectExpr("source", "n_docs",
+        s"stack(${LicenseMarkers.size}, $stackExpr) " +
+          "AS (marker, license_class, n_flagged, n_matches)")
+      .withColumn("flag_rate",
+        r6(col("n_flagged").cast("double") / col("n_docs")))
+      .select(col("source"), col("marker"), col("license_class"),
+        col("n_docs"), col("n_flagged"), col("n_matches"), col("flag_rate"))
+      .orderBy(col("source"), col("marker"))
+  }
+
+  val licenseReportSql: String = {
+    val cells = LicenseMarkers.zipWithIndex.map { case ((_, pat, _), i) =>
+      s"""SUM(CASE WHEN len(regexp_extract_all(text, '$pat')) > 0
+         |      THEN 1 ELSE 0 END) AS f$i,
+         |    SUM(len(regexp_extract_all(text, '$pat'))) AS m$i""".stripMargin
+    }.mkString(",\n    ")
+    val rows = LicenseMarkers.zipWithIndex.map { case ((m, _, cls), i) =>
+      s"""SELECT source, '$m' AS marker, '$cls' AS license_class,
+         |  CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(f$i AS BIGINT) AS n_flagged, CAST(m$i AS BIGINT) AS n_matches,
+         |  round(CAST(f$i AS DOUBLE) / n_docs, 6) + 0 AS flag_rate
+         |FROM lr_c""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH lr_c AS MATERIALIZED (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    $cells
+       |  FROM documents GROUP BY source)
+       |$rows
+       |ORDER BY source, marker""".stripMargin
+  }
+
   /** Stratified balancing: downsample every language to the smallest
     * language's count, picking survivors in md5 order (deterministic,
     * engine-independent). NOTE the rank-based exact variant here has
@@ -2377,6 +2499,8 @@ object Curation {
     "gopher_quality" -> (gopherQuality _),
     "redact_mask" -> (redactMask _),
     "pii_report" -> (piiReport _),
+    "url_filter" -> (urlFilter _),
+    "license_report" -> (licenseReport _),
     "stratified_sample" -> (stratifiedSample _),
     "mixture_sample" -> (mixtureSample _),
     "shard_pack" -> (shardPack _))
@@ -2415,6 +2539,8 @@ object Curation {
     "gopher_quality" -> gopherQualitySql,
     "redact_mask" -> redactMaskSql,
     "pii_report" -> piiReportSql,
+    "url_filter" -> urlFilterSql,
+    "license_report" -> licenseReportSql,
     "stratified_sample" -> stratifiedSampleSql,
     "mixture_sample" -> mixtureSampleSql,
     "shard_pack" -> shardPackSql)

@@ -602,4 +602,51 @@ class CurationSpec extends AnyFunSuite {
     assert(!got.contains(2L), s"clean docs emit no span row: $got")
     assert(!got.contains(0L), s"benchmark docs are never scored against themselves: $got")
   }
+
+  test("url_filter: exact and pattern blocklist arms fire with attribution; clean sources keep") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-urlf").toString
+    Seq((1L, "a b c", "src3"),    // exact blocklist entry
+        (2L, "d e f", "src18"),   // pattern family src1[89]
+        (3L, "g h i", "src19"),
+        (4L, "j k l", "news_site"),
+        (5L, "m n o", "news_site"),
+        (6L, "p q r", "src1"))    // prefix of the family but NOT in it
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Curation.urlFilter(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.getString(2)), r.getInt(3))).toMap
+    assert(got("src3") == ((1L, Some("exact"), 0)), s"$got")
+    assert(got("src18") == ((1L, Some("pattern"), 0)) &&
+      got("src19") == ((1L, Some("pattern"), 0)), s"$got")
+    assert(got("news_site") == ((2L, None, 1)), s"kept source with its count: $got")
+    assert(got("src1") == ((1L, None, 1)),
+      s"the pattern is anchored — a prefix must not be swept in: $got")
+  }
+
+  test("license_report: every marker class fires where planted, stays zero where not") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-lic").toString
+    Seq(
+      (1L, "vector of things and another vector", "cc_pool"),   // 2 permissive hits
+      (2L, "nothing to see here", "cc_pool"),
+      (3L, "the value of value is value", "rights_pool"),       // 3 restrictive hits
+      (4L, "dup appears once", "robots_pool"),
+      (5L, "devalued词 is not value-free", "rights_pool"))       // \bvalue\b must not match inside words... but value-free has boundary
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Curation.licenseReport(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // 3 sources x 3 markers, total relation
+    assert(got.size == 9, s"per-(source, marker) totality: ${got.keySet}")
+    assert(got(("cc_pool", "cc_marker")) == ((2L, 1L, 2L)),
+      s"one of two docs flagged, two hits: $got")
+    assert(got(("cc_pool", "rights_marker")) == ((2L, 0L, 0L)))
+    assert(got(("rights_pool", "rights_marker")) == ((2L, 2L, 4L)),
+      s"word-boundary matching: 'value-free' has a boundary hit, 'devalued' none: $got")
+    assert(got(("robots_pool", "noai_marker")) == ((1L, 1L, 1L)))
+    assert(got(("robots_pool", "cc_marker")) == ((1L, 0L, 0L)))
+  }
 }
