@@ -63,8 +63,13 @@ object Bench {
     // (substr_dedup_maximal's cold build)
     "substr_threshold_sweep" -> ((s, d) => { graft.ops.Dedup.ensureMaximalIndex(s, d); () }),
     "substr_maximal_report" -> ((s, d) => { graft.ops.Dedup.ensureMaximalIndex(s, d); () }),
-    // the fertility table consumes all three frozen tokenizers
+    // the fertility tables consume all three frozen tokenizers
     "tokenizer_fertility" -> ((s, d) => {
+      graft.ops.Bpe.trainedMerges(s, d)
+      graft.ops.UnigramLm.fittedVocab(s, d)
+      graft.ops.WordPiece.fittedVocab(s, d); ()
+    }),
+    "tokenizer_fertility_lang" -> ((s, d) => {
       graft.ops.Bpe.trainedMerges(s, d)
       graft.ops.UnigramLm.fittedVocab(s, d)
       graft.ops.WordPiece.fittedVocab(s, d); ()

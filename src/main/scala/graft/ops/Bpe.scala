@@ -261,6 +261,41 @@ object Bpe {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** Per-language token/piece/byte counts under the frozen merge
+    * list — the [[TokenizerEval.tokenizerFertilityLang]] arm. BPE's
+    * own word regime (`[a-z]+` runs), each distinct (lang, word)
+    * encoded once. */
+  private[ops] def fertilityLangCounts(s: SparkSession, dir: String): DataFrame = {
+    val merges = trainedMerges(s, dir).map(m => (m._1, m._2))
+    val encUdf = udf { (word: String) => tokenizeWord(word, merges).length }
+    val tokc = t(s, dir, "documents")
+      .select(col("lang"),
+        explode(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("word"))
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("c"))
+    val vocab = tokc.select(col("word")).distinct()
+      .withColumn("np", encUdf(col("word")).cast("long"))
+    tokc.join(vocab, "word")
+      .groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_words"),
+        sum(col("c") * col("np")).as("n_pieces"),
+        sum(col("c") * octet_length(col("word"))).cast("long").as("n_bytes"))
+      .select(lit("bpe").as("tokenizer"), col("lang"),
+        col("n_words"), col("n_pieces"), col("n_bytes"))
+  }
+
+  private[ops] lazy val fertilityLangCountsSql: String =
+    s"""$bpeEncodePrefixCtes,
+       |tokl AS (
+       |  SELECT lang, tok AS word, COUNT(*) AS c
+       |  FROM (SELECT lang, unnest(regexp_extract_all(text, '[a-z]+')) AS tok
+       |        FROM documents)
+       |  GROUP BY 1, 2)
+       |SELECT lang, CAST(SUM(c) AS BIGINT) AS n_words,
+       |  CAST(SUM(c * np) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(c * strlen(word)) AS BIGINT) AS n_bytes
+       |FROM tokl JOIN enc USING (word)
+       |GROUP BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_merges" -> (bpeMerges _),
     "bpe_encode" -> (bpeEncode _))

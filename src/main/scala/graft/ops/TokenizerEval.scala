@@ -56,6 +56,61 @@ object TokenizerEval {
        |ORDER BY tokenizer""".stripMargin
   }
 
+  /** Fertility PER LANGUAGE — the standard multilingual tokenizer-
+    * choice table: tokens-per-word and bytes-per-token per `lang`
+    * (the corpus's language-ID truth column) for each trained family.
+    * A language whose fertility is 2× the corpus mean is paying
+    * double the sequence length for the same text — THE number that
+    * decides vocabulary budgets and per-language sampling in a
+    * multilingual pretraining mix (and the reason byte-fallback
+    * tokenizers report bytes/token beside pieces/word).
+    *
+    * Each family keeps its own end-to-end word regime (the
+    * [[tokenizerFertility]] contract): BPE counts `[a-z]+` runs,
+    * unigram/WordPiece whitespace words ≤ MaxWordLen with
+    * unencodable words dropped from words AND bytes. Ratios fold as
+    * exact micro-units (the knLogprob remedy — both are sums of
+    * integers divided half-up).
+    *
+    * Scale shape: three already-fitted frozen vocabularies ride
+    * closures; each arm is ONE corpus pass collapsing to (lang)
+    * groups — the encodes are the cost, the table is map-side
+    * partial aggregation over ≤ languages × families rows. */
+  def tokenizerFertilityLang(s: SparkSession, dir: String): DataFrame =
+    Bpe.fertilityLangCounts(s, dir)
+      .unionAll(UnigramLm.fertilityLangCounts(s, dir))
+      .unionAll(WordPiece.fertilityLangCounts(s, dir))
+      .select(col("tokenizer"), col("lang"),
+        col("n_words"), col("n_pieces"), col("n_bytes"),
+        (expr("(2 * n_pieces * 1000000 + n_words) div (2 * n_words)")
+          .cast("double") / 1e6).as("fertility"),
+        (expr("(2 * n_bytes * 1000000 + n_pieces) div (2 * n_pieces)")
+          .cast("double") / 1e6).as("bytes_per_piece"))
+      .orderBy(col("tokenizer"), col("lang"))
+
+  /** Oracle mirror: the three per-lang count SQLs as nested derived
+    * tables (each with its own WITH — the CTE-shadowing rule), the
+    * same half-up micro-unit divisions. */
+  lazy val tokenizerFertilityLangSql: String = {
+    def arm(name: String, inner: String) =
+      s"""SELECT '$name' AS tokenizer, lang, n_words, n_pieces, n_bytes,
+         |  CAST((2 * n_pieces * 1000000 + n_words) // (2 * n_words) AS DOUBLE)
+         |    / 1000000.0 AS fertility,
+         |  CAST((2 * n_bytes * 1000000 + n_pieces) // (2 * n_pieces) AS DOUBLE)
+         |    / 1000000.0 AS bytes_per_piece
+         |FROM (
+         |$inner
+         |) ${name}_fl""".stripMargin
+    s"""SELECT * FROM (
+       |${arm("bpe", Bpe.fertilityLangCountsSql)}
+       |UNION ALL
+       |${arm("unigram", UnigramLm.fertilityLangCountsSql)}
+       |UNION ALL
+       |${arm("wordpiece", WordPiece.fertilityLangCountsSql)}
+       |)
+       |ORDER BY tokenizer, lang""".stripMargin
+  }
+
   /** Pairwise vocabulary SURFACE overlap between the three trained
     * tokenizer families — the migration audit run before swapping
     * tokenizers: a high-Jaccard pair means most learned units carry
@@ -129,9 +184,11 @@ object TokenizerEval {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tokenizer_fertility" -> (tokenizerFertility _),
+    "tokenizer_fertility_lang" -> (tokenizerFertilityLang _),
     "tokenizer_vocab_overlap" -> (tokenizerVocabOverlap _))
 
   val oracles: Map[String, String] = Map(
     "tokenizer_fertility" -> tokenizerFertilitySql,
+    "tokenizer_fertility_lang" -> tokenizerFertilityLangSql,
     "tokenizer_vocab_overlap" -> tokenizerVocabOverlapSql)
 }

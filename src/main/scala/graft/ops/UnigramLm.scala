@@ -208,9 +208,41 @@ object UnigramLm {
       .orderBy(col("doc_id"))
   }
 
-  /** Unrolled DP + recursive backtrack, generated for any
+  /** Per-language word/piece/byte counts under the frozen unigram LM
+    * — the [[TokenizerEval.tokenizerFertilityLang]] arm. Same word
+    * regime and Viterbi stats as [[unigramEncode]]; words the
+    * lattice cannot segment drop from words AND bytes. */
+  private[ops] def fertilityLangCounts(s: SparkSession, dir: String): DataFrame = {
+    val wstats = wordStats(s, dir)
+    t(s, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "" && length(col("w")) <= MaxWordLen)
+      .join(wstats, "w")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).cast("long").as("n_pieces"),
+        sum(octet_length(col("w"))).cast("long").as("n_bytes"))
+      .select(lit("unigram").as("tokenizer"), col("lang"),
+        col("n_words"), col("n_pieces"), col("n_bytes"))
+  }
+
+  private[ops] lazy val fertilityLangCountsSql: String =
+    s"""$unigramStatsCtes,
+       |tokl AS (
+       |  SELECT lang, w FROM (
+       |    SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '' AND len(w) <= $MaxWordLen)
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(s.n_pieces) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(strlen(t.w)) AS BIGINT) AS n_bytes
+       |FROM tokl t JOIN wstats s ON s.w = t.w
+       |GROUP BY lang""".stripMargin
+
+  /** Shared CTE prefix through the per-word `wstats`
+    * (w, n_pieces, score) relation: vocab costs, the unrolled DP
+    * lattice, the recursive backtrack — generated for any
     * [[MaxWordLen]]. */
-  val unigramEncodeSql: String = {
+  private[ops] lazy val unigramStatsCtes: String = {
     val dps = (1 to MaxWordLen).map { i =>
       val arms = (math.max(0, i - MaxPieceLen) until i).map { j =>
         s"""      SELECT d.w, round(d.score + v.cost, 6) + 0 AS score, $j AS back
@@ -249,7 +281,13 @@ object UnigramLm {
        |  SELECT ws.w, np.k AS n_pieces, dp.score
        |  FROM words ws
        |  JOIN alldp dp ON dp.w = ws.w AND dp.pos = len(ws.w)
-       |  JOIN (SELECT w, k FROM bt WHERE pos = 0) np ON np.w = ws.w),
+       |  JOIN (SELECT w, k FROM bt WHERE pos = 0) np ON np.w = ws.w)""".stripMargin
+  }
+
+  /** Unrolled DP + recursive backtrack, generated for any
+    * [[MaxWordLen]]. */
+  val unigramEncodeSql: String =
+    s"""$unigramStatsCtes,
        |toks AS (
        |  SELECT doc_id, w FROM (
        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
@@ -265,7 +303,6 @@ object UnigramLm {
        |  CAST((2 * qs + n_words) // (2 * n_words) AS DOUBLE) / 1000000.0 AS avg_score
        |FROM agg
        |ORDER BY doc_id""".stripMargin
-  }
 
   /** Viterbi path pieces (not just counts) — backtracks the same
     * [[fillLattice]] back-pointer chain the stats UDF walks. */

@@ -171,7 +171,10 @@ object WordPiece {
   /** Unrolled greedy longest-match: state (w, pos, k); each level
     * carries finished words and advances the rest by their longest
     * vocabulary match at `pos` (row_number over match length). */
-  val wordpieceEncodeSql: String = {
+  /** Shared CTE prefix through the per-word `wstats` (w, n_pieces)
+    * relation — the frozen-tokenizer word table both the per-doc
+    * encode and the per-language fertility audit join against. */
+  private[ops] lazy val wordpieceStatsCtes: String = {
     def step(i: Int): String =
       s"""g$i AS MATERIALIZED (
          |  SELECT w, pos, k FROM g${i - 1} WHERE pos >= len(w)
@@ -189,7 +192,11 @@ object WordPiece {
        |g0 AS MATERIALIZED (SELECT w, 0 AS pos, 0 AS k FROM words),
        |${(1 to MaxWordLen).map(step).mkString(",\n")},
        |wstats AS (
-       |  SELECT w, k AS n_pieces FROM g$MaxWordLen WHERE pos >= len(w)),
+       |  SELECT w, k AS n_pieces FROM g$MaxWordLen WHERE pos >= len(w))""".stripMargin
+  }
+
+  val wordpieceEncodeSql: String =
+    s"""$wordpieceStatsCtes,
        |toks AS (
        |  SELECT doc_id, w FROM (
        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
@@ -200,7 +207,42 @@ object WordPiece {
        |FROM toks t JOIN wstats s ON s.w = t.w
        |GROUP BY t.doc_id
        |ORDER BY t.doc_id""".stripMargin
+
+  /** Per-language word/piece/byte counts under the frozen WordPiece
+    * — the [[TokenizerEval.tokenizerFertilityLang]] arm. Same word
+    * regime and greedy encoder as [[wordpieceEncode]]; unencodable
+    * words (greedy dead-ends) drop from words AND bytes, so the
+    * ratios compare what the tokenizer actually emits. */
+  private[ops] def fertilityLangCounts(s: SparkSession, dir: String): DataFrame = {
+    val vocab = fittedVocab(s, dir).map(_._1).toSet
+    val enc = greedyUdf(vocab)
+    val wstats = wordsDf(s, dir)
+      .withColumn("n_pieces", enc(col("w")))
+      .filter(col("n_pieces").isNotNull)
+      .select(col("w"), col("n_pieces"))
+    t(s, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "" && length(col("w")) <= MaxWordLen)
+      .join(wstats, "w")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).cast("long").as("n_pieces"),
+        sum(octet_length(col("w"))).cast("long").as("n_bytes"))
+      .select(lit("wordpiece").as("tokenizer"), col("lang"),
+        col("n_words"), col("n_pieces"), col("n_bytes"))
   }
+
+  private[ops] lazy val fertilityLangCountsSql: String =
+    s"""$wordpieceStatsCtes,
+       |tokl AS (
+       |  SELECT lang, w FROM (
+       |    SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '' AND len(w) <= $MaxWordLen)
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(s.n_pieces) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(strlen(t.w)) AS BIGINT) AS n_bytes
+       |FROM tokl t JOIN wstats s ON s.w = t.w
+       |GROUP BY lang""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wordpiece_vocab" -> (wordpieceVocab _),

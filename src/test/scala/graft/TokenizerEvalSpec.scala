@@ -53,4 +53,33 @@ class TokenizerEvalSpec extends AnyFunSuite {
     assert(got(("unigram", "wordpiece"))._4 > got(("bpe", "unigram"))._4,
       s"same-regime families must overlap more: $got")
   }
+
+  test("tokenizer_fertility_lang: per-language rows fold back to the corpus totals; byte ratios positive") {
+    val dir = "/root/testdata/sf0.001"
+    val lang = TokenizerEval.tokenizerFertilityLang(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    val corpus = TokenizerEval.tokenizerFertility(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val fams = lang.map(_._1._1).distinct.sorted
+    assert(fams.toSeq == Seq("bpe", "unigram", "wordpiece"))
+    // language-sliced counts must PARTITION each family's corpus
+    // totals — nothing dropped, nothing double-counted
+    fams.foreach { f =>
+      val rows = lang.filter(_._1._1 == f).map(_._2)
+      assert((rows.map(_._1).sum, rows.map(_._2).sum) == corpus(f),
+        s"$f: per-lang words/pieces must sum to the corpus encode totals")
+      rows.foreach { case (w, p, b, fert, bpp) =>
+        assert(w > 0 && p >= w && b >= w,
+          s"$f: a word is >= 1 piece and >= 1 byte: $rows")
+        assert(fert >= 1.0 && bpp > 0.0, s"$f: ratios sane: $rows")
+      }
+    }
+    // every fixture language appears in every family's slice
+    val langs = lang.map(_._1._2).distinct.sorted
+    fams.foreach { f =>
+      assert(lang.filter(_._1._1 == f).map(_._1._2).sorted.toSeq == langs.toSeq,
+        s"$f must report every language: $lang")
+    }
+  }
 }
