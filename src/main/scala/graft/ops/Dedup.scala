@@ -1694,22 +1694,90 @@ object Dedup {
     maximalIslandsIndexed(t(s, dir, "documents"),
       maximalIndexFirsts(s, ensureMaximalIndex(s, dir)))
 
+  /** Shared probe body of the incremental maximal scrub: batch
+    * windows semi-join a corpus hash-set relation (membership
+    * suffices — an arriving doc is never the corpus first, so every
+    * hit is a duplicated position), islands merge per doc, and only
+    * runs ≥ [[MaximalMinSpanWords]] are cut (the sub-threshold-
+    * coincidence survival rule, preserved from the batch op). */
+  private def maximalScrubAgainst(batch: DataFrame, corpusHashes: DataFrame): DataFrame = {
+    val iv = islandsFromBad(
+        maximalWindowRows(batch).join(corpusHashes.select(col("h")), Seq("h"), "left_semi"))
+      .filter(col("e") - col("s") + 1 >= MaximalMinSpanWords)
+    rebuildFromIslands(batch, iv)
+  }
+
+  /** Inline incremental maximal scrub — the variable-length twin of
+    * [[substrScrubIncremental]]: arriving docs (doc_id % 10 = 0) are
+    * cut of every maximal duplicated run ≥ [[MaximalMinSpanWords]]
+    * against the standing corpus (% 10 ≠ 0), detected at the
+    * [[MaximalAtomWords]] grain — a 14-word copied passage the
+    * fixed-grid incremental scrub is blind to is cut here at any
+    * alignment. The at-scale story is [[maximalScrubIndexed]]: the
+    * corpus side becomes the persisted bucketed index. */
+  def maximalScrubIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val corpus = maximalWindowRows(d.filter(col("doc_id") % 10 =!= 0))
+      .select(col("h")).distinct()
+    maximalScrubAgainst(d.filter(col("doc_id") % 10 === 0), corpus)
+  }
+
+  /** Oracle mirror of [[maximalScrubIncremental]]: corpus-half
+    * distinct atom-window hashes, batch windows filtered by
+    * membership, per-doc islands with the span HAVING cut, the
+    * shared interval-comprehension rebuild. */
+  val maximalScrubIncrementalSql: String = {
+    val A = MaximalAtomWords
+    val hWin = graft.functions.CrossHash.sqlHash60(s"array_to_string(w[i + 1 : i + $A], ' ')")
+    val hCt = graft.functions.CrossHash.sqlHash60("ct")
+    s"""WITH mi_w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |mi_win AS MATERIALIZED (
+       |  SELECT doc_id, i AS pos, $hWin AS h
+       |  FROM mi_w, UNNEST(range(0, len(w) - ${A - 1})) AS t(i)
+       |  WHERE len(w) >= $A),
+       |mi_corpus AS MATERIALIZED (
+       |  SELECT DISTINCT h FROM mi_win WHERE doc_id % 10 <> 0),
+       |mi_isl AS (
+       |  SELECT doc_id, pos,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM mi_win
+       |  WHERE doc_id % 10 = 0 AND h IN (SELECT h FROM mi_corpus)),
+       |mi_iv AS (
+       |  SELECT doc_id, MIN(pos) AS s, MAX(pos) + ${A - 1} AS e
+       |  FROM mi_isl GROUP BY doc_id, island
+       |  HAVING MAX(pos) + $A - MIN(pos) >= $MaximalMinSpanWords),
+       |mi_ivl AS (
+       |  SELECT doc_id, list(s ORDER BY s) AS ss, list(e ORDER BY s) AS ee
+       |  FROM mi_iv GROUP BY doc_id),
+       |mi_clean AS (
+       |  SELECT d.doc_id, len(d.w) AS n_words,
+       |    COALESCE(array_to_string([d.w[i] FOR i IN generate_series(1, len(d.w))
+       |      IF len(list_filter(list_zip(COALESCE(b.ss, CAST([] AS BIGINT[])),
+       |                                  COALESCE(b.ee, CAST([] AS BIGINT[]))),
+       |             v -> v[1] + 1 <= i AND i <= v[2] + 1)) = 0], ' '), '') AS ct
+       |  FROM mi_w d LEFT JOIN mi_ivl b USING (doc_id)
+       |  WHERE d.doc_id % 10 = 0)
+       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       |  CAST(n_words - CASE WHEN ct = '' THEN 0
+       |                      ELSE len(string_split(ct, ' ')) END AS BIGINT) AS n_removed,
+       |  CAST(length(ct) AS BIGINT) AS len_clean,
+       |  $hCt AS clean_h
+       |FROM mi_clean
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Variable-length scrub of an ARRIVING batch (doc_id % 10 = 0)
     * against the persisted corpus-half index — the maximal twin of
-    * [[substrScrubIndexed]]: batch windows probe the bucketed hash
-    * set (membership suffices — an arriving doc is never the corpus
-    * first, so every index hit is a duplicated position), islands
-    * merge per doc, and only runs ≥ [[MaximalMinSpanWords]] are cut
-    * (the sub-threshold-coincidence survival rule, preserved from
-    * the batch op). The corpus side never shuffles. */
+    * [[substrScrubIndexed]]: same probe as the inline form but the
+    * corpus side is the bucketed table, so it never shuffles
+    * (MaximalIndexSpec pins the single Exchange and indexed ≡
+    * inline). */
   def maximalScrubIndexed(s: SparkSession, dir: String, table: String): DataFrame = {
     requireIndexFormat(s, table)
-    val d = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
-    val idx = s.table(table).select(col("h"))
-    val iv = islandsFromBad(
-        maximalWindowRows(d).join(idx, Seq("h"), "left_semi"))
-      .filter(col("e") - col("s") + 1 >= MaximalMinSpanWords)
-    rebuildFromIslands(d, iv)
+    maximalScrubAgainst(
+      t(s, dir, "documents").filter(col("doc_id") % 10 === 0),
+      s.table(table))
   }
 
   /** Per-doc island assembly from a sorted duplicated-position list
@@ -1803,8 +1871,12 @@ object Dedup {
     * Scale shape: ONE map-only pass — no shuffle, no join, no index;
     * the cheapest scrub in the suite and embarrassingly parallel at
     * 100 TB. Per-doc state is bounded by doc length. */
-  def repetitionScrub(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+  /** The repetition scrub applied to ANY document relation — batch
+    * and stream share this ONE projection (it is row-local, so it
+    * runs unchanged on a streaming DataFrame: no state store, no
+    * watermark, no shuffle). */
+  private[graft] def repetitionScored(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("text"), repetitionUdf(col("text")).as("r"))
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_words"),
@@ -1814,7 +1886,9 @@ object Dedup {
             .otherwise(size(split(col("r._2"), " ")))).cast("long").as("n_removed"),
         length(col("r._2")).cast("long").as("len_clean"),
         graft.functions.CrossHash.md5Hash60Col(col("r._2")).as("clean_h"))
-      .orderBy(col("doc_id"))
+
+  def repetitionScrub(s: SparkSession, dir: String): DataFrame =
+    repetitionScored(t(s, dir, "documents")).orderBy(col("doc_id"))
 
   /** Oracle mirror: per-(doc, hash) rank for first-seen, per-doc
     * gaps-and-islands, the span HAVING cut, the shared comprehension
@@ -3503,6 +3577,7 @@ object Dedup {
     "repetition_scrub" -> (repetitionScrub _),
     "repetition_report" -> (repetitionReport _),
     "substr_dedup_maximal" -> (substrDedupMaximal _),
+    "maximal_scrub_incremental" -> (maximalScrubIncremental _),
     "substr_maximal_report" -> (substrMaximalReport _),
     "substr_threshold_sweep" -> (substrThresholdSweep _),
     "substr_dedup_report" -> (substrDedupReport _),
@@ -3535,6 +3610,7 @@ object Dedup {
     "repetition_scrub" -> repetitionScrubSql,
     "repetition_report" -> repetitionReportSql,
     "substr_dedup_maximal" -> substrDedupMaximalSql,
+    "maximal_scrub_incremental" -> maximalScrubIncrementalSql,
     "substr_maximal_report" -> substrMaximalReportSql,
     "substr_threshold_sweep" -> substrThresholdSweepSql,
     "substr_dedup_report" -> substrDedupReportSql,

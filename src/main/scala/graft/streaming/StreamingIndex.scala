@@ -375,6 +375,17 @@ object StreamingIndex {
         graft.functions.CrossHash.md5Hash60Col(col("clean")).as("clean_h"))
   }
 
+  /** Streaming intra-doc repetition scrub — the cheapest curation
+    * stage there is, streamed: detection, islands, the span cut and
+    * the byte-exact rebuild are all INSIDE one row
+    * ([[graft.ops.Dedup.repetitionScored]] — the SAME projection as
+    * the batch query, so batch ≡ stream cannot drift), which makes
+    * the stream map-only: no state store, no watermark, no shuffle,
+    * no index — run it FIRST in a streaming curation pipeline (drop
+    * repeated mass before embedding/indexing survivors). */
+  def repetitionScrubStream(docs: DataFrame): DataFrame =
+    graft.ops.Dedup.repetitionScored(docs.filter(col("text").isNotNull))
+
   /** Streaming anomaly scorer — train-on-history, score-the-stream:
     * watermarked hourly tumbling counts per event type, stream-static
     * joined to a batch-trained stats table (`Events.hourlyStats`),

@@ -82,6 +82,10 @@ class MaximalIndexSpec extends AnyFunSuite {
       "per-segment firsts must min-fold to the one-shot global firsts")
     val probeBefore = Dedup.maximalScrubIndexed(spark, sf, "mx_idx_seg").collect().toSeq
     assert(probeBefore == Dedup.maximalScrubIndexed(spark, sf, "mx_idx_all").collect().toSeq)
+    // and the indexed probe is bit-identical to the inline
+    // incremental form (the registered, oracle-gated query)
+    assert(probeBefore == Dedup.maximalScrubIncremental(spark, sf).collect().toSeq,
+      "indexed maximal scrub must equal the inline incremental scrub")
     spark.sql("DROP TABLE IF EXISTS mx_idx_g2")
     Dedup.compactMaximalIndex(spark, "mx_idx_seg", "mx_idx_g2")
     assert(Dedup.maximalScrubIndexed(spark, sf, "mx_idx_g2").collect().toSeq == probeBefore,

@@ -654,6 +654,29 @@ class StreamingSpec extends AnyFunSuite {
       "the fixture must exercise both keep outcomes")
   }
 
+  test("repetition scrub stream ≡ batch: the row-local kernel runs unchanged on a stream") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.ops.Dedup.repetitionScrub(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val src = Files.createTempDirectory("graft-rep-eq").resolve("docs").toString
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+      .write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .parquet(src)
+    val q = StreamingIndex.repetitionScrubStream(stream)
+      .writeStream.format("memory").queryName("rep_eq").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("SELECT * FROM rep_eq").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(streamed.size == batch.size, s"${streamed.size} vs ${batch.size}")
+    assert(streamed == batch, "one shared projection — per-doc bit equality")
+    assert(batch.nonEmpty)
+  }
+
   test("maximal scrub stream ≡ batch indexed scrub: variable-length islands at stream arrival") {
     val dir = "/root/testdata/sf0.001"
     graft.ops.Dedup.writeMaximalIndex(spark, dir, "mx_idx_stream")
