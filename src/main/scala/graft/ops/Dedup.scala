@@ -1475,6 +1475,22 @@ object Dedup {
     * writeMaximalIndex), not a quiet partial match. */
   val IndexFormatVersion = 2
 
+  /** `saveAsTable(Overwrite)` on a name NOT in this session's catalog
+    * is a CREATE, and a managed-table CREATE refuses a stale nonempty
+    * location left by a PREVIOUS session's build (an in-memory
+    * catalog forgets its tables at JVM exit, but the warehouse
+    * directory survives). Overwrite semantics across sessions: if the
+    * name is registered, the writer's own overwrite handles it; if
+    * not, clear the stale managed location first. */
+  private def prepareManagedOverwrite(s: SparkSession, table: String): Unit =
+    if (!s.catalog.tableExists(table)) {
+      val ident = s.sessionState.sqlParser.parseTableIdentifier(table)
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.catalog.defaultTablePath(ident))
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, /* recursive = */ true)
+    }
+
   private def stampIndexFormat(s: SparkSession, table: String): Unit =
     s.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
       s"('graft.index.format' = '$IndexFormatVersion')")
@@ -1498,6 +1514,7 @@ object Dedup {
     * times is one row). Bucketed on `h` so a probing batch shuffles
     * only itself (SubstrIndexSpec pins the single Exchange). */
   def writeSubstrIndex(s: SparkSession, dir: String, table: String): Unit = {
+    prepareManagedOverwrite(s, table)
     substrWindowRows(t(s, dir, "documents").filter(col("doc_id") % 10 =!= 0))
       .select(col("h")).distinct()
       .write.mode("overwrite")
@@ -1535,6 +1552,7 @@ object Dedup {
     * table, never in place — the generation-swap rule. */
   def compactSubstrIndex(s: SparkSession, table: String, outTable: String): Unit = {
     requireIndexFormat(s, table)
+    prepareManagedOverwrite(s, outTable)
     s.table(table).select(col("h")).distinct()
       .write.mode("overwrite")
       .bucketBy(BandIndexBuckets, "h").sortBy("h")
@@ -1589,6 +1607,7 @@ object Dedup {
     * membership; the maximal family also needs WHO was first, so
     * the canonical copy of a passage keeps it). */
   def writeMaximalIndexOf(docs: DataFrame, table: String): Unit = {
+    prepareManagedOverwrite(docs.sparkSession, table)
     maximalFirstRows(docs)
       .write.mode("overwrite")
       .bucketBy(BandIndexBuckets, "h").sortBy("h")
@@ -1627,6 +1646,7 @@ object Dedup {
     * min-fold the per-segment firsts into clean bucketed files. A
     * NEW table, never in place — the generation-swap rule. */
   def compactMaximalIndex(s: SparkSession, table: String, outTable: String): Unit = {
+    prepareManagedOverwrite(s, outTable)
     maximalIndexFirsts(s, table)
       .write.mode("overwrite")
       .bucketBy(BandIndexBuckets, "h").sortBy("h")
@@ -2757,6 +2777,8 @@ object Dedup {
       .agg(count(lit(1)).as("n"))
 
   def writeBandIndex(s: SparkSession, dir: String, table: String): Unit = {
+    prepareManagedOverwrite(s, table)
+    prepareManagedOverwrite(s, table + "_counts")
     val corpus = t(s, dir, "documents").filter(col("doc_id") % 10 =!= 0)
     withBucketN(bandRows(corpus))
       .write.mode("overwrite")
@@ -2853,6 +2875,8 @@ object Dedup {
     * everything. */
   def compactBandIndex(s: SparkSession, table: String, outTable: String): Unit = {
     requireIndexFormat(s, table)
+    prepareManagedOverwrite(s, outTable)
+    prepareManagedOverwrite(s, outTable + "_counts")
     withBucketN(s.table(table)
         .select(col("doc_id"), col("sig"), col("band"), col("bkey60")))
       .write.mode("overwrite")
