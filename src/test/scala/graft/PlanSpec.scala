@@ -931,4 +931,46 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"keying is map-only: $plan")
     assert(!plan.contains("windowspecdefinition"), s"plan: $plan")
   }
+
+  test("repetition_scrub: the whole scrub is ONE map pass — no join, no window, no agg") {
+    val plan = graft.ops.Dedup.repetitionScrub(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"intra-doc means corpus-independent — no join: $plan")
+    assert(!plan.contains("windowspecdefinition"),
+      s"islands are computed inside the row kernel, never a window: $plan")
+    assert(!plan.contains("HashAggregate"),
+      s"nothing aggregates — detection/cut/rebuild are row-local: $plan")
+  }
+
+  test("url_filter: the blocklist config relation BROADCASTS; corpus side aggregates once") {
+    val plan = graft.ops.Curation.urlFilter(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"a KB-scale config relation must broadcast: $plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus-side rollup must never shuffle against the blocklist: $plan")
+  }
+
+  test("license_report: every marker counts in ONE documents scan; no join, no window") {
+    val df = graft.ops.Curation.licenseReport(spark, sf)
+    val full = df.queryExecution.executedPlan.toString
+    val plan = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i => full.substring(0, i)
+    }
+    assert(!plan.contains("Join"), s"the marker table is compiled map-side: $plan")
+    assert(!plan.contains("windowspecdefinition"), s"plan: $plan")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"one corpus pass for ALL markers ($scans scans): $plan")
+  }
+
+  test("maximal_scrub_incremental: islands window DOC-keyed; probe is a semi join, no cartesian") {
+    val plan = graft.ops.Dedup.maximalScrubIncremental(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+    val all = "windowspecdefinition\\(".r.findAllIn(plan).size
+    val docKeyed = "windowspecdefinition\\(doc_id".r.findAllIn(plan).size
+    assert(all > 0 && docKeyed == all,
+      s"every window must partition per doc ($docKeyed/$all): $plan")
+  }
 }
