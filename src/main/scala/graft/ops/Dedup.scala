@@ -1517,6 +1517,13 @@ object Dedup {
     prepareManagedOverwrite(s, table)
     substrWindowRows(t(s, dir, "documents").filter(col("doc_id") % 10 =!= 0))
       .select(col("h")).distinct()
+      // align the write parallelism with the bucket count: repartition
+      // and bucketBy share Murmur3 HashPartitioning, so every task
+      // holds exactly one bucket and the layout lands as ONE file per
+      // bucket at ANY cluster parallelism (an unaligned shuffle count
+      // writes up to tasks x buckets files — invisible at local[32],
+      // where 32 divides 64, but real fragmentation on a cluster)
+      .repartition(BandIndexBuckets, col("h"))
       .write.mode("overwrite")
       .bucketBy(BandIndexBuckets, "h").sortBy("h")
       .saveAsTable(table)
@@ -1533,6 +1540,7 @@ object Dedup {
     requireIndexFormat(batch.sparkSession, table)
     substrWindowRows(batch)
       .select(col("h")).distinct()
+      .repartition(BandIndexBuckets, col("h"))
       .write.mode("append").insertInto(table)
   }
 
@@ -1554,6 +1562,7 @@ object Dedup {
     requireIndexFormat(s, table)
     prepareManagedOverwrite(s, outTable)
     s.table(table).select(col("h")).distinct()
+      .repartition(BandIndexBuckets, col("h"))
       .write.mode("overwrite")
       .bucketBy(BandIndexBuckets, "h").sortBy("h")
       .saveAsTable(outTable)
@@ -1609,6 +1618,7 @@ object Dedup {
   def writeMaximalIndexOf(docs: DataFrame, table: String): Unit = {
     prepareManagedOverwrite(docs.sparkSession, table)
     maximalFirstRows(docs)
+      .repartition(BandIndexBuckets, col("h"))
       .write.mode("overwrite")
       .bucketBy(BandIndexBuckets, "h").sortBy("h")
       .saveAsTable(table)
@@ -1627,7 +1637,9 @@ object Dedup {
     * [[compactMaximalIndex]] folds the duplicates away. */
   def appendMaximalIndex(batch: DataFrame, table: String): Unit = {
     requireIndexFormat(batch.sparkSession, table)
-    maximalFirstRows(batch).write.mode("append").insertInto(table)
+    maximalFirstRows(batch)
+      .repartition(BandIndexBuckets, col("h"))
+      .write.mode("append").insertInto(table)
   }
 
   /** Probe-side view of a maximal index: per-hash min across
@@ -1648,6 +1660,7 @@ object Dedup {
   def compactMaximalIndex(s: SparkSession, table: String, outTable: String): Unit = {
     prepareManagedOverwrite(s, outTable)
     maximalIndexFirsts(s, table)
+      .repartition(BandIndexBuckets, col("h"))
       .write.mode("overwrite")
       .bucketBy(BandIndexBuckets, "h").sortBy("h")
       .saveAsTable(outTable)
@@ -2781,6 +2794,7 @@ object Dedup {
     prepareManagedOverwrite(s, table + "_counts")
     val corpus = t(s, dir, "documents").filter(col("doc_id") % 10 =!= 0)
     withBucketN(bandRows(corpus))
+      .repartition(BandIndexBuckets, col("bkey60"))
       .write.mode("overwrite")
       .bucketBy(BandIndexBuckets, "bkey60").sortBy("bkey60")
       .saveAsTable(table)
@@ -2800,6 +2814,7 @@ object Dedup {
   def appendBandIndex(batch: DataFrame, table: String): Unit = {
     requireIndexFormat(batch.sparkSession, table)
     withBucketN(bandRows(batch))
+      .repartition(BandIndexBuckets, col("bkey60"))
       .write.mode("append").insertInto(table)
     bandBucketCounts(bandRows(batch))
       .write.mode("append").insertInto(table + "_counts")
@@ -2879,6 +2894,7 @@ object Dedup {
     prepareManagedOverwrite(s, outTable + "_counts")
     withBucketN(s.table(table)
         .select(col("doc_id"), col("sig"), col("band"), col("bkey60")))
+      .repartition(BandIndexBuckets, col("bkey60"))
       .write.mode("overwrite")
       .bucketBy(BandIndexBuckets, "bkey60").sortBy("bkey60")
       .saveAsTable(outTable)
