@@ -588,41 +588,59 @@ object Curation {
   /** Pattern rule: blocks the src18/src19 "family". */
   val BlockedSourcePattern: String = "^src1[89]$"
 
-  /** Per-source keep decisions against the broadcast blocklist —
-    * `rule` names which blocklist arm fired (NULL = kept), so the
-    * audit shows WHY a source dropped, not only that it did. The
-    * doc-level gate a curation run applies is the same broadcast
-    * join minus the per-source rollup.
+  /** Per-source keep decisions against an EXPLICIT blocklist
+    * relation — the operator proper, decoupled from any fixture
+    * list: `blocklist` rows are (entry, kind) where kind `exact`
+    * matches the source verbatim and kind `pattern` treats the
+    * entry as an anchored regex. `rule` names which arm fired (NULL
+    * = kept; exact wins over pattern when both match — min over the
+    * matched kinds), so the audit shows WHY a source dropped, not
+    * only that it did. The doc-level gate a curation run applies is
+    * the same broadcast join minus the per-source rollup.
     *
     * Scale shape: the blocklist is a config relation (KBs) —
-    * broadcast; the corpus side is one per-source count aggregation.
+    * broadcast (the pattern arm is a nested-loop probe against the
+    * broadcast side, bounded by sources × rules, never corpus-
+    * sized); the corpus side is one per-source count aggregation.
     * Group keys are the handful of sources. */
-  def urlFilter(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val bl = BlockedSourcesExact.map(e => (e, "exact")).toDF("entry", "rule0")
-    t(s, dir, "documents")
+  def urlFilterAgainst(docs: DataFrame, blocklist: DataFrame): DataFrame =
+    docs
       .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-      .join(broadcast(bl), col("source") === col("entry"), "left")
-      .withColumn("rule",
-        when(col("rule0").isNotNull, col("rule0"))
-          .when(col("source").rlike(BlockedSourcePattern), lit("pattern")))
+      .join(broadcast(blocklist),
+        (col("kind") === "exact" && col("source") === col("entry")) ||
+          (col("kind") === "pattern" && rlike(col("source"), col("entry"))),
+        "left")
+      .groupBy(col("source"), col("n_docs"))
+      .agg(min(col("kind")).as("rule"))
       .select(col("source"), col("n_docs"), col("rule"),
         when(col("rule").isNull, 1).otherwise(0).as("keep"))
       .orderBy(col("source"))
+
+  /** The registered blocklist gate: [[urlFilterAgainst]] over the
+    * fixture config relation ([[BlockedSourcesExact]] +
+    * [[BlockedSourcePattern]]). */
+  def urlFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bl = (BlockedSourcesExact.map(e => (e, "exact")) :+
+        (BlockedSourcePattern, "pattern"))
+      .toDF("entry", "kind")
+    urlFilterAgainst(t(s, dir, "documents"), bl)
   }
 
+  /** Oracle mirror: the same config VALUES relation, the same
+    * exact-or-regex join arms, min(kind) precedence. */
   val urlFilterSql: String = {
-    val entries = BlockedSourcesExact.map(e => s"('$e', 'exact')").mkString(", ")
-    s"""WITH uf_bl AS (SELECT * FROM (VALUES $entries) b(entry, rule0)),
+    val entries = (BlockedSourcesExact.map(e => s"('$e', 'exact')") :+
+      s"('$BlockedSourcePattern', 'pattern')").mkString(", ")
+    s"""WITH uf_bl AS (SELECT * FROM (VALUES $entries) b(entry, kind)),
        |uf_c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
        |SELECT c.source, CAST(c.n_docs AS BIGINT) AS n_docs,
-       |  CASE WHEN b.rule0 IS NOT NULL THEN b.rule0
-       |       WHEN regexp_matches(c.source, '$BlockedSourcePattern') THEN 'pattern'
-       |  END AS rule,
-       |  CASE WHEN b.rule0 IS NULL
-       |        AND NOT regexp_matches(c.source, '$BlockedSourcePattern')
-       |       THEN 1 ELSE 0 END AS keep
-       |FROM uf_c c LEFT JOIN uf_bl b ON b.entry = c.source
+       |  MIN(b.kind) AS rule,
+       |  CASE WHEN MIN(b.kind) IS NULL THEN 1 ELSE 0 END AS keep
+       |FROM uf_c c LEFT JOIN uf_bl b
+       |  ON (b.kind = 'exact' AND c.source = b.entry)
+       |  OR (b.kind = 'pattern' AND regexp_matches(c.source, b.entry))
+       |GROUP BY c.source, c.n_docs
        |ORDER BY c.source""".stripMargin
   }
 
@@ -651,23 +669,29 @@ object Curation {
     * map-side projection (no per-marker rescan), one per-source
     * aggregation of 2·markers integers, stacked to long format (the
     * threshold-sweep shape: grid × sources rows out of one pass). */
-  def licenseReport(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
-    val cnts = LicenseMarkers.zipWithIndex.map { case ((_, pat, _), i) =>
+  /** [[licenseReport]] over an EXPLICIT marker table — the operator
+    * proper: the (marker, pattern, class) config COMPILES into one
+    * map-side projection (a join against a pattern relation would
+    * explode the corpus × markers; compiling keeps it ONE scan with
+    * every marker counted per row), so a config change is a job
+    * restart, the frozen-model convention. */
+  def licenseReportFor(
+      docs: DataFrame, markers: Seq[(String, String, String)]): DataFrame = {
+    val cnts = markers.zipWithIndex.map { case ((_, pat, _), i) =>
       regexp_count(col("text"), lit(pat)).as(s"c$i")
     }
-    val aggs = LicenseMarkers.zipWithIndex.flatMap { case (_, i) => Seq(
+    val aggs = markers.zipWithIndex.flatMap { case (_, i) => Seq(
       coalesce(sum(when(col(s"c$i") > 0, 1L).otherwise(0L)), lit(0L)).as(s"f$i"),
       coalesce(sum(col(s"c$i").cast("long")), lit(0L)).as(s"m$i"))
     }
-    val stackExpr = LicenseMarkers.zipWithIndex
+    val stackExpr = markers.zipWithIndex
       .map { case ((m, _, cls), i) => s"'$m', '$cls', f$i, m$i" }
       .mkString(", ")
-    d.select(col("source") +: cnts: _*)
+    docs.select(col("source") +: cnts: _*)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), aggs: _*)
       .selectExpr("source", "n_docs",
-        s"stack(${LicenseMarkers.size}, $stackExpr) " +
+        s"stack(${markers.size}, $stackExpr) " +
           "AS (marker, license_class, n_flagged, n_matches)")
       .withColumn("flag_rate",
         r6(col("n_flagged").cast("double") / col("n_docs")))
@@ -675,6 +699,9 @@ object Curation {
         col("n_docs"), col("n_flagged"), col("n_matches"), col("flag_rate"))
       .orderBy(col("source"), col("marker"))
   }
+
+  def licenseReport(s: SparkSession, dir: String): DataFrame =
+    licenseReportFor(t(s, dir, "documents"), LicenseMarkers)
 
   val licenseReportSql: String = {
     val cells = LicenseMarkers.zipWithIndex.map { case ((_, pat, _), i) =>

@@ -649,4 +649,37 @@ class CurationSpec extends AnyFunSuite {
     assert(got(("robots_pool", "noai_marker")) == ((1L, 1L, 1L)))
     assert(got(("robots_pool", "cc_marker")) == ((1L, 0L, 0L)))
   }
+
+  test("urlFilterAgainst / licenseReportFor: operators take ARBITRARY config relations") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cfg").toString
+    Seq((1L, "alpha beta", "blog.example"),
+        (2L, "gamma delta", "spam.example"),
+        (3L, "epsilon zeta", "mirror7.example"),
+        (4L, "eta theta", "news.example"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // a blocklist the fixture constants know nothing about: one exact
+    // entry, one anchored regex family; a source matching BOTH takes
+    // the exact arm (min-kind precedence)
+    val bl = Seq(("spam.example", "exact"), ("^mirror\\d+\\.example$", "pattern"),
+        ("spam.example", "pattern"))
+      .toDF("entry", "kind")
+    val got = Curation.urlFilterAgainst(docs, bl).collect()
+      .map(r => r.getString(0) -> (Option(r.getString(2)), r.getInt(3))).toMap
+    assert(got("spam.example") == ((Some("exact"), 0)),
+      s"exact beats pattern when both match: $got")
+    assert(got("mirror7.example") == ((Some("pattern"), 0)), s"$got")
+    assert(got("blog.example") == ((None, 1)) && got("news.example") == ((None, 1)), s"$got")
+    // a custom marker table, disjoint from the fixture constants
+    val markers = Seq(("greek_a", "\\balpha\\b", "classA"),
+      ("greek_g", "\\bgamma\\b", "classB"))
+    val lic = Curation.licenseReportFor(docs, markers).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getString(2), r.getLong(4))).toMap
+    assert(lic.size == 8, s"4 sources x 2 markers: ${lic.keySet}")
+    assert(lic(("blog.example", "greek_a")) == (("classA", 1L)), s"$lic")
+    assert(lic(("spam.example", "greek_g")) == (("classB", 1L)), s"$lic")
+    assert(lic(("news.example", "greek_a")) == (("classA", 0L)), s"$lic")
+  }
 }
