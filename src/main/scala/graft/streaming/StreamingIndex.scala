@@ -375,6 +375,52 @@ object StreamingIndex {
         graft.functions.CrossHash.md5Hash60Col(col("clean")).as("clean_h"))
   }
 
+  /** Streaming source-blocklist gate — the per-DOCUMENT grain of the
+    * batch [[graft.ops.Curation.urlFilterAgainst]] decision, applied
+    * on arrival: the config-sized blocklist rides the closure (the
+    * frozen-model convention — a list refresh is a stream restart),
+    * so gating is MAP-ONLY: no state store, no watermark, no
+    * shuffle. Each arriving doc gains (rule, keep); exact wins over
+    * pattern, and `find`-semantics match the batch `rlike` arm
+    * (StreamingSpec pins per-source agreement with the batch
+    * rollup). Compose ahead of [[curationStream]]: a blocked source
+    * should never cost a quality score. */
+  def blocklistGateStream(
+      docs: DataFrame, exact: Set[String], patterns: Seq[String]): DataFrame = {
+    val compiled = patterns.map(java.util.regex.Pattern.compile)
+    val ruleUdf = udf { (src: String) =>
+      if (src != null && exact.contains(src)) Some("exact")
+      else if (src != null && compiled.exists(_.matcher(src).find())) Some("pattern")
+      else None
+    }
+    docs
+      .withColumn("rule", ruleUdf(col("source")))
+      .withColumn("keep", when(col("rule").isNull, 1).otherwise(0))
+  }
+
+  /** Streaming license/robots-signal scorer — the per-DOCUMENT grain
+    * of [[graft.ops.Curation.licenseReportFor]]: every marker counts
+    * in ONE map-side projection per arriving doc (the compiled-
+    * config convention), emitting one (doc_id, marker, class,
+    * n_matches) row per marker. Map-only; a downstream watermarked
+    * aggregation (or the batch report) rolls flags up per source.
+    * StreamingSpec pins that stream rows fold to the batch report's
+    * per-source totals. */
+  def licenseScoreStream(
+      docs: DataFrame, markers: Seq[(String, String, String)]): DataFrame = {
+    val cnts = markers.zipWithIndex.map { case ((_, pat, _), i) =>
+      regexp_count(col("text"), lit(pat)).cast("long").as(s"c$i")
+    }
+    val stackExpr = markers.zipWithIndex
+      .map { case ((m, _, cls), i) => s"'$m', '$cls', c$i" }
+      .mkString(", ")
+    docs
+      .filter(col("text").isNotNull)
+      .select(Seq(col("doc_id"), col("source")) ++ cnts: _*)
+      .selectExpr("doc_id", "source",
+        s"stack(${markers.size}, $stackExpr) AS (marker, license_class, n_matches)")
+  }
+
   /** Streaming intra-doc repetition scrub — the cheapest curation
     * stage there is, streamed: detection, islands, the span cut and
     * the byte-exact rebuild are all INSIDE one row

@@ -654,6 +654,52 @@ class StreamingSpec extends AnyFunSuite {
       "the fixture must exercise both keep outcomes")
   }
 
+  test("blocklist gate stream ≡ batch per-source decisions; license stream folds to the batch report") {
+    import graft.ops.Curation
+    val dir = "/root/testdata/sf0.001"
+    // batch truth: the registered per-source rollup
+    val batch = Curation.urlFilter(spark, dir).collect()
+      .map(r => r.getString(0) -> (Option(r.getString(2)), r.getInt(3))).toMap
+    val src = Files.createTempDirectory("graft-blgate").resolve("docs").toString
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, source STRING")
+      .parquet(src)
+    val q = StreamingIndex.blocklistGateStream(stream,
+        Curation.BlockedSourcesExact.toSet, Seq(Curation.BlockedSourcePattern))
+      .select("doc_id", "source", "rule", "keep")
+      .writeStream.format("memory").queryName("bl_eq").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("SELECT * FROM bl_eq").collect()
+    assert(streamed.nonEmpty)
+    streamed.foreach { r =>
+      val (rule, keep) = (Option(r.getString(2)), r.getInt(3))
+      assert(batch(r.getString(1)) == ((rule, keep)),
+        s"doc ${r.getLong(0)} (${r.getString(1)}): stream gate $rule/$keep " +
+          s"must agree with the batch rollup ${batch(r.getString(1))}")
+    }
+    assert(streamed.exists(_.getInt(3) == 0) && streamed.exists(_.getInt(3) == 1),
+      "the fixture must exercise both gate outcomes")
+
+    // license scorer: per-doc marker rows fold to the batch report
+    val q2 = StreamingIndex.licenseScoreStream(stream, Curation.LicenseMarkers)
+      .writeStream.format("memory").queryName("lic_eq").outputMode("append").start()
+    q2.processAllAvailable(); q2.stop()
+    val folded = spark.sql(
+      """SELECT source, marker, SUM(CASE WHEN n_matches > 0 THEN 1 ELSE 0 END),
+        |  SUM(n_matches) FROM lic_eq GROUP BY source, marker""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val report = Curation.licenseReport(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(4), r.getLong(5))).toMap
+    report.foreach { case (k, v) =>
+      assert(folded.getOrElse(k, (0L, 0L)) == v,
+        s"$k: stream fold ${folded.get(k)} must equal the batch report $v")
+    }
+    assert(report.values.exists(_._2 > 0), "at least one marker fires on the fixture")
+  }
+
   test("repetition scrub stream ≡ batch: the row-local kernel runs unchanged on a stream") {
     val dir = "/root/testdata/sf0.001"
     val batch = graft.ops.Dedup.repetitionScrub(spark, dir).collect()
