@@ -238,26 +238,27 @@ object Curation {
     * catching rotations, near-copies, and most reversals. */
   val SemDecontamEps = 0.7
 
-  /** Per-doc hash-ngram embedding of the documents table — the
-    * registered [[graft.embed.HashEmbedder]] over the whole text
-    * (zero-norm rows excluded: whitespace-only docs embed to the
-    * zero vector, quirk Q4's degenerate case). */
-  private def docEmbeddings(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc hash-ngram embedding of an arbitrary (doc_id, text)
+    * relation — the registered [[graft.embed.HashEmbedder]] over the
+    * whole text (zero-norm rows excluded: whitespace-only docs embed
+    * to the zero vector, quirk Q4's degenerate case). */
+  private def embedDocs(docs: DataFrame): DataFrame = {
     import graft.functions.VectorFunctions.l2norm
-    t(s, dir, "documents")
+    docs
       .select(col("doc_id"), graft.embed.EmbedOps.embedUdf()(col("text")).as("ve"))
       .withColumn("nrm", l2norm(col("ve")))
       .filter(col("nrm") > 0)
   }
 
-  /** Embedding-similarity benchmark decontamination — the PARAPHRASE
-    * complement of [[decontaminate]]'s exact 3-gram overlap: a
-    * benchmark item that was reworded or reordered shares no word
-    * 3-gram with its leak, but its hash-ngram embedding (unigram mass
-    * unchanged, bigram mass partly) keeps cosine high. Benchmark
-    * convention identical to [[decontaminate]]: every 50th document.
-    * Output: each flagged corpus doc with its best-matching benchmark
-    * doc (max sim, min bench_id tiebreak) and the r6 cosine.
+  private def docEmbeddings(s: SparkSession, dir: String): DataFrame =
+    embedDocs(t(s, dir, "documents"))
+
+  /** Embedding-similarity decontamination over EXPLICIT corpus and
+    * benchmark relations — the operator proper, decoupled from any
+    * fixture split (the [[Multimodal.alignPairs]] convention): both
+    * sides are (doc_id, text) relations; output is each flagged
+    * corpus doc with its best-matching benchmark doc (max sim, min
+    * bench_id tiebreak) and the r6 cosine.
     *
     * Scale shape: the benchmark set is tiny relative to the corpus
     * (the [[decontaminate]] rule), so it embeds once and BROADCASTS;
@@ -266,13 +267,13 @@ object Curation {
     * rows only. When the benchmark itself is too large to broadcast,
     * the cell-assigned variant ([[KMeansVec.semanticDecontaminateCells]])
     * scopes the pair pass to k-means cells instead. */
-  def semanticDecontaminate(s: SparkSession, dir: String): DataFrame = {
+  def semanticDecontaminateAgainst(
+      corpus: DataFrame, benchDocs: DataFrame): DataFrame = {
     import graft.functions.VectorFunctions.dot
-    val emb = docEmbeddings(s, dir)
-    val bench = emb.filter(col("doc_id") % 50 === 0)
+    val bench = embedDocs(benchDocs)
       .select(col("doc_id").as("bench_id"), col("ve").as("be"), col("nrm").as("nb"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("sim").desc, col("bench_id"))
-    emb.filter(col("doc_id") % 50 =!= 0)
+    embedDocs(corpus)
       .crossJoin(broadcast(bench))
       .withColumn("sim", r6(try_divide(dot(col("ve"), col("be")), col("nrm") * col("nb"))))
       .filter(col("sim") >= SemDecontamEps)
@@ -280,6 +281,21 @@ object Curation {
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("bench_id"), col("sim"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The registered semantic decontamination — the PARAPHRASE
+    * complement of [[decontaminate]]'s exact 3-gram overlap: a
+    * benchmark item that was reworded or reordered shares no word
+    * 3-gram with its leak, but its hash-ngram embedding (unigram mass
+    * unchanged, bigram mass partly) keeps cosine high. THIS function
+    * only splits the fixture by [[decontaminate]]'s benchmark
+    * convention (every 50th document) and delegates to
+    * [[semanticDecontaminateAgainst]]. */
+  def semanticDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    semanticDecontaminateAgainst(
+      d.filter(col("doc_id") % 50 =!= 0),
+      d.filter(col("doc_id") % 50 === 0))
   }
 
   /** Frozen benchmark side of [[semanticDecontaminate]] for the

@@ -682,4 +682,30 @@ class CurationSpec extends AnyFunSuite {
     assert(lic(("spam.example", "greek_g")) == (("classB", 1L)), s"$lic")
     assert(lic(("news.example", "greek_a")) == (("classA", 0L)), s"$lic")
   }
+
+  test("semanticDecontaminateAgainst: an EXTERNAL benchmark relation, no fixture split involved") {
+    import spark.implicits._
+    // corpus and benchmark arrive as separate relations — the
+    // production shape (the benchmark is its own dataset, not every
+    // 50th corpus row); id spaces may even overlap. Same permuted-
+    // vocabulary construction as the registered-query spec: unigram
+    // hash mass identical, bigrams scrambled — a paraphrase leak
+    val words = (0 until 20).map(i => f"ext$i%02d")
+    val rnd = new scala.util.Random(7)
+    def doc() = (1 to 5).map(_ => rnd.shuffle(words).mkString(" ")).mkString(" ")
+    val benchText = doc()
+    val leakText = doc()
+    val corpus = Seq(
+      (1L, leakText),
+      (2L, "butter flour sugar yeast dough oven whisk pan tray rack"))
+      .toDF("doc_id", "text")
+    val bench = Seq((1L, benchText)).toDF("doc_id", "text")
+    val got = Curation.semanticDecontaminateAgainst(corpus, bench).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L),
+      s"only the reordered leak flags, against the external bench id: $got")
+    // empty benchmark → nothing can flag (the broadcast side is empty)
+    assert(Curation.semanticDecontaminateAgainst(
+      corpus, Seq.empty[(Long, String)].toDF("doc_id", "text")).collect().isEmpty)
+  }
 }
