@@ -61,25 +61,35 @@ object Curation {
       |WHERE substring(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
       |ORDER BY doc_id""".stripMargin
 
-  /** Benchmark decontamination: any document sharing a word 3-gram
-    * with the "benchmark" set (here: every 50th doc) is flagged with
+  /** Exact 3-gram decontamination over EXPLICIT corpus and benchmark
+    * relations — the operator proper (the
+    * [[semanticDecontaminateAgainst]] convention): any corpus doc
+    * sharing a word 3-gram with the benchmark set is flagged with
     * its shared-gram count. The benchmark gram set is tiny relative
     * to the corpus, so it broadcasts — the corpus side is a map-side
     * semi-join + one aggregation on doc_id; the 100 TB side never
     * shuffles its gram stream. */
-  def decontaminate(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
+  def decontaminateAgainst(corpus: DataFrame, benchDocs: DataFrame): DataFrame = {
     // distinct 3-grams via Dedup's single-pass shingle UDF — the
     // HOF transform-over-split form re-evaluates the split inside
     // every lambda element access (CollapseProject inlines it into
     // the Generate input), measured ~8× slower at bench scale
-    val grams = Dedup.shingles(d).withColumnRenamed("shingle", "g")
-    val bench = grams.filter(col("doc_id") % 50 === 0).select("g").distinct()
-    grams.filter(col("doc_id") % 50 =!= 0)
+    val bench = Dedup.shingles(benchDocs)
+      .select(col("shingle").as("g")).distinct()
+    Dedup.shingles(corpus).withColumnRenamed("shingle", "g")
       .join(broadcast(bench), Seq("g"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The registered decontamination — the fixture's benchmark
+    * convention (every 50th doc) split here, scoring delegated. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    decontaminateAgainst(
+      d.filter(col("doc_id") % 50 =!= 0),
+      d.filter(col("doc_id") % 50 === 0))
   }
 
   val decontaminateSql: String =

@@ -707,5 +707,14 @@ class CurationSpec extends AnyFunSuite {
     // empty benchmark → nothing can flag (the broadcast side is empty)
     assert(Curation.semanticDecontaminateAgainst(
       corpus, Seq.empty[(Long, String)].toDF("doc_id", "text")).collect().isEmpty)
+    // the exact-3-gram twin over the same external relations: the
+    // permuted paraphrase shares (essentially) no 3-gram, while a
+    // verbatim copy flags with its full gram count
+    val verbatim = Seq((3L, benchText)).toDF("doc_id", "text").union(corpus)
+    val exact = Curation.decontaminateAgainst(verbatim, bench).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.contains(3L) && exact(3L) == (benchText.split(" ").length - 2).toLong,
+      s"verbatim copy shares every distinct 3-gram: $exact")
+    assert(!exact.contains(2L), s"unrelated doc never flags: $exact")
   }
 }
