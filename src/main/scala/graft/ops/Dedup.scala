@@ -1513,9 +1513,10 @@ object Dedup {
     * counts sidecar, no cap — a boilerplate window repeated 10⁶
     * times is one row). Bucketed on `h` so a probing batch shuffles
     * only itself (SubstrIndexSpec pins the single Exchange). */
-  def writeSubstrIndex(s: SparkSession, dir: String, table: String): Unit = {
+  def writeSubstrIndexOf(docs: DataFrame, table: String): Unit = {
+    val s = docs.sparkSession
     prepareManagedOverwrite(s, table)
-    substrWindowRows(t(s, dir, "documents").filter(col("doc_id") % 10 =!= 0))
+    substrWindowRows(docs)
       .select(col("h")).distinct()
       // align the write parallelism with the bucket count: repartition
       // and bucketBy share Murmur3 HashPartitioning, so every task
@@ -1529,6 +1530,12 @@ object Dedup {
       .saveAsTable(table)
     stampIndexFormat(s, table)
   }
+
+  /** Corpus-half (doc_id % 10 ≠ 0) substring index — the fixture's
+    * arrival convention over [[writeSubstrIndexOf]]. */
+  def writeSubstrIndex(s: SparkSession, dir: String, table: String): Unit =
+    writeSubstrIndexOf(
+      t(s, dir, "documents").filter(col("doc_id") % 10 =!= 0), table)
 
   /** Append a new corpus segment's distinct window hashes. Appends
     * may re-insert hashes already present — membership semantics are
@@ -2789,10 +2796,10 @@ object Dedup {
       .groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("n"))
 
-  def writeBandIndex(s: SparkSession, dir: String, table: String): Unit = {
+  def writeBandIndexOf(corpus: DataFrame, table: String): Unit = {
+    val s = corpus.sparkSession
     prepareManagedOverwrite(s, table)
     prepareManagedOverwrite(s, table + "_counts")
-    val corpus = t(s, dir, "documents").filter(col("doc_id") % 10 =!= 0)
     withBucketN(bandRows(corpus))
       .repartition(BandIndexBuckets, col("bkey60"))
       .write.mode("overwrite")
@@ -2802,6 +2809,12 @@ object Dedup {
       .write.mode("overwrite").saveAsTable(table + "_counts")
     stampIndexFormat(s, table)
   }
+
+  /** Corpus-half (doc_id % 10 ≠ 0) band index — the fixture's
+    * arrival convention over [[writeBandIndexOf]]. */
+  def writeBandIndex(s: SparkSession, dir: String, table: String): Unit =
+    writeBandIndexOf(
+      t(s, dir, "documents").filter(col("doc_id") % 10 =!= 0), table)
 
   /** Append a new segment of corpus band rows into the existing
     * index (bucketed insertInto preserves the layout) plus the
