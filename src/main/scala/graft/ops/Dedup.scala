@@ -1555,12 +1555,14 @@ object Dedup {
     * arriving batch computes its own window stream and semi-joins
     * the bucketed hash table — the corpus side never shuffles.
     * Bit-equal to the inline form (SubstrIndexSpec asserts it). */
-  def substrScrubIndexed(s: SparkSession, dir: String, table: String): DataFrame = {
-    requireIndexFormat(s, table)
-    substrScrubAgainst(
-      t(s, dir, "documents").filter(col("doc_id") % 10 === 0),
-      s.table(table))
+  def substrScrubIndexedOf(batch: DataFrame, table: String): DataFrame = {
+    requireIndexFormat(batch.sparkSession, table)
+    substrScrubAgainst(batch, batch.sparkSession.table(table))
   }
+
+  def substrScrubIndexed(s: SparkSession, dir: String, table: String): DataFrame =
+    substrScrubIndexedOf(
+      t(s, dir, "documents").filter(col("doc_id") % 10 === 0), table)
 
   /** Rewrite an appended-to substring index into a fresh generation:
     * distinct-fold the hash rows into clean bucketed files. A NEW
@@ -1813,12 +1815,14 @@ object Dedup {
     * corpus side is the bucketed table, so it never shuffles
     * (MaximalIndexSpec pins the single Exchange and indexed ≡
     * inline). */
-  def maximalScrubIndexed(s: SparkSession, dir: String, table: String): DataFrame = {
-    requireIndexFormat(s, table)
-    maximalScrubAgainst(
-      t(s, dir, "documents").filter(col("doc_id") % 10 === 0),
-      s.table(table))
+  def maximalScrubIndexedOf(batch: DataFrame, table: String): DataFrame = {
+    requireIndexFormat(batch.sparkSession, table)
+    maximalScrubAgainst(batch, batch.sparkSession.table(table))
   }
+
+  def maximalScrubIndexed(s: SparkSession, dir: String, table: String): DataFrame =
+    maximalScrubIndexedOf(
+      t(s, dir, "documents").filter(col("doc_id") % 10 === 0), table)
 
   /** Per-doc island assembly from a sorted duplicated-position list
     * — the STREAMING rebuild kernel: consecutive positions merge to
@@ -2839,9 +2843,13 @@ object Dedup {
     * shuffles (BandIndexSpec asserts exactly one Exchange, the
     * batch's). Same verification and output as the inline op;
     * results bit-equal on the fixtures (asserted). */
-  def dedupIncrementalIndexed(s: SparkSession, dir: String, table: String): DataFrame = {
+  /** [[dedupIncrementalIndexed]] for an ARBITRARY arriving batch —
+    * the production entry point (the fixture's % 10 split lives in
+    * the dir-based wrapper below, the `Against` convention). */
+  def dedupIncrementalIndexedOf(batch: DataFrame, table: String): DataFrame = {
+    val s = batch.sparkSession
     requireIndexFormat(s, table)
-    val inc = bandRows(t(s, dir, "documents").filter(col("doc_id") % 10 === 0))
+    val inc = bandRows(batch)
       .select(col("bkey60"), col("doc_id").as("doc_new"), col("sig").as("sig_new"))
     // GLOBAL hot-bucket cap from the `_counts` sidecar: per-segment
     // counts aggregate to the true cross-segment bucket size, so a
@@ -2892,6 +2900,10 @@ object Dedup {
         r6(max(col("est"))).as("best_est"))
       .orderBy(col("doc_new"))
   }
+
+  def dedupIncrementalIndexed(s: SparkSession, dir: String, table: String): DataFrame =
+    dedupIncrementalIndexedOf(
+      t(s, dir, "documents").filter(col("doc_id") % 10 === 0), table)
 
   /** Rewrite an appended-to band index into a fresh generation at
     * `outTable`: one pass over the persisted rows recomputing GLOBAL
