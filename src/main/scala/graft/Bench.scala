@@ -41,6 +41,10 @@ object Bench {
       graft.ops.Pca.clearFitMCache()
       graft.ops.Pca.fittedPc1(s, d); ()
     }),
+    // index_inventory is the ops-index fitter: its cold cost is the
+    // three standing corpus-half index builds (substr/maximal/band)
+    // the audit then reads
+    "index_inventory" -> ((_, _) => graft.ops.Maintenance.clearInvIdxCache()),
     // opq_m_error's cold cost is training in the rank-m rotated
     // space; the basis it rotates by is CONSUMED warm
     "opq_m_error" -> ((s, d) => {

@@ -425,11 +425,185 @@ object Maintenance {
        |ORDER BY hkey, doc_id""".stripMargin
   }
 
+  // ---- persisted-index inventory / format audit ----
+  //
+  // A deployment carrying standing dedup indexes (substring window,
+  // maximal atom-window, MinHash band — the nightly artifacts the
+  // streaming scrubs probe) needs ONE operations surface that answers
+  // "what indexes exist, at what format generation, and do their
+  // stored key spaces still agree with the corpus derivation?". The
+  // inventory reads each family's CATALOG truth (stamped
+  // `graft.index.format` property, bucket spec) and its STORED
+  // counts; the DuckDB oracle re-derives every count from the corpus
+  // through the same CrossHash bridges the family oracles use — so a
+  // drifted stamp, a lost bucket layout, or a hash-space change that
+  // forgot the version bump all surface as a hash mismatch here, not
+  // as a quiet probe miss months later.
+
+  /** Session memo of the three corpus-half index tables built by
+    * [[ensureOpsIndexes]], keyed by fixture fingerprint (the
+    * [[Dedup.ensureMaximalIndex]] convention). */
+  private val invIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
+  private[graft] def clearInvIdxCache(): Unit = invIdxCache.clear()
+
+  /** Build-once-audit-many: the corpus-half (doc_id % 10 ≠ 0,
+    * the arrival convention every incremental/streaming scrub
+    * shares) substring, maximal, and band indexes materialize lazily
+    * once per session + fixture fingerprint. In production these are
+    * the standing tables the nightly append/compact/vacuum cycle
+    * maintains; the bench times the three builds as
+    * `index_inventory`'s cold cost (the fitter convention). */
+  private[graft] def ensureOpsIndexes(
+      s: SparkSession, dir: String): (String, String, String) = {
+    val key = OpsShared.dirKey(dir, "documents")
+    invIdxCache.computeIfAbsent(key, _ => {
+      val sfx = java.lang.Long.toHexString(
+        java.lang.Integer.toUnsignedLong(key.hashCode))
+      val sub = "graft_inv_sub_" + sfx
+      val mx = "graft_inv_mx_" + sfx
+      val bd = "graft_inv_band_" + sfx
+      Dedup.writeSubstrIndex(s, dir, sub)
+      Dedup.writeMaximalIndex(s, dir, mx)
+      Dedup.writeBandIndex(s, dir, bd)
+      (sub, mx, bd)
+    })
+  }
+
+  private def tableMeta(s: SparkSession, table: String) =
+    s.sessionState.catalog.getTableMetadata(
+      s.sessionState.sqlParser.parseTableIdentifier(table))
+
+  /** Inventory over ANY three persisted index tables (relation-table
+    * form, the round's parameterization convention): one row per
+    * family with the catalog's stamped format version and bucket
+    * count plus stored-entry/distinct-key counts. `n_entries >
+    * n_keys` is the compaction-debt signal (appended segments
+    * re-insert hashes; a fresh generation stores each key once);
+    * the band `_counts` sidecar row count rides along as
+    * `n_sidecar` (≥ its table's distinct 60-bit keys — a 60-bit
+    * collision merges key rows but never sidecar rows). Reads only
+    * index tables and catalog metadata — never the corpus. */
+  def indexInventoryOf(
+      s: SparkSession,
+      substrTable: String, maximalTable: String, bandTable: String)
+      : org.apache.spark.sql.DataFrame = {
+    def fmt(tbl: String): Int =
+      tableMeta(s, tbl).properties.get("graft.index.format")
+        .map(_.toInt).getOrElse(-1)
+    def buckets(tbl: String): Int =
+      tableMeta(s, tbl).bucketSpec.map(_.numBuckets).getOrElse(-1)
+    def hashFamily(family: String, tbl: String) =
+      s.table(tbl).agg(
+          count(lit(1)).as("n_entries"),
+          countDistinct(col("h")).as("n_keys"))
+        .select(lit(family).as("family"),
+          lit(fmt(tbl)).as("format"),
+          lit(buckets(tbl)).as("n_buckets"),
+          col("n_entries"), col("n_keys"),
+          lit(null).cast("long").as("n_sidecar"))
+    val bandRow = s.table(bandTable).agg(
+        count(lit(1)).as("n_entries"),
+        countDistinct(col("bkey60")).as("n_keys"))
+      // 1-row × 1-row scalar join (the broadcast-scalar convention)
+      .crossJoin(s.table(bandTable + "_counts")
+        .agg(count(lit(1)).as("n_sidecar")))
+      .select(lit("band").as("family"),
+        lit(fmt(bandTable)).as("format"),
+        lit(buckets(bandTable)).as("n_buckets"),
+        col("n_entries"), col("n_keys"), col("n_sidecar"))
+    bandRow
+      .unionByName(hashFamily("maximal", maximalTable))
+      .unionByName(hashFamily("substr", substrTable))
+      .orderBy(col("family"))
+  }
+
+  /** The registered fixture form: inventory over the session's
+    * standing corpus-half indexes ([[ensureOpsIndexes]]). */
+  def indexInventory(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val (sub, mx, bd) = ensureOpsIndexes(s, dir)
+    indexInventoryOf(s, sub, mx, bd)
+  }
+
+  /** Oracle mirror: every count re-derived from the corpus half.
+    * substr entries = DISTINCT 15-word window hashes; maximal
+    * entries = DISTINCT 8-word atom hashes (one first-occurrence row
+    * per hash in a fresh generation); band entries = band rows of
+    * docs with ≥ 1 shingle, keys = DISTINCT 60-bit (band:slice)
+    * hashes, sidecar = DISTINCT true (band, slice) pairs. Format and
+    * bucket constants interpolate from the SAME vals the writers
+    * stamp — the oracle pins what the catalog SHOULD say, the engine
+    * reports what it DOES say. */
+  lazy val indexInventorySql: String = {
+    val L = Dedup.ExactSubstrWords
+    val A = Dedup.MaximalAtomWords
+    val hWin15 = graft.functions.CrossHash.sqlHash60(
+      s"array_to_string(w[i + 1 : i + $L], ' ')")
+    val hWin8 = graft.functions.CrossHash.sqlHash60(
+      s"array_to_string(w[i + 1 : i + $A], ' ')")
+    val k60 = graft.functions.CrossHash.sqlHash60(
+      "CAST(b AS VARCHAR) || ':' || " +
+        "array_to_string(list_transform(bkey, x -> CAST(x AS VARCHAR)), ',')")
+    s"""WITH inv_w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE doc_id % 10 <> 0),
+       |inv_s15 AS (
+       |  SELECT DISTINCT $hWin15 AS h
+       |  FROM inv_w, UNNEST(range(0, len(w) - ${L - 1})) AS t(i)
+       |  WHERE len(w) >= $L),
+       |inv_s8 AS (
+       |  SELECT DISTINCT $hWin8 AS h
+       |  FROM inv_w, UNNEST(range(0, len(w) - ${A - 1})) AS t(i)
+       |  WHERE len(w) >= $A),
+       |inv_sh AS (
+       |  SELECT DISTINCT doc_id, ${Dedup.shingleSql} AS shingle
+       |  FROM inv_w, UNNEST(range(0, len(w) - ${Dedup.ShingleK - 1})) AS u(i)
+       |  WHERE len(w) >= ${Dedup.ShingleK}),
+       |inv_coef AS (
+       |  SELECT j,
+       |    ('0x' || substring(md5('a' || j), 1, 15))::BIGINT % ${Dedup.MinhashP - 1} + 1 AS a,
+       |    ('0x' || substring(md5('b' || j), 1, 15))::BIGINT % ${Dedup.MinhashP} AS b
+       |  FROM UNNEST(range(0, ${Dedup.NumHashes})) AS t(j)),
+       |inv_hh AS (
+       |  SELECT doc_id,
+       |    ('0x' || substring(md5(shingle), 1, 15))::BIGINT % ${Dedup.MinhashP} AS h
+       |  FROM inv_sh),
+       |inv_sig AS (
+       |  SELECT doc_id, j, MIN((a * h + b) % ${Dedup.MinhashP}) AS v
+       |  FROM inv_hh CROSS JOIN inv_coef
+       |  GROUP BY doc_id, j),
+       |inv_sigl AS (
+       |  SELECT doc_id, list(v ORDER BY j) AS sig FROM inv_sig GROUP BY doc_id),
+       |inv_band AS MATERIALIZED (
+       |  SELECT doc_id, b,
+       |    sig[b*${Dedup.RowsPerBand}+1 : b*${Dedup.RowsPerBand}+${Dedup.RowsPerBand}] AS bkey
+       |  FROM inv_sigl, UNNEST(range(0, ${Dedup.Bands})) AS t(b))
+       |SELECT * FROM (
+       |  SELECT 'band' AS family,
+       |    CAST(${Dedup.IndexFormatVersion} AS INTEGER) AS format,
+       |    CAST(${Dedup.BandIndexBuckets} AS INTEGER) AS n_buckets,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM inv_band) AS n_entries,
+       |    (SELECT CAST(COUNT(DISTINCT $k60) AS BIGINT) FROM inv_band) AS n_keys,
+       |    (SELECT CAST(COUNT(*) AS BIGINT)
+       |     FROM (SELECT DISTINCT b, bkey FROM inv_band)) AS n_sidecar
+       |  UNION ALL
+       |  SELECT 'maximal', ${Dedup.IndexFormatVersion}, ${Dedup.BandIndexBuckets},
+       |    (SELECT COUNT(*) FROM inv_s8), (SELECT COUNT(*) FROM inv_s8),
+       |    CAST(NULL AS BIGINT)
+       |  UNION ALL
+       |  SELECT 'substr', ${Dedup.IndexFormatVersion}, ${Dedup.BandIndexBuckets},
+       |    (SELECT COUNT(*) FROM inv_s15), (SELECT COUNT(*) FROM inv_s15),
+       |    CAST(NULL AS BIGINT))
+       |ORDER BY family""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
     "zorder_key" -> (zorderKey _),
-    "hilbert_key" -> (hilbertKey _))
+    "hilbert_key" -> (hilbertKey _),
+    "index_inventory" -> (indexInventory _))
 
   val oracles: Map[String, String] = Map(
     "zorder_key" -> zorderKeySql,
-    "hilbert_key" -> hilbertKeySql)
+    "hilbert_key" -> hilbertKeySql,
+    "index_inventory" -> indexInventorySql)
 }

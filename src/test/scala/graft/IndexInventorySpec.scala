@@ -1,0 +1,96 @@
+package graft
+
+import graft.ops.{Dedup, Maintenance}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persisted-index inventory ([[Maintenance.indexInventoryOf]]):
+  * ONE operations surface over the three standing dedup-index
+  * families (substring window, maximal atom-window, MinHash band).
+  * Contract: (1) catalog truth is REPORTED, not assumed — the format
+  * column is the stamped property (an unstamped generation surfaces
+  * as -1, which the oracle's pinned constant then fails); (2)
+  * `n_entries > n_keys` is the compaction-debt signal — appends
+  * raise entries, never keys, and compaction restores equality; (3)
+  * counts agree with hand-derivable values on a tiny corpus. */
+class IndexInventorySpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+
+  /** 20-word doc twice (all windows duplicated), one sub-shingle doc. */
+  private def tinyDocs = {
+    import spark.implicits._
+    val t20 = (1 to 20).map(i => s"w$i").mkString(" ")
+    Seq((1L, t20), (2L, t20), (3L, "short doc")).toDF("doc_id", "text")
+  }
+
+  private def buildAll(prefix: String): (String, String, String) = {
+    val (sub, mx, bd) = (s"${prefix}_sub", s"${prefix}_mx", s"${prefix}_bd")
+    Seq(sub, mx, bd, bd + "_counts").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Dedup.writeSubstrIndexOf(tinyDocs, sub)
+    Dedup.writeMaximalIndexOf(tinyDocs, mx)
+    Dedup.writeBandIndexOf(tinyDocs, bd)
+    (sub, mx, bd)
+  }
+
+  test("inventory counts are hand-derivable on the tiny corpus; format and buckets are the catalog's") {
+    val (sub, mx, bd) = buildAll("inv_tiny")
+    val rows = Maintenance.indexInventoryOf(spark, sub, mx, bd).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("band", "maximal", "substr"),
+      "one row per family, family-ordered")
+    rows.foreach { r =>
+      assert(r.getInt(1) == Dedup.IndexFormatVersion, s"format of ${r.getString(0)}")
+      assert(r.getInt(2) == Dedup.BandIndexBuckets, s"buckets of ${r.getString(0)}")
+    }
+    val byFam = rows.map(r => r.getString(0) -> r).toMap
+    // 20 words → 6 fifteen-word windows, 13 eight-word atoms; the
+    // doc-2 duplicate adds NO keys; "short doc" adds nothing anywhere
+    assert(byFam("substr").getLong(3) == 6L && byFam("substr").getLong(4) == 6L)
+    assert(byFam("maximal").getLong(3) == 13L && byFam("maximal").getLong(4) == 13L)
+    // band: 2 shingled docs × 16 bands; identical texts share every
+    // band key → 16 true buckets in the sidecar
+    assert(byFam("band").getLong(3) == 32L)
+    assert(byFam("band").getLong(5) == 16L)
+    assert(byFam("band").getLong(4) <= byFam("band").getLong(5),
+      "60-bit collisions may only MERGE key rows, never exceed true buckets")
+    // a fresh generation stores each key once
+    rows.foreach(r => assert(r.getLong(3) >= r.getLong(4)))
+  }
+
+  test("appends raise n_entries but never n_keys; compaction restores entries == keys") {
+    val (sub, mx, bd) = buildAll("inv_dbt")
+    import org.apache.spark.sql.functions.col
+    Dedup.appendSubstrIndex(tinyDocs.filter(col("doc_id") === 1L), sub)
+    val appended = Maintenance.indexInventoryOf(spark, sub, mx, bd).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(appended("substr").getLong(3) == 12L, "6 re-inserted hashes double the entries")
+    assert(appended("substr").getLong(4) == 6L, "the key space is unchanged")
+    spark.sql("DROP TABLE IF EXISTS inv_dbt_sub_g2")
+    Dedup.compactSubstrIndex(spark, sub, "inv_dbt_sub_g2")
+    val compacted = Maintenance.indexInventoryOf(spark, "inv_dbt_sub_g2", mx, bd)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(compacted("substr").getLong(3) == 6L && compacted("substr").getLong(4) == 6L)
+  }
+
+  test("the audit plan reads ONLY index tables + catalog metadata — the corpus parquet never appears in a warm-session scan") {
+    val sf = "/root/testdata/sf0.001"
+    Maintenance.indexInventory(spark, sf).collect() // warms ensureOpsIndexes
+    val plan = Maintenance.indexInventory(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      s"audit must never rescan the corpus (megabytes vs 100 TB): $plan")
+    assert(plan.contains("graft_inv_"), s"scans must be the index tables: $plan")
+  }
+
+  test("an unstamped (pre-versioning) generation surfaces as format -1 — the oracle's pinned constant then fails the audit") {
+    import spark.implicits._
+    val (_, mx, bd) = buildAll("inv_fmt")
+    spark.sql("DROP TABLE IF EXISTS inv_fmt_stale")
+    Seq(1L, 2L).toDF("h").write.mode("overwrite")
+      .bucketBy(4, "h").sortBy("h").saveAsTable("inv_fmt_stale")
+    val rows = Maintenance.indexInventoryOf(spark, "inv_fmt_stale", mx, bd)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("substr").getInt(1) == -1)
+    assert(rows("substr").getInt(2) == 4, "bucket count is the catalog's, not assumed")
+    assert(rows("maximal").getInt(1) == Dedup.IndexFormatVersion)
+  }
+}
