@@ -2809,7 +2809,12 @@ object Dedup {
       .write.mode("overwrite")
       .bucketBy(BandIndexBuckets, "bkey60").sortBy("bkey60")
       .saveAsTable(table)
-    bandBucketCounts(bandRows(corpus))
+    // sidecar from the rows JUST WRITTEN (they carry sig + band):
+    // counting the persisted relation costs one index-table scan,
+    // where re-deriving bandRows(corpus) would re-run the md5
+    // shingle + minhash passes over the whole corpus a second time —
+    // at 100 TB the signature pass IS the build cost
+    bandBucketCounts(s.table(table))
       .write.mode("overwrite").saveAsTable(table + "_counts")
     stampIndexFormat(s, table)
   }
@@ -2830,11 +2835,19 @@ object Dedup {
     * (the formerly-documented cross-segment undercount is gone). */
   def appendBandIndex(batch: DataFrame, table: String): Unit = {
     requireIndexFormat(batch.sparkSession, table)
-    withBucketN(bandRows(batch))
-      .repartition(BandIndexBuckets, col("bkey60"))
-      .write.mode("append").insertInto(table)
-    bandBucketCounts(bandRows(batch))
-      .write.mode("append").insertInto(table + "_counts")
+    // one signature pass serves both writes: the posting rows and
+    // the segment's sidecar counts (an arriving segment is ≪ the
+    // corpus, so materializing its band rows is cheap; re-deriving
+    // them would double the segment's md5+minhash cost)
+    val rows = bandRows(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      withBucketN(rows)
+        .repartition(BandIndexBuckets, col("bkey60"))
+        .write.mode("append").insertInto(table)
+      bandBucketCounts(rows)
+        .write.mode("append").insertInto(table + "_counts")
+    } finally rows.unpersist()
   }
 
   /** [[dedupIncremental]] against the PERSISTED band index: the
