@@ -502,12 +502,19 @@ object Maintenance {
           lit(buckets(tbl)).as("n_buckets"),
           col("n_entries"), col("n_keys"),
           lit(null).cast("long").as("n_sidecar"))
+    // a band generation written before the sidecar contract has no
+    // `_counts` table — the audit REPORTS it (NULL sidecar, the same
+    // pre-contract signal the probe's fallback keys on) instead of
+    // crashing on the very generation an inventory exists to find
+    val sidecar: org.apache.spark.sql.DataFrame =
+      if (s.catalog.tableExists(bandTable + "_counts"))
+        s.table(bandTable + "_counts").agg(count(lit(1)).as("n_sidecar"))
+      else s.range(1).select(lit(null).cast("long").as("n_sidecar"))
     val bandRow = s.table(bandTable).agg(
         count(lit(1)).as("n_entries"),
         countDistinct(col("bkey60")).as("n_keys"))
       // 1-row × 1-row scalar join (the broadcast-scalar convention)
-      .crossJoin(s.table(bandTable + "_counts")
-        .agg(count(lit(1)).as("n_sidecar")))
+      .crossJoin(sidecar)
       .select(lit("band").as("family"),
         lit(fmt(bandTable)).as("format"),
         lit(buckets(bandTable)).as("n_buckets"),

@@ -71,6 +71,15 @@ class IndexInventorySpec extends AnyFunSuite {
     assert(compacted("substr").getLong(3) == 6L && compacted("substr").getLong(4) == 6L)
   }
 
+  test("a pre-sidecar band generation (no _counts table) audits as NULL sidecar instead of crashing") {
+    val (sub, mx, bd) = buildAll("inv_nosc")
+    spark.sql(s"DROP TABLE ${bd}_counts")
+    val rows = Maintenance.indexInventoryOf(spark, sub, mx, bd)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("band").isNullAt(5), "missing sidecar must REPORT, not throw")
+    assert(rows("band").getLong(3) == 32L, "posting counts still audit")
+  }
+
   test("the audit plan reads ONLY index tables + catalog metadata — the corpus parquet never appears in a warm-session scan") {
     val sf = "/root/testdata/sf0.001"
     Maintenance.indexInventory(spark, sf).collect() // warms ensureOpsIndexes
