@@ -525,6 +525,73 @@ object Maintenance {
       .orderBy(col("family"))
   }
 
+  /** Per-generation audit of a TABLE-backed index family's pointer
+    * history — what [[vacuumGenerationTables]] acts on, surfaced as
+    * a relation BEFORE anything is dropped: which generations still
+    * exist, which is live (the session's identifier case semantics,
+    * the vacuum rule), each one's stamped format / bucket layout /
+    * on-disk footprint, and whether the `_counts` sidecar contract
+    * holds. A retired generation reports `table_exists = false` with
+    * NULL metrics rather than erroring — the history is the CALLER's
+    * pointer log, and auditing it after a vacuum is the point.
+    * Driver-side catalog + FS metadata only; never reads data. */
+  def indexGenerationInventory(
+      spark: SparkSession, generations: Seq[String], live: String)
+      : org.apache.spark.sql.DataFrame = {
+    require(generations.nonEmpty, "generation history is empty")
+    val fold: String => String =
+      if (spark.sessionState.conf.caseSensitiveAnalysis) identity else _.toLowerCase
+    import spark.implicits._
+    generations.zipWithIndex.map { case (tbl, i) =>
+      if (!spark.catalog.tableExists(tbl))
+        (i.toLong, tbl, fold(tbl) == fold(live), false,
+          Option.empty[Int], Option.empty[Int],
+          Option.empty[Long], Option.empty[Long], Option.empty[Boolean])
+      else {
+        val meta = tableMeta(spark, tbl)
+        val loc = meta.location.toString
+        (i.toLong, tbl, fold(tbl) == fold(live), true,
+          Some(meta.properties.get("graft.index.format")
+            .map(_.toInt).getOrElse(-1)),
+          Some(meta.bucketSpec.map(_.numBuckets).getOrElse(-1)),
+          Some(parquetFileCount(spark, loc)),
+          Some(dirBytes(spark, loc)),
+          Some(spark.catalog.tableExists(tbl + "_counts")))
+      }
+    }.toDF("gen_idx", "table", "is_live", "table_exists",
+      "format", "n_buckets", "n_files", "bytes", "has_sidecar")
+  }
+
+  /** The directory-backed twin ([[vacuumGenerations]]'s families:
+    * graph, IVF, PQ, IVF-PQ, SQ/SQ4): per generation directory —
+    * liveness by QUALIFIED path (the vacuum rule), existence, the
+    * committed `_SUCCESS` marker, file count and bytes. */
+  def dirGenerationInventory(
+      spark: SparkSession, generations: Seq[String], live: String)
+      : org.apache.spark.sql.DataFrame = {
+    require(generations.nonEmpty, "generation history is empty")
+    val conf = spark.sparkContext.hadoopConfiguration
+    def qual(d: String) = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(conf).makeQualified(p)
+    }
+    val liveQ = qual(live)
+    import spark.implicits._
+    generations.zipWithIndex.map { case (dir, i) =>
+      val p = qual(dir)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p))
+        (i.toLong, dir, p == liveQ, false,
+          Option.empty[Boolean], Option.empty[Long], Option.empty[Long])
+      else
+        (i.toLong, dir, p == liveQ, true,
+          Some(fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))),
+          Some(parquetFileCount(spark, dir)),
+          Some(dirBytes(spark, dir)))
+    }.toDF("gen_idx", "path", "is_live", "dir_exists",
+      "committed", "n_files", "bytes")
+  }
+
   /** The registered fixture form: inventory over the session's
     * standing corpus-half indexes ([[ensureOpsIndexes]]). */
   def indexInventory(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {

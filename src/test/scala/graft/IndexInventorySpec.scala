@@ -90,6 +90,47 @@ class IndexInventorySpec extends AnyFunSuite {
     assert(plan.contains("graft_inv_"), s"scans must be the index tables: $plan")
   }
 
+  test("generation inventory mirrors the table-vacuum lifecycle: build -> append -> compact -> vacuum, each state audited not assumed") {
+    import org.apache.spark.sql.functions.col
+    Seq("gen_g1", "gen_g1_counts", "gen_g2", "gen_g2_counts")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Dedup.writeBandIndexOf(tinyDocs, "gen_g1")
+    Dedup.appendBandIndex(tinyDocs.filter(col("doc_id") === 1L), "gen_g1")
+    Dedup.compactBandIndex(spark, "gen_g1", "gen_g2")
+    val before = Maintenance.indexGenerationInventory(
+      spark, Seq("gen_g1", "gen_g2"), live = "gen_g2").collect()
+    assert(before.map(r => (r.getString(1), r.getBoolean(2), r.getBoolean(3))).toSeq ==
+      Seq(("gen_g1", false, true), ("gen_g2", true, true)))
+    before.foreach { r =>
+      assert(r.getInt(4) == Dedup.IndexFormatVersion)
+      assert(r.getBoolean(8), "both generations carry the sidecar")
+      assert(r.getLong(6) > 0L && r.getLong(7) > 0L, "files and bytes are real")
+    }
+    val dropped = Maintenance.vacuumGenerationTables(
+      spark, Seq("gen_g1", "gen_g2"), live = "gen_g2")
+    assert(dropped == Seq("gen_g1"))
+    val after = Maintenance.indexGenerationInventory(
+      spark, Seq("gen_g1", "gen_g2"), live = "gen_g2").collect()
+    val g1 = after.find(_.getString(1) == "gen_g1").get
+    assert(!g1.getBoolean(3) && g1.isNullAt(4) && g1.isNullAt(6),
+      "a retired generation audits as absent with NULL metrics, never errors")
+    assert(after.find(_.getString(1) == "gen_g2").get.getBoolean(3))
+  }
+
+  test("dir-form generation inventory: qualified-path liveness, committed marker, absent dir as a NULL row") {
+    val base = java.nio.file.Files.createTempDirectory("graft-geninv").toString
+    tinyDocs.write.mode("overwrite").parquet(s"$base/g1")
+    tinyDocs.write.mode("overwrite").parquet(s"$base/g2")
+    val rows = Maintenance.dirGenerationInventory(
+      spark, Seq(s"$base/g1", s"$base/g2", s"$base/gone"), live = s"$base/g2")
+      .collect()
+    assert(rows.map(r => (r.getBoolean(2), r.getBoolean(3))).toSeq ==
+      Seq((false, true), (true, true), (false, false)))
+    assert(rows.take(2).forall(r => r.getBoolean(4) && r.getLong(5) > 0L),
+      "committed generations carry _SUCCESS and real files")
+    assert(rows(2).isNullAt(4) && rows(2).isNullAt(5))
+  }
+
   test("an unstamped (pre-versioning) generation surfaces as format -1 — the oracle's pinned constant then fails the audit") {
     import spark.implicits._
     val (_, mx, bd) = buildAll("inv_fmt")
