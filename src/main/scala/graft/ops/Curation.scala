@@ -103,6 +103,104 @@ object Curation {
       |GROUP BY g.doc_id
       |ORDER BY g.doc_id""".stripMargin
 
+  // ------------------------------------ contamination grain sweep
+
+  /** Grain grid for [[decontamGrainSweep]] — the published range: the
+    * 3-gram grain this suite's exact filter runs at, up through the
+    * 8- and 13-word grains the GPT-3/Llama-class decontamination
+    * writeups standardized on. */
+  val DecontamSweepGrains: Seq[Int] = Seq(3, 5, 8, 13)
+
+  /** ONE pass builds every grain's window-hash stream (the
+    * lsh_band_sweep multi-banding trick at the gram grain); hashes
+    * via the canonical split/window kernel so parity with every other
+    * windowed op — including hostile whitespace — is inherited, not
+    * re-proven. */
+  private val grainWinUdf = udf { (text: String) =>
+    DecontamSweepGrains.flatMap(n =>
+      Dedup.windowHashes(text, n).map(h => (n, h)))
+  }
+
+  /** The decontamination-grain operating curve — how the n-gram
+    * length is actually chosen before a release: contamination flag
+    * rate per grain, over the SAME corpus/benchmark pair. Short
+    * grains over-flag (any shared idiom is a "leak"); long grains
+    * miss lightly-edited copies; this table is the knob audit beside
+    * the registered 3-gram filter, the [[substrThresholdSweep]]
+    * convention pointed at benchmark overlap.
+    *
+    * Scale shape: ONE scan per side emits all grains' (n, hash)
+    * rows; the benchmark set is bounded by the benchmark-size rule →
+    * broadcast LEFT SEMI, the corpus never shuffles for the probe;
+    * per-grain flags are one distinct-doc aggregation; the grid is
+    * emitted total (explicit-grid convention) with a 1-row corpus
+    * count scalar. */
+  def decontamGrainSweepAgainst(corpus: DataFrame, benchDocs: DataFrame): DataFrame = {
+    import corpus.sparkSession.implicits._
+    val bench = benchDocs
+      .select(explode(grainWinUdf(col("text"))).as("g"))
+      .select(col("g._1").as("n"), col("g._2").as("h")).distinct()
+    val flagged = corpus
+      .select(col("doc_id"), explode(grainWinUdf(col("text"))).as("g"))
+      .select(col("doc_id"), col("g._1").as("n"), col("g._2").as("h"))
+      .join(broadcast(bench), Seq("n", "h"), "left_semi")
+      .groupBy(col("n"))
+      .agg(countDistinct(col("doc_id")).as("n_flagged"))
+    val total = corpus.agg(count(lit(1)).as("n_docs"))
+    DecontamSweepGrains.toDF("n")
+      .join(flagged, Seq("n"), "left")
+      .crossJoin(total)
+      .select(col("n").cast("long").as("gram_words"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+        col("n_docs"),
+        r6(when(col("n_docs") === 0, 0.0)
+          .otherwise(coalesce(col("n_flagged"), lit(0L)).cast("double") /
+            col("n_docs"))).as("flag_rate"))
+      .orderBy(col("gram_words"))
+  }
+
+  /** The registered sweep — the fixture's benchmark convention
+    * (every 50th doc), grid over [[DecontamSweepGrains]]. */
+  def decontamGrainSweep(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    decontamGrainSweepAgainst(
+      d.filter(col("doc_id") % 50 =!= 0),
+      d.filter(col("doc_id") % 50 === 0))
+  }
+
+  /** Oracle mirror: a VALUES grain grid laterally unnested over the
+    * shared split relation (one gram CTE serves benchmark set and
+    * corpus probe), hash60 windows, distinct-doc flags per grain,
+    * grid-total output. */
+  val decontamGrainSweepSql: String = {
+    val grid = DecontamSweepGrains.map(n => s"($n)").mkString(", ")
+    val h = graft.functions.CrossHash.sqlHash60(
+      "array_to_string(w[i + 1 : i + n], ' ')")
+    s"""WITH gs_w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |gs_g AS MATERIALIZED (
+       |  SELECT doc_id, n, $h AS h
+       |  FROM gs_w, (VALUES $grid) grains(n),
+       |    UNNEST(range(0, len(w) - (n - 1))) AS t(i)
+       |  WHERE len(w) >= n),
+       |gs_b AS (SELECT DISTINCT n, h FROM gs_g WHERE doc_id % 50 = 0),
+       |gs_f AS (
+       |  SELECT g.n, COUNT(DISTINCT g.doc_id) AS n_flagged
+       |  FROM gs_g g JOIN gs_b b ON g.n = b.n AND g.h = b.h
+       |  WHERE g.doc_id % 50 <> 0
+       |  GROUP BY g.n),
+       |gs_c AS (SELECT COUNT(*) AS n_docs FROM documents WHERE doc_id % 50 <> 0)
+       |SELECT CAST(grains.n AS BIGINT) AS gram_words,
+       |  CAST(COALESCE(f.n_flagged, 0) AS BIGINT) AS n_flagged,
+       |  CAST(c.n_docs AS BIGINT) AS n_docs,
+       |  round(CASE WHEN c.n_docs = 0 THEN 0.0
+       |        ELSE CAST(COALESCE(f.n_flagged, 0) AS DOUBLE) / c.n_docs END, 6) + 0
+       |    AS flag_rate
+       |FROM (VALUES $grid) grains(n)
+       |CROSS JOIN gs_c c
+       |LEFT JOIN gs_f f ON f.n = grains.n
+       |ORDER BY gram_words""".stripMargin
+  }
+
   // ------------------------------------ exact vs semantic agreement
 
   /** 2×2 agreement between the two decontamination regimes — the
@@ -2542,6 +2640,7 @@ object Curation {
     "curation_pipeline" -> (curationPipeline _),
     "sample_hash" -> (sampleHash _),
     "decontaminate" -> (decontaminate _),
+    "decontam_grain_sweep" -> (decontamGrainSweep _),
     "decontam_spans" -> (decontamSpans _),
     "decontam_union_report" -> (decontamUnionReport _),
     "semantic_decontaminate" -> (semanticDecontaminate _),
@@ -2582,6 +2681,7 @@ object Curation {
     "curation_pipeline" -> curationPipelineSql,
     "sample_hash" -> sampleHashSql,
     "decontaminate" -> decontaminateSql,
+    "decontam_grain_sweep" -> decontamGrainSweepSql,
     "decontam_spans" -> decontamSpansSql,
     "decontam_union_report" -> decontamUnionReportSql,
     "semantic_decontaminate" -> semanticDecontaminateSql,
