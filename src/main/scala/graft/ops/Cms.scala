@@ -94,9 +94,111 @@ object Cms {
        |LIMIT $TopK""".stripMargin
   }
 
+  // ---- width operating curve ----
+
+  /** Widths the sweep evaluates, [[Depth]] fixed — the capacity knob
+    * a deployment sizes against its distinct-key count: expected
+    * overestimate per cell is N/Width, so undersizing shows up as
+    * count inflation, not as an error anyone is told about. The
+    * fixture vocabulary (31 word-soup tokens at every SF)
+    * deliberately crowds 16 counters (~2 tokens per counter per row
+    * expected), grazes 64, and spreads clean at the registered
+    * 256. */
+  val CmsSweepWidths: Seq[Int] = Seq(16, 64, 256)
+
+  /** Measured CMS accuracy curve per width — the bloom_fp_sweep
+    * pattern pointed at the counter sketch: for each width, total
+    * and worst-case count inflation (est − exact, summed and maxed
+    * over the vocabulary) and how many tokens the sketch counts
+    * EXACTLY. All outputs are exact BIGINT arithmetic on the shared
+    * md5 hash family — no float bridge anywhere, fully oracle-gated.
+    *
+    * Scale shape: the [[Depth]] per-token hashes are computed ONCE
+    * (the same md5 stream `cms_topk` uses); `% w` per grid cell is
+    * free arithmetic, so the whole grid rides one vocab-bounded cell
+    * relation. Each width's sketch is Depth×w counters — parameter-
+    * bounded, broadcast-safe (the centroid rule); the estimate join
+    * and the final per-width aggregation are vocab-sized, never
+    * corpus-sized. Explicit-grid totality on an empty corpus. */
+  def cmsWidthSweep(s: SparkSession, dir: String): DataFrame =
+    cmsWidthSweepOf(t(s, dir, "documents"))
+
+  /** The sweep over ANY (doc_id, text) relation — the relation-form
+    * convention. */
+  def cmsWidthSweepOf(d: DataFrame): DataFrame = {
+    import d.sparkSession.implicits._
+    val vocab = d
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+    val hashed = vocab
+      .select(col("tok"), col("exact_cnt"),
+        explode(sequence(lit(0), lit(Depth - 1))).as("i"))
+      .withColumn("h", CrossHash.md5Hash60Col(
+        concat(col("tok"), lit(":cms"), col("i").cast("string"))))
+    val cellsW = CmsSweepWidths.toDF("w")
+      .crossJoin(hashed)
+      .withColumn("b", col("h") % col("w"))
+    val sketchW = cellsW.groupBy(col("w"), col("i"), col("b"))
+      .agg(sum(col("exact_cnt")).as("cnt"))
+    val est = cellsW.join(broadcast(sketchW), Seq("w", "i", "b"))
+      .groupBy(col("w"), col("tok"), col("exact_cnt"))
+      .agg(min(col("cnt")).as("est"))
+    val agg = est.groupBy(col("w"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("est") - col("exact_cnt")).as("overest_total"),
+        max(col("est") - col("exact_cnt")).as("overest_max"),
+        sum(when(col("est") === col("exact_cnt"), 1L).otherwise(0L)).as("n_exact"))
+    CmsSweepWidths.toDF("w")
+      .join(agg, Seq("w"), "left")
+      .select(col("w").cast("long").as("width"),
+        (lit(Depth.toLong) * col("w")).cast("long").as("n_cells"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("overest_total"), lit(0L)).as("overest_total"),
+        coalesce(col("overest_max"), lit(0L)).as("overest_max"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+      .orderBy(col("width"))
+  }
+
+  /** Oracle mirror: one MATERIALIZED hash CTE, the width grid as a
+    * `% w` projection of it, exact integer aggregation per width. */
+  val cmsWidthSweepSql: String = {
+    val h = CrossHash.sqlHash60("tok || ':cms' || CAST(i AS VARCHAR)")
+    val grid = CmsSweepWidths.map(w => s"($w)").mkString(", ")
+    s"""WITH cw_t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       |cw_v AS (SELECT tok, COUNT(*) AS exact_cnt FROM cw_t GROUP BY tok),
+       |cw_h AS MATERIALIZED (
+       |  SELECT tok, exact_cnt, i, $h AS h
+       |  FROM cw_v, UNNEST(range(0, $Depth)) AS r(i)),
+       |cw_c AS MATERIALIZED (
+       |  SELECT w, tok, exact_cnt, i, h % w AS b
+       |  FROM (VALUES $grid) ws(w), cw_h),
+       |cw_s AS (SELECT w, i, b, SUM(exact_cnt) AS cnt FROM cw_c GROUP BY w, i, b),
+       |cw_e AS (
+       |  SELECT w, tok, exact_cnt, MIN(cnt) AS est
+       |  FROM cw_c JOIN cw_s USING (w, i, b)
+       |  GROUP BY w, tok, exact_cnt),
+       |cw_a AS (
+       |  SELECT w, COUNT(*) AS n_tokens,
+       |    SUM(est - exact_cnt) AS overest_total,
+       |    MAX(est - exact_cnt) AS overest_max,
+       |    SUM(CASE WHEN est = exact_cnt THEN 1 ELSE 0 END) AS n_exact
+       |  FROM cw_e GROUP BY w)
+       |SELECT CAST(ws.w AS BIGINT) AS width,
+       |  CAST($Depth * ws.w AS BIGINT) AS n_cells,
+       |  CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(a.overest_total, 0) AS BIGINT) AS overest_total,
+       |  CAST(COALESCE(a.overest_max, 0) AS BIGINT) AS overest_max,
+       |  CAST(COALESCE(a.n_exact, 0) AS BIGINT) AS n_exact
+       |FROM (VALUES $grid) ws(w)
+       |LEFT JOIN cw_a a ON a.w = ws.w
+       |ORDER BY width""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "cms_topk" -> (cmsTopk _))
+    "cms_topk" -> (cmsTopk _),
+    "cms_width_sweep" -> (cmsWidthSweep _))
 
   val oracles: Map[String, String] = Map(
-    "cms_topk" -> cmsTopkSql)
+    "cms_topk" -> cmsTopkSql,
+    "cms_width_sweep" -> cmsWidthSweepSql)
 }

@@ -44,4 +44,35 @@ class CmsSpec extends AnyFunSuite {
     val b = Cms.cmsTopk(spark, dir).collect().toSeq
     assert(a == b)
   }
+
+  test("width sweep: inflation falls and exact coverage rises monotonically with width; a CMS never undercounts") {
+    // the REAL fixture corpus: its 31-token vocabulary crowds width
+    // 16 (the planted 12-token corpus above happens to spread
+    // collision-free there, which would make the movement assertion
+    // vacuous)
+    val rows = Cms.cmsWidthSweep(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Cms.CmsSweepWidths.map(_.toLong))
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0L && r.getLong(4) >= 0L,
+        "est - exact is nonnegative per the CMS guarantee")
+      assert(r.getLong(5) <= r.getLong(2), "exact tokens cannot exceed the vocabulary")
+      assert(r.getLong(1) == Cms.Depth.toLong * r.getLong(0))
+    }
+    val tot = rows.map(_.getLong(3))
+    val exact = rows.map(_.getLong(5))
+    assert(tot.zip(tot.tail).forall { case (a, b) => a >= b },
+      s"total inflation must fall as width grows: ${tot.toSeq}")
+    assert(exact.zip(exact.tail).forall { case (a, b) => a <= b },
+      s"exactly-counted tokens must rise with width: ${exact.toSeq}")
+    assert(tot.head > tot.last,
+      "the fixture vocabulary crowds the smallest width — the curve must actually move")
+  }
+
+  test("width sweep degeneracies: empty corpus emits the full grid with zero counts") {
+    import spark.implicits._
+    val rows = Cms.cmsWidthSweepOf(
+      Seq.empty[(Long, String)].toDF("doc_id", "text")).collect()
+    assert(rows.length == Cms.CmsSweepWidths.size)
+    assert(rows.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L))
+  }
 }
