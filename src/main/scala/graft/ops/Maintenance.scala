@@ -179,6 +179,29 @@ object Maintenance {
     * index family): drops each superseded table AND its `_counts`
     * sidecar table when present. Same live-pointer and existence
     * guards. Returns the dropped table names. */
+  /** The table-vacuum victim selection, shared VERBATIM by
+    * [[vacuumGenerationTables]] (which then validates and drops) and
+    * [[indexGenerationInventory]]'s `would_vacuum` column (which
+    * only reports) — one derivation, so the plan a review reads is
+    * definitionally what the vacuum would do. Folding follows the
+    * session's identifier case semantics (the vacuum rule). */
+  private def generationVictims(
+      spark: SparkSession,
+      generations: Seq[String],
+      live: String,
+      keep: Int): Vector[String] = {
+    val fold: String => String =
+      if (spark.sessionState.conf.caseSensitiveAnalysis) identity else _.toLowerCase
+    val kept = generations.takeRight(keep).map(fold).toSet
+    generations.dropRight(keep)
+      .filterNot(t => kept.contains(fold(t)))
+      .foldLeft((Vector.empty[String], Set.empty[String])) {
+        case ((out, seen), t) =>
+          val k = fold(t)
+          if (seen.contains(k)) (out, seen) else (out :+ t, seen + k)
+      }._1
+  }
+
   def vacuumGenerationTables(
       spark: SparkSession,
       generations: Seq[String],
@@ -199,16 +222,7 @@ object Maintenance {
     // shield); under spark.sql.caseSensitive=true they are two
     // genuinely distinct tables and folding would silently collapse
     // a real victim into its case-twin — compare verbatim instead
-    val fold: String => String =
-      if (spark.sessionState.conf.caseSensitiveAnalysis) identity else _.toLowerCase
-    val kept = generations.takeRight(keep).map(fold).toSet
-    val victims = generations.dropRight(keep)
-      .filterNot(t => kept.contains(fold(t)))
-      .foldLeft((Vector.empty[String], Set.empty[String])) {
-        case ((out, seen), t) =>
-          val k = fold(t)
-          if (seen.contains(k)) (out, seen) else (out :+ t, seen + k)
-      }._1
+    val victims = generationVictims(spark, generations, live, keep)
     require(!victims.contains(live), s"refusing to drop the live generation $live")
     victims.foreach { tbl =>
       require(spark.catalog.tableExists(tbl),
@@ -536,21 +550,30 @@ object Maintenance {
     * pointer log, and auditing it after a vacuum is the point.
     * Driver-side catalog + FS metadata only; never reads data. */
   def indexGenerationInventory(
-      spark: SparkSession, generations: Seq[String], live: String)
-      : org.apache.spark.sql.DataFrame = {
+      spark: SparkSession, generations: Seq[String], live: String,
+      keep: Int = 1): org.apache.spark.sql.DataFrame = {
     require(generations.nonEmpty, "generation history is empty")
+    require(keep >= 1, s"keep must be >= 1, got $keep")
     val fold: String => String =
       if (spark.sessionState.conf.caseSensitiveAnalysis) identity else _.toLowerCase
+    // the REPORTED retention plan: exactly the vacuum's own victim
+    // derivation under the caller's keep policy (shared helper), so
+    // `would_vacuum` rows are what vacuumGenerationTables(…, keep)
+    // would drop — the audit a retention decision reads BEFORE
+    // anything is deleted
+    val victims = generationVictims(spark, generations, live, keep)
+      .map(fold).toSet
     import spark.implicits._
     generations.zipWithIndex.map { case (tbl, i) =>
+      val wouldVacuum = victims.contains(fold(tbl))
       if (!spark.catalog.tableExists(tbl))
-        (i.toLong, tbl, fold(tbl) == fold(live), false,
+        (i.toLong, tbl, fold(tbl) == fold(live), wouldVacuum, false,
           Option.empty[Int], Option.empty[Int],
           Option.empty[Long], Option.empty[Long], Option.empty[Boolean])
       else {
         val meta = tableMeta(spark, tbl)
         val loc = meta.location.toString
-        (i.toLong, tbl, fold(tbl) == fold(live), true,
+        (i.toLong, tbl, fold(tbl) == fold(live), wouldVacuum, true,
           Some(meta.properties.get("graft.index.format")
             .map(_.toInt).getOrElse(-1)),
           Some(meta.bucketSpec.map(_.numBuckets).getOrElse(-1)),
@@ -558,7 +581,7 @@ object Maintenance {
           Some(dirBytes(spark, loc)),
           Some(spark.catalog.tableExists(tbl + "_counts")))
       }
-    }.toDF("gen_idx", "table", "is_live", "table_exists",
+    }.toDF("gen_idx", "table", "is_live", "would_vacuum", "table_exists",
       "format", "n_buckets", "n_files", "bytes", "has_sidecar")
   }
 

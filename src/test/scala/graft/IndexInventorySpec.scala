@@ -99,22 +99,29 @@ class IndexInventorySpec extends AnyFunSuite {
     Dedup.compactBandIndex(spark, "gen_g1", "gen_g2")
     val before = Maintenance.indexGenerationInventory(
       spark, Seq("gen_g1", "gen_g2"), live = "gen_g2").collect()
-    assert(before.map(r => (r.getString(1), r.getBoolean(2), r.getBoolean(3))).toSeq ==
-      Seq(("gen_g1", false, true), ("gen_g2", true, true)))
+    assert(before.map(r =>
+        (r.getString(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4))).toSeq ==
+      Seq(("gen_g1", false, true, true), ("gen_g2", true, false, true)),
+      "would_vacuum IS the vacuum's victim selection under keep=1")
     before.foreach { r =>
-      assert(r.getInt(4) == Dedup.IndexFormatVersion)
-      assert(r.getBoolean(8), "both generations carry the sidecar")
-      assert(r.getLong(6) > 0L && r.getLong(7) > 0L, "files and bytes are real")
+      assert(r.getInt(5) == Dedup.IndexFormatVersion)
+      assert(r.getBoolean(9), "both generations carry the sidecar")
+      assert(r.getLong(7) > 0L && r.getLong(8) > 0L, "files and bytes are real")
     }
+    // a keep=2 policy retains both — the report flips before any drop
+    val keep2 = Maintenance.indexGenerationInventory(
+      spark, Seq("gen_g1", "gen_g2"), live = "gen_g2", keep = 2).collect()
+    assert(keep2.forall(!_.getBoolean(3)), "keep=2 plans no victims")
     val dropped = Maintenance.vacuumGenerationTables(
       spark, Seq("gen_g1", "gen_g2"), live = "gen_g2")
-    assert(dropped == Seq("gen_g1"))
+    assert(dropped == Seq("gen_g1"),
+      "the executed vacuum drops exactly the would_vacuum rows")
     val after = Maintenance.indexGenerationInventory(
       spark, Seq("gen_g1", "gen_g2"), live = "gen_g2").collect()
     val g1 = after.find(_.getString(1) == "gen_g1").get
-    assert(!g1.getBoolean(3) && g1.isNullAt(4) && g1.isNullAt(6),
+    assert(!g1.getBoolean(4) && g1.isNullAt(5) && g1.isNullAt(7),
       "a retired generation audits as absent with NULL metrics, never errors")
-    assert(after.find(_.getString(1) == "gen_g2").get.getBoolean(3))
+    assert(after.find(_.getString(1) == "gen_g2").get.getBoolean(4))
   }
 
   test("dir-form generation inventory: qualified-path liveness, committed marker, absent dir as a NULL row") {
