@@ -90,6 +90,34 @@ class BenchBudgetSpec extends AnyFunSuite {
     assert(breaches.isEmpty, s"\nplan-regression suspects:\n  ${breaches.mkString("\n  ")}")
   }
 
+  test("fresh-JVM adjudication: the subprocess command is this JVM's java/classpath/heap running BenchOne, and the stdout contract parses") {
+    // pure plumbing — no subprocess: the command must survive a
+    // refactor (wrong main class or lost add-opens would make every
+    // future adjudication silently fall back to the inflated number)
+    val cmd = Bench.freshJvmCmd("pq_m_sweep", "/root/testdata/sf0.1", "32")
+    assert(cmd.head.endsWith("/bin/java"))
+    assert(cmd.containsSlice(Seq("graft.BenchOne", "pq_m_sweep", "/root/testdata/sf0.1", "32")))
+    assert(cmd.count(_ == "--add-opens") >= 13, "Spark-on-JDK17 module opens must ride along")
+    assert(cmd.exists(_.startsWith("-Xmx")), "heap cap must match the parent bench JVM")
+    val cp = cmd(cmd.indexOf("-cp") + 1)
+    assert(cp == System.getProperty("java.class.path"))
+    // parse: tolerate child Spark log lines around the contract line,
+    // reject other queries' lines and malformed minutes
+    val out = "WARN something\n[bench-fresh] pq_m_sweep min=2.2030\nshutdown\n"
+    assert(Bench.parseFreshLine(out, "pq_m_sweep").contains(2.203))
+    assert(Bench.parseFreshLine(out, "substr_scrub_incremental").isEmpty)
+    assert(Bench.parseFreshLine("[bench-fresh] pq_m_sweep min=", "pq_m_sweep").isEmpty)
+  }
+
+  test("fresh-JVM adjudication end-to-end: BenchOne subprocess times a real query and the parent parses its min") {
+    assume(enabled, "bench-only: spawns a full Spark JVM, run solo with SPARK_GRAFT_BENCH=1")
+    // the cheapest registered query at the smallest fixture — the
+    // test pins the PROTOCOL (spawn, run, parse), not the number
+    val fresh = Bench.freshJvmRetime("q01_pricing_summary", "/root/testdata/sf0.001", "4")
+    assert(fresh.exists(t => t > 0.0 && t < 120.0),
+      s"subprocess re-time failed or implausible: $fresh")
+  }
+
   test("knn_topk stays under its committed ceiling (judge-pinned 0.5s default)") {
     assume(enabled, "bench-only: run solo with SPARK_GRAFT_BENCH=1")
     // ceiling comes from the committed budget file (machine-relative by
