@@ -140,22 +140,7 @@ object Maintenance {
     require(qual(generations.last) == qual(live),
       s"live pointer $live must be the NEWEST generation " +
         s"(history ends at ${generations.last}) — refusing to vacuum")
-    // exclude the ENTIRE kept suffix (qualified), not just the live
-    // pointer: a history with a duplicate entry of a kept generation
-    // earlier in the list must not delete the directory the kept
-    // suffix still references
-    val keptQ = generations.takeRight(keep).map(qual).toSet
-    // dedup by QUALIFIED path, not raw string: two spellings of one
-    // directory ("file:/data/g0" vs "/data/g0") would both pass the
-    // existence pre-check and then wedge on the second delete —
-    // exactly the partial-delete failure the two-pass guard prevents
-    val victims = generations.dropRight(keep)
-      .filter(d => !keptQ.contains(qual(d)))
-      .foldLeft((Vector.empty[String], Set.empty[org.apache.hadoop.fs.Path])) {
-        case ((out, seen), d) =>
-          val q = qual(d)
-          if (seen.contains(q)) (out, seen) else (out :+ d, seen + q)
-      }._1
+    val victims = dirGenerationVictims(spark, generations, live, keep)
     require(!victims.map(qual).contains(qual(live)),
       s"refusing to delete the live generation $live")
     // validate EVERY victim exists before deleting ANY: a missing
@@ -175,21 +160,62 @@ object Maintenance {
     victims
   }
 
-  /** [[vacuumGenerations]] for CATALOG-TABLE generations (the band
-    * index family): drops each superseded table AND its `_counts`
-    * sidecar table when present. Same live-pointer and existence
-    * guards. Returns the dropped table names. */
+  /** The DIRECTORY-vacuum victim selection, shared VERBATIM by
+    * [[vacuumGenerations]] (which then validates and deletes) and
+    * [[dirGenerationInventory]]'s `would_vacuum` column (which only
+    * reports) — the table-form convention ([[generationVictims]])
+    * under the directory rule: identity is the QUALIFIED path, the
+    * whole kept suffix shields duplicate history entries, and a
+    * history whose last entry is not the live pointer yields an
+    * EMPTY victim set (the vacuum aborts at its entry guard, so it
+    * drops nothing). */
+  private def dirGenerationVictims(
+      spark: SparkSession,
+      generations: Seq[String],
+      live: String,
+      keep: Int): Vector[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def qual(d: String) = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(conf).makeQualified(p)
+    }
+    if (generations.isEmpty || qual(generations.last) != qual(live))
+      return Vector.empty
+    // exclude the ENTIRE kept suffix (qualified), not just the live
+    // pointer: a history with a duplicate entry of a kept generation
+    // earlier in the list must not delete the directory the kept
+    // suffix still references
+    val keptQ = generations.takeRight(keep).map(qual).toSet
+    // dedup by QUALIFIED path, not raw string: two spellings of one
+    // directory ("file:/data/g0" vs "/data/g0") would both pass the
+    // existence pre-check and then wedge on the second delete —
+    // exactly the partial-delete failure the two-pass guard prevents
+    generations.dropRight(keep)
+      .filter(d => !keptQ.contains(qual(d)))
+      .foldLeft((Vector.empty[String], Set.empty[org.apache.hadoop.fs.Path])) {
+        case ((out, seen), d) =>
+          val q = qual(d)
+          if (seen.contains(q)) (out, seen) else (out :+ d, seen + q)
+      }._1
+  }
+
   /** The table-vacuum victim selection, shared VERBATIM by
     * [[vacuumGenerationTables]] (which then validates and drops) and
     * [[indexGenerationInventory]]'s `would_vacuum` column (which
     * only reports) — one derivation, so the plan a review reads is
-    * definitionally what the vacuum would do. Folding follows the
-    * session's identifier case semantics (the vacuum rule). */
+    * definitionally what the vacuum would do. That includes the
+    * vacuum's ENTRY guard: a history whose last entry is not the
+    * live pointer makes the vacuum abort before dropping anything,
+    * so the victim set of such a history is EMPTY (the report must
+    * never mark the live generation — or anything else — as a
+    * victim of a vacuum that would refuse to run). Folding follows
+    * the session's identifier case semantics (the vacuum rule). */
   private def generationVictims(
       spark: SparkSession,
       generations: Seq[String],
       live: String,
       keep: Int): Vector[String] = {
+    if (generations.isEmpty || generations.last != live) return Vector.empty
     val fold: String => String =
       if (spark.sessionState.conf.caseSensitiveAnalysis) identity else _.toLowerCase
     val kept = generations.takeRight(keep).map(fold).toSet
@@ -202,6 +228,10 @@ object Maintenance {
       }._1
   }
 
+  /** [[vacuumGenerations]] for CATALOG-TABLE generations (the band
+    * index family): drops each superseded table AND its `_counts`
+    * sidecar table when present. Same live-pointer and existence
+    * guards. Returns the dropped table names. */
   def vacuumGenerationTables(
       spark: SparkSession,
       generations: Seq[String],
@@ -472,8 +502,13 @@ object Maintenance {
       s: SparkSession, dir: String): (String, String, String) = {
     val key = OpsShared.dirKey(dir, "documents")
     invIdxCache.computeIfAbsent(key, _ => {
+      // 60-bit md5 fingerprint (the repo's CrossHash primitive), not
+      // String.hashCode: two fixture dirs colliding at 32 bits in one
+      // session would share table names — the second build would
+      // overwrite the first's tables while its cache entry still
+      // points at them, serving a wrong inventory
       val sfx = java.lang.Long.toHexString(
-        java.lang.Integer.toUnsignedLong(key.hashCode))
+        graft.functions.CrossHash.md5Hash60(key))
       val sub = "graft_inv_sub_" + sfx
       val mx = "graft_inv_mx_" + sfx
       val bd = "graft_inv_band_" + sfx
@@ -548,7 +583,14 @@ object Maintenance {
     * holds. A retired generation reports `table_exists = false` with
     * NULL metrics rather than erroring — the history is the CALLER's
     * pointer log, and auditing it after a vacuum is the point.
-    * Driver-side catalog + FS metadata only; never reads data. */
+    * `would_vacuum` is the shared [[generationVictims]] derivation,
+    * so it is definitionally what [[vacuumGenerationTables]] under
+    * the same `keep` would drop — including the abort case: a
+    * history whose last entry is not the live pointer plans ZERO
+    * victims (the vacuum refuses at its entry guard), and a
+    * `would_vacuum` row with `table_exists = false` means the vacuum
+    * would refuse on stale history. Driver-side catalog + FS
+    * metadata only; never reads data. */
   def indexGenerationInventory(
       spark: SparkSession, generations: Seq[String], live: String,
       keep: Int = 1): org.apache.spark.sql.DataFrame = {
@@ -587,31 +629,41 @@ object Maintenance {
 
   /** The directory-backed twin ([[vacuumGenerations]]'s families:
     * graph, IVF, PQ, IVF-PQ, SQ/SQ4): per generation directory —
-    * liveness by QUALIFIED path (the vacuum rule), existence, the
-    * committed `_SUCCESS` marker, file count and bytes. */
+    * liveness by QUALIFIED path (the vacuum rule), the retention
+    * plan (`would_vacuum` = exactly [[vacuumGenerations]]' victim
+    * selection under the caller's `keep`, via the shared
+    * [[dirGenerationVictims]] derivation — empty when the vacuum's
+    * entry guard would abort), existence, the committed `_SUCCESS`
+    * marker, file count and bytes. A `would_vacuum` row whose
+    * directory is MISSING means the executed vacuum would refuse on
+    * stale history (its all-victims-exist pre-check) — the audit
+    * reports both facts and lets the operator fix the pointer log. */
   def dirGenerationInventory(
-      spark: SparkSession, generations: Seq[String], live: String)
-      : org.apache.spark.sql.DataFrame = {
+      spark: SparkSession, generations: Seq[String], live: String,
+      keep: Int = 1): org.apache.spark.sql.DataFrame = {
     require(generations.nonEmpty, "generation history is empty")
+    require(keep >= 1, s"keep must be >= 1, got $keep")
     val conf = spark.sparkContext.hadoopConfiguration
     def qual(d: String) = {
       val p = new org.apache.hadoop.fs.Path(d)
       p.getFileSystem(conf).makeQualified(p)
     }
     val liveQ = qual(live)
+    val victims = dirGenerationVictims(spark, generations, live, keep)
+      .map(qual).toSet
     import spark.implicits._
     generations.zipWithIndex.map { case (dir, i) =>
       val p = qual(dir)
       val fs = p.getFileSystem(conf)
       if (!fs.exists(p))
-        (i.toLong, dir, p == liveQ, false,
+        (i.toLong, dir, p == liveQ, victims.contains(p), false,
           Option.empty[Boolean], Option.empty[Long], Option.empty[Long])
       else
-        (i.toLong, dir, p == liveQ, true,
+        (i.toLong, dir, p == liveQ, victims.contains(p), true,
           Some(fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))),
           Some(parquetFileCount(spark, dir)),
           Some(dirBytes(spark, dir)))
-    }.toDF("gen_idx", "path", "is_live", "dir_exists",
+    }.toDF("gen_idx", "path", "is_live", "would_vacuum", "dir_exists",
       "committed", "n_files", "bytes")
   }
 

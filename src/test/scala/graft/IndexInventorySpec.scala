@@ -129,13 +129,71 @@ class IndexInventorySpec extends AnyFunSuite {
     tinyDocs.write.mode("overwrite").parquet(s"$base/g1")
     tinyDocs.write.mode("overwrite").parquet(s"$base/g2")
     val rows = Maintenance.dirGenerationInventory(
-      spark, Seq(s"$base/g1", s"$base/g2", s"$base/gone"), live = s"$base/g2")
+      spark, Seq(s"$base/g1", s"$base/g2", s"$base/gone"), live = s"$base/gone")
       .collect()
-    assert(rows.map(r => (r.getBoolean(2), r.getBoolean(3))).toSeq ==
-      Seq((false, true), (true, true), (false, false)))
-    assert(rows.take(2).forall(r => r.getBoolean(4) && r.getLong(5) > 0L),
+    assert(rows.map(r => (r.getBoolean(2), r.getBoolean(4))).toSeq ==
+      Seq((false, true), (false, true), (true, false)))
+    assert(rows.take(2).forall(r => r.getBoolean(5) && r.getLong(6) > 0L),
       "committed generations carry _SUCCESS and real files")
-    assert(rows(2).isNullAt(4) && rows(2).isNullAt(5))
+    assert(rows(2).isNullAt(5) && rows(2).isNullAt(6))
+    // a would_vacuum row whose directory is MISSING is the
+    // stale-history signal: the executed vacuum would refuse on its
+    // all-victims-exist pre-check, and the audit reports both facts
+    assert(rows.map(_.getBoolean(3)).toSeq == Seq(true, true, false),
+      "keep=1 plans both superseded dirs as victims — g1 AND g2")
+    val err = intercept[IllegalArgumentException] {
+      Maintenance.vacuumGenerations(
+        spark, Seq(s"$base/g1", s"$base/g2", s"$base/gone2", s"$base/gone"),
+        live = s"$base/gone")
+    }
+    assert(err.getMessage.contains("not found"),
+      "a planned victim that does not exist makes the vacuum refuse")
+  }
+
+  test("dir-form would_vacuum IS vacuumGenerations' victim selection: plan under keep, then execute, then re-audit") {
+    val base = java.nio.file.Files.createTempDirectory("graft-genvac").toString
+    val gens = Seq(s"$base/g1", s"$base/g2", s"$base/g3")
+    gens.foreach(g => tinyDocs.write.mode("overwrite").parquet(g))
+    val plan2 = Maintenance.dirGenerationInventory(
+      spark, gens, live = s"$base/g3", keep = 2).collect()
+    assert(plan2.map(r => (r.getString(1), r.getBoolean(3))).toSeq ==
+      Seq((s"$base/g1", true), (s"$base/g2", false), (s"$base/g3", false)),
+      "keep=2 plans exactly the oldest generation")
+    val dropped = Maintenance.vacuumGenerations(
+      spark, gens, live = s"$base/g3", keep = 2)
+    assert(dropped == Seq(s"$base/g1"),
+      "the executed vacuum drops exactly the would_vacuum rows")
+    val after = Maintenance.dirGenerationInventory(
+      spark, gens, live = s"$base/g3", keep = 2).collect()
+    assert(!after(0).getBoolean(4) && after(0).isNullAt(5),
+      "the dropped generation re-audits as absent with NULL metrics")
+    assert(after.drop(1).forall(_.getBoolean(4)))
+  }
+
+  test("a history whose last entry is not the live pointer plans ZERO victims in BOTH inventory forms — the vacuum would abort, not drop") {
+    // table form: live is g1 but the history ends at g2
+    val (_, _, bd) = buildAll("inv_abort")
+    spark.sql("DROP TABLE IF EXISTS inv_abort_bd2")
+    Dedup.compactBandIndex(spark, bd, "inv_abort_bd2")
+    val tbl = Maintenance.indexGenerationInventory(
+      spark, Seq(bd, "inv_abort_bd2"), live = bd).collect()
+    assert(tbl.forall(!_.getBoolean(3)),
+      "live-not-last: would_vacuum must be false everywhere (incl. the live row)")
+    intercept[IllegalArgumentException] {
+      Maintenance.vacuumGenerationTables(
+        spark, Seq(bd, "inv_abort_bd2"), live = bd)
+    }
+    // dir form: same abort rule under the qualified-path identity
+    val base = java.nio.file.Files.createTempDirectory("graft-genabort").toString
+    tinyDocs.write.mode("overwrite").parquet(s"$base/g1")
+    tinyDocs.write.mode("overwrite").parquet(s"$base/g2")
+    val dir = Maintenance.dirGenerationInventory(
+      spark, Seq(s"$base/g1", s"$base/g2"), live = s"$base/g1").collect()
+    assert(dir.forall(!_.getBoolean(3)))
+    intercept[IllegalArgumentException] {
+      Maintenance.vacuumGenerations(
+        spark, Seq(s"$base/g1", s"$base/g2"), live = s"$base/g1")
+    }
   }
 
   test("an unstamped (pre-versioning) generation surfaces as format -1 — the oracle's pinned constant then fails the audit") {
