@@ -196,23 +196,32 @@ object Bloom {
     // from the doc's gram list in one closure pass
     val score = udf { (sh: Seq[String]) =>
       var exact = false
+      var nFlagged = 0
       val flags = new Array[Boolean](grid.length)
-      sh.foreach { g =>
+      val it = sh.iterator
+      // flags and the exact bit are monotone, so once every grid
+      // cell is set AND the exact flag is known the remaining grams
+      // contribute nothing — stop paying the K md5 hashes per gram
+      // (the dominant cost) on saturated docs
+      while (it.hasNext && !(exact && nFlagged == grid.length)) {
+        val g = it.next()
         if (!exact && exactSet.contains(CrossHash.md5Hash60(g))) exact = true
-        val phs = Array.tabulate(KHashes)(j => CrossHash.md5Hash60(g + ":bf" + j))
-        var mi = 0
-        while (mi < grid.length) {
-          if (!flags(mi)) {
-            val m = grid(mi)
-            var all = true
-            var j = 0
-            while (all && j < KHashes) {
-              if (!bitsets(mi).get((phs(j) % m).toInt)) all = false
-              j += 1
+        if (nFlagged < grid.length) {
+          val phs = Array.tabulate(KHashes)(j => CrossHash.md5Hash60(g + ":bf" + j))
+          var mi = 0
+          while (mi < grid.length) {
+            if (!flags(mi)) {
+              val m = grid(mi)
+              var all = true
+              var j = 0
+              while (all && j < KHashes) {
+                if (!bitsets(mi).get((phs(j) % m).toInt)) all = false
+                j += 1
+              }
+              if (all) { flags(mi) = true; nFlagged += 1 }
             }
-            if (all) flags(mi) = true
+            mi += 1
           }
-          mi += 1
         }
       }
       (exact, flags.toSeq)

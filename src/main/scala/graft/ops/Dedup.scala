@@ -1410,20 +1410,28 @@ object Dedup {
     rebuildScrubbed(batch, bad)
   }
 
-  /** Inline incremental substring scrub — the ExactSubstr twin of
-    * [[dedupIncremental]]'s arrival regime: docs with doc_id % 10 = 0
-    * play the arriving batch and are scrubbed of every window that
-    * occurs ANYWHERE in the standing corpus (% 10 ≠ 0) — a copied
-    * corpus passage is cut from the new doc at any alignment while
-    * the corpus keeps its copy. Same byte-exact rebuild contract as
-    * [[substrDedup]]. The at-scale story is [[substrScrubIndexed]]:
-    * the corpus side becomes a persisted DISTINCT-hash table bucketed
-    * on `h`, so only the batch shuffles. */
+  /** Inline incremental substring scrub over EXPLICIT batch/corpus
+    * document relations — the ExactSubstr twin of
+    * [[dedupIncrementalOf]]'s arrival regime: `batch` docs are
+    * scrubbed of every window that occurs ANYWHERE in `corpus` — a
+    * copied corpus passage is cut from the new doc at any alignment
+    * while the corpus keeps its copy. Same byte-exact rebuild
+    * contract as [[substrDedup]]. The at-scale story is
+    * [[substrScrubIndexed]]: the corpus side becomes a persisted
+    * DISTINCT-hash table bucketed on `h`, so only the batch
+    * shuffles. */
+  def substrScrubIncrementalOf(batch: DataFrame, corpus: DataFrame): DataFrame =
+    substrScrubAgainst(batch,
+      substrWindowRows(corpus).select(col("h")).distinct())
+
+  /** The registered fixture form: docs with doc_id % 10 = 0 play the
+    * arriving batch, the rest the standing corpus — the arrival
+    * convention lives HERE, not in the operator. */
   def substrScrubIncremental(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    val corpus = substrWindowRows(d.filter(col("doc_id") % 10 =!= 0))
-      .select(col("h")).distinct()
-    substrScrubAgainst(d.filter(col("doc_id") % 10 === 0), corpus)
+    substrScrubIncrementalOf(
+      d.filter(col("doc_id") % 10 === 0),
+      d.filter(col("doc_id") % 10 =!= 0))
   }
 
   /** Oracle mirror of [[substrScrubIncremental]]: corpus-half
@@ -1878,13 +1886,14 @@ object Dedup {
     * are removed. */
   val RepetitionMinSpanWords = 4
 
-  /** One-doc repetition scan: (repeated-window count, rebuilt text).
-    * First-seen survivorship at the window grain INSIDE the doc —
-    * the head copy of a repeated block stays, every later copy's
-    * window positions mark, islands merge, and runs ≥
-    * [[RepetitionMinSpanWords]] cut. */
-  private[graft] def repetitionScan(text: String): (Int, String) = {
-    val hs = windowHashes(text, RepetitionAtomWords)
+  /** One-doc repetition scan at an arbitrary grain: (repeated-window
+    * count, rebuilt text). First-seen survivorship at the window
+    * grain INSIDE the doc — the head copy of a repeated block stays,
+    * every later copy's window positions mark, islands merge, and
+    * runs ≥ `minSpan` words cut. */
+  private[graft] def repetitionScanAt(
+      text: String, atom: Int, minSpan: Int): (Int, String) = {
+    val hs = windowHashes(text, atom)
     val seen = new java.util.HashSet[java.lang.Long]()
     val bad = scala.collection.mutable.ArrayBuffer.empty[Int]
     var i = 0
@@ -1892,11 +1901,21 @@ object Dedup {
       if (!seen.add(hs(i))) bad += i
       i += 1
     }
-    (bad.length,
-      cleanFromPositions(text, bad.toSeq, RepetitionAtomWords, RepetitionMinSpanWords))
+    (bad.length, cleanFromPositions(text, bad.toSeq, atom, minSpan))
   }
 
-  private val repetitionUdf = udf { (text: String) => repetitionScan(text) }
+  /** [[repetitionScanAt]] at the registered fine grain. */
+  private[graft] def repetitionScan(text: String): (Int, String) =
+    repetitionScanAt(text, RepetitionAtomWords, RepetitionMinSpanWords)
+
+  private def repetitionUdfAt(atom: Int, minSpan: Int) =
+    udf { (text: String) => repetitionScanAt(text, atom, minSpan) }
+
+  private val repetitionUdf =
+    repetitionUdfAt(RepetitionAtomWords, RepetitionMinSpanWords)
+
+  private val repetitionCoarseUdf =
+    repetitionUdfAt(MaximalAtomWords, MaximalMinSpanWords)
 
   /** WITHIN-document repeated-block removal, keep-first — the
     * RefinedWeb repetition-removal STEP where [[Curation.gopherScore]]
@@ -1918,10 +1937,12 @@ object Dedup {
   /** The repetition scrub applied to ANY document relation — batch
     * and stream share this ONE projection (it is row-local, so it
     * runs unchanged on a streaming DataFrame: no state store, no
-    * watermark, no shuffle). */
-  private[graft] def repetitionScored(docs: DataFrame): DataFrame =
+    * watermark, no shuffle). `scan` is the per-grain kernel UDF. */
+  private def repetitionScoredWith(
+      docs: DataFrame,
+      scan: org.apache.spark.sql.expressions.UserDefinedFunction): DataFrame =
     docs
-      .select(col("doc_id"), col("text"), repetitionUdf(col("text")).as("r"))
+      .select(col("doc_id"), col("text"), scan(col("text")).as("r"))
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_words"),
         col("r._1").cast("long").as("n_rep_windows"),
@@ -1931,56 +1952,88 @@ object Dedup {
         length(col("r._2")).cast("long").as("len_clean"),
         graft.functions.CrossHash.md5Hash60Col(col("r._2")).as("clean_h"))
 
+  private[graft] def repetitionScored(docs: DataFrame): DataFrame =
+    repetitionScoredWith(docs, repetitionUdf)
+
+  /** [[repetitionScored]] at the CROSS-DOC grain
+    * ([[MaximalAtomWords]]/[[MaximalMinSpanWords]] = 8/12). */
+  private[graft] def repetitionScoredCoarse(docs: DataFrame): DataFrame =
+    repetitionScoredWith(docs, repetitionCoarseUdf)
+
   def repetitionScrub(s: SparkSession, dir: String): DataFrame =
     repetitionScored(t(s, dir, "documents")).orderBy(col("doc_id"))
 
-  /** Oracle mirror: per-(doc, hash) rank for first-seen, per-doc
-    * gaps-and-islands, the span HAVING cut, the shared comprehension
-    * rebuild — the [[substrDedupMaximalSql]] template with the rank
-    * partitioned INSIDE the doc. */
-  val repetitionScrubSql: String = {
-    val A = RepetitionAtomWords
+  /** [[repetitionScrub]] at the coarse grain — the long-block twin:
+    * the 3/4 fine grain catches chorus-style short-period repetition
+    * but ALSO cuts every long self-copy down to its repeated
+    * trigrams, while this grain (the SAME 8-word atom / 12-word
+    * span the cross-doc [[substrDedupMaximal]] family uses) reacts
+    * ONLY to genuinely long intra-doc self-copies — a doc whose tail
+    * replays a ≥ 10-word head carries coarse signal
+    * (`n_rep_windows > 0`), and only replays spanning ≥ 12 words are
+    * cut. Release pipelines run the two grains as separate knobs:
+    * fine for degenerate-text scrubbing, coarse for self-plagiarized
+    * boilerplate where short-period cutting is too aggressive. Same
+    * map-only, shuffle-free shape as the fine grain. */
+  def repetitionScrubCoarse(s: SparkSession, dir: String): DataFrame =
+    repetitionScoredCoarse(t(s, dir, "documents")).orderBy(col("doc_id"))
+
+  /** Oracle mirror, templated per grain: per-(doc, hash) rank for
+    * first-seen, per-doc gaps-and-islands, the span HAVING cut, the
+    * shared comprehension rebuild — the [[substrDedupMaximalSql]]
+    * template with the rank partitioned INSIDE the doc. `prefix`
+    * keeps CTE names globally unique across the oracle suite. */
+  private def repetitionScrubSqlAt(
+      atom: Int, minSpan: Int, prefix: String): String = {
+    val A = atom
+    val p = prefix
     val hWin = graft.functions.CrossHash.sqlHash60(s"array_to_string(w[i + 1 : i + $A], ' ')")
     val hCt = graft.functions.CrossHash.sqlHash60("ct")
-    s"""WITH rp_w AS (
+    s"""WITH ${p}w AS (
        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       |rp_win AS MATERIALIZED (
+       |${p}win AS MATERIALIZED (
        |  SELECT doc_id, i AS pos, $hWin AS h
-       |  FROM rp_w, UNNEST(range(0, len(w) - ${A - 1})) AS t(i)
+       |  FROM ${p}w, UNNEST(range(0, len(w) - ${A - 1})) AS t(i)
        |  WHERE len(w) >= $A),
-       |rp_rk AS MATERIALIZED (
+       |${p}rk AS MATERIALIZED (
        |  SELECT doc_id, pos,
        |    row_number() OVER (PARTITION BY doc_id, h ORDER BY pos) AS rk
-       |  FROM rp_win),
-       |rp_cnt AS (
-       |  SELECT doc_id, COUNT(*) AS n_rep FROM rp_rk WHERE rk > 1 GROUP BY doc_id),
-       |rp_isl AS (
+       |  FROM ${p}win),
+       |${p}cnt AS (
+       |  SELECT doc_id, COUNT(*) AS n_rep FROM ${p}rk WHERE rk > 1 GROUP BY doc_id),
+       |${p}isl AS (
        |  SELECT doc_id, pos,
        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
-       |  FROM rp_rk WHERE rk > 1),
-       |rp_iv AS (
+       |  FROM ${p}rk WHERE rk > 1),
+       |${p}iv AS (
        |  SELECT doc_id, MIN(pos) AS s, MAX(pos) + ${A - 1} AS e
-       |  FROM rp_isl GROUP BY doc_id, island
-       |  HAVING MAX(pos) + $A - MIN(pos) >= $RepetitionMinSpanWords),
-       |rp_ivl AS (
+       |  FROM ${p}isl GROUP BY doc_id, island
+       |  HAVING MAX(pos) + $A - MIN(pos) >= $minSpan),
+       |${p}ivl AS (
        |  SELECT doc_id, list(s ORDER BY s) AS ss, list(e ORDER BY s) AS ee
-       |  FROM rp_iv GROUP BY doc_id),
-       |rp_clean AS (
+       |  FROM ${p}iv GROUP BY doc_id),
+       |${p}clean AS (
        |  SELECT d.doc_id, len(d.w) AS n_words,
        |    COALESCE(array_to_string([d.w[i] FOR i IN generate_series(1, len(d.w))
        |      IF len(list_filter(list_zip(COALESCE(b.ss, CAST([] AS BIGINT[])),
        |                                  COALESCE(b.ee, CAST([] AS BIGINT[]))),
        |             v -> v[1] + 1 <= i AND i <= v[2] + 1)) = 0], ' '), '') AS ct
-       |  FROM rp_w d LEFT JOIN rp_ivl b USING (doc_id))
+       |  FROM ${p}w d LEFT JOIN ${p}ivl b USING (doc_id))
        |SELECT c.doc_id, CAST(c.n_words AS BIGINT) AS n_words,
        |  CAST(COALESCE(k.n_rep, 0) AS BIGINT) AS n_rep_windows,
        |  CAST(c.n_words - CASE WHEN ct = '' THEN 0
        |                        ELSE len(string_split(ct, ' ')) END AS BIGINT) AS n_removed,
        |  CAST(length(ct) AS BIGINT) AS len_clean,
        |  $hCt AS clean_h
-       |FROM rp_clean c LEFT JOIN rp_cnt k USING (doc_id)
+       |FROM ${p}clean c LEFT JOIN ${p}cnt k USING (doc_id)
        |ORDER BY c.doc_id""".stripMargin
   }
+
+  val repetitionScrubSql: String =
+    repetitionScrubSqlAt(RepetitionAtomWords, RepetitionMinSpanWords, "rp_")
+
+  val repetitionScrubCoarseSql: String =
+    repetitionScrubSqlAt(MaximalAtomWords, MaximalMinSpanWords, "rpc_")
 
   /** Corpus totals for [[repetitionScrub]] — the release-review twin
     * of [[substrMaximalReport]] for the intra-doc step: how much
@@ -2005,6 +2058,89 @@ object Dedup {
        |  CAST(COALESCE(SUM(r.n_removed), 0) AS BIGINT) AS n_removed_words,
        |  CAST(COALESCE(SUM(length(d.text) - r.len_clean), 0) AS BIGINT) AS bytes_saved
        |FROM rr r JOIN documents d USING (doc_id)""".stripMargin
+
+  // ---- Repetition grain sweep ----
+
+  /** The sweep grid: (atom words, min removable span words) — the
+    * fine registered grain (3/4) with its neighbors under the
+    * one-atom-longer span rule, plus the cross-doc grain (8/12) the
+    * coarse scrub runs at. The grid is the operator's DECLARED knob
+    * range, not a cap (the sweep-convention rule). */
+  val RepetitionSweepGrid: Seq[(Int, Int)] =
+    Seq((2, 3), (3, 4), (4, 5), (8, 12))
+
+  /** One pass over a doc scoring EVERY grid grain: per grain,
+    * (repeated windows, words a scrub at that grain would remove) —
+    * the [[repetitionScanAt]] kernel per cell, word accounting
+    * identical to [[repetitionScored]]'s column algebra. */
+  private val repSweepUdf = udf { (text: String) =>
+    val nw = text.split(" ", -1).length
+    RepetitionSweepGrid.map { case (atom, minSpan) =>
+      val (nRep, clean) = repetitionScanAt(text, atom, minSpan)
+      val kept = if (clean == "") 0 else clean.split(" ", -1).length
+      (nRep, nw - kept)
+    }
+  }
+
+  /** Knob audit for the intra-doc repetition scrubs
+    * ([[repetitionScrub]] / [[repetitionScrubCoarse]]): per grid
+    * grain — docs carrying repetition signal, total repeated
+    * windows, docs a scrub at that grain would actually cut, and
+    * the words it would remove. The curve is the knob decision: the
+    * 2/3-gram rows over-fire on natural phrase reuse, 8/12 reacts
+    * only to long self-copies. Coarser atoms are provably a SUBSET
+    * signal (every repeated k-gram contains a repeated j-gram for
+    * j < k at the same position), so n_docs_signal / n_rep_windows
+    * are non-increasing down the grid — spec-pinned.
+    *
+    * Scale shape: ONE map-only kernel pass scores all grains per
+    * doc (no shuffle until the 4-group agg of narrow int rows);
+    * explicit-grid totality via a left join from the 4-row grid
+    * relation, so an empty corpus reports the full zeroed grid. */
+  def repetitionGrainSweepOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val perGrain = docs
+      .select(posexplode(repSweepUdf(col("text"))).as(Seq("gi", "r")))
+      .groupBy(col("gi"))
+      .agg(
+        sum(when(col("r._1") > 0, 1L).otherwise(0L)).as("n_docs_signal"),
+        sum(col("r._1").cast("long")).as("n_rep_windows"),
+        sum(when(col("r._2") > 0, 1L).otherwise(0L)).as("n_docs_cut"),
+        sum(col("r._2").cast("long")).as("n_removed_words"))
+    val grid = RepetitionSweepGrid.zipWithIndex
+      .map { case ((a, m), i) => (i, a, m) }
+      .toDF("gi", "atom_words", "min_span_words")
+    grid.join(perGrain, Seq("gi"), "left")
+      .select(col("atom_words").cast("int"),
+        col("min_span_words").cast("int"),
+        coalesce(col("n_docs_signal"), lit(0L)).as("n_docs_signal"),
+        coalesce(col("n_rep_windows"), lit(0L)).as("n_rep_windows"),
+        coalesce(col("n_docs_cut"), lit(0L)).as("n_docs_cut"),
+        coalesce(col("n_removed_words"), lit(0L)).as("n_removed_words"))
+      .orderBy(col("atom_words"))
+  }
+
+  def repetitionGrainSweep(s: SparkSession, dir: String): DataFrame =
+    repetitionGrainSweepOf(t(s, dir, "documents"))
+
+  /** Oracle mirror: one instantiation of the per-grain scrub
+    * template per grid cell (unique `rgs<atom>_` CTE prefixes — the
+    * shadowing rule), each folded to its totals row, UNION ALL. */
+  lazy val repetitionGrainSweepSql: String = {
+    val rows = RepetitionSweepGrid.map { case (atom, minSpan) =>
+      val inner = repetitionScrubSqlAt(atom, minSpan, s"rgs${atom}_")
+      s"""SELECT CAST($atom AS INTEGER) AS atom_words,
+         |  CAST($minSpan AS INTEGER) AS min_span_words,
+         |  CAST(COALESCE(SUM(CASE WHEN n_rep_windows > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_docs_signal,
+         |  CAST(COALESCE(SUM(n_rep_windows), 0) AS BIGINT) AS n_rep_windows,
+         |  CAST(COALESCE(SUM(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_docs_cut,
+         |  CAST(COALESCE(SUM(n_removed), 0) AS BIGINT) AS n_removed_words
+         |FROM (
+         |$inner
+         |)""".stripMargin
+    }
+    rows.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n)\nORDER BY atom_words")
+  }
 
   /** Cap observability — the "no silent caps" audit: every inline
     * detector bounds hot buckets with [[MaxPosting]], and THIS
@@ -2413,10 +2549,11 @@ object Dedup {
       |       THEN 1 ELSE 0 END AS is_dup
       |FROM n ORDER BY doc_id""".stripMargin
 
-  /** Incremental near-dedup: an INCOMING batch (stand-in split:
-    * doc_id % 10 = 0) checked against the EXISTING corpus (the rest)
-    * — the production shape for continuously-ingested training data,
-    * where re-deduping the whole corpus per batch is unaffordable.
+  /** Incremental near-dedup over EXPLICIT batch/corpus document
+    * relations: an INCOMING `batch` checked against the EXISTING
+    * `corpus` — the production shape for continuously-ingested
+    * training data, where re-deduping the whole corpus per batch is
+    * unaffordable.
     *
     * Same md5-affine MinHash signatures and banding as
     * [[minhashLsh]], but candidate generation is an ASYMMETRIC
@@ -2432,24 +2569,24 @@ object Dedup {
     * Output: one row per incoming doc with ≥1 verified match —
     * lowest matching corpus doc, match count, best signature-
     * agreement estimate. */
-  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
-    val sig = d.select(col("doc_id"), md5ShingleUdf(col("text")).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .select(col("doc_id"), minhashUdf(col("hs")).as("sig"))
-    val banded = sig.select(
-      col("doc_id"), col("sig"),
-      explode(expr(
-        s"transform(sequence(0, ${Bands - 1}), " +
-          s"b -> struct(b AS band, slice(sig, b * $RowsPerBand + 1, $RowsPerBand) AS bkey))"))
-        .as("bb"))
-      .select(col("bb.band").as("band"), col("bb.bkey").as("bkey"),
-        col("doc_id"), col("sig"))
-    val incoming = banded.filter(col("doc_id") % 10 === 0)
+  def dedupIncrementalOf(batch: DataFrame, corpus: DataFrame): DataFrame = {
+    def bandedOf(docs: DataFrame): DataFrame =
+      docs.select(col("doc_id"), md5ShingleUdf(col("text")).as("hs"))
+        .filter(size(col("hs")) > 0)
+        .select(col("doc_id"), minhashUdf(col("hs")).as("sig"))
+        .select(
+          col("doc_id"), col("sig"),
+          explode(expr(
+            s"transform(sequence(0, ${Bands - 1}), " +
+              s"b -> struct(b AS band, slice(sig, b * $RowsPerBand + 1, $RowsPerBand) AS bkey))"))
+            .as("bb"))
+        .select(col("bb.band").as("band"), col("bb.bkey").as("bkey"),
+          col("doc_id"), col("sig"))
+    val incoming = bandedOf(batch)
       .select(col("band"), col("bkey"),
         col("doc_id").as("doc_new"), col("sig").as("sig_new"))
     val wb = Window.partitionBy(col("band"), col("bkey"))
-    val existing = banded.filter(col("doc_id") % 10 =!= 0)
+    val existing = bandedOf(corpus)
       .withColumn("bucket_n", count(lit(1)).over(wb))
       .filter(col("bucket_n") <= MaxPosting)
       .select(col("band"), col("bkey"),
@@ -2470,6 +2607,17 @@ object Dedup {
         count(lit(1)).as("n_dups"),
         r6(max(col("est"))).as("best_est"))
       .orderBy(col("doc_new"))
+  }
+
+  /** The registered fixture form of [[dedupIncrementalOf]]: docs
+    * with doc_id % 10 = 0 play the arriving batch, the rest the
+    * standing corpus — the arrival convention lives HERE, not in
+    * the operator (the [[dedupIncrementalIndexedOf]] convention). */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    dedupIncrementalOf(
+      d.filter(col("doc_id") % 10 === 0),
+      d.filter(col("doc_id") % 10 =!= 0))
   }
 
   /** Oracle mirror of [[dedupIncremental]] — identical signature
@@ -3653,6 +3801,8 @@ object Dedup {
     "span_dedup" -> (spanDedup _),
     "substr_dedup" -> (substrDedup _),
     "repetition_scrub" -> (repetitionScrub _),
+    "repetition_scrub_coarse" -> (repetitionScrubCoarse _),
+    "repetition_grain_sweep" -> (repetitionGrainSweep _),
     "repetition_report" -> (repetitionReport _),
     "substr_dedup_maximal" -> (substrDedupMaximal _),
     "maximal_scrub_incremental" -> (maximalScrubIncremental _),
@@ -3686,6 +3836,8 @@ object Dedup {
     "span_dedup" -> spanDedupSql,
     "substr_dedup" -> substrDedupSql,
     "repetition_scrub" -> repetitionScrubSql,
+    "repetition_scrub_coarse" -> repetitionScrubCoarseSql,
+    "repetition_grain_sweep" -> repetitionGrainSweepSql,
     "repetition_report" -> repetitionReportSql,
     "substr_dedup_maximal" -> substrDedupMaximalSql,
     "maximal_scrub_incremental" -> maximalScrubIncrementalSql,

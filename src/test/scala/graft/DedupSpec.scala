@@ -728,4 +728,132 @@ class DedupSpec extends AnyFunSuite {
     assert(words("raw") > words("exact") && words("exact") > words("normalized")
       && words("normalized") > words("neardup"), s"word funnel monotone: $got")
   }
+
+  test("repetition_scrub_coarse: the 8/12 grain cuts only long self-copies — fine and coarse provably disagree both ways") {
+    import spark.implicits._
+    val h10 = (1 to 10).map(i => s"h$i")
+    val h14 = (1 to 14).map(i => s"g$i")
+    val mid = (1 to 3).map(i => s"m$i")
+    // doc 1: tail replays a 10-word head — coarse SIGNAL (3 repeated
+    // 8-gram windows, run span 10 < 12) but NO cut; the fine grain
+    // cuts the whole 10-word replay
+    val d1 = h10 ++ mid ++ h10
+    // doc 2: tail replays a 14-word head — span 14 >= 12, the coarse
+    // grain cuts exactly the replay (both grains agree here)
+    val d2 = h14 ++ mid ++ h14
+    // doc 3: a scattered 4-word phrase repeat — fine cuts it (span 4),
+    // coarse is structurally blind (no repeated 8-gram exists)
+    val d3 = Seq("q1", "q2", "q3", "q4") ++ (1 to 5).map(i => s"z$i") ++
+      Seq("q1", "q2", "q3", "q4") ++ Seq("t1", "t2")
+    val dir = java.nio.file.Files.createTempDirectory("graft-repc").toString
+    Seq((1L, d1.mkString(" ")), (2L, d2.mkString(" ")), (3L, d3.mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // (n_rep_windows, n_removed, clean_h)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(5)))).toMap
+    val coarse = rows(Dedup.repetitionScrubCoarse(spark, dir))
+    val fine = rows(Dedup.repetitionScrub(spark, dir))
+    // doc 1: coarse = signal without removal; fine removes 10 words
+    assert(coarse(1L)._1 == 3L && coarse(1L)._2 == 0L,
+      s"10-word replay is coarse signal, not a coarse cut: ${coarse(1L)}")
+    assert(fine(1L)._2 == 10L, s"the fine grain cuts the replay: ${fine(1L)}")
+    assert(coarse(1L)._3 != fine(1L)._3, "grains must provably disagree on doc 1")
+    // doc 2: coarse cuts exactly the 14-word replay, byte-exact
+    assert(coarse(2L)._1 == 7L && coarse(2L)._2 == 14L, s"${coarse(2L)}")
+    val expect2 = (h14 ++ mid).mkString(" ")
+    assert(coarse(2L)._3 == graft.functions.CrossHash.md5Hash60(expect2),
+      "keep-first byte-exact rebuild at the coarse grain")
+    // doc 3: coarse is blind to a short-period repeat the fine cuts
+    assert(coarse(3L) == ((0L, 0L, graft.functions.CrossHash.md5Hash60(d3.mkString(" ")))),
+      s"no repeated 8-gram exists in doc 3: ${coarse(3L)}")
+    assert(fine(3L)._2 == 4L, s"fine cuts the scattered phrase: ${fine(3L)}")
+  }
+
+  test("substr_scrub_incremental takes EXPLICIT batch/corpus relations — ids chosen to BREAK the %10 fixture convention") {
+    import spark.implicits._
+    val passage = (1 to 16).map(i => s"s$i")
+    // corpus doc 20 (%10 == 0: would be "batch" under the fixture
+    // split) carries the passage; batch doc 7 (%10 != 0) embeds it
+    // at a different offset plus its own 15-word window
+    val corpus = Seq(
+      (20L, (passage ++ (1 to 4).map(i => s"a$i")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val own = (1 to 15).map(i => s"own$i")
+    val batch = Seq(
+      (7L, ((1 to 3).map(i => s"b$i") ++ passage ++ own).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.substrScrubIncrementalOf(batch, corpus).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    assert(got.keySet == Set(7L), "only batch docs are scrubbed/reported")
+    assert(got(7L)._1 == 34L && got(7L)._2 == 16L,
+      s"exactly the corpus passage is cut from the batch doc: ${got(7L)}")
+    val expect = ((1 to 3).map(i => s"b$i") ++ own).mkString(" ")
+    assert(got(7L)._3 == graft.functions.CrossHash.md5Hash60(expect),
+      "byte-exact rebuild; the doc's OWN 15-word window survives")
+  }
+
+  test("dedup_incremental takes EXPLICIT batch/corpus relations — ids chosen to BREAK the %10 fixture convention") {
+    import spark.implicits._
+    val text = (1 to 30).map(i => s"w$i").mkString(" ")
+    val other = (1 to 30).map(i => s"v$i").mkString(" ")
+    val corpus = Seq((20L, text), (30L, other)).toDF("doc_id", "text")
+    val batch = Seq((7L, text), (9L, (1 to 30).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupIncrementalOf(batch, corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((7L, 20L, 1L, 1.0)),
+      s"batch doc 7 matches corpus doc 20 exactly; the unrelated batch doc reports nothing: ${got.toSeq}")
+  }
+
+  test("the registered incremental forms ARE the explicit forms under the %10 fixture split") {
+    val sf = "/root/testdata/sf0.001"
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val regScrub = Dedup.substrScrubIncremental(spark, sf).collect().toSeq
+    val ofScrub = Dedup.substrScrubIncrementalOf(
+      d.filter(col("doc_id") % 10 === 0), d.filter(col("doc_id") % 10 =!= 0))
+      .collect().toSeq
+    assert(regScrub == ofScrub)
+    val regDedup = Dedup.dedupIncremental(spark, sf).collect().toSeq
+    val ofDedup = Dedup.dedupIncrementalOf(
+      d.filter(col("doc_id") % 10 === 0), d.filter(col("doc_id") % 10 =!= 0))
+      .collect().toSeq
+    assert(regDedup == ofDedup)
+  }
+
+  test("repetition_grain_sweep: explicit-grid totality on an empty corpus, monotone signal down the grid, and grid rows equal the registered scrubs' totals") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val zeroed = Dedup.repetitionGrainSweepOf(empty).collect()
+    assert(zeroed.map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Dedup.RepetitionSweepGrid.map { case (a, m) => (a, m) },
+      "an empty corpus must still report the FULL grid")
+    assert(zeroed.forall(r => (2 to 5).forall(r.getLong(_) == 0L)))
+    // planted corpus with signal at every grain (a replayed 14-word
+    // head) plus fine-only signal (a scattered 4-word phrase)
+    val h14 = (1 to 14).map(i => s"g$i")
+    val docs = Seq(
+      (1L, (h14 ++ Seq("m1", "m2") ++ h14).mkString(" ")),
+      (2L, ("e1 f2 e3 " + "echo foxtrot golf hotel zz1 zz2 echo foxtrot golf hotel")),
+      (3L, (1 to 25).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.repetitionGrainSweepOf(docs).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // signal is non-increasing in atom size (every repeated k-gram
+    // contains a repeated shorter gram at the same position)
+    val ordered = Dedup.RepetitionSweepGrid.map(got(_))
+    assert(ordered.sliding(2).forall { case Seq(a, b) => a._1 >= b._1 && a._2 >= b._2 },
+      s"n_docs_signal / n_rep_windows must be monotone down the grid: $ordered")
+    // the (8,12) row IS repetition_scrub_coarse's totals; (3,4) IS
+    // repetition_scrub's — the sweep and the registered scrubs can't drift
+    val dir = java.nio.file.Files.createTempDirectory("graft-rgsw").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def totals(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .foldLeft((0L, 0L, 0L, 0L)) { (t, r) =>
+        (t._1 + (if (r.getLong(2) > 0) 1L else 0L), t._2 + r.getLong(2),
+         t._3 + (if (r.getLong(3) > 0) 1L else 0L), t._4 + r.getLong(3))
+      }
+    assert(got((8, 12)) == totals(Dedup.repetitionScrubCoarse(spark, dir)))
+    assert(got((3, 4)) == totals(Dedup.repetitionScrub(spark, dir)))
+  }
 }
