@@ -582,6 +582,35 @@ object Curation {
     * and stream semantics cannot drift. Map-only (array HOFs, no
     * shuffle), which is exactly why it streams without state. */
   def gopherScore(d: DataFrame): DataFrame = {
+    val sig = gopherSignals(d)
+    sig.select(
+      col("doc_id"),
+      col("n_words").cast("long").as("n_words"),
+      r6(col("twf")).as("top_word_frac"),
+      r6(col("dup_frac")).as("dup_2gram_frac"),
+      r6(col("mwl")).as("mean_word_len"),
+      gopherKeep(lit(GopherTwfMax)).cast("int").as("keep"))
+  }
+
+  /** Registered gopher thresholds (Rae et al. 2021 §A1.1). */
+  val GopherTwfMax = 0.12
+  val GopherDupMax = 0.1
+  val GopherMwlMin = 3.0
+  val GopherMwlMax = 10.0
+
+  /** The keep predicate over [[gopherSignals]] columns at a given
+    * top-word-frac cutoff — UNROUNDED doubles (identical integer
+    * ratios in both engines, so bit-deterministic; the gopherScore
+    * convention), shared by the registered filter and the sweep. */
+  private def gopherKeep(twfMax: Column): Column =
+    col("twf") <= twfMax && col("dup_frac") <= GopherDupMax &&
+      col("mwl") >= GopherMwlMin && col("mwl") <= GopherMwlMax
+
+  /** The UNROUNDED gopher signals on ANY (doc_id, text) relation —
+    * (doc_id, n_words, twf, dup_frac, mwl); [[gopherScore]] rounds
+    * and thresholds these, [[gopherThresholdSweepOf]] sweeps the
+    * twf cutoff over them. Map-only. */
+  private def gopherSignals(d: DataFrame): DataFrame = {
     val base = d.select(col("doc_id"), col("text"), ws.as("w"))
       .withColumn("n_words", size(col("w")))
     // max word frequency as the longest run in the SORTED array — one
@@ -605,14 +634,92 @@ object Curation {
       lit(1.0) - size(array_distinct(g2)).cast("double") / size(g2))
       .otherwise(lit(0.0))
     val mwl = (length(col("text")) - col("n_words") + 1).cast("double") / col("n_words")
-    base.select(
-      col("doc_id"),
-      col("n_words").cast("long").as("n_words"),
-      r6(twf).as("top_word_frac"),
-      r6(dupFrac).as("dup_2gram_frac"),
-      r6(mwl).as("mean_word_len"),
-      (twf <= 0.12 && dupFrac <= 0.1 && mwl >= 3.0 && mwl <= 10.0)
-        .cast("int").as("keep"))
+    base.select(col("doc_id"), col("n_words"),
+      twf.as("twf"), dupFrac.as("dup_frac"), mwl.as("mwl"))
+  }
+
+  // ---- Gopher threshold sweep ----
+
+  /** Top-word-frac cutoff grid: permissive → the registered 0.12 →
+    * loose — the knob that decides how much looping boilerplate a
+    * release tolerates. The other two thresholds stay at their
+    * registered values (a full 3-D grid reads as noise; the twf
+    * cutoff is the one that moves real corpora). */
+  val GopherTwfGrid: Seq[Double] = Seq(0.08, GopherTwfMax, 0.2, 0.5)
+
+  /** Yield curve for the [[gopherScore]] keep filter per twf cutoff:
+    * docs kept, words kept, kept fraction. The curve is the release
+    * decision — on a corpus where 0.08 → 0.12 doubles the kept docs,
+    * the filter is riding the natural-phrase-reuse cliff, not
+    * catching boilerplate. ONE [[gopherSignals]] scan; every grid
+    * cell is a conditional aggregate of the same pass (map-side
+    * partials — no per-cell rescan, no shuffle wider than one global
+    * agg row), unpivoted via stack. Total on an empty corpus: the
+    * global aggregate always emits its one row, so the full grid
+    * reports zeros (kept_frac zero-division-guarded). */
+  def gopherThresholdSweepOf(d: DataFrame): DataFrame = {
+    val sig = gopherSignals(d)
+    val cells = GopherTwfGrid.zipWithIndex.flatMap { case (c, i) =>
+      val kept = gopherKeep(lit(c))
+      Seq(
+        coalesce(sum(when(kept, 1L).otherwise(0L)), lit(0L)).as(s"d$i"),
+        coalesce(sum(when(kept, col("n_words").cast("long")).otherwise(0L)),
+          lit(0L)).as(s"w$i"))
+    }
+    val tot = sig.agg(count(lit(1)).as("n_docs"), cells: _*)
+    val stackArgs = GopherTwfGrid.zipWithIndex
+      .map { case (c, i) => s"CAST($c AS DOUBLE), d$i, w$i" }
+      .mkString(", ")
+    tot
+      .select(col("n_docs"),
+        expr(s"stack(${GopherTwfGrid.size}, $stackArgs) AS " +
+          "(twf_max, n_docs_kept, n_words_kept)"))
+      .select(col("twf_max"),
+        col("n_docs_kept"), col("n_words_kept"),
+        graft.functions.VectorFunctions.r6(
+          when(col("n_docs") === 0, 0.0)
+            .otherwise(col("n_docs_kept").cast("double") / col("n_docs")))
+          .as("kept_frac"))
+      .orderBy(col("twf_max"))
+  }
+
+  def gopherThresholdSweep(s: SparkSession, dir: String): DataFrame =
+    gopherThresholdSweepOf(t(s, dir, "documents"))
+
+  /** Oracle mirror: the same unrounded signal CTE as
+    * [[gopherQualitySql]] (prefix `gts_`), one conditional-aggregate
+    * row per cutoff, UNION ALL. */
+  val gopherThresholdSweepSql: String = {
+    val m =
+      """SELECT doc_id, n_words,
+        |    CAST(list_max(list_transform(list_distinct(w),
+        |      x -> len(list_filter(w, y -> y = x)))) AS DOUBLE) / n_words AS twf,
+        |    CASE WHEN n_words >= 2 THEN
+        |      1.0 - CAST(len(list_distinct([w[i] || ' ' || w[i+1]
+        |              FOR i IN generate_series(1, len(w) - 1)])) AS DOUBLE)
+        |            / (n_words - 1)
+        |    ELSE 0.0 END AS dup_frac,
+        |    CAST(length(text) - n_words + 1 AS DOUBLE) / n_words AS mwl
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w,
+        |          len(string_split(text, ' ')) AS n_words FROM documents)""".stripMargin
+    val rows = GopherTwfGrid.map { c =>
+      s"""SELECT CAST($c AS DOUBLE) AS twf_max,
+         |  CAST(COALESCE(SUM(CASE WHEN keep THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_docs_kept,
+         |  CAST(COALESCE(SUM(CASE WHEN keep THEN n_words ELSE 0 END), 0) AS BIGINT) AS n_words_kept,
+         |  round(CASE WHEN COUNT(*) = 0 THEN 0.0
+         |             ELSE CAST(COALESCE(SUM(CASE WHEN keep THEN 1 ELSE 0 END), 0) AS DOUBLE) / COUNT(*)
+         |        END, 6) + 0 AS kept_frac
+         |FROM (SELECT n_words,
+         |        twf <= $c AND dup_frac <= $GopherDupMax
+         |          AND mwl >= $GopherMwlMin AND mwl <= $GopherMwlMax AS keep
+         |      FROM gts_m)""".stripMargin
+    }
+    s"""WITH gts_m AS MATERIALIZED (
+       |  $m)
+       |SELECT * FROM (
+       |${rows.mkString("\nUNION ALL\n")}
+       |)
+       |ORDER BY twf_max""".stripMargin
   }
 
   val gopherQualitySql: String =
@@ -2649,6 +2756,7 @@ object Curation {
     "quality_ensemble" -> (qualityEnsemble _),
     "line_dedup_report" -> (lineDedupReport _),
     "gopher_quality" -> (gopherQuality _),
+    "gopher_threshold_sweep" -> (gopherThresholdSweep _),
     "redact_mask" -> (redactMask _),
     "pii_report" -> (piiReport _),
     "url_filter" -> (urlFilter _),
@@ -2690,6 +2798,7 @@ object Curation {
     "quality_ensemble" -> qualityEnsembleSql,
     "line_dedup_report" -> lineDedupReportSql,
     "gopher_quality" -> gopherQualitySql,
+    "gopher_threshold_sweep" -> gopherThresholdSweepSql,
     "redact_mask" -> redactMaskSql,
     "pii_report" -> piiReportSql,
     "url_filter" -> urlFilterSql,

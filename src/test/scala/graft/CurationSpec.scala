@@ -717,4 +717,30 @@ class CurationSpec extends AnyFunSuite {
       s"verbatim copy shares every distinct 3-gram: $exact")
     assert(!exact.contains(2L), s"unrelated doc never flags: $exact")
   }
+
+  test("gopher_threshold_sweep: monotone yield curve, registered-cutoff row equals gopher_quality's keeps, empty-corpus grid is total") {
+    val got = Curation.gopherThresholdSweep(spark, dir).collect()
+      .map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+    assert(got.map(_._1).toSeq == Curation.GopherTwfGrid,
+      "one row per grid cutoff, cutoff-ordered")
+    // loosening the cutoff can only ADD kept docs/words
+    assert(got.sliding(2).forall { case Array((_, a), (_, b)) =>
+      a._1 <= b._1 && a._2 <= b._2 }, s"yield must be monotone in the cutoff: ${got.toSeq}")
+    // the registered 0.12 row IS the registered filter's outcome —
+    // the sweep and gopher_quality share one predicate, no drift
+    val reg = got.find(_._1 == Curation.GopherTwfMax).get._2
+    val gq = Curation.gopherQuality(spark, dir).collect()
+    val kept = gq.filter(_.getAs[Int]("keep") == 1)
+    assert(reg._1 == kept.length.toLong)
+    assert(reg._2 == kept.map(_.getAs[Long]("n_words")).sum)
+    assert(reg._3 == java.math.BigDecimal.valueOf(kept.length.toDouble / gq.length)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+    // empty corpus: the full grid reports zeros, no division error
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val zeroed = Curation.gopherThresholdSweepOf(empty).collect()
+    assert(zeroed.length == Curation.GopherTwfGrid.size)
+    assert(zeroed.forall(r =>
+      r.getLong(1) == 0L && r.getLong(2) == 0L && r.getDouble(3) == 0.0))
+  }
 }
