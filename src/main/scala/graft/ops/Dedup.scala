@@ -1817,6 +1817,151 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- Post-scrub residual-contamination audit ----
+
+  /** What the maximal scrub's min-span policy LEAVES BEHIND: scrub
+    * `batch` against `corpus` (the [[maximalScrubIncremental]]
+    * chain, verbatim), then re-derive the CLEANED docs'
+    * [[MaximalAtomWords]]-gram windows and count how many still hit
+    * the corpus hash set. Residuals are structural, not bugs: (a)
+    * duplicated runs shorter than [[MaximalMinSpanWords]] are
+    * flagged-but-not-cut by design, and (b) a cut can splice two
+    * survivors into a NEW window that happens to hit. The report is
+    * the release decision between scrubbing at 8/12 and tightening
+    * the span (or going to the fixed-grid full cut): one row —
+    * batch docs, windows and corpus hits before, windows and hits
+    * after, and the residual fraction (hits_after / hits_before).
+    *
+    * Scale shape: corpus hashes derive ONCE and are used three
+    * times (probe, before-count, after-count — at 100 TB this side
+    * is the persisted bucketed index, [[maximalScrubIndexedOf]]'s
+    * convention); hit counting is a LEFT join against the DISTINCT
+    * hash set (no row multiplication) folded straight into a 1-row
+    * aggregate per side, joined by the broadcast-scalar
+    * convention. */
+  private def maximalScrubResidualAgainst(
+      batch: DataFrame, corpusHashes: DataFrame): DataFrame = {
+    val iv = islandsFromBad(
+        maximalWindowRows(batch).join(corpusHashes, Seq("h"), "left_semi"))
+      .filter(col("e") - col("s") + 1 >= MaximalMinSpanWords)
+    val ivl = iv.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("iv"))
+      .select(col("doc_id"),
+        expr("transform(iv, x -> x.s)").as("ss"),
+        expr("transform(iv, x -> x.e)").as("ee"))
+    val cleaned = batch.select(col("doc_id"), col("text"))
+      .join(ivl, Seq("doc_id"), "left")
+      .withColumn("ss", coalesce(col("ss"), array().cast("array<int>")))
+      .withColumn("ee", coalesce(col("ee"), array().cast("array<int>")))
+      .select(col("doc_id"),
+        intervalScrubUdf(col("text"), col("ss"), col("ee")).as("text"))
+    // hit counting: LEFT join against the DISTINCT hash set (no row
+    // multiplication) folded straight into a 1-row aggregate
+    def winStats(docs: DataFrame, suffix: String): DataFrame =
+      maximalWindowRows(docs)
+        .join(corpusHashes.withColumn("one", lit(1L)), Seq("h"), "left")
+        .agg(count(lit(1)).as(s"n_windows_$suffix"),
+          coalesce(sum(col("one")), lit(0L)).as(s"n_hits_$suffix"))
+    batch.agg(count(lit(1)).as("n_batch_docs"))
+      .crossJoin(winStats(batch, "before"))
+      .crossJoin(winStats(cleaned, "after"))
+      .select(col("n_batch_docs"),
+        col("n_windows_before"), col("n_hits_before"),
+        col("n_windows_after"), col("n_hits_after"),
+        r6(when(col("n_hits_before") === 0, 0.0)
+          .otherwise(col("n_hits_after").cast("double") / col("n_hits_before")))
+          .as("residual_frac"))
+  }
+
+  def maximalScrubResidualOf(batch: DataFrame, corpus: DataFrame): DataFrame =
+    maximalScrubResidualAgainst(batch,
+      maximalWindowRows(corpus).select(col("h")).distinct())
+
+  /** The registered fixture form — the %10 arrival split, like its
+    * scrub ([[maximalScrubIncremental]]). */
+  def maximalScrubResidual(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    maximalScrubResidualOf(
+      d.filter(col("doc_id") % 10 === 0),
+      d.filter(col("doc_id") % 10 =!= 0))
+  }
+
+  /** [[maximalScrubResidualOf]] against the PERSISTED corpus index —
+    * the at-scale form ([[maximalScrubIndexedOf]]'s convention): the
+    * bucketed hash table serves the probe and both hit counts, so
+    * the corpus is never re-derived (nor shuffled) per audit.
+    * Format-gated like every index consumer. */
+  def maximalScrubResidualIndexedOf(batch: DataFrame, table: String): DataFrame = {
+    requireIndexFormat(batch.sparkSession, table)
+    // DISTINCT because appended (uncompacted) generations re-insert
+    // hashes — a duplicate h must not double-count hits; on the
+    // bucketed table the distinct is bucket-local, no exchange
+    maximalScrubResidualAgainst(batch,
+      batch.sparkSession.table(table).select(col("h")).distinct())
+  }
+
+  /** Oracle mirror of [[maximalScrubResidual]]: the incremental
+    * scrub's own CTE chain (`msr_` prefixes) extended with the
+    * cleaned docs' re-derived window stream; hits count by
+    * membership in the SAME corpus hash CTE. */
+  val maximalScrubResidualSql: String = {
+    val A = MaximalAtomWords
+    val hWin = graft.functions.CrossHash.sqlHash60(s"array_to_string(w[i + 1 : i + $A], ' ')")
+    val hCw = graft.functions.CrossHash.sqlHash60(s"array_to_string(cw[i + 1 : i + $A], ' ')")
+    s"""WITH msr_w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |msr_win AS MATERIALIZED (
+       |  SELECT doc_id, i AS pos, $hWin AS h
+       |  FROM msr_w, UNNEST(range(0, len(w) - ${A - 1})) AS t(i)
+       |  WHERE len(w) >= $A),
+       |msr_corpus AS MATERIALIZED (
+       |  SELECT DISTINCT h FROM msr_win WHERE doc_id % 10 <> 0),
+       |msr_isl AS (
+       |  SELECT doc_id, pos,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM msr_win
+       |  WHERE doc_id % 10 = 0 AND h IN (SELECT h FROM msr_corpus)),
+       |msr_iv AS (
+       |  SELECT doc_id, MIN(pos) AS s, MAX(pos) + ${A - 1} AS e
+       |  FROM msr_isl GROUP BY doc_id, island
+       |  HAVING MAX(pos) + $A - MIN(pos) >= $MaximalMinSpanWords),
+       |msr_ivl AS (
+       |  SELECT doc_id, list(s ORDER BY s) AS ss, list(e ORDER BY s) AS ee
+       |  FROM msr_iv GROUP BY doc_id),
+       |msr_clean AS MATERIALIZED (
+       |  SELECT d.doc_id,
+       |    COALESCE(array_to_string([d.w[i] FOR i IN generate_series(1, len(d.w))
+       |      IF len(list_filter(list_zip(COALESCE(b.ss, CAST([] AS BIGINT[])),
+       |                                  COALESCE(b.ee, CAST([] AS BIGINT[]))),
+       |             v -> v[1] + 1 <= i AND i <= v[2] + 1)) = 0], ' '), '') AS ct
+       |  FROM msr_w d LEFT JOIN msr_ivl b USING (doc_id)
+       |  WHERE d.doc_id % 10 = 0),
+       |msr_awin AS MATERIALIZED (
+       |  SELECT doc_id, $hCw AS h
+       |  FROM (SELECT doc_id, string_split(ct, ' ') AS cw FROM msr_clean),
+       |    UNNEST(range(0, len(cw) - ${A - 1})) AS t(i)
+       |  WHERE len(cw) >= $A),
+       |msr_before AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_windows_before,
+       |    CAST(COALESCE(SUM(CASE WHEN h IN (SELECT h FROM msr_corpus)
+       |                           THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits_before
+       |  FROM msr_win WHERE doc_id % 10 = 0),
+       |msr_after AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_windows_after,
+       |    CAST(COALESCE(SUM(CASE WHEN h IN (SELECT h FROM msr_corpus)
+       |                           THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits_after
+       |  FROM msr_awin),
+       |msr_docs AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_batch_docs
+       |  FROM documents WHERE doc_id % 10 = 0)
+       |SELECT n_batch_docs, n_windows_before, n_hits_before,
+       |  n_windows_after, n_hits_after,
+       |  round(CASE WHEN n_hits_before = 0 THEN 0.0
+       |             ELSE CAST(n_hits_after AS DOUBLE) / n_hits_before END, 6) + 0
+       |    AS residual_frac
+       |FROM msr_docs, msr_before, msr_after""".stripMargin
+  }
+
   /** Variable-length scrub of an ARRIVING batch (doc_id % 10 = 0)
     * against the persisted corpus-half index — the maximal twin of
     * [[substrScrubIndexed]]: same probe as the inline form but the
@@ -3806,6 +3951,7 @@ object Dedup {
     "repetition_report" -> (repetitionReport _),
     "substr_dedup_maximal" -> (substrDedupMaximal _),
     "maximal_scrub_incremental" -> (maximalScrubIncremental _),
+    "maximal_scrub_residual" -> (maximalScrubResidual _),
     "substr_maximal_report" -> (substrMaximalReport _),
     "substr_threshold_sweep" -> (substrThresholdSweep _),
     "substr_dedup_report" -> (substrDedupReport _),
@@ -3841,6 +3987,7 @@ object Dedup {
     "repetition_report" -> repetitionReportSql,
     "substr_dedup_maximal" -> substrDedupMaximalSql,
     "maximal_scrub_incremental" -> maximalScrubIncrementalSql,
+    "maximal_scrub_residual" -> maximalScrubResidualSql,
     "substr_maximal_report" -> substrMaximalReportSql,
     "substr_threshold_sweep" -> substrThresholdSweepSql,
     "substr_dedup_report" -> substrDedupReportSql,

@@ -432,6 +432,13 @@ object StreamingIndex {
   def repetitionScrubStream(docs: DataFrame): DataFrame =
     graft.ops.Dedup.repetitionScored(docs.filter(col("text").isNotNull))
 
+  /** [[repetitionScrubStream]] at the coarse cross-doc grain (8/12,
+    * [[graft.ops.Dedup.repetitionScrubCoarse]]) — the same shared
+    * row-local projection, so the stream IS the batch kernel: no
+    * state store, no watermark, no shuffle. */
+  def repetitionScrubCoarseStream(docs: DataFrame): DataFrame =
+    graft.ops.Dedup.repetitionScoredCoarse(docs.filter(col("text").isNotNull))
+
   /** Streaming anomaly scorer — train-on-history, score-the-stream:
     * watermarked hourly tumbling counts per event type, stream-static
     * joined to a batch-trained stats table (`Events.hourlyStats`),

@@ -856,4 +856,47 @@ class DedupSpec extends AnyFunSuite {
     assert(got((8, 12)) == totals(Dedup.repetitionScrubCoarse(spark, dir)))
     assert(got((3, 4)) == totals(Dedup.repetitionScrub(spark, dir)))
   }
+
+  test("maximal_scrub_residual: sub-span hits survive the scrub by design and are counted; cut passages leave none") {
+    import spark.implicits._
+    val p14 = (1 to 14).map(i => s"p$i")   // long copy: cut (span 14 >= 12)
+    val s9 = (1 to 9).map(i => s"s$i")     // short copy: flagged, NOT cut
+    val corpus = Seq(
+      (20L, (p14 ++ Seq("x1", "x2", "x3", "x4", "x5") ++ s9).mkString(" ")))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (7L, ((1 to 3).map(i => s"a$i") ++ p14 ++ (1 to 4).map(i => s"b$i") ++
+        s9 ++ (1 to 3).map(i => s"c$i")).mkString(" ")),
+      (9L, (1 to 10).map(i => s"z$i").mkString(" ")))   // clean control
+      .toDF("doc_id", "text")
+    val r = Dedup.maximalScrubResidualOf(batch, corpus).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getLong(0) == 2L, "both batch docs counted")
+    // doc 7: 33 words -> 26 windows; hits = 7 (inside p14) + 2 (inside
+    // s9); control doc: 3 windows, 0 hits
+    assert(row.getLong(1) == 29L && row.getLong(2) == 9L,
+      s"before: ${row.toSeq}")
+    // after the cut doc 7 is a3 ++ b4 ++ s9 ++ c3 = 19 words -> 12
+    // windows; ONLY the sub-span s9 windows still hit (2); control
+    // untouched (3 windows)
+    assert(row.getLong(3) == 15L && row.getLong(4) == 2L,
+      s"after: ${row.toSeq}")
+    assert(row.getDouble(5) == 0.222222, s"residual_frac: ${row.toSeq}")
+    // a corpus the batch never touches -> zero everywhere, no division error
+    val clean = Dedup.maximalScrubResidualOf(
+      batch.filter(col("doc_id") === 9L), corpus).collect()(0)
+    assert(clean.getLong(2) == 0L && clean.getLong(4) == 0L
+      && clean.getDouble(5) == 0.0)
+    // the indexed form reads the persisted corpus index and must
+    // equal the inline derivation — including after an append
+    // re-inserts duplicate hashes (no double-counted hits)
+    spark.sql("DROP TABLE IF EXISTS msr_idx")
+    Dedup.writeMaximalIndexOf(corpus, "msr_idx")
+    val viaIdx = Dedup.maximalScrubResidualIndexedOf(batch, "msr_idx").collect()(0)
+    assert(viaIdx.toSeq == row.toSeq, s"indexed ≡ inline: $viaIdx vs $row")
+    Dedup.appendMaximalIndex(corpus, "msr_idx")
+    val afterAppend = Dedup.maximalScrubResidualIndexedOf(batch, "msr_idx").collect()(0)
+    assert(afterAppend.toSeq == row.toSeq, "duplicate index hashes must not double-count")
+  }
 }

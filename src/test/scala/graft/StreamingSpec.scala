@@ -723,6 +723,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("coarse repetition scrub stream ≡ batch on planted long self-copies") {
+    import spark.implicits._
+    val h14 = (1 to 14).map(i => s"g$i")
+    val h10 = (1 to 10).map(i => s"h$i")
+    val docs = Seq(
+      (1L, (h14 ++ Seq("m1", "m2") ++ h14).mkString(" ")),   // coarse cut
+      (2L, (h10 ++ Seq("m1") ++ h10).mkString(" ")),          // signal, no cut
+      (3L, (1 to 20).map(i => s"u$i").mkString(" ")))         // clean
+    val dir = Files.createTempDirectory("graft-repc-eq").toString
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val batch = graft.ops.Dedup.repetitionScrubCoarse(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(batch(1L)._3 == 14L && batch(2L)._3 == 0L && batch(2L)._2 > 0L,
+      s"planted coarse semantics: $batch")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .parquet(s"$dir/documents.parquet")
+    val q = StreamingIndex.repetitionScrubCoarseStream(stream)
+      .writeStream.format("memory").queryName("repc_eq").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("SELECT * FROM repc_eq").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(streamed == batch, "one shared projection — per-doc bit equality")
+  }
+
   test("maximal scrub stream ≡ batch indexed scrub: variable-length islands at stream arrival") {
     val dir = "/root/testdata/sf0.001"
     graft.ops.Dedup.writeMaximalIndex(spark, dir, "mx_idx_stream")

@@ -73,6 +73,13 @@ for i in range(64):
     elif i == 50:
         # the benchmark doc (% 50 == 0) carries the passage
         t = f"bench50a bench50b {PASSAGE} bench50c"
+    elif i == 30:
+        # batch doc carrying only a 9-word SUB-SPAN of the passage:
+        # the maximal scrub flags it (8-gram hits) but the 12-word
+        # min-span keeps it — REAL residual-contamination signal for
+        # the post-scrub audit (maximal_scrub_residual)
+        sub9 = " ".join(PASSAGE.split()[:9])
+        t = f"{soup(i, 4)} {sub9} {soup(330, 4)}"
     elif i % 4 == 0:
         # corpus docs sharing the passage at varied offsets
         t = f"{soup(i, i % 7)} {PASSAGE} {soup(200 + i, 5)}".strip()
