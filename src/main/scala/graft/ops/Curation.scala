@@ -1460,6 +1460,84 @@ object Curation {
        |FROM scored CROSS JOIN qt
        |ORDER BY source""".stripMargin
 
+  // ---- Temperature-scaled source mixing ----
+
+  /** Sampling-temperature grid for [[sourceTemperatureMix]] —
+    * chosen so 1/T is a chain of square roots (p, √p, √√p): IEEE
+    * 754 requires sqrt to be CORRECTLY ROUNDED, so the weights are
+    * bit-identical in the JVM and DuckDB with no pow()/libm
+    * divergence risk (the float-bridge rule §8.5 applied to the
+    * exponent choice itself). */
+  val MixTemperatures: Seq[Double] = Seq(1.0, 2.0, 4.0)
+
+  /** Temperature-scaled source sampling weights (the mT5/ROOTS
+    * data-mixing knob): per source and temperature T, weight ∝
+    * (natural word share)^(1/T), normalized — T=1 reproduces the
+    * natural mix, higher T flattens toward uniform so low-resource
+    * sources are up-sampled. Normalization goes through EXACT
+    * integer micro-units (floor(w·1e6) as BIGINT, summed exactly)
+    * because a cross-engine float SUM over sources is
+    * order-dependent; the micro-unit sum is not. ONE per-source
+    * aggregation scans the corpus (map-side partials); everything
+    * after runs on ≤|sources| rows (a 3-key window over a 20-row
+    * relation — driver-scale arithmetic expressed distributed). */
+  def sourceTemperatureMixOf(d: DataFrame): DataFrame = {
+    val bySrc = d.groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_words"))
+    val tot = bySrc.agg(coalesce(sum(col("n_words")), lit(0L)).as("w_total"))
+    val p = bySrc.crossJoin(tot)
+      .withColumn("p", col("n_words").cast("double") / col("w_total"))
+    val expanded = p.select(col("source"), col("n_words"), col("p"),
+        explode(expr(
+          "array(named_struct('t', 1.0D, 'w', p), " +
+            "named_struct('t', 2.0D, 'w', sqrt(p)), " +
+            "named_struct('t', 4.0D, 'w', sqrt(sqrt(p))))")).as("tw"))
+      .select(col("source"), col("n_words"), col("p"),
+        col("tw.t").as("temperature"),
+        floor(col("tw.w") * lit(1e6)).as("w_int"))
+    val wT = Window.partitionBy(col("temperature"))
+    expanded
+      .withColumn("w_sum", sum(col("w_int")).over(wT))
+      .select(col("temperature"), col("source"), col("n_words"),
+        r6(col("p")).as("natural_share"),
+        r6(when(col("w_sum") === 0, 0.0)
+          .otherwise(col("w_int").cast("double") / col("w_sum"))).as("mix_share"))
+      .orderBy(col("temperature"), col("source"))
+  }
+
+  def sourceTemperatureMix(s: SparkSession, dir: String): DataFrame =
+    sourceTemperatureMixOf(t(s, dir, "documents"))
+
+  /** Oracle mirror — sqrt chains and micro-unit normalization
+    * verbatim; the per-T expansion as UNION ALL arms (prefix
+    * `tmx_`). */
+  val sourceTemperatureMixSql: String =
+    """WITH tmx_s AS MATERIALIZED (
+      |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_words
+      |  FROM documents GROUP BY source),
+      |tmx_p AS MATERIALIZED (
+      |  SELECT source, n_words,
+      |    CAST(n_words AS DOUBLE) /
+      |      CAST((SELECT SUM(n_words) FROM tmx_s) AS BIGINT) AS p
+      |  FROM tmx_s),
+      |tmx_e AS (
+      |  SELECT source, n_words, p, CAST(1.0 AS DOUBLE) AS temperature,
+      |    CAST(floor(p * 1e6) AS BIGINT) AS w_int FROM tmx_p
+      |  UNION ALL
+      |  SELECT source, n_words, p, CAST(2.0 AS DOUBLE),
+      |    CAST(floor(sqrt(p) * 1e6) AS BIGINT) FROM tmx_p
+      |  UNION ALL
+      |  SELECT source, n_words, p, CAST(4.0 AS DOUBLE),
+      |    CAST(floor(sqrt(sqrt(p)) * 1e6) AS BIGINT) FROM tmx_p)
+      |SELECT temperature, source, n_words,
+      |  round(p, 6) + 0 AS natural_share,
+      |  round(CASE WHEN SUM(w_int) OVER (PARTITION BY temperature) = 0 THEN 0.0
+      |             ELSE CAST(w_int AS DOUBLE) /
+      |                  SUM(w_int) OVER (PARTITION BY temperature)
+      |        END, 6) + 0 AS mix_share
+      |FROM tmx_e
+      |ORDER BY temperature, source""".stripMargin
+
   /** The dataset card — the per-language + grand-total summary a
     * corpus release publishes (HuggingFace dataset-card statistics
     * section): doc/source/token/char counts, mean length, and the
@@ -2738,6 +2816,7 @@ object Curation {
     "heldout_ppl" -> (heldoutPpl _),
     "split_balance" -> (splitBalance _),
     "dataset_card" -> (datasetCard _),
+    "source_temperature_mix" -> (sourceTemperatureMix _),
     "mixture_weights" -> (mixtureWeights _),
     "source_kl" -> (sourceKl _),
     "seq_pack" -> (seqPack _),
@@ -2780,6 +2859,7 @@ object Curation {
     "heldout_ppl" -> heldoutPplSql,
     "split_balance" -> splitBalanceSql,
     "dataset_card" -> datasetCardSql,
+    "source_temperature_mix" -> sourceTemperatureMixSql,
     "mixture_weights" -> mixtureWeightsSql,
     "source_kl" -> sourceKlSql,
     "seq_pack" -> seqPackSql,

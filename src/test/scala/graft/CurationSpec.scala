@@ -743,4 +743,42 @@ class CurationSpec extends AnyFunSuite {
     assert(zeroed.forall(r =>
       r.getLong(1) == 0L && r.getLong(2) == 0L && r.getDouble(3) == 0.0))
   }
+
+  test("source_temperature_mix: T=1 reproduces the natural mix, higher T flattens toward uniform, micro-unit normalization sums to ~1") {
+    import spark.implicits._
+    // two sources with word counts 75 / 25 — hand-checkable
+    val d = (Seq.fill(15)((1L, (1 to 5).map(i => s"a$i").mkString(" "), "big")) ++
+      Seq.fill(5)((2L, (1 to 5).map(i => s"b$i").mkString(" "), "small")))
+      .zipWithIndex.map { case ((_, t, src), i) => (i.toLong, t, src) }
+      .toDF("doc_id", "text", "source")
+    val got = Curation.sourceTemperatureMixOf(d).collect()
+      .map(r => (r.getDouble(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.size == 6, "2 sources x 3 temperatures")
+    // natural shares
+    assert(got((1.0, "big"))._1 == 75L && got((1.0, "big"))._2 == 0.75)
+    assert(got((1.0, "small"))._2 == 0.25)
+    // T=1: the mix IS the natural share (exact micro-units of 0.75/0.25)
+    assert(got((1.0, "big"))._3 == 0.75 && got((1.0, "small"))._3 == 0.25)
+    // T=2: sqrt weights — 866025 / (866025 + 500000), replicated exactly
+    val w75 = math.floor(math.sqrt(0.75) * 1e6).toLong
+    val w25 = math.floor(math.sqrt(0.25) * 1e6).toLong
+    def r6d(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(got((2.0, "big"))._3 == r6d(w75.toDouble / (w75 + w25)))
+    // flattening is monotone in T: the dominant source's share falls,
+    // the small one's rises
+    assert(got((1.0, "big"))._3 > got((2.0, "big"))._3)
+    assert(got((2.0, "big"))._3 > got((4.0, "big"))._3)
+    assert(got((1.0, "small"))._3 < got((2.0, "small"))._3)
+    assert(got((2.0, "small"))._3 < got((4.0, "small"))._3)
+    // each temperature's shares sum to 1 within micro-unit rounding
+    Curation.MixTemperatures.foreach { t =>
+      val sumT = got.collect { case ((tt, _), v) if tt == t => v._3 }.sum
+      assert(math.abs(sumT - 1.0) < 1e-5, s"T=$t shares sum to $sumT")
+    }
+    // empty corpus: zero rows, no division error
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    assert(Curation.sourceTemperatureMixOf(empty).collect().isEmpty)
+  }
 }
