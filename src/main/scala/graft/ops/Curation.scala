@@ -1484,8 +1484,15 @@ object Curation {
   def sourceTemperatureMixOf(d: DataFrame): DataFrame = {
     val bySrc = d.groupBy(col("source"))
       .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_words"))
-    val tot = bySrc.agg(coalesce(sum(col("n_words")), lit(0L)).as("w_total"))
-    val p = bySrc.crossJoin(tot)
+    // grand total as a window over the per-source relation — a
+    // second aggregate + cross join would RE-DERIVE bySrc and scan
+    // the corpus twice (PlanSpec pins the single scan); the window
+    // runs on ≤|sources| rows (boundedRankKey: the intentional
+    // global-over-bounded-slice convention)
+    val wAll = Window.partitionBy(
+      graft.functions.WindowKeys.boundedRankKey(col("source")))
+    val p = bySrc
+      .withColumn("w_total", sum(col("n_words")).over(wAll))
       .withColumn("p", col("n_words").cast("double") / col("w_total"))
     val expanded = p.select(col("source"), col("n_words"), col("p"),
         explode(expr(

@@ -973,4 +973,54 @@ class PlanSpec extends AnyFunSuite {
     assert(all > 0 && docKeyed == all,
       s"every window must partition per doc ($docKeyed/$all): $plan")
   }
+
+  test("repetition_grain_sweep: ONE map-only kernel pass, grid joined broadcast, no corpus-keyed window") {
+    val plan = graft.ops.Dedup.repetitionGrainSweep(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"the 4-row grid must broadcast, never shuffle the corpus: $plan")
+    assert(!plan.contains("windowspecdefinition"),
+      s"all grains score inside the row kernel — no window: $plan")
+    // exactly one corpus scan feeds every grid cell
+    assert("documents\\.parquet".r.findAllIn(plan).size <= 1,
+      s"one kernel pass serves ALL grains: $plan")
+  }
+
+  test("gopher_threshold_sweep: one signal scan, grid as conditional sums of ONE aggregate, no join no window") {
+    val plan = graft.ops.Curation.gopherThresholdSweep(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"every cutoff reads the same pass: $plan")
+    assert(!plan.contains("windowspecdefinition"), s"no window: $plan")
+    assert("documents\\.parquet".r.findAllIn(plan).size <= 1,
+      s"one scan serves the whole grid: $plan")
+  }
+
+  test("source_temperature_mix: ONE corpus aggregation; the per-T window partitions on temperature over source-cardinality rows") {
+    val plan = graft.ops.Curation.sourceTemperatureMix(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("documents\\.parquet".r.findAllIn(plan).size <= 1,
+      s"one corpus scan: $plan")
+    // exactly two windows, both over the ≤|sources|-row relation:
+    // the grand-total (boundedRankKey global-over-bounded slice) and
+    // the per-temperature normalization
+    val all = "windowspecdefinition\\(".r.findAllIn(plan).size
+    val tKeyed = "windowspecdefinition\\(temperature".r.findAllIn(plan).size
+    assert(all == 2 && tKeyed == 1,
+      s"two bounded windows: grand total + per-T normalization ($tKeyed/$all): $plan")
+  }
+
+  test("maximal_scrub_residual: probe and hit counts are hash joins against the distinct hash set, no cartesian, islands DOC-keyed") {
+    val full = graft.ops.Dedup.maximalScrubResidual(spark, sf)
+      .queryExecution.executedPlan.toString
+    val plan = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i => full.substring(0, i)
+    }
+    assert(!plan.contains("CartesianProduct"),
+      s"the only cross joins are 1-row scalar assemblies: $plan")
+    val all = "windowspecdefinition\\(".r.findAllIn(plan).size
+    val docKeyed = "windowspecdefinition\\(doc_id".r.findAllIn(plan).size
+    assert(docKeyed == all,
+      s"island windows are DOC-keyed, bounded by doc length ($docKeyed/$all): $plan")
+  }
 }
