@@ -122,6 +122,13 @@ object Bench {
       "graft.BenchOne", name, sfDir, cpus)
   }
 
+  /** Render [[BenchOne]]'s one-line stdout contract. Locale.ROOT so
+    * the decimal is ALWAYS a dot — a comma-decimal default locale
+    * would make [[parseFreshLine]] read an integer-truncated time. */
+  private[graft] def freshLine(name: String, sec: Double): String =
+    "[bench-fresh] " + name + " min=" +
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(sec))
+
   /** Parse [[BenchOne]]'s one-line stdout contract. */
   private[graft] def parseFreshLine(out: String, name: String): Option[Double] = {
     val re = ("""\[bench-fresh\] """ + java.util.regex.Pattern.quote(name) +
@@ -136,9 +143,10 @@ object Bench {
     * caller then keeps the in-run number and marks the failure. */
   private[graft] def freshJvmRetime(
       name: String, sfDir: String, cpus: String,
-      timeoutSec: Long = 900): Option[Double] =
+      timeoutSec: Long = 900): Option[Double] = {
+    var outFile: java.nio.file.Path = null
     try {
-      val outFile = java.nio.file.Files.createTempFile("graft-bench-fresh", ".out")
+      outFile = java.nio.file.Files.createTempFile("graft-bench-fresh", ".out")
       import scala.jdk.CollectionConverters._
       val pb = new ProcessBuilder(freshJvmCmd(name, sfDir, cpus).asJava)
       pb.redirectOutput(outFile.toFile)
@@ -157,7 +165,15 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"[bench-fresh] $name: spawn failed: ${e.getMessage}")
         None
+    } finally {
+      // every adjudication creates one temp stdout file — reap it on
+      // ALL exits (parse, timeout, nonzero-exit, spawn failure alike)
+      if (outFile != null) {
+        try java.nio.file.Files.deleteIfExists(outFile)
+        catch { case _: Throwable => () }
+      }
     }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -350,6 +366,6 @@ object BenchOne {
       (System.nanoTime() - t0) / 1e9
     }
     spark.stop()
-    println(f"[bench-fresh] $name min=${times.min}%.4f")
+    println(Bench.freshLine(name, times.min))
   }
 }

@@ -1470,6 +1470,21 @@ object Curation {
     * exponent choice itself). */
   val MixTemperatures: Seq[Double] = Seq(1.0, 2.0, 4.0)
 
+  /** p^(1/T) as a sqrt chain of depth log2(T) — the ONLY float
+    * bridge §8.5 allows for fractional exponents (sqrt is
+    * correctly rounded in both engines; pow is not). Rejects
+    * non-power-of-2 temperatures at class-init time so an edited
+    * grid can never silently fall back to pow(). Both the Spark
+    * explode arms and the DuckDB UNION ALL arms derive from THIS,
+    * so editing [[MixTemperatures]] keeps operator and oracle in
+    * lockstep by construction. */
+  private[graft] def sqrtChain(t: Double, inner: String): String = {
+    val k = math.round(math.log(t) / math.log(2.0)).toInt
+    require(k >= 0 && math.pow(2.0, k.toDouble) == t,
+      s"MixTemperatures entry $t is not a power of 2 — no exact sqrt chain")
+    (1 to k).foldLeft(inner)((e, _) => s"sqrt($e)")
+  }
+
   /** Temperature-scaled source sampling weights (the mT5/ROOTS
     * data-mixing knob): per source and temperature T, weight ∝
     * (natural word share)^(1/T), normalized — T=1 reproduces the
@@ -1494,11 +1509,10 @@ object Curation {
     val p = bySrc
       .withColumn("w_total", sum(col("n_words")).over(wAll))
       .withColumn("p", col("n_words").cast("double") / col("w_total"))
+    val arms = MixTemperatures.map(tv =>
+      s"named_struct('t', CAST($tv AS DOUBLE), 'w', ${sqrtChain(tv, "p")})")
     val expanded = p.select(col("source"), col("n_words"), col("p"),
-        explode(expr(
-          "array(named_struct('t', 1.0D, 'w', p), " +
-            "named_struct('t', 2.0D, 'w', sqrt(p)), " +
-            "named_struct('t', 4.0D, 'w', sqrt(sqrt(p))))")).as("tw"))
+        explode(expr(s"array(${arms.mkString(", ")})")).as("tw"))
       .select(col("source"), col("n_words"), col("p"),
         col("tw.t").as("temperature"),
         floor(col("tw.w") * lit(1e6)).as("w_int"))
@@ -1518,8 +1532,12 @@ object Curation {
   /** Oracle mirror — sqrt chains and micro-unit normalization
     * verbatim; the per-T expansion as UNION ALL arms (prefix
     * `tmx_`). */
-  val sourceTemperatureMixSql: String =
-    """WITH tmx_s AS MATERIALIZED (
+  val sourceTemperatureMixSql: String = {
+    val arms = MixTemperatures.map(tv =>
+      s"""  SELECT source, n_words, p, CAST($tv AS DOUBLE) AS temperature,
+         |    CAST(floor(${sqrtChain(tv, "p")} * 1e6) AS BIGINT) AS w_int FROM tmx_p"""
+        .stripMargin).mkString("\n  UNION ALL\n")
+    s"""WITH tmx_s AS MATERIALIZED (
       |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_words
       |  FROM documents GROUP BY source),
       |tmx_p AS MATERIALIZED (
@@ -1528,14 +1546,7 @@ object Curation {
       |      CAST((SELECT SUM(n_words) FROM tmx_s) AS BIGINT) AS p
       |  FROM tmx_s),
       |tmx_e AS (
-      |  SELECT source, n_words, p, CAST(1.0 AS DOUBLE) AS temperature,
-      |    CAST(floor(p * 1e6) AS BIGINT) AS w_int FROM tmx_p
-      |  UNION ALL
-      |  SELECT source, n_words, p, CAST(2.0 AS DOUBLE),
-      |    CAST(floor(sqrt(p) * 1e6) AS BIGINT) FROM tmx_p
-      |  UNION ALL
-      |  SELECT source, n_words, p, CAST(4.0 AS DOUBLE),
-      |    CAST(floor(sqrt(sqrt(p)) * 1e6) AS BIGINT) FROM tmx_p)
+      |$arms)
       |SELECT temperature, source, n_words,
       |  round(p, 6) + 0 AS natural_share,
       |  round(CASE WHEN SUM(w_int) OVER (PARTITION BY temperature) = 0 THEN 0.0
@@ -1544,6 +1555,7 @@ object Curation {
       |        END, 6) + 0 AS mix_share
       |FROM tmx_e
       |ORDER BY temperature, source""".stripMargin
+  }
 
   /** The dataset card — the per-language + grand-total summary a
     * corpus release publishes (HuggingFace dataset-card statistics

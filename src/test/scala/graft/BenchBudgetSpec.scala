@@ -107,6 +107,16 @@ class BenchBudgetSpec extends AnyFunSuite {
     assert(Bench.parseFreshLine(out, "pq_m_sweep").contains(2.203))
     assert(Bench.parseFreshLine(out, "substr_scrub_incremental").isEmpty)
     assert(Bench.parseFreshLine("[bench-fresh] pq_m_sweep min=", "pq_m_sweep").isEmpty)
+    // emit→parse round-trips under a comma-decimal default locale:
+    // freshLine formats through Locale.ROOT, so the contract never
+    // degrades to an integer-truncated time on a de_DE machine
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY)
+      val line = Bench.freshLine("pq_m_sweep", 2.203)
+      assert(line == "[bench-fresh] pq_m_sweep min=2.2030", line)
+      assert(Bench.parseFreshLine(line, "pq_m_sweep").contains(2.203))
+    } finally java.util.Locale.setDefault(prev)
   }
 
   test("fresh-JVM adjudication end-to-end: BenchOne subprocess times a real query and the parent parses its min") {

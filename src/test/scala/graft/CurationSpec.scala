@@ -781,4 +781,22 @@ class CurationSpec extends AnyFunSuite {
     val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
     assert(Curation.sourceTemperatureMixOf(empty).collect().isEmpty)
   }
+
+  test("source_temperature_mix: operator and oracle both derive from MixTemperatures — editing the grid cannot desync them") {
+    // one UNION ALL arm per grid entry, each with its exact literal
+    val sql = Curation.sourceTemperatureMixSql
+    assert("UNION ALL".r.findAllIn(sql).size == Curation.MixTemperatures.size - 1)
+    Curation.MixTemperatures.foreach { t =>
+      assert(sql.contains(s"CAST($t AS DOUBLE) AS temperature"), s"missing arm for T=$t")
+    }
+    // sqrt-chain shapes: T=1 is the identity, T=2^k nests k sqrts
+    assert(Curation.sqrtChain(1.0, "p") == "p")
+    assert(Curation.sqrtChain(2.0, "p") == "sqrt(p)")
+    assert(Curation.sqrtChain(4.0, "p") == "sqrt(sqrt(p))")
+    assert(Curation.sqrtChain(8.0, "p") == "sqrt(sqrt(sqrt(p)))")
+    // a non-power-of-2 temperature has no exact sqrt chain — refused
+    // loudly instead of silently falling back to libm pow()
+    intercept[IllegalArgumentException](Curation.sqrtChain(3.0, "p"))
+    intercept[IllegalArgumentException](Curation.sqrtChain(0.5, "p"))
+  }
 }
