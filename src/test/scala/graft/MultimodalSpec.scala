@@ -64,6 +64,49 @@ class MultimodalSpec extends AnyFunSuite {
     assert(metas(4L).byte_len === 19L)
   }
 
+  test("near-miss codec magic on TEXT payloads stays on the stub path — the media_meta oracle's precondition") {
+    import graft.ops.Multimodal.MediaRecord
+    import graft.functions.CrossHash
+    // texts whose UTF-8 bytes START with real magic (GIF89a/GIF87a/BM)
+    // are claimed by a JDK reader but throw on the garbage body; the
+    // engine must fall back to the stub so text-fixture oracle parity
+    // holds (these exact shapes ride in tools/make_hostile_fixture.py)
+    val texts = Seq(
+      11L -> "GIF89a d15w15x0 d15w22x1 d15w29x2",
+      13L -> "GIF87a12 34 d17w17x0 d17w24x1",
+      17L -> "BM d19w19x0 d19w26x1 d19w33x2")
+    val recs = texts.map { case (id, t) =>
+      MediaRecord(id, t.getBytes(StandardCharsets.UTF_8)) }
+    val metas = Multimodal.extractMeta(recs.toDS()).collect()
+      .map(m => m.doc_id -> m).toMap
+    texts.foreach { case (id, t) =>
+      val h = CrossHash.md5Hash60(t.getBytes(StandardCharsets.UTF_8))
+      val m = metas(id)
+      assert(m.width == 64 + (h % 1857L).toInt, s"doc $id took the real-codec path")
+      assert(m.height == 64 + ((h >> 17) % 1017L).toInt)
+      assert(m.format == Array("png", "jpeg", "webp").apply(((h >> 41) % 3L).toInt))
+    }
+  }
+
+  test("a fully-VALID pure-ASCII GIF takes the REAL codec path — the documented oracle-parity hazard") {
+    import graft.ops.Multimodal.MediaRecord
+    // printable ASCII that is ALSO a structurally valid GIF header +
+    // image descriptor: magic, LSD w="AB" h="CD", packed '0' (no
+    // global color table), ',' image separator (0x2C), left/top "00",
+    // image w="ab" (0x6261=25185) h="cd" (0x6463=25699), packed '0'.
+    // Such bytes CAN occur inside a scraped text corpus; media_meta
+    // then reports the real header dims while the stub-path oracle
+    // would not — which is why the hostile fixture plants only
+    // NEAR-MISS magic and this case is pinned here instead.
+    val asciiGif = "GIF89a" + "AB" + "CD" + "000" + "," + "0000" + "ab" + "cd" + "0"
+    assert(asciiGif.forall(c => c >= ' ' && c <= '~'))
+    val metas = Multimodal.extractMeta(
+      Seq(MediaRecord(1L, asciiGif.getBytes(StandardCharsets.UTF_8))).toDS())
+      .collect()
+    assert(metas.head.format == "gif")
+    assert(metas.head.width == 0x6261 && metas.head.height == 0x6463)
+  }
+
   test("resize: real thumbnails preserve aspect, never upscale, drop non-images") {
     import graft.ops.Multimodal
     import graft.ops.Multimodal.MediaRecord

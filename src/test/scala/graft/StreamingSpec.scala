@@ -751,6 +751,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, "one shared projection — per-doc bit equality")
   }
 
+  test("hostile doc shapes stream ≡ batch across the map-only twins (fixture-trait coverage)") {
+    import spark.implicits._
+    // the tools/make_hostile_fixture.py trait set, replayed through
+    // the streaming twins: empty, whitespace-only, leading/trailing/
+    // double spaces, near-miss codec magic, a 64-byte frame-edge
+    // text, and both repetition grains — every row-local kernel must
+    // produce bit-identical rows at stream arrival
+    val h14 = (1 to 14).map(i => s"g$i").mkString(" ")
+    val docs = Seq(
+      (0L, ""), (1L, "   "), (2L, " lead pad one two three"),
+      (3L, "trail pad one two three "), (4L, "dbl  space one two three"),
+      (5L, "GIF89a d15w15x0 d15w22x1 d15w29x2"),
+      (6L, "BM d19w19x0 d19w26x1 d19w33x2"),
+      (7L, ("frameedge alpha bravo charlie delta echoes foxtrots golfing hh zz").take(64)),
+      (8L, s"$h14 mid1 mid2 $h14"),
+      (9L, "echo foxtrot golf hotel a1 a2 echo foxtrot golf hotel tail"))
+    val dir = Files.createTempDirectory("graft-hostile-eq").toString
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .parquet(s"$dir/documents.parquet")
+    def key5(r: org.apache.spark.sql.Row) = r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    // fine grain
+    val fineB = graft.ops.Dedup.repetitionScrub(spark, dir).collect().map(key5).toMap
+    val q1 = StreamingIndex.repetitionScrubStream(stream)
+      .writeStream.format("memory").queryName("hx_fine").outputMode("append").start()
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.sql("SELECT * FROM hx_fine").collect().map(key5).toMap == fineB)
+    assert(fineB(9L)._2 > 0L, "scattered 4-word phrase must flag at the fine grain")
+    // coarse grain
+    val coarseB = graft.ops.Dedup.repetitionScrubCoarse(spark, dir).collect().map(key5).toMap
+    val q2 = StreamingIndex.repetitionScrubCoarseStream(stream)
+      .writeStream.format("memory").queryName("hx_coarse").outputMode("append").start()
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.sql("SELECT * FROM hx_coarse").collect().map(key5).toMap == coarseB)
+    assert(coarseB(8L)._3 == 14L, "replayed 14-word head must cut at the coarse grain")
+    assert(coarseB(9L)._3 == 0L, "coarse grain is structurally blind to the 4-word phrase")
+    // gopher curation (map-only signals over the same hostile rows)
+    val curB = StreamingIndex.curationStream(spark.read.parquet(s"$dir/documents.parquet"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val q3 = StreamingIndex.curationStream(stream)
+      .writeStream.format("memory").queryName("hx_cur").outputMode("append").start()
+    q3.processAllAvailable(); q3.stop()
+    val curS = spark.sql("SELECT * FROM hx_cur").collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(curS == curB, "gopher signals bit-equal on every hostile shape incl. empty/whitespace docs")
+    assert(curB.size == docs.size, "no hostile row may vanish from the curation stream")
+  }
+
   test("maximal scrub stream ≡ batch indexed scrub: variable-length islands at stream arrival") {
     val dir = "/root/testdata/sf0.001"
     graft.ops.Dedup.writeMaximalIndex(spark, dir, "mx_idx_stream")

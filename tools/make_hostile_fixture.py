@@ -17,7 +17,19 @@ crafted docs that exercise what the word-soup fixture can't:
     head (coarse 8/12 grain: signal without a cut), a >= 14-word
     head (coarse cut), and a scattered 4-word phrase repeat (fine
     3/4 grain cuts, coarse is structurally blind) — so the two
-    repetition grains provably disagree on this fixture.
+    repetition grains provably disagree on this fixture;
+  * media hostility (round 14, docs 15-29 odd): payloads whose
+    TEXT bytes start with real codec magic (GIF89a/GIF87a/BM +
+    soup) — the JDK readers recognize the magic but throw on the
+    garbage body, so the engine falls back to the stub codec and
+    the media_meta oracle's stub-path assumption HOLDS (pinned by
+    MultimodalSpec; a fully-VALID pure-ASCII GIF would take the
+    real path and is therefore pinned spec-side, never planted
+    here); frame-boundary byte lengths (exactly 64 = 1 frame,
+    exactly 128 = 2 frames, 200 > 3*64 so the 3-frame cap binds);
+    an exact byte-duplicate pair (every frame shared — media
+    dedup's strongest signal) and a shared-64-byte-head pair with
+    divergent tails (exactly one shared frame).
 
 Usage: python3 tools/make_hostile_fixture.py [SRC_SF_DIR] [DEST_DIR]
 Defaults: /root/testdata/sf0.001 /tmp/graft-hostile
@@ -38,6 +50,14 @@ PASSAGE = " ".join(f"shared{i}" for i in range(1, 26))      # 25 words
 HEAD10 = " ".join(f"rep{i}" for i in range(1, 11))          # 10 words
 HEAD14 = " ".join(f"longrep{i}" for i in range(1, 15))      # 14 words
 PHRASE4 = "echo foxtrot golf hotel"                         # 4 words
+
+# media-hostile texts: frame ops slice the UTF-8 payload into 64-byte
+# windows, so byte lengths and shared byte-prefixes are the signal
+FRAME64 = "frameedge alpha bravo charlie delta echoes foxtrots golfing hh"  # 62ch + pad
+FRAME64 = (FRAME64 + " zz")[:64]
+assert len(FRAME64.encode()) == 64, len(FRAME64.encode())
+FRAME128 = (FRAME64 + " " + "secondframe golf hotel india juliet kilo lima mike november oscar")[:128]
+assert len(FRAME128.encode()) == 128, len(FRAME128.encode())
 
 
 def soup(doc_id, n):
@@ -70,6 +90,27 @@ for i in range(64):
         # both repeats in one doc, plus the shared passage for
         # cross-op interaction (repetition + cross-doc dedup)
         t = f"{HEAD14} {PASSAGE} {HEAD14} {soup(i, 5)}"
+    elif i == 15:
+        # near-miss GIF89a magic: the JDK GIF reader claims it then
+        # throws ("Unexpected block type") -> stub path, oracle holds
+        t = "GIF89a " + soup(i, 12)
+    elif i == 17:
+        t = "GIF87a12 34 " + soup(i, 12)        # near-miss GIF87a
+    elif i == 19:
+        t = "BM " + soup(i, 12)                 # near-miss BMP magic
+    elif i == 21:
+        t = FRAME64                              # exactly 1 full frame
+    elif i == 23:
+        t = FRAME128                             # exactly 2 full frames
+    elif i == 25:
+        t = FRAME64                              # byte-dup of doc 21
+    elif i == 27:
+        # shares doc 23's first 64 bytes, then diverges: exactly one
+        # shared frame fingerprint
+        t = FRAME64 + " " + soup(i, 10)
+    elif i == 29:
+        # > 3*64 bytes: the 3-frame cap binds, window 4 exists unused
+        t = (soup(i, 30) + " " + soup(400 + i, 30))[:200]
     elif i == 50:
         # the benchmark doc (% 50 == 0) carries the passage
         t = f"bench50a bench50b {PASSAGE} bench50c"
