@@ -2820,7 +2820,275 @@ object Curation {
        |ORDER BY pair""".stripMargin
   }
 
+  // ---- Context-window budget report ----
+
+  /** Context lengths audited by [[contextBudgetReport]] (words as
+    * the token proxy, like every whitespace-token op here). Sized to
+    * the fixtures' ≤100-word docs the way a production run would use
+    * {2k, 8k, 32k}: the smallest cell truncates much of the corpus,
+    * the largest fits everything. */
+  val ContextGrid: Seq[Int] = Seq(32, 64, 128)
+
+  /** Context-window fit audit — the table read before committing a
+    * training context length: per candidate length L, how many docs
+    * fit whole, how many a truncate-to-one-window policy cuts and
+    * how many tokens it loses, how many windows a chunk-into-L
+    * policy yields and how many pad tokens it wastes, and the token
+    * retention of truncation. Pure integer arithmetic except the one
+    * guarded ratio.
+    *
+    * Scale shape: the [[gopherThresholdSweepOf]] grid rule — ONE
+    * corpus scan computes per-doc word counts, every grid cell is a
+    * conditional sum of the same single 1-row aggregation (map-side
+    * partials), and the L-rows unpivot via stack. No join, no
+    * window, no per-cell rescan at any corpus size. Empty corpus:
+    * the aggregate still emits its row, the grid reports zeros. */
+  def contextBudgetReportOf(d: DataFrame): DataFrame = {
+    val docs = d.select(size(ws).cast("long").as("n"))
+    val cells = ContextGrid.zipWithIndex.flatMap { case (l, i) =>
+      Seq(
+        coalesce(sum(when(col("n") <= l, 1L).otherwise(0L)), lit(0L)).as(s"f$i"),
+        coalesce(sum(when(col("n") > l, 1L).otherwise(0L)), lit(0L)).as(s"t$i"),
+        coalesce(sum(when(col("n") > l, col("n") - l).otherwise(0L)), lit(0L))
+          .as(s"lost$i"),
+        coalesce(sum(expr(s"(n + ${l - 1}) div $l")), lit(0L)).as(s"w$i"),
+        coalesce(sum(expr(s"((n + ${l - 1}) div $l) * $l - n")), lit(0L))
+          .as(s"pad$i"),
+        coalesce(sum(least(col("n"), lit(l.toLong))), lit(0L)).as(s"k$i"))
+    }
+    val tot = docs.agg(coalesce(sum(col("n")), lit(0L)).as("tt"), cells: _*)
+    val stackArgs = ContextGrid.zipWithIndex
+      .map { case (l, i) => s"CAST($l AS BIGINT), f$i, t$i, lost$i, w$i, pad$i, k$i" }
+      .mkString(", ")
+    tot
+      .select(col("tt"), expr(s"stack(${ContextGrid.size}, $stackArgs) AS " +
+        "(ctx_len, n_docs_fit, n_docs_trunc, lost_tokens, n_windows, pad_tokens, kept)"))
+      .select(col("ctx_len"), col("n_docs_fit"), col("n_docs_trunc"),
+        col("lost_tokens"), col("n_windows"), col("pad_tokens"),
+        r6(when(col("tt") === 0, 0.0)
+          .otherwise(col("kept").cast("double") / col("tt"))).as("kept_frac"))
+      .orderBy(col("ctx_len"))
+  }
+
+  def contextBudgetReport(s: SparkSession, dir: String): DataFrame =
+    contextBudgetReportOf(t(s, dir, "documents"))
+
+  /** Oracle mirror (prefix `cbr_`): one conditional-aggregate arm per
+    * context length over one materialized word-count CTE; `//` is
+    * DuckDB's integral division matching Spark's `div`. */
+  val contextBudgetReportSql: String = {
+    val arms = ContextGrid.map { l =>
+      s"""SELECT CAST($l AS BIGINT) AS ctx_len,
+         |  CAST(COALESCE(SUM(CASE WHEN n <= $l THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_docs_fit,
+         |  CAST(COALESCE(SUM(CASE WHEN n > $l THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_docs_trunc,
+         |  CAST(COALESCE(SUM(CASE WHEN n > $l THEN n - $l ELSE 0 END), 0) AS BIGINT) AS lost_tokens,
+         |  CAST(COALESCE(SUM((n + ${l - 1}) // $l), 0) AS BIGINT) AS n_windows,
+         |  CAST(COALESCE(SUM(((n + ${l - 1}) // $l) * $l - n), 0) AS BIGINT) AS pad_tokens,
+         |  round(CASE WHEN COALESCE(SUM(n), 0) = 0 THEN 0.0
+         |             ELSE CAST(SUM(least(n, $l)) AS DOUBLE) / SUM(n)
+         |        END, 6) + 0 AS kept_frac
+         |FROM cbr_n""".stripMargin
+    }
+    s"""WITH cbr_n AS MATERIALIZED (
+       |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents)
+       |SELECT * FROM (
+       |${arms.mkString("\nUNION ALL\n")}
+       |)
+       |ORDER BY ctx_len""".stripMargin
+  }
+
+  // ---- Per-source document cap ----
+
+  /** Documents kept per source by [[sourceCapSample]] — the domain
+    * cap (C4's per-host page cap): no source may contribute more
+    * than this many docs, whatever its crawl volume. 16 bites most
+    * of the fixtures' 20 × ~25-doc sources and everything at larger
+    * SFs. */
+  val CapDocsPerSource = 16
+
+  /** Per-source document cap — the anti-domination sampling step:
+    * each source keeps its first [[CapDocsPerSource]] docs in
+    * deterministic hash order (reproducible like every sample here —
+    * the [[sampleHash]] rule: no RNG, same survivors on 1 or 1000
+    * executors), and the report shows what the cap cost each source.
+    *
+    * Scale shape: ONE corpus scan; ONE shuffle on source for the
+    * row_number window; the per-source aggregation reuses the same
+    * partitioning (no second exchange — PlanSpec pins it). A
+    * mega-source makes its window sort-heavy; the documented swap is
+    * the hash-threshold pre-filter (keep buckets < cap/n̂ estimate)
+    * at the cost of an approximate cap. */
+  def sourceCapSampleOf(d: DataFrame): DataFrame = {
+    val docs = d.select(col("doc_id"), col("source"),
+      size(ws).cast("long").as("n_tok"),
+      md5(concat(lit("cap:"), col("doc_id").cast("string"))).as("h"))
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    docs.withColumn("rn", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("rn") <= CapDocsPerSource, 1L).otherwise(0L)).as("n_kept"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(when(col("rn") <= CapDocsPerSource, col("n_tok")).otherwise(0L))
+          .as("kept_tokens"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        col("total_tokens"), col("kept_tokens"),
+        r6((col("n_docs") - col("n_kept")).cast("double") / col("n_docs"))
+          .as("drop_frac"))
+      .orderBy(col("source"))
+  }
+
+  def sourceCapSample(s: SparkSession, dir: String): DataFrame =
+    sourceCapSampleOf(t(s, dir, "documents"))
+
+  /** Oracle mirror (prefix `scs_`): identical hash order and cap. */
+  val sourceCapSampleSql: String =
+    s"""WITH scs_r AS (
+       |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       |  FROM documents)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN rn <= $CapDocsPerSource THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(CASE WHEN rn <= $CapDocsPerSource THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens,
+       |  round(CAST(COUNT(*) - SUM(CASE WHEN rn <= $CapDocsPerSource THEN 1 ELSE 0 END) AS DOUBLE)
+       |        / COUNT(*), 6) + 0 AS drop_frac
+       |FROM scs_r
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  // ---- LM anomaly spans ----
+
+  /** Sliding-window width (words) for [[lmAnomalySpans]]. */
+  val LmAnomalyWindow = 8
+
+  /** Flag margin over the corpus-mean per-token NLL, in exact
+    * micro-nats: a window flags when its mean NLL exceeds the corpus
+    * mean by 0.5 nats. Integer micro-units end to end — the
+    * threshold compare is BIGINT arithmetic, never a float half-tie
+    * (§8.5 micro-unit rule). */
+  val LmAnomalyMarginMicro = 500000L
+
+  /** Intra-document LM anomaly spans — the garbage-segment detector
+    * quality filters need but doc-level scores blur: a run of
+    * improbable tokens in the MIDDLE of an otherwise-normal doc
+    * (extraction failure, encoding junk, injected boilerplate)
+    * barely moves [[graft.ops.Retrieval.unigramLogprob]]'s doc mean,
+    * but every [[LmAnomalyWindow]]-word window over it spikes. Flag
+    * windows whose mean unigram NLL exceeds the corpus mean by
+    * [[LmAnomalyMarginMicro]], merge overlapping flagged windows
+    * into spans (the [[graft.ops.Dedup.memorizationSpans]]
+    * gaps-and-islands rule: r consecutive flagged starts = ONE span
+    * of r + W − 1 words), report per doc: span count, longest span,
+    * worst window NLL. Top-50 by span length, ties to the lower doc.
+    *
+    * Scale shape: one posexplode pass (corpus×tokens rows, the LM
+    * family's standard cost); the vocabulary join is key-partitioned
+    * with NO static hint (the unigramLogprob rule — vocab is
+    * billions of rows at web scale, AQE broadcasts when measured
+    * small); corpus total and mean are 1-row broadcast scalars; the
+    * window sum, islands, and both aggregations are all DOC-keyed —
+    * bounded by doc length, never corpus-wide. Per-position NLL
+    * rides exact micro-nat BIGINTs (floor(x·1e6) — repr-free,
+    * bit-identical cross-engine given bit-identical ln inputs). */
+  def lmAnomalySpansOf(d: DataFrame): DataFrame = {
+    val W = LmAnomalyWindow
+    val toks = d.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cw"))
+    val total = vocab.agg(sum(col("cw")).as("t"))
+    // per-TOKEN micro-nll lives on the vocabulary relation; the
+    // corpus mean is the cw-weighted vocab mean — derived WITHOUT a
+    // second corpus pass, in exact integral arithmetic (DECIMAL(38)
+    // product sum: Σ cw·m overflows BIGINT past ~2e11 tokens, and
+    // `div` is Spark's IntegralDivide — defined on DECIMAL, exact)
+    val vocabm = vocab.crossJoin(broadcast(total))
+      .withColumn("m",
+        floor(-log(col("cw").cast("double") / col("t")) * lit(1e6)).cast("long"))
+    val mu = vocabm.agg(
+      expr("CAST(sum(CAST(cw AS DECIMAL(38,0)) * m) div CAST(max(t) AS DECIMAL(38,0)) AS BIGINT)")
+        .as("mean_m"))
+    val nll = toks.join(vocabm.select(col("tok"), col("m")), "tok")
+      .select(col("doc_id"), col("pos"), col("m"))
+    val wWin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, W - 1)
+    val flagged = nll
+      .withColumn("s", sum(col("m")).over(wWin))
+      .withColumn("cnt", count(lit(1)).over(wWin))
+      .crossJoin(broadcast(mu))
+      .filter(col("cnt") === W &&
+        col("s") > lit(W) * (col("mean_m") + lit(LmAnomalyMarginMicro)))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    flagged
+      .withColumn("island", col("pos") - row_number().over(wDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(count(lit(1)).as("run"), max(col("s")).as("ws"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        (max(col("run")) + lit(W - 1)).as("longest_span_words"),
+        max(col("ws")).as("worst"))
+      .select(col("doc_id"), col("n_spans"), col("longest_span_words"),
+        r6(col("worst").cast("double") / lit(W * 1e6)).as("worst_win_nll"))
+      .orderBy(col("longest_span_words").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  def lmAnomalySpans(s: SparkSession, dir: String): DataFrame =
+    lmAnomalySpansOf(t(s, dir, "documents"))
+
+  /** Oracle mirror (prefix `las_`): the mean divides in HUGEINT
+    * (DuckDB's `//` on DECIMAL is true division — only integer
+    * types floor-divide; HUGEINT holds the DECIMAL(38) sum exactly),
+    * matching Spark's IntegralDivide-on-DECIMAL; same
+    * window/island/limit chain. */
+  val lmAnomalySpansSql: String = {
+    val W = LmAnomalyWindow
+    s"""WITH las_d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |las_t AS MATERIALIZED (
+       |  SELECT doc_id, i AS pos, w[i + 1] AS tok
+       |  FROM las_d, UNNEST(range(0, len(w))) AS t(i)),
+       |las_v AS (SELECT tok, COUNT(*) AS cw FROM las_t GROUP BY tok),
+       |las_tot AS (SELECT SUM(cw) AS t FROM las_v),
+       |las_vm AS MATERIALIZED (
+       |  SELECT tok, cw,
+       |    CAST(floor(-ln(CAST(cw AS DOUBLE) / t) * 1e6) AS BIGINT) AS m
+       |  FROM las_v CROSS JOIN las_tot),
+       |las_m AS MATERIALIZED (
+       |  SELECT doc_id, pos, m FROM las_t JOIN las_vm USING (tok)),
+       |las_mu AS (
+       |  SELECT CAST(CAST(SUM(CAST(cw AS DECIMAL(38,0)) * m) AS HUGEINT)
+       |              // CAST((SELECT t FROM las_tot) AS HUGEINT) AS BIGINT) AS mean_m
+       |  FROM las_vm),
+       |las_w AS (
+       |  SELECT doc_id, pos,
+       |    SUM(m) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND ${W - 1} FOLLOWING) AS s,
+       |    COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND ${W - 1} FOLLOWING) AS cnt
+       |  FROM las_m),
+       |las_f AS (
+       |  SELECT doc_id, pos, s FROM las_w, las_mu
+       |  WHERE cnt = $W AND s > $W * (mean_m + $LmAnomalyMarginMicro)),
+       |las_i AS (
+       |  SELECT doc_id, s,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM las_f),
+       |las_r AS (
+       |  SELECT doc_id, island, COUNT(*) AS run, MAX(s) AS ws
+       |  FROM las_i GROUP BY doc_id, island)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       |  CAST(MAX(run) + ${W - 1} AS BIGINT) AS longest_span_words,
+       |  round(CAST(MAX(ws) AS DOUBLE) / ${W}e6, 6) + 0 AS worst_win_nll
+       |FROM las_r GROUP BY doc_id
+       |ORDER BY longest_span_words DESC, doc_id
+       |LIMIT 50""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "context_budget_report" -> (contextBudgetReport _),
+    "source_cap_sample" -> (sourceCapSample _),
+    "lm_anomaly_spans" -> (lmAnomalySpans _),
     "quality_threshold_sweep" -> (qualityThresholdSweep _),
     "epoch_shuffle_report" -> (epochShuffleReport _),
     "boilerplate_report" -> (boilerplateReport _),
@@ -2864,6 +3132,9 @@ object Curation {
     "shard_pack" -> (shardPack _))
 
   val oracles: Map[String, String] = Map(
+    "context_budget_report" -> contextBudgetReportSql,
+    "source_cap_sample" -> sourceCapSampleSql,
+    "lm_anomaly_spans" -> lmAnomalySpansSql,
     "quality_threshold_sweep" -> qualityThresholdSweepSql,
     "epoch_shuffle_report" -> epochShuffleReportSql,
     "boilerplate_report" -> boilerplateReportSql,

@@ -1546,7 +1546,103 @@ object TextOps {
       |  END AS r2
       |FROM hf_f""".stripMargin
 
+  /** Count floor for [[sourceDistinctiveTerms]] — the PMI rule
+    * ([[PmiMinCount]]) applied to log-odds: hapax-dominated z-scores
+    * are noise, so only terms with a global count ≥ this enter. */
+  val DistinctiveMinCount = 5
+
+  /** Terms reported per source by [[sourceDistinctiveTerms]]. */
+  val DistinctiveTopK = 5
+
+  /** Source-distinctive terms — the "what characterizes this
+    * source" appendix of a dataset card (Monroe et al. 2008's
+    * log-odds-ratio with a Dirichlet prior, the standard fix for
+    * tf-idf's hapax bias in corpus comparison): for each source s
+    * and term w, z = (ln odds_s − ln odds_rest) / √(1/(y_s+α) +
+    * 1/(y_r+α)) with the uninformative α = ½. Computed on the
+    * doubled-integer forms (y+½ = (2y+1)/2, the halves cancel in
+    * the odds ratios) so every ln/√ argument is a ratio of exact
+    * BIGINTs — no decimal-vs-double literal ambiguity anywhere
+    * (§8.5). Top-[[DistinctiveTopK]] per source by the r6'd z.
+    *
+    * Scale shape: ONE token scan → (source, term) counts; the term
+    * marginals and source totals are RE-aggregations of that
+    * vocabulary-sized relation, never the corpus; the term-marginal
+    * join is key-partitioned with no static hint (the unigramLogprob
+    * vocabulary rule), source totals and the grand total broadcast;
+    * the top-k window partitions by source over the ≪-corpus
+    * surviving relation. */
+  def sourceDistinctiveTerms(s: SparkSession, dir: String): DataFrame =
+    sourceDistinctiveTermsOf(t(s, dir, "documents"))
+
+  /** Relation form — any (source, text) relation. */
+  def sourceDistinctiveTermsOf(d: DataFrame): DataFrame = {
+    val st = d.select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("ys"))
+    val tw = st.groupBy(col("tok")).agg(sum(col("ys")).as("yw"))
+      .filter(col("yw") >= DistinctiveMinCount)
+    val ns = st.groupBy(col("source")).agg(sum(col("ys")).as("ns"))
+    val nn = ns.agg(sum(col("ns")).as("nt"))
+    val z = st.join(tw, "tok")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(nn))
+      .withColumn("yr", col("yw") - col("ys"))
+      .withColumn("nr", col("nt") - col("ns"))
+      .withColumn("zscore", r6(
+        (log((lit(2) * col("ys") + 1).cast("double") /
+             (lit(2) * (col("ns") - col("ys")) + 1).cast("double"))
+          - log((lit(2) * col("yr") + 1).cast("double") /
+                (lit(2) * (col("nr") - col("yr")) + 1).cast("double")))
+        / sqrt(lit(2.0) / (lit(2) * col("ys") + 1).cast("double")
+             + lit(2.0) / (lit(2) * col("yr") + 1).cast("double"))))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("zscore").desc, col("tok"))
+    z.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= DistinctiveTopK)
+      .select(col("source"), col("tok").as("term"),
+        col("ys").as("n_source"), col("yr").as("n_rest"), col("zscore"))
+      .orderBy(col("source"), col("zscore").desc, col("term"))
+  }
+
+  /** Oracle mirror (prefix `sdt_`): identical doubled-integer odds
+    * and term order inside ln/√. */
+  val sourceDistinctiveTermsSql: String =
+    s"""WITH sdt_c AS MATERIALIZED (
+       |  SELECT source, w AS tok, COUNT(*) AS ys
+       |  FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+       |  WHERE length(w) > 0
+       |  GROUP BY source, w),
+       |sdt_w AS (
+       |  SELECT tok, SUM(ys) AS yw FROM sdt_c GROUP BY tok
+       |  HAVING SUM(ys) >= $DistinctiveMinCount),
+       |sdt_s AS (SELECT source, SUM(ys) AS ns FROM sdt_c GROUP BY source),
+       |sdt_n AS (SELECT SUM(ns) AS nt FROM sdt_s),
+       |sdt_z AS (
+       |  SELECT c.source, c.tok, c.ys, w.yw - c.ys AS yr,
+       |    round((ln(CAST(2 * c.ys + 1 AS DOUBLE)
+       |              / CAST(2 * (s.ns - c.ys) + 1 AS DOUBLE))
+       |         - ln(CAST(2 * (w.yw - c.ys) + 1 AS DOUBLE)
+       |              / CAST(2 * ((n.nt - s.ns) - (w.yw - c.ys)) + 1 AS DOUBLE)))
+       |      / sqrt(CAST(2 AS DOUBLE) / CAST(2 * c.ys + 1 AS DOUBLE)
+       |           + CAST(2 AS DOUBLE) / CAST(2 * (w.yw - c.ys) + 1 AS DOUBLE)),
+       |      6) + 0 AS zscore
+       |  FROM sdt_c c
+       |  JOIN sdt_w w USING (tok)
+       |  JOIN sdt_s s USING (source)
+       |  CROSS JOIN sdt_n n),
+       |sdt_r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY source
+       |    ORDER BY zscore DESC, tok) AS rk
+       |  FROM sdt_z)
+       |SELECT source, tok AS term, CAST(ys AS BIGINT) AS n_source,
+       |  CAST(yr AS BIGINT) AS n_rest, zscore
+       |FROM sdt_r
+       |WHERE rk <= $DistinctiveTopK
+       |ORDER BY source, zscore DESC, term""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_distinctive_terms" -> (sourceDistinctiveTerms _),
     "zipf_fit" -> (zipfFit _),
     "heaps_fit" -> (heapsFit _),
     "ngram_coverage" -> (ngramCoverage _),
@@ -1573,6 +1669,7 @@ object TextOps {
     "cdc_chunks" -> (cdcChunks _))
 
   val oracles: Map[String, String] = Map(
+    "source_distinctive_terms" -> sourceDistinctiveTermsSql,
     "zipf_fit" -> zipfFitSql,
     "heaps_fit" -> heapsFitSql,
     "ngram_coverage" -> ngramCoverageSql,

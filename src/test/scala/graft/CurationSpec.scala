@@ -782,6 +782,87 @@ class CurationSpec extends AnyFunSuite {
     assert(Curation.sourceTemperatureMixOf(empty).collect().isEmpty)
   }
 
+  test("context_budget_report: fit/truncate/chunk arithmetic exact on hand-checkable lengths; empty corpus reports zeros") {
+    import spark.implicits._
+    // lengths 10, 40, 100 against the {32, 64, 128} grid
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 40).map(i => s"b$i").mkString(" ")),
+      (3L, (1 to 100).map(i => s"c$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Curation.contextBudgetReportOf(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(32L, 64L, 128L))
+    // L=32: doc1 fits; docs 2,3 truncate losing (40-32)+(100-32)=76;
+    // windows ceil(10/32)+ceil(40/32)+ceil(100/32) = 1+2+4 = 7;
+    // pad = 7*32 - 150 = 74; kept = 10+32+32 = 74 of 150
+    val r32 = got(32L)
+    assert(r32.getLong(1) == 1L && r32.getLong(2) == 2L)
+    assert(r32.getLong(3) == 76L && r32.getLong(4) == 7L && r32.getLong(5) == 74L)
+    assert(r32.getDouble(6) == java.math.BigDecimal.valueOf(74.0 / 150)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+    // L=128: everything fits whole, one window per doc, zero loss
+    val r128 = got(128L)
+    assert(r128.getLong(1) == 3L && r128.getLong(2) == 0L && r128.getLong(3) == 0L)
+    assert(r128.getLong(4) == 3L && r128.getDouble(6) == 1.0)
+    // empty corpus: full grid present, all zeros, no division error
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val zeroed = Curation.contextBudgetReportOf(empty).collect()
+    assert(zeroed.length == Curation.ContextGrid.size)
+    assert(zeroed.forall(r => (1 to 5).forall(r.getLong(_) == 0L) && r.getDouble(6) == 0.0))
+  }
+
+  test("source_cap_sample: the cap binds per source, survivors are hash-deterministic and partition-independent") {
+    import spark.implicits._
+    val cap = Curation.CapDocsPerSource
+    // "big" has 3x the cap, "small" stays under it
+    val d = ((0 until cap * 3).map(i => (i.toLong, s"w$i a b", "big")) ++
+      (0 until 5).map(i => (1000L + i, s"v$i c", "small")))
+      .toDF("doc_id", "text", "source")
+    val got = Curation.sourceCapSampleOf(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("big").getLong(1) == cap * 3L && got("big").getLong(2) == cap.toLong)
+    assert(got("small").getLong(1) == 5L && got("small").getLong(2) == 5L)
+    assert(got("small").getDouble(5) == 0.0)
+    val dropped = java.math.BigDecimal.valueOf((cap * 2.0) / (cap * 3))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(got("big").getDouble(5) == dropped)
+    // kept tokens are reproducible: same survivors under a different
+    // partitioning (the no-RNG rule — hash order, not task order)
+    val re = Curation.sourceCapSampleOf(d.repartition(13)).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(re("big") == got("big").getLong(4) && re("small") == got("small").getLong(4))
+  }
+
+  test("lm_anomaly_spans: a planted rare-token run inside a normal doc flags ONE merged span; separated runs flag two") {
+    import spark.implicits._
+    // 60 docs of a tight common vocabulary + one doc with an 8-word
+    // garbage run + one with two separated 8-word garbage runs
+    def common(seed: Int) =
+      (0 until 30).map(i => s"tok${(i * 7 + seed) % 10}").mkString(" ")
+    val garbage1 = (1 to 8).map(i => s"zzq$i").mkString(" ")
+    val garbage2 = (1 to 8).map(i => s"xxr$i").mkString(" ")
+    val docs = (1 to 60).map(i => (i.toLong, common(i))) ++ Seq(
+      (61L, s"${common(61)} $garbage1 ${common(161)}"),
+      (62L, s"${common(62)} $garbage1 ${common(162)} $garbage2 ${common(262)}"))
+    val got = Curation.lmAnomalySpansOf(docs.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.contains(61L) && got.contains(62L), s"planted docs must flag: $got")
+    assert(got.keySet == Set(61L, 62L), s"clean docs must not flag: $got")
+    assert(got(61L)._1 == 1L, "overlapping flagged windows merge into ONE span")
+    assert(got(62L)._1 == 2L, "separated runs stay TWO spans")
+    // an 8-word run of singletons = every window containing it in
+    // full is exactly one (the run itself): span = 1 + W - 1 = 8...
+    // plus boundary windows that still clear the margin; the span is
+    // at least the run length and bounded by run + 2(W-1)
+    assert(got(61L)._2 >= 8L && got(61L)._2 <= 8L + 2 * (Curation.LmAnomalyWindow - 1))
+    // the worst window (all 8 singletons) carries the highest NLL
+    assert(got(61L)._3 > 4.0, s"singleton window NLL should be far above the ~2.3-nat common vocab: ${got(61L)._3}")
+    // empty corpus: empty result, no division error
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Curation.lmAnomalySpansOf(empty).collect().isEmpty)
+  }
+
   test("source_temperature_mix: operator and oracle both derive from MixTemperatures — editing the grid cannot desync them") {
     // one UNION ALL arm per grid entry, each with its exact literal
     val sql = Curation.sourceTemperatureMixSql

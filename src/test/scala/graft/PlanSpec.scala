@@ -1023,4 +1023,61 @@ class PlanSpec extends AnyFunSuite {
     assert(docKeyed == all,
       s"island windows are DOC-keyed, bounded by doc length ($docKeyed/$all): $plan")
   }
+
+  test("context_budget_report: one scan, grid as conditional sums of ONE aggregate, no join no window") {
+    val plan = graft.ops.Curation.contextBudgetReport(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"every length reads the same pass: $plan")
+    assert(!plan.contains("windowspecdefinition"), s"no window: $plan")
+    assert("documents\\.parquet".r.findAllIn(plan).size <= 1,
+      s"one scan serves the whole grid: $plan")
+  }
+
+  test("source_cap_sample: ONE source-keyed exchange — the cap window and the report agg share it; no join") {
+    val full = graft.ops.Curation.sourceCapSample(spark, sf)
+      .queryExecution.executedPlan.toString
+    val plan = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i => full.substring(0, i)
+    }
+    assert(!plan.contains("Join"), s"cap + report are window + agg, no join: $plan")
+    val all = "windowspecdefinition\\(".r.findAllIn(plan).size
+    val srcKeyed = "windowspecdefinition\\(source".r.findAllIn(plan).size
+    assert(all == 1 && srcKeyed == 1, s"exactly the cap window, SOURCE-keyed ($srcKeyed/$all): $plan")
+    val hashEx = "Exchange hashpartitioning\\(source".r.findAllIn(plan).size
+    val otherHashEx = "Exchange hashpartitioning\\(".r.findAllIn(plan).size - hashEx
+    assert(hashEx == 1 && otherHashEx == 0,
+      s"the aggregation reuses the window's source partitioning ($hashEx source / $otherHashEx other): $plan")
+  }
+
+  test("lm_anomaly_spans: windows all DOC-keyed; mean derives from the vocab relation, no cartesian") {
+    val full = graft.ops.Curation.lmAnomalySpans(spark, sf)
+      .queryExecution.executedPlan.toString
+    val plan = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i => full.substring(0, i)
+    }
+    assert(!plan.contains("CartesianProduct"),
+      s"scalar assemblies are 1-row broadcasts: $plan")
+    val all = "windowspecdefinition\\(".r.findAllIn(plan).size
+    val docKeyed = "windowspecdefinition\\(doc_id".r.findAllIn(plan).size
+    assert(all > 0 && docKeyed == all,
+      s"window sums and islands are DOC-keyed, bounded by doc length ($docKeyed/$all): $plan")
+  }
+
+  test("source_distinctive_terms: source totals broadcast; top-k window SOURCE-keyed; no cartesian") {
+    val full = graft.ops.TextOps.sourceDistinctiveTerms(spark, sf)
+      .queryExecution.executedPlan.toString
+    val plan = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i => full.substring(0, i)
+    }
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"source totals and the grand total are broadcast-scale: $plan")
+    val all = "windowspecdefinition\\(".r.findAllIn(plan).size
+    val srcKeyed = "windowspecdefinition\\(source".r.findAllIn(plan).size
+    assert(all == 1 && srcKeyed == 1,
+      s"exactly the top-k window, SOURCE-keyed ($srcKeyed/$all): $plan")
+  }
 }

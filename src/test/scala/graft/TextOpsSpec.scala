@@ -265,4 +265,33 @@ class TextOpsSpec extends AnyFunSuite {
     }
     assert(preds(1L) == "xa", s"held-out emoji doc classifies by charset: $preds")
   }
+
+  test("source_distinctive_terms: an exclusive frequent term tops its source; shared terms and sub-floor terms don't") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // two sources over a shared vocabulary; "medical" appears ONLY in
+    // src_a (20 times, well above the floor), "rare" only once (below
+    // the floor), the rest uniformly in both
+    val shared = (1 to 50).map(i => s"common${i % 5}")
+    val aDocs = (1 to 10).map(i =>
+      (i.toLong, (shared :+ "medical" :+ "medical").mkString(" "), "src_a"))
+    val bDocs = (1 to 10).map(i =>
+      (100L + i, (shared :+ "rare").take(51).mkString(" "), "src_b"))
+    val d = (aDocs ++ bDocs).toDF("doc_id", "text", "source")
+    val rows = graft.ops.TextOps.sourceDistinctiveTermsOf(d).collect()
+    val topA = rows.filter(_.getString(0) == "src_a").head
+    assert(topA.getString(1) == "medical",
+      s"the exclusive term must top src_a: ${rows.mkString("\n")}")
+    assert(topA.getLong(2) == 20L && topA.getLong(3) == 0L)
+    assert(topA.getDouble(4) > 0.0, "overrepresentation is a positive z")
+    // the floor: "rare" (global count 10 >= 5) may appear for src_b,
+    // but a term with global count < 5 never can
+    assert(!rows.exists(r => r.getString(1).startsWith("common") &&
+      math.abs(r.getDouble(4)) > 3.0),
+      s"uniformly shared terms can't be strongly distinctive: ${rows.mkString("\n")}")
+    // every source emits at most DistinctiveTopK rows
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.length <= graft.ops.TextOps.DistinctiveTopK)
+    }
+  }
 }
