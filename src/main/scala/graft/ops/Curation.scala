@@ -2941,6 +2941,20 @@ object Curation {
   def sourceCapSample(s: SparkSession, dir: String): DataFrame =
     sourceCapSampleOf(t(s, dir, "documents"))
 
+  /** Arrival-order per-doc cap decisions — the batch mirror of the
+    * streaming gate ([[graft.streaming.StreamingIndex.sourceCapStream]]):
+    * doc_id is the explicit arrival axis (the incremental-scrub
+    * convention), each source's first `cap` arrivals keep. Same
+    * single source-keyed window as the hash-order report. */
+  def sourceCapArrivalOf(d: DataFrame,
+      cap: Int = CapDocsPerSource): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    d.select(col("doc_id"), col("source"))
+      .withColumn("keep",
+        (row_number().over(w) <= cap).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Oracle mirror (prefix `scs_`): identical hash order and cap. */
   val sourceCapSampleSql: String =
     s"""WITH scs_r AS (
@@ -2957,6 +2971,68 @@ object Curation {
        |FROM scs_r
        |GROUP BY source
        |ORDER BY source""".stripMargin
+
+  // ---- Markup / extraction artifacts ----
+
+  /** Extraction-artifact report — the HTML-pipeline QA table
+    * ([[boilerplateReport]] catches repeated LINES; this catches
+    * markup the extractor failed to strip INSIDE lines): per source,
+    * docs carrying residual HTML entities (`&amp;`-style), tag-like
+    * openings (`<div`), live URLs, or literal backslash escapes
+    * (`\n` as two characters — the serialized-JSON-in-text tell),
+    * with per-kind match totals and the flagged-doc rate. A source
+    * at a high rate needs an extractor fix upstream, not per-doc
+    * scrubbing (the [[piiReport]] release-checklist rule).
+    *
+    * Scale shape: ONE corpus scan, all four counters as
+    * `regexp_extract_all` lengths in the same projection (codegen'd,
+    * map-only), ONE per-source aggregation. Patterns avoid `\\s` and
+    * backreferences — the Java/RE2 class-parity rule from
+    * homoglyph_dedup. */
+  def markupArtifactsReportOf(d: DataFrame): DataFrame = {
+    def cnt(pat: String): Column =
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long")
+    d.select(col("source"),
+        cnt("&[a-z]+;").as("ce"), cnt("<[a-z][a-z0-9]*").as("ct"),
+        cnt("https?://[^ ]+").as("cu"), cnt("\\\\[nrt]").as("cx"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("ce") + col("ct") + col("cu") + col("cx") > 0, 1L)
+          .otherwise(0L)).as("n_flagged"),
+        sum(col("ce")).as("n_entities"),
+        sum(col("ct")).as("n_tags"),
+        sum(col("cu")).as("n_urls"),
+        sum(col("cx")).as("n_escapes"))
+      .select(col("source"), col("n_docs"), col("n_flagged"),
+        col("n_entities"), col("n_tags"), col("n_urls"), col("n_escapes"),
+        r6(col("n_flagged").cast("double") / col("n_docs")).as("flag_rate"))
+      .orderBy(col("source"))
+  }
+
+  def markupArtifactsReport(s: SparkSession, dir: String): DataFrame =
+    markupArtifactsReportOf(t(s, dir, "documents"))
+
+  /** Oracle mirror (prefix `mar_`): identical RE2-safe patterns. */
+  val markupArtifactsReportSql: String =
+    """WITH mar_c AS (
+      |  SELECT source,
+      |    CAST(len(regexp_extract_all(text, '&[a-z]+;')) AS BIGINT) AS ce,
+      |    CAST(len(regexp_extract_all(text, '<[a-z][a-z0-9]*')) AS BIGINT) AS ct,
+      |    CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS cu,
+      |    CAST(len(regexp_extract_all(text, '\\[nrt]')) AS BIGINT) AS cx
+      |  FROM documents)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN ce + ct + cu + cx > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+      |  CAST(SUM(ce) AS BIGINT) AS n_entities,
+      |  CAST(SUM(ct) AS BIGINT) AS n_tags,
+      |  CAST(SUM(cu) AS BIGINT) AS n_urls,
+      |  CAST(SUM(cx) AS BIGINT) AS n_escapes,
+      |  round(CAST(SUM(CASE WHEN ce + ct + cu + cx > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / COUNT(*), 6) + 0 AS flag_rate
+      |FROM mar_c
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
 
   // ---- LM anomaly spans ----
 
@@ -3087,6 +3163,7 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "context_budget_report" -> (contextBudgetReport _),
+    "markup_artifacts_report" -> (markupArtifactsReport _),
     "source_cap_sample" -> (sourceCapSample _),
     "lm_anomaly_spans" -> (lmAnomalySpans _),
     "quality_threshold_sweep" -> (qualityThresholdSweep _),
@@ -3133,6 +3210,7 @@ object Curation {
 
   val oracles: Map[String, String] = Map(
     "context_budget_report" -> contextBudgetReportSql,
+    "markup_artifacts_report" -> markupArtifactsReportSql,
     "source_cap_sample" -> sourceCapSampleSql,
     "lm_anomaly_spans" -> lmAnomalySpansSql,
     "quality_threshold_sweep" -> qualityThresholdSweepSql,

@@ -466,6 +466,43 @@ object StreamingIndex {
       .groupBy(window(col("ts"), "5 minutes", "1 minute"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  case class CapDoc(doc_id: Long, source: String)
+  case class CapDecision(doc_id: Long, source: String, keep: Int)
+
+  /** Streaming domain cap — the arrival-order twin of
+    * [[graft.ops.Curation.sourceCapSample]]'s cap, gating ON INGEST:
+    * each source's first `cap` docs pass, later arrivals flag
+    * keep=0 the moment they arrive (a crawl frontier throttling a
+    * mega-host before it floods the corpus). State is ONE BIGINT
+    * counter per source — parameter-bounded by source cardinality,
+    * never by stream lifetime — and carries across micro-batches,
+    * so a cap that straddles a batch boundary gates exactly like
+    * the batch arrival form ([[graft.ops.Curation.sourceCapArrivalOf]],
+    * stream ≡ batch pinned in StreamingSpec). Arrival order within
+    * a micro-batch is doc_id (the repo's explicit-arrival
+    * convention, same as the incremental scrubs). */
+  def sourceCapStream(
+      docs: DataFrame,
+      cap: Int = graft.ops.Curation.CapDocsPerSource): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.sql.streaming.GroupState
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("source"))
+      .as[CapDoc]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (src: String, it: Iterator[CapDoc], state: GroupState[Long]) => {
+          val seen = state.getOption.getOrElse(0L)
+          val batch = it.toArray.sortBy(_.doc_id)
+          val out = batch.zipWithIndex.map { case (d, i) =>
+            CapDecision(d.doc_id, src, if (seen + i + 1 <= cap) 1 else 0)
+          }
+          state.update(seen + batch.length)
+          out.iterator
+        })
+      .toDF()
+  }
+
   /** Streaming exact dedup — the streaming twin of
     * `Dedup.dedupExact`: re-arrivals of the same content fingerprint
     * are dropped for as long as the event-time watermark keeps their

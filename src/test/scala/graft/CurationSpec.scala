@@ -863,6 +863,33 @@ class CurationSpec extends AnyFunSuite {
     assert(Curation.lmAnomalySpansOf(empty).collect().isEmpty)
   }
 
+  test("markup_artifacts_report: each artifact kind counts independently; clean sources report zero with rate 0") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "see &amp; and &lt; two entities", "dirty"),
+      (2L, "<div class and <span here", "dirty"),
+      (3L, "go to https://a.example/x now", "dirty"),
+      (4L, "a literal \\n and a \\t escape", "dirty"),
+      (5L, "perfectly clean text here", "clean"),
+      (6L, "also clean and plain", "clean"))
+      .toDF("doc_id", "text", "source")
+    val got = Curation.markupArtifactsReportOf(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val dirty = got("dirty")
+    assert(dirty.getLong(1) == 4L && dirty.getLong(2) == 4L, "all four dirty docs flag")
+    assert(dirty.getLong(3) == 2L, "two entities")
+    assert(dirty.getLong(4) == 2L, "two tag openings")
+    assert(dirty.getLong(5) == 1L, "one URL")
+    assert(dirty.getLong(6) == 2L, "backslash-n and backslash-t both count")
+    assert(dirty.getDouble(7) == 1.0)
+    val clean = got("clean")
+    assert(clean.getLong(2) == 0L && clean.getDouble(7) == 0.0)
+    // an ampersand or angle bracket WITHOUT entity/tag shape stays clean
+    val nearMiss = Seq((1L, "a & b < c and & again", "s")).toDF("doc_id", "text", "source")
+    val nm = Curation.markupArtifactsReportOf(nearMiss).collect().head
+    assert(nm.getLong(2) == 0L, "bare & and < are prose, not artifacts")
+  }
+
   test("source_temperature_mix: operator and oracle both derive from MixTemperatures — editing the grid cannot desync them") {
     // one UNION ALL arm per grid entry, each with its exact literal
     val sql = Curation.sourceTemperatureMixSql

@@ -1065,6 +1065,15 @@ class PlanSpec extends AnyFunSuite {
       s"window sums and islands are DOC-keyed, bounded by doc length ($docKeyed/$all): $plan")
   }
 
+  test("markup_artifacts_report: all four artifact counters ride ONE scan + one aggregation; no join, no window") {
+    val plan = graft.ops.Curation.markupArtifactsReport(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"counters are one projection: $plan")
+    assert(!plan.contains("windowspecdefinition"), s"plan: $plan")
+    assert("documents\\.parquet".r.findAllIn(plan).size <= 1,
+      s"one corpus pass for ALL artifact kinds: $plan")
+  }
+
   test("source_distinctive_terms: source totals broadcast; top-k window SOURCE-keyed; no cartesian") {
     val full = graft.ops.TextOps.sourceDistinctiveTerms(spark, sf)
       .queryExecution.executedPlan.toString

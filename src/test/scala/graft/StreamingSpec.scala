@@ -545,6 +545,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_events") == 2L)
   }
 
+  test("streaming domain cap: per-source counter state gates across batch boundaries ≡ batch arrival form") {
+    import spark.implicits._
+    val cap = 4
+    val root = Files.createTempDirectory("graft-capgate")
+    val src = root.resolve("docs").toString
+    // batch 1: 3 docs for "big" (under cap), 2 for "small"
+    val b1 = Seq((1L, "big"), (2L, "big"), (3L, "big"), (4L, "small"), (5L, "small"))
+    // batch 2: 3 more for "big" — the cap (4) straddles the boundary:
+    // doc 6 passes on carried state, docs 7 and 8 must gate
+    val b2 = Seq((6L, "big"), (7L, "big"), (8L, "big"), (9L, "small"))
+    b1.toDF("doc_id", "source").write.mode("overwrite").parquet(src)
+    val stream = spark.readStream.schema("doc_id LONG, source STRING").parquet(src)
+    val q = StreamingIndex.sourceCapStream(stream, cap)
+      .writeStream.format("memory").queryName("cap_gate").outputMode("append").start()
+    q.processAllAvailable()
+    b2.toDF("doc_id", "source").write.mode("append").parquet(src)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("SELECT * FROM cap_gate").collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(streamed.size == 9, s"every arrival gets a decision: $streamed")
+    assert(streamed(6L) == 1, "the counter must carry across the batch boundary")
+    assert(streamed(7L) == 0 && streamed(8L) == 0, "past-cap arrivals gate")
+    assert(Seq(1L, 2L, 3L, 4L, 5L, 9L).forall(streamed(_) == 1))
+    // ≡ the batch arrival form over the same union
+    val batch = graft.ops.Curation.sourceCapArrivalOf(
+      (b1 ++ b2).toDF("doc_id", "source"), cap).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(streamed == batch, "stream ≡ batch per-doc decisions")
+  }
+
   test("salted aggregation ≡ direct aggregation (skew mitigation is exact)") {
     import graft.ops.Skew
     val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")

@@ -111,6 +111,13 @@ for i in range(64):
     elif i == 29:
         # > 3*64 bytes: the 3-frame cap binds, window 4 exists unused
         t = (soup(i, 30) + " " + soup(400 + i, 30))[:200]
+    elif i == 31:
+        # extraction artifacts: entities, tag openings, a URL, and a
+        # literal backslash-n (the serialized-JSON-in-text tell)
+        t = ("see &amp; and &lt; plus <div class leftovers "
+             "https://example.com/path and a literal \\n escape " + soup(i, 6))
+    elif i == 33:
+        t = soup(i, 10) + " https://host.test/a?b=c " + soup(133, 6)
     elif i == 50:
         # the benchmark doc (% 50 == 0) carries the passage
         t = f"bench50a bench50b {PASSAGE} bench50c"
