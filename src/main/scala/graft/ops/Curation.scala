@@ -2989,29 +2989,39 @@ object Curation {
     * map-only), ONE per-source aggregation. Patterns avoid `\\s` and
     * backreferences — the Java/RE2 class-parity rule from
     * homoglyph_dedup. */
-  def markupArtifactsReportOf(d: DataFrame): DataFrame = {
-    def cnt(pat: String): Column =
-      size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long")
-    d.select(col("source"),
-        cnt("&[a-z]+;").as("ce"), cnt("<[a-z][a-z0-9]*").as("ct"),
-        cnt("https?://[^ ]+").as("cu"), cnt("\\\\[nrt]").as("cx"))
+  def markupArtifactsReportOf(d: DataFrame): DataFrame =
+    markupFlagsOf(d)
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(when(col("ce") + col("ct") + col("cu") + col("cx") > 0, 1L)
-          .otherwise(0L)).as("n_flagged"),
-        sum(col("ce")).as("n_entities"),
-        sum(col("ct")).as("n_tags"),
-        sum(col("cu")).as("n_urls"),
-        sum(col("cx")).as("n_escapes"))
+        sum(lit(1L) - col("keep")).as("n_flagged"),
+        sum(col("n_entities")).as("n_entities"),
+        sum(col("n_tags")).as("n_tags"),
+        sum(col("n_urls")).as("n_urls"),
+        sum(col("n_escapes")).as("n_escapes"))
       .select(col("source"), col("n_docs"), col("n_flagged"),
         col("n_entities"), col("n_tags"), col("n_urls"), col("n_escapes"),
         r6(col("n_flagged").cast("double") / col("n_docs")).as("flag_rate"))
       .orderBy(col("source"))
-  }
 
   def markupArtifactsReport(s: SparkSession, dir: String): DataFrame =
     markupArtifactsReportOf(t(s, dir, "documents"))
+
+  /** Per-doc artifact flags — the row-local half of
+    * [[markupArtifactsReportOf]], shared verbatim with the streaming
+    * gate ([[graft.streaming.StreamingIndex.markupGateStream]]) so
+    * batch and stream decisions cannot drift; grouping these rows by
+    * source reproduces the report's counters exactly (spec-pinned). */
+  def markupFlagsOf(d: DataFrame): DataFrame = {
+    def cnt(pat: String): Column =
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long")
+    d.select(col("doc_id"), col("source"),
+      cnt("&[a-z]+;").as("n_entities"), cnt("<[a-z][a-z0-9]*").as("n_tags"),
+      cnt("https?://[^ ]+").as("n_urls"), cnt("\\\\[nrt]").as("n_escapes"))
+      .withColumn("keep",
+        (col("n_entities") + col("n_tags") + col("n_urls") + col("n_escapes") === 0)
+          .cast("int"))
+  }
 
   /** Oracle mirror (prefix `mar_`): identical RE2-safe patterns. */
   val markupArtifactsReportSql: String =

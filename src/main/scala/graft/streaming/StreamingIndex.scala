@@ -466,6 +466,17 @@ object StreamingIndex {
       .groupBy(window(col("ts"), "5 minutes", "1 minute"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /** Streaming extraction-artifact gate — release QA applied ON
+    * INGEST: per-doc entity/tag/URL/escape counters and the keep
+    * flag, the SAME projection as the batch report's row half
+    * ([[graft.ops.Curation.markupFlagsOf]], shared verbatim — the
+    * langidStream frozen-closure shape, except here there isn't even
+    * a model: pure codegen'd regex counters, map-only, no state, no
+    * watermark, unbounded throughput). Folding the emitted rows by
+    * source reproduces the batch report exactly (StreamingSpec). */
+  def markupGateStream(docs: DataFrame): DataFrame =
+    graft.ops.Curation.markupFlagsOf(docs)
+
   case class CapDoc(doc_id: Long, source: String)
   case class CapDecision(doc_id: Long, source: String, keep: Int)
 

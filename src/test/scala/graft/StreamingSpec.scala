@@ -575,6 +575,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, "stream ≡ batch per-doc decisions")
   }
 
+  test("markup gate stream ≡ batch flags; the streamed rows fold to the batch report exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "see &amp; and <div plus https://a.example/x", "s1"),
+      (2L, "a literal \\n escape rides here", "s1"),
+      (3L, "clean text only", "s2"))
+    val dir = Files.createTempDirectory("graft-markup-eq").toString
+    docs.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val batchFlags = graft.ops.Curation.markupFlagsOf(
+      spark.read.parquet(s"$dir/documents.parquet")).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, source STRING")
+      .parquet(s"$dir/documents.parquet")
+    val q = StreamingIndex.markupGateStream(stream)
+      .writeStream.format("memory").queryName("markup_gate").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("SELECT * FROM markup_gate").collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(streamed == batchFlags, "one shared projection — per-doc bit equality")
+    assert(streamed(1L).last == 0 && streamed(2L).last == 0 && streamed(3L).last == 1)
+    // folding the per-doc rows by source reproduces the report
+    val folded = spark.sql(
+      """SELECT source, COUNT(*), SUM(1 - keep), SUM(n_entities), SUM(n_tags),
+        |       SUM(n_urls), SUM(n_escapes)
+        |FROM markup_gate GROUP BY source""".stripMargin).collect()
+      .map(r => r.getString(0) -> (1 to 6).map(r.getLong(_))).toMap
+    val report = graft.ops.Curation.markupArtifactsReportOf(
+      spark.read.parquet(s"$dir/documents.parquet")).collect()
+      .map(r => r.getString(0) -> (1 to 6).map(r.getLong(_))).toMap
+    assert(folded == report, "stream rows fold to the batch report")
+  }
+
   test("salted aggregation ≡ direct aggregation (skew mitigation is exact)") {
     import graft.ops.Skew
     val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
