@@ -1,0 +1,101 @@
+package graft
+
+import graft.ingest.Chunker
+import graft.functions.CrossHash
+import graft.ops.Dedup
+import org.scalacheck.{Gen, Prop, Test => SchkTest}
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based pins for the pure row-local kernels — the
+  * functions every distributed operator ultimately folds over, so a
+  * kernel edge case is a corpus-wide wrong answer. Fixed seed: the
+  * suite is deterministic, failures replay. */
+class KernelPropertySpec extends AnyFunSuite {
+
+  private def check(label: String, prop: Prop, n: Int = 300): Unit = {
+    val res = SchkTest.check(
+      SchkTest.Parameters.default
+        .withMinSuccessfulTests(n)
+        .withInitialSeed(Seed(0xC0FFEE42L)), prop)
+    assert(res.passed, s"$label: $res")
+  }
+
+  private val wordGen: Gen[String] =
+    Gen.oneOf(Gen.const(""), Gen.identifier.map(_.take(6)),
+      Gen.oneOf("a", "b", "c", "dup"))
+  private val textGen: Gen[String] =
+    Gen.listOf(wordGen).map(_.mkString(" "))
+
+  test("chunkLines: chunks rejoin to the exact input; only single-line chunks may overflow") {
+    val contentGen = for {
+      lines <- Gen.listOf(Gen.oneOf(
+        Gen.const(""), Gen.identifier, Gen.identifier.map(s => s + " " + s)))
+      text <- Gen.const(lines.mkString("\n"))
+    } yield text
+    check("rejoin", Prop.forAll(contentGen, Gen.choose(1, 40)) { (content, size) =>
+      val chunks = Chunker.chunkLines(content, size)
+      // no line lost, reordered, or split: the greedy packer only
+      // moves SEPARATORS, so rejoining reproduces the input bytes
+      chunks.mkString("\n") == content
+    })
+    check("overflow-is-single-line", Prop.forAll(contentGen, Gen.choose(1, 40)) {
+      (content, size) =>
+        val chunks = Chunker.chunkLines(content, size)
+        // reference quirk Q5: a chunk can exceed the budget only when
+        // ONE oversize line forced it — never by accumulation
+        chunks.filter(c => c.length + 1 > size).forall(!_.contains("\n"))
+    })
+  }
+
+  test("md5Hash60: equals the first-15-hex-chars law and stays in [0, 2^60)") {
+    check("hex-prefix-law", Prop.forAll(Gen.asciiPrintableStr) { s =>
+      val h = CrossHash.md5Hash60(s)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hex = md.map(b => f"$b%02x").mkString.take(15)
+      h == java.lang.Long.parseLong(hex, 16) && h >= 0L && h < (1L << 60)
+    })
+  }
+
+  test("windowHashes: count law and per-window hash == hash of the joined slice") {
+    check("window-law", Prop.forAll(textGen, Gen.choose(1, 6)) { (text, l) =>
+      val w = Dedup.splitWords(text)
+      val hs = Dedup.windowHashes(text, l)
+      val countOk = hs.length == math.max(0, w.length - l + 1)
+      val valsOk = hs.indices.forall(i =>
+        hs(i) == CrossHash.md5Hash60(w.slice(i, i + l).mkString(" ")))
+      countOk && valsOk
+    })
+  }
+
+  test("scrubWords: equals the brute-force interval cover on every input") {
+    val startsGen = Gen.listOf(Gen.choose(0, 30)).map(_.sorted)
+    check("cover", Prop.forAll(textGen, startsGen, Gen.choose(1, 5)) {
+      (text, starts, l) =>
+        val w = Dedup.splitWords(text)
+        val covered = starts.flatMap(s => s until (s + l)).toSet
+        val expect = w.zipWithIndex.collect {
+          case (word, i) if !covered.contains(i) => word
+        }.mkString(" ")
+        Dedup.scrubWords(text, starts, l) == expect
+    })
+  }
+
+  test("repetitionScanAt: deterministic; the cleaned text is a word-subsequence preserving first occurrences") {
+    check("subsequence", Prop.forAll(textGen) { text =>
+      val (n1, clean1) = Dedup.repetitionScan(text)
+      val (n2, clean2) = Dedup.repetitionScan(text)
+      val w = Dedup.splitWords(text)
+      val cw = Dedup.splitWords(clean1)
+      // subsequence check (multiset-order preserving)
+      var i = 0
+      var ok = true
+      cw.foreach { word =>
+        while (i < w.length && w(i) != word) i += 1
+        if (i >= w.length) ok = false else i += 1
+      }
+      n1 == n2 && clean1 == clean2 && (clean1.isEmpty || ok)
+    })
+  }
+}
