@@ -482,7 +482,7 @@ object Dedup {
     }
   }
 
-  private[ops] def cachedHash60(tok: String): Long = {
+  private[graft] def cachedHash60(tok: String): Long = {
     val c = hashCache.get(tok)
     if (c != null) c.longValue()
     else {

@@ -82,6 +82,60 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("cleanFromPositions: equals the brute-force islands + min-span cover on every input") {
+    val posGen = Gen.listOf(Gen.choose(0, 25)).map(_.distinct.sorted)
+    check("maximal-cover", Prop.forAll(textGen, posGen,
+      Gen.choose(1, 6), Gen.choose(1, 10)) { (text, badPos, atom, minSpan) =>
+      // brute force: consecutive flagged starts form an island; an
+      // island [s..last] covers words s .. last+atom-1 and cuts only
+      // when its covered length clears the min-span
+      val w = Dedup.splitWords(text)
+      val islands = badPos.foldLeft(List.empty[List[Int]]) {
+        case (acc, p) if acc.nonEmpty && p == acc.head.head + 1 =>
+          (p :: acc.head) :: acc.tail
+        case (acc, p) => List(p) :: acc
+      }
+      val covered = islands.flatMap { isl =>
+        val s = isl.last; val e = isl.head + atom - 1
+        if (e - s + 1 >= minSpan) s to e else Nil
+      }.toSet
+      val expect = w.zipWithIndex.collect {
+        case (word, i) if !covered.contains(i) => word
+      }.mkString(" ")
+      Dedup.cleanFromPositions(text, badPos, atom, minSpan) == expect
+    })
+  }
+
+  test("tokenizeWord: pieces always concatenate back to the word; merges never add pieces") {
+    val wordG = Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString)
+    val mergesG = Gen.listOf(for {
+      a <- Gen.oneOf("a", "b", "c", "d", "ab", "cd", "bc")
+      b <- Gen.oneOf("a", "b", "c", "d", "ab", "cd", "bc")
+    } yield (a, b))
+    check("round-trip", Prop.forAll(wordG, mergesG) { (word, merges) =>
+      val pieces = graft.ops.Bpe.tokenizeWord(word, merges)
+      pieces.mkString("") == word &&
+        pieces.forall(_.nonEmpty) &&
+        pieces.length <= word.length
+    })
+  }
+
+  test("bandKeysOf: Bands keys above the shingle floor, none below; hash cache never changes a value") {
+    check("band-law", Prop.forAll(textGen) { text =>
+      val keys = Dedup.bandKeysOf(text)
+      val n = Dedup.splitWords(text).length
+      if (n < Dedup.ShingleK) keys.isEmpty
+      else keys.length == Dedup.Bands &&
+        keys.sameElements(Dedup.bandKeysOf(text))
+    })
+    check("cache-law", Prop.forAll(Gen.asciiPrintableStr) { s =>
+      // cachedHash60 memoizes md5Hash60 — the cache must be
+      // value-transparent or every minhash signature drifts
+      graft.ops.Dedup.cachedHash60(s) == CrossHash.md5Hash60(s) &&
+        graft.ops.Dedup.cachedHash60(s) == CrossHash.md5Hash60(s)
+    })
+  }
+
   test("repetitionScanAt: deterministic; the cleaned text is a word-subsequence preserving first occurrences") {
     check("subsequence", Prop.forAll(textGen) { text =>
       val (n1, clean1) = Dedup.repetitionScan(text)
