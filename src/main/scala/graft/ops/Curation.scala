@@ -1496,14 +1496,18 @@ object Curation {
     * aggregation scans the corpus (map-side partials); everything
     * after runs on ≤|sources| rows (a 3-key window over a 20-row
     * relation — driver-scale arithmetic expressed distributed). */
-  def sourceTemperatureMixOf(d: DataFrame): DataFrame = {
+  /** Shared core of [[sourceTemperatureMixOf]] and
+    * [[sourceEpochsReportOf]]: per (temperature, source) — word
+    * count, grand total, natural share p, the exact micro-unit
+    * weight w_int = floor(p^(1/T)·1e6), and the per-T weight sum.
+    * ONE corpus aggregation; the grand total is a window over the
+    * ≤|sources| relation (a second aggregate + cross join would
+    * re-derive bySrc and scan the corpus twice — PlanSpec pins the
+    * single scan); both downstream ops are projections of THIS, so
+    * their shares and epochs can never disagree. */
+  private def mixWeightsOf(d: DataFrame): DataFrame = {
     val bySrc = d.groupBy(col("source"))
       .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_words"))
-    // grand total as a window over the per-source relation — a
-    // second aggregate + cross join would RE-DERIVE bySrc and scan
-    // the corpus twice (PlanSpec pins the single scan); the window
-    // runs on ≤|sources| rows (boundedRankKey: the intentional
-    // global-over-bounded-slice convention)
     val wAll = Window.partitionBy(
       graft.functions.WindowKeys.boundedRankKey(col("source")))
     val p = bySrc
@@ -1511,20 +1515,22 @@ object Curation {
       .withColumn("p", col("n_words").cast("double") / col("w_total"))
     val arms = MixTemperatures.map(tv =>
       s"named_struct('t', CAST($tv AS DOUBLE), 'w', ${sqrtChain(tv, "p")})")
-    val expanded = p.select(col("source"), col("n_words"), col("p"),
+    val expanded = p.select(col("source"), col("n_words"), col("w_total"), col("p"),
         explode(expr(s"array(${arms.mkString(", ")})")).as("tw"))
-      .select(col("source"), col("n_words"), col("p"),
+      .select(col("source"), col("n_words"), col("w_total"), col("p"),
         col("tw.t").as("temperature"),
         floor(col("tw.w") * lit(1e6)).as("w_int"))
     val wT = Window.partitionBy(col("temperature"))
-    expanded
-      .withColumn("w_sum", sum(col("w_int")).over(wT))
+    expanded.withColumn("w_sum", sum(col("w_int")).over(wT))
+  }
+
+  def sourceTemperatureMixOf(d: DataFrame): DataFrame =
+    mixWeightsOf(d)
       .select(col("temperature"), col("source"), col("n_words"),
         r6(col("p")).as("natural_share"),
         r6(when(col("w_sum") === 0, 0.0)
           .otherwise(col("w_int").cast("double") / col("w_sum"))).as("mix_share"))
       .orderBy(col("temperature"), col("source"))
-  }
 
   def sourceTemperatureMix(s: SparkSession, dir: String): DataFrame =
     sourceTemperatureMixOf(t(s, dir, "documents"))
@@ -1532,21 +1538,30 @@ object Curation {
   /** Oracle mirror — sqrt chains and micro-unit normalization
     * verbatim; the per-T expansion as UNION ALL arms (prefix
     * `tmx_`). */
-  val sourceTemperatureMixSql: String = {
+  /** The shared tmx weight chain with a caller-chosen CTE prefix —
+    * both consumers generate their chain from [[MixTemperatures]]
+    * and [[sqrtChain]], under DISTINCT prefixes (the global
+    * CTE-prefix-uniqueness rule: DuckDB shadowing can poison the
+    * connection). */
+  private def mixWeightsSqlChain(px: String): String = {
     val arms = MixTemperatures.map(tv =>
       s"""  SELECT source, n_words, p, CAST($tv AS DOUBLE) AS temperature,
-         |    CAST(floor(${sqrtChain(tv, "p")} * 1e6) AS BIGINT) AS w_int FROM tmx_p"""
+         |    CAST(floor(${sqrtChain(tv, "p")} * 1e6) AS BIGINT) AS w_int FROM ${px}_p"""
         .stripMargin).mkString("\n  UNION ALL\n")
-    s"""WITH tmx_s AS MATERIALIZED (
+    s"""${px}_s AS MATERIALIZED (
       |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_words
       |  FROM documents GROUP BY source),
-      |tmx_p AS MATERIALIZED (
+      |${px}_p AS MATERIALIZED (
       |  SELECT source, n_words,
       |    CAST(n_words AS DOUBLE) /
-      |      CAST((SELECT SUM(n_words) FROM tmx_s) AS BIGINT) AS p
-      |  FROM tmx_s),
-      |tmx_e AS (
-      |$arms)
+      |      CAST((SELECT SUM(n_words) FROM ${px}_s) AS BIGINT) AS p
+      |  FROM ${px}_s),
+      |${px}_e AS (
+      |$arms)""".stripMargin
+  }
+
+  val sourceTemperatureMixSql: String =
+    s"""WITH ${mixWeightsSqlChain("tmx")}
       |SELECT temperature, source, n_words,
       |  round(p, 6) + 0 AS natural_share,
       |  round(CASE WHEN SUM(w_int) OVER (PARTITION BY temperature) = 0 THEN 0.0
@@ -1555,7 +1570,64 @@ object Curation {
       |        END, 6) + 0 AS mix_share
       |FROM tmx_e
       |ORDER BY temperature, source""".stripMargin
-  }
+
+  /** Effective epochs per source — the data-constrained-scaling
+    * planning table (Muennighoff et al. 2023: past ~4 epochs,
+    * repeated tokens stop paying): under the [[BudgetFrac]] token
+    * budget and each [[MixTemperatures]] temperature, how many
+    * times each source's natural supply is consumed (epochs =
+    * allocated / natural tokens). T=1 gives every source the SAME
+    * epoch count (the budget fraction — allocation proportional to
+    * supply); higher T up-samples low-resource sources PAST 1×
+    * exactly where repetition harm begins, which is what this table
+    * exists to show before a mix is committed. A projection of the
+    * SAME weight relation as [[sourceTemperatureMixOf]] (shares and
+    * epochs cannot disagree); the budget is floor(frac·total) and
+    * allocations floor(B·w/Σw) in IEEE doubles of exact integers —
+    * identical in both engines. ONE corpus aggregation, everything
+    * after on ≤|sources|·|T| rows. */
+  def sourceEpochsReportOf(d: DataFrame): DataFrame =
+    mixWeightsOf(d)
+      .withColumn("budget_tokens",
+        floor(lit(BudgetFrac) * col("w_total").cast("double")).cast("long"))
+      .withColumn("alloc_tokens",
+        when(col("w_sum") === 0, 0L).otherwise(
+          floor(col("budget_tokens").cast("double") * col("w_int") / col("w_sum"))
+            .cast("long")))
+      .select(col("temperature"), col("source"), col("n_words"),
+        col("budget_tokens"), col("alloc_tokens"),
+        r6(when(col("n_words") === 0, 0.0)
+          .otherwise(col("alloc_tokens").cast("double") / col("n_words")))
+          .as("epochs"))
+      .orderBy(col("temperature"), col("source"))
+
+  def sourceEpochsReport(s: SparkSession, dir: String): DataFrame =
+    sourceEpochsReportOf(t(s, dir, "documents"))
+
+  /** Oracle mirror (prefix `sep_`): the SAME generated weight chain
+    * under its own prefix, budget/alloc floors verbatim. LAZY:
+    * [[BudgetFrac]] is declared later in this object, and an eager
+    * val would interpolate its pre-init 0.0 (caught by the focused
+    * verify — the engine side reads the constant at call time). */
+  lazy val sourceEpochsReportSql: String =
+    s"""WITH ${mixWeightsSqlChain("sep")},
+      |sep_b AS (
+      |  SELECT CAST(floor($BudgetFrac *
+      |    CAST((SELECT SUM(n_words) FROM sep_s) AS DOUBLE)) AS BIGINT) AS bgt)
+      |SELECT temperature, source, n_words,
+      |  bgt AS budget_tokens,
+      |  CASE WHEN SUM(w_int) OVER (PARTITION BY temperature) = 0 THEN 0
+      |       ELSE CAST(floor(CAST(bgt AS DOUBLE) * w_int /
+      |                       SUM(w_int) OVER (PARTITION BY temperature)) AS BIGINT)
+      |  END AS alloc_tokens,
+      |  round(CASE WHEN n_words = 0 THEN 0.0
+      |             ELSE CAST(CASE WHEN SUM(w_int) OVER (PARTITION BY temperature) = 0 THEN 0
+      |                            ELSE CAST(floor(CAST(bgt AS DOUBLE) * w_int /
+      |                                 SUM(w_int) OVER (PARTITION BY temperature)) AS BIGINT)
+      |                       END AS DOUBLE) / n_words
+      |        END, 6) + 0 AS epochs
+      |FROM sep_e CROSS JOIN sep_b
+      |ORDER BY temperature, source""".stripMargin
 
   /** The dataset card — the per-language + grand-total summary a
     * corpus release publishes (HuggingFace dataset-card statistics
@@ -3174,6 +3246,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "context_budget_report" -> (contextBudgetReport _),
     "markup_artifacts_report" -> (markupArtifactsReport _),
+    "source_epochs_report" -> (sourceEpochsReport _),
     "source_cap_sample" -> (sourceCapSample _),
     "lm_anomaly_spans" -> (lmAnomalySpans _),
     "quality_threshold_sweep" -> (qualityThresholdSweep _),
@@ -3221,6 +3294,7 @@ object Curation {
   val oracles: Map[String, String] = Map(
     "context_budget_report" -> contextBudgetReportSql,
     "markup_artifacts_report" -> markupArtifactsReportSql,
+    "source_epochs_report" -> sourceEpochsReportSql,
     "source_cap_sample" -> sourceCapSampleSql,
     "lm_anomaly_spans" -> lmAnomalySpansSql,
     "quality_threshold_sweep" -> qualityThresholdSweepSql,

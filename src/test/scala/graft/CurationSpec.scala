@@ -890,6 +890,44 @@ class CurationSpec extends AnyFunSuite {
     assert(nm.getLong(2) == 0L, "bare & and < are prose, not artifacts")
   }
 
+  test("source_epochs_report: T=1 gives every source the budget-fraction epoch count; higher T pushes low-resource sources past it") {
+    import spark.implicits._
+    // 75/25 word split across two sources (the temperature-mix corpus)
+    val d = (Seq.fill(15)((1 to 5).map(i => s"a$i").mkString(" ") -> "big") ++
+      Seq.fill(5)((1 to 5).map(i => s"b$i").mkString(" ") -> "small"))
+      .zipWithIndex.map { case ((t, src), i) => (i.toLong, t, src) }
+      .toDF("doc_id", "text", "source")
+    val got = Curation.sourceEpochsReportOf(d).collect()
+      .map(r => (r.getDouble(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.size == Curation.MixTemperatures.size * 2)
+    val budget = math.floor(Curation.BudgetFrac * 100).toLong
+    assert(got.values.forall(_._2 == budget), "one corpus-wide budget on every row")
+    // T=1: allocation proportional to supply → epochs = BudgetFrac
+    // for ALL sources, up to the alloc floor (loses < 1 token, so
+    // the deficit is bounded by 1/n_words)
+    Seq("big", "small").foreach { s =>
+      val e = got((1.0, s))._4
+      val slack = 1.0 / got((1.0, s))._1
+      assert(e <= Curation.BudgetFrac + 1e-9 && e > Curation.BudgetFrac - slack - 1e-9,
+        s"T=1 epochs for $s: $e (slack $slack)")
+    }
+    // flattening: the small source's epochs RISE with T (up-sampled
+    // past its natural share — the repetition-harm signal this table
+    // exists to show), the big source's fall
+    assert(got((2.0, "small"))._4 > got((1.0, "small"))._4)
+    assert(got((4.0, "small"))._4 > got((2.0, "small"))._4)
+    assert(got((2.0, "big"))._4 < got((1.0, "big"))._4)
+    // allocations never exceed the budget per temperature
+    Curation.MixTemperatures.foreach { t =>
+      val a = got.collect { case ((tt, _), v) if tt == t => v._3 }.sum
+      assert(a <= budget, s"T=$t allocates $a > $budget")
+    }
+    // empty corpus: zero rows
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    assert(Curation.sourceEpochsReportOf(empty).collect().isEmpty)
+  }
+
   test("source_temperature_mix: operator and oracle both derive from MixTemperatures — editing the grid cannot desync them") {
     // one UNION ALL arm per grid entry, each with its exact literal
     val sql = Curation.sourceTemperatureMixSql

@@ -1065,6 +1065,17 @@ class PlanSpec extends AnyFunSuite {
       s"window sums and islands are DOC-keyed, bounded by doc length ($docKeyed/$all): $plan")
   }
 
+  test("source_epochs_report: ONE corpus aggregation, the same two bounded windows as the mix — no extra scan for the budget") {
+    val plan = graft.ops.Curation.sourceEpochsReport(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("documents\\.parquet".r.findAllIn(plan).size <= 1,
+      s"one corpus scan — the budget derives from the same grand-total window: $plan")
+    val all = "windowspecdefinition\\(".r.findAllIn(plan).size
+    val tKeyed = "windowspecdefinition\\(temperature".r.findAllIn(plan).size
+    assert(all == 2 && tKeyed == 1,
+      s"two bounded windows: grand total + per-T normalization ($tKeyed/$all): $plan")
+  }
+
   test("markup_artifacts_report: all four artifact counters ride ONE scan + one aggregation; no join, no window") {
     val plan = graft.ops.Curation.markupArtifactsReport(spark, sf)
       .queryExecution.executedPlan.toString
