@@ -355,13 +355,74 @@ object QualityModel {
        |  UNION ALL SELECT 'train_acc', acc FROM l_acc)
        |ORDER BY feature""".stripMargin
 
+  /** Residual bins below this stay in the drop-easy band (bin 0:
+    * |resid| < 0.1 — the model already knows these docs cold, the
+    * least informative training signal). */
+  val EasyMaxBin = 0
+
+  /** Residual bins at/above this flag as label-noise suspects
+    * (|resid| ≥ 0.9: the weak label and the features flatly
+    * disagree — the mislabeled tail EL2N-style pruning drops). */
+  val NoiseMinBin = 9
+
+  /** Hardness-based data pruning — the EL2N/data-diet table (Paul
+    * et al. 2021: early-training error norm ranks example utility;
+    * for a linear probe the error norm IS the absolute residual
+    * |y − ŷ| under the frozen [[fitWeights]] ridge fit): bin the
+    * corpus by residual into fixed 0.1-wide bins, drop the easy
+    * band (redundant, bin ≤ [[EasyMaxBin]]) and the noise band
+    * (mislabeled suspects, bin ≥ [[NoiseMinBin]]), keep the
+    * informative middle. FIXED bins, not quantiles, on purpose: a
+    * global ntile means a global sort at 100 TB, while the bin is a
+    * map-side expression and the report ONE aggregation (the
+    * fit costs its usual single Gram pass; residual doubles are
+    * bit-identical cross-engine because the weights and features
+    * are).
+    */
+  def hardnessPruneReport(s: SparkSession, dir: String): DataFrame = {
+    val (w1, w2, w3) = fitWeights(s, dir)
+    featuresOf(t(s, dir, "documents"))
+      .withColumn("e",
+        abs(col("y").cast("double") -
+          (lit(w1) + lit(w2) * col("f2") + lit(w3) * col("f3"))))
+      .withColumn("bin", least(floor(col("e") * 10).cast("int"), lit(9)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("y").cast("long")).as("n_weak_pos"))
+      .select(col("bin"),
+        r6(col("bin").cast("double") / 10).as("err_lo"),
+        col("n_docs"), col("n_weak_pos"),
+        (col("bin") > EasyMaxBin && col("bin") < NoiseMinBin).cast("int")
+          .as("keep"))
+      .orderBy(col("bin"))
+  }
+
+  /** Oracle mirror: the shared fit CTEs + the same residual binning
+    * (prefix `hp_` for the additions). */
+  val hardnessPruneReportSql: String =
+    s"""WITH $fitCtes,
+       |hp_e AS (
+       |  SELECT f.y,
+       |    least(CAST(floor(abs(CAST(f.y AS DOUBLE)
+       |      - (qw.w1 + qw.w2 * f.f2 + qw.w3 * f.f3)) * 10) AS INT), 9) AS bin
+       |  FROM f CROSS JOIN qw)
+       |SELECT bin, round(CAST(bin AS DOUBLE) / 10, 6) + 0 AS err_lo,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(y) AS BIGINT) AS n_weak_pos,
+       |  CASE WHEN bin > $EasyMaxBin AND bin < $NoiseMinBin THEN 1 ELSE 0 END AS keep
+       |FROM hp_e
+       |GROUP BY bin
+       |ORDER BY bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_fit" -> (qualityFit _),
     "quality_scored" -> (qualityScored _),
-    "quality_logistic" -> (logisticFit _))
+    "quality_logistic" -> (logisticFit _),
+    "hardness_prune_report" -> (hardnessPruneReport _))
 
   val oracles: Map[String, String] = Map(
     "quality_fit" -> qualityFitSql,
     "quality_scored" -> qualityScoredSql,
-    "quality_logistic" -> logisticFitSql)
+    "quality_logistic" -> logisticFitSql,
+    "hardness_prune_report" -> hardnessPruneReportSql)
 }

@@ -124,4 +124,40 @@ class QualityModelSpec extends AnyFunSuite {
     assert(z(math.log(goodWords + 1.0), 4.0 / goodWords) > 0)
     assert(z(math.log(badWords + 1.0), 0.0) <= 0)
   }
+
+  test("hardness_prune_report: bins equal a local brute-force over the same features+fit; keep excludes the easy and noise bands") {
+    import spark.implicits._
+    // mixed corpus: 20 FEATURE-IDENTICAL doc pairs (same word count,
+    // same stopword ratio) whose labels differ — medium words are
+    // in the mwl band (y=1), long words are not (y=0) — so the model
+    // CANNOT separate them (ŷ ≈ 0.5, residual ≈ 0.5 for both sides),
+    // plus stopword-heavy docs the features DO explain (residual ≈ 0)
+    val docs = (1 to 20).map(i =>
+      (i.toLong, (1 to 10).map(j => s"abcd$j").mkString(" "))) ++         // y=1
+      (21 to 40).map(i =>
+        (i.toLong, (1 to 10).map(j => s"abcdefghijklm$j").mkString(" "))) ++ // y=0
+      (41 to 50).map(i => (i.toLong, "the a of and to in is on for with"))   // easy
+    val tmp = Files.createTempDirectory("graft-hp").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = QualityModel.hardnessPruneReport(spark, tmp).collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(1), r.getLong(2), r.getLong(3), r.getInt(4))))
+      .toMap
+    // local recompute from the SAME fit and features — nothing shared
+    // with the distributed binning expression
+    val (w1, w2, w3) = QualityModel.fitWeights(spark, tmp)
+    val feats = QualityModel.featureFrame(spark, tmp).collect()
+      .map(r => (r.getDouble(1), r.getDouble(2), r.getInt(3)))
+    val expect = feats.groupBy { case (f2, f3, y) =>
+      math.min(math.floor(math.abs(y.toDouble - (w1 + w2 * f2 + w3 * f3)) * 10).toInt, 9)
+    }.map { case (bin, rows) => bin -> ((rows.length.toLong, rows.map(_._3.toLong).sum)) }
+    assert(got.keySet == expect.keySet, s"bins: ${got.keySet} vs ${expect.keySet}")
+    expect.foreach { case (bin, (n, pos)) =>
+      assert(got(bin)._2 == n && got(bin)._3 == pos, s"bin $bin: ${got(bin)} vs ($n, $pos)")
+      assert(got(bin)._4 == (if (bin > QualityModel.EasyMaxBin &&
+        bin < QualityModel.NoiseMinBin) 1 else 0))
+      assert(got(bin)._1 == bin / 10.0)
+    }
+    assert(got.size >= 2, s"the mixed corpus must spread over bins: $got")
+    assert(got.values.map(_._2).sum == docs.length.toLong, "bins partition the corpus")
+  }
 }
