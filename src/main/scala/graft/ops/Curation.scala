@@ -610,8 +610,14 @@ object Curation {
     * (doc_id, n_words, twf, dup_frac, mwl); [[gopherScore]] rounds
     * and thresholds these, [[gopherThresholdSweepOf]] sweeps the
     * twf cutoff over them. Map-only. */
-  private def gopherSignals(d: DataFrame): DataFrame = {
-    val base = d.select(col("doc_id"), col("text"), ws.as("w"))
+  /** `passthrough` names extra input columns carried verbatim into
+    * the output — what lets [[releasePipelineOf]] compute every
+    * stage flag off ONE corpus scan instead of re-joining scans. */
+  private def gopherSignals(
+      d: DataFrame, passthrough: Seq[String] = Nil): DataFrame = {
+    val base = d.select(
+        (Seq(col("doc_id"), col("text"), ws.as("w")) ++
+          passthrough.filterNot(Set("doc_id", "text")).map(col)): _*)
       .withColumn("n_words", size(col("w")))
     // max word frequency as the longest run in the SORTED array — one
     // O(n log n) pass; the transform(array_distinct, x -> count(=x))
@@ -634,8 +640,10 @@ object Curation {
       lit(1.0) - size(array_distinct(g2)).cast("double") / size(g2))
       .otherwise(lit(0.0))
     val mwl = (length(col("text")) - col("n_words") + 1).cast("double") / col("n_words")
-    base.select(col("doc_id"), col("n_words"),
-      twf.as("twf"), dupFrac.as("dup_frac"), mwl.as("mwl"))
+    base.select(
+      (Seq(col("doc_id"), col("n_words"),
+        twf.as("twf"), dupFrac.as("dup_frac"), mwl.as("mwl")) ++
+        passthrough.filterNot(_ == "doc_id").map(col)): _*)
   }
 
   // ---- Gopher threshold sweep ----
@@ -1608,8 +1616,13 @@ object Curation {
     * under its own prefix, budget/alloc floors verbatim. LAZY:
     * [[BudgetFrac]] is declared later in this object, and an eager
     * val would interpolate its pre-init 0.0 (caught by the focused
-    * verify — the engine side reads the constant at call time). */
-  lazy val sourceEpochsReportSql: String =
+    * verify — the engine side reads the constant at call time). The
+    * require below makes a pre-init read (e.g. a refactor forcing
+    * this lazy before [[BudgetFrac]]'s initializer runs) fail loudly
+    * instead of silently baking 0.0 into the SQL. */
+  lazy val sourceEpochsReportSql: String = {
+    require(BudgetFrac > 0,
+      "sourceEpochsReportSql forced before BudgetFrac initialization")
     s"""WITH ${mixWeightsSqlChain("sep")},
       |sep_b AS (
       |  SELECT CAST(floor($BudgetFrac *
@@ -1628,6 +1641,7 @@ object Curation {
       |        END, 6) + 0 AS epochs
       |FROM sep_e CROSS JOIN sep_b
       |ORDER BY temperature, source""".stripMargin
+  }
 
   /** The dataset card — the per-language + grand-total summary a
     * corpus release publishes (HuggingFace dataset-card statistics
@@ -3044,6 +3058,122 @@ object Curation {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  // ---- Release pipeline ----
+
+  /** The full release composition — what a curated-corpus RELEASE
+    * actually runs, as ONE dataflow: exact-dedup survivorship →
+    * Gopher quality → language ID → length gate (the
+    * [[funnelReport]] stage order), then the per-source cap
+    * ([[sourceCapSampleOf]]'s deterministic md5 order, applied to
+    * the post-filter survivors — the cap ranks what the release
+    * would actually keep, not raw arrivals) and the
+    * train/val/test split assignment ([[dataSplit]]'s source-salted
+    * hash). Every stage is individually proven elsewhere; this pins
+    * that they COMPOSE off ONE corpus scan (the per-doc flags are
+    * map-side or windowed over that scan — no stage re-joins its
+    * own scan of `documents`; PlanSpec pins ≤2 scans, actual 1).
+    *
+    * Scale shape: one scan; one text-keyed exchange (survivorship),
+    * one source-keyed exchange (cap + split share the key). The
+    * released rows are the ONLY thing that crosses the final
+    * stage — a 100 TB release writes survivors, never re-derives
+    * them per stage. */
+  private def releaseRowsOf(d: DataFrame): DataFrame = {
+    val sig = gopherSignals(d, Seq("text", "source", "lang", "n_chars"))
+    val wTxt = Window.partitionBy(col("text"))
+    val kept = sig
+      .withColumn("is_survivor",
+        (col("doc_id") === min(col("doc_id")).over(wTxt)).cast("int"))
+      .withColumn("gopher_keep", gopherKeep(lit(GopherTwfMax)).cast("int"))
+      .withColumn("lang_ok",
+        (TextOps.markerHitsOf(ws) >= 1).cast("int"))
+      .withColumn("len_ok", col("n_chars").between(50, 100000).cast("int"))
+      .filter(col("is_survivor") === 1 && col("gopher_keep") === 1 &&
+        col("lang_ok") === 1 && col("len_ok") === 1)
+    val wSrc = Window.partitionBy(col("source"))
+      .orderBy(md5(concat(lit("cap:"), col("doc_id").cast("string"))), col("doc_id"))
+    kept.withColumn("rn", row_number().over(wSrc))
+      .filter(col("rn") <= CapDocsPerSource)
+      .select(col("doc_id"), col("text"), col("source"), col("lang"),
+        splitCol.as("split"), col("n_words").cast("long").as("n_tokens"),
+        col("n_chars"))
+  }
+
+  def releasePipelineOf(d: DataFrame): DataFrame =
+    releaseRowsOf(d).drop("text").orderBy(col("doc_id"))
+
+  def releasePipeline(s: SparkSession, dir: String): DataFrame =
+    releasePipelineOf(t(s, dir, "documents"))
+
+  /** Materialize the release: curated rows (WITH text) written as
+    * parquet partitioned by split — the layout a trainer reads
+    * split-pruned — plus a `_manifest` JSON of per-(split, lang)
+    * doc/token counts (the dataset-card summary shipped beside the
+    * data). One job derives both from the same survivor relation. */
+  def releaseWrite(s: SparkSession, dir: String, outDir: String): Unit =
+    releaseWriteOf(t(s, dir, "documents"), outDir)
+
+  def releaseWriteOf(d: DataFrame, outDir: String): Unit = {
+    val rows = releaseRowsOf(d)
+    rows.write.mode("overwrite").partitionBy("split").parquet(outDir + "/corpus")
+    rows.groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .orderBy(col("split"), col("lang"))
+      .coalesce(1)
+      .write.mode("overwrite").json(outDir + "/_manifest")
+  }
+
+  /** Oracle mirror (prefix `rel_`): the same flag algebra as
+    * [[curationPipelineSql]] carried through the cap window and the
+    * split case — one WHERE conjunction, md5 cap order, salted
+    * split hash. */
+  val releasePipelineSql: String =
+    s"""WITH rel_b AS (
+       |  SELECT doc_id, text, source, lang, n_chars,
+       |    string_split(text, ' ') AS w,
+       |    len(string_split(text, ' ')) AS n_words
+       |  FROM documents),
+       |rel_m AS (
+       |  SELECT doc_id, text, source, lang, n_chars, n_words,
+       |    CAST(list_max(list_transform(list_distinct(w),
+       |      x -> len(list_filter(w, y -> y = x)))) AS DOUBLE) / n_words AS twf,
+       |    CASE WHEN n_words >= 2 THEN
+       |      1.0 - CAST(len(list_distinct([w[i] || ' ' || w[i+1]
+       |              FOR i IN generate_series(1, len(w) - 1)])) AS DOUBLE)
+       |            / (n_words - 1)
+       |    ELSE 0.0 END AS dup_frac,
+       |    CAST(length(text) - n_words + 1 AS DOUBLE) / n_words AS mwl,
+       |    greatest(
+       |      len(list_filter(w, x -> x IN ('the','a','and','of','is'))),
+       |      len(list_filter(w, x -> x IN ('der','die','das','und','ist'))),
+       |      len(list_filter(w, x -> x IN ('el','la','los','es','y'))),
+       |      len(list_filter(w, x -> x IN ('le','la','les','est','et'))),
+       |      len(list_filter(w, x -> x IN ('de','shi','le','zai','he')))) AS hits
+       |  FROM rel_b),
+       |rel_f AS (
+       |  SELECT doc_id, source, lang, n_words, n_chars,
+       |    CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY text)
+       |         THEN 1 ELSE 0 END AS is_survivor,
+       |    CASE WHEN twf <= $GopherTwfMax AND dup_frac <= $GopherDupMax
+       |          AND mwl >= $GopherMwlMin AND mwl <= $GopherMwlMax
+       |         THEN 1 ELSE 0 END AS gopher_keep,
+       |    CASE WHEN hits >= 1 THEN 1 ELSE 0 END AS lang_ok,
+       |    CASE WHEN n_chars BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS len_ok
+       |  FROM rel_m),
+       |rel_s AS (
+       |  SELECT doc_id, source, lang, n_words, n_chars,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       |  FROM rel_f
+       |  WHERE is_survivor = 1 AND gopher_keep = 1
+       |    AND lang_ok = 1 AND len_ok = 1)
+       |SELECT doc_id, source, lang, $splitCaseSql AS split,
+       |  CAST(n_words AS BIGINT) AS n_tokens, n_chars
+       |FROM rel_s
+       |WHERE rn <= $CapDocsPerSource
+       |ORDER BY doc_id""".stripMargin
+
   // ---- Markup / extraction artifacts ----
 
   /** Extraction-artifact report — the HTML-pipeline QA table
@@ -3248,6 +3378,7 @@ object Curation {
     "markup_artifacts_report" -> (markupArtifactsReport _),
     "source_epochs_report" -> (sourceEpochsReport _),
     "source_cap_sample" -> (sourceCapSample _),
+    "release_pipeline" -> (releasePipeline _),
     "lm_anomaly_spans" -> (lmAnomalySpans _),
     "quality_threshold_sweep" -> (qualityThresholdSweep _),
     "epoch_shuffle_report" -> (epochShuffleReport _),
@@ -3296,6 +3427,7 @@ object Curation {
     "markup_artifacts_report" -> markupArtifactsReportSql,
     "source_epochs_report" -> sourceEpochsReportSql,
     "source_cap_sample" -> sourceCapSampleSql,
+    "release_pipeline" -> releasePipelineSql,
     "lm_anomaly_spans" -> lmAnomalySpansSql,
     "quality_threshold_sweep" -> qualityThresholdSweepSql,
     "epoch_shuffle_report" -> epochShuffleReportSql,

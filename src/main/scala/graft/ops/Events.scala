@@ -282,11 +282,14 @@ object Events {
     * streaming engine uses for gap sessions): per-user 30-minute-gap
     * sessions, then per-user session stats. Complements q11's
     * lag-based sessionization — same islands, computed by the
-    * built-in operator instead of hand-rolled windows. NOTE the
-    * boundary differs from q11 by design: session_window starts a
-    * NEW session when the gap is >= the timeout (the window is
-    * [ts, ts+gap)), while the lag form breaks strictly greater —
-    * the oracle mirrors the >= semantics. */
+    * built-in operator instead of hand-rolled windows. BOUNDARY
+    * (proven on the hostile fixture's exact-30-minute gaps): Spark
+    * merges an event arriving exactly `gap` after the previous one
+    * — each row's window is [ts, ts+gap) and sessions merge while
+    * next.start <= current.end — so a NEW session needs a gap
+    * STRICTLY greater than the timeout, the same `>` boundary as
+    * the lag form. The oracle mirrors `>`. (An earlier docstring
+    * claimed `>=`; the round-15 epoch-tie fixture disproved it.) */
   def sessionWindowAgg(s: SparkSession, dir: String): DataFrame = {
     val e = eventsTable(s, dir)
     e.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
@@ -303,7 +306,7 @@ object Events {
     """WITH marked AS (
       |  SELECT user_id, ts, event_id,
       |    CASE WHEN prev IS NULL
-      |           OR epoch_us(ts) - epoch_us(prev) >= 1800000000
+      |           OR epoch_us(ts) - epoch_us(prev) > 1800000000
       |         THEN 1 ELSE 0 END AS new_sess
       |  FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
       |               lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id

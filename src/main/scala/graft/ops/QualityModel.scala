@@ -375,16 +375,18 @@ object QualityModel {
     * informative middle. FIXED bins, not quantiles, on purpose: a
     * global ntile means a global sort at 100 TB, while the bin is a
     * map-side expression and the report ONE aggregation (the
-    * fit costs its usual single Gram pass; residual doubles are
-    * bit-identical cross-engine because the weights and features
-    * are).
+    * fit costs its usual single Gram pass; the residual is r6'd
+    * BEFORE binning so the bin edge inherits the same micro-unit
+    * tolerance discipline as every other float bridge in the repo —
+    * a raw-double floor would let a 1-ulp cross-engine difference
+    * in the weights flip a doc across a 0.1 boundary).
     */
   def hardnessPruneReport(s: SparkSession, dir: String): DataFrame = {
     val (w1, w2, w3) = fitWeights(s, dir)
     featuresOf(t(s, dir, "documents"))
       .withColumn("e",
-        abs(col("y").cast("double") -
-          (lit(w1) + lit(w2) * col("f2") + lit(w3) * col("f3"))))
+        round(abs(col("y").cast("double") -
+          (lit(w1) + lit(w2) * col("f2") + lit(w3) * col("f3"))), 6))
       .withColumn("bin", least(floor(col("e") * 10).cast("int"), lit(9)))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_docs"),
@@ -403,8 +405,8 @@ object QualityModel {
     s"""WITH $fitCtes,
        |hp_e AS (
        |  SELECT f.y,
-       |    least(CAST(floor(abs(CAST(f.y AS DOUBLE)
-       |      - (qw.w1 + qw.w2 * f.f2 + qw.w3 * f.f3)) * 10) AS INT), 9) AS bin
+       |    least(CAST(floor(round(abs(CAST(f.y AS DOUBLE)
+       |      - (qw.w1 + qw.w2 * f.f2 + qw.w3 * f.f3)), 6) * 10) AS INT), 9) AS bin
        |  FROM f CROSS JOIN qw)
        |SELECT bin, round(CAST(bin AS DOUBLE) / 10, 6) + 0 AS err_lo,
        |  CAST(COUNT(*) AS BIGINT) AS n_docs,

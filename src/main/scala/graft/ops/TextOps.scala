@@ -272,14 +272,26 @@ object TextOps {
     "fr" -> Seq("le", "la", "les", "est", "et"),
     "zh" -> Seq("de", "shi", "le", "zai", "he"))
 
-  def langId(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
-    val w = split(col("text"), " ")
-    val scores = LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+  /** The (hits, lang) score structs over a word-array column — ONE
+    * definition shared by [[langId]] and the release pipeline's
+    * lang gate ([[graft.ops.Curation]] releasePipelineOf), so the
+    * two cannot drift. array_max over these structs = max hits,
+    * ties broken by max lang code. */
+  def langScoreStructs(w: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
+    LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
       struct(
         size(filter(w, x => x.isInCollection(markers))).as("hits"),
         lit(lang).as("lang"))
     }
+
+  /** Best marker-hit count of a word array (the langId vote's max). */
+  def markerHitsOf(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array_max(array(langScoreStructs(w): _*)).getField("hits")
+
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val w = split(col("text"), " ")
+    val scores = langScoreStructs(w)
     // array_max on (hits, lang) structs: max hits, then max lang —
     // deterministic; flip lang ordering is irrelevant for a tie of
     // zero-signal soup but stable.

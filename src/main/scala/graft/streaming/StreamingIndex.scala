@@ -491,7 +491,15 @@ object StreamingIndex {
     * the batch arrival form ([[graft.ops.Curation.sourceCapArrivalOf]],
     * stream ≡ batch pinned in StreamingSpec). Arrival order within
     * a micro-batch is doc_id (the repo's explicit-arrival
-    * convention, same as the incremental scrubs). */
+    * convention, same as the incremental scrubs) — deciding WHICH
+    * docs cross the cap boundary therefore buffers and sorts the
+    * source's micro-batch slice in one task, a cost bounded by
+    * micro-batch size × source skew, NOT by stream lifetime. The
+    * buffer exists only while the source is still BELOW cap: once
+    * the counter saturates, every later arrival flags keep=0
+    * whatever its intra-batch order, so capped sources stream
+    * through unbuffered (the mega-host flood case is exactly the
+    * one that never pays the buffer). */
   def sourceCapStream(
       docs: DataFrame,
       cap: Int = graft.ops.Curation.CapDocsPerSource): DataFrame = {
@@ -504,12 +512,22 @@ object StreamingIndex {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (src: String, it: Iterator[CapDoc], state: GroupState[Long]) => {
           val seen = state.getOption.getOrElse(0L)
-          val batch = it.toArray.sortBy(_.doc_id)
-          val out = batch.zipWithIndex.map { case (d, i) =>
-            CapDecision(d.doc_id, src, if (seen + i + 1 <= cap) 1 else 0)
+          if (seen >= cap) {
+            // Saturated: every arrival is keep=0 regardless of
+            // intra-batch order, and nothing downstream reads the
+            // counter past cap — emit lazily, no buffer, no sort.
+            state.update(seen)
+            it.map(d => CapDecision(d.doc_id, src, 0))
+          } else {
+            val batch = it.toArray.sortBy(_.doc_id)
+            val out = batch.zipWithIndex.map { case (d, i) =>
+              CapDecision(d.doc_id, src, if (seen + i + 1 <= cap) 1 else 0)
+            }
+            // Saturate at cap: the counter's only reader is the cap
+            // comparison, so min(total seen, cap) is the invariant.
+            state.update(math.min(seen + batch.length, cap.toLong))
+            out.iterator
           }
-          state.update(seen + batch.length)
-          out.iterator
         })
       .toDF()
   }

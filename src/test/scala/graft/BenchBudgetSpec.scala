@@ -109,7 +109,12 @@ class BenchBudgetSpec extends AnyFunSuite {
     assert(Bench.parseFreshLine("[bench-fresh] pq_m_sweep min=", "pq_m_sweep").isEmpty)
     // emit→parse round-trips under a comma-decimal default locale:
     // freshLine formats through Locale.ROOT, so the contract never
-    // degrades to an integer-truncated time on a de_DE machine
+    // degrades to an integer-truncated time on a de_DE machine.
+    // NOTE: this flips the PROCESS-GLOBAL default Locale — safe only
+    // because forked suites run sequentially (testForkedParallel is
+    // off in build.sbt); if parallel forked execution is ever
+    // enabled, drop the flip and assert on freshLine alone (it is
+    // locale-independent by construction via Locale.ROOT)
     val prev = java.util.Locale.getDefault
     try {
       java.util.Locale.setDefault(java.util.Locale.GERMANY)

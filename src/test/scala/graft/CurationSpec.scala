@@ -945,4 +945,47 @@ class CurationSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Curation.sqrtChain(3.0, "p"))
     intercept[IllegalArgumentException](Curation.sqrtChain(0.5, "p"))
   }
+
+  test("release_pipeline: stages compose (dedup -> gopher -> lang -> length -> cap), write round-trips with a consistent manifest") {
+    import spark.implicits._
+    val cap = Curation.CapDocsPerSource
+    // a good doc: 12 distinct words incl the 'the' marker, >= 50 chars
+    def good(i: Int) =
+      s"the alpha$i bravo$i charlie$i delta$i echo$i foxtrot$i golf$i " +
+        s"hotel$i india$i juliet$i kilo$i"
+    val rows =
+      (0 until cap + 4).map(i => (i.toLong, good(i), "en", "big")) ++ Seq(
+        (100L, good(900), "en", "small"),       // survives
+        (101L, good(900), "en", "small"),       // exact dup: killed by stage 1
+        (102L, "spam spam spam spam spam spam spam spam spam spam spam spam",
+          "en", "small"),                        // gopher twf kill
+        (103L, "zzaa zzbb zzcc zzdd zzee zzff zzgg zzhh zzii zzjj zzkk zzll",
+          "en", "small"),                        // no lang marker
+        (104L, "the cat sat", "en", "small"),    // length kill (< 50 chars)
+        (105L, good(905), "en", "small"))        // survives
+    val d = rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = Curation.releasePipelineOf(d).collect()
+    val bySrc = got.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(0)).toSet).toMap
+    // big: cap+4 good docs -> exactly cap survive; small: only 100 and 105
+    assert(bySrc("big").size == cap, s"cap must bind: $bySrc")
+    assert(bySrc("small") == Set(100L, 105L), s"stage kills wrong: $bySrc")
+    // deterministic under a different partitioning (no-RNG cap order)
+    val re = Curation.releasePipelineOf(d.repartition(7)).collect()
+      .map(_.getLong(0)).toSet
+    assert(re == got.map(_.getLong(0)).toSet)
+    // splits come from the salted source hash — every released row of
+    // a source carries the same split, and it matches data_split's rule
+    assert(got.groupBy(_.getString(1)).forall(_._2.map(_.getString(3)).distinct.size == 1))
+    // write round-trip: corpus parquet carries the same rows WITH text,
+    // manifest n_docs totals the release
+    val out = Files.createTempDirectory("graft-release").toString
+    Curation.releaseWriteOf(d, out)
+    val corpus = spark.read.parquet(out + "/corpus")
+    assert(corpus.columns.contains("text") && corpus.columns.contains("split"))
+    assert(corpus.select("doc_id").as[Long].collect().toSet ==
+      got.map(_.getLong(0)).toSet)
+    val manifest = spark.read.json(out + "/_manifest")
+    assert(manifest.agg(sum(col("n_docs"))).as[Long].head() == got.length.toLong)
+  }
 }

@@ -44,4 +44,32 @@ class DegenerateQuerySpec extends AnyFunSuite {
       assert(KMeansVec.ivfTopK(spark, dir).count() == 0L)
     }
   }
+
+  test("quirk Q4 on CORPUS rows: a zero-norm vector is excluded from knn, an exact query dup ranks first at dist 0, dup ties break by vec_id") {
+    // The reference inserts [0.0]*384 on embed failure (SURVEY quirk
+    // Q4) — under cosine that row scores NaN and must never surface.
+    // This fixture actually CONTAINS the zero vector (the r15 hostile
+    // fixture's recipe), plus two exact copies of the query vector.
+    val d = Files.createTempDirectory("graft-q4corpus").toString
+    val q = Array.tabulate(64)(k => (k % 5) * 0.1f + 0.01f)
+    val corpus = (1 to 10).map { n =>
+      val v = Array.tabulate(64)(k => ((n * 31 + k * 17) % 13 - 6) * 0.01f)
+      (n.toLong, v.toSeq, n % 3)
+    }
+    val rows = Seq(
+      (VectorQueries.QueryVecId, q.toSeq, 0),
+      (90L, Array.fill(64)(0f).toSeq, 1),  // zero norm: excluded
+      (91L, q.toSeq, 2),                   // exact dup of the query
+      (92L, q.toSeq, 2)) ++ corpus         // second dup: tie on dist 0
+    rows.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>"), col("label"))
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val top = VectorQueries.knnTopkK(spark, d, 13).collect()
+    val ids = top.map(_.getLong(0)).toSeq
+    assert(!ids.contains(90L), s"zero-norm row must be excluded: $ids")
+    assert(top.length == 12, s"all 12 non-degenerate rows rank: $ids")
+    assert(ids.take(2) == Seq(91L, 92L),
+      s"dist-0 dups first, tie-broken by vec_id: $ids")
+    assert(top(0).getDouble(2) == 0.0 && top(1).getDouble(2) == 0.0)
+  }
 }

@@ -125,4 +125,30 @@ class EventsSpec extends AnyFunSuite {
       "banded rewrite must avoid the O(n*m) nested-loop join")
     assert(plan.contains("Join"), "bucket equi-join expected in the plan")
   }
+
+  test("session_window boundary: an exact-gap arrival MERGES (new session only when gap is STRICTLY greater)") {
+    // events at 0, +30min exactly, +30min+1us: session_window(30m)
+    // must read [0, 30m] as ONE session (windows [ts, ts+gap) merge
+    // while next.start <= current.end) and break only at the +1us
+    // gap — the same `>` boundary as the lag-based q11. The r15
+    // hostile fixture disproved the old `>=` docstring claim; this
+    // pins the semantics at unit scale.
+    val d = Files.createTempDirectory("graft-sessb").toString
+    val min30 = 1800000000L
+    Seq((1L, 0L, "view"), (2L, min30, "view"),
+      (3L, min30 + min30 + 1L, "view"))
+      .toDF("event_id", "us", "event_type")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        lit(7L).as("user_id"), col("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val r = Events.sessionWindowAgg(spark, d).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(1) == 2L, s"expected 2 sessions: ${r.toSeq}")
+    assert(r(0).getLong(3) == 2L,
+      s"the exact-30m pair must be ONE session of 2 events: ${r.toSeq}")
+    // and the lag-based q11 agrees on the same boundary
+    val q11 = Events.sessionize(spark, d).collect()
+    assert(q11(0).getLong(1) == 2L, s"q11 must agree: ${q11.toSeq}")
+  }
 }

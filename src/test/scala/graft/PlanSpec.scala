@@ -1100,4 +1100,19 @@ class PlanSpec extends AnyFunSuite {
     assert(all == 1 && srcKeyed == 1,
       s"exactly the top-k window, SOURCE-keyed ($srcKeyed/$all): $plan")
   }
+
+  test("release_pipeline: all five stages compose off ONE corpus scan — no per-stage re-join") {
+    val plan = graft.ops.Curation.releasePipeline(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+    assert(!plan.contains("Join"), s"stages must not re-join their own scans: $plan")
+    val scans = "documents\\.parquet".r.findAllIn(plan).size
+    assert(scans <= 2, s"$scans corpus scans (release contract is <= 2, actual 1): $plan")
+    // exactly the survivorship (text) and cap (source) windows
+    val all = "windowspecdefinition\\(".r.findAllIn(plan).size
+    val txt = "windowspecdefinition\\(text".r.findAllIn(plan).size
+    val src = "windowspecdefinition\\(source".r.findAllIn(plan).size
+    assert(all == txt + src && txt >= 1 && src >= 1,
+      s"only text-keyed + source-keyed windows allowed ($txt+$src/$all): $plan")
+  }
 }

@@ -31,6 +31,32 @@ crafted docs that exercise what the word-soup fixture can't:
     dedup's strongest signal) and a shared-64-byte-head pair with
     divergent tails (exactly one shared frame).
 
+Round 15 extends the hostility to the last two verbatim-copied
+tables:
+
+  * `events.parquet` is REPLACED by a crafted set that lives
+    entirely in a ~2.5-day window AROUND THE UNIX EPOCH (so the
+    hourly_dense spine stays bounded): epoch-0 rows (ts exactly
+    1970-01-01T00:00:00.000000), pre-epoch NEGATIVE-microsecond rows
+    (date_trunc/epoch flooring on negatives), identical-timestamp
+    tie clusters (window order must tie-break on event_id),
+    EXACT 30-minute gaps (q11's strict `>` and q26's `>=` session
+    semantics provably disagree on them), band-edge clicks exactly
+    at `purchase_ts - 1h` and at `purchase_ts` for the banded range
+    join (including a purchase at a negative bucket boundary, where
+    truncating vs flooring `div` would mis-bucket), a funnel of
+    same-timestamp stages (strict `>` stage gates), props JSON edge
+    shapes ({}, missing key, null k, negative k, max-BIGINT k,
+    multi-key), and one mega-user for skew_report.
+  * `embeddings.parquet` keeps the original 500 rows and APPENDS
+    hostile vectors: an all-zero vector (quirk Q4's degenerate
+    cosine — engines must agree on exclusion), an exact float dup
+    of the query vector (dist 0 must rank first, tie-broken by
+    vec_id), exact-duplicate pairs (same and different label),
+    a near-antipodal vector (cosine distance ~2 — the far edge),
+    and a tiny-norm (1e-10) vector (norm underflow probe: exact
+    only if both engines accumulate in double).
+
 Usage: python3 tools/make_hostile_fixture.py [SRC_SF_DIR] [DEST_DIR]
 Defaults: /root/testdata/sf0.001 /tmp/graft-hostile
 """
@@ -43,7 +69,8 @@ dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft-hostile"
 
 os.makedirs(dst, exist_ok=True)
 for f in os.listdir(src):
-    if f.endswith(".parquet") and f != "documents.parquet":
+    if f.endswith(".parquet") and f not in (
+            "documents.parquet", "events.parquet", "embeddings.parquet"):
         shutil.copyfile(os.path.join(src, f), os.path.join(dst, f))
 
 PASSAGE = " ".join(f"shared{i}" for i in range(1, 26))      # 25 words
@@ -150,3 +177,136 @@ table = pa.table({
 })
 pq.write_table(table, os.path.join(dst, "documents.parquet"))
 print(f"hostile fixture: {len(docs)} docs -> {dst}")
+
+# ---------------------------------------------------------------- events
+# All timestamps are int64 MICROSECONDS in [-9h, +2d] around the unix
+# epoch: hourly_dense's min..max spine stays ~60 hours while epoch-0
+# and pre-epoch rows get real coverage.
+HOUR = 3_600_000_000
+MIN30 = 1_800_000_000
+events = []  # (ts_us, user_id, event_type, value, props)
+
+
+def ev(ts, uid, typ, val=1.0, props='{"k": 1}'):
+    events.append((ts, uid, typ, val, props))
+
+
+# epoch-0 tie cluster: three events at exactly us=0, one user —
+# window order must fall back to event_id; funnel's strict `us > t1`
+# must NOT count the same-instant click
+ev(0, 2, "view")
+ev(0, 2, "click")
+ev(0, 2, "purchase")
+# pre-epoch rows: negative microseconds (floor-sensitive truncation)
+ev(-1, 3, "click", val=-5.25)                      # 1969-12-31 23:59:59.999999
+ev(-MIN30, 3, "purchase", val=0.0)                 # 23:30:00 exactly
+ev(-2 * HOUR, 3, "view", val=1e15)                 # 22:00:00 exactly
+# exact 30-min gaps: q11 (strict >) keeps ONE session, q26 (>=)
+# breaks THREE — the two session semantics must disagree here
+ev(0, 4, "view")
+ev(MIN30, 4, "view")
+ev(2 * MIN30, 4, "view")
+# gap just over / just under the threshold (both semantics agree)
+ev(0, 5, "click")
+ev(MIN30 + 1, 5, "click")          # strictly > 30m: new session in both
+ev(MIN30 + 1 + MIN30 - 1, 5, "click")  # 30m-1us: same session in both
+# identical-ts tie cluster at a positive ts + same-instant as-of:
+# the error and a click at the SAME us — inclusive `<=` must see it
+ev(1_000_000, 6, "error")
+ev(1_000_000, 6, "click")
+ev(1_000_000, 6, "view")
+ev(1_000_000, 6, "purchase")
+# banded range join edges (band = 1h): clicks exactly at p-band
+# (included, lives in bucket b0-1), at p-band-1us (excluded — and in
+# bucket b0-2, outside the candidate explode), and at p itself
+ev(2 * HOUR, 7, "purchase")
+ev(1 * HOUR, 7, "click")           # = p - band, inclusive edge
+ev(1 * HOUR - 1, 7, "click")       # just outside the band
+ev(2 * HOUR, 7, "click")           # = p, inclusive edge
+ev(HOUR + 400_000_000, 7, "click")  # mid-window
+# negative-bucket purchase: p = -30min, b0 = trunc(-0.5) = 0; the
+# p-band click at -90min sits in trunc(-1.5) = -1 = b0-1 — a floor
+# (-2) would still cover it via b0-1? no: floor(-1.5) = -2, so a
+# mixed floor/trunc bucketing would MISS it. Truncation consistency
+# is what this row pins.
+ev(-MIN30, 14, "purchase")
+ev(-MIN30, 14, "click")            # = p
+ev(-3 * MIN30, 14, "click")        # = p - band, inclusive edge
+ev(-3 * MIN30 - 1, 14, "click")    # just outside
+# a purchase with NO clicks in its window (inner-join drop)
+ev(40 * HOUR, 8, "purchase")
+# props JSON edge shapes (get_json_object / json_keys parity)
+ev(3 * HOUR, 9, "error", props="{}")
+ev(3 * HOUR + 1, 9, "error", props='{"z": 5}')
+ev(3 * HOUR + 2, 9, "error", props='{"k": null}')
+ev(3 * HOUR + 3, 9, "error", props='{"k": -5}')
+ev(3 * HOUR + 4, 9, "error", props='{"k": 9223372036854775807}')
+ev(3 * HOUR + 5, 9, "error", props='{"k": 3, "m": 9}')
+ev(3 * HOUR + 6, 9, "signup", props='{"k": 0}', val=0.000001)
+# complete funnel (distinct micros), view-only, wrong-order, and a
+# same-instant click funnel (t2 NULL => t3 NULL despite a later buy)
+ev(10 * HOUR, 10, "view")
+ev(10 * HOUR + 1, 10, "click")
+ev(10 * HOUR + 2, 10, "purchase")
+ev(11 * HOUR, 11, "view")
+ev(12 * HOUR, 12, "click")
+ev(12 * HOUR + 1, 12, "view")
+ev(13 * HOUR, 13, "view")
+ev(13 * HOUR, 13, "click")         # same instant: NOT counted (strict >)
+ev(14 * HOUR, 13, "purchase")      # t2 is NULL, so t3 must stay NULL
+# mega-user skew + hourly-rate signal: 40 clicks bunched in one hour
+# (the anomaly), a trickle elsewhere
+for i in range(40):
+    ev(24 * HOUR + i * 60_000_000, 1, "click", val=float(i))
+for h in range(26, 34):
+    ev(h * HOUR, 1, "click")
+# a second day of sparse activity so cohorts/pivots span 4 calendar
+# days (1969-12-31 .. 1970-01-02) and signups appear on 2+ days
+ev(30 * HOUR, 2, "signup")
+ev(31 * HOUR, 3, "error", val=-1.0)
+ev(32 * HOUR, 4, "purchase", val=123.456789)
+ev(33 * HOUR, 5, "signup")
+ev(34 * HOUR, 6, "view")
+
+ev_table = pa.table({
+    "event_id": pa.array(list(range(len(events))), pa.int64()),
+    "ts": pa.array([e[0] for e in events], pa.timestamp("us")),
+    "user_id": pa.array([e[1] for e in events], pa.int64()),
+    "event_type": pa.array([e[2] for e in events], pa.string()),
+    "value": pa.array([e[3] for e in events], pa.float64()),
+    "props": pa.array([e[4] for e in events], pa.string()),
+})
+pq.write_table(ev_table, os.path.join(dst, "events.parquet"))
+print(f"hostile fixture: {len(events)} events -> {dst}")
+
+# ------------------------------------------------------------ embeddings
+# Keep the original rows (real distribution for kmeans/pq/ann) and
+# APPEND hostile vectors under fresh vec_ids.
+emb = pq.read_table(os.path.join(src, "embeddings.parquet"))
+base = emb.to_pydict()
+dim = len(base["embedding"][0])
+next_id = max(base["vec_id"]) + 1
+v0 = list(base["embedding"][0])   # the knn family's query vector
+v1 = list(base["embedding"][1])
+v2 = list(base["embedding"][2])
+hostile_vecs = [
+    ([0.0] * dim, 3),                                   # zero norm (quirk Q4)
+    (list(v0), 9),                                      # exact dup of the QUERY vec: dist 0
+    (list(v1), (base["label"][1] + 1) % 10),            # dup content, different label
+    ([-x for x in v1], 2),                              # antipodal: cosine dist ~2
+    (v1[:-1] + [v1[-1] + 1e-3], base["label"][1]),      # near-dup
+    (list(v2), base["label"][2]),                       # dup pair, same label
+    ([1e-10] * dim, 0),                                 # tiny norm (double-accum probe)
+]
+for i, (v, lab) in enumerate(hostile_vecs):
+    base["vec_id"].append(next_id + i)
+    base["embedding"].append(v)
+    base["label"].append(lab)
+emb_table = pa.table({
+    "vec_id": pa.array(base["vec_id"], pa.int64()),
+    "embedding": pa.array(base["embedding"], pa.list_(pa.float32())),
+    "label": pa.array(base["label"], pa.int32()),
+})
+pq.write_table(emb_table, os.path.join(dst, "embeddings.parquet"))
+print(f"hostile fixture: {len(base['vec_id'])} embeddings "
+      f"({len(hostile_vecs)} hostile) -> {dst}")
