@@ -129,6 +129,57 @@ object Bench {
     "[bench-fresh] " + name + " min=" +
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(sec))
 
+  /** Render [[BenchOne]]'s cold-mode stdout contract (same
+    * Locale.ROOT discipline as [[freshLine]]). */
+  private[graft] def coldLine(name: String, sessionSec: Double, firstSec: Double): String =
+    "[bench-cold] " + name +
+      " session=" + String.format(java.util.Locale.ROOT, "%.4f", Double.box(sessionSec)) +
+      " first=" + String.format(java.util.Locale.ROOT, "%.4f", Double.box(firstSec))
+
+  /** Parse [[coldLine]]. */
+  private[graft] def parseColdLine(out: String, name: String): Option[(Double, Double)] = {
+    val re = ("""\[bench-cold\] """ + java.util.regex.Pattern.quote(name) +
+      """ session=([0-9][0-9.]*) first=([0-9][0-9.]*)""").r
+    re.findFirstMatchIn(out).map(m => (m.group(1).toDouble, m.group(2).toDouble))
+  }
+
+  /** [[freshJvmRetime]]'s cold twin: spawn [[BenchOne]] with
+    * GRAFT_BENCH_COLD=1 (no warmup, no min-of-N) and parse the
+    * (session, first-result) pair. */
+  private[graft] def coldJvmRun(
+      name: String, sfDir: String, cpus: String,
+      timeoutSec: Long = 900): Option[(Double, Double)] = {
+    var outFile: java.nio.file.Path = null
+    try {
+      outFile = java.nio.file.Files.createTempFile("graft-bench-cold", ".out")
+      import scala.jdk.CollectionConverters._
+      val pb = new ProcessBuilder(freshJvmCmd(name, sfDir, cpus).asJava)
+      pb.environment().put("GRAFT_BENCH_COLD", "1")
+      pb.redirectOutput(outFile.toFile)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val p = pb.start()
+      val done = p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+      if (!done) {
+        p.destroyForcibly(); p.waitFor()
+        System.err.println(s"[bench-cold] $name: subprocess timed out after ${timeoutSec}s")
+        None
+      } else if (p.exitValue() != 0) {
+        System.err.println(s"[bench-cold] $name: subprocess exit ${p.exitValue()}")
+        None
+      } else {
+        parseColdLine(
+          new String(java.nio.file.Files.readAllBytes(outFile),
+            java.nio.charset.StandardCharsets.UTF_8), name)
+      }
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench-cold] $name: spawn failed: $e")
+        None
+    } finally {
+      if (outFile != null) java.nio.file.Files.deleteIfExists(outFile)
+    }
+  }
+
   /** Parse [[BenchOne]]'s one-line stdout contract. */
   private[graft] def parseFreshLine(out: String, name: String): Option[Double] = {
     val re = ("""\[bench-fresh\] """ + java.util.regex.Pattern.quote(name) +
@@ -342,6 +393,7 @@ object Bench {
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val Array(name, sfDir, cpus) = args.take(3)
+    val t00 = System.nanoTime()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -357,15 +409,91 @@ object BenchOne {
     }
     val fn = SparkEntry.queries(name)
     val pre = Bench.setupFor(name)
-    pre(spark, sfDir)
-    runFull(fn(spark, sfDir)) // warmup: JIT + codegen, the bench rule
-    val times = (1 to 2).map { _ =>
-      pre(spark, sfDir)
+    if (sys.env.get("GRAFT_BENCH_COLD").contains("1")) {
+      // COLD protocol (coldstart_profile.sh): NO warmup, no min-of-N
+      // — the operations number the quiet bench deliberately hides:
+      // session spin-up, then time-to-first-result on a cold JVM
+      // (JIT, codegen, parquet footer reads all included).
+      val sessionSec = (System.nanoTime() - t00) / 1e9
       val t0 = System.nanoTime()
+      pre(spark, sfDir)
       runFull(fn(spark, sfDir))
-      (System.nanoTime() - t0) / 1e9
+      val firstSec = (System.nanoTime() - t0) / 1e9
+      spark.stop()
+      println(Bench.coldLine(name, sessionSec, firstSec))
+    } else {
+      pre(spark, sfDir)
+      runFull(fn(spark, sfDir)) // warmup: JIT + codegen, the bench rule
+      val times = (1 to 2).map { _ =>
+        pre(spark, sfDir)
+        val t0 = System.nanoTime()
+        runFull(fn(spark, sfDir))
+        (System.nanoTime() - t0) / 1e9
+      }
+      spark.stop()
+      println(Bench.freshLine(name, times.min))
     }
-    spark.stop()
-    println(Bench.freshLine(name, times.min))
+  }
+}
+
+/** Cold-start profiler (the r12–r14 operations queue item): one
+  * representative query per operator family, each in a FRESH JVM
+  * with NO warmup — session spin-up time and time-to-first-result,
+  * written as a JSON artifact. Deliberately NOT registered in
+  * [[SparkEntry.queries]]: wall-clock cold numbers are neither
+  * oracle- nor rows-stable, so they can't ride the correctness
+  * gate; this is an operations artifact (run via
+  * `tools/coldstart_profile.sh`), not a query. */
+object ColdStart {
+  /** One representative per family — the cheapest member that still
+    * exercises the family's physical shape (index builds included
+    * where the family always builds one). */
+  val Families: Seq[(String, String)] = Seq(
+    "relational_agg" -> "q01_pricing_summary",
+    "join" -> "q03_priority_semi",
+    "window_session" -> "q11_sessionize",
+    "json_variant" -> "q27_variant",
+    "knn_exact" -> "knn_topk",
+    "ann_index" -> "ann_ivf_topk",
+    "dedup_exact" -> "dedup_exact",
+    "dedup_lsh" -> "minhash_lsh",
+    "quality" -> "gopher_quality",
+    "tokenizer" -> "bpe_encode",
+    "lm" -> "unigram_logprob",
+    "embed_index" -> "index_pipeline",
+    "curation" -> "release_pipeline",
+    "sketch" -> "cms_topk",
+    "media" -> "media_meta",
+    "sampling" -> "sample_hash")
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("COLDSTART.json")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val rows = Families.map { case (family, q) =>
+      val r = Bench.coldJvmRun(q, sfDir, cpus)
+      r match {
+        case Some((sess, first)) =>
+          System.err.println(Bench.coldLine(q, sess, first))
+        case None =>
+          System.err.println(s"[bench-cold] $q: FAILED")
+      }
+      (family, q, r)
+    }
+    val body = rows.map { case (family, q, r) =>
+      val inner = r match {
+        case Some((sess, first)) =>
+          // Locale.ROOT: the artifact decimal is ALWAYS a dot
+          String.format(java.util.Locale.ROOT,
+            """{"query":"%s","session_s":%.4f,"first_result_s":%.4f}""",
+            q, Double.box(sess), Double.box(first))
+        case None => s"""{"query":"$q","error":"subprocess_failed"}"""
+      }
+      s""""$family":$inner"""
+    }.mkString(",")
+    val json = s"""{"sf":"$sfDir","cpus":$cpus,"families":{$body}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
   }
 }

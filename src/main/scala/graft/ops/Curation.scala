@@ -1188,16 +1188,22 @@ object Curation {
   /** Token capacity of one packed training sequence. */
   val SeqCapacity = 800L
 
-  private val packUdf = udf { (docs: Seq[org.apache.spark.sql.Row]) =>
+  /** The next-fit fold as a PURE kernel (KernelPropertySpec laws:
+    * order/token conservation, per-bin capacity, contiguous seq
+    * ids): docs as (id, n) in pack order, out (id, seq, n). */
+  private[graft] def nextFitPack(
+      docs: Seq[(Long, Long)], cap: Long = SeqCapacity): Seq[(Long, Long, Long)] = {
     var seq = 0L
     var running = 0L
-    docs.map { r =>
-      val id = r.getLong(0)
-      val n = r.getLong(1)
-      if (running > 0 && running + n > SeqCapacity) { seq += 1; running = n }
+    docs.map { case (id, n) =>
+      if (running > 0 && running + n > cap) { seq += 1; running = n }
       else running += n
       (id, seq, n)
     }
+  }
+
+  private val packUdf = udf { (docs: Seq[org.apache.spark.sql.Row]) =>
+    nextFitPack(docs.map(r => (r.getLong(0), r.getLong(1))))
   }
 
   /** Sequence packing — the "fill fixed context windows" step that
@@ -1287,22 +1293,27 @@ object Curation {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
-  private val bfdUdf = udf { (docs: Seq[org.apache.spark.sql.Row]) =>
-    // docs pre-sorted (n DESC, doc_id ASC) by the caller
+  /** The best-fit fold as a PURE kernel (KernelPropertySpec laws:
+    * capacity, conservation, never-worse-than-next-fit): docs as
+    * (id, n) pre-sorted (n DESC, id ASC) by the caller. */
+  private[graft] def bfdPack(
+      docs: Seq[(Long, Long)], cap: Long = SeqCapacity): Seq[(Long, Long, Long)] = {
     val rem = scala.collection.mutable.ArrayBuffer[Long]()
-    docs.map { r =>
-      val id = r.getLong(0)
-      val n = r.getLong(1)
+    docs.map { case (id, n) =>
       var best = -1
       var i = 0
       while (i < rem.length) {
         if (rem(i) >= n && (best < 0 || rem(i) < rem(best))) best = i
         i += 1
       }
-      if (best < 0) { rem += (SeqCapacity - n); best = rem.length - 1 }
+      if (best < 0) { rem += (cap - n); best = rem.length - 1 }
       else rem(best) -= n
       (id, best.toLong, n)
     }
+  }
+
+  private val bfdUdf = udf { (docs: Seq[org.apache.spark.sql.Row]) =>
+    bfdPack(docs.map(r => (r.getLong(0), r.getLong(1))))
   }
 
   /** Best-fit-decreasing packing — the offline algorithm next-fit

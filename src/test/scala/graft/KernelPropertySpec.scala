@@ -136,6 +136,84 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("maximalCleanOf: equals the brute-force cover at the registered 8/12 grain; duplicated positions are inert") {
+    val posGen = Gen.listOf(Gen.choose(0, 45)).map(_.sorted)
+    val atom = Dedup.MaximalAtomWords
+    val minSpan = Dedup.MaximalMinSpanWords
+    check("registered-grain-cover", Prop.forAll(textGen, posGen) { (text, badPosDup) =>
+      val badPos = badPosDup.distinct
+      val w = Dedup.splitWords(text)
+      val islands = badPos.foldLeft(List.empty[List[Int]]) {
+        case (acc, p) if acc.nonEmpty && p == acc.head.head + 1 =>
+          (p :: acc.head) :: acc.tail
+        case (acc, p) => List(p) :: acc
+      }
+      val covered = islands.flatMap { isl =>
+        val s = isl.last; val e = isl.head + atom - 1
+        if (e - s + 1 >= minSpan) s to e else Nil
+      }.toSet
+      val expect = w.zipWithIndex.collect {
+        case (word, i) if !covered.contains(i) => word
+      }.mkString(" ")
+      // the registered-grain kernel matches brute force, AND feeding
+      // the duplicated list unchanged gives the same answer (the
+      // documented defense-in-depth tolerance)
+      Dedup.maximalCleanOf(text, badPos) == expect &&
+        Dedup.maximalCleanOf(text, badPosDup) == expect
+    })
+  }
+
+  test("pack folds: per-bin capacity, token/order conservation, BFD never uses more bins than next-fit") {
+    val capGen = Gen.choose(5L, 60L)
+    val docsGen = Gen.listOf(Gen.choose(0L, 60L)).map(_.zipWithIndex
+      .map { case (n, i) => (i.toLong, n) })
+    check("next-fit-laws", Prop.forAll(docsGen, capGen) { (raw, cap) =>
+      // the caller truncates to capacity before the fold — mirror it
+      val docs = raw.map { case (id, n) => (id, math.min(n, cap)) }
+      val out = graft.ops.Curation.nextFitPack(docs, cap)
+      val conserve = out.map(t => (t._1, t._3)) == docs
+      val seqs = out.map(_._2)
+      val contiguous = seqs.isEmpty ||
+        (seqs.head == 0L && seqs.zip(seqs.tail).forall {
+          case (a, b) => b == a || b == a + 1 })
+      val capacity = out.groupBy(_._2).values
+        .forall(bin => bin.map(_._3).sum <= cap)
+      conserve && contiguous && capacity
+    })
+    check("bfd-laws", Prop.forAll(docsGen, capGen) { (raw, cap) =>
+      val docs = raw.map { case (id, n) => (id, math.min(n, cap)) }
+      // the caller pre-sorts n DESC, id ASC
+      val sorted = docs.sortBy { case (id, n) => (-n, id) }
+      val out = graft.ops.Curation.bfdPack(sorted, cap)
+      val conserve = out.map(t => (t._1, t._3)) == sorted
+      val capacity = out.groupBy(_._2).values
+        .forall(bin => bin.map(_._3).sum <= cap)
+      val bfdBins = out.map(_._2).distinct.length
+      val nfBins = graft.ops.Curation.nextFitPack(docs, cap)
+        .map(_._2).distinct.length
+      val lower = {
+        val tot = docs.map(_._2).sum
+        if (tot == 0) 0L else (tot + cap - 1) / cap
+      }
+      conserve && capacity && bfdBins <= nfBins &&
+        (docs.forall(_._2 == 0) || bfdBins >= lower)
+    })
+  }
+
+  test("bandKeysOf under hostile whitespace: keys are a set function of shingles — multiplicity and repeat count never move them") {
+    // empty-string words (double/leading/trailing spaces after a
+    // split(' ', -1)) are legal shingle atoms; a single repeated
+    // word (incl. the empty word) yields ONE distinct shingle, so
+    // ANY repeat count >= ShingleK must produce identical keys
+    val wGen = Gen.oneOf("a", "bb", "ccc", "")
+    val nGen = Gen.choose(Dedup.ShingleK, 40)
+    check("multiplicity-invariance", Prop.forAll(wGen, nGen, nGen) { (w, n, m) =>
+      val k1 = Dedup.bandKeysOf(Seq.fill(n)(w).mkString(" "))
+      val k2 = Dedup.bandKeysOf(Seq.fill(m)(w).mkString(" "))
+      k1.sameElements(k2) && k1.length == Dedup.Bands
+    })
+  }
+
   test("repetitionScanAt: deterministic; the cleaned text is a word-subsequence preserving first occurrences") {
     check("subsequence", Prop.forAll(textGen) { text =>
       val (n1, clean1) = Dedup.repetitionScan(text)
