@@ -3257,6 +3257,374 @@ object Curation {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  // ---- encoding-damage (mojibake) report ----
+
+  /** Per-doc encoding-damage counters — the row-local half of
+    * [[mojibakeReportOf]], shared verbatim with the streaming gate
+    * ([[graft.streaming.StreamingIndex.mojibakeGateStream]]) so batch
+    * and stream decisions cannot drift. Four independent signals of
+    * UTF-8 text that went through a wrong-codec round-trip:
+    *
+    *  - `n_latin1`: the classic double-encoding digraph — a UTF-8
+    *    lead byte 0xC2/0xC3 decoded as Latin-1 (the char Â/Ã)
+    *    followed by a continuation-range char (U+0080–U+00BF).
+    *    "Café" damaged reads "CafÃ©".
+    *  - `n_punct3`: the 3-byte punctuation family (curly quotes,
+    *    dashes, ellipsis) under the same damage — â (U+00E2) plus
+    *    two continuation-range chars ("don't" reads "donâ€™t").
+    *  - `n_fffd`: U+FFFD replacement chars — a decoder already gave
+    *    up once; the original bytes are unrecoverable.
+    *  - `n_c1`: bare C1 control chars (U+0080–U+009F) — legal in no
+    *    text encoding's output, the windows-1252-decoded-as-latin1
+    *    tell.
+    *
+    * Patterns are `\x{hhhh}` code-point classes — identical semantics
+    * in Java regex and DuckDB's RE2 (the homoglyph_dedup parity
+    * rule), and no literal non-ASCII chars ride in source or SQL. */
+  def mojibakeFlagsOf(d: DataFrame): DataFrame = {
+    def cnt(pat: String): Column =
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long")
+    d.select(col("doc_id"), col("source"),
+      cnt("[\\x{00C2}\\x{00C3}][\\x{0080}-\\x{00BF}]").as("n_latin1"),
+      cnt("\\x{00E2}[\\x{0080}-\\x{00BF}]{2}").as("n_punct3"),
+      cnt("\\x{FFFD}").as("n_fffd"),
+      cnt("[\\x{0080}-\\x{009F}]").as("n_c1"))
+      .withColumn("keep",
+        (col("n_latin1") + col("n_punct3") + col("n_fffd") + col("n_c1") === 0)
+          .cast("int"))
+  }
+
+  /** Per-source encoding-damage report — the release-checklist view
+    * of [[mojibakeFlagsOf]]: a source with a high mojibake rate was
+    * scraped or transcoded through the wrong codec and needs a
+    * re-ingest, not per-doc scrubbing (the [[piiReport]] rule; cousin
+    * of [[markupArtifactsReportOf]], which audits extraction damage —
+    * this audits ENCODING damage).
+    *
+    * Scale shape: ONE corpus scan, all four counters as
+    * `regexp_extract_all` lengths in the same codegen'd map-only
+    * projection, ONE per-source aggregation. */
+  def mojibakeReportOf(d: DataFrame): DataFrame =
+    mojibakeFlagsOf(d)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(lit(1L) - col("keep")).as("n_flagged"),
+        sum(col("n_latin1")).as("n_latin1"),
+        sum(col("n_punct3")).as("n_punct3"),
+        sum(col("n_fffd")).as("n_fffd"),
+        sum(col("n_c1")).as("n_c1"))
+      .select(col("source"), col("n_docs"), col("n_flagged"),
+        col("n_latin1"), col("n_punct3"), col("n_fffd"), col("n_c1"),
+        r6(col("n_flagged").cast("double") / col("n_docs")).as("flag_rate"))
+      .orderBy(col("source"))
+
+  def mojibakeReport(s: SparkSession, dir: String): DataFrame =
+    mojibakeReportOf(t(s, dir, "documents"))
+
+  /** Oracle mirror (prefix `moj_`): identical code-point classes. */
+  val mojibakeReportSql: String =
+    """WITH moj_c AS (
+      |  SELECT source,
+      |    CAST(len(regexp_extract_all(text, '[\x{00C2}\x{00C3}][\x{0080}-\x{00BF}]')) AS BIGINT) AS cl,
+      |    CAST(len(regexp_extract_all(text, '\x{00E2}[\x{0080}-\x{00BF}]{2}')) AS BIGINT) AS cp,
+      |    CAST(len(regexp_extract_all(text, '\x{FFFD}')) AS BIGINT) AS cf,
+      |    CAST(len(regexp_extract_all(text, '[\x{0080}-\x{009F}]')) AS BIGINT) AS cc
+      |  FROM documents)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN cl + cp + cf + cc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+      |  CAST(SUM(cl) AS BIGINT) AS n_latin1,
+      |  CAST(SUM(cp) AS BIGINT) AS n_punct3,
+      |  CAST(SUM(cf) AS BIGINT) AS n_fffd,
+      |  CAST(SUM(cc) AS BIGINT) AS n_c1,
+      |  round(CAST(SUM(CASE WHEN cl + cp + cf + cc > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / COUNT(*), 6) + 0 AS flag_rate
+      |FROM moj_c
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  // ---- synthetic-text (LLM-boilerplate) contamination report ----
+
+  /** Marker phrases of machine-generated text, matched lowercase.
+    * Deliberately the assistant-boilerplate register (refusals,
+    * hedges, chat-UI strings) — phrases essentially absent from
+    * organic web text but dense in LLM output that leaked back into
+    * crawls. Fixed, ordered, ASCII; the order is the deterministic
+    * tie-break for the per-source dominant marker. */
+  val SyntheticMarkers: Seq[String] = Seq(
+    "as an ai language model",
+    "as a large language model",
+    "as of my knowledge cutoff",
+    "i cannot assist with",
+    "i hope this helps",
+    "it's important to note that",
+    "let's delve into",
+    "regenerate response")
+
+  /** Per-doc marker-hit counters — the row-local half of
+    * [[syntheticTextReportOf]], shared verbatim with the streaming
+    * gate ([[graft.streaming.StreamingIndex.syntheticGateStream]]).
+    * Hit counting is the exact length-difference identity
+    * (len(t) − len(replace(t, m, ''))) / len(m) — literal substring
+    * matching, no regex, identical non-overlapping scan semantics in
+    * Spark and DuckDB; the division is exact (the difference is a
+    * multiple of len(m), both well inside double's exact-integer
+    * range for any real document). */
+  def syntheticHitsOf(d: DataFrame): DataFrame = {
+    val lo = lower(col("text"))
+    val hits = SyntheticMarkers.zipWithIndex.map { case (m, i) =>
+      ((length(lo) - length(replace(lo, lit(m), lit("")))) / lit(m.length))
+        .cast("long").as(s"h$i")
+    }
+    val total = SyntheticMarkers.indices.map(i => col(s"h$i")).reduce(_ + _)
+    d.select(Seq(col("doc_id"), col("source")) ++ hits: _*)
+      .withColumn("n_hits", total)
+      .withColumn("keep", (col("n_hits") === 0).cast("int"))
+  }
+
+  /** Per-source synthetic-text contamination report — the
+    * model-collapse audit a post-2022 crawl needs: how much of each
+    * source is LLM output that leaked back into the training pool.
+    * Flagged docs, total marker hits, the DOMINANT marker per source
+    * (max hits, ties to the earlier marker in [[SyntheticMarkers]] —
+    * '' with 0 hits when a source is clean), and the flag rate.
+    *
+    * Scale shape: ONE corpus scan — all eight counters are literal
+    * replace/length arithmetic in the same codegen'd projection —
+    * then ONE per-source aggregation carrying the eight conditional
+    * sums as columns; the dominant-marker argmax runs on the
+    * AGGREGATED relation (sources × 8 rows via an exploded literal
+    * map, a source-keyed window on megabytes at any corpus size). */
+  def syntheticTextReportOf(d: DataFrame): DataFrame = {
+    val aggCols = Seq(
+      sum(lit(1L) - col("keep")).as("n_flagged"),
+      sum(col("n_hits")).as("total_hits")) ++
+      SyntheticMarkers.indices.map(i => sum(col(s"h$i")).as(s"s$i"))
+    val perSource = syntheticHitsOf(d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), aggCols: _*)
+    val markerMap = map(SyntheticMarkers.zipWithIndex.flatMap {
+      case (m, i) => Seq(lit(m), col(s"s$i"))
+    }: _*)
+    val stacked = perSource
+      .select(col("source"), col("n_docs"), col("n_flagged"), col("total_hits"),
+        explode(markerMap).as(Seq("marker", "hits")))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("hits").desc, col("marker"))
+    stacked
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("source"), col("n_docs"), col("n_flagged"), col("total_hits"),
+        r6(col("n_flagged").cast("double") / col("n_docs")).as("flag_rate"),
+        when(col("total_hits") === 0, lit("")).otherwise(col("marker")).as("top_marker"),
+        when(col("total_hits") === 0, lit(0L)).otherwise(col("hits")).as("top_marker_hits"))
+      .orderBy(col("source"))
+  }
+
+  def syntheticTextReport(s: SparkSession, dir: String): DataFrame =
+    syntheticTextReportOf(t(s, dir, "documents"))
+
+  /** Oracle mirror (prefix `syn_`): the same length-difference hit
+    * identity, the argmax as a UNION ALL stack over the aggregated
+    * relation + one window. */
+  lazy val syntheticTextReportSql: String = {
+    def esc(m: String) = m.replace("'", "''")
+    val cols = SyntheticMarkers.zipWithIndex.map { case (m, i) =>
+      s"CAST((length(lower(text)) - length(replace(lower(text), '${esc(m)}', ''))) // ${m.length} AS BIGINT) AS h$i"
+    }.mkString(",\n|    ")
+    val sums = SyntheticMarkers.indices.map(i => s"CAST(SUM(h$i) AS BIGINT) AS s$i")
+      .mkString(", ")
+    val hitSum = SyntheticMarkers.indices.map(i => s"h$i").mkString(" + ")
+    val stack = SyntheticMarkers.zipWithIndex.map { case (m, i) =>
+      s"SELECT source, '${esc(m)}' AS marker, s$i AS hits FROM syn_a"
+    }.mkString("\n|  UNION ALL ")
+    s"""WITH syn_c AS (
+       |  SELECT source,
+       |    $cols
+       |  FROM documents),
+       |syn_a AS MATERIALIZED (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(CASE WHEN $hitSum > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       |    CAST(SUM($hitSum) AS BIGINT) AS total_hits,
+       |    $sums
+       |  FROM syn_c
+       |  GROUP BY source),
+       |syn_s AS (
+       |  $stack),
+       |syn_r AS (
+       |  SELECT source, marker, hits,
+       |    row_number() OVER (PARTITION BY source ORDER BY hits DESC, marker) AS rn
+       |  FROM syn_s)
+       |SELECT a.source, a.n_docs, a.n_flagged, a.total_hits,
+       |  round(CAST(a.n_flagged AS DOUBLE) / a.n_docs, 6) + 0 AS flag_rate,
+       |  CASE WHEN a.total_hits = 0 THEN '' ELSE r.marker END AS top_marker,
+       |  CASE WHEN a.total_hits = 0 THEN 0 ELSE r.hits END AS top_marker_hits
+       |FROM syn_a a JOIN syn_r r ON r.source = a.source AND r.rn = 1
+       |ORDER BY a.source""".stripMargin
+  }
+
+  // ---- code-content ratio report ----
+
+  /** Punctuation-signal floor for [[codeRatioReportOf]]'s is_code
+    * flag: a doc with ≥ this many brace/semicolon hits reads as
+    * code. */
+  val CodePunctMin = 4
+
+  /** Keyword-signal floor: ≥ this many whole-word code keywords. */
+  val CodeKwMin = 2
+
+  /** Code-keyword alternation — whole-word (`\b`), case-sensitive
+    * (real code keywords are lowercase; prose "Class" or "Return" at
+    * sentence start stays out). ASCII word boundaries behave
+    * identically in Java regex and RE2. */
+  val CodeKwPattern = "\\b(def|class|import|return|void|function)\\b"
+
+  /** Per-source code-content ratio — the MIXTURE statistic (not a
+    * quality filter) an LLM data recipe needs: what fraction of each
+    * source is source code rather than prose. Code share drives
+    * reasoning-benchmark performance and is a headline number of
+    * every dataset card, so it must come from the corpus, not from
+    * source-name heuristics. A doc flags as code on either of two
+    * independent signals: structural punctuation density
+    * (braces + semicolons ≥ [[CodePunctMin]]) or whole-word code
+    * keywords (≥ [[CodeKwMin]] of [[CodeKwPattern]]).
+    *
+    * Cousin of [[markupArtifactsReportOf]] (extraction damage) and
+    * [[mojibakeReportOf]] (encoding damage) — this one classifies
+    * content TYPE; the three share the one-scan/one-agg shape.
+    *
+    * Scale shape: ONE corpus scan, both counters in the same
+    * codegen'd map-only projection, ONE per-source aggregation. */
+  def codeRatioReportOf(d: DataFrame): DataFrame = {
+    def cnt(pat: String): Column =
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long")
+    d.select(col("source"),
+      cnt("[{};]").as("n_punct"),
+      cnt(CodeKwPattern).as("n_kw"))
+      .withColumn("is_code",
+        (col("n_punct") >= CodePunctMin || col("n_kw") >= CodeKwMin).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("is_code")).as("n_code"),
+        sum(col("n_punct")).as("n_punct"),
+        sum(col("n_kw")).as("n_keywords"))
+      .select(col("source"), col("n_docs"), col("n_code"),
+        col("n_punct"), col("n_keywords"),
+        r6(col("n_code").cast("double") / col("n_docs")).as("code_rate"))
+      .orderBy(col("source"))
+  }
+
+  def codeRatioReport(s: SparkSession, dir: String): DataFrame =
+    codeRatioReportOf(t(s, dir, "documents"))
+
+  /** Oracle mirror (prefix `cdr_`): identical patterns and floors. */
+  val codeRatioReportSql: String =
+    s"""WITH cdr_c AS (
+       |  SELECT source,
+       |    CAST(len(regexp_extract_all(text, '[{};]')) AS BIGINT) AS np,
+       |    CAST(len(regexp_extract_all(text, '$CodeKwPattern')) AS BIGINT) AS nk
+       |  FROM documents)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN np >= $CodePunctMin OR nk >= $CodeKwMin THEN 1 ELSE 0 END) AS BIGINT) AS n_code,
+       |  CAST(SUM(np) AS BIGINT) AS n_punct,
+       |  CAST(SUM(nk) AS BIGINT) AS n_keywords,
+       |  round(CAST(SUM(CASE WHEN np >= $CodePunctMin OR nk >= $CodeKwMin THEN 1 ELSE 0 END) AS DOUBLE)
+       |        / COUNT(*), 6) + 0 AS code_rate
+       |FROM cdr_c
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  // ---- quality↔length confound report ----
+
+  /** Per-source Pearson correlation between the fused ensemble
+    * quality score ([[qualityEnsemble]]'s micro-unit `fused`) and
+    * document length — the confound audit every filter ablation
+    * needs: a quality filter that correlates strongly with length is
+    * a length filter in disguise, and "keep high quality" silently
+    * reshapes the corpus length distribution (the
+    * [[lengthBiasReport]] signal, reduced to one number per source,
+    * plus the corpus-total `(all)` row from the same rollup).
+    *
+    * Arithmetic bridge: x = the fused score lifted back to exact
+    * micro-units (BIGINT), y = n_chars (BIGINT). All five moment
+    * sums accumulate in DECIMAL(38,0) — per-doc products x·y ≤ 1e15
+    * and x² ≤ 1e12 fit BIGINT at any document size, and the DECIMAL
+    * sums hold to ~1e12 docs; r's numerator n·Σxy − Σx·Σy and the
+    * two variance terms stay DECIMAL-exact, cast to double only for
+    * the final sqrt/divide (both engines round the same exact
+    * integers to the same doubles — IEEE), then r6. Zero variance on
+    * either side (a constant-score or constant-length source) pins
+    * r = 0.
+    *
+    * Scale shape: the ensemble relation is the one already-gated
+    * chain; ONE narrow doc-keyed join against (doc_id, source,
+    * n_chars); ONE rollup aggregation serves every source AND the
+    * corpus row (never a second agg + union). */
+  def qualityLengthConfound(s: SparkSession, dir: String): DataFrame = {
+    val q = qualityEnsemble(s, dir).select(col("doc_id"),
+      round(col("fused") * 1e6).cast("long").as("x"))
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars").as("y"))
+    confoundOf(d.join(q, "doc_id"))
+  }
+
+  /** The rollup/Pearson half of [[qualityLengthConfound]] over
+    * (source, x: long, y: long) rows — exposed for the crafted-data
+    * spec (r = ±1 on exact linear data, 0 on zero variance). */
+  private[graft] def confoundOf(xy: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val g = xy
+      .rollup(col("source"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"),
+        sum((col("y") * col("y")).cast(dec)).as("syy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    g.select(
+        coalesce(col("source"), lit("(all)")).as("source"),
+        col("n").cast("long").as("n_docs"),
+        when(vx <= 0 || vy <= 0, lit(0.0))
+          .otherwise(r6(num.cast("double") /
+            sqrt(vx.cast("double") * vy.cast("double"))))
+          .as("corr_quality_length"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle mirror (prefix `qlc_`): HUGEINT moment sums (DuckDB's
+    * exact 128-bit twin of the engine's DECIMAL(38,0)), GROUPING
+    * SETS for the per-source + `(all)` rows, the same
+    * zero-variance guard. */
+  lazy val qualityLengthConfoundSql: String =
+    s"""WITH qlc_q AS MATERIALIZED (
+       |  SELECT doc_id, CAST(round(fused * 1000000) AS BIGINT) AS x
+       |  FROM ($qualityEnsembleSql)),
+       |qlc_j AS (
+       |  SELECT d.source, q.x, d.n_chars AS y
+       |  FROM documents d JOIN qlc_q q USING (doc_id)),
+       |qlc_g AS (
+       |  SELECT source,
+       |    CAST(COUNT(*) AS HUGEINT) AS n,
+       |    CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+       |    CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+       |    CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+       |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+       |    CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+       |  FROM qlc_j
+       |  GROUP BY GROUPING SETS ((source), ()))
+       |SELECT COALESCE(source, '(all)') AS source,
+       |  CAST(n AS BIGINT) AS n_docs,
+       |  CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0 THEN 0.0
+       |       ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+       |                  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+       |                         * CAST(n * syy - sy * sy AS DOUBLE)), 6) + 0
+       |  END AS corr_quality_length
+       |FROM qlc_g
+       |ORDER BY source""".stripMargin
+
   // ---- LM anomaly spans ----
 
   /** Sliding-window width (words) for [[lmAnomalySpans]]. */
@@ -3387,6 +3755,10 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "context_budget_report" -> (contextBudgetReport _),
     "markup_artifacts_report" -> (markupArtifactsReport _),
+    "mojibake_report" -> (mojibakeReport _),
+    "synthetic_text_report" -> (syntheticTextReport _),
+    "code_ratio_report" -> (codeRatioReport _),
+    "quality_length_confound" -> (qualityLengthConfound _),
     "source_epochs_report" -> (sourceEpochsReport _),
     "source_cap_sample" -> (sourceCapSample _),
     "release_pipeline" -> (releasePipeline _),
@@ -3436,6 +3808,10 @@ object Curation {
   val oracles: Map[String, String] = Map(
     "context_budget_report" -> contextBudgetReportSql,
     "markup_artifacts_report" -> markupArtifactsReportSql,
+    "mojibake_report" -> mojibakeReportSql,
+    "synthetic_text_report" -> syntheticTextReportSql,
+    "code_ratio_report" -> codeRatioReportSql,
+    "quality_length_confound" -> qualityLengthConfoundSql,
     "source_epochs_report" -> sourceEpochsReportSql,
     "source_cap_sample" -> sourceCapSampleSql,
     "release_pipeline" -> releasePipelineSql,

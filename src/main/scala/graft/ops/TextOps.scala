@@ -62,6 +62,64 @@ object TextOps {
       |ORDER BY cnt DESC, word
       |LIMIT 20""".stripMargin
 
+  /** Document-frequency floor for [[burstinessReport]] — cf/df on a
+    * df=1 term is just that term's count in its one doc; the
+    * statistic means something only across several documents. */
+  val BurstMinDf = 5
+
+  /** Term burstiness report (Church & Gale): for each term,
+    * collection frequency cf over document frequency df — the mean
+    * occurrences per CONTAINING document. Content words burst
+    * (cf/df ≫ 1: a doc about a topic repeats its terms); function
+    * words spread (cf/df ≈ cf/n_docs). The top of this list is the
+    * template/boilerplate tell zipf_fit's global curve blurs: a term
+    * with df=5 but cf=500 lives in five near-identical generated
+    * pages. Top-20 by burstiness, ties to the lexicographically
+    * earlier term; tokenization is the repo's split-on-space
+    * convention (identical to [[topWords]], empty tokens included).
+    *
+    * Arithmetic: cf and df are exact BIGINTs; burstiness is the
+    * micro-unit HALF_UP ratio (2·cf·10⁶ + df) div (2·df) — exact
+    * integer end to end, headroom to cf ≈ 4.6e12 tokens per term
+    * (beyond that the sum lifts to DECIMAL, documented not needed at
+    * 100 TB: no single TERM carries trillions of occurrences outside
+    * the stopword head, and the head is still < 1e13).
+    *
+    * Scale shape: ONE token scan; the (term, doc) pre-aggregation
+    * collapses map-side before the only wide shuffle (term key);
+    * the final top-k is TakeOrderedAndProject, never a global
+    * sort. */
+  def burstinessReport(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("k"))
+      .groupBy(col("term"))
+      .agg(sum(col("k")).as("cf"), count(lit(1)).as("df"))
+      .where(col("df") >= BurstMinDf)
+      .select(col("term"), col("cf"), col("df"),
+        (expr("(2 * cf * 1000000 + df) div (2 * df)").cast("double") / 1e6)
+          .as("burstiness"))
+      .orderBy(col("burstiness").desc, col("term"))
+      .limit(20)
+
+  /** Oracle mirror (prefix `bur_`): identical tokenization, floor,
+    * and HALF_UP micro-unit ratio. */
+  val burstinessReportSql: String =
+    s"""WITH bur_t AS (
+       |  SELECT doc_id, w AS term
+       |  FROM documents, UNNEST(string_split(text, ' ')) AS t(w)),
+       |bur_d AS (SELECT term, doc_id, COUNT(*) AS k FROM bur_t GROUP BY term, doc_id),
+       |bur_c AS (
+       |  SELECT term, CAST(SUM(k) AS BIGINT) AS cf, CAST(COUNT(*) AS BIGINT) AS df
+       |  FROM bur_d GROUP BY term)
+       |SELECT term, cf, df,
+       |  CAST((2 * cf * 1000000 + df) // (2 * df) AS DOUBLE) / 1000000.0 AS burstiness
+       |FROM bur_c
+       |WHERE df >= $BurstMinDf
+       |ORDER BY burstiness DESC, term
+       |LIMIT 20""".stripMargin
+
   /** Minimum bigram count for [[collocationPmi]] — PMI is notoriously
     * unstable on rare pairs (a hapax bigram of two hapax words maxes
     * the score), so the standard practice is a hard count floor. */
@@ -1669,6 +1727,7 @@ object TextOps {
     "bpe_pairs" -> (bpePairs _),
     "text_stats" -> (textStats _),
     "top_words" -> (topWords _),
+    "burstiness_report" -> (burstinessReport _),
     "collocation_pmi" -> (collocationPmi _),
     "langid_confusion" -> (langidConfusion _),
     "doc_quality" -> (docQuality _),
@@ -1694,6 +1753,7 @@ object TextOps {
     "bpe_pairs" -> bpePairsSql,
     "text_stats" -> textStatsSql,
     "top_words" -> topWordsSql,
+    "burstiness_report" -> burstinessReportSql,
     "collocation_pmi" -> collocationPmiSql,
     "langid_confusion" -> langidConfusionSql,
     "doc_quality" -> docQualitySql,

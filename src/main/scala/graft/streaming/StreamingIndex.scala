@@ -477,6 +477,24 @@ object StreamingIndex {
   def markupGateStream(docs: DataFrame): DataFrame =
     graft.ops.Curation.markupFlagsOf(docs)
 
+  /** Streaming encoding-damage gate — [[markupGateStream]]'s twin
+    * over the mojibake counters: the SAME row-local projection as
+    * the batch report ([[graft.ops.Curation.mojibakeFlagsOf]],
+    * shared verbatim), pure codegen'd code-point-class counters,
+    * map-only, no state, no watermark. Folding the emitted rows by
+    * source reproduces the batch report exactly (StreamingSpec). */
+  def mojibakeGateStream(docs: DataFrame): DataFrame =
+    graft.ops.Curation.mojibakeFlagsOf(docs)
+
+  /** Streaming synthetic-text gate — the LLM-boilerplate
+    * contamination check applied ON INGEST (the one place it
+    * actually prevents model collapse: before the doc enters the
+    * pool). Row half shared verbatim with the batch report
+    * ([[graft.ops.Curation.syntheticHitsOf]]); literal
+    * replace/length arithmetic, map-only, no state. */
+  def syntheticGateStream(docs: DataFrame): DataFrame =
+    graft.ops.Curation.syntheticHitsOf(docs)
+
   case class CapDoc(doc_id: Long, source: String)
   case class CapDecision(doc_id: Long, source: String, keep: Int)
 

@@ -988,4 +988,109 @@ class CurationSpec extends AnyFunSuite {
     val manifest = spark.read.json(out + "/_manifest")
     assert(manifest.agg(sum(col("n_docs"))).as[Long].head() == got.length.toLong)
   }
+
+  test("mojibake_report: the four damage classes count independently; clean ASCII stays zero") {
+    import spark.implicits._
+    // planted with explicit code points: latin1 digraphs (C3/C2 lead +
+    // continuation), punctuation trigraphs (E2 + 2 continuations),
+    // U+FFFD, bare C1 controls (NEL, STS)
+    val latin1 = "CafÃ© rÃ©sumÃ© andÂ nbsp"
+    val punct3 = "donât âqâ"
+    val fffd = "bad�byte here"
+    val c1 = "xy and zw"
+    val d = Seq(
+      (1L, latin1, "dirty"),
+      (2L, punct3, "dirty"),
+      (3L, fffd, "dirty"),
+      (4L, c1, "dirty"),
+      (5L, "perfectly clean ascii text", "clean"))
+      .toDF("doc_id", "text", "source")
+    val got = Curation.mojibakeReportOf(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val dirty = got("dirty")
+    assert(dirty.getLong(1) == 4L && dirty.getLong(2) == 4L, "all four dirty docs flag")
+    assert(dirty.getLong(3) == 4L, s"latin1 digraphs: 3 C3-lead + 1 C2-lead: $dirty")
+    // the punct3 doc contributes 3 trigraphs AND its 6 continuation
+    // chars to n_c1; the c1 doc adds 2 bare controls
+    assert(dirty.getLong(4) == 3L, s"punctuation trigraphs: $dirty")
+    assert(dirty.getLong(5) == 1L, s"replacement char: $dirty")
+    assert(dirty.getLong(6) == 8L, s"C1 controls (6 from trigraphs + 2 bare): $dirty")
+    assert(dirty.getDouble(7) == 1.0)
+    val clean = got("clean")
+    assert(clean.getLong(2) == 0L && clean.getDouble(7) == 0.0)
+    // genuine UTF-8 accented text (a healthy e-acute U+00E9, NOT a
+    // damaged one) must NOT flag: the digraph needs the C2/C3 lead
+    val fine = Seq((1L, "café résumé naïve", "s"))
+      .toDF("doc_id", "text", "source")
+    assert(Curation.mojibakeReportOf(fine).collect().head.getLong(2) == 0L,
+      "healthy accents are not mojibake")
+  }
+
+  test("synthetic_text_report: dominant marker by count then marker order; clean source gets the '' sentinel") {
+    import spark.implicits._
+    val d = Seq(
+      // three different markers, one hit each -> order tie-break
+      (1L, "As an AI language model, I cannot assist with that. I hope this helps!", "tied"),
+      // one marker twice beats a different single marker
+      (2L, "It's important to note that x. it's important to note that y. Let's delve into z.", "counted"),
+      (3L, "organic prose with no assistant boilerplate at all", "clean"))
+      .toDF("doc_id", "text", "source")
+    val got = Curation.syntheticTextReportOf(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val tied = got("tied")
+    assert(tied.getLong(3) == 3L, s"three markers hit once each: $tied")
+    assert(tied.getString(5) == "as an ai language model",
+      s"ties resolve to the earlier marker in SyntheticMarkers: $tied")
+    assert(tied.getLong(6) == 1L)
+    val counted = got("counted")
+    assert(counted.getString(5) == "it's important to note that",
+      s"count dominance beats marker order: $counted")
+    assert(counted.getLong(6) == 2L && counted.getLong(3) == 3L)
+    val clean = got("clean")
+    assert(clean.getLong(2) == 0L && clean.getString(5) == "" &&
+      clean.getLong(6) == 0L && clean.getDouble(4) == 0.0)
+    // adjacent repeats count as distinct non-overlapping hits
+    val rep = Seq((1L, "regenerate responseregenerate response", "s"))
+      .toDF("doc_id", "text", "source")
+    assert(Curation.syntheticTextReportOf(rep).collect().head.getLong(3) == 2L)
+  }
+
+  test("code_ratio_report: keyword and punctuation signals flag independently; thresholds are exact floors") {
+    import spark.implicits._
+    val d = Seq(
+      // 2 keywords, zero braces/semis -> flags via CodeKwMin
+      (1L, "def load of x and return x plus prose", "s1"),
+      // 4 punct hits, zero keywords -> flags via CodePunctMin
+      (2L, "a = {1: 2}; b = {3}", "s1"),
+      // 1 keyword + 3 punct: BOTH floors missed -> clean
+      (3L, "import this; use {it} sometimes", "s1"),
+      // capitalized prose words are not keywords
+      (4L, "Class notes on Return values and Import duties", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = Curation.codeRatioReportOf(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val s1 = got("s1")
+    assert(s1.getLong(2) == 2L, s"docs 1 and 2 flag, doc 3 misses both floors: $s1")
+    assert(s1.getLong(4) == 3L, s"keywords: def+return (doc 1) + import (doc 3): $s1")
+    val s2 = got("s2")
+    assert(s2.getLong(2) == 0L && s2.getLong(4) == 0L,
+      s"capitalized prose never counts: $s2")
+  }
+
+  test("quality_length_confound kernel: r=+1 on exact linear data, -1 on inverted, 0 on zero variance; rollup adds the (all) row") {
+    import spark.implicits._
+    val xy = (1L to 5L).flatMap { i =>
+      Seq(("pos", i * 10, i * 7 + 3), // y = 0.7x + 3 -> r = 1
+        ("neg", i * 10, 1000 - i * 2), // r = -1
+        ("flat", 42L, i)) // zero x-variance -> 0
+    }.toDF("source", "x", "y")
+    val got = Curation.confoundOf(xy).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got("pos") == 1.0, s"exact positive linear: $got")
+    assert(got("neg") == -1.0, s"exact negative linear: $got")
+    assert(got("flat") == 0.0, s"zero variance pins 0: $got")
+    assert(got.contains("(all)"), s"rollup total row present: $got")
+    // the (all) row mixes the three regimes: strictly between -1 and 1
+    assert(math.abs(got("(all)")) < 1.0)
+  }
 }

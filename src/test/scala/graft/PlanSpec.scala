@@ -1085,6 +1085,46 @@ class PlanSpec extends AnyFunSuite {
       s"one corpus pass for ALL artifact kinds: $plan")
   }
 
+  test("mojibake_report and code_ratio_report: ONE scan + one aggregation each; no join, no window") {
+    for (q <- Seq(graft.ops.Curation.mojibakeReport(spark, sf),
+                  graft.ops.Curation.codeRatioReport(spark, sf))) {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"counters are one projection: $plan")
+      assert(!plan.contains("windowspecdefinition"), s"plan: $plan")
+      assert("documents\\.parquet".r.findAllIn(plan).size <= 1,
+        s"one corpus pass: $plan")
+    }
+  }
+
+  test("synthetic_text_report: ONE corpus scan; the dominant-marker window runs on the AGGREGATED relation, source-keyed") {
+    val plan = graft.ops.Curation.syntheticTextReport(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("documents\\.parquet".r.findAllIn(plan).size <= 1,
+      s"all eight marker counters share one scan: $plan")
+    val all = "windowspecdefinition\\(".r.findAllIn(plan).size
+    val srcKeyed = "windowspecdefinition\\(source".r.findAllIn(plan).size
+    assert(all == 1 && srcKeyed == 1,
+      s"exactly one SOURCE-keyed window (the argmax), after aggregation: $plan")
+  }
+
+  test("quality_length_confound: ONE rollup aggregation serves sources AND the (all) row; the ensemble join is doc-keyed") {
+    val plan = graft.ops.Curation.qualityLengthConfound(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+    assert(plan.contains("Expand") || plan.contains("expand"),
+      s"rollup expands once instead of a second aggregation + union: $plan")
+    assert(!plan.contains("windowspecdefinition"), s"no global ranks: $plan")
+  }
+
+  test("burstiness_report: one token scan; top-k is TakeOrderedAndProject, never a global sort") {
+    val plan = graft.ops.TextOps.burstinessReport(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("documents\\.parquet".r.findAllIn(plan).size <= 1,
+      s"one corpus pass: $plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k plan: $plan")
+    assert(!plan.contains("Join"), s"cf and df come from one aggregation chain: $plan")
+  }
+
   test("source_distinctive_terms: source totals broadcast; top-k window SOURCE-keyed; no cartesian") {
     val full = graft.ops.TextOps.sourceDistinctiveTerms(spark, sf)
       .queryExecution.executedPlan.toString

@@ -609,6 +609,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(folded == report, "stream rows fold to the batch report")
   }
 
+  test("mojibake gate stream ≡ batch flags; streamed rows fold to the batch report") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "CafÃ© rÃ©sumÃ© here", "s1"), // latin1 digraphs
+      (2L, "donât and bad�byte", "s1"), // trigraph + FFFD (+C1)
+      (3L, "clean ascii text only", "s2"))
+    val dir = Files.createTempDirectory("graft-mojibake-eq").toString
+    docs.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val batchFlags = graft.ops.Curation.mojibakeFlagsOf(
+      spark.read.parquet(s"$dir/documents.parquet")).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, source STRING")
+      .parquet(s"$dir/documents.parquet")
+    val q = StreamingIndex.mojibakeGateStream(stream)
+      .writeStream.format("memory").queryName("mojibake_gate").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("SELECT * FROM mojibake_gate").collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(streamed == batchFlags, "one shared projection — per-doc bit equality")
+    assert(streamed(1L).last == 0 && streamed(2L).last == 0 && streamed(3L).last == 1)
+    val folded = spark.sql(
+      """SELECT source, COUNT(*), SUM(1 - keep), SUM(n_latin1), SUM(n_punct3),
+        |       SUM(n_fffd), SUM(n_c1)
+        |FROM mojibake_gate GROUP BY source""".stripMargin).collect()
+      .map(r => r.getString(0) -> (1 to 6).map(r.getLong(_))).toMap
+    val report = graft.ops.Curation.mojibakeReportOf(
+      spark.read.parquet(s"$dir/documents.parquet")).collect()
+      .map(r => r.getString(0) -> (1 to 6).map(r.getLong(_))).toMap
+    assert(folded == report, "stream rows fold to the batch report")
+  }
+
+  test("synthetic-text gate stream ≡ batch hits; the keep decision gates boilerplate on ingest") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "As an AI language model, I cannot assist with that", "s1"),
+      (2L, "I hope this helps! I hope this helps!", "s1"),
+      (3L, "organic prose with zero boilerplate", "s2"))
+    val dir = Files.createTempDirectory("graft-synth-eq").toString
+    docs.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val batchHits = graft.ops.Curation.syntheticHitsOf(
+      spark.read.parquet(s"$dir/documents.parquet")).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, source STRING")
+      .parquet(s"$dir/documents.parquet")
+    val q = StreamingIndex.syntheticGateStream(stream)
+      .writeStream.format("memory").queryName("synth_gate").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("SELECT * FROM synth_gate").collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(streamed == batchHits, "one shared projection — per-doc bit equality")
+    // doc 1: two single-hit markers; doc 2: one marker twice; doc 3 clean
+    val nHits = spark.sql("SELECT doc_id, n_hits, keep FROM synth_gate").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(nHits(1L) == ((2L, 0)) && nHits(2L) == ((2L, 0)) && nHits(3L) == ((0L, 1)))
+  }
+
   test("salted aggregation ≡ direct aggregation (skew mitigation is exact)") {
     import graft.ops.Skew
     val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")

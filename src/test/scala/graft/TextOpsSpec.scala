@@ -294,4 +294,40 @@ class TextOpsSpec extends AnyFunSuite {
       assert(rs.length <= graft.ops.TextOps.DistinctiveTopK)
     }
   }
+
+  test("burstiness_report: bursty content terms outrank spread function terms; the df floor holds; the ratio is HALF_UP-exact") {
+    import spark.implicits._
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.col
+    // "the" spreads: once in each of 8 docs (cf=8, df=8, burst=1).
+    // "topic" bursts: 5 occurrences in each of 5 docs (cf=25, df=5,
+    // burst=5). "rare" appears in only 4 docs -> under the df floor.
+    val docs = (1 to 8).map { i =>
+      val burst = if (i <= 5) " topic topic topic topic topic" else ""
+      val rare = if (i <= 4) " rare" else ""
+      (i.toLong, "the filler" + burst + rare)
+    }
+    val dir = Files.createTempDirectory("graft-burst").toString
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextOps.burstinessReport(spark, dir).collect()
+    val byTerm = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(byTerm("topic") == ((25L, 5L, 5.0)), s"bursty term: ${rows.mkString(",")}")
+    assert(byTerm("the") == ((8L, 8L, 1.0)))
+    assert(!byTerm.contains("rare"), "df floor excludes 4-doc terms")
+    // ranking: topic above the/filler; ties (burst=1) break on term
+    assert(rows.head.getString(0) == "topic")
+    val ones = rows.filter(_.getDouble(3) == 1.0).map(_.getString(0)).toSeq
+    assert(ones == ones.sorted, s"tie-break is lexicographic: $ones")
+    // fractional ratios stay exact through the micro-unit identity
+    val frac5 = Seq(
+      (1L, "x x y y"), (2L, "x x y y"), (3L, "x y"), (4L, "x y"), (5L, "x y y y"))
+      .toDF("doc_id", "text")
+    frac5.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val f5 = TextOps.burstinessReport(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // x: cf=7, df=5 -> 1.4 exact; y: cf=9, df=5 -> 1.8 exact
+    assert(f5("x") == 1.4 && f5("y") == 1.8, s"exact ratios: $f5")
+  }
 }

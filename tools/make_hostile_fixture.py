@@ -145,6 +145,44 @@ for i in range(64):
              "https://example.com/path and a literal \\n escape " + soup(i, 6))
     elif i == 33:
         t = soup(i, 10) + " https://host.test/a?b=c " + soup(133, 6)
+    elif i == 35:
+        # mojibake: UTF-8-as-Latin-1 digraphs (CafÃ© = damaged
+        # "Café") and a Â-lead nbsp digraph -> n_latin1 hits
+        t = ("CafÃ© rÃ©sumÃ© naÃ¯ve"
+             " andÂ nbsp " + soup(i, 8))
+    elif i == 37:
+        # mojibake: 3-byte punctuation trigraphs (donât)
+        # plus a U+FFFD replacement char; the trigraph's continuation
+        # chars ALSO land in the C1 range -> n_punct3, n_fffd, n_c1
+        # all count on one doc (independent-counter pin)
+        t = ("donât âquotedâ"
+             " bad�byte " + soup(i, 8))
+    elif i == 39:
+        # bare C1 controls only (NEL, STS): n_c1 counts, the digraph
+        # and trigraph counters must stay zero (no C2/C3/E2 lead)
+        t = soup(i, 6) + " xy zw " + soup(139, 6)
+    elif i == 41:
+        # LLM-boilerplate leak, mixed case: three DIFFERENT markers,
+        # one hit each -> dominant marker decided by the marker-order
+        # tie-break
+        t = ("As an AI language model, I cannot assist with that. "
+             "I hope this helps! " + soup(i, 8))
+    elif i == 43:
+        # LLM-boilerplate leak: one marker REPEATED (2 hits) beats a
+        # single different marker -> dominant by count, not order
+        t = ("It's important to note that models drift. "
+             "it's important to note that twice. Let's delve into it. "
+             + soup(i, 6))
+    elif i == 45:
+        # code content: keyword signal alone (braces/semicolons under
+        # the punct floor) -> is_code via CodeKwMin
+        t = ("def load(x): return x "
+             "import os and class Loader here " + soup(i, 8))
+    elif i == 47:
+        # code content: punctuation signal alone ({};) with zero
+        # keywords -> is_code via CodePunctMin; also prose 'Class'
+        # capitalized must NOT count as a keyword
+        t = "a = {1: 2}; b = {3: 4}; Class notes; " + soup(i, 8)
     elif i == 50:
         # the benchmark doc (% 50 == 0) carries the passage
         t = f"bench50a bench50b {PASSAGE} bench50c"
