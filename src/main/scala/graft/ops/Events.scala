@@ -618,7 +618,64 @@ object Events {
       |LEFT JOIN h ON h.hour = s.hour AND h.event_type = t.event_type
       |ORDER BY s.hour, t.event_type""".stripMargin
 
+  /** Event-type transition matrix — the Markov view of user
+    * journeys a funnel definition is calibrated against: for every
+    * ordered pair of consecutive events OF THE SAME USER, count the
+    * (from_type → to_type) transition and report the row-conditional
+    * probability P(to | from). `funnel_steps` asks "how many users
+    * complete the path we designed"; this asks "what paths do users
+    * actually take" — the matrix is what tells you the funnel's
+    * step 2 is wrong.
+    *
+    * Determinism: consecutive-ness is the (ts, event_id) order — the
+    * repo's explicit tie-break, exercised by the hostile fixture's
+    * identical-timestamp tie clusters. Probabilities are micro-unit
+    * HALF_UP ratios of exact BIGINT counts.
+    *
+    * Scale shape: ONE user-keyed window (the same exchange q11's
+    * sessionize shuffles — at 100 TB this is the events family's one
+    * unavoidable shuffle, and every per-user op shares its key);
+    * the pair aggregation partial-aggregates map-side; the row
+    * totals ride a window over the AGGREGATED |types|² relation
+    * (kilobytes at any corpus size). */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val e = eventsTable(s, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = e
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wt = Window.partitionBy(col("from_type"))
+    pairs
+      .withColumn("row_total", sum(col("n")).over(wt))
+      .select(col("from_type"), col("to_type"), col("n"),
+        (expr("(2 * n * 1000000 + row_total) div (2 * row_total)")
+          .cast("double") / 1e6).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Oracle mirror (prefix `etr_`): identical (ts, event_id) order
+    * and HALF_UP micro-unit conditional probability. */
+  val eventTransitionsSql: String =
+    """WITH etr_n AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |        ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+      |  FROM events),
+      |etr_c AS (
+      |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM etr_n WHERE to_type IS NOT NULL
+      |  GROUP BY from_type, to_type)
+      |SELECT from_type, to_type, n,
+      |  CAST((2 * n * 1000000 + SUM(n) OVER (PARTITION BY from_type))
+      |       // (2 * SUM(n) OVER (PARTITION BY from_type)) AS DOUBLE) / 1000000.0 AS p
+      |FROM etr_c
+      |ORDER BY from_type, to_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "event_transitions" -> (eventTransitions _),
     "skew_report" -> (skewReport _),
     "hourly_dense" -> (hourlyDense _),
     "rate_anomaly" -> (rateAnomaly _),
@@ -638,6 +695,7 @@ object Events {
     "q11_sessionize" -> (sessionize _))
 
   val oracles: Map[String, String] = Map(
+    "event_transitions" -> eventTransitionsSql,
     "skew_report" -> skewReportSql,
     "hourly_dense" -> hourlyDenseSql,
     "rate_anomaly" -> rateAnomalySql,

@@ -647,7 +647,163 @@ object VectorQueries {
        |WHERE sim >= 0.45
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Per-label embedding-space separability report — the audit a
+    * label set (weak labels, cluster assignments, source tags used
+    * as supervision) needs BEFORE anyone trains on it: for every
+    * vector, cosine to its OWN label centroid minus cosine to the
+    * nearest OTHER centroid (the margin). A label with negative-
+    * margin mass isn't separable in this embedding space, and
+    * `top_confusion` names the label it collapses into —
+    * `cluster_silhouette` asks this of unsupervised cells; this asks
+    * it of the GIVEN labels.
+    *
+    * Determinism bridge: zero-norm vectors are excluded up front
+    * (quirk Q4's rule — they have no direction, and they'd poison
+    * the centroid mean); per-(label, dim) centroid components are
+    * exact-DECIMAL means r6'd back (order-independent); dots and
+    * norms are sequential double folds (the VectorFunctions
+    * contract); margins are differences of r6 images (6-decimal
+    * lattice, subtraction exact); the mean margin rides the
+    * micro-unit HALF_UP identity SHIFTED by +1 so the div identity
+    * never sees a negative numerator; nearest-other ties break to
+    * the smaller label via the same (cos DESC, label) window in both
+    * engines.
+    *
+    * Scale shape: centroids are a labels×dims aggregation (map-side
+    * partial over the posexplode — the one token-stream-sized pass);
+    * the centroid relation is label-count-bounded and BROADCAST;
+    * scoring is map-only n×L; best-other is a vec-keyed window; the
+    * report is one label-keyed aggregation plus a labels²-bounded
+    * confusion argmax. */
+  def labelMarginReport(s: SparkSession, dir: String): DataFrame =
+    labelMarginReportOf(t(s, dir, "embeddings"), checkpoint = true)
+
+  /** `checkpoint = true` materializes the two shared relations (the
+    * filtered vectors feed centroid build AND scoring; the margin
+    * relation feeds the report AND the confusion argmax) — the
+    * qualityEnsemble reuse rule. PlanSpec passes `false` so the full
+    * lineage is visible to the plan pins. */
+  private[graft] def labelMarginReportOf(
+      e: DataFrame, checkpoint: Boolean): DataFrame = {
+    def cp(d: DataFrame): DataFrame = if (checkpoint) d.localCheckpoint(true) else d
+    val v = cp(e
+      .withColumn("nrm", r6(l2norm(col("embedding"))))
+      .where(col("nrm") > 0))
+    val cen = v
+      .select(col("label").as("clabel"), posexplode(col("embedding")).as(Seq("dim", "fv")))
+      .groupBy(col("clabel"), col("dim"))
+      .agg(r6(davg(col("fv").cast("double"))).as("c"))
+      .groupBy(col("clabel"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x.getField("c")).as("cen"))
+      .withColumn("cnorm",
+        r6(sqrt(aggregate(transform(col("cen"), x => x * x),
+          lit(0.0), (a, x) => a + x))))
+      .where(col("cnorm") > 0)
+    val scored = v.crossJoin(broadcast(cen))
+      .withColumn("cos",
+        r6(dotHof(col("embedding"), col("cen")) / (col("nrm") * col("cnorm"))))
+      .select(col("vec_id"), col("label"), col("clabel"), col("cos"))
+    val own = scored.where(col("clabel") === col("label"))
+      .select(col("vec_id"), col("label"), col("cos").as("cos_own"))
+    val wb = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("clabel"))
+    val other = scored.where(col("clabel") =!= col("label"))
+      .withColumn("rn", row_number().over(wb))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("cos").as("cos_other"), col("clabel").as("nearest"))
+    val m = cp(own.join(other, "vec_id")
+      .select(col("vec_id"), col("label"),
+        r6(col("cos_own") - col("cos_other")).as("margin"), col("nearest")))
+    // mean margin: +1-shifted micro-units so div never sees a negative
+    val rep = m
+      .withColumn("m6", round((col("margin") + 1) * 1e6).cast("long"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("m6")).as("q6"),
+        sum((col("margin") < 0).cast("long")).as("n_confused"))
+      .select(col("label"), col("n_vecs"), col("n_confused"),
+        ((expr("(2 * q6 + n_vecs) div (2 * n_vecs)") - lit(1000000L))
+          .cast("double") / 1e6).as("mean_margin"),
+        (expr("(2 * n_confused * 1000000 + n_vecs) div (2 * n_vecs)")
+          .cast("double") / 1e6).as("confusion_rate"))
+    val wt = Window.partitionBy(col("label"))
+      .orderBy(col("k").desc, col("nearest"))
+    val top = m.where(col("margin") < 0)
+      .groupBy(col("label"), col("nearest"))
+      .agg(count(lit(1)).as("k"))
+      .withColumn("rn", row_number().over(wt))
+      .where(col("rn") === 1)
+      .select(col("label"), col("nearest"))
+    rep.join(top, Seq("label"), "left")
+      .select(col("label"), col("n_vecs"), col("mean_margin"),
+        col("n_confused"), col("confusion_rate"),
+        coalesce(col("nearest"), lit(-1)).as("top_confusion"))
+      .orderBy(col("label"))
+  }
+
+  /** Oracle mirror (prefix `lmr_`): the same exclusion, DECIMAL
+    * centroid means, sequential list folds, shifted div identity,
+    * and (cos DESC, label) tie-break. */
+  val labelMarginReportSql: String =
+    """WITH lmr_v AS MATERIALIZED (
+      |  SELECT vec_id, label, embedding, nrm FROM (
+      |    SELECT vec_id, label, embedding,
+      |      round(sqrt(list_sum(list_transform(embedding,
+      |            x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))), 6) + 0 AS nrm
+      |    FROM embeddings)
+      |  WHERE nrm > 0),
+      |lmr_cd AS (
+      |  SELECT label AS clabel, i AS dim,
+      |    round(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)
+      |          / COUNT(*), 6) + 0 AS c
+      |  FROM lmr_v, UNNEST(range(1, len(embedding)+1)) AS u(i)
+      |  GROUP BY label, i),
+      |lmr_c0 AS (SELECT clabel, list(c ORDER BY dim) AS cen FROM lmr_cd GROUP BY clabel),
+      |lmr_c AS MATERIALIZED (
+      |  SELECT clabel, cen,
+      |    round(sqrt(list_sum(list_transform(cen, x -> x*x))), 6) + 0 AS cnorm
+      |  FROM lmr_c0
+      |  WHERE round(sqrt(list_sum(list_transform(cen, x -> x*x))), 6) + 0 > 0),
+      |lmr_s AS MATERIALIZED (
+      |  SELECT v.vec_id, v.label, c.clabel,
+      |    round(list_sum(list_transform(range(1, len(v.embedding)+1),
+      |            i -> CAST(v.embedding[i] AS DOUBLE) * c.cen[i]))
+      |          / (v.nrm * c.cnorm), 6) + 0 AS cos
+      |  FROM lmr_v v, lmr_c c),
+      |lmr_o AS (SELECT vec_id, label, cos AS cos_own FROM lmr_s WHERE clabel = label),
+      |lmr_b AS (
+      |  SELECT vec_id, cos AS cos_other, clabel AS nearest FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rn
+      |    FROM lmr_s WHERE clabel <> label)
+      |  WHERE rn = 1),
+      |lmr_m AS MATERIALIZED (
+      |  SELECT o.vec_id, o.label,
+      |    round(o.cos_own - b.cos_other, 6) + 0 AS margin, b.nearest
+      |  FROM lmr_o o JOIN lmr_b b USING (vec_id)),
+      |lmr_r AS (
+      |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |    CAST(SUM(CAST(round((margin + 1) * 1000000) AS BIGINT)) AS BIGINT) AS q6,
+      |    CAST(SUM(CASE WHEN margin < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_confused
+      |  FROM lmr_m GROUP BY label),
+      |lmr_t AS (
+      |  SELECT label, nearest FROM (
+      |    SELECT label, nearest,
+      |      row_number() OVER (PARTITION BY label ORDER BY COUNT(*) DESC, nearest) AS rn
+      |    FROM lmr_m WHERE margin < 0 GROUP BY label, nearest)
+      |  WHERE rn = 1)
+      |SELECT r.label, r.n_vecs,
+      |  CAST((2 * r.q6 + r.n_vecs) // (2 * r.n_vecs) - 1000000 AS DOUBLE) / 1000000.0
+      |    AS mean_margin,
+      |  r.n_confused,
+      |  CAST((2 * r.n_confused * 1000000 + r.n_vecs) // (2 * r.n_vecs) AS DOUBLE)
+      |    / 1000000.0 AS confusion_rate,
+      |  COALESCE(t.nearest, -1) AS top_confusion
+      |FROM lmr_r r LEFT JOIN lmr_t t USING (label)
+      |ORDER BY r.label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "label_margin_report" -> (labelMarginReport _),
     "embed_neardup_lsh" -> (embedNeardupLsh _),
     "knn_batch" -> (knnBatch _),
     "knn_topk" -> (knnTopk _),
@@ -665,6 +821,7 @@ object VectorQueries {
     "q12_embed_stats" -> embedStatsSql,
     "embed_neardup" -> embedNeardupSql,
     "knn_label_eval" -> knnLabelEvalSql,
+    "label_margin_report" -> labelMarginReportSql,
     "rocchio_topk" -> rocchioTopkSql,
     "ann_lsh_topk" -> annLshTopkSql,
     "embed_neardup_lsh" -> embedNeardupLshSql)

@@ -151,4 +151,34 @@ class EventsSpec extends AnyFunSuite {
     val q11 = Events.sessionize(spark, d).collect()
     assert(q11(0).getLong(1) == 2L, s"q11 must agree: ${q11.toSeq}")
   }
+
+  test("event_transitions: per-user consecutiveness, (ts, event_id) tie order, conditional rows sum to 1") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-etr").toString
+    // user 1: view -> click -> click; user 2: view -> buy.
+    // users NEVER chain across each other (no click->view from u1's
+    // last event to u2's first). events 20/21 share ONE timestamp:
+    // the event_id tie-break makes the pair (a -> b), never (b -> a).
+    Seq(
+      (10L, 1000L, 1L, "view"), (11L, 2000L, 1L, "click"), (12L, 3000L, 1L, "click"),
+      (20L, 5000L, 2L, "a"), (21L, 5000L, 2L, "b"))
+      .toDF("event_id", "us", "user_id", "event_type")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val rows = Events.eventTransitions(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(rows == Map(
+      ("view", "click") -> ((1L, 1.0)),
+      ("click", "click") -> ((1L, 1.0)),
+      ("a", "b") -> ((1L, 1.0))), s"got: $rows")
+    // per-from_type probabilities sum to ~1 over a fuller matrix
+    val full = Events.eventTransitions(spark, "/root/testdata/sf0.001").collect()
+    full.groupBy(_.getString(0)).foreach { case (ft, rs) =>
+      val s = rs.map(_.getDouble(3)).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"$ft row sums to $s")
+    }
+  }
 }

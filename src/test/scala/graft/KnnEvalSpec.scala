@@ -72,4 +72,42 @@ class KnnEvalSpec extends AnyFunSuite {
     val b = VectorQueries.knnLabelEval(spark, d2).collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("label_margin_report: separable labels carry positive margins and the -1 sentinel; a planted imposter flags with its confuser; zero-norm rows vanish") {
+    val d = Files.createTempDirectory("graft-margin").toString
+    // labels 0..3, ten on-axis vectors each; vec 1000 is the ZERO
+    // vector (label 0, must be excluded everywhere); vec 1001 is
+    // label 0 but sits ON label 1's axis (the mislabeled imposter)
+    val rows = (0 until 40).map { id =>
+      val label = id % 4
+      Row(id.toLong, vec(label, id), label)
+    } :+ Row(1000L, Seq.fill(dim)(0.0f), 0) :+ Row(1001L, vec(1, 7), 0)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    spark.createDataFrame(
+        new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)), schema)
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val got = VectorQueries.labelMarginReport(spark, d).collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4), r.getInt(5))).toMap
+    assert(got.keySet == Set(0, 1, 2, 3))
+    // zero-norm excluded: label 0 counts 10 on-axis + the imposter
+    assert(got(0)._1 == 11L, s"zero vector must not count: ${got(0)}")
+    assert(got(0)._3 == 1L && got(0)._5 == 1,
+      s"the imposter is label 0's one confusion, nearest = 1: ${got(0)}")
+    for (l <- Seq(1, 2, 3)) {
+      val (n, mean, conf, rate, top) = got(l)
+      assert(n == 10L && conf == 0L && rate == 0.0 && top == -1,
+        s"clean label $l: ${got(l)}")
+      assert(mean > 0.5, s"separable label $l has a wide positive margin: ${got(l)}")
+    }
+    // determinism under relayout (window tie-breaks are total)
+    val d2 = Files.createTempDirectory("graft-margin2").toString
+    spark.read.parquet(s"$d/embeddings.parquet").repartition(5)
+      .write.mode("overwrite").parquet(s"$d2/embeddings.parquet")
+    val again = VectorQueries.labelMarginReport(spark, d2).collect().map(_.toSeq).toSeq
+    assert(again == VectorQueries.labelMarginReport(spark, d).collect().map(_.toSeq).toSeq)
+  }
 }

@@ -1116,6 +1116,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("windowspecdefinition"), s"no global ranks: $plan")
   }
 
+  test("event_transitions: ONE user-keyed window over events; row totals ride a from_type window on the AGGREGATED relation; no join") {
+    val full = graft.ops.Events.eventTransitions(spark, sf)
+      .queryExecution.executedPlan.toString
+    val plan = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i => full.substring(0, i)
+    }
+    assert(!plan.contains("Join"), s"pure window + aggregation: $plan")
+    val all = "windowspecdefinition\\(".r.findAllIn(plan).size
+    val userKeyed = "windowspecdefinition\\(user_id".r.findAllIn(plan).size
+    val fromKeyed = "windowspecdefinition\\(from_type".r.findAllIn(plan).size
+    assert(all == 2 && userKeyed == 1 && fromKeyed == 1,
+      s"exactly the lead window (user-keyed) + the total window (post-agg): $plan")
+    assert("events\\.parquet".r.findAllIn(plan).size <= 1, s"one events pass: $plan")
+  }
+
+  test("label_margin_report: the centroid relation is broadcast; the best-other window is VEC-keyed; no cartesian blowup beyond the bounded centroid cross") {
+    val full = graft.ops.VectorQueries.labelMarginReportOf(
+        spark.read.parquet(s"$sf/embeddings.parquet"), checkpoint = false)
+      .queryExecution.executedPlan.toString
+    val plan = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i => full.substring(0, i)
+    }
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"centroids broadcast to the vector scan: $plan")
+    val vecKeyed = "windowspecdefinition\\(vec_id".r.findAllIn(plan).size
+    assert(vecKeyed >= 1, s"best-other argmax is vec-keyed: $plan")
+    assert(!plan.contains("CartesianProduct"), s"plan: $plan")
+  }
+
   test("burstiness_report: one token scan; top-k is TakeOrderedAndProject, never a global sort") {
     val plan = graft.ops.TextOps.burstinessReport(spark, sf)
       .queryExecution.executedPlan.toString
