@@ -550,6 +550,50 @@ object StreamingIndex {
       .toDF()
   }
 
+  case class TransEvent(user_id: Long, event_type: String, ts_us: Long, event_id: Long)
+  case class Transition(user_id: Long, from_type: String, to_type: String, event_id: Long)
+  case class LastEvent(event_type: String, ts_us: Long, event_id: Long)
+
+  /** Streaming event-transition extraction — the stateful twin of
+    * [[graft.ops.Events.eventTransitions]]'s pair step, running ON
+    * INGEST: each user's arrival emits one (from → to) transition
+    * against that user's PREVIOUS event, so the transition matrix is
+    * a plain downstream count over this stream instead of a lookback
+    * window over stored history. State is ONE (type, ts, id) triple
+    * per user — user-cardinality-bounded, never stream-lifetime-
+    * bounded (the [[sourceCapStream]] rule). Order within a
+    * micro-batch is the repo's explicit (ts_us, event_id) arrival
+    * convention — exact microseconds, the same total order as the
+    * batch window — and the state triple carries sequences across
+    * micro-batch boundaries (a pair straddling a boundary emits
+    * exactly like the batch form; pinned in StreamingSpec). Folding
+    * the emitted rows by (from_type, to_type) reproduces the batch
+    * pair counts exactly. */
+  def transitionStream(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import org.apache.spark.sql.streaming.GroupState
+    events
+      .select(col("user_id").cast("long").as("user_id"), col("event_type"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts_us"),
+        col("event_id").cast("long").as("event_id"))
+      .as[TransEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[TransEvent], state: GroupState[LastEvent]) => {
+          val batch = it.toArray.sortBy(e => (e.ts_us, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer[Transition]()
+          var last = state.getOption
+          batch.foreach { e =>
+            last.foreach(l => out += Transition(uid, l.event_type, e.event_type, e.event_id))
+            last = Some(LastEvent(e.event_type, e.ts_us, e.event_id))
+          }
+          last.foreach(state.update)
+          out.iterator
+        })
+      .toDF()
+  }
+
   /** Streaming exact dedup — the streaming twin of
     * `Dedup.dedupExact`: re-arrivals of the same content fingerprint
     * are dropped for as long as the event-time watermark keeps their

@@ -609,6 +609,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(folded == report, "stream rows fold to the batch report")
   }
 
+  test("streaming event transitions: per-user state carries pairs across batch boundaries; folded counts ≡ the batch matrix") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft-transgate")
+    val src = root.toString
+    def row(id: Long, us: Long, uid: Long, typ: String) = (id, us, uid, typ)
+    // user 1 straddles the boundary: view(b1) -> click(b2); user 2's
+    // two events share a timestamp (event_id order decides the pair)
+    val b1 = Seq(row(10L, 1000L, 1L, "view"),
+      row(20L, 5000L, 2L, "a"), row(21L, 5000L, 2L, "b"))
+    val b2 = Seq(row(11L, 9000L, 1L, "click"), row(12L, 9500L, 1L, "view"))
+    def write(rows: Seq[(Long, Long, Long, String)], mode: String): Unit =
+      rows.toDF("event_id", "us", "user_id", "event_type")
+        .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+          col("user_id"), col("event_type"))
+        .write.mode(mode).parquet(s"$src/events.parquet")
+    write(b1, "overwrite")
+    val stream = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING")
+      .parquet(s"$src/events.parquet")
+    val q = StreamingIndex.transitionStream(stream)
+      .writeStream.format("memory").queryName("trans_gate").outputMode("append").start()
+    q.processAllAvailable()
+    write(b2, "append")
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("SELECT * FROM trans_gate").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // u2's tied pair resolves a->b (event_id order); u1: view->click
+    // ACROSS the boundary (state-carried), then click->view in batch 2
+    assert(streamed.toSet == Set(
+      (2L, "a", "b", 21L),
+      (1L, "view", "click", 11L),
+      (1L, "click", "view", 12L)), s"got: ${streamed.toSeq}")
+    // folded (from, to) counts ≡ the batch pair counts over the union
+    val folded = spark.sql(
+      """SELECT from_type, to_type, COUNT(*) AS n FROM trans_gate
+        |GROUP BY from_type, to_type""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = graft.ops.Events.eventTransitions(spark, src).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(folded == batch, s"stream fold ≡ batch matrix: $folded vs $batch")
+  }
+
   test("mojibake gate stream ≡ batch flags; streamed rows fold to the batch report") {
     import spark.implicits._
     val docs = Seq(
