@@ -150,8 +150,28 @@ object Multimodal {
     * would see. */
   val FrameBytes = 64
 
+  /** Text-as-payload bridge for the BYTE-slicing media family: only
+    * docs whose text is pure ASCII (char length ≡ byte length) play
+    * synthetic payloads. Non-ASCII text is SKIPPED — mirrored in
+    * every byte-family oracle by the same length predicate
+    * ([[AsciiBridgeSql]]) — because DuckDB (1.0) has no BLOB
+    * substring/md5, so a byte window that splits a multi-byte char
+    * is oracle-inexpressible. Until round 15 this bridge RAISED on
+    * non-ASCII ("fail loudly over silently diverging"); the r15
+    * hostile fixture legitimately plants mojibake docs, and a
+    * mirrored skip removes the divergence the raise guarded against:
+    * both engines now agree BY CONSTRUCTION on which rows
+    * participate. Real binary payloads take the [[MediaRecord]] path
+    * (MultimodalSpec's generated PNG/JPEG/GIF/BMP), which has no
+    * such restriction. */
+  private def asciiPayloadDocs(d: DataFrame): DataFrame =
+    d.where(length(col("text")) === octet_length(col("text")))
+
+  /** Oracle twin of [[asciiPayloadDocs]]'s predicate. */
+  val AsciiBridgeSql = "length(text) = octet_length(encode(text))"
+
   def mediaFrames(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
+    val d = asciiPayloadDocs(t(s, dir, "documents"))
     d.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .select(col("doc_id"),
         posexplode(expr(
@@ -186,15 +206,15 @@ object Multimodal {
        |FROM h
        |ORDER BY doc_id""".stripMargin
 
-  /** Oracle for [[mediaFrames]]: char windows ≡ byte windows on
-    * ASCII fixtures. */
+  /** Oracle for [[mediaFrames]]: char windows ≡ byte windows on the
+    * [[AsciiBridgeSql]]-filtered rows (the mirrored skip). */
   val mediaFramesSql: String =
     s"""WITH f AS (
        |  SELECT doc_id, i AS frame_idx,
        |    substring(text, i * $FrameBytes + 1, $FrameBytes) AS frame
        |  FROM documents,
        |    UNNEST(range(0, greatest(CAST(ceil(length(text) / $FrameBytes.0) AS INT), 1))) AS t(i)
-       |  WHERE i < 3)
+       |  WHERE i < 3 AND $AsciiBridgeSql)
        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
        |  CAST(length(frame) AS BIGINT) AS frame_len,
        |  ${CrossHash.sqlHash60("frame")} AS frame_fp
@@ -221,7 +241,7 @@ object Multimodal {
     * [[FrameBucketCap]] guarding boilerplate frames; one final
     * pair-keyed count. */
   def mediaDedup(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
+    val d = asciiPayloadDocs(t(s, dir, "documents"))
     val frames = d
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .select(col("doc_id"),
@@ -245,15 +265,16 @@ object Multimodal {
       .orderBy(col("n_shared_frames").desc, col("doc_a"), col("doc_b"))
   }
 
-  /** ASCII fixtures: char windows ≡ byte windows, DuckDB string md5
-    * ≡ the engine's byte md5 (the mediaFrames bridge). */
+  /** Mirrored-skip bridge: char windows ≡ byte windows and DuckDB
+    * string md5 ≡ byte md5 on the [[AsciiBridgeSql]] rows. */
   val mediaDedupSql: String =
     s"""WITH f AS (
        |  SELECT DISTINCT doc_id,
        |    ${CrossHash.sqlHash60(
              s"substring(text, i * $FrameBytes + 1, $FrameBytes)")} AS fp
        |  FROM documents,
-       |    UNNEST(range(0, greatest(CAST(ceil(length(text) / $FrameBytes.0) AS INT), 1))) AS t(i)),
+       |    UNNEST(range(0, greatest(CAST(ceil(length(text) / $FrameBytes.0) AS INT), 1))) AS t(i)
+       |  WHERE $AsciiBridgeSql),
        |posting AS (
        |  SELECT fp FROM f GROUP BY fp
        |  HAVING COUNT(*) BETWEEN 2 AND $FrameBucketCap)
@@ -377,20 +398,14 @@ object Multimodal {
     * perceptual behavior is pinned by the image spec (a resized
     * copy pairs with its original, distinct images don't).
     *
-    * Bridge precondition, enforced: the oracle stub slices TEXT by
-    * CHARACTERS while [[frameStub60]] slices the payload by BYTES —
-    * equivalent only for ASCII. A non-ASCII fixture doc fails loudly
-    * here (char length ≠ byte length) instead of silently diverging
-    * engine vs oracle. */
+    * Bridge: the oracle stub slices TEXT by CHARACTERS while
+    * [[frameStub60]] slices the payload by BYTES — equivalent only
+    * for ASCII, so non-ASCII docs take the [[asciiPayloadDocs]]
+    * mirrored skip (both engines exclude the same rows by
+    * construction). */
   def mediaPhashDedup(s: SparkSession, dir: String): DataFrame =
-    phashPairs(t(s, dir, "documents")
-      .select(col("doc_id"),
-        when(length(col("text")) === octet_length(col("text")),
-            encode(col("text"), "UTF-8"))
-          .otherwise(raise_error(concat(
-            lit("media_phash_dedup fixture bridge requires ASCII text " +
-              "(byte-slice ≡ char-slice); non-ASCII doc_id="),
-            col("doc_id").cast("string")))).as("payload")))
+    phashPairs(asciiPayloadDocs(t(s, dir, "documents"))
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")))
 
   /** Oracle mirror on the all-stub fixture path: per-band 15-bit
     * frame md5s OR-ed into the 60-bit fingerprint (ASCII text ⇒
@@ -404,7 +419,8 @@ object Multimodal {
     }.mkString(" | ")
     s"""WITH fp AS (
        |  SELECT doc_id, $stub AS fp
-       |  FROM documents),
+       |  FROM documents
+       |  WHERE $AsciiBridgeSql),
        |band AS (
        |  SELECT doc_id, fp, b,
        |    (fp >> (b * ${Dedup.SimhashBandBits})) & ${(1 << Dedup.SimhashBandBits) - 1} AS bval
@@ -476,17 +492,11 @@ object Multimodal {
   def audioPairs(payloads: DataFrame): DataFrame =
     fpPairs(payloads.select(col("doc_id"), audioFpUdf(col("payload")).as("fp")))
 
-  /** Fixture adapter with the same enforced ASCII byte/char bridge
-    * as [[mediaPhashDedup]]. */
+  /** Fixture adapter with the same [[asciiPayloadDocs]] mirrored
+    * byte/char bridge as [[mediaPhashDedup]]. */
   def mediaAudioDedup(s: SparkSession, dir: String): DataFrame =
-    audioPairs(t(s, dir, "documents")
-      .select(col("doc_id"),
-        when(length(col("text")) === octet_length(col("text")),
-            encode(col("text"), "UTF-8"))
-          .otherwise(raise_error(concat(
-            lit("media_audio_dedup fixture bridge requires ASCII text " +
-              "(byte ≡ char code); non-ASCII doc_id="),
-            col("doc_id").cast("string")))).as("payload")))
+    audioPairs(asciiPayloadDocs(t(s, dir, "documents"))
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")))
 
   /** Oracle mirror: band energies as ord() sums over char positions
     * (ASCII ⇒ char code ≡ byte value), adjacent comparison via a
@@ -497,7 +507,8 @@ object Multimodal {
        |  SELECT doc_id, band,
        |    list_sum(list_transform(range(band * $AudioBandBytes + 1, band * $AudioBandBytes + ${AudioBandBytes + 1}),
        |      p -> CASE WHEN p <= length(text) THEN ord(substring(text, p, 1)) ELSE 0 END)) AS e
-       |  FROM documents, UNNEST(range(0, $AudioBands)) AS t(band)),
+       |  FROM documents, UNNEST(range(0, $AudioBands)) AS t(band)
+       |  WHERE $AsciiBridgeSql),
        |af AS (
        |  SELECT doc_id,
        |    CAST(COALESCE(SUM(CASE WHEN ne > e THEN CAST(1 AS BIGINT) << band ELSE 0 END), 0) AS BIGINT) AS fp
@@ -567,14 +578,8 @@ object Multimodal {
     * a lag over the MEDIA-keyed window (bounded by frames-per-asset,
     * never corpus-wide); the flag is arithmetic. */
   def mediaKeyframes(s: SparkSession, dir: String): DataFrame = {
-    val payloads = t(s, dir, "documents")
-      .select(col("doc_id"),
-        when(length(col("text")) === octet_length(col("text")),
-            encode(col("text"), "UTF-8"))
-          .otherwise(raise_error(concat(
-            lit("media_keyframes fixture bridge requires ASCII text " +
-              "(byte ≡ char code); non-ASCII doc_id="),
-            col("doc_id").cast("string")))).as("payload"))
+    val payloads = asciiPayloadDocs(t(s, dir, "documents"))
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
     val frames = payloads.select(col("doc_id"),
       posexplode(expr(
         s"transform(sequence(0, greatest(int(ceil(octet_length(payload) / $FrameBytes.0)), 1) - 1), " +
@@ -602,7 +607,8 @@ object Multimodal {
        |  SELECT doc_id, i AS frame_idx,
        |    substring(text, i * $FrameBytes + 1, $FrameBytes) AS frame
        |  FROM documents,
-       |    UNNEST(range(0, greatest(CAST(ceil(length(text) / $FrameBytes.0) AS INT), 1))) AS t(i)),
+       |    UNNEST(range(0, greatest(CAST(ceil(length(text) / $FrameBytes.0) AS INT), 1))) AS t(i)
+       |  WHERE $AsciiBridgeSql),
        |kf_s AS (
        |  SELECT doc_id, frame_idx,
        |    CAST(COALESCE(SUM(CASE WHEN p + 1 <= length(frame)
@@ -698,13 +704,14 @@ object Multimodal {
     val d = t(s, dir, "documents")
     val caps = d.select(col("doc_id").as("caption_id"),
       array_join(slice(split(col("text"), " "), 1, CaptionWords), " ").as("caption"))
+    // no ASCII bridge here: the media tower DECODES the payload back
+    // to the string before embedding (encode∘decode is lossless), so
+    // engine ≡ oracle holds for any text — the string-level embed
+    // chain is already hostile-proven on mojibake docs by the
+    // semantic_* family
     val pairs = d
       .select(col("doc_id").as("media_id"),
-        when(length(col("text")) === octet_length(col("text")),
-            encode(col("text"), "UTF-8"))
-          .otherwise(raise_error(concat(
-            lit("media_text_align fixture bridge requires ASCII text; non-ASCII doc_id="),
-            col("doc_id").cast("string")))).as("payload"))
+        encode(col("text"), "UTF-8").as("payload"))
       .withColumn("caption_id",
         when(col("media_id") % 11 === 3, col("media_id") + 1)
           .otherwise(col("media_id")))

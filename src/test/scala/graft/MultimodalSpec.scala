@@ -168,18 +168,31 @@ class MultimodalSpec extends AnyFunSuite {
       s"exactly the original/resized pair must surface: $pairs")
   }
 
-  test("media_phash_dedup: non-ASCII fixture text fails loudly (byte/char bridge precondition)") {
-    val dir = Files.createTempDirectory("graft-phash-ascii").toString
-    Seq((1L, "plain ascii body " * 10, "a"), (2L, "naïve café body " * 10, "a"))
+  test("byte-family media ops: non-ASCII text takes the MIRRORED skip (both engines drop the same rows), never a divergence or a crash") {
+    val dir = Files.createTempDirectory("graft-media-ascii").toString
+    // doc 1/3 duplicate ASCII bodies (a real frame-dup pair); doc 2
+    // is mojibake (multi-byte chars: char length != byte length)
+    val body = "plain ascii body words here padded out to frames " * 4
+    Seq((1L, body, "a"), (2L, "naïve café body " * 10, "a"), (3L, body, "a"))
       .toDF("doc_id", "text", "source")
       .write.parquet(s"$dir/documents.parquet")
-    val ex = intercept[Throwable] {
-      Multimodal.mediaPhashDedup(spark, dir).collect()
-    }
-    def messages(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(ex).exists(_.contains("ASCII")),
-      s"expected the bridge-precondition error, got: ${messages(ex)}")
+    // phash pairs still surface among the ASCII docs; doc 2 is inert
+    val pairs = Multimodal.mediaPhashDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 3L)), s"ASCII dup pair survives the skip: $pairs")
+    // frames: doc 2 contributes NO rows (skipped, not sliced wrong)
+    val frameDocs = Multimodal.mediaFrames(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    assert(frameDocs == Set(1L, 3L), s"non-ASCII doc must not emit frames: $frameDocs")
+    // keyframes and audio dedup run without raising
+    assert(Multimodal.mediaKeyframes(spark, dir).collect()
+      .map(_.getLong(0)).toSet == Set(1L, 3L))
+    Multimodal.mediaAudioDedup(spark, dir).collect()
+    // the ALIGNMENT family has no bridge: the payload decodes back to
+    // the exact string, so the non-ASCII doc still audits (totality)
+    val align = Multimodal.mediaTextAlign(spark, dir).collect()
+      .map(r => r.getLong(0)).toSet
+    assert(align == Set(1L, 2L, 3L), s"alignment stays TOTAL: $align")
   }
 
   test("jsonl and csv log sources: schema-first read with pruning") {

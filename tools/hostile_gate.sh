@@ -13,6 +13,10 @@ cd "$(dirname "$0")/.."
 SRC="${1:-/root/testdata/sf0.001}"
 FIX=/tmp/graft-hostile
 OUT=/tmp/graft-hostile-verify
+# stale outputs from a prior run would mask an errored query as a
+# value mismatch (observed r15: raise_error'd media queries compared
+# against r14 leftovers) — always start clean
+rm -rf "$OUT"
 python3 tools/make_hostile_fixture.py "$SRC" "$FIX"
 if [ -n "${2:-}" ]; then
   SPARK_GRAFT_CPUS=8 SPARK_GRAFT_ONLY="$2" sbt -batch "runMain graft.Verify $FIX $OUT"
