@@ -581,17 +581,32 @@ object StreamingIndex {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (uid: Long, it: Iterator[TransEvent], state: GroupState[LastEvent]) => {
-          val batch = it.toArray.sortBy(e => (e.ts_us, e.event_id))
-          val out = scala.collection.mutable.ArrayBuffer[Transition]()
-          var last = state.getOption
-          batch.foreach { e =>
-            last.foreach(l => out += Transition(uid, l.event_type, e.event_type, e.event_id))
-            last = Some(LastEvent(e.event_type, e.ts_us, e.event_id))
-          }
+          val (out, last) = transitionFold(uid, state.getOption, it.toSeq)
           last.foreach(state.update)
           out.iterator
         })
       .toDF()
+  }
+
+  /** The per-user micro-batch fold of [[transitionStream]] as a PURE
+    * kernel (KernelPropertySpec law: folding any split of a sequence
+    * into micro-batches emits exactly the single-batch transitions —
+    * batch-boundary invariance, PROVIDED batches arrive in order,
+    * the streaming source contract): sort the slice by the
+    * (ts_us, event_id) arrival order, emit one transition per event
+    * that has a predecessor (carried state included), return the new
+    * last-event state. */
+  private[graft] def transitionFold(
+      uid: Long, state: Option[LastEvent], batch: Seq[TransEvent]):
+      (Seq[Transition], Option[LastEvent]) = {
+    val sorted = batch.sortBy(e => (e.ts_us, e.event_id))
+    val out = scala.collection.mutable.ArrayBuffer[Transition]()
+    var last = state
+    sorted.foreach { e =>
+      last.foreach(l => out += Transition(uid, l.event_type, e.event_type, e.event_id))
+      last = Some(LastEvent(e.event_type, e.ts_us, e.event_id))
+    }
+    (out.toSeq, last)
   }
 
   /** Streaming exact dedup — the streaming twin of

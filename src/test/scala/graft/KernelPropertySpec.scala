@@ -230,4 +230,38 @@ class KernelPropertySpec extends AnyFunSuite {
       n1 == n2 && clean1 == clean2 && (clean1.isEmpty || ok)
     })
   }
+
+  test("transitionFold: micro-batch boundary invariance — any in-order split of a user's events emits exactly the single-batch transitions") {
+    import graft.streaming.StreamingIndex
+    import graft.streaming.StreamingIndex.TransEvent
+    // timestamps DRAWN WITH COLLISIONS (small range) so the
+    // event_id tie-break is exercised; ids unique by construction
+    val evGen = Gen.listOf(Gen.zip(Gen.choose(0L, 6L), Gen.oneOf("a", "b", "c")))
+      .map(_.zipWithIndex.map { case ((ts, t), i) =>
+        TransEvent(7L, t, ts, i.toLong)
+      })
+    val cutsGen = Gen.listOf(Gen.choose(0, 40))
+    check("boundary-invariance", Prop.forAll(evGen, cutsGen) { (evs, rawCuts) =>
+      // the stream source contract: batches arrive in (ts, id) order,
+      // so splits cut the SORTED sequence
+      val sorted = evs.sortBy(e => (e.ts_us, e.event_id))
+      val cuts = rawCuts.map(c => if (sorted.isEmpty) 0 else c % (sorted.length + 1))
+        .sorted.distinct
+      val bounds = (0 +: cuts :+ sorted.length).distinct.sorted
+      val batches = bounds.zip(bounds.tail).map { case (a, b) => sorted.slice(a, b) }
+      val (single, lastSingle) = StreamingIndex.transitionFold(7L, None, sorted)
+      var st: Option[StreamingIndex.LastEvent] = None
+      val split = batches.flatMap { b =>
+        val (out, st2) = StreamingIndex.transitionFold(7L, st, b)
+        st = st2
+        out
+      }
+      // and the emitted pairs are exactly sorted-zip-tail
+      val zipped = sorted.zip(sorted.drop(1)).map { case (f, t) =>
+        (f.event_type, t.event_type, t.event_id)
+      }
+      split == single && st == lastSingle &&
+        single.map(x => (x.from_type, x.to_type, x.event_id)) == zipped
+    })
+  }
 }
