@@ -122,6 +122,11 @@ object AnnEval {
     * what a recall audit must pay, and why it runs on a sample. */
   def annRecallBatch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // NOT checkpointed (r15 A/B): `exact` and `per` are each
+    // referenced twice, but the duplicate backend subtrees run as
+    // CONCURRENT stages of the one job and the wall-clock stays flat
+    // — eager checkpoints serialized them and measured worse
+    // (fresh-JVM min 1.93 s → 2.20 s).
     val exact = VectorQueries.knnBatch(s, dir)
       .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
     val results = Seq(

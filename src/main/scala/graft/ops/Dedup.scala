@@ -2909,8 +2909,17 @@ object Dedup {
     * arrays on doc_id — pair count ~ planted-dup count, not corpus². */
   def dedupJaccardPrefix(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
+    // the hashed-shingle relation feeds the posting/frequency chain
+    // AND both verification joins — four references, and each one
+    // re-ran the scan + split + FNV shingle UDF (8 parquet scans in
+    // the r15-measured initial plan, for every consumer of this
+    // truth: the audit, both sweeps, the overlap matrix). The eager
+    // checkpoint runs the UDF pass ONCE; at corpus scale this
+    // materializes exactly the per-doc shingle-hash arrays the
+    // verification step must hold anyway.
     val docs = d.select(col("doc_id"), hashedShingleUdf(col("text")).as("hs"))
       .filter(size(col("hs")) > 0)
+      .localCheckpoint(true)
     val postings = docs.select(col("doc_id"),
       size(col("hs")).cast("long").as("n_sh"), explode(col("hs")).as("sh"))
     val freq = postings.groupBy(col("sh")).agg(count(lit(1)).as("df"))
@@ -3498,9 +3507,15 @@ object Dedup {
   def minhashPermSweep(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = t(s, dir, "documents")
+    // the signature relation joins the truth pairs TWICE (sig_a and
+    // sig_b sides) — unchecked, the md5-shingle + minhash UDF pass
+    // runs twice. One eager checkpoint of the doc-keyed signatures
+    // (64 longs/doc — the relation any sweep must hold) halves the
+    // signature cost.
     val sig = d.select(col("doc_id"), md5ShingleUdf(col("text")).as("hs"))
       .filter(size(col("hs")) > 0)
       .select(col("doc_id"), minhashUdf(col("hs")).as("sig"))
+      .localCheckpoint(true)
     val gridList = PermGrid.mkString(", ")
     val errs = dedupJaccardPrefix(s, dir)
       .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))

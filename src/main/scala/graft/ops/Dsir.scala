@@ -70,7 +70,16 @@ object Dsir {
   /** All docs scored: doc_id, lang, n_feats, logw (importance log
     * weight against the `lang='en'` target model). */
   def dsirWeights(s: SparkSession, dir: String): DataFrame = {
-    val dfb = docBuckets(s, dir)
+    // DSIR is a fit-then-score pipeline: the doc-bucket counts feed
+    // the model fit AND the scoring join, and the model feeds its own
+    // total. Unchecked, each reference re-expands the explode+md5
+    // lineage — the r15-measured plan evaluated the feature pass
+    // THREE times (20 Exchanges / 6 scans). Materializing dfb once
+    // (eager localCheckpoint — at scale this is the doc×bucket count
+    // table a real two-pass DSIR run would persist between fit and
+    // score anyway; ≤ Buckets narrow rows per doc) and the ≤ Buckets-
+    // row model once makes the physical job the designed two passes.
+    val dfb = docBuckets(s, dir).localCheckpoint(true)
     // both marginals in ONE conditional aggregation, so the model fit
     // costs a single evaluation of the explode+count lineage instead
     // of two. ≤ Buckets rows by construction — the fixed-capacity
@@ -79,6 +88,7 @@ object Dsir {
     val model = dfb.groupBy(col("b")).agg(
       sum(col("c")).as("cr"),
       sum(when(col("lang") === "en", col("c")).otherwise(lit(0L))).as("ct"))
+      .localCheckpoint(true)
     val tot = model.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
     dfb.join(broadcast(model), "b")
       .crossJoin(broadcast(tot))

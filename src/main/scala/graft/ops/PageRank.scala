@@ -102,6 +102,13 @@ object PageRank {
     // every round re-joins the rank frame with `em`/`nodes`, whose
     // lineage the frame already carries — explicit aliases keep the
     // self-join column references unambiguous
+    // NOT checkpointed per round (r15 A/B): the rank frame is
+    // referenced 3× per round, but every reference re-expands only
+    // joins over the checkpointed LEAVES above, which the scheduler
+    // runs as concurrent stages — a per-round eager checkpoint
+    // serialized those stages and measured WORSE (fresh-JVM min
+    // 5.22 s → 5.69 s), unlike sourceCommunities whose per-round
+    // vote subtree is expensive enough to win from it.
     var p = nodes.withColumn("p", r6(lit(1.0) / lit(nD)))
     var it = 0
     while (it < Iters) {
@@ -337,7 +344,13 @@ object PageRank {
     val maxw = edges.groupBy(col("a").as("source"))
       .agg(max(col("w")).as("selfw")).localCheckpoint(true)
 
-    var lab = nodes.withColumn("lab", col("source"))
+    // same per-round checkpoint as [[sourcePagerank]]'s rank frame:
+    // `lab` is referenced three times per round (neighbor votes,
+    // self votes, next-round rebuild), so the unrolled lineage
+    // tripled per iteration (174 Exchanges in the r15-measured
+    // plan). The frame is one row per SOURCE — node-sized — so the
+    // eager checkpoint is near-free and the plan stays constant.
+    var lab = nodes.withColumn("lab", col("source")).localCheckpoint(true)
     var it = 0
     while (it < LpaRounds) {
       val nbVotes = edges.alias("e")
@@ -365,6 +378,7 @@ object PageRank {
         .join(pick.alias("p"), col("n.source") === col("p.source"), "left")
         .select(col("n.source").as("source"),
           coalesce(col("p.cand"), col("n.source")).as("lab"))
+        .localCheckpoint(true)
       it += 1
     }
     val sizes = lab.groupBy(col("lab")).agg(count(lit(1)).as("csize"))

@@ -727,14 +727,23 @@ object Retrieval {
     val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
     val u = unigramLogprob(s, dir).select(col("doc_id"), col("avg_nll").as("u_nll"))
     val b = bigramLogprob(s, dir).select(col("doc_id"), col("avg_nll").as("b_nll"))
+    // perSrc / raw are SOURCE-sized (one row per domain) but each is
+    // referenced twice downstream (tot + raw; norm + final), and every
+    // reference re-expands the full two-LM lineage — the r15-measured
+    // initial plan carried 158 Exchanges / 56 parquet scans for what
+    // is physically a 2-pass job. Eagerly checkpointing the two tiny
+    // frames computes the LM chain ONCE and keeps the plan linear;
+    // the rows are identical, only the lineage is truncated.
     val perSrc = d.join(u, "doc_id").join(b, "doc_id")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         r6(OracleMath.davg(col("u_nll") - col("b_nll"))).as("excess"))
+      .localCheckpoint(true)
     val tot = perSrc.agg(sum(col("n_docs")).as("nd"))
     val raw = perSrc.crossJoin(broadcast(tot))
       .withColumn("share", r6(col("n_docs").cast("double") / col("nd")))
       .withColumn("w_raw", r6(col("share") * exp(lit(DoremiEta) * col("excess"))))
+      .localCheckpoint(true)
     val norm = raw.agg(OracleMath.dsum(col("w_raw")).as("wsum"))
     raw.crossJoin(broadcast(norm))
       .select(col("source"), col("n_docs"), col("excess"), col("share"),
@@ -937,8 +946,16 @@ object Retrieval {
   def excessSelect(s: SparkSession, dir: String): DataFrame = {
     val u = unigramLogprob(s, dir).select(col("doc_id"), col("avg_nll").as("u_nll"))
     val b = bigramLogprob(s, dir).select(col("doc_id"), col("avg_nll").as("b_nll"))
+    // `ex` is doc-keyed (doc_id, excess) — two narrow columns — but
+    // referenced twice (the percentile cut and the keep projection),
+    // and each reference re-expands BOTH LM subplans (82 Exchanges /
+    // 24 scans in the r15-measured initial plan). The eager
+    // checkpoint computes the two-LM join once; at corpus scale the
+    // materialized frame is 16 bytes/doc — the same order as the
+    // shuffle the percentile already pays.
     val ex = u.join(b, "doc_id")
       .select(col("doc_id"), r6(col("u_nll") - col("b_nll")).as("excess"))
+      .localCheckpoint(true)
     val cut = ex.agg(
       r6(percentile(col("excess"), lit(1.0 - ExcessKeepFrac))).as("c"))
     ex.crossJoin(broadcast(cut))
