@@ -53,9 +53,11 @@ object PlanDump {
         java.nio.file.Files.write(
           java.nio.file.Paths.get(outDir, s"${name}_$suffix.txt"),
           formatted.getBytes("UTF-8"))
+        val planOnly = sys.env.get("GRAFT_PLAN_ONLY").contains("1")
         // warmup + two timed passes (the bench protocol)
-        runFull(fn(spark, sfDir))
+        if (!planOnly) runFull(fn(spark, sfDir))
         def once(): Double = {
+          if (planOnly) return -1.0
           pre(spark, sfDir)
           val t0 = System.nanoTime()
           runFull(fn(spark, sfDir))

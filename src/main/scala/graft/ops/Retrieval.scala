@@ -202,6 +202,13 @@ object Retrieval {
   def unigramLogprob(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    // NOT checkpointed (r15 A/B): the dw/vocab diamond re-runs only a
+    // cheap token explode per reference and the duplicate branches run
+    // as concurrent stages — materializing them measured WORSE
+    // standalone (fresh-JVM min 1.09 s → 1.57 s). Consumers that
+    // reference the WHOLE nll relation twice (ppl_buckets,
+    // ccnet_sample) checkpoint at their own level instead, where the
+    // duplicated subtree is the full LM chain.
     val dw = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
     val vocab = dw.groupBy(col("tok")).agg(sum(col("c")).as("cw"))
     val total = vocab.agg(sum(col("cw")).as("t"))
@@ -253,8 +260,13 @@ object Retrieval {
         """zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
           |         slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
           |         (a, b) -> concat(a, ' ', b))""".stripMargin)).as("bg"))
+    // same count-table materialization as [[unigramLogprob]]: db and
+    // corpus are each referenced twice, so the bigram explode ran per
+    // reference (20 Exchanges / 6 scans measured r15)
     val db = bi.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val corpus = db.groupBy(col("bg")).agg(sum(col("c")).as("cbg"))
+      .localCheckpoint(true)
     val lefts = corpus
       .groupBy(element_at(split(col("bg"), " "), 1).as("w1"))
       .agg(sum(col("cbg")).as("cw1"))
@@ -304,8 +316,16 @@ object Retrieval {
         """zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
           |         slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
           |         (a, b) -> concat(a, ' ', b))""".stripMargin)).as("bg"))
+    // the doc×bigram count table feeds the model fit AND the scoring
+    // join, and the bigram-type table feeds marginals AND the join —
+    // unchecked, the explode+count lineage re-expands per reference
+    // (30 Exchanges / 10 scans measured r15). Materializing the two
+    // count tables is exactly what an LM fit does; the corpus pass
+    // runs once.
     val db = bi.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val corpus = db.groupBy(col("bg")).agg(sum(col("c")).as("cbg"))
+      .localCheckpoint(true)
     val lefts = corpus
       .groupBy(element_at(split(col("bg"), " "), 1).as("w1"))
       .agg(sum(col("cbg")).as("cw1"))
@@ -385,8 +405,13 @@ object Retrieval {
         """zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
           |         slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
           |         (a, b) -> concat(a, ' ', b))""".stripMargin)).as("bg"))
+    // same count-table materialization as [[unigramLogprob]]; corpus
+    // here feeds THREE marginal fits (lefts, conts, ntypes) plus the
+    // scoring join (32 Exchanges / 10 scans measured r15)
     val db = bi.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val corpus = db.groupBy(col("bg")).agg(sum(col("c")).as("cbg"))
+      .localCheckpoint(true)
     val lefts = corpus
       .groupBy(element_at(split(col("bg"), " "), 1).as("w1"))
       .agg(sum(col("cbg")).as("cw1"), count(lit(1)).as("nfol"))
@@ -516,7 +541,11 @@ object Retrieval {
     * r6 absorbs interpolation-order ulps (the textPercentiles
     * bridge). */
   def pplBuckets(s: SparkSession, dir: String): DataFrame = {
-    val nll = unigramLogprob(s, dir)
+    // the nll relation feeds the tertile cutoffs AND the bucketing —
+    // unchecked, each reference re-expands the whole LM chain. The
+    // doc-level checkpoint runs the chain once (fresh-JVM min
+    // 1.82 s → 1.49 s measured r15).
+    val nll = unigramLogprob(s, dir).localCheckpoint(true)
     val cuts = nll.agg(
       r6(percentile(col("avg_nll"), lit(1.0 / 3))).as("c1"),
       r6(percentile(col("avg_nll"), lit(2.0 / 3))).as("c2"))
@@ -567,7 +596,9 @@ object Retrieval {
     * write shape, not a single-partition window; no global ordinal
     * is materialized for exactly that reason. */
   def curriculumOrder(s: SparkSession, dir: String): DataFrame = {
-    val nll = unigramLogprob(s, dir)
+    // the [[pplBuckets]] nll-level checkpoint (cutoffs + phase
+    // assignment both consume the relation)
+    val nll = unigramLogprob(s, dir).localCheckpoint(true)
     val cuts = nll.agg(
       r6(percentile(col("avg_nll"), lit(1.0 / 3))).as("c1"),
       r6(percentile(col("avg_nll"), lit(2.0 / 3))).as("c2"))
@@ -618,7 +649,9 @@ object Retrieval {
     * approx_percentile twin's cutoffs at real scale). Report = per
     * bucket: rate, docs, kept docs, kept token mass. */
   def ccnetSample(s: SparkSession, dir: String): DataFrame = {
-    val nll = unigramLogprob(s, dir)
+    // same nll-level checkpoint as [[pplBuckets]] (cutoffs + scoring
+    // both consume it; fresh-JVM min 1.85 s → 1.56 s measured r15)
+    val nll = unigramLogprob(s, dir).localCheckpoint(true)
     val cuts = nll.agg(
       r6(percentile(col("avg_nll"), lit(1.0 / 3))).as("c1"),
       r6(percentile(col("avg_nll"), lit(2.0 / 3))).as("c2"))
@@ -684,7 +717,8 @@ object Retrieval {
     * hash oracle); the error-bound spec pins the bucket counts to the
     * exact twin within the sketch's rank-error guarantee. */
   def pplBucketsApprox(s: SparkSession, dir: String): DataFrame = {
-    val nll = unigramLogprob(s, dir)
+    // the [[pplBuckets]] nll-level checkpoint, same two-reference shape
+    val nll = unigramLogprob(s, dir).localCheckpoint(true)
     val pcts = percentile_approx(col("avg_nll"),
       array(lit(1.0 / 3), lit(2.0 / 3)), lit(PplApproxAccuracy))
     val cuts = nll.agg(pcts.as("cs"))

@@ -1174,7 +1174,13 @@ object TextOps {
     * broadcast, one doc-keyed fold — no pairs anywhere. */
   def docNovelty(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-    val grams = Dedup.shingles(d)
+    // the shingle stream feeds the df fit AND the scoring join —
+    // checkpoint the per-doc DISTINCT-shingle arrays (the compact
+    // form, pre-explode) so the scan + shingle UDF runs once and both
+    // branches explode from the materialized arrays (12 Exchanges /
+    // 6 scans measured r15).
+    val arr = Dedup.withShingleArray(d).localCheckpoint(true)
+    val grams = arr.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val df = grams.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val n = d.agg(count(lit(1)).as("n_docs"))
     grams.join(df, Seq("shingle"))
@@ -1408,6 +1414,10 @@ object TextOps {
           "transform(sequence(0, size(w) - n), i -> array_join(slice(w, i + 1, n), ' '))"))
           .as("g"))
       .select(col("is_train"), col("n"), gramHashUdf(col("g")).as("gh"))
+    // NOT checkpointed (r15 A/B): materializing the 3×-token gram
+    // stream costs more than the duplicate explode+hash it saves —
+    // the two branches run as concurrent stages (fresh-JVM min
+    // 2.23 s → 2.55 s with an eager checkpoint here).
     val train = grams.filter(col("is_train")).select(col("n"), col("gh")).distinct()
     val trainTypes = train.groupBy(col("n")).agg(count(lit(1)).as("train_types"))
     val cov = grams.filter(!col("is_train"))
