@@ -512,9 +512,25 @@ object Maintenance {
       val sub = "graft_inv_sub_" + sfx
       val mx = "graft_inv_mx_" + sfx
       val bd = "graft_inv_band_" + sfx
-      Dedup.writeSubstrIndex(s, dir, sub)
-      Dedup.writeMaximalIndex(s, dir, mx)
-      Dedup.writeBandIndex(s, dir, bd)
+      // the three builds are INDEPENDENT jobs on disjoint tables —
+      // submit them from driver threads so each build's scan/shuffle
+      // tail back-fills the others' idle executors (guide §2.6
+      // overlap-independent-jobs; actions are only sequential when
+      // the driver calls them sequentially). Failures propagate: any
+      // build error rethrows here and the memo entry is not written.
+      val builds = Seq[Runnable](
+        () => Dedup.writeSubstrIndex(s, dir, sub),
+        () => Dedup.writeMaximalIndex(s, dir, mx),
+        () => Dedup.writeBandIndex(s, dir, bd))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(builds.size)
+      try {
+        import scala.jdk.CollectionConverters._
+        val futures = builds.map(pool.submit(_))
+        futures.foreach { f =>
+          try f.get()
+          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        }
+      } finally pool.shutdown()
       (sub, mx, bd)
     })
   }
