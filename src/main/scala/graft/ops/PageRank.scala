@@ -91,7 +91,12 @@ object PageRank {
     val n = nodes.count()
     val nD = n.toDouble
 
-    val pairs = srcPairs(docs)
+    // the undirected pair table is the expensive part (shingle scan +
+    // two aggregations) and the union/degree/dangling derivations
+    // below reference it FOUR times — checkpoint it first so the
+    // pipeline runs once and everything downstream derives from the
+    // edge-sized leaf
+    val pairs = srcPairs(docs).localCheckpoint(true)
     val edges = pairs.unionByName(
       pairs.select(col("b").as("a"), col("a").as("b"), col("w")))
     val outw = edges.groupBy(col("a")).agg(sum(col("w")).as("ow"))
@@ -337,7 +342,9 @@ object PageRank {
     import org.apache.spark.sql.expressions.Window
     val docs = t(s, dir, "documents")
     val nodes = docs.select(col("source")).distinct().localCheckpoint(true)
-    val pairs = srcPairs(docs)
+    // same pair-table checkpoint as [[sourcePagerank]]: the union's
+    // two branches would otherwise each run the shingle pipeline
+    val pairs = srcPairs(docs).localCheckpoint(true)
     val edges = pairs.unionByName(
       pairs.select(col("b").as("a"), col("a").as("b"), col("w")))
       .localCheckpoint(true)
