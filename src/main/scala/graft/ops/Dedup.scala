@@ -321,37 +321,45 @@ object Dedup {
     * shuffle layer's job, and the raw slice is what DuckDB mirrors. */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
+    // checkpointed: the signature relation feeds the banding explode
+    // AND both est-verification joins below
     val sig = d.select(col("doc_id"), md5ShingleUdf(col("text")).as("hs"))
       .filter(size(col("hs")) > 0)
       .select(col("doc_id"), minhashUdf(col("hs")).as("sig"))
+      .localCheckpoint(true)
+    // band rows carry ONLY (band, bkey, doc_id): the 64-hash payload
+    // never rides the bucket exchange (~512 B × 16 band rows per doc
+    // saved; guide §2.3 shuffle-keys-not-payloads). est is a pure
+    // function of the pair's signatures, so candidates dedup FIRST on
+    // the narrow pair key and est is computed once per candidate from
+    // two doc-keyed signature joins — the exact shape the DuckDB
+    // oracle below uses, so the row set is unchanged by construction
+    // (distinct-then-score ≡ score-then-distinct: every copy of a
+    // pair carries the identical deterministic est).
     val banded = sig.select(
-      col("doc_id"), col("sig"),
+      col("doc_id"),
       explode(expr(
         s"transform(sequence(0, ${Bands - 1}), " +
           s"b -> struct(b AS band, slice(sig, b * $RowsPerBand + 1, $RowsPerBand) AS bkey))"))
         .as("bb"))
-      .select(col("bb.band").as("band"), col("bb.bkey").as("bkey"),
-        col("doc_id"), col("sig"))
+      .select(col("bb.band").as("band"), col("bb.bkey").as("bkey"), col("doc_id"))
     val buckets = capBuckets(banded, Seq("band", "bkey"))
       .groupBy(col("band"), col("bkey"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("members"))
-    // est is a pure function of the two signatures, so it is scored
-    // map-side inside the bucket expansion and only the narrow
-    // (doc_a, doc_b, est) triple rides the distinct shuffle — the
-    // 2×64-hash signature payload never leaves the bucket task.
-    // Filter-then-distinct ≡ distinct-then-filter because every copy
-    // of a pair carries the identical deterministic est.
+      .agg(sort_array(collect_list(col("doc_id"))).as("members"))
     buckets
       .select(explode(expr(
         "flatten(transform(members, (m, i) -> " +
           "transform(slice(members, i + 2, size(members)), n -> " +
-          "struct(m.doc_id AS doc_a, n.doc_id AS doc_b, m.sig AS sig_a, n.sig AS sig_b))))"))
+          "struct(m AS doc_a, n AS doc_b))))"))
         .as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        r6(size(filter(zip_with(col("p.sig_a"), col("p.sig_b"), (x, y) => x === y), b => b))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        r6(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
           .cast("double") / NumHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.35)
-      .dropDuplicates("doc_a", "doc_b")
       .orderBy(col("est_jaccard").desc, col("doc_a"), col("doc_b"))
   }
 
@@ -3319,12 +3327,24 @@ object Dedup {
   def lshBandSweep(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = t(s, dir, "documents")
+    // checkpointed: the signature relation feeds the banding explode
+    // AND both est-verification joins below
     val sig = d.select(col("doc_id"), md5ShingleUdf(col("text")).as("hs"))
       .filter(size(col("hs")) > 0)
       .select(col("doc_id"), minhashUdf(col("hs")).as("sig"))
+      .localCheckpoint(true)
     val bandingList = SweepBandings.mkString(", ")
+    // band rows carry ONLY (nb, band, bkey, doc_id) — the 64-hash
+    // signature never rides the bucket exchange (it did: ~512 B × 56
+    // band rows per doc, the heaviest shuffle in the registry; guide
+    // §2.3 "shuffle keys and metadata instead of payloads"). est is a
+    // pure function of the pair's signatures, so candidates dedup
+    // FIRST on the narrow (nb, doc_a, doc_b) key and the est is
+    // computed once per candidate from two doc-keyed signature joins
+    // — the exact shape the DuckDB oracle below already uses, so the
+    // row set is unchanged by construction.
     val banded = sig.select(
-      col("doc_id"), col("sig"),
+      col("doc_id"),
       explode(expr(
         s"""flatten(transform(array($bandingList), nb ->
            |  transform(sequence(0, nb - 1), b ->
@@ -3332,26 +3352,25 @@ object Dedup {
            |      slice(sig, b * ($NumHashes div nb) + 1, $NumHashes div nb) AS bkey))))"""
           .stripMargin)).as("bb"))
       .select(col("bb.nb").as("nb"), col("bb.band").as("band"),
-        col("bb.bkey").as("bkey"), col("doc_id"), col("sig"))
+        col("bb.bkey").as("bkey"), col("doc_id"))
     val buckets = capBuckets(banded, Seq("nb", "band", "bkey"))
       .groupBy(col("nb"), col("band"), col("bkey"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("members"))
-    // est scored map-side inside the bucket expansion (it is a pure
-    // function of the two signatures) so only the narrow
-    // (nb, doc_a, doc_b) key rides the distinct shuffle — the
-    // 2×64-hash payload never leaves the bucket task (~8× fewer
-    // shuffle bytes on the heaviest query in the registry).
-    val pred = buckets
+      .agg(sort_array(collect_list(col("doc_id"))).as("members"))
+    val cand = buckets
       .select(col("nb"), explode(expr(
         "flatten(transform(members, (m, i) -> " +
           "transform(slice(members, i + 2, size(members)), n -> " +
-          "struct(m.doc_id AS doc_a, n.doc_id AS doc_b, m.sig AS sig_a, n.sig AS sig_b))))"))
+          "struct(m AS doc_a, n AS doc_b))))"))
         .as("p"))
-      .select(col("nb"), col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        r6(size(filter(zip_with(col("p.sig_a"), col("p.sig_b"), (x, y) => x === y), b => b))
+      .select(col("nb"), col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .dropDuplicates("nb", "doc_a", "doc_b")
+    val pred = cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .select(col("nb"), col("doc_a"), col("doc_b"),
+        r6(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
           .cast("double") / NumHashes).as("est"))
       .filter(col("est") >= PrefixTau)
-      .dropDuplicates("nb", "doc_a", "doc_b")
       .select(col("nb"), col("doc_a"), col("doc_b"), lit(1L).as("p"))
     val truth = dedupJaccardPrefix(s, dir)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
@@ -3867,6 +3886,9 @@ object Dedup {
       .withColumn("keep_norm",
         (col("doc_id") === min(col("doc_id")).over(wN)).cast("int"))
       .select(col("doc_id"), col("nw"), col("keep_exact"), col("keep_norm"))
+    // NOT checkpointed (r15 A/B 2.28 -> 2.37 s): the flag windows
+    // overlap the component union-find as concurrent work, so the
+    // barrier costs more than the duplicate scan+window it saves.
     val comp = dedupComponents(s, dir).select(col("doc_id"), col("component"))
     val alive = comp
       .join(flags.filter(col("keep_norm") === 1).select(col("doc_id")), "doc_id")

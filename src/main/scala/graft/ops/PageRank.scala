@@ -351,12 +351,14 @@ object PageRank {
     val maxw = edges.groupBy(col("a").as("source"))
       .agg(max(col("w")).as("selfw")).localCheckpoint(true)
 
-    // same per-round checkpoint as [[sourcePagerank]]'s rank frame:
-    // `lab` is referenced three times per round (neighbor votes,
-    // self votes, next-round rebuild), so the unrolled lineage
-    // tripled per iteration (174 Exchanges in the r15-measured
-    // plan). The frame is one row per SOURCE — node-sized — so the
-    // eager checkpoint is near-free and the plan stays constant.
+    // per-round checkpoint: `lab` is referenced three times per round
+    // (neighbor votes, self votes, next-round rebuild), so the
+    // unrolled lineage tripled per iteration (174 Exchanges in the
+    // r15-measured plan; fresh-JVM A/B 4.63 → 3.54 s). The frame is
+    // one row per SOURCE — node-sized — so the eager checkpoint is
+    // near-free and the plan stays constant. The LAST round stays
+    // un-checkpointed so the final plan keeps the vote-pick windows
+    // PlanSpec pins as node-partitioned.
     var lab = nodes.withColumn("lab", col("source")).localCheckpoint(true)
     var it = 0
     while (it < LpaRounds) {
@@ -385,7 +387,7 @@ object PageRank {
         .join(pick.alias("p"), col("n.source") === col("p.source"), "left")
         .select(col("n.source").as("source"),
           coalesce(col("p.cand"), col("n.source")).as("lab"))
-        .localCheckpoint(true)
+      if (it < LpaRounds - 1) lab = lab.localCheckpoint(true)
       it += 1
     }
     val sizes = lab.groupBy(col("lab")).agg(count(lit(1)).as("csize"))
