@@ -48,6 +48,12 @@ object PlanDump {
         val df = fn(spark, sfDir)
         val _ = df.queryExecution.executedPlan
         val planS = (System.nanoTime() - tp0) / 1e9
+        // Catalyst phase split for the FINAL DataFrame (analysis /
+        // optimization / physical planning, ms). The remainder of
+        // planS is intermediate-frame planning plus eager work run
+        // inside the query builder (checkpoints, memoized fits).
+        val phases = df.queryExecution.tracker.phases
+          .map { case (k, v) => s"$k=${v.durationMs}ms" }.mkString(" ")
         val formatted = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         java.nio.file.Files.write(
@@ -68,7 +74,7 @@ object PlanDump {
         println(f"[plan] $name%-28s plan=$planS%7.3fs run=${math.min(a, b)}%7.3fs " +
           f"(a=$a%6.3f b=$b%6.3f) exch=${cnt("Exchange")}%2d reuse=${cnt("ReusedExchange")}%2d " +
           f"scan=${cnt("Scan parquet")}%2d win=${cnt("\\bWindow\\b")}%2d " +
-          f"udf=${cnt("BatchEvalPython|ScalaUDF")}%2d sort=${cnt("\\bSort\\b")}%2d")
+          f"udf=${cnt("BatchEvalPython|ScalaUDF")}%2d sort=${cnt("\\bSort\\b")}%2d phases: $phases")
       } catch {
         case e: Throwable =>
           println(s"[plan] $name FAILED: ${e.getMessage}")

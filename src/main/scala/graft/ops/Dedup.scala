@@ -3004,9 +3004,17 @@ object Dedup {
     * scale it runs on a hash-sampled document slice while the
     * detector under audit runs the same plan on everything. */
   def dedupLshAudit(s: SparkSession, dir: String): DataFrame = {
-    val truth = dedupJaccardPrefix(s, dir)
+    // the two detectors are fully independent chains over documents,
+    // but each one eagerly checkpoints its corpus UDF pass during
+    // construction (truth: the FNV shingle arrays; pred: the MinHash
+    // signatures) — built inline those two jobs serialize. Concurrent
+    // construction overlaps them (guide §2.6); both results and the
+    // audit join are unchanged.
+    val (truthRaw, predRaw) = OpsShared.concurrently(
+      dedupJaccardPrefix(s, dir), minhashLsh(s, dir))
+    val truth = truthRaw
       .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
-    val pred = minhashLsh(s, dir)
+    val pred = predRaw
       .filter(col("est_jaccard") >= PrefixTau)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("p"))
     truth.join(pred, Seq("doc_a", "doc_b"), "full_outer")
@@ -3328,11 +3336,17 @@ object Dedup {
     import s.implicits._
     val d = t(s, dir, "documents")
     // checkpointed: the signature relation feeds the banding explode
-    // AND both est-verification joins below
-    val sig = d.select(col("doc_id"), md5ShingleUdf(col("text")).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .select(col("doc_id"), minhashUdf(col("hs")).as("sig"))
-      .localCheckpoint(true)
+    // AND both est-verification joins below. Built CONCURRENTLY with
+    // the truth chain (guide §2.6): the signature checkpoint (md5
+    // shingle + minhash UDF pass) and the truth's own shingle-array
+    // checkpoint are independent corpus passes that would otherwise
+    // serialize during query construction.
+    val (sig, truthRaw) = OpsShared.concurrently(
+      d.select(col("doc_id"), md5ShingleUdf(col("text")).as("hs"))
+        .filter(size(col("hs")) > 0)
+        .select(col("doc_id"), minhashUdf(col("hs")).as("sig"))
+        .localCheckpoint(true),
+      dedupJaccardPrefix(s, dir))
     val bandingList = SweepBandings.mkString(", ")
     // band rows carry ONLY (nb, band, bkey, doc_id) — the 64-hash
     // signature never rides the bucket exchange (it did: ~512 B × 56
@@ -3372,7 +3386,7 @@ object Dedup {
           .cast("double") / NumHashes).as("est"))
       .filter(col("est") >= PrefixTau)
       .select(col("nb"), col("doc_a"), col("doc_b"), lit(1L).as("p"))
-    val truth = dedupJaccardPrefix(s, dir)
+    val truth = truthRaw
       .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
       .crossJoin(SweepBandings.toDF("nb"))
     // report totality: every banding in the grid emits a row even on
@@ -3530,13 +3544,16 @@ object Dedup {
     // sig_b sides) — unchecked, the md5-shingle + minhash UDF pass
     // runs twice. One eager checkpoint of the doc-keyed signatures
     // (64 longs/doc — the relation any sweep must hold) halves the
-    // signature cost.
-    val sig = d.select(col("doc_id"), md5ShingleUdf(col("text")).as("hs"))
-      .filter(size(col("hs")) > 0)
-      .select(col("doc_id"), minhashUdf(col("hs")).as("sig"))
-      .localCheckpoint(true)
+    // signature cost. Built CONCURRENTLY with the independent truth
+    // chain so the two corpus UDF checkpoints overlap (guide §2.6).
+    val (sig, truthRaw) = OpsShared.concurrently(
+      d.select(col("doc_id"), md5ShingleUdf(col("text")).as("hs"))
+        .filter(size(col("hs")) > 0)
+        .select(col("doc_id"), minhashUdf(col("hs")).as("sig"))
+        .localCheckpoint(true),
+      dedupJaccardPrefix(s, dir))
     val gridList = PermGrid.mkString(", ")
-    val errs = dedupJaccardPrefix(s, dir)
+    val errs = truthRaw
       .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
       .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
       .select(col("jaccard"), explode(expr(

@@ -53,6 +53,27 @@ object OpsShared {
       case _ => () // not a checkpoint frame — nothing to free
     }
 
+  /** Build two INDEPENDENT relation chains from concurrent driver
+    * threads so their eager work (localCheckpoint materializations,
+    * memoized fits) overlaps instead of serializing — the
+    * [[Maintenance.ensureOpsIndexes]] device generalized (guide §2.6
+    * overlap-independent-jobs: actions are only sequential because
+    * the driver calls them sequentially). Use ONLY when the two
+    * thunks share no mutable state and neither reads the other's
+    * output; failures propagate (unwrapped from the pool's
+    * ExecutionException) exactly as if the thunks ran inline. */
+  def concurrently[A, B](fa: => A, fb: => B): (A, B) = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val ja = pool.submit(new java.util.concurrent.Callable[A] { def call(): A = fa })
+      val jb = pool.submit(new java.util.concurrent.Callable[B] { def call(): B = fb })
+      def get[T](f: java.util.concurrent.Future[T]): T =
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      (get(ja), get(jb))
+    } finally pool.shutdown()
+  }
+
   /** Driver-side double cosine distance of a centroid against the
     * query — the probe-ranking metric (sequential fold; ties broken
     * by the caller's stable sort on centroid id). */

@@ -87,22 +87,26 @@ object PageRank {
     // every unrolled iteration's lineage — eager localCheckpoint
     // computes each once (shingle pass, edge aggregation, degree
     // join) instead of once per reference in the final plan
-    val nodes = docs.select(col("source")).distinct().localCheckpoint(true)
-    val n = nodes.count()
-    val nD = n.toDouble
-
     // the undirected pair table is the expensive part (shingle scan +
     // two aggregations) and the union/degree/dangling derivations
     // below reference it FOUR times — checkpoint it first so the
     // pipeline runs once and everything downstream derives from the
-    // edge-sized leaf
-    val pairs = srcPairs(docs).localCheckpoint(true)
+    // edge-sized leaf. nodes ∥ pairs and em ∥ dangling are pairwise
+    // independent (both of each pair derive from already-materialized
+    // frames), so each pair's checkpoint jobs run from concurrent
+    // driver threads instead of serializing (guide §2.6).
+    val (nodes, pairs) = OpsShared.concurrently(
+      docs.select(col("source")).distinct().localCheckpoint(true),
+      srcPairs(docs).localCheckpoint(true))
+    val n = nodes.count()
+    val nD = n.toDouble
     val edges = pairs.unionByName(
       pairs.select(col("b").as("a"), col("a").as("b"), col("w")))
     val outw = edges.groupBy(col("a")).agg(sum(col("w")).as("ow"))
-    val em = edges.join(outw, "a").localCheckpoint(true)
-    val dangling = nodes.join(edges.select(col("a").as("source")).distinct(),
-      Seq("source"), "left_anti").localCheckpoint(true)
+    val (em, dangling) = OpsShared.concurrently(
+      edges.join(outw, "a").localCheckpoint(true),
+      nodes.join(edges.select(col("a").as("source")).distinct(),
+        Seq("source"), "left_anti").localCheckpoint(true))
 
     // every round re-joins the rank frame with `em`/`nodes`, whose
     // lineage the frame already carries — explicit aliases keep the
@@ -341,10 +345,13 @@ object PageRank {
   def sourceCommunities(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = t(s, dir, "documents")
-    val nodes = docs.select(col("source")).distinct().localCheckpoint(true)
     // same pair-table checkpoint as [[sourcePagerank]]: the union's
-    // two branches would otherwise each run the shingle pipeline
-    val pairs = srcPairs(docs).localCheckpoint(true)
+    // two branches would otherwise each run the shingle pipeline.
+    // nodes ∥ pairs are independent — concurrent construction
+    // overlaps their checkpoint jobs (guide §2.6).
+    val (nodes, pairs) = OpsShared.concurrently(
+      docs.select(col("source")).distinct().localCheckpoint(true),
+      srcPairs(docs).localCheckpoint(true))
     val edges = pairs.unionByName(
       pairs.select(col("b").as("a"), col("a").as("b"), col("w")))
       .localCheckpoint(true)

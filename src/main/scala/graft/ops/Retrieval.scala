@@ -759,8 +759,15 @@ object Retrieval {
 
   def doremiWeights(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
-    val u = unigramLogprob(s, dir).select(col("doc_id"), col("avg_nll").as("u_nll"))
-    val b = bigramLogprob(s, dir).select(col("doc_id"), col("avg_nll").as("b_nll"))
+    // the two LM chains are independent corpus passes; built inline,
+    // the bigram's eager count-table checkpoints run first and the
+    // unigram chain only starts inside the perSrc job afterwards.
+    // Checkpointing u on a concurrent thread overlaps the two chains
+    // (guide §2.6) — u is doc-keyed (doc_id, double), 16 B/doc.
+    val (u, b) = OpsShared.concurrently(
+      unigramLogprob(s, dir).select(col("doc_id"), col("avg_nll").as("u_nll"))
+        .localCheckpoint(true),
+      bigramLogprob(s, dir).select(col("doc_id"), col("avg_nll").as("b_nll")))
     // perSrc / raw are SOURCE-sized (one row per domain) but each is
     // referenced twice downstream (tot + raw; norm + final), and every
     // reference re-expands the full two-LM lineage — the r15-measured
@@ -978,8 +985,13 @@ object Retrieval {
     * scale the percentile swaps to approx_percentile, semantics
     * unchanged). */
   def excessSelect(s: SparkSession, dir: String): DataFrame = {
-    val u = unigramLogprob(s, dir).select(col("doc_id"), col("avg_nll").as("u_nll"))
-    val b = bigramLogprob(s, dir).select(col("doc_id"), col("avg_nll").as("b_nll"))
+    // same concurrent two-LM construction as [[doremiWeights]]: the
+    // u-side checkpoint exists to OVERLAP the independent unigram
+    // chain with the bigram's eager count-table checkpoints.
+    val (u, b) = OpsShared.concurrently(
+      unigramLogprob(s, dir).select(col("doc_id"), col("avg_nll").as("u_nll"))
+        .localCheckpoint(true),
+      bigramLogprob(s, dir).select(col("doc_id"), col("avg_nll").as("b_nll")))
     // `ex` is doc-keyed (doc_id, excess) — two narrow columns — but
     // referenced twice (the percentile cut and the keep projection),
     // and each reference re-expands BOTH LM subplans (82 Exchanges /
