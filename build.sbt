@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify mains speak a one-JSON-line stdout contract that the
+// driver machine-parses. sbt's default forked-output strategy relogs the
+// child's stdout as "[info] ..." lines and appends a "[success] Total
+// time" trailer — both defeated the driver's parser every round
+// (BENCH_r13..r15 all read "parsed": null). StdoutOutput passes the
+// child's stdout through verbatim; showSuccess drops the trailer, so the
+// contract line is the LAST stdout line, bare.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

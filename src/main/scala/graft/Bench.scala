@@ -226,12 +226,26 @@ object Bench {
     }
   }
 
+  /** Whole-stage-codegen class cache size (static conf, so it must be
+    * set on the FIRST session of the JVM). The Spark default is 100
+    * entries — a 252-query registry generates thousands of codegen
+    * units per pass, so at the default every timed pass recompiles
+    * essentially every fragment from scratch (janino, 10-50 ms each):
+    * pure cross-query cache thrash, not per-query cost. A cache sized
+    * to the workload reports each query's own steady state — the same
+    * number a single-query JVM (BenchOne) already reports — and is
+    * equally right on a production driver running a repeated mix.
+    * Env-overridable; the default is workload-sized, not local-tuned. */
+  private[graft] def codegenCacheEntries: String =
+    sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.codegen.cache.maxEntries", codegenCacheEntries)
       .config("spark.sql.adaptive.enabled", "true")
       // AQE coalesce floor: keep the 1 MB default. A 64 KB floor was
       // A/B-tested (tools/bench_one.scala, sf0.1): it buys ~25% on the
@@ -364,18 +378,14 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}")
     }
-    // the LAST stdout line is the machine-readable artifact and the
-    // harness captures only a bounded (~2000-char) tail of merged
-    // output. An 80-query map at 2 decimals is ~2,100 chars — it
-    // truncated the r3 artifact and left r4 unparseable — so the map
-    // NEVER goes to stdout: the final line is a compact total with a
-    // pointer to the committed sidecar, and it fits in any tail.
-    // Per-query seconds go only in the map when the whole line stays
-    // safely inside half the tail budget.
-    val short = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":${qsJson(2)},"sf":"$sfDir"}"""
-    val line =
-      if (short.length <= 1000) short
-      else s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":{},"queries_file":"$fullPath","sf":"$sfDir"}"""
+    // the LAST stdout line is the machine-readable artifact. The
+    // contract line carries the FULL per-query map inline: the driver
+    // derives per-query scaling (32-core vs 8-core runs) from it, and
+    // rounds 13-15 proved that pointing at a sidecar file instead
+    // leaves the driver with "parsed": null and no per-query data.
+    // (build.sbt's StdoutOutput/showSuccess settings keep this line
+    // bare and last; full-precision times still go to the sidecar.)
+    val line = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":${qsJson(2)},"sf":"$sfDir"}"""
     // stop Spark BEFORE printing: shutdown-hook log lines must not
     // land after (and so push out) the machine-readable line
     spark.stop()
@@ -397,6 +407,7 @@ object BenchOne {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.codegen.cache.maxEntries", Bench.codegenCacheEntries)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

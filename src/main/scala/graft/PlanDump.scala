@@ -27,6 +27,7 @@ object PlanDump {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.codegen.cache.maxEntries", Bench.codegenCacheEntries)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -52,7 +53,9 @@ object PlanDump {
         // optimization / physical planning, ms). The remainder of
         // planS is intermediate-frame planning plus eager work run
         // inside the query builder (checkpoints, memoized fits).
-        val phases = df.queryExecution.tracker.phases
+        // tracker.phases is an unordered map — sort by key so the log
+        // line is diff-stable across runs
+        val phases = df.queryExecution.tracker.phases.toSeq.sortBy(_._1)
           .map { case (k, v) => s"$k=${v.durationMs}ms" }.mkString(" ")
         val formatted = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)

@@ -61,7 +61,15 @@ object OpsShared {
     * the driver calls them sequentially). Use ONLY when the two
     * thunks share no mutable state and neither reads the other's
     * output; failures propagate (unwrapped from the pool's
-    * ExecutionException) exactly as if the thunks ran inline. */
+    * ExecutionException) exactly as if the thunks ran inline.
+    *
+    * Thread-local inheritance requirement: the pool is created fresh
+    * PER CALL so its two threads are spawned at submit time from the
+    * calling thread — Spark's InheritableThreadLocals (active
+    * session, job-group/job-description local properties) propagate
+    * only at thread creation. Refactoring to a shared/cached pool
+    * would silently detach the thunks' Spark jobs from the caller's
+    * session properties; keep per-call pools. */
   def concurrently[A, B](fa: => A, fb: => B): (A, B) = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
     try {
@@ -69,7 +77,17 @@ object OpsShared {
       val jb = pool.submit(new java.util.concurrent.Callable[B] { def call(): B = fb })
       def get[T](f: java.util.concurrent.Future[T]): T =
         try f.get()
-        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            // one thunk failed: cancel the sibling and WAIT for it to
+            // exit before rethrowing, so its Spark job (and any
+            // eagerly-materialized localCheckpoint blocks it would
+            // orphan) does not keep running with no owner
+            ja.cancel(true); jb.cancel(true)
+            pool.shutdownNow()
+            pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+            throw Option(e.getCause).getOrElse(e)
+        }
       (get(ja), get(jb))
     } finally pool.shutdown()
   }

@@ -208,7 +208,11 @@ object Retrieval {
     // standalone (fresh-JVM min 1.09 s → 1.57 s). Consumers that
     // reference the WHOLE nll relation twice (ppl_buckets,
     // ccnet_sample) checkpoint at their own level instead, where the
-    // duplicated subtree is the full LM chain.
+    // duplicated subtree is the full LM chain. One further exception:
+    // a consumer that pairs this doc-keyed RESULT with the bigram
+    // chain via OpsShared.concurrently (doremiWeights, excessSelect)
+    // may eagerly checkpoint the result so both chains materialize in
+    // parallel — that is overlap, not the losing in-query barrier.
     val dw = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
     val vocab = dw.groupBy(col("tok")).agg(sum(col("c")).as("cw"))
     val total = vocab.agg(sum(col("cw")).as("t"))
