@@ -400,7 +400,7 @@ object Curation {
     * convention (every 50th document) and delegates to
     * [[semanticDecontaminateAgainst]]. */
   def semanticDecontaminate(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
+    val d = t(s, dir, "documents", resplit = true)
     semanticDecontaminateAgainst(
       d.filter(col("doc_id") % 50 =!= 0),
       d.filter(col("doc_id") % 50 === 0))
@@ -536,7 +536,7 @@ object Curation {
     * (the [[filterAgreement]] grid lesson — no outer join onto the
     * scored chain). */
   def semanticDecontamReport(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
+    val d = t(s, dir, "documents", resplit = true)
     val benchSrc = d.filter(col("doc_id") % 50 === 0)
       .groupBy(col("source")).agg(count(lit(1)).as("nb0"))
       .select(col("source"), col("nb0"), lit(0L).as("nf0"))
@@ -574,7 +574,7 @@ object Curation {
     * UNROUNDED doubles — both engines compute the identical ratios of
     * identical integers, so the comparison is bit-deterministic. */
   def gopherQuality(s: SparkSession, dir: String): DataFrame =
-    gopherScore(t(s, dir, "documents")).orderBy(col("doc_id"))
+    gopherScore(t(s, dir, "documents", resplit = true)).orderBy(col("doc_id"))
 
   /** The gopher scoring on ANY (doc_id, text) relation — ONE
     * definition shared by the batch query and the streaming twin
@@ -692,7 +692,7 @@ object Curation {
   }
 
   def gopherThresholdSweep(s: SparkSession, dir: String): DataFrame =
-    gopherThresholdSweepOf(t(s, dir, "documents"))
+    gopherThresholdSweepOf(t(s, dir, "documents", resplit = true))
 
   /** Oracle mirror: the same unrounded signal CTE as
     * [[gopherQualitySql]] (prefix `gts_`), one conditional-aggregate
@@ -1076,7 +1076,7 @@ object Curation {
     * final keep AND the reason for every drop are both in the
     * output — the auditability a 100 TB curation pass needs. */
   def curationPipeline(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
+    val d = t(s, dir, "documents", resplit = true)
     val g = gopherQuality(s, dir)
       .select(col("doc_id"), col("keep").as("gopher_keep"))
     val l = TextOps.langId(s, dir)
@@ -2268,7 +2268,7 @@ object Curation {
   }
 
   def boilerplateScrub(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
+    val d = t(s, dir, "documents", resplit = true)
     val blocks = d.select(col("doc_id"), col("source"),
         posexplode(when(size(ws) >= BoilerBlockWords,
           expr(s"""transform(sequence(1, int(size(split(text, ' ')) / $BoilerBlockWords)),
@@ -2369,7 +2369,7 @@ object Curation {
     * the tfidf rule), bounded per-doc removed-index lists, ONE
     * doc-keyed rebuild join. */
   def lineDedup(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
+    val d = t(s, dir, "documents", resplit = true)
     val blocks = d.select(col("doc_id"),
         posexplode(when(size(ws) >= BoilerBlockWords,
           expr(s"""transform(sequence(1, int(size(split(text, ' ')) / $BoilerBlockWords)),
@@ -2447,7 +2447,7 @@ object Curation {
     * rebuilt lengths. Total on an empty corpus (zero row counts,
     * never null sums). */
   def lineDedupReport(s: SparkSession, dir: String): DataFrame = {
-    val lens = t(s, dir, "documents")
+    val lens = t(s, dir, "documents", resplit = true)
       .select(col("doc_id"), length(col("text")).cast("long").as("len0"))
     lineDedup(s, dir).join(lens, Seq("doc_id"))
       .agg(count(lit(1)).as("n_docs"),
@@ -3114,7 +3114,7 @@ object Curation {
     releaseRowsOf(d).drop("text").orderBy(col("doc_id"))
 
   def releasePipeline(s: SparkSession, dir: String): DataFrame =
-    releasePipelineOf(t(s, dir, "documents"))
+    releasePipelineOf(t(s, dir, "documents", resplit = true))
 
   /** Materialize the release: curated rows (WITH text) written as
     * parquet partitioned by split — the layout a trainer reads

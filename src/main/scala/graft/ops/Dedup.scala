@@ -213,6 +213,9 @@ object Dedup {
     * the two doc sizes as narrow extra columns; the MaxPosting cap
     * bounds fan-out under shingle skew. */
   def dedupJaccard(s: SparkSession, dir: String): DataFrame = {
+    // resplit measured NEUTRAL here (r16 A/B: the capped-bucket family
+    // net +0.1 s) — the posting explode feeds a groupBy immediately,
+    // so the UDF pass overlaps the shuffle either way; left bare.
     val d = t(s, dir, "documents")
     val buckets = capBuckets(hashedPostings(d), Seq("shingle"))
       .groupBy(col("shingle"))
@@ -320,7 +323,7 @@ object Dedup {
     * an engine-private hash of it — hashing the group key is the
     * shuffle layer's job, and the raw slice is what DuckDB mirrors. */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
+    val d = t(s, dir, "documents", resplit = true)
     // checkpointed: the signature relation feeds the banding explode
     // AND both est-verification joins below
     val sig = d.select(col("doc_id"), md5ShingleUdf(col("text")).as("hs"))
@@ -989,7 +992,7 @@ object Dedup {
       .orderBy(col("doc_id"))
 
   def substrDedup(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
+    val d = t(s, dir, "documents", resplit = true)
     val wins = substrWindowRows(d)
     val first = wins.groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
@@ -1048,7 +1051,7 @@ object Dedup {
     * words, removed words, and bytes saved from the byte-exact
     * rebuilt lengths. Total on an empty corpus. */
   def substrDedupReport(s: SparkSession, dir: String): DataFrame = {
-    val lens = t(s, dir, "documents")
+    val lens = t(s, dir, "documents", resplit = true)
       .select(col("doc_id"), length(col("text")).cast("long").as("len0"))
     substrDedup(s, dir).join(lens, Seq("doc_id"))
       .agg(count(lit(1)).as("n_docs"),
@@ -1551,7 +1554,7 @@ object Dedup {
     * arrival convention over [[writeSubstrIndexOf]]. */
   def writeSubstrIndex(s: SparkSession, dir: String, table: String): Unit =
     writeSubstrIndexOf(
-      t(s, dir, "documents").filter(col("doc_id") % 10 =!= 0), table)
+      t(s, dir, "documents", resplit = true).filter(col("doc_id") % 10 =!= 0), table)
 
   /** Append a new corpus segment's distinct window hashes. Appends
     * may re-insert hashes already present — membership semantics are
@@ -1653,7 +1656,7 @@ object Dedup {
   /** Corpus-half (doc_id % 10 ≠ 0) maximal index — the incremental/
     * streaming arrival convention shared with [[writeSubstrIndex]]. */
   def writeMaximalIndex(s: SparkSession, dir: String, table: String): Unit =
-    writeMaximalIndexOf(t(s, dir, "documents").filter(col("doc_id") % 10 =!= 0), table)
+    writeMaximalIndexOf(t(s, dir, "documents", resplit = true).filter(col("doc_id") % 10 =!= 0), table)
 
   /** Append a new corpus segment's per-hash firsts. A hash already
     * present gains a second row; probes min-fold across segments
@@ -1740,7 +1743,7 @@ object Dedup {
     maximalIdxCache.computeIfAbsent(key, _ => {
       val table = "graft_mx_idx_" +
         java.lang.Long.toHexString(java.lang.Integer.toUnsignedLong(key.hashCode))
-      writeMaximalIndexOf(t(s, dir, "documents"), table)
+      writeMaximalIndexOf(t(s, dir, "documents", resplit = true), table)
       table
     })
   }
@@ -2193,7 +2196,7 @@ object Dedup {
     * repetition SIGNAL the corpus carries and how much text the
     * keep-first cut actually reclaims. */
   def repetitionReport(s: SparkSession, dir: String): DataFrame = {
-    val lens = t(s, dir, "documents")
+    val lens = t(s, dir, "documents", resplit = true)
       .select(col("doc_id"), length(col("text")).cast("long").as("len0"))
     repetitionScrub(s, dir).join(lens, Seq("doc_id"))
       .agg(count(lit(1)).as("n_docs"),
@@ -2274,7 +2277,7 @@ object Dedup {
   }
 
   def repetitionGrainSweep(s: SparkSession, dir: String): DataFrame =
-    repetitionGrainSweepOf(t(s, dir, "documents"))
+    repetitionGrainSweepOf(t(s, dir, "documents", resplit = true))
 
   /** Oracle mirror: one instantiation of the per-grain scrub
     * template per grid cell (unique `rgs<atom>_` CTE prefixes — the
@@ -2637,7 +2640,7 @@ object Dedup {
     * the component build it already shares. */
   def dedupSurvivorQuality(s: SparkSession, dir: String): DataFrame = {
     val comp = dedupComponents(s, dir).select(col("doc_id"), col("component"))
-    val q = Curation.gopherScore(t(s, dir, "documents"))
+    val q = Curation.gopherScore(t(s, dir, "documents", resplit = true))
       .select(col("doc_id"), col("keep"), col("n_words"))
     val wElect = Window.partitionBy(col("component"))
       .orderBy(col("keep").desc, col("n_words").desc, col("doc_id"))
@@ -2916,7 +2919,7 @@ object Dedup {
     * verification joins the candidates back to the per-doc hashed
     * arrays on doc_id — pair count ~ planted-dup count, not corpus². */
   def dedupJaccardPrefix(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
+    val d = t(s, dir, "documents", resplit = true)
     // the hashed-shingle relation feeds the posting/frequency chain
     // AND both verification joins — four references, and each one
     // re-ran the scan + split + FNV shingle UDF (8 parquet scans in
@@ -3141,7 +3144,7 @@ object Dedup {
     * arrival convention over [[writeBandIndexOf]]. */
   def writeBandIndex(s: SparkSession, dir: String, table: String): Unit =
     writeBandIndexOf(
-      t(s, dir, "documents").filter(col("doc_id") % 10 =!= 0), table)
+      t(s, dir, "documents", resplit = true).filter(col("doc_id") % 10 =!= 0), table)
 
   /** Append a new segment of corpus band rows into the existing
     * index (bucketed insertInto preserves the layout) plus the
@@ -3334,7 +3337,7 @@ object Dedup {
     * truth is near-dup-sized, not corpus-sized). */
   def lshBandSweep(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val d = t(s, dir, "documents")
+    val d = t(s, dir, "documents", resplit = true)
     // checkpointed: the signature relation feeds the banding explode
     // AND both est-verification joins below. Built CONCURRENTLY with
     // the truth chain (guide §2.6): the signature checkpoint (md5
@@ -3539,7 +3542,7 @@ object Dedup {
     * kn_logprob remedy), so no float bridge risk anywhere. */
   def minhashPermSweep(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val d = t(s, dir, "documents")
+    val d = t(s, dir, "documents", resplit = true)
     // the signature relation joins the truth pairs TWICE (sig_a and
     // sig_b sides) — unchecked, the md5-shingle + minhash UDF pass
     // runs twice. One eager checkpoint of the doc-keyed signatures

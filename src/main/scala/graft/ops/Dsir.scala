@@ -54,7 +54,7 @@ object Dsir {
   /** Per-doc hashed-feature bucket counts (doc_id, lang, b, c), the
     * single corpus pass every downstream table reduces from. */
   private def docBuckets(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
+    val d = t(s, dir, "documents", resplit = true)
     val feats = d.select(col("doc_id"), col("lang"),
       explode(expr(
         """concat(split(text, ' '),

@@ -82,7 +82,7 @@ object PageRank {
     * rank descending. n_out = total outgoing edge weight (0 for
     * isolated sources, which contribute via the dangling term). */
   def sourcePagerank(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    val docs = t(s, dir, "documents", resplit = true)
     // the graph relations are STATIC across rounds but referenced in
     // every unrolled iteration's lineage — eager localCheckpoint
     // computes each once (shingle pass, edge aggregation, degree
@@ -216,7 +216,7 @@ object PageRank {
     * template-family detector (boilerplate domain clusters close
     * into cliques; organic similarity stays wedge-open). */
   def sourceTriangles(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+    val docs = t(s, dir, "documents", resplit = true)
     val nodes = docs.select(col("source")).distinct()
     val und = srcPairs(docs).select(col("a"), col("b")).localCheckpoint(true)
     val deg = und.select(col("a").as("n"))
@@ -344,7 +344,7 @@ object PageRank {
     * orders of magnitude smaller than the data it curates. */
   def sourceCommunities(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = t(s, dir, "documents")
+    val docs = t(s, dir, "documents", resplit = true)
     // same pair-table checkpoint as [[sourcePagerank]]: the union's
     // two branches would otherwise each run the shingle pipeline.
     // nodes ∥ pairs are independent — concurrent construction

@@ -23,7 +23,7 @@ object Relational {
     * count per (returnflag, linestatus). Map-side partial agg over a
     * 2-group key; the shipdate filter pushes to the parquet scan. */
   def pricingSummary(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
+    val li = t(s, dir, "lineitem", resplit = true)
     li.filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
@@ -295,7 +295,7 @@ object Relational {
     * join over the remaining fixture tables; exact distinct supplier
     * counts per brand. */
   def supplierParts(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
+    val li = t(s, dir, "lineitem", resplit = true)
     val p = t(s, dir, "part")
     val su = t(s, dir, "supplier")
     // no broadcast hint on supplier: unlike nation/region (fixed 25/5
@@ -367,7 +367,7 @@ object Relational {
     * until the aggregate. Oracle mirrors with UNION ALL, the
     * portable ANSI form. */
   def unpivotMeasures(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
+    val li = t(s, dir, "lineitem", resplit = true)
     li.select(col("l_orderkey"), col("l_quantity"), col("l_discount"), col("l_tax"))
       .unpivot(
         Array(col("l_orderkey")),

@@ -820,7 +820,7 @@ object TextOps {
     * fan-out collapses in the partial aggregate before the single
     * shuffle on the pair key, the same shape as [[topWords]]. */
   def bpePairs(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
+    val d = t(s, dir, "documents", resplit = true)
     val toks = regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))
     d.select(explode(toks).as("tok"))
       .filter(length(col("tok")) >= 2)
@@ -1405,7 +1405,7 @@ object TextOps {
 
   def ngramCoverage(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val grams = t(s, dir, "documents")
+    val grams = t(s, dir, "documents", resplit = true)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), col("w"), explode(sequence(lit(1), lit(3))).as("n"))
       .filter(size(col("w")) >= col("n"))

@@ -53,8 +53,12 @@ object UnigramLm {
 
   /** Weighted distinct words: (w, f), empty strings and
     * over-[[MaxWordLen]] words excluded (mirrored in every CTE). */
-  private def wordsDf(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+  // resplit opt-in per consumer (r16 A/B): the EM pass re-splits its
+  // input (heavy Viterbi UDF over the word relation), the FITTER does
+  // not — its piece-stats pass runs post-shuffle already and the extra
+  // input stage measured a net loss on unigram_vocab's cold fit.
+  private def wordsDf(s: SparkSession, dir: String, resplit: Boolean = false): DataFrame =
+    t(s, dir, "documents", resplit = resplit)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "" && length(col("w")) <= MaxWordLen)
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
@@ -179,7 +183,7 @@ object UnigramLm {
   private[graft] def wordStats(s: SparkSession, dir: String): DataFrame = {
     val vocab = fittedVocab(s, dir).map { case (p, _, c) => p -> c }.toMap
     val vit = viterbiUdf(vocab)
-    wordsDf(s, dir)
+    wordsDf(s, dir, resplit = true)
       .withColumn("st", vit(col("w")))
       .filter(col("st").isNotNull)
       .select(col("w"), col("st._1").as("n_pieces"), col("st._2").as("score"))
@@ -187,7 +191,7 @@ object UnigramLm {
 
   def unigramEncode(s: SparkSession, dir: String): DataFrame = {
     val wstats = wordStats(s, dir)
-    val toks = t(s, dir, "documents")
+    val toks = t(s, dir, "documents", resplit = true)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "" && length(col("w")) <= MaxWordLen)
     // exact micro-unit means (the knLogprob remedy): r6 of a double
@@ -336,7 +340,7 @@ object UnigramLm {
     val vocab = fittedVocab(s, dir)
     val costs = vocab.map { case (p, _, c) => p -> c }.toMap
     val vp = viterbiPiecesUdf(costs)
-    val counts2 = wordsDf(s, dir)
+    val counts2 = wordsDf(s, dir, resplit = true)
       .withColumn("pieces", vp(col("w")))
       .filter(col("pieces").isNotNull)
       .select(explode(col("pieces")).as("piece"), col("f"))

@@ -112,7 +112,7 @@ object VectorQueries {
     * At 100 TB this brute-force form is replaced by [[annLshTopk]]- or KMeansVec.ivfTopK-style
     * bucketing; it stays here as the exact reference semantics. */
   def embedNeardup(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings")
+    val e = t(s, dir, "embeddings", resplit = true)
       .withColumn("nrm", l2norm(col("embedding")))
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("nrm").as("nb"))
