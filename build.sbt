@@ -13,13 +13,14 @@ Test / fork := true
 run / fork := true
 // The bench/verify mains speak a one-JSON-line stdout contract that the
 // driver machine-parses. sbt's default forked-output strategy relogs the
-// child's stdout as "[info] ..." lines and appends a "[success] Total
-// time" trailer — both defeated the driver's parser every round
-// (BENCH_r13..r15 all read "parsed": null). StdoutOutput passes the
-// child's stdout through verbatim; showSuccess drops the trailer, so the
-// contract line is the LAST stdout line, bare.
+// child's stdout as "[info] ..." lines — the prefix defeated the
+// driver's parser every round (BENCH_r13..r15 all read "parsed": null).
+// StdoutOutput passes the child's stdout through verbatim, so the
+// contract line reaches stdout bare (sbt's own "[success]" trailer
+// still follows it; any line-scanning parser skips that, and
+// suppressing it globally would also strip it from the sbt compile/test
+// invocations other driver gates may key on).
 run / outputStrategy := Some(StdoutOutput)
-Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
