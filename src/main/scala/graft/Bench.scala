@@ -246,6 +246,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.codegen.cache.maxEntries", codegenCacheEntries)
+      // no defaultParallelism floor on scan splits: parquet can only
+      // split at row-group boundaries, so the floor manufactures
+      // (cores − rowGroups) EMPTY scan tasks per stage — pure task
+      // overhead at any scale; real parallelism comes from bytes/
+      // row-groups (and the re-split rule where a pass needs it)
+      .config("spark.sql.files.minPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_NUM", "1"))
       .config("spark.sql.adaptive.enabled", "true")
       // AQE coalesce floor: keep the 1 MB default. A 64 KB floor was
       // A/B-tested (tools/bench_one.scala, sf0.1): it buys ~25% on the
@@ -408,6 +415,8 @@ object BenchOne {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.codegen.cache.maxEntries", Bench.codegenCacheEntries)
+      .config("spark.sql.files.minPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_NUM", "1"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
